@@ -1,0 +1,60 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Fixture-table registry.
+  *
+  * Registers the ten `/root/testdata/sf*` parquet tables as temp views on a
+  * session, applying the one load-bearing normalization: `events.ts` is
+  * physical parquet `timestamp[ns]`, which Spark 4 refuses to read unless
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (the column then surfaces as
+  * BIGINT nanos) — we re-derive a µs TIMESTAMP view so downstream operators
+  * see normal timestamp semantics (see FIXTURES.md quirk #1).
+  *
+  * The registry is idempotent per (session, dir): query entry points call
+  * [[register]] freely and only pay the parquet-footer read once.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  /** Session configs correctness depends on (SURVEY.md §4c). Safe to set at
+    * runtime; must happen before the events parquet footer is read. */
+  def ensureConfigs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  /** Register all fixture tables from `dir` as temp views (idempotent). */
+  def register(spark: SparkSession, dir: String): Unit = {
+    val d = dir.stripSuffix("/")
+    registered.synchronized {
+      if (registered.get(spark) != d) {
+        doRegister(spark, d)
+        registered.put(spark, d)
+      }
+    }
+  }
+
+  private def doRegister(spark: SparkSession, dir: String): Unit = {
+    ensureConfigs(spark)
+    names.foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(s"${t}_raw")
+      if (t == "events") {
+        // ns → µs: BIGINT nanos (legacy read mode) back to a real TIMESTAMP.
+        spark.sql(
+          """CREATE OR REPLACE TEMP VIEW events AS
+            |SELECT event_id, timestamp_micros(CAST(ts DIV 1000 AS LONG)) AS ts,
+            |       user_id, event_type, value, props
+            |FROM events_raw""".stripMargin)
+      } else {
+        spark.sql(s"CREATE OR REPLACE TEMP VIEW $t AS SELECT * FROM ${t}_raw")
+      }
+    }
+  }
+}
