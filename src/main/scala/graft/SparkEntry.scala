@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.queries.Inventory
+import graft.queries.{Extensions, Inventory}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,17 +20,19 @@ object SparkEntry {
     spark.sql(Inventory.byId("AGG-TPCH-Q1").sparkSql)
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * LLM-pipeline extensions (graft.queries.Extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Inventory.all.map { qry =>
       qry.id -> { (spark: SparkSession, dir: String) =>
         Tables.register(spark, dir)
         spark.sql(qry.sparkSql)
       }
-    }.toMap
+    }.toMap ++ Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (MinHash/SimHash use engine-specific hashes) → rows-only check. */
   def oracleSql: Map[String, String] =
-    Inventory.all.map(q => q.id -> q.duckSql).toMap
+    Inventory.all.map(q => q.id -> q.duckSql).toMap ++ Extensions.oracleSql
 }

@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosine
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: brute force is the correctness baseline — a broadcast of
+  * the (small) probe set against a map-side scan of the corpus, no shuffle
+  * until top-k. The bucketed variant ([[ivfTopK]]) is the 100 TB path: a
+  * deterministic coarse quantizer (sign pattern of leading dimensions)
+  * partitions the corpus; probes only scan their own cell, cutting the
+  * scanned fraction to ~1/2^bits, and the cell id is a plain column — so it
+  * can be a partition key at write time (partition pruning does the rest).
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k of `corpus` against one probe row
+    * (vec_id = probeId): (vec_id, cos rounded 3dp), best first. */
+  def cosineTopK(embeddings: DataFrame, probeId: Long, k: Int): DataFrame = {
+    val probe = embeddings.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("p"))
+    embeddings.filter(col("vec_id") =!= probeId)
+      .join(broadcast(probe))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("p")), 3).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Brute-force top-k for EACH of several probes, via per-probe window
+    * rank: (probe_id, rank, vec_id, cos). */
+  def multiProbeTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int): DataFrame = {
+    val probes = embeddings.filter(col("vec_id").isInCollection(probeIds))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+    val scored = embeddings.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), round(cosine(col("embedding"), col("p")), 3).as("cos"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "vec_id", "cos")
+  }
+
+  /** Deterministic IVF-style cell id: sign pattern of the first `bits`
+    * dimensions packed into an INT. */
+  def ivfCell(embeddings: DataFrame, bits: Int = 3): DataFrame = {
+    val cell = (0 until bits).map { d =>
+      when(element_at(col("embedding"), d + 1) > 0f, 1 << (bits - 1 - d)).otherwise(0)
+    }.reduce(_ + _)
+    embeddings.withColumn("cell", cell)
+  }
+
+  /** Bucketed ANN: search only the probe's IVF cell: (vec_id, cell, cos). */
+  def ivfTopK(embeddings: DataFrame, probeId: Long, k: Int, bits: Int = 3): DataFrame = {
+    val cells = ivfCell(embeddings, bits)
+    val probe = cells.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("p"), col("cell").as("pcell"))
+    cells.join(broadcast(probe), col("cell") === col("pcell") && col("vec_id") =!= probeId)
+      .select(col("vec_id"), col("cell"),
+        round(cosine(col("embedding"), col("p")), 3).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Top-n most similar corpus pairs (va < vb) by cosine: (va, vb, cos).
+    * All-pairs — correctness baseline; the LSH/IVF operators above are the
+    * scale path for this shape too. */
+  def topPairs(embeddings: DataFrame, n: Int): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = embeddings.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, col("va") < col("vb"))
+      .select(col("va"), col("vb"), round(cosine(col("ea"), col("eb")), 3).as("cos"))
+      .orderBy(col("cos").desc, col("va"), col("vb"))
+      .limit(n)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality scoring, heuristic language ID, and document fingerprinting.
+  *
+  * All operators are per-row narrow transformations (no shuffle) except the
+  * final ORDER BY the caller adds — at 100 TB they scale linearly with input
+  * splits and stay inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  private val stopwordsEn = Seq("the", "a", "of", "and", "is")
+  private val stopwordsDe = Seq("der", "die", "das", "und", "ist")
+  private val stopwordsEs = Seq("el", "la", "que", "los", "y")
+  private val stopwordsFr = Seq("le", "les", "des", "et", "est")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Per-document quality metrics: char/token counts, mean token length,
+    * type-token ratio, stopword ratio. Columns: doc_id, n_chars, n_tokens,
+    * avg_tok_len, ttr, stop_ratio. */
+  def quality(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_tokens", size(toks))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"),
+        // chars minus the (n-1) separating spaces, over token count
+        round((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 4)
+          .as("avg_tok_len"),
+        round(size(array_distinct(toks)).cast("double") / col("n_tokens"), 4).as("ttr"),
+        round(hits(toks, stopwordsEn).cast("double") / col("n_tokens"), 4).as("stop_ratio"))
+  }
+
+  /** Heuristic language ID: CJK-codepoint check, then function-word votes
+    * with a fixed priority order (en > de > es > fr), 'und' when no vote.
+    * Columns: doc_id, guess, v_en, v_de, v_es, v_fr. */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val vEn = hits(toks, stopwordsEn)
+    val vDe = hits(toks, stopwordsDe)
+    val vEs = hits(toks, stopwordsEs)
+    val vFr = hits(toks, stopwordsFr)
+    documents.select(
+      col("doc_id"),
+      when(col("text").rlike("[一-鿿]"), "zh")
+        .when(vEn >= greatest(vDe, vEs, vFr) && vEn > 0, "en")
+        .when(vDe >= greatest(vEs, vFr) && vDe > 0, "de")
+        .when(vEs >= vFr && vEs > 0, "es")
+        .when(vFr > 0, "fr")
+        .otherwise("und").as("guess"),
+      vEn.as("v_en"), vDe.as("v_de"), vEs.as("v_es"), vFr.as("v_fr"))
+  }
+
+  /** Deterministic positional rolling fingerprint:
+    * Σ (ascii(tok[0])·31 + len(tok)) · pos  mod 1e9+7, pos 1-based.
+    * (Per-term magnitude ≤ ~500k·pos, so the un-modded sum stays far from
+    * BIGINT overflow for any realistic document length.)
+    * Columns: doc_id, fp. */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .groupBy("doc_id")
+      .agg((sum((ascii(substring(col("tok"), 1, 1)) * 31 + length(col("tok")))
+        .cast("long") * (col("pos") + 1)) % 1000000007L).as("fp"))
+  }
+
+  /** Token counts per document (the LLM-TOKENIZE shape, as an API). */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+}

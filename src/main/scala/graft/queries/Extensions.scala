@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline operator registry — the training-data operations built
+  * on top of the SURVEY §2b inventory, implemented with the idiomatic
+  * DataFrame APIs in `graft.llm.*` (not SQL strings).
+  *
+  * Oracle-checkable entries carry portable DuckDB SQL (validated to
+  * hash-match). MinHash/SimHash use engine-specific hash functions
+  * (xxhash64), so they are declared without an oracle — the driver records
+  * a rows-only check and their correctness is covered by ScalaTest recall
+  * tests against the exact-Jaccard ground truth.
+  */
+object Extensions {
+
+  /** Documents/embeddings loaded from the registered views. */
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir); spark.table("documents")
+  }
+  private def embs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir); spark.table("embeddings")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "TEXT-QUALITY" -> ((s, d) =>
+      TextAnalysis.quality(docs(s, d)).orderBy(col("doc_id")).limit(50)),
+    "TEXT-LANGID" -> ((s, d) =>
+      TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id")).limit(60)),
+    "TEXT-FINGERPRINT" -> ((s, d) =>
+      TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id")).limit(60)),
+    "LLM-JACCARD-PAIRS" -> ((s, d) =>
+      Dedup.jaccardPairs(docs(s, d), n = 3, threshold = 0.8)
+        .orderBy(col("jac").desc, col("da"), col("db")).limit(100)),
+    "LLM-MINHASH-LSH" -> ((s, d) =>
+      Dedup.minhashPairs(docs(s, d), n = 3, numHashes = 16, bands = 8, estThreshold = 0.5)
+        .orderBy(col("da"), col("db"))),
+    "LLM-SIMHASH" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), n = 3, maxDist = 3)
+        .orderBy(col("da"), col("db"))),
+    "LLM-EMB-PAIRS" -> ((s, d) => Similarity.topPairs(embs(s, d), 10)),
+    "LLM-ANN-IVF" -> ((s, d) => Similarity.ivfTopK(embs(s, d), probeId = 0L, k = 5)),
+    "LLM-ANN-PROBES" -> ((s, d) =>
+      Similarity.multiProbeTopK(embs(s, d), Seq(0L, 1L, 2L), k = 3)
+        .orderBy(col("probe_id"), col("rank"))),
+    "MM-BINARY-META" -> ((s, d) =>
+      Multimodal.binaryMeta(Multimodal.documentsAsMedia(s, docs(s, d)).toDF())
+        .orderBy(col("media_id")).limit(50)),
+  )
+
+  private val STOP_EN = "('the','a','of','and','is')"
+  private val STOP_DE = "('der','die','das','und','ist')"
+  private val STOP_ES = "('el','la','que','los','y')"
+  private val STOP_FR = "('le','les','des','et','est')"
+
+  val oracleSql: Map[String, String] = Map(
+    "TEXT-QUALITY" ->
+      s"""WITH t AS (SELECT doc_id, length(text) AS n_chars, string_split(text,' ') AS toks FROM documents)
+        |SELECT doc_id, n_chars, len(toks) AS n_tokens,
+        |  round(CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks), 4) AS avg_tok_len,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS ttr,
+        |  round(CAST(len(list_filter(toks, x -> x IN $STOP_EN)) AS DOUBLE) / len(toks), 4) AS stop_ratio
+        |FROM t ORDER BY doc_id LIMIT 50""".stripMargin,
+    "TEXT-LANGID" ->
+      s"""WITH v AS (SELECT doc_id, text,
+        |  len(list_filter(string_split(text,' '), x -> x IN $STOP_EN)) AS v_en,
+        |  len(list_filter(string_split(text,' '), x -> x IN $STOP_DE)) AS v_de,
+        |  len(list_filter(string_split(text,' '), x -> x IN $STOP_ES)) AS v_es,
+        |  len(list_filter(string_split(text,' '), x -> x IN $STOP_FR)) AS v_fr
+        |FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        |       WHEN v_en >= greatest(v_de, v_es, v_fr) AND v_en > 0 THEN 'en'
+        |       WHEN v_de >= greatest(v_es, v_fr) AND v_de > 0 THEN 'de'
+        |       WHEN v_es >= v_fr AND v_es > 0 THEN 'es'
+        |       WHEN v_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS guess,
+        |  v_en, v_de, v_es, v_fr
+        |FROM v ORDER BY doc_id LIMIT 60""".stripMargin,
+    "TEXT-FINGERPRINT" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |p AS (SELECT doc_id, i, t[i] AS tok
+        |      FROM toks CROSS JOIN unnest(generate_series(1, len(t))) AS g(i))
+        |SELECT doc_id,
+        |  sum((ascii(substr(tok,1,1)) * 31 + length(tok)) * i) % 1000000007 AS fp
+        |FROM p GROUP BY doc_id ORDER BY doc_id LIMIT 60""".stripMargin,
+    "LLM-JACCARD-PAIRS" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2],' ') AS s
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS g(i)),
+        |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT da, db, round(CAST(i AS DOUBLE)/(ca.c+cb.c-i), 4) AS jac
+        |FROM inter JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
+        |WHERE CAST(i AS DOUBLE)/(ca.c+cb.c-i) >= 0.8
+        |ORDER BY jac DESC, da, db LIMIT 100""".stripMargin,
+    "LLM-EMB-PAIRS" ->
+      """SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC, va, vb LIMIT 10""".stripMargin,
+    "LLM-ANN-IVF" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |  CAST(embedding[1] > 0 AS INT)*4 + CAST(embedding[2] > 0 AS INT)*2 + CAST(embedding[3] > 0 AS INT) AS cell
+        |  FROM embeddings),
+        |probe AS (SELECT embedding AS p, cell AS pcell FROM b WHERE vec_id = 0)
+        |SELECT e.vec_id, e.cell,
+        |  round(CAST(list_cosine_similarity(e.embedding, probe.p) AS DOUBLE), 3) AS cos
+        |FROM b e CROSS JOIN probe
+        |WHERE e.cell = probe.pcell AND e.vec_id <> 0
+        |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
+    "LLM-ANN-PROBES" ->
+      """WITH probes AS (SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id IN (0,1,2)),
+        |scored AS (SELECT probes.probe_id, e.vec_id,
+        |    round(CAST(list_cosine_similarity(e.embedding, probes.p) AS DOUBLE), 3) AS cos
+        |  FROM embeddings e CROSS JOIN probes WHERE e.vec_id <> probes.probe_id),
+        |ranked AS (SELECT probe_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= 3
+        |ORDER BY probe_id, rank""".stripMargin,
+    "MM-BINARY-META" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS digest, upper(substr(hex(encode(text)), 1, 16)) AS head_hex
+        |FROM documents ORDER BY media_id LIMIT 50""".stripMargin,
+  )
+}

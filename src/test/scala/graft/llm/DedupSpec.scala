@@ -1,0 +1,75 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = { tables(); spark.table("documents") }
+
+  test("exact duplicates: none at sf0.001 (FIXTURES.md quirk #4)") {
+    assert(Dedup.exactDuplicates(docs).count() === 0)
+  }
+
+  test("shingles: count = max(n_tokens - 2, ...) distinct 3-grams") {
+    val sh = Dedup.shingles(docs, 3).groupBy("doc_id").agg(count("*").as("c"))
+    val n = docs.select(size(split(col("text"), " ")).as("nt"))
+    // distinct-shingle count can be below n-2 (repeats) but never above
+    val bad = sh.join(docs.select(col("doc_id"), size(split(col("text"), " ")).as("nt")), "doc_id")
+      .filter(col("c") > col("nt") - 2)
+    assert(bad.count() === 0)
+  }
+
+  test("MinHash-LSH recall: finds every exact-Jaccard pair >= 0.8") {
+    val truth = Dedup.jaccardPairs(docs, 3, 0.8).select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashPairs(docs, 3, 16, 8, 0.5).select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain near-dup pairs")
+    val missed = truth -- found
+    assert(missed.isEmpty, s"LSH missed ${missed.size} of ${truth.size} true pairs: $missed")
+  }
+
+  test("MinHash estimate tracks exact Jaccard within 0.35") {
+    val est = Dedup.minhashPairs(docs, 3, 16, 8, 0.5)
+    val exact = Dedup.jaccardPairs(docs, 3, 0.0)
+    val joined = est.join(exact, Seq("da", "db"))
+      .select(abs(col("est_jac") - col("jac")).as("err"))
+      .agg(max("err")).collect()(0).getDouble(0)
+    assert(joined <= 0.35, s"worst |est - exact| = $joined")
+  }
+
+  test("SimHash: pair distances verified, near-dups separate from random pairs") {
+    val fps = Dedup.simhash(docs, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long): Int = java.lang.Long.bitCount(fps(a) ^ fps(b))
+
+    // every returned pair's distance matches the direct fingerprint XOR
+    val pairs = Dedup.simhashPairs(docs, 3, 3).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getInt(2) === dist(r.getLong(0), r.getLong(1)))
+      assert(r.getInt(2) <= 3)
+    }
+
+    // statistical separation: >=0.9-Jaccard near-dups sit far below the
+    // ~32-bit expectation of unrelated pairs (no hard Hamming<=3 guarantee
+    // at 0.9 — ~10% differing shingles flips more than 3 of 64 bits)
+    val truth = Dedup.jaccardPairs(docs, 3, 0.9).select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(truth.nonEmpty)
+    val nearAvg = truth.map { case (a, b) => dist(a, b) }.sum.toDouble / truth.length
+    val ids = fps.keys.toArray.sorted
+    val randomAvg = ids.take(50).flatMap(a => ids.takeRight(50).filter(_ > a).take(2)
+      .map(b => dist(a, b))).sum.toDouble / 100
+    assert(nearAvg < 12, s"near-dup avg Hamming $nearAvg too high")
+    assert(nearAvg < randomAvg / 2, s"no separation: near=$nearAvg random=$randomAvg")
+  }
+
+  test("deterministic across runs") {
+    val a = canon(Dedup.minhashSignatures(docs).orderBy("doc_id").limit(10))
+    val b = canon(Dedup.minhashSignatures(docs).orderBy("doc_id").limit(10))
+    assert(a === b)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private def embs = { tables(); spark.table("embeddings") }
+
+  test("cosineTopK matches the SQL inventory twin (LLM-COSINE-TOPK)") {
+    val dsl = canon(Similarity.cosineTopK(embs, 0L, 5))
+    val sql = canon(spark.sql(graft.queries.Inventory.byId("LLM-COSINE-TOPK").sparkSql))
+    assert(dsl === sql)
+  }
+
+  test("ivfTopK results all share the probe's cell and are cos-descending") {
+    val rows = Similarity.ivfTopK(embs, 0L, 5).collect()
+    assert(rows.nonEmpty)
+    val cells = rows.map(_.getInt(1)).toSet
+    assert(cells.size === 1)
+    val cos = rows.map(_.getDouble(2))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("ivfTopK is a subset of brute-force ranking restricted to the cell") {
+    val cells = Similarity.ivfCell(embs)
+    val probeCell = cells.filter(cells("vec_id") === 0L).collect()(0).getAs[Int]("cell")
+    val brute = Similarity.cosineTopK(embs, 0L, Int.MaxValue / 2)
+    // brute-force ids that live in the probe cell, in order, top 5
+    val cellIds = cells.filter(cells("cell") === probeCell).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val expect = brute.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(p => cellIds.contains(p._1)).take(5).map(_._1).toSeq
+    val got = Similarity.ivfTopK(embs, 0L, 5).collect().map(_.getLong(0)).toSeq
+    assert(got === expect)
+  }
+
+  test("multiProbeTopK ranks are 1..k per probe") {
+    val rows = Similarity.multiProbeTopK(embs, Seq(0L, 1L, 2L), 3).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet === Set(0L, 1L, 2L))
+    byProbe.values.foreach(g => assert(g.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3)))
+  }
+
+  test("topPairs is symmetric-safe: va < vb and ordered by cos desc") {
+    val rows = Similarity.topPairs(embs, 10).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    val cos = rows.map(_.getDouble(2))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+  }
+}

@@ -1,0 +1,49 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def docs = { tables(); spark.table("documents") }
+
+  test("quality: ratios bounded, n_chars matches the fixture's n_chars column") {
+    val q = TextAnalysis.quality(docs)
+    assert(q.filter(col("ttr") > 1.0 || col("ttr") <= 0.0).count() === 0)
+    assert(q.filter(col("stop_ratio") > 1.0 || col("stop_ratio") < 0.0).count() === 0)
+    assert(q.filter(col("avg_tok_len") <= 0.0).count() === 0)
+    // documents carries its own n_chars column (= length(text), FIXTURES.md);
+    // rename to avoid self-join ambiguity with our computed column
+    val d2 = docs.select(col("doc_id").as("did"), col("n_chars").as("fixture_chars"))
+    val bad = q.join(d2, q("doc_id") === d2("did"))
+      .filter(col("n_chars") =!= col("fixture_chars"))
+    assert(bad.count() === 0)
+  }
+
+  test("langId: guesses come from the closed label set") {
+    val labels = TextAnalysis.langId(docs).select("guess").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("en", "de", "es", "fr", "zh", "und")))
+  }
+
+  test("fingerprint: deterministic, within mod range, sensitive to token order") {
+    val fp1 = canon(TextAnalysis.fingerprint(docs).orderBy("doc_id").limit(20))
+    val fp2 = canon(TextAnalysis.fingerprint(docs).orderBy("doc_id").limit(20))
+    assert(fp1 === fp2)
+    val range = TextAnalysis.fingerprint(docs)
+      .filter(col("fp") < 0 || col("fp") >= 1000000007L)
+    assert(range.count() === 0)
+
+    import spark.implicits._
+    val two = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(two).collect().map(_.getLong(1)).toSet
+    assert(fps.size === 2, "order-swapped tokens must fingerprint differently")
+  }
+
+  test("tokenCounts matches size(split())") {
+    val bad = TextAnalysis.tokenCounts(docs).join(docs, "doc_id")
+      .filter(col("n_tokens") =!= size(split(col("text"), " ")))
+    assert(bad.count() === 0)
+  }
+}

@@ -1,0 +1,29 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+class InventorySpec extends SparkSpec {
+
+  test("every declared query executes at sf0.001 and repeats deterministically") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (id, fn) =>
+      val first = canon(fn(spark, sfDir))
+      val second = canon(fn(spark, sfDir))
+      assert(first === second, s"$id not deterministic")
+      // emptiness is SF-dependent for exactly one declared query (JOIN-ANTI /
+      // SET-EXCEPT are non-empty at sf0.001: 0/15 rows — FIXTURES.md #3)
+      if (id != "JOIN-ANTI") assert(first.nonEmpty, s"$id returned no rows")
+    }
+  }
+
+  test("oracle map covers only declared queries, with matching keys") {
+    val qk = SparkEntry.queries.keySet
+    val ok = SparkEntry.oracleSql.keySet
+    assert(ok.subsetOf(qk), s"oracle keys without query: ${ok -- qk}")
+    // only the engine-specific-hash ops may omit an oracle
+    assert((qk -- ok) === Set("LLM-MINHASH-LSH", "LLM-SIMHASH"))
+  }
+
+  test("flagship entry returns the 6 Q1 groups") {
+    assert(SparkEntry.entry(spark).count() === 6)
+  }
+}
