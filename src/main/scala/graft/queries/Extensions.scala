@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.ingest.Carbon
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operator registry — the training-data operations built
@@ -50,6 +51,28 @@ object Extensions {
     "MM-BINARY-META" -> ((s, d) =>
       Multimodal.binaryMeta(Multimodal.documentsAsMedia(s, docs(s, d)).toDF())
         .orderBy(col("media_id")).limit(50)),
+    "PARSE-COMMAKEYS" -> { (s, d) =>
+      Tables.register(s, d)
+      val metric = concat(lit("svc."), col("event_type"), lit(".count[user="),
+        col("user_id").cast("string"), lit(",ev="), col("event_id").cast("string"), lit("]"))
+      val dims = Carbon.CommaKeysDeconstructor.dimensions(metric)
+      s.table("events").select(
+        Carbon.CommaKeysDeconstructor.base(metric).as("metric"),
+        element_at(dims, "user").cast("long").as("u"),
+        element_at(dims, "ev").cast("long").as("e"))
+        .orderBy(col("e")).limit(50)
+    },
+    "PARSE-DELIMITER" -> { (s, d) =>
+      Tables.register(s, d)
+      val metric = concat(lit("svc."), col("event_type"), lit(".count"))
+      val dims = Carbon.DelimiterDeconstructor(Seq("ns", "etype", "stat")).dimensions(metric)
+      s.table("events").select(
+        col("event_id").as("e"),
+        element_at(dims, "ns").as("ns"),
+        element_at(dims, "etype").as("etype"),
+        element_at(dims, "stat").as("stat"))
+        .orderBy(col("e")).limit(50)
+    },
   )
 
   private val STOP_EN = "('the','a','of','and','is')"
@@ -128,5 +151,17 @@ object Extensions {
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS digest, upper(substr(hex(encode(text)), 1, 16)) AS head_hex
         |FROM documents ORDER BY media_id LIMIT 50""".stripMargin,
+    "PARSE-COMMAKEYS" ->
+      """WITH m AS (SELECT concat('svc.', event_type, '.count[user=', CAST(user_id AS VARCHAR),
+        |    ',ev=', CAST(event_id AS VARCHAR), ']') AS raw FROM events)
+        |SELECT regexp_extract(raw, '^([^\[]+)', 1) AS metric,
+        |  CAST(regexp_extract(raw, 'user=([0-9]+)', 1) AS BIGINT) AS u,
+        |  CAST(regexp_extract(raw, 'ev=([0-9]+)', 1) AS BIGINT) AS e
+        |FROM m ORDER BY e LIMIT 50""".stripMargin,
+    "PARSE-DELIMITER" ->
+      """WITH m AS (SELECT event_id, string_split(concat('svc.', event_type, '.count'), '.') AS parts
+        |  FROM events)
+        |SELECT event_id AS e, parts[1] AS ns, parts[2] AS etype, parts[3] AS stat
+        |FROM m ORDER BY e LIMIT 50""".stripMargin,
   )
 }

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming rollups and forwarder sinks — the Spark-native equivalent of
+  * the reference's listener → demultiplexer → buffered forwarder spine
+  * (SURVEY.md §2a rows 8–13: `protocol/demultiplexer/demultiplexer.go`,
+  * `dp/dpbuffered.go`, `protocol/carbon/carbonforwarder.go`,
+  * `protocol/csv/csvforwarder.go` [P]).
+  *
+  * Mapping: unbounded buffering → micro-batch trigger; drain-thread
+  * parallelism → sink-side partition parallelism; drop-on-overflow →
+  * watermark late-data drop. State (windowed aggregations) lives in the
+  * state store keyed by (group, window) — at scale back it with RocksDB via
+  * `spark.sql.streaming.stateStore.providerClass`.
+  */
+object StreamingOps {
+
+  /** Tumbling-window rollup: count + sum(value) per (window, key). */
+  def tumble(events: DataFrame, tsCol: String, keyCol: String,
+             width: String, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width), col(keyCol))
+      .agg(count("*").as("c"), sum("value").as("sv"))
+      .select(col("window.start").as("wstart"), col(keyCol),
+        col("c"), col("sv"))
+
+  /** Sliding-window rollup (width, slide). */
+  def slide(events: DataFrame, tsCol: String, width: String, slide: String,
+            watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide))
+      .agg(count("*").as("c"))
+      .select(col("window.start").as("wstart"), col("c"))
+
+  /** Gap-based sessionization per user (session_window, Spark ≥3.2). */
+  def sessionize(events: DataFrame, tsCol: String, userCol: String,
+                 gap: String, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count("*").as("n_events"))
+      .select(col("session_window.start").as("sstart"),
+        col("session_window.end").as("send"), col(userCol), col("n_events"))
+
+  /** A forwarder writes one micro-batch; implementations mirror the
+    * reference's forwarder plugins. */
+  trait Forwarder extends Serializable {
+    def name: String
+    def write(batch: DataFrame, batchId: Long): Unit
+  }
+
+  /** CSV debug sink (csvforwarder.go [P]): appends each micro-batch as CSV
+    * part files under `dir`. Complex columns (maps/arrays/structs) are
+    * JSON-encoded — CSV cannot carry them natively. */
+  final case class CsvForwarder(name: String, dir: String) extends Forwarder {
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val flat = batch.schema.fields.map { f =>
+        f.dataType match {
+          case _: MapType | _: ArrayType | _: StructType => to_json(col(f.name)).as(f.name)
+          case _ => col(f.name)
+        }
+      }
+      batch.select(flat.toIndexedSeq: _*)
+        .write.mode("append").option("header", "false").csv(dir)
+    }
+  }
+
+  /** Graphite-line sink (carbonforwarder.go [P]): serializes datapoints to
+    * `metric value epoch` text files (stand-in for the TCP client — the
+    * codec and batch path are the real parts). */
+  final case class CarbonForwarder(name: String, dir: String) extends Forwarder {
+    def write(batch: DataFrame, batchId: Long): Unit =
+      batch.select(graft.ingest.Carbon.toLine(
+          col("metric"), col("value"), col("epoch")).as("value"))
+        .write.mode("append").text(dir)
+  }
+
+  /** Demultiplexer (demultiplexer.go [P]): one source stream fanned out to
+    * ALL registered forwarders from a single foreachBatch — one source-side
+    * computation per micro-batch, N sink writes (persist the batch so sinks
+    * don't recompute it). */
+  def demux(source: DataFrame, forwarders: Seq[Forwarder],
+            trigger: Trigger = Trigger.ProcessingTime("1 second")): DataStreamWriter[Row] =
+    source.writeStream
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.persist()
+        try forwarders.foreach(_.write(batch.toDF(), batchId))
+        finally batch.unpersist()
+        ()
+      }
+
+  /** Per-sink datapoint counters (dpsink counter middleware [P]) via
+    * `observe` — metrics surface on the StreamingQueryListener without a
+    * second aggregation pass over the data. */
+  def withCounters(source: DataFrame, name: String = "graft_stats"): DataFrame =
+    source.observe(name, count(lit(1)).as("n_points"),
+      approx_count_distinct(col("metric")).as("n_metrics"))
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+class StreamingSpec extends SparkSpec {
+
+  private def fixtureEvents() = { tables(); spark.table("events") }
+
+  test("streaming tumble over MemoryStream equals batch groupBy on same data") {
+    val sq = spark
+    import sq.implicits._
+    val batchRows = fixtureEvents()
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      .as[Ev].collect().toSeq
+
+    val input = MemoryStream[Ev](spark)
+    input.addData(batchRows) // before start(): AvailableNow snapshots offsets
+    val query = StreamingOps.tumble(input.toDF(), "ts", "event_type", "6 hours")
+      .writeStream.format("memory").queryName("tumble_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = canon(spark.table("tumble_out")
+      .select(col("wstart").cast("long").as("w"), col("event_type"), col("c"),
+        round(col("sv"), 2).as("sv"))
+      .orderBy("w", "event_type"))
+    val batch = canon(fixtureEvents()
+      .groupBy(window(col("ts"), "6 hours").getField("start").cast("long").as("w"),
+        col("event_type"))
+      .agg(count("*").as("c"), round(sum("value"), 2).as("sv"))
+      .orderBy("w", "event_type"))
+    assert(streamed === batch)
+  }
+
+  test("streaming sessionize: per-user session count equals batch-replay formulation") {
+    val sq = spark
+    import sq.implicits._
+    val batchRows = fixtureEvents()
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      .as[Ev].collect().toSeq
+
+    val input = MemoryStream[Ev](spark)
+    // session windows emit in append mode once the watermark passes the
+    // session end: feed real rows + a far-future sentinel, then a second
+    // sentinel batch so the advanced watermark closes every real session
+    val query = StreamingOps.sessionize(input.toDF(), "ts", "user_id",
+        "30 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    input.addData(batchRows :+ Ev(Timestamp.valueOf("2030-01-01 00:00:00"), "x", -1L, 0.0))
+    query.processAllAvailable()
+    input.addData(Seq(Ev(Timestamp.valueOf("2031-01-01 00:00:00"), "x", -2L, 0.0)))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("sess_out")
+      .filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(count("*").as("n_sessions"), sum("n_events").as("n_events"))
+      .orderBy("user_id")
+    // the declared STREAM-SESSION batch-replay query is the oracle
+    val batch = spark.sql(graft.queries.Inventory.byId("STREAM-SESSION").sparkSql)
+    assert(canon(streamed) === canon(batch))
+  }
+
+  test("demux fans one stream out to csv + carbon forwarders") {
+    val sq = spark
+    import sq.implicits._
+    val dir = Files.createTempDirectory("graft_demux").toString
+    val lines = (1 to 100).map(i => s"svc.m$i ${i * 1.5} ${1700000000L + i}")
+
+    val input = MemoryStream[String](spark)
+    input.addData(lines) // before start(): AvailableNow snapshots offsets
+    val points = graft.ingest.Carbon.ingest(
+        input.toDF().withColumnRenamed("value", "line"),
+        graft.ingest.Carbon.IdentityDeconstructor)
+      .withColumn("epoch", col("ts").cast("long"))
+    val writer = StreamingOps.demux(points,
+      Seq(StreamingOps.CsvForwarder("csv", s"$dir/csv"),
+          StreamingOps.CarbonForwarder("carbon", s"$dir/carbon")),
+      Trigger.AvailableNow())
+    val query = writer.option("checkpointLocation", s"$dir/ckpt").start()
+    query.processAllAvailable()
+    query.stop()
+
+    val csvN = spark.read.csv(s"$dir/csv").count()
+    val carbonLines = spark.read.text(s"$dir/carbon")
+    assert(csvN === 100)
+    assert(carbonLines.count() === 100)
+    // carbon sink round-trips through the codec
+    val back = graft.ingest.Carbon.parseLines(
+      carbonLines.withColumnRenamed("value", "line"))
+    assert(back.where(col("value").isNotNull).count() === 100)
+  }
+
+  test("withCounters observes point counts without a second aggregation") {
+    val sq = spark
+    import sq.implicits._
+    val df = Seq(("a.b", 1.0, 1L), ("c.d", 2.0, 2L)).toDF("metric", "value", "epoch")
+    // observe() on batch DataFrames: metrics delivered on action
+    val observed = StreamingOps.withCounters(df)
+    assert(observed.count() === 2)
+  }
+}
