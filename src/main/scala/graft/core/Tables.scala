@@ -43,6 +43,7 @@ object Tables {
 
   private def doRegister(spark: SparkSession, dir: String): Unit = {
     ensureConfigs(spark)
+    graft.functions.expressions.GraftFunctions.register(spark)
     names.foreach { t =>
       spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(s"${t}_raw")
       if (t == "events") {

@@ -98,19 +98,17 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint per document: bitᵢ = sign of Σ(±1) over
-    * shingle hashes' i-th bits. (doc_id, simhash). */
+    * shingle hashes' i-th bits. (doc_id, simhash).
+    *
+    * Uses the graft_simhash_agg TypedImperativeAggregate (fixed 256-byte
+    * buffer, map-side partial agg) — requires GraftFunctions.register,
+    * which graft.core.Tables.register performs. */
   def simhash(documents: DataFrame, n: Int = 3): DataFrame = {
-    val h = shingles(documents, n).select(col("doc_id"), xxhash64(col("s")).as("h"))
-    h.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(63)),
-          b => when(call_function("shiftright", col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-            .otherwise(-1)))
-          .as(Seq("bit", "w")))
-      .groupBy("doc_id", "bit")
-      .agg(sum(col("w")).as("bal"))
+    graft.functions.expressions.GraftFunctions.register(documents.sparkSession)
+    shingles(documents, n)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .groupBy("doc_id")
-      .agg(sum(when(col("bal") > 0, call_function("shiftleft", lit(1L), col("bit"))).otherwise(0L))
-        .as("simhash"))
+      .agg(call_function("graft_simhash_agg", col("h")).as("simhash"))
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDist, using

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.cosine
+import graft.functions.VectorFunctions.cosineNative
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -25,7 +25,7 @@ object Similarity {
       .select(col("embedding").as("p"))
     embeddings.filter(col("vec_id") =!= probeId)
       .join(broadcast(probe))
-      .select(col("vec_id"), round(cosine(col("embedding"), col("p")), 3).as("cos"))
+      .select(col("vec_id"), round(cosineNative(col("embedding"), col("p")), 3).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
@@ -36,7 +36,7 @@ object Similarity {
     val probes = embeddings.filter(col("vec_id").isInCollection(probeIds))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
     val scored = embeddings.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), round(cosine(col("embedding"), col("p")), 3).as("cos"))
+      .select(col("probe_id"), col("vec_id"), round(cosineNative(col("embedding"), col("p")), 3).as("cos"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -59,7 +59,7 @@ object Similarity {
       .select(col("embedding").as("p"), col("cell").as("pcell"))
     cells.join(broadcast(probe), col("cell") === col("pcell") && col("vec_id") =!= probeId)
       .select(col("vec_id"), col("cell"),
-        round(cosine(col("embedding"), col("p")), 3).as("cos"))
+        round(cosineNative(col("embedding"), col("p")), 3).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
@@ -71,7 +71,7 @@ object Similarity {
     val a = embeddings.select(col("vec_id").as("va"), col("embedding").as("ea"))
     val b = embeddings.select(col("vec_id").as("vb"), col("embedding").as("eb"))
     a.join(b, col("va") < col("vb"))
-      .select(col("va"), col("vb"), round(cosine(col("ea"), col("eb")), 3).as("cos"))
+      .select(col("va"), col("vb"), round(cosineNative(col("ea"), col("eb")), 3).as("cos"))
       .orderBy(col("cos").desc, col("va"), col("vb"))
       .limit(n)
   }
