@@ -21,12 +21,17 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2, plus the
-    * LLM-pipeline extensions (graft.queries.Extensions). */
+    * LLM-pipeline extensions (graft.queries.Extensions). Inventory queries
+    * are served by their DataFrame-DSL implementations (graft.dsl.Relational,
+    * hash-equal to the SQL twins — DslParitySpec); the SQL text remains the
+    * declarative reference and fallback. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Inventory.all.map { qry =>
       qry.id -> { (spark: SparkSession, dir: String) =>
         Tables.register(spark, dir)
-        spark.sql(qry.sparkSql)
+        graft.dsl.Relational.impls.get(qry.id)
+          .map(_(spark))
+          .getOrElse(spark.sql(qry.sparkSql))
       }
     }.toMap ++ Extensions.queries
 

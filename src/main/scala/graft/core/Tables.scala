@@ -28,6 +28,12 @@ object Tables {
   def ensureConfigs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Dataset.cube/rollup over a join-derived frame false-positives
+    // DetectAmbiguousSelfJoin in Spark 4.1 (the Expand duplicates grouping
+    // attributes carrying the join inputs' dataset tags — reproduced even
+    // with projection/alias boundaries; no self-join exists). Disable the
+    // heuristic check; SQL-path queries are unaffected by it either way.
+    spark.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
   }
 
   /** Register all fixture tables from `dir` as temp views (idempotent). */

@@ -1,0 +1,289 @@
+package graft.dsl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.llm.{Similarity, TextAnalysis}
+import graft.operators.AsOfJoin
+
+/** Idiomatic DataFrame implementations of the SURVEY §2b inventory — the
+  * engine as an API, not a SQL pipe. Every entry is hash-equal to its SQL
+  * twin in graft.queries.Inventory (asserted by DslParitySpec and by the
+  * driver's DuckDB oracle, since SparkEntry serves these implementations).
+  *
+  * Tables come from the temp views registered by graft.core.Tables.
+  */
+object Relational {
+
+  private def dec(p: Int, s: Int) = DecimalType(p, s)
+
+  /** DataFrame implementation per inventory query id. */
+  val impls: Map[String, SparkSession => DataFrame] = Map(
+    "SCAN-COUNT" -> (s => s.table("lineitem").agg(count(lit(1)).as("cnt"))),
+
+    "PROJ-EXPR" -> (s => s.table("lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net"))
+      .orderBy("l_orderkey", "l_linenumber", "net").limit(50)),
+
+    "FILTER-PRED" -> (s => s.table("orders")
+      .where(col("o_orderstatus").isin("F", "O")
+        && col("o_totalprice").between(1000, 50000)
+        && col("o_orderpriority").like("1-%")
+        && !(col("o_custkey") === 7))
+      .select("o_orderkey").orderBy("o_orderkey").limit(50)),
+
+    "JOIN-INNER-EQUI" -> (s => s.table("customer")
+      .join(s.table("nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(s.table("region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name").agg(count(lit(1)).as("c"))
+      .orderBy("r_name", "n_name")),
+
+    "JOIN-LEFT-OUTER" -> (s => s.table("customer")
+      .join(s.table("orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(round(sum(col("o_totalprice").cast(dec(18, 2))).cast("double"), 2),
+          lit(0.0)).as("spend"))
+      .orderBy("c_custkey").limit(60)),
+
+    "JOIN-FULL-OUTER" -> { s =>
+      val a = s.table("customer").groupBy(col("c_nationkey").as("ka"))
+        .agg(count(lit(1)).as("nc"))
+      val b = s.table("supplier").groupBy(col("s_nationkey").as("kb"))
+        .agg(count(lit(1)).as("ns"))
+      a.join(b, col("ka") === col("kb"), "full_outer")
+        .select(coalesce(col("ka"), col("kb")).as("k"), col("nc"), col("ns"))
+        .orderBy("k")
+    },
+
+    "JOIN-SEMI" -> (s => s.table("customer")
+      .join(s.table("orders").where(col("o_totalprice") > 100000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey").orderBy("c_custkey")),
+
+    "JOIN-ANTI" -> (s => s.table("customer")
+      .join(s.table("orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey").orderBy("c_custkey")),
+
+    "JOIN-RANGE" -> (s => s.table("orders")
+      .join(s.table("lineitem"),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") >= col("o_orderdate")
+          && col("l_shipdate") < col("o_orderdate") + expr("INTERVAL '60' DAY"))
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderkey").limit(50)),
+
+    // scale-path as-of join: union + running last() — O(n log n), not the
+    // SQL twin's O(clicks x purchases) theta-join (see graft.operators.AsOfJoin)
+    "JOIN-ASOF" -> { s =>
+      val ev = s.table("events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click").select("user_id", "ts")
+      AsOfJoin.lastBefore(clicks, purchases, "user_id", "ts", "event_id")
+        .select(col("event_id"),
+          col("last_left_ts").cast("long").as("last_click_epoch"))
+        .orderBy("event_id").limit(80)
+    },
+
+    "AGG-TPCH-Q1" -> (s => s.table("lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity").cast(dec(18, 2))).cast("double"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice").cast(dec(18, 2))).cast("double"), 2).as("sum_base"),
+        round(avg(col("l_discount").cast(dec(18, 6))).cast("double"), 4).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")),
+
+    "AGG-DISTINCT" -> (s => s.table("events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .orderBy("event_type")),
+
+    "AGG-ROLLUP" -> { s =>
+      val rolled = s.table("customer")
+        .join(s.table("nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(s.table("region"), col("n_regionkey") === col("r_regionkey"))
+        .rollup("r_name", "n_name").agg(count(lit(1)).as("c"))
+      // sort refs must bind to the rollup OUTPUT (nullable grouping cols):
+      // dataset-tagged col()/df() refs trip DetectAmbiguousSelfJoin, so use
+      // untagged by-name sort expressions
+      rolled.toDF("r_name", "n_name", "c")
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    },
+
+    "AGG-CUBE" -> { s =>
+      val cubed = s.table("customer")
+        .join(s.table("nation"), col("c_nationkey") === col("n_nationkey"))
+        .cube("c_mktsegment", "n_name").agg(count(lit(1)).as("c"))
+      cubed.toDF("c_mktsegment", "n_name", "c")
+        .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("n_name"))
+    },
+
+    "AGG-GROUPING-SETS" -> (s => s.table("customer")
+      .join(s.table("nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(Seq(Seq(col("c_mktsegment")), Seq(col("n_name"))),
+        col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("n_name").asc_nulls_first)),
+
+    "AGG-STATS" -> (s => s.table("events")
+      .groupBy("event_type")
+      .agg(round(stddev_samp(col("value")).cast("double"), 3).as("sd"),
+        round(var_samp(col("value")).cast("double"), 3).as("vr"),
+        round(min(col("value")), 2).as("mn"),
+        round(max(col("value")), 2).as("mx"))
+      .orderBy("event_type")),
+
+    "WIN-RANK" -> { s =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      s.table("events").where(col("user_id") < 5)
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).as("rn"), rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .orderBy("user_id", "rn").limit(80)
+    },
+
+    "WIN-LAG-LEAD" -> { s =>
+      val w = Window.orderBy("ts", "event_id")
+      s.table("events").where(col("user_id") === 3)
+        .select(col("event_id"), lag("event_id", 1).over(w).as("prev_id"),
+          lead("event_id", 1).over(w).as("next_id"))
+        .orderBy("event_id")
+    },
+
+    "WIN-FRAME-ROWS" -> { s =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.table("events").where(col("user_id") < 3)
+        .select(col("event_id"), round(sum("value").over(w), 2).as("running"))
+        .orderBy("event_id").limit(80)
+    },
+
+    "WIN-FRAME-RANGE" -> { s =>
+      val w = Window.orderBy(col("o_totalprice").cast(dec(18, 2)))
+        .rangeBetween(-1000, Window.currentRow)
+      s.table("orders")
+        .select(col("o_orderkey"), count(lit(1)).over(w).as("near_cnt"))
+        .orderBy("o_orderkey").limit(60)
+    },
+
+    "WIN-NTILE" -> { s =>
+      val w = Window.orderBy(col("o_totalprice").cast(dec(18, 2)).desc, col("o_orderkey"))
+      s.table("orders")
+        .select(col("o_orderkey"), ntile(4).over(w).as("q"))
+        .orderBy("o_orderkey").limit(60)
+    },
+
+    "SORT-TOPK" -> (s => s.table("orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("p"))),
+
+    "SET-UNION" -> (s => s.table("customer").select(col("c_nationkey").as("k"))
+      .union(s.table("supplier").select(col("s_nationkey").as("k")))
+      .distinct().orderBy("k")),
+
+    "SET-UNION-ALL" -> (s => s.table("customer").select(col("c_nationkey").as("k"))
+      .union(s.table("supplier").select(col("s_nationkey").as("k")))
+      .agg(count(lit(1)).as("cnt"))),
+
+    "SET-INTERSECT" -> (s => s.table("customer").select(col("c_nationkey").as("k"))
+      .intersect(s.table("supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")),
+
+    "SET-EXCEPT" -> (s => s.table("customer").select(col("c_nationkey").as("k"))
+      .except(s.table("supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")),
+
+    "FN-STRING" -> (s => s.table("part")
+      .select(col("p_partkey"), upper(col("p_brand")).as("ub"),
+        lower(col("p_type")).as("lt"), substring(col("p_name"), 1, 8).as("s8"),
+        length(col("p_name")).as("ln"),
+        regexp_replace(col("p_brand"), "#", "-").as("rp"),
+        trim(concat(lit(" "), col("p_name"), lit(" "))).as("tc"),
+        lpad(col("p_size").cast("string"), 4, "0").as("pad"))
+      .orderBy("p_partkey").limit(40)),
+
+    "FN-REGEX" -> (s => s.table("part")
+      .where(col("p_type").rlike("^(STANDARD|SMALL)"))
+      .select("p_partkey").orderBy("p_partkey").limit(40)),
+
+    "FN-DATE" -> (s => s.table("orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"), dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("mstart"))
+      .orderBy("o_orderkey").limit(40)),
+
+    "FN-MATH" -> (s => s.table("lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("a"),
+        floor(col("l_extendedprice")).cast("bigint").as("f"),
+        ceil(col("l_extendedprice")).cast("bigint").as("c"),
+        round(sqrt(col("l_quantity")), 4).as("sq"),
+        round(log(col("l_extendedprice")), 4).as("lg"),
+        round(pow(col("l_tax") + 1, 2), 4).as("pw"),
+        (col("l_partkey") % 7).cast("bigint").as("md"))
+      .orderBy("l_orderkey", "l_linenumber", "f", "md").limit(40)),
+
+    "FN-ARRAY" -> (s => s.table("embeddings")
+      .select(col("vec_id"), size(col("embedding")).as("dim"),
+        round(col("embedding").getItem(0).cast("double"), 4).as("e0"))
+      .orderBy("vec_id").limit(40)),
+
+    "FN-JSON" -> (s => s.table("events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("event_id").limit(60)),
+
+    "STREAM-TUMBLE" -> (s => s.table("events")
+      .groupBy(
+        (floor(col("ts").cast("double") / 21600) * 21600).cast("bigint").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"),
+        round(sum(col("value").cast(dec(18, 2))).cast("double"), 2).as("sv"))
+      .orderBy("bucket", "event_type").limit(100)),
+
+    "STREAM-SLIDE" -> { s =>
+      val shifts = s.range(2).select((col("id") * 10800).cast("int").as("s"))
+      s.table("events").crossJoin(shifts)
+        .select((floor((col("ts").cast("double") - col("s")) / 21600) * 21600
+          + col("s")).cast("bigint").as("wstart"))
+        .groupBy("wstart").agg(count(lit(1)).as("c"))
+        .orderBy("wstart").limit(100)
+    },
+
+    "STREAM-SESSION" -> { s =>
+      val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ws = Window.partitionBy("user_id").orderBy("ts")
+      s.table("events")
+        .select(col("user_id"), col("ts"),
+          when(col("ts").cast("double") - lag("ts", 1).over(wo).cast("double") > 1800
+            || lag("ts", 1).over(wo).isNull, 1).otherwise(0).as("new_s"))
+        .select(col("user_id"), sum("new_s").over(ws).as("sid"))
+        .groupBy("user_id")
+        .agg(max("sid").cast("bigint").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    "LLM-COSINE-TOPK" -> (s => Similarity.cosineTopK(s.table("embeddings"), 0L, 5)),
+
+    "LLM-DEDUP" -> (s => s.table("documents")
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(md5(lower(col("text")))).as("uniq"))),
+
+    "LLM-TOKENIZE" -> (s => TextAnalysis.tokenCounts(s.table("documents"))
+      .orderBy("doc_id").limit(50)),
+
+    "PARSE-DECONSTRUCT" -> { s =>
+      val line = concat(lit("svc."), col("event_type"), lit(".count "),
+        round(col("value"), 2).cast("string"), lit(" "),
+        col("ts").cast(dec(20, 0)).cast("string"))
+      graft.ingest.Carbon.parseLines(s.table("events").select(line.as("line")))
+        .orderBy("epoch", "metric").limit(50)
+    },
+  )
+
+  def apply(id: String, spark: SparkSession): DataFrame = impls(id)(spark)
+}

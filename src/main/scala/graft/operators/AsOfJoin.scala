@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each right-side row, the most recent left-side event at
+  * or before its timestamp, per key.
+  *
+  * Spark has no native as-of join. The naive formulation (theta-join on
+  * `l.ts <= r.ts` + max aggregate — what the JOIN-ASOF SQL twin does) is
+  * O(|L|·|R|) per key: every purchase joins every earlier click before the
+  * aggregate collapses them. This operator instead unions both sides and
+  * takes a running `last(leftTs) ignore nulls` over one window sorted by
+  * (ts, side) — O(n log n) in one shuffle by key, no pair blow-up. At equal
+  * timestamps the left side sorts first, giving `<=` (as-of-or-equal)
+  * semantics.
+  *
+  * At 100 TB this is the difference between a quadratic-per-key join and a
+  * single sort-based window pass; for skewed keys the window sort spills
+  * rather than materializing pairs.
+  */
+object AsOfJoin {
+
+  /** For each row of `right`, attach `last_left_ts` = max left `tsCol` with
+    * left.ts <= right.ts on the same `keyCol`. Output: right's `idCol`,
+    * last_left_ts (timestamp, null when no left event precedes). */
+  def lastBefore(left: DataFrame, right: DataFrame,
+                 keyCol: String, tsCol: String, idCol: String): DataFrame = {
+    val l = left.select(col(keyCol), col(tsCol),
+      lit(null).cast("long").as("__rid"), lit(0).as("__side"))
+    val r = right.select(col(keyCol), col(tsCol),
+      col(idCol).cast("long").as("__rid"), lit(1).as("__side"))
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.union(r)
+      .withColumn("__last_left",
+        last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col("__rid").as(idCol), col("__last_left").as("last_left_ts"))
+  }
+}
