@@ -19,13 +19,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def runAll(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
+    // (name, seconds, ok) — a failed query keeps its partial time for
+    // visibility but is EXCLUDED from the headline totals and listed in
+    // "failed", so a run with failures is distinguishable from a clean one.
+    def runAll(): Seq[(String, Double, Boolean)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).collect() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).collect(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     runAll() // warm-up: JVM/codegen/parquet footers
     val results = runAll()
@@ -35,11 +40,14 @@ object Bench {
     // the LLM-pipeline extension queries are reported per-query and in
     // value_all_queries.
     val baselineIds = graft.queries.Inventory.all.map(_.id).toSet
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total39 = results.collect { case (k, v) if baselineIds(k) => v }.sum
-    val totalAll = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total39%.3f,"unit":"sec","queries":$qs,"value_all_queries":$totalAll%.3f,"n_queries":${results.size},"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total39 = results.collect { case (k, v, true) if baselineIds(k) => v }.sum
+    val totalAll = results.collect { case (_, v, true) => v }.sum
+    println(f"""{"metric":"total","value":$total39%.3f,"unit":"sec","queries":$qs,"failed":$failed,"value_all_queries":$totalAll%.3f,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,12 +28,24 @@ object Tables {
   def ensureConfigs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Dataset.cube/rollup over a join-derived frame false-positives
-    // DetectAmbiguousSelfJoin in Spark 4.1 (the Expand duplicates grouping
-    // attributes carrying the join inputs' dataset tags — reproduced even
-    // with projection/alias boundaries; no self-join exists). Disable the
-    // heuristic check; SQL-path queries are unaffected by it either way.
-    spark.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+  }
+
+  /** Dataset.cube/rollup over a join-derived frame false-positives
+    * DetectAmbiguousSelfJoin in Spark 4.1 (the Expand duplicates grouping
+    * attributes carrying the join inputs' dataset tags — reproduced even
+    * with projection/alias boundaries; no self-join exists). Scope the
+    * workaround to plan CONSTRUCTION of those operators only (Dataset
+    * analysis is eager, so the conf is read inside `f`), restoring the
+    * previous value after — genuine self-joins elsewhere keep the guard. */
+  def withoutAmbiguousSelfJoinCheck[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Register all fixture tables from `dir` as temp views (idempotent). */

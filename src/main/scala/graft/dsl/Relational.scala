@@ -103,31 +103,37 @@ object Relational {
       .orderBy("event_type")),
 
     "AGG-ROLLUP" -> { s =>
-      val rolled = s.table("customer")
-        .join(s.table("nation"), col("c_nationkey") === col("n_nationkey"))
-        .join(s.table("region"), col("n_regionkey") === col("r_regionkey"))
-        .rollup("r_name", "n_name").agg(count(lit(1)).as("c"))
-      // sort refs must bind to the rollup OUTPUT (nullable grouping cols):
-      // dataset-tagged col()/df() refs trip DetectAmbiguousSelfJoin, so use
-      // untagged by-name sort expressions
-      rolled.toDF("r_name", "n_name", "c")
-        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+      graft.core.Tables.withoutAmbiguousSelfJoinCheck(s) {
+        val rolled = s.table("customer")
+          .join(s.table("nation"), col("c_nationkey") === col("n_nationkey"))
+          .join(s.table("region"), col("n_regionkey") === col("r_regionkey"))
+          .rollup("r_name", "n_name").agg(count(lit(1)).as("c"))
+        // sort refs must bind to the rollup OUTPUT (nullable grouping cols):
+        // dataset-tagged col()/df() refs trip DetectAmbiguousSelfJoin, so use
+        // untagged by-name sort expressions
+        rolled.toDF("r_name", "n_name", "c")
+          .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+      }
     },
 
     "AGG-CUBE" -> { s =>
-      val cubed = s.table("customer")
-        .join(s.table("nation"), col("c_nationkey") === col("n_nationkey"))
-        .cube("c_mktsegment", "n_name").agg(count(lit(1)).as("c"))
-      cubed.toDF("c_mktsegment", "n_name", "c")
-        .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("n_name"))
+      graft.core.Tables.withoutAmbiguousSelfJoinCheck(s) {
+        val cubed = s.table("customer")
+          .join(s.table("nation"), col("c_nationkey") === col("n_nationkey"))
+          .cube("c_mktsegment", "n_name").agg(count(lit(1)).as("c"))
+        cubed.toDF("c_mktsegment", "n_name", "c")
+          .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("n_name"))
+      }
     },
 
-    "AGG-GROUPING-SETS" -> (s => s.table("customer")
-      .join(s.table("nation"), col("c_nationkey") === col("n_nationkey"))
-      .groupingSets(Seq(Seq(col("c_mktsegment")), Seq(col("n_name"))),
-        col("c_mktsegment"), col("n_name"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy(col("c_mktsegment").asc_nulls_first, col("n_name").asc_nulls_first)),
+    "AGG-GROUPING-SETS" -> (s => graft.core.Tables.withoutAmbiguousSelfJoinCheck(s) {
+      s.table("customer")
+        .join(s.table("nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupingSets(Seq(Seq(col("c_mktsegment")), Seq(col("n_name"))),
+          col("c_mktsegment"), col("n_name"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c_mktsegment").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
 
     "AGG-STATS" -> (s => s.table("events")
       .groupBy("event_type")

@@ -22,14 +22,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Token n-gram shingles (space-joined), one row per distinct shingle:
-    * (doc_id, s). */
+    * (doc_id, s). Documents with fewer than n tokens yield zero shingles
+    * (guard required: sequence(1, size-(n-1)) DESCENDS when size<n, and
+    * slice(toks, 0, n) throws at runtime — matches the oracle's
+    * generate_series(1, len-(n-1)) empty-list semantics). */
   def shingles(documents: DataFrame, n: Int = 3): DataFrame = {
     val toks = split(col("text"), " ")
+    val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
     documents.select(
       col("doc_id"),
       explode(array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))).as("s"))
+        transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))).as("s"))
   }
 
   /** Exact duplicate groups by content digest: (digest, n_docs, doc_ids)

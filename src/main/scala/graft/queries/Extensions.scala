@@ -109,7 +109,7 @@ object Extensions {
         |p AS (SELECT doc_id, i, t[i] AS tok
         |      FROM toks CROSS JOIN unnest(generate_series(1, len(t))) AS g(i))
         |SELECT doc_id,
-        |  sum((ascii(substr(tok,1,1)) * 31 + length(tok)) * i) % 1000000007 AS fp
+        |  CAST(sum((ascii(substr(tok,1,1)) * 31 + length(tok)) * i) % 1000000007 AS BIGINT) AS fp
         |FROM p GROUP BY doc_id ORDER BY doc_id LIMIT 60""".stripMargin,
     "LLM-JACCARD-PAIRS" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),

@@ -48,16 +48,22 @@ object StreamingOps {
       .select(col("session_window.start").as("sstart"),
         col("session_window.end").as("send"), col(userCol), col("n_events"))
 
-  /** A forwarder writes one micro-batch; implementations mirror the
-    * reference's forwarder plugins. */
+  /** A forwarder writes one micro-batch. Implementations mirror the
+    * reference's forwarder plugins and must be IDEMPOTENT per batchId:
+    * foreachBatch re-executes a micro-batch after sink failure or
+    * restart-from-checkpoint, so an append-only sink would duplicate rows.
+    * The file forwarders below get exactly-once by writing each batch into
+    * its own `batch=<id>` directory with overwrite — a replay replaces the
+    * partial output instead of appending next to it. */
   trait Forwarder extends Serializable {
     def name: String
     def write(batch: DataFrame, batchId: Long): Unit
   }
 
-  /** CSV debug sink (csvforwarder.go [P]): appends each micro-batch as CSV
-    * part files under `dir`. Complex columns (maps/arrays/structs) are
-    * JSON-encoded — CSV cannot carry them natively. */
+  /** CSV debug sink (csvforwarder.go [P]): one `batch=<id>` CSV directory
+    * per micro-batch (idempotent overwrite). Complex columns
+    * (maps/arrays/structs) are JSON-encoded — CSV cannot carry them
+    * natively. */
   final case class CsvForwarder(name: String, dir: String) extends Forwarder {
     def write(batch: DataFrame, batchId: Long): Unit = {
       import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
@@ -68,18 +74,20 @@ object StreamingOps {
         }
       }
       batch.select(flat.toIndexedSeq: _*)
-        .write.mode("append").option("header", "false").csv(dir)
+        .write.mode("overwrite").option("header", "false")
+        .csv(s"$dir/batch=$batchId")
     }
   }
 
   /** Graphite-line sink (carbonforwarder.go [P]): serializes datapoints to
-    * `metric value epoch` text files (stand-in for the TCP client — the
+    * `metric value epoch` text files, one `batch=<id>` directory per
+    * micro-batch (idempotent overwrite; stand-in for the TCP client — the
     * codec and batch path are the real parts). */
   final case class CarbonForwarder(name: String, dir: String) extends Forwarder {
     def write(batch: DataFrame, batchId: Long): Unit =
       batch.select(graft.ingest.Carbon.toLine(
           col("metric"), col("value"), col("epoch")).as("value"))
-        .write.mode("append").text(dir)
+        .write.mode("overwrite").text(s"$dir/batch=$batchId")
   }
 
   /** Demultiplexer (demultiplexer.go [P]): one source stream fanned out to

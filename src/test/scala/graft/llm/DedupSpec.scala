@@ -21,6 +21,19 @@ class DedupSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("shingles: documents shorter than n tokens yield zero shingles") {
+    import spark.implicits._
+    val short = Seq((1L, "one"), (2L, "two words"), (3L, "exactly three tokens"),
+      (4L, "now four whole tokens")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(short, 3).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.get(1L).isEmpty && sh.get(2L).isEmpty)
+    assert(sh(3L) === 1L && sh(4L) === 2L)
+    // and the pair pipelines survive a short-doc corpus end-to-end
+    assert(Dedup.jaccardPairs(short, 3, 0.0).count() === 0)
+    assert(Dedup.simhash(short, 3).count() === 2)
+  }
+
   test("MinHash-LSH recall: finds every exact-Jaccard pair >= 0.8") {
     val truth = Dedup.jaccardPairs(docs, 3, 0.8).select("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -33,6 +33,15 @@ for qid in sorted(oracle):
     try:
         d = con.execute(oracle[qid])
         dcols = [c[0] for c in d.description]
+        # Faithfulness to the driver: it pulls DuckDB results through
+        # pandas/pyarrow, where HUGEINT (e.g. any un-CAST sum(int)) turns
+        # into float64 and then canonicalizes as "x.0000" — a guaranteed
+        # hash mismatch against Spark's int64. fetchall() hides that
+        # (python ints), so flag HUGEINT columns as a hard failure here.
+        dtypes = [c[1] for c in d.description]
+        huge = [c for c, t in zip(dcols, dtypes) if str(t).upper() in ("HUGEINT", "INT128")]
+        if huge:
+            fails.append((qid, "hugeint-col", f"{huge} would float64-ify in the driver; CAST ... AS BIGINT")); continue
         drows = d.fetchall()
     except Exception as ex:
         fails.append((qid, "duckdb", str(ex).splitlines()[0][:160])); continue
