@@ -36,8 +36,8 @@ object SparkEntry {
     }.toMap ++ Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (MinHash/SimHash use engine-specific hashes) → rows-only check. */
+    * the same parquet tables — full coverage (MinHash/SimHash included via
+    * the portable hash family in graft.llm.Dedup). */
   def oracleSql: Map[String, String] =
     Inventory.all.map(q => q.id -> q.duckSql).toMap ++ Extensions.oracleSql
 }

@@ -21,6 +21,34 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Prime modulus shared by the portable hash family and its DuckDB oracle
+    * twins. */
+  val P: Long = 1000000007L
+
+  /** Affine universal-hash constants (a_k odd, b_k), deterministically
+    * derived — h_k(x) = (a_k·x + b_k) mod P. The same Scala values are
+    * interpolated into the DuckDB oracle SQL, so both engines use the
+    * identical family. */
+  val AB: IndexedSeq[(Long, Long)] = (0 until 64).map { k =>
+    val a = ((2862933555777941757L * (k + 1) + 3037000493L) & 0x3FFFFFFFL) | 1L
+    val b = (3202034522624059733L * (k + 1) + 1234567891L) & 0x3FFFFFFFL
+    (a, b)
+  }
+
+  /** Portable polynomial string hash: fold acc = (acc·31 + codepoint) mod P
+    * over the characters. Bit-identical to the DuckDB list_reduce twin
+    * (both engines' ascii/substr are codepoint- and char-based), unlike
+    * xxhash64 — use for oracle-checked query variants; prefer
+    * [[org.apache.spark.sql.functions.xxhash64]] (codegen'd, 64-bit) as the
+    * scale path. */
+  def portableHash(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
+      lit(0L), (acc, x) => (acc * 31L + x) % P)
+
+  /** Default base hash for signatures: xxhash64 reduced into [0, P). */
+  def fastHash(s: Column): Column = pmod(xxhash64(s), lit(P))
+
   /** Token n-gram shingles (space-joined), one row per distinct shingle:
     * (doc_id, s). Documents with fewer than n tokens yield zero shingles
     * (guard required: sequence(1, size-(n-1)) DESCENDS when size<n, and
@@ -61,32 +89,43 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jacx"), 4).as("jac"))
   }
 
-  /** MinHash signatures: numHashes independent min-hashes per document over
-    * its shingle set, as (doc_id, sig array<bigint>). Hash family:
-    * xxhash64(seedᵢ, shingle). */
-  def minhashSignatures(documents: DataFrame, n: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sh = shingles(documents, n)
-    val mins = (0 until numHashes).map(k => min(xxhash64(lit(k), col("s"))).as(s"h$k"))
+  /** MinHash signatures: numHashes min-hashes per document over its shingle
+    * set, as (doc_id, sig array<bigint>). One base hash per shingle plus an
+    * affine family h_k = (a_k·H + b_k) mod P — 16× cheaper than 16
+    * independent string hashes, and the family is portable: with
+    * baseHash = [[portableHash]] the signatures (and everything built on
+    * them) hash-match the DuckDB oracle. */
+  def minhashSignatures(documents: DataFrame, n: Int = 3, numHashes: Int = 16,
+                        baseHash: Column => Column = fastHash): DataFrame = {
+    require(numHashes <= AB.length, s"at most ${AB.length} hash slots")
+    val sh = shingles(documents, n).select(col("doc_id"), baseHash(col("s")).as("hr"))
+    val mins = (0 until numHashes).map { k =>
+      val (a, b) = AB(k)
+      min((col("hr") * a + b) % P).as(s"h$k")
+    }
     sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
   }
 
   /** LSH candidate pairs from banded signatures, verified with the estimated
-    * Jaccard (fraction of agreeing hash positions): (da, db, est_jac).
-    * bands × rowsPerBand must equal the signature length. */
-  /** Banding default 8×2: detection probability 1-(1-j²)^8 ≈ 0.9997 at
-    * j = 0.8 (4×4 banding would miss ~12% of 0.8-Jaccard pairs). */
+    * Jaccard (fraction of agreeing hash positions, rounded 4dp):
+    * (da, db, est_jac). bands × rowsPerBand must equal the signature length.
+    *
+    * Banding default 8×2: detection probability 1-(1-j²)^8 ≈ 0.9997 at
+    * j = 0.8 (4×4 banding would miss ~12% of 0.8-Jaccard pairs). Band key =
+    * the slice rendered as text (portable to the oracle; at 100 TB swap in
+    * xxhash64(bkey) to shrink shuffle keys — same candidates). */
   def minhashPairs(documents: DataFrame, n: Int = 3, numHashes: Int = 16,
-                   bands: Int = 8, estThreshold: Double = 0.5): DataFrame = {
+                   bands: Int = 8, estThreshold: Double = 0.5,
+                   baseHash: Column => Column = fastHash): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(documents, n, numHashes)
-    // band keys: hash of each signature slice — candidate iff some band agrees
+    val sigs = minhashSignatures(documents, n, numHashes, baseHash)
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, concat_ws(",", slice(col("sig"), b * rows + lit(1), lit(rows))))))
+        b => concat_ws(",", slice(col("sig"), b * rows + lit(1), lit(rows)))))
         .as(Seq("band", "bkey")))
     val cands = banded.select(col("doc_id").as("da"), col("sig").as("siga"), col("band"), col("bkey"))
       .join(banded.select(col("doc_id").as("db"), col("sig").as("sigb"), col("band"), col("bkey")),
@@ -98,7 +137,7 @@ object Dedup {
         aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes)
       .filter(col("est_jac") >= estThreshold)
-      .select("da", "db", "est_jac")
+      .select(col("da"), col("db"), round(col("est_jac"), 4).as("est_jac"))
   }
 
   /** 64-bit SimHash fingerprint per document: bitᵢ = sign of Σ(±1) over
@@ -113,6 +152,50 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .groupBy("doc_id")
       .agg(call_function("graft_simhash_agg", col("h")).as("simhash"))
+  }
+
+  /** Portable 60-bit SimHash: two affine projections g1, g2 of the portable
+    * shingle hash give 30 bits each; bitᵢ = 1 iff Σ(±1) over shingles > 0.
+    * (doc_id, simhash). Unlike [[simhash]] (xxhash64 + imperative
+    * aggregate, the scale path) this is reproducible in the DuckDB oracle.
+    * Implementation: 60 codegen'd conditional sums in ONE hash aggregate —
+    * a single shuffle, no per-bit row explosion. */
+  def simhashPortable(documents: DataFrame, n: Int = 3): DataFrame = {
+    val (a1, b1) = AB(0)
+    val (a2, b2) = AB(1)
+    val g = shingles(documents, n)
+      .select(col("doc_id"), portableHash(col("s")).as("hr"))
+      .select(col("doc_id"),
+        ((col("hr") * a1 + b1) % P).as("g1"),
+        ((col("hr") * a2 + b2) % P).as("g2"))
+    val sums = (0 until 60).map { i =>
+      val src = if (i < 30) shiftright(col("g1"), i) else shiftright(col("g2"), i - 30)
+      sum(src.bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i")
+    }
+    g.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("simhash"))
+  }
+
+  /** Near-duplicate pairs by portable-SimHash Hamming distance ≤ maxDist,
+    * 15-bit chunk equality as the LSH (pigeonhole over 60 bits: dist ≤ 3 ⇒
+    * ≥ 1 of 4 chunks equal): (da, db, dist). Oracle-checkable twin of
+    * [[simhashPairs]]. */
+  def simhashPairsPortable(documents: DataFrame, n: Int = 3, maxDist: Int = 3): DataFrame = {
+    val fp = simhashPortable(documents, n)
+    val chunked = fp.select(col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("simhash"), c * 15).bitwiseAND(lit(32767L))))
+        .as(Seq("chunk", "ckey")))
+    chunked.select(col("doc_id").as("da"), col("simhash").as("fa"), col("chunk"), col("ckey"))
+      .join(chunked.select(col("doc_id").as("db"), col("simhash").as("fb"), col("chunk"), col("ckey")),
+        Seq("chunk", "ckey"))
+      .filter(col("da") < col("db"))
+      .select("da", "db", "fa", "fb").distinct()
+      .withColumn("dist", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .filter(col("dist") <= maxDist)
+      .select("da", "db", "dist")
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDist, using

@@ -11,11 +11,12 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
   * on top of the SURVEY §2b inventory, implemented with the idiomatic
   * DataFrame APIs in `graft.llm.*` (not SQL strings).
   *
-  * Oracle-checkable entries carry portable DuckDB SQL (validated to
-  * hash-match). MinHash/SimHash use engine-specific hash functions
-  * (xxhash64), so they are declared without an oracle — the driver records
-  * a rows-only check and their correctness is covered by ScalaTest recall
-  * tests against the exact-Jaccard ground truth.
+  * Every entry carries DuckDB oracle SQL (validated to hash-match) —
+  * including MinHash/SimHash, whose query variants use the portable
+  * polynomial hash family (Dedup.portableHash/AB, constants interpolated
+  * into the oracle text so both engines share it bit-for-bit). The
+  * xxhash64 variants remain the library's scale path, covered by ScalaTest
+  * recall tests against the exact-Jaccard ground truth.
   */
 object Extensions {
 
@@ -38,10 +39,11 @@ object Extensions {
       Dedup.jaccardPairs(docs(s, d), n = 3, threshold = 0.8)
         .orderBy(col("jac").desc, col("da"), col("db")).limit(100)),
     "LLM-MINHASH-LSH" -> ((s, d) =>
-      Dedup.minhashPairs(docs(s, d), n = 3, numHashes = 16, bands = 8, estThreshold = 0.5)
+      Dedup.minhashPairs(docs(s, d), n = 3, numHashes = 16, bands = 8,
+          estThreshold = 0.5, baseHash = Dedup.portableHash)
         .orderBy(col("da"), col("db"))),
     "LLM-SIMHASH" -> ((s, d) =>
-      Dedup.simhashPairs(docs(s, d), n = 3, maxDist = 3)
+      Dedup.simhashPairsPortable(docs(s, d), n = 3, maxDist = 3)
         .orderBy(col("da"), col("db"))),
     "LLM-EMB-PAIRS" -> ((s, d) => Similarity.topPairs(embs(s, d), 10)),
     "LLM-ANN-IVF" -> ((s, d) => Similarity.ivfTopK(embs(s, d), probeId = 0L, k = 5)),
@@ -75,12 +77,66 @@ object Extensions {
     },
   )
 
+  /** Shared DuckDB CTE: distinct 3-gram shingles + the portable polynomial
+    * hash (char-code fold mod P) — the bit-identical twin of
+    * Dedup.portableHash over Dedup.shingles. */
+  private val HASH_CTE =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2],' ') AS s
+      |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS g(i)),
+      |hr AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, CAST(length(s) AS INT)), i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+      |        (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM sh)""".stripMargin
+
+  /** DuckDB twin of Dedup.minhashPairs(portableHash): 16-slot affine
+    * signatures, 8×2 banding, est ≥ 0.5 — constants interpolated from
+    * Dedup.AB so both engines share the family. */
+  private def minhashOracle: String = {
+    val P = Dedup.P
+    val mins = (0 until 16).map { k =>
+      val (a, b) = Dedup.AB(k); s"min(($a*h+$b) % $P) AS h$k"
+    }.mkString(", ")
+    val sigList = (0 until 16).map(k => s"h$k").mkString("[", ",", "]")
+    val bkeys = (0 until 8).map(b => s"concat(h${2 * b}, ',', h${2 * b + 1}) AS bk$b").mkString(", ")
+    val bunion = (0 until 8).map(b => s"SELECT doc_id, sig, $b AS band, bk$b AS bkey FROM sig").mkString(" UNION ALL ")
+    s"""$HASH_CTE,
+       |sigw AS (SELECT doc_id, $mins FROM hr GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigList AS sig, $bkeys FROM sigw),
+       |banded AS ($bunion),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sig AS siga, b.sig AS sigb
+       |         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |est AS (SELECT da, db, CAST(len(list_filter(generate_series(1,16), i -> siga[i] = sigb[i])) AS DOUBLE)/16 AS est_jac FROM cand)
+       |SELECT da, db, round(est_jac, 4) AS est_jac FROM est WHERE est_jac >= 0.5 ORDER BY da, db""".stripMargin
+  }
+
+  /** DuckDB twin of Dedup.simhashPairsPortable: 60-bit fingerprint from two
+    * affine projections, 4×15-bit chunk LSH, Hamming ≤ 3. */
+  private def simhashOracle: String = {
+    val P = Dedup.P
+    val (a1, b1) = Dedup.AB(0)
+    val (a2, b2) = Dedup.AB(1)
+    s"""$HASH_CTE,
+       |g AS (SELECT doc_id, ($a1*h+$b1) % $P AS g1, ($a2*h+$b2) % $P AS g2 FROM hr),
+       |bits AS (SELECT doc_id, i, sum((((CASE WHEN i < 30 THEN g1 >> CAST(i AS INT) ELSE g2 >> CAST(i-30 AS INT) END) & 1)*2 - 1)) AS sb
+       |         FROM g CROSS JOIN unnest(generate_series(0, 59)) AS u(i) GROUP BY doc_id, i),
+       |fp AS (SELECT doc_id, CAST(sum(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS f
+       |       FROM bits GROUP BY doc_id),
+       |ch AS (SELECT doc_id, f, c, (f >> CAST(c*15 AS INT)) & 32767 AS ckey
+       |       FROM fp CROSS JOIN unnest(generate_series(0, 3)) AS u(c)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.f AS fa, b.f AS fb
+       |         FROM ch a JOIN ch b ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+       |SELECT da, db, CAST(bit_count(xor(fa, fb)) AS INT) AS dist FROM cand
+       |WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db""".stripMargin
+  }
+
   private val STOP_EN = "('the','a','of','and','is')"
   private val STOP_DE = "('der','die','das','und','ist')"
   private val STOP_ES = "('el','la','que','los','y')"
   private val STOP_FR = "('le','les','des','et','est')"
 
   val oracleSql: Map[String, String] = Map(
+    "LLM-MINHASH-LSH" -> minhashOracle,
+    "LLM-SIMHASH" -> simhashOracle,
     "TEXT-QUALITY" ->
       s"""WITH t AS (SELECT doc_id, length(text) AS n_chars, string_split(text,' ') AS toks FROM documents)
         |SELECT doc_id, n_chars, len(toks) AS n_tokens,

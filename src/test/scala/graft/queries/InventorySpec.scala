@@ -15,12 +15,11 @@ class InventorySpec extends SparkSpec {
     }
   }
 
-  test("oracle map covers only declared queries, with matching keys") {
+  test("oracle map covers every declared query, with matching keys") {
     val qk = SparkEntry.queries.keySet
     val ok = SparkEntry.oracleSql.keySet
     assert(ok.subsetOf(qk), s"oracle keys without query: ${ok -- qk}")
-    // only the engine-specific-hash ops may omit an oracle
-    assert((qk -- ok) === Set("LLM-MINHASH-LSH", "LLM-SIMHASH"))
+    assert((qk -- ok).isEmpty, s"queries without oracle: ${qk -- ok}")
   }
 
   test("flagship entry returns the 6 Q1 groups") {
