@@ -75,6 +75,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "graft_poly_hash" -> (exprs => PolyHash(exprs.head)),
     "graft_simhash_agg" -> (exprs => SimHashAgg(exprs.head).toAggregateExpression()))
 
   /** Register graft functions on an existing session (idempotent). */

@@ -36,15 +36,13 @@ object Dedup {
   }
 
   /** Portable polynomial string hash: fold acc = (acc·31 + codepoint) mod P
-    * over the characters. Bit-identical to the DuckDB list_reduce twin
-    * (both engines' ascii/substr are codepoint- and char-based), unlike
-    * xxhash64 — use for oracle-checked query variants; prefer
-    * [[org.apache.spark.sql.functions.xxhash64]] (codegen'd, 64-bit) as the
-    * scale path. */
-  def portableHash(s: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
-      lit(0L), (acc, x) => (acc * 31L + x) % P)
+    * over the characters — the codegen'd
+    * [[graft.functions.expressions.PolyHash]] expression (bit-identical to
+    * the DuckDB list_reduce twin; both engines' ascii/substr are
+    * codepoint-based). Use for oracle-checked query variants; [[fastHash]]
+    * (xxhash64) is the 64-bit scale path. Requires GraftFunctions.register
+    * (graft.core.Tables.register does it; so do the Dedup entry points). */
+  def portableHash(s: Column): Column = call_function("graft_poly_hash", s)
 
   /** Default base hash for signatures: xxhash64 reduced into [0, P). */
   def fastHash(s: Column): Column = pmod(xxhash64(s), lit(P))
@@ -58,7 +56,16 @@ object Dedup {
     val toks = split(col("text"), " ")
     val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
       .otherwise(array().cast("array<int>"))
-    documents.select(
+    // a small corpus often arrives as ONE input split (single parquet file)
+    // — without a spread, the explode and every downstream join/agg run on
+    // one core. Hash-repartitioning by doc_id costs one tiny shuffle of the
+    // raw docs and parallelizes the whole dedup pipeline; at real scale the
+    // source has many splits and this is a cheap co-location no-op. The
+    // partition count is EXPLICIT because AQE would coalesce a bare
+    // repartition(col) of a small frame back to one partition — the row
+    // count is small but the per-row string work is not.
+    val parts = documents.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    documents.repartition(parts, col("doc_id")).select(
       col("doc_id"),
       explode(array_distinct(
         transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))).as("s"))
@@ -73,17 +80,25 @@ object Dedup {
       .filter(col("n_docs") > 1)
 
   /** All document pairs (da < db) with shingle-set Jaccard ≥ threshold:
-    * (da, db, jac — rounded 4dp). Joins on shared shingles, so disjoint
-    * documents never form a candidate pair. */
+    * (da, db, jac — rounded 4dp). Exact, but pruned two ways:
+    *  - candidate generation joins on shared shingles, so disjoint
+    *    documents never meet;
+    *  - a size-ratio prefilter inside the join condition — J(A,B) ≤
+    *    min(|A|,|B|)/max(|A|,|B|), so J ≥ t requires t·max ≤ min — drops
+    *    unbalanced pairs BEFORE the per-pair intersection count (exact for
+    *    the declared threshold; a no-op when threshold = 0).
+    * Cardinalities ride along through the groupBy instead of being
+    * re-joined afterwards (two fewer shuffles). */
   def jaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = shingles(documents, n)
     val card = sh.groupBy(col("doc_id")).agg(count("*").as("c"))
-    val inter = sh.toDF("da", "s").join(sh.toDF("db", "s2"),
-        col("s") === col("s2") && col("da") < col("db"))
-      .groupBy("da", "db").agg(count("*").as("i"))
-    inter
-      .join(card.toDF("da2", "ca"), col("da") === col("da2"))
-      .join(card.toDF("db2", "cb"), col("db") === col("db2"))
+    val shc = sh.join(card, "doc_id")
+    val a = shc.toDF("da", "s", "ca")
+    val b = shc.toDF("db", "s2", "cb")
+    a.join(b,
+        col("s") === col("s2") && col("da") < col("db")
+          && greatest(col("ca"), col("cb")) * threshold <= least(col("ca"), col("cb")))
+      .groupBy("da", "db", "ca", "cb").agg(count("*").as("i"))
       .withColumn("jacx", col("i").cast("double") / (col("ca") + col("cb") - col("i")))
       .filter(col("jacx") >= threshold)
       .select(col("da"), col("db"), round(col("jacx"), 4).as("jac"))
@@ -98,6 +113,7 @@ object Dedup {
   def minhashSignatures(documents: DataFrame, n: Int = 3, numHashes: Int = 16,
                         baseHash: Column => Column = fastHash): DataFrame = {
     require(numHashes <= AB.length, s"at most ${AB.length} hash slots")
+    graft.functions.expressions.GraftFunctions.register(documents.sparkSession)
     val sh = shingles(documents, n).select(col("doc_id"), baseHash(col("s")).as("hr"))
     val mins = (0 until numHashes).map { k =>
       val (a, b) = AB(k)
@@ -161,6 +177,7 @@ object Dedup {
     * Implementation: 60 codegen'd conditional sums in ONE hash aggregate —
     * a single shuffle, no per-bit row explosion. */
   def simhashPortable(documents: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(documents.sparkSession)
     val (a1, b1) = AB(0)
     val (a2, b2) = AB(1)
     val g = shingles(documents, n)

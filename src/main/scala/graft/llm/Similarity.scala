@@ -68,9 +68,15 @@ object Similarity {
     * All-pairs — correctness baseline; the LSH/IVF operators above are the
     * scale path for this shape too. */
   def topPairs(embeddings: DataFrame, n: Int): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    // spread the stream side: a small corpus is often ONE input split, and
+    // the broadcast-nested-loop pair scan would otherwise run on one core
+    // (explicit count — AQE would coalesce a bare repartition(col) of a
+    // byte-small frame back to one partition)
+    val parts = embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = embeddings.repartition(parts, col("vec_id"))
+      .select(col("vec_id").as("va"), col("embedding").as("ea"))
     val b = embeddings.select(col("vec_id").as("vb"), col("embedding").as("eb"))
-    a.join(b, col("va") < col("vb"))
+    a.join(broadcast(b), col("va") < col("vb"))
       .select(col("va"), col("vb"), round(cosineNative(col("ea"), col("eb")), 3).as("cos"))
       .orderBy(col("cos").desc, col("va"), col("vb"))
       .limit(n)
