@@ -289,6 +289,177 @@ object Relational {
       graft.ingest.Carbon.parseLines(s.table("events").select(line.as("line")))
         .orderBy("epoch", "metric").limit(50)
     },
+
+    // ------------------------------------------------- round-2 additions
+
+    "AGG-PIVOT" -> (s => s.table("orders")
+      .select("o_orderpriority", "o_orderstatus")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P")).count()
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy("o_orderpriority")),
+
+    "AGG-MEDIAN" -> (s => s.table("orders")
+      .groupBy("o_orderstatus")
+      .agg(round(percentile(col("o_totalprice"), lit(0.5)).cast("double"), 2).as("med"),
+        round(percentile(col("o_totalprice"), lit(0.9)).cast("double"), 2).as("p90"))
+      .orderBy("o_orderstatus")),
+
+    "AGG-COLLECT" -> (s => s.table("customer")
+      .where(col("c_custkey") <= 40)
+      .groupBy(col("c_nationkey").as("k"))
+      .agg(sort_array(collect_list(col("c_custkey"))).as("ids"))
+      .orderBy("k")),
+
+    "AGG-FILTERED" -> (s => s.table("events")
+      .groupBy("event_type")
+      .agg(count_if(col("value") > 50).as("big"),
+        count_if(col("value") <= 50).as("small"))
+      .orderBy("event_type")),
+
+    "WIN-CUME-DIST" -> { s =>
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+      s.table("orders").where(col("o_custkey") < 50)
+        .select(col("o_orderkey"),
+          round(cume_dist().over(w), 4).as("cd"),
+          round(percent_rank().over(w), 4).as("pr"))
+        .orderBy("o_orderkey").limit(60)
+    },
+
+    "WIN-FIRST-LAST" -> { s =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      s.table("events").where(col("user_id") < 3)
+        .select(col("event_id"),
+          round(first("value").over(w), 2).as("fv"),
+          round(last("value").over(w), 2).as("lv"),
+          round(nth_value(col("value"), 2).over(w), 2).as("nv"))
+        .orderBy("event_id").limit(60)
+    },
+
+    "JOIN-CROSS" -> (s => s.table("region").select(col("r_name").as("a"))
+      .crossJoin(s.table("region").select(col("r_name").as("b")))
+      .orderBy("a", "b")),
+
+    "SET-INTERSECT-ALL" -> (s => s.table("customer").select(col("c_nationkey").as("k"))
+      .intersectAll(s.table("supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")),
+
+    "SET-EXCEPT-ALL" -> (s => s.table("customer").where(col("c_custkey") <= 300)
+      .select(col("c_nationkey").as("k"))
+      .exceptAll(s.table("supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")),
+
+    "FN-EXPLODE" -> (s => s.table("documents").where(col("doc_id") < 5)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .orderBy("doc_id", "pos")),
+
+    "FN-BITWISE" -> (s => s.table("events")
+      .select(col("event_id"),
+        col("event_id").bitwiseAND(lit(255)).as("ba"),
+        col("event_id").bitwiseOR(lit(15)).as("bo"),
+        col("event_id").bitwiseXOR(col("user_id")).cast("bigint").as("bx"),
+        shiftleft(col("user_id"), 3).as("sl"),
+        shiftright(col("event_id"), 2).as("sr"),
+        bit_count(col("event_id")).cast("int").as("bc"))
+      .orderBy("event_id").limit(50)),
+
+    "FN-COND" -> (s => s.table("orders")
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") > 100000, "high")
+          .when(col("o_totalprice") > 10000, "mid").otherwise("low").as("band"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("st"),
+        greatest(col("o_custkey"), lit(500L)).as("g"),
+        least(col("o_custkey"), lit(100L)).as("l"))
+      .orderBy("o_orderkey").limit(50)),
+
+    "FN-STRUCT" -> (s => s.table("orders")
+      .select(named_struct(lit("k"), col("o_orderkey"),
+        lit("p"), round(col("o_totalprice"), 2)).as("s"))
+      .select(col("s").getField("k").as("k"), col("s").getField("p").as("p"))
+      .orderBy("k").limit(40)),
+
+    "TS-RATE" -> { s =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      s.table("events").where(col("user_id") < 5)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("double").as("et"), col("value"),
+          lag("value", 1).over(w).as("pv"),
+          lag(col("ts").cast("double"), 1).over(w).as("pet"))
+        .where(col("pv").isNotNull && col("et") > col("pet"))
+        // + 0.0 normalizes IEEE -0.0 (engines disagree on rounded -eps sign)
+        .select(col("user_id"), col("event_id"),
+          (round((col("value") - col("pv")) / (col("et") - col("pet")), 4) + 0.0).as("rate"))
+        .orderBy("user_id", "event_id")
+    },
+
+    "TS-GAPFILL" -> { s =>
+      val b = s.table("events").where(col("event_type") === "click")
+        .groupBy((floor(col("ts").cast("double") / 21600) * 21600).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val r = b.agg(min("bucket").as("mn"), max("bucket").as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"), lit(21600L))).as("bucket"))
+      r.join(b, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("c"), lit(0L)).as("c"))
+        .orderBy("bucket")
+    },
+
+    "TS-LOCF" -> { s =>
+      val b = s.table("events").where(col("user_id") < 3)
+        .groupBy(col("user_id"),
+          (floor(col("ts").cast("double") / 21600) * 21600).cast("bigint").as("bucket"))
+        .agg(round(max("value"), 2).as("v"))
+      val buckets = b.agg(min("bucket").as("mn"), max("bucket").as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"), lit(21600L))).as("bucket"))
+      val r = b.select("user_id").distinct().crossJoin(buckets)
+      val w = Window.partitionBy(r("user_id")).orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      r.join(b, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), col("bucket"),
+          last("v", ignoreNulls = true).over(
+            Window.partitionBy("user_id").orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("v"))
+        .orderBy("user_id", "bucket")
+    },
+
+    "SAMPLE-HASH" -> (s => s.table("events")
+      .select(col("value"),
+        call_function("graft_poly_hash",
+          concat(col("event_type"), lit("#"), col("event_id").cast("string"))).as("h"))
+      .where(col("h") % 20 === 0)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(dec(18, 2))).cast("double"), 2).as("sv"))),
+
+    "MM-FRAME-SAMPLE" -> (s => s.table("documents").where(col("doc_id") < 10)
+      .select(col("doc_id").as("media_id"), md5(col("text")).as("digest"),
+        (length(col("text").cast("binary")) % 5 + 1).as("n_frames"))
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"), col("digest"))
+      .orderBy("media_id", "frame_idx")),
+
+    "STREAM-DEDUP" -> { s =>
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      s.table("events").where(col("user_id") < 20)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id").as("first_event"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // correlated scalar subquery, expressed as the decorrelated plan the
+    // optimizer produces anyway: left join against the per-key aggregate
+    "SUB-SCALAR" -> { s =>
+      val agg = s.table("lineitem").groupBy("l_orderkey")
+        .agg(round(max("l_quantity").cast("double"), 2).as("maxq"))
+      s.table("orders")
+        .join(agg, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("maxq"))
+        .orderBy("o_orderkey").limit(50)
+    },
   )
 
   def apply(id: String, spark: SparkSession): DataFrame = impls(id)(spark)

@@ -362,6 +362,208 @@ object Inventory {
       |               CAST(CAST(epoch(ts) AS BIGINT) AS VARCHAR)) AS line FROM $EV events) raw
       |) t ORDER BY epoch, metric LIMIT 50""".stripMargin)
 
+  // ------------------------------------------------- round-2 additions
+  // (validated cross-engine at sf0.001/0.01/0.1 before declaration, same
+  // rules: total-order sorts, identical aliases, pinned float aggregates)
+
+  q("AGG-PIVOT",
+    """SELECT o_orderpriority, coalesce(F, 0) AS f_cnt, coalesce(O, 0) AS o_cnt, coalesce(P, 0) AS p_cnt
+      |FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+      |PIVOT (count(*) FOR o_orderstatus IN ('F', 'O', 'P'))
+      |ORDER BY o_orderpriority""".stripMargin,
+    """SELECT o_orderpriority,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  // exact interpolated percentiles (Spark percentile == DuckDB quantile_cont)
+  q("AGG-MEDIAN",
+    """SELECT o_orderstatus, round(CAST(percentile(o_totalprice, 0.5) AS DOUBLE), 2) AS med,
+      |  round(CAST(percentile(o_totalprice, 0.9) AS DOUBLE), 2) AS p90
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    """SELECT o_orderstatus, round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 2) AS med,
+      |  round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 2) AS p90
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+
+  q("AGG-COLLECT",
+    """SELECT c_nationkey AS k, sort_array(collect_list(c_custkey)) AS ids
+      |FROM customer WHERE c_custkey <= 40 GROUP BY c_nationkey ORDER BY k""".stripMargin,
+    """SELECT c_nationkey AS k, list_sort(list(c_custkey)) AS ids
+      |FROM customer WHERE c_custkey <= 40 GROUP BY c_nationkey ORDER BY k""".stripMargin)
+
+  q("AGG-FILTERED",
+    """SELECT event_type, count_if(value > 50) AS big, count_if(value <= 50) AS small
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    s"""SELECT event_type, count(*) FILTER (WHERE value > 50) AS big,
+      |  count(*) FILTER (WHERE value <= 50) AS small
+      |FROM $EV e GROUP BY event_type ORDER BY event_type""".stripMargin)
+
+  q("WIN-CUME-DIST",
+    """SELECT o_orderkey, round(cume_dist() OVER w, 4) AS cd, round(percent_rank() OVER w, 4) AS pr
+      |FROM orders WHERE o_custkey < 50
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey LIMIT 60""".stripMargin)
+
+  q("WIN-FIRST-LAST",
+    """SELECT event_id, round(first_value(value) OVER w, 2) AS fv,
+      |  round(last_value(value) OVER w, 2) AS lv, round(nth_value(value, 2) OVER w, 2) AS nv
+      |FROM events WHERE user_id < 3
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY event_id LIMIT 60""".stripMargin,
+    s"""SELECT event_id, round(first_value(value) OVER w, 2) AS fv,
+      |  round(last_value(value) OVER w, 2) AS lv, round(nth_value(value, 2) OVER w, 2) AS nv
+      |FROM $EV e WHERE user_id < 3
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY event_id LIMIT 60""".stripMargin)
+
+  q("JOIN-CROSS",
+    "SELECT r1.r_name AS a, r2.r_name AS b FROM region r1 CROSS JOIN region r2 ORDER BY a, b")
+
+  q("SET-INTERSECT-ALL",
+    """SELECT k FROM (SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier) t
+      |ORDER BY k""".stripMargin)
+
+  q("SET-EXCEPT-ALL",
+    """SELECT k FROM (SELECT c_nationkey AS k FROM customer WHERE c_custkey <= 300
+      |EXCEPT ALL SELECT s_nationkey FROM supplier) t ORDER BY k""".stripMargin)
+
+  q("FN-EXPLODE",
+    """SELECT doc_id, pos, tok
+      |FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok) FROM documents WHERE doc_id < 5)
+      |ORDER BY doc_id, pos""".stripMargin,
+    """SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 5) d
+      |CROSS JOIN unnest(generate_series(1, len(t))) AS g(i)
+      |ORDER BY doc_id, pos""".stripMargin)
+
+  q("FN-BITWISE",
+    """SELECT event_id, event_id & 255 AS ba, event_id | 15 AS bo,
+      |  CAST(event_id ^ user_id AS BIGINT) AS bx, shiftleft(user_id, 3) AS sl,
+      |  shiftright(event_id, 2) AS sr, CAST(bit_count(event_id) AS INT) AS bc
+      |FROM events ORDER BY event_id LIMIT 50""".stripMargin,
+    """SELECT event_id, event_id & 255 AS ba, event_id | 15 AS bo,
+      |  CAST(xor(event_id, user_id) AS BIGINT) AS bx, user_id << 3 AS sl,
+      |  event_id >> 2 AS sr, CAST(bit_count(event_id) AS INT) AS bc
+      |FROM events ORDER BY event_id LIMIT 50""".stripMargin)
+
+  q("FN-COND",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 100000 THEN 'high' WHEN o_totalprice > 10000 THEN 'mid' ELSE 'low' END AS band,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS st,
+      |  greatest(o_custkey, 500) AS g, least(o_custkey, 100) AS l
+      |FROM orders ORDER BY o_orderkey LIMIT 50""".stripMargin)
+
+  q("FN-STRUCT",
+    """SELECT s.k AS k, s.p AS p
+      |FROM (SELECT named_struct('k', o_orderkey, 'p', round(o_totalprice, 2)) AS s FROM orders) t
+      |ORDER BY k LIMIT 40""".stripMargin,
+    """SELECT (s).k AS k, (s).p AS p
+      |FROM (SELECT struct_pack(k := o_orderkey, p := round(o_totalprice, 2)) AS s FROM orders) t
+      |ORDER BY k LIMIT 40""".stripMargin)
+
+  // counter → rate (the metricproxy CUMULATIVE_COUNTER shape); `+ 0.0`
+  // normalizes IEEE -0.0 (engines disagree on the sign of a rounded -eps)
+  q("TS-RATE",
+    """WITH x AS (SELECT user_id, event_id, CAST(ts AS DOUBLE) AS et, value,
+      |  lag(value) OVER w AS pv, lag(CAST(ts AS DOUBLE)) OVER w AS pet
+      |FROM events WHERE user_id < 5
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id, round((value - pv) / (et - pet), 4) + 0.0 AS rate
+      |FROM x WHERE pv IS NOT NULL AND et > pet ORDER BY user_id, event_id""".stripMargin,
+    s"""WITH x AS (SELECT user_id, event_id, epoch(ts) AS et, value,
+      |  lag(value) OVER w AS pv, lag(epoch(ts)) OVER w AS pet
+      |FROM $EV e WHERE user_id < 5
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id, round((value - pv) / (et - pet), 4) + 0.0 AS rate
+      |FROM x WHERE pv IS NOT NULL AND et > pet ORDER BY user_id, event_id""".stripMargin)
+
+  q("TS-GAPFILL",
+    """WITH b AS (SELECT CAST(floor(CAST(ts AS DOUBLE) / 21600) * 21600 AS BIGINT) AS bucket, count(*) AS c
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |r AS (SELECT explode(sequence(mn, mx, 21600)) AS bucket
+      |      FROM (SELECT min(bucket) AS mn, max(bucket) AS mx FROM b) t)
+      |SELECT r.bucket, coalesce(b.c, 0) AS c FROM r LEFT JOIN b ON r.bucket = b.bucket
+      |ORDER BY r.bucket""".stripMargin,
+    s"""WITH b AS (SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket, count(*) AS c
+      |  FROM $EV e WHERE event_type = 'click' GROUP BY 1),
+      |r AS (SELECT CAST(g.bucket AS BIGINT) AS bucket
+      |      FROM (SELECT min(bucket) AS mn, max(bucket) AS mx FROM b) t
+      |      CROSS JOIN unnest(generate_series(t.mn, t.mx, 21600)) AS g(bucket))
+      |SELECT r.bucket, coalesce(b.c, 0) AS c FROM r LEFT JOIN b ON r.bucket = b.bucket
+      |ORDER BY r.bucket""".stripMargin)
+
+  // gap-fill + last-observation-carried-forward (max per bucket: exact in
+  // both engines, unlike a float avg whose half-point rounding can differ)
+  q("TS-LOCF",
+    """WITH b AS (SELECT user_id, CAST(floor(CAST(ts AS DOUBLE) / 21600) * 21600 AS BIGINT) AS bucket,
+      |  round(max(value), 2) AS v FROM events WHERE user_id < 3 GROUP BY 1, 2),
+      |r AS (SELECT u.user_id, g.bucket FROM (SELECT DISTINCT user_id FROM b) u
+      |      CROSS JOIN (SELECT explode(sequence(mn, mx, 21600)) AS bucket
+      |                  FROM (SELECT min(bucket) AS mn, max(bucket) AS mx FROM b) t) g)
+      |SELECT r.user_id, r.bucket, last_value(b.v, true) OVER
+      |  (PARTITION BY r.user_id ORDER BY r.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      |FROM r LEFT JOIN b ON r.user_id = b.user_id AND r.bucket = b.bucket
+      |ORDER BY r.user_id, r.bucket""".stripMargin,
+    s"""WITH b AS (SELECT user_id, CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket,
+      |  round(max(value), 2) AS v FROM $EV e WHERE user_id < 3 GROUP BY 1, 2),
+      |r AS (SELECT u.user_id, CAST(g.bucket AS BIGINT) AS bucket FROM (SELECT DISTINCT user_id FROM b) u
+      |      CROSS JOIN (SELECT min(bucket) AS mn, max(bucket) AS mx FROM b) t
+      |      CROSS JOIN unnest(generate_series(t.mn, t.mx, 21600)) AS g(bucket))
+      |SELECT r.user_id, r.bucket, last_value(b.v IGNORE NULLS) OVER
+      |  (PARTITION BY r.user_id ORDER BY r.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      |FROM r LEFT JOIN b ON r.user_id = b.user_id AND r.bucket = b.bucket
+      |ORDER BY r.user_id, r.bucket""".stripMargin)
+
+  // deterministic hash-mod sampling via the portable polynomial hash
+  // (graft_poly_hash = the codegen expression; the oracle inlines the
+  // identical char fold)
+  q("SAMPLE-HASH",
+    """SELECT count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv
+      |FROM (SELECT value, graft_poly_hash(concat(event_type, '#', CAST(event_id AS STRING))) AS h
+      |      FROM events) t
+      |WHERE h % 20 = 0""".stripMargin,
+    """SELECT count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv
+      |FROM (SELECT value, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, CAST(length(concat(event_type, '#', CAST(event_id AS VARCHAR))) AS INT)),
+      |          i -> CAST(ascii(substr(concat(event_type, '#', CAST(event_id AS VARCHAR)), CAST(i AS INT), 1)) AS BIGINT))),
+      |        (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |      FROM events) t
+      |WHERE h % 20 = 0""".stripMargin)
+
+  // multimodal frame-sampling plumbing: byte-derived frame count, one row
+  // per sampled frame (the decode itself is stubbed — deterministic digest)
+  q("MM-FRAME-SAMPLE",
+    """WITH m AS (SELECT doc_id AS media_id, md5(text) AS digest,
+      |  length(CAST(text AS BINARY)) % 5 + 1 AS n_frames FROM documents WHERE doc_id < 10)
+      |SELECT media_id, explode(sequence(0, n_frames - 1)) AS frame_idx, digest
+      |FROM m ORDER BY media_id, frame_idx""".stripMargin,
+    """WITH m AS (SELECT doc_id AS media_id, md5(text) AS digest,
+      |  octet_length(encode(text)) % 5 + 1 AS n_frames FROM documents WHERE doc_id < 10)
+      |SELECT media_id, CAST(g.i AS INT) AS frame_idx, digest
+      |FROM m CROSS JOIN unnest(generate_series(0, n_frames - 1)) AS g(i)
+      |ORDER BY media_id, frame_idx""".stripMargin)
+
+  // streaming dedup (dropDuplicates semantics), batch-replay formulation
+  q("STREAM-DEDUP",
+    """SELECT user_id, event_type, event_id AS first_event
+      |FROM (SELECT user_id, event_type, event_id,
+      |        row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      |      FROM events WHERE user_id < 20) t
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    s"""SELECT user_id, event_type, event_id AS first_event
+      |FROM (SELECT user_id, event_type, event_id,
+      |        row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      |      FROM $EV e WHERE user_id < 20) t
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+
+  q("SUB-SCALAR",
+    """SELECT o_orderkey,
+      |  (SELECT round(CAST(max(l_quantity) AS DOUBLE), 2) FROM lineitem WHERE l_orderkey = o_orderkey) AS maxq
+      |FROM orders ORDER BY o_orderkey LIMIT 50""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(
