@@ -35,11 +35,21 @@ object Bench {
     runAll() // warm-up: JVM/codegen/parquet footers
     val results = runAll()
 
-    // headline value = the 39-query SURVEY §2b inventory only, so it is
-    // directly comparable to BASELINE.md (measured over those same 39);
-    // the LLM-pipeline extension queries are reported per-query and in
-    // value_all_queries.
-    val baselineIds = graft.queries.Inventory.all.map(_.id).toSet
+    // headline value = the ORIGINAL 39-query SURVEY §2b inventory only, so
+    // it stays directly comparable to BASELINE.md (measured over those same
+    // 39) as the inventory grows; round-2+ additions are reported per-query
+    // and in value_all_queries.
+    val baselineIds = Set(
+      "SCAN-COUNT", "PROJ-EXPR", "FILTER-PRED", "JOIN-INNER-EQUI",
+      "JOIN-LEFT-OUTER", "JOIN-FULL-OUTER", "JOIN-SEMI", "JOIN-ANTI",
+      "JOIN-RANGE", "JOIN-ASOF", "AGG-TPCH-Q1", "AGG-DISTINCT", "AGG-ROLLUP",
+      "AGG-CUBE", "AGG-GROUPING-SETS", "AGG-STATS", "WIN-RANK",
+      "WIN-LAG-LEAD", "WIN-FRAME-ROWS", "WIN-FRAME-RANGE", "WIN-NTILE",
+      "SORT-TOPK", "SET-UNION", "SET-UNION-ALL", "SET-INTERSECT",
+      "SET-EXCEPT", "FN-STRING", "FN-REGEX", "FN-DATE", "FN-MATH",
+      "FN-ARRAY", "FN-JSON", "STREAM-TUMBLE", "STREAM-SLIDE",
+      "STREAM-SESSION", "LLM-COSINE-TOPK", "LLM-DEDUP", "LLM-TOKENIZE",
+      "PARSE-DECONSTRUCT")
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null")
     }.mkString("{", ",", "}")
