@@ -1,0 +1,55 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SignalFx `/v2/datapoint` JSON decode — the reference's signalfx listener
+  * (SURVEY.md §2a row 7, `protocol/signalfx/signalfxlistener.go` [P])
+  * accepts bodies keyed by metric type:
+  * {{{
+  * {"gauge":[{"metric":"m","value":1.5,"dimensions":{"host":"a"},"timestamp":1694000000000}],
+  *  "counter":[...], "cumulative_counter":[...]}
+  * }}}
+  * (timestamps are millisecond-epoch on the wire [P] —
+  * com_signalfx_metrics_protobuf uses int64 ms). The protobuf variant of
+  * the same endpoint maps to Spark's `from_protobuf` (spark-protobuf,
+  * Spark ≥3.4) given the descriptor set; no protobuf fixtures exist here,
+  * so only the JSON path is implemented.
+  *
+  * Decode is a narrow transform over a `body` string column; the three
+  * type arrays are exploded and unioned with their MetricType tag.
+  */
+object SignalFxJson {
+
+  private val dpSchema = ArrayType(StructType(Seq(
+    StructField("metric", StringType),
+    StructField("value", DoubleType),
+    StructField("dimensions", MapType(StringType, StringType)),
+    StructField("timestamp", LongType)))) // epoch millis
+
+  val bodySchema: StructType = StructType(Seq(
+    StructField("gauge", dpSchema),
+    StructField("counter", dpSchema),
+    StructField("cumulative_counter", dpSchema)))
+
+  /** Decode a `/v2/datapoint` JSON-string column into datapoints:
+    * (metric, dimensions, value, metricType, ts). */
+  def decode(bodies: DataFrame, bodyCol: String = "body"): DataFrame = {
+    val parsed = bodies.select(from_json(col(bodyCol), bodySchema).as("b"))
+    def arm(field: String, mtype: String): DataFrame =
+      parsed
+        .select(explode(coalesce(col("b").getField(field),
+          array().cast(dpSchema))).as("d"))
+        .select(
+          col("d.metric").as("metric"),
+          coalesce(col("d.dimensions"),
+            map().cast("map<string,string>")).as("dimensions"),
+          col("d.value").as("value"),
+          lit(mtype).as("metricType"),
+          timestamp_millis(col("d.timestamp")).as("ts"))
+    arm("gauge", "GAUGE")
+      .unionAll(arm("counter", "COUNT"))
+      .unionAll(arm("cumulative_counter", "CUMULATIVE_COUNTER"))
+  }
+}

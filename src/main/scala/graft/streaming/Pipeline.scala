@@ -13,10 +13,14 @@ import graft.ingest.Carbon.MetricDeconstructor
   */
 object Pipeline {
 
-  /** One listener (reference ListenFrom[]): where lines come from. */
-  final case class ListenFrom(kind: String, // "file" | "socket" | "rate"
+  /** One listener (reference ListenFrom[]): where lines come from and how
+    * they decode. codec "carbon" parses graphite lines (with the pluggable
+    * deconstructor); "collectd" / "signalfx" parse the respective JSON
+    * bodies, one per input line (§2a rows 6–7). */
+  final case class ListenFrom(kind: String, // "file" | "socket"
                               path: String = "", host: String = "localhost",
                               port: Int = 2003,
+                              codec: String = "carbon",
                               deconstructor: MetricDeconstructor = Carbon.IdentityDeconstructor)
 
   /** One forwarder target (reference ForwardTo[]). */
@@ -44,16 +48,28 @@ object Pipeline {
     case other    => throw new IllegalArgumentException(s"unknown forwarder kind '$other'")
   }
 
-  /** Assemble listener → parse/deconstruct → demux(forwarders). Caller
-    * `.start()`s (and names/checkpoints) the returned writer. */
-  def assemble(spark: SparkSession, cfg: GraftConfig): DataStreamWriter[Row] = {
+  /** Decode listener lines to datapoints per the configured codec. Bad
+    * input is dropped at the listener, as the reference does
+    * (carbonlistener.go logs-and-skips unparseable lines [P]). */
+  def decode(lines: DataFrame, lf: ListenFrom): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val lines = source(spark, cfg.listenFrom)
-    // bad lines are dropped at the listener, as the reference does
-    // (carbonlistener.go logs-and-skips unparseable lines [P])
-    val points = Carbon.ingest(lines, cfg.listenFrom.deconstructor)
+    val points = lf.codec match {
+      case "carbon" => Carbon.ingest(lines, lf.deconstructor)
+      case "collectd" =>
+        graft.ingest.Collectd.decode(lines.withColumnRenamed("line", "body"))
+      case "signalfx" =>
+        graft.ingest.SignalFxJson.decode(lines.withColumnRenamed("line", "body"))
+      case other => throw new IllegalArgumentException(s"unknown codec '$other'")
+    }
+    points
       .where(col("value").isNotNull && col("ts").isNotNull)
       .withColumn("epoch", col("ts").cast("long"))
+  }
+
+  /** Assemble listener → decode/deconstruct → demux(forwarders). Caller
+    * `.start()`s (and names/checkpoints) the returned writer. */
+  def assemble(spark: SparkSession, cfg: GraftConfig): DataStreamWriter[Row] = {
+    val points = decode(source(spark, cfg.listenFrom), cfg.listenFrom)
     StreamingOps.demux(points, cfg.forwardTo.map(forwarder),
       Trigger.ProcessingTime(cfg.triggerMillis))
   }

@@ -2,8 +2,16 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
+
+/** A datapoint for the stateful rate converter (top-level: encoder codegen
+  * needs public constructor access). */
+final case class RatePoint(metric: String, epoch: Long, value: Double)
+/** Converted output: per-second rate at the new point's time. */
+final case class RateOut(metric: String, epoch: Long, rate: Double)
+/** State per metric: the last seen (epoch, value). */
+final case class RateState(epoch: Long, value: Double)
 
 /** Streaming rollups and forwarder sinks — the Spark-native equivalent of
   * the reference's listener → demultiplexer → buffered forwarder spine
@@ -111,4 +119,45 @@ object StreamingOps {
   def withCounters(source: DataFrame, name: String = "graft_stats"): DataFrame =
     source.observe(name, count(lit(1)).as("n_points"),
       approx_count_distinct(col("metric")).as("n_metrics"))
+
+  /** Streaming first-arrival dedup per key set within the watermark window
+    * — the streaming twin of the STREAM-DEDUP batch-replay query. State is
+    * bounded: `dropDuplicatesWithinWatermark` evicts seen-keys older than
+    * the watermark (a plain dropDuplicates would grow state forever at
+    * 100 TB/day ingest). */
+  def dedupWithinWatermark(points: DataFrame, tsCol: String,
+                           keyCols: Seq[String], watermark: String): DataFrame =
+    points.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** CUMULATIVE_COUNTER → per-second RATE conversion, the reference's
+    * counter semantics (golib/datapoint MetricType [P]), as a custom
+    * stateful streaming operator: state = last (ts, value) per metric,
+    * kept in the state store (RocksDB-backed at scale via
+    * spark.sql.streaming.stateStore.providerClass); each micro-batch emits
+    * (metric, epoch, Δvalue/Δt) for points that advance time. This is the
+    * `flatMapGroupsWithState` escape hatch for semantics the declarative
+    * streaming API can't express: the rate of the FIRST point of a batch
+    * depends on the LAST point of the previous one. */
+  def counterToRate(points: Dataset[RatePoint]): Dataset[RateOut] = {
+    val session = points.sparkSession
+    import session.implicits._
+    points.groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (metric: String, it: Iterator[RatePoint], state: GroupState[RateState]) =>
+          val out = Seq.newBuilder[RateOut]
+          var last = state.getOption
+          it.toSeq.sortBy(_.epoch).foreach { p =>
+            last match {
+              case Some(st) if p.epoch > st.epoch =>
+                out += RateOut(metric, p.epoch,
+                  (p.value - st.value) / (p.epoch - st.epoch))
+              case _ => ()
+            }
+            if (last.forall(_.epoch <= p.epoch)) last = Some(RateState(p.epoch, p.value))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

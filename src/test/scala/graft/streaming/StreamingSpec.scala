@@ -103,6 +103,46 @@ class StreamingSpec extends SparkSpec {
     assert(back.where(col("value").isNotNull).count() === 100)
   }
 
+  test("counterToRate: stateful rate spans micro-batch boundaries") {
+    val sq = spark
+    import sq.implicits._
+    val input = MemoryStream[RatePoint](spark)
+    val query = StreamingOps.counterToRate(input.toDS())
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    // batch 1: counter m rises 10 -> 40 over 10s
+    input.addData(Seq(RatePoint("m", 100, 10.0), RatePoint("m", 110, 40.0)))
+    query.processAllAvailable()
+    // batch 2: first point's rate must use batch 1's LAST state (110, 40)
+    input.addData(Seq(RatePoint("m", 120, 100.0), RatePoint("n", 10, 5.0)))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("rate_out").as[RateOut].collect()
+      .map(r => (r.metric, r.epoch) -> r.rate).toMap
+    assert(out === Map(("m", 110L) -> 3.0, ("m", 120L) -> 6.0))
+    // "n" has one point and no prior state: no rate emitted yet
+  }
+
+  test("dedupWithinWatermark keeps first arrival per key") {
+    val sq = spark
+    import sq.implicits._
+    val input = MemoryStream[Ev](spark)
+    input.addData(Seq(
+      Ev(Timestamp.valueOf("2024-01-01 00:00:00"), "click", 1L, 1.0),
+      Ev(Timestamp.valueOf("2024-01-01 00:00:01"), "click", 1L, 2.0), // dup key
+      Ev(Timestamp.valueOf("2024-01-01 00:00:02"), "view", 1L, 3.0)))
+    val query = StreamingOps.dedupWithinWatermark(
+        input.toDF(), "ts", Seq("user_id", "event_type"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("dedup_out")
+    assert(out.count() === 2)
+    assert(out.agg(sum("value")).collect()(0).getDouble(0) === 4.0) // 1.0 + 3.0
+  }
+
   test("withCounters observes point counts without a second aggregation") {
     val sq = spark
     import sq.implicits._
