@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression assertions — the properties that make these
+  * operators survive a 100× scale-up. A green run here means Catalyst is
+  * still producing the plan we designed for, not just a plan that happens
+  * to return the right rows at test scale. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def df(id: String): DataFrame = {
+    tables()
+    graft.dsl.Relational.impls.get(id).map(_(spark))
+      .getOrElse(graft.queries.Extensions.queries(id)(spark, sfDir))
+  }
+
+  /** Final (post-AQE) plan string: execute first, then read executedPlan. */
+  private def finalPlan(id: String): String = {
+    val d = df(id)
+    d.collect()
+    d.queryExecution.executedPlan.toString
+  }
+
+  test("FILTER-PRED: predicates reach the parquet scan, untouched columns pruned") {
+    val p = finalPlan("FILTER-PRED")
+    assert(p.contains("PushedFilters: ["), "filters not pushed to scan")
+    assert(p.contains("IsNotNull"), "expected pushed IsNotNull")
+    assert(!p.contains("o_orderdate"), "column pruning lost: o_orderdate read")
+    assert(p.contains("Batched: true"), "vectorized parquet read lost")
+  }
+
+  test("JOIN-INNER-EQUI: small dims broadcast, no shuffle join") {
+    val p = finalPlan("JOIN-INNER-EQUI")
+    assert(p.contains("BroadcastHashJoin"), "dims (nation, region) should broadcast")
+    assert(!p.contains("SortMergeJoin"), "unexpected shuffle join for broadcastable dims")
+  }
+
+  test("AGG-TPCH-Q1: two-phase hash aggregation (map-side partials)") {
+    val p = finalPlan("AGG-TPCH-Q1")
+    assert(p.contains("HashAggregate"), "expected hash aggregation")
+    assert(p.contains("partial"), "map-side partial aggregation missing")
+  }
+
+  test("SORT-TOPK: order-by-limit compiles to TakeOrderedAndProject, not a global sort") {
+    val p = finalPlan("SORT-TOPK")
+    assert(p.contains("TakeOrderedAndProject"), "top-k should not globally sort")
+  }
+
+  test("LLM-JACCARD-PAIRS: candidate join is key-equality with the size-ratio residual") {
+    val p = finalPlan("LLM-JACCARD-PAIRS")
+    assert(!p.contains("CartesianProduct"), "all-pairs fallback — candidate join lost its equi-key")
+    assert(p.contains("greatest") && p.contains("least"),
+      "size-ratio prefilter missing from the join")
+  }
+
+  test("LLM-MINHASH-LSH: banding join is key-equality, never all-pairs") {
+    val p = finalPlan("LLM-MINHASH-LSH")
+    assert(!p.contains("CartesianProduct"), "LSH banding join degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "LSH banding join degenerated to all-pairs")
+  }
+
+  test("LLM-COSINE-TOPK: single-probe scan broadcasts the probe") {
+    val p = finalPlan("LLM-COSINE-TOPK")
+    assert(p.contains("Broadcast"), "probe vector should broadcast to the corpus scan")
+    assert(p.contains("graft_cosine") || p.contains("TakeOrderedAndProject"),
+      "expected native cosine + top-k")
+  }
+
+  test("SUB-SCALAR: decorrelated form joins without a cartesian product") {
+    val p = finalPlan("SUB-SCALAR")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("SAMPLE-HASH: poly-hash filter stays inside whole-stage codegen") {
+    val p = finalPlan("SAMPLE-HASH")
+    assert(p.contains("*("), "whole-stage codegen lost")
+    assert(p.contains("graft_poly_hash"), "expected the codegen poly-hash expression")
+  }
+
+  test("shingle pipelines spread a single-split corpus across partitions") {
+    val d = graft.llm.Dedup.shingles(spark.table("documents"))
+    val parts = d.rdd.getNumPartitions
+    assert(parts === spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      s"explode runs on $parts partition(s) — single-core string work")
+  }
+}
