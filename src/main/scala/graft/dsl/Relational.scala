@@ -450,6 +450,40 @@ object Relational {
         .orderBy("user_id", "event_type")
     },
 
+    "TEXT-VOCAB" -> (s => s.table("documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(20)),
+
+    "TEXT-BIGRAMS" -> { s =>
+      val t = split(col("text"), " ")
+      s.table("documents")
+        .select(explode(transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram")).limit(20)
+    },
+
+    "LLM-QUALITY-FILTER" -> { s =>
+      val toks = split(col("text"), " ")
+      s.table("documents")
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          size(toks).as("n_tokens"), size(array_distinct(toks)).as("n_uniq"))
+        .where(col("n_tokens").between(30, 90)
+          && (col("n_chars") / col("n_tokens")).between(3, 12)
+          && col("n_uniq").cast("double") / col("n_tokens") > 0.4)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id").limit(60)
+    },
+
+    "EMB-NORM" -> { s =>
+      val l2 = graft.functions.VectorFunctions.l2Norm(col("embedding"))
+      s.table("embeddings")
+        .select(col("vec_id"), round(l2, 4).as("l2"),
+          (round(col("embedding").getItem(0).cast("double") / l2, 4) + 0.0).as("e0n"))
+        .orderBy("vec_id").limit(50)
+    },
+
     // correlated scalar subquery, expressed as the decorrelated plan the
     // optimizer produces anyway: left join against the per-key aggregate
     "SUB-SCALAR" -> { s =>

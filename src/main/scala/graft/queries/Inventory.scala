@@ -564,6 +564,48 @@ object Inventory {
       |  (SELECT round(CAST(max(l_quantity) AS DOUBLE), 2) FROM lineitem WHERE l_orderkey = o_orderkey) AS maxq
       |FROM orders ORDER BY o_orderkey LIMIT 50""".stripMargin)
 
+  q("TEXT-VOCAB",
+    """SELECT tok, count(*) AS freq FROM (SELECT explode(split(text, ' ')) AS tok FROM documents) t
+      |GROUP BY tok ORDER BY freq DESC, tok LIMIT 20""".stripMargin,
+    """SELECT tok, count(*) AS freq FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |GROUP BY tok ORDER BY freq DESC, tok LIMIT 20""".stripMargin)
+
+  q("TEXT-BIGRAMS",
+    """WITH toks AS (SELECT doc_id, split(text,' ') AS t FROM documents),
+      |b AS (SELECT concat(t[i-1], ' ', t[i]) AS bigram
+      |      FROM toks LATERAL VIEW explode(sequence(1, size(t)-1)) s AS i)
+      |SELECT bigram, count(*) AS freq FROM b GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""".stripMargin,
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |b AS (SELECT concat(t[i], ' ', t[i+1]) AS bigram
+      |      FROM toks CROSS JOIN unnest(generate_series(1, len(t)-1)) AS g(i))
+      |SELECT bigram, count(*) AS freq FROM b GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""".stripMargin)
+
+  q("LLM-QUALITY-FILTER",
+    """WITH m AS (SELECT doc_id, length(text) AS n_chars, size(split(text,' ')) AS n_tokens,
+      |  size(array_distinct(split(text,' '))) AS n_uniq FROM documents)
+      |SELECT doc_id, n_tokens FROM m
+      |WHERE n_tokens BETWEEN 30 AND 90
+      |  AND n_chars / n_tokens BETWEEN 3 AND 12
+      |  AND CAST(n_uniq AS DOUBLE) / n_tokens > 0.4
+      |ORDER BY doc_id LIMIT 60""".stripMargin,
+    """WITH m AS (SELECT doc_id, length(text) AS n_chars, len(string_split(text,' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text,' '))) AS n_uniq FROM documents)
+      |SELECT doc_id, n_tokens FROM m
+      |WHERE n_tokens BETWEEN 30 AND 90
+      |  AND n_chars / n_tokens BETWEEN 3 AND 12
+      |  AND CAST(n_uniq AS DOUBLE) / n_tokens > 0.4
+      |ORDER BY doc_id LIMIT 60""".stripMargin)
+
+  q("EMB-NORM",
+    """SELECT vec_id,
+      |  round(sqrt(aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), 4) AS l2,
+      |  round(CAST(embedding[0] AS DOUBLE) / sqrt(aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), 4) + 0.0 AS e0n
+      |FROM embeddings ORDER BY vec_id LIMIT 50""".stripMargin,
+    """SELECT vec_id,
+      |  round(sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 4) AS l2,
+      |  round(CAST(embedding[1] AS DOUBLE) / sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 4) + 0.0 AS e0n
+      |FROM embeddings ORDER BY vec_id LIMIT 50""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(
