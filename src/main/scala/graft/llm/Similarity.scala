@@ -64,6 +64,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF index: the corpus written parquet-partitioned BY CELL,
+    * so a probe read scans only its cell's files — at 100 TB the cell id
+    * is the partition key and Spark's partition pruning turns an ANN probe
+    * into a ~1/2^bits scan with no shuffle. */
+  def writeIvfIndex(embeddings: DataFrame, path: String, bits: Int = 3): Unit =
+    ivfCell(embeddings, bits).write.mode("overwrite")
+      .partitionBy("cell").parquet(path)
+
+  /** Probe a persisted IVF index: resolve the probe's cell (a point lookup),
+    * then scan ONLY that cell via partition pruning (verify with
+    * `PartitionFilters` in the plan): (vec_id, cell, cos). */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     probeId: Long, k: Int): DataFrame = {
+    val index = spark.read.parquet(path)
+    val probeRow = index.filter(col("vec_id") === probeId)
+      .select("embedding", "cell").head()
+    val pcell = probeRow.getInt(probeRow.fieldIndex("cell"))
+    val p = probeRow.getSeq[Float](probeRow.fieldIndex("embedding"))
+    index.filter(col("cell") === pcell && col("vec_id") =!= probeId)
+      .select(col("vec_id"), col("cell"),
+        round(cosineNative(col("embedding"),
+          lit(p.toArray).cast("array<float>")), 3).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Top-n most similar corpus pairs (va < vb) by cosine: (va, vb, cos).
     * All-pairs — correctness baseline; the LSH/IVF operators above are the
     * scale path for this shape too. */

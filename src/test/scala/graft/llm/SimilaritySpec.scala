@@ -48,4 +48,18 @@ class SimilaritySpec extends SparkSpec {
     val cos = rows.map(_.getDouble(2))
     assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
   }
+
+  test("persisted IVF index: probe scans only its cell via partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvfIndex(embs, dir)
+    val probed = Similarity.ivfTopKIndexed(spark, dir, probeId = 0L, k = 5)
+    // same results as the in-memory cell-filtered scan
+    assert(canon(probed) === canon(Similarity.ivfTopK(embs, 0L, 5)))
+    // and the scan is partition-pruned to the probe's cell at the source
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "cell filter not pushed to partition pruning")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell not in PartitionFilters")
+  }
 }
