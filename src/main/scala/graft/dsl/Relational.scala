@@ -450,6 +450,24 @@ object Relational {
         .orderBy("user_id", "event_type")
     },
 
+    "FN-DATEDIFF" -> (s => s.table("orders")
+      .select(col("o_orderkey"),
+        datediff(lit(java.sql.Date.valueOf("1995-06-01")),
+          col("o_orderdate").cast("date")).as("dd"),
+        date_add(col("o_orderdate").cast("date"), 30).cast("string").as("d30"),
+        last_day(col("o_orderdate").cast("date")).cast("string").as("eom"))
+      .orderBy("o_orderkey").limit(50)),
+
+    // column orders deliberately differ between the two sides: unionByName
+    // aligns by NAME, which a positional union would silently scramble
+    "SET-UNION-BYNAME" -> { s =>
+      val a = s.table("customer").where(col("c_custkey") <= 50)
+        .select(col("c_custkey").as("id"), col("c_nationkey").as("k"))
+      val b = s.table("supplier").where(col("s_suppkey") <= 50)
+        .select(col("s_nationkey").as("k"), col("s_suppkey").as("id"))
+      a.unionByName(b).orderBy("k", "id")
+    },
+
     "TEXT-VOCAB" -> (s => s.table("documents")
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))

@@ -606,6 +606,27 @@ object Inventory {
       |  round(CAST(embedding[1] AS DOUBLE) / sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 4) + 0.0 AS e0n
       |FROM embeddings ORDER BY vec_id LIMIT 50""".stripMargin)
 
+  q("FN-DATEDIFF",
+    """SELECT o_orderkey,
+      |  datediff(DATE '1995-06-01', CAST(o_orderdate AS DATE)) AS dd,
+      |  CAST(date_add(CAST(o_orderdate AS DATE), 30) AS STRING) AS d30,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS STRING) AS eom
+      |FROM orders ORDER BY o_orderkey LIMIT 50""".stripMargin,
+    """SELECT o_orderkey,
+      |  datediff('day', CAST(o_orderdate AS DATE), DATE '1995-06-01') AS dd,
+      |  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS d30,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom
+      |FROM orders ORDER BY o_orderkey LIMIT 50""".stripMargin)
+
+  // by-name union: the DSL impl unions frames with DIFFERENT column order
+  // via unionByName; the SQL twins express the aligned equivalent
+  q("SET-UNION-BYNAME",
+    """SELECT id, k FROM (
+      |  SELECT c_custkey AS id, c_nationkey AS k FROM customer WHERE c_custkey <= 50
+      |  UNION ALL
+      |  SELECT s_suppkey AS id, s_nationkey AS k FROM supplier WHERE s_suppkey <= 50
+      |) t ORDER BY k, id""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(
