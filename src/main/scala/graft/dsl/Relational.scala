@@ -468,14 +468,20 @@ object Relational {
       a.unionByName(b).orderBy("k", "id")
     },
 
-    "TEXT-VOCAB" -> (s => s.table("documents")
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("tok")).limit(20)),
+    // both explode the whole corpus: spread the (often single-split) source
+    // first so the per-row string work parallelizes — see Dedup.shingles
+    "TEXT-VOCAB" -> { s =>
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      s.table("documents").repartition(parts, col("doc_id"))
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok")).limit(20)
+    },
 
     "TEXT-BIGRAMS" -> { s =>
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val t = split(col("text"), " ")
-      s.table("documents")
+      s.table("documents").repartition(parts, col("doc_id"))
         .select(explode(transform(sequence(lit(1), size(t) - 1),
           i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("freq"))
