@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Carbon/graphite line codec and metric deconstruction.
@@ -88,5 +88,18 @@ object Carbon {
       col("value"),
       lit("GAUGE").as("metricType"),
       timestamp_seconds(col("epoch")).as("ts"))
+  }
+
+  /** Typed ingest (SURVEY.md §1b): the same parse surfaced as
+    * `Dataset[Datapoint]` — compile-time schema for callers that transform
+    * datapoints with typed lambdas; malformed lines are dropped (the
+    * untyped [[ingest]] leaves them as nulls for the caller). */
+  def ingestTyped(lines: DataFrame, deconstructor: MetricDeconstructor,
+                  lineCol: String = "line"): Dataset[Datapoint] = {
+    val session = lines.sparkSession
+    import session.implicits._
+    ingest(lines, deconstructor, lineCol)
+      .where(col("value").isNotNull && col("ts").isNotNull && col("metric").isNotNull)
+      .as[Datapoint]
   }
 }

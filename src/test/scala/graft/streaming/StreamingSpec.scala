@@ -143,6 +143,47 @@ class StreamingSpec extends SparkSpec {
     assert(out.agg(sum("value")).collect()(0).getDouble(0) === 4.0) // 1.0 + 3.0
   }
 
+  test("watermark drops late data from windowed aggregation (drop-on-overflow mapping)") {
+    val sq = spark
+    import sq.implicits._
+    val input = MemoryStream[Ev](spark)
+    val query = StreamingOps.tumble(input.toDF(), "ts", "event_type",
+        "1 hour", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    // batch 1 advances the watermark to 11:30
+    input.addData(Seq(Ev(Timestamp.valueOf("2024-01-01 12:00:00"), "click", 1L, 1.0)))
+    query.processAllAvailable()
+    // batch 2: an event in the long-closed 08:00 window arrives late → dropped
+    input.addData(Seq(
+      Ev(Timestamp.valueOf("2024-01-01 08:00:00"), "click", 1L, 100.0),
+      Ev(Timestamp.valueOf("2024-01-01 12:05:00"), "click", 1L, 2.0)))
+    query.processAllAvailable()
+    // advance watermark far enough to emit the 12:00 window
+    input.addData(Seq(Ev(Timestamp.valueOf("2024-01-01 20:00:00"), "view", 2L, 0.0)))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("late_out")
+      .select(col("wstart").cast("string"), col("event_type"), col("c"), col("sv"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // the 12:00 click window emitted WITHOUT the late 08:00 event
+    assert(rows.contains(("2024-01-01 12:00:00", "click", 2L, 3.0)), rows.mkString(", "))
+    assert(!rows.exists(_._1 == "2024-01-01 08:00:00"), "late event was not dropped")
+  }
+
+  test("typed ingest yields Dataset[Datapoint] and drops malformed lines") {
+    val sq = spark
+    import sq.implicits._
+    val lines = Seq("svc.a 1.5 1700000000", "garbage", "svc.b x y").toDF("line")
+    val ds = graft.ingest.Carbon.ingestTyped(lines, graft.ingest.Carbon.IdentityDeconstructor)
+    val pts = ds.collect()
+    assert(pts.length === 1)
+    assert(pts(0).metric === "svc.a" && pts(0).value === 1.5)
+    // typed lambda over the Dataset — compile-time field access
+    assert(ds.map(_.metric.toUpperCase).collect().toSeq === Seq("SVC.A"))
+  }
+
   test("withCounters observes point counts without a second aggregation") {
     val sq = spark
     import sq.implicits._
