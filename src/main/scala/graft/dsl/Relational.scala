@@ -415,8 +415,6 @@ object Relational {
       val buckets = b.agg(min("bucket").as("mn"), max("bucket").as("mx"))
         .select(explode(sequence(col("mn"), col("mx"), lit(21600L))).as("bucket"))
       val r = b.select("user_id").distinct().crossJoin(buckets)
-      val w = Window.partitionBy(r("user_id")).orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       r.join(b, Seq("user_id", "bucket"), "left")
         .select(col("user_id"), col("bucket"),
           last("v", ignoreNulls = true).over(

@@ -172,6 +172,30 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._1 == "2024-01-01 08:00:00"), "late event was not dropped")
   }
 
+  test("pipeline with collectd codec: JSON-lines file listener to csv sink") {
+    val dir = Files.createTempDirectory("graft_collectd").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val body =
+      """[{"values":[0.5],"dstypes":["gauge"],"dsnames":["value"],"time":1700000100.0,
+        |"interval":10.0,"host":"web1","plugin":"cpu","plugin_instance":"0",
+        |"type":"percent","type_instance":"user"}]""".stripMargin.replace("\n", "")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in/b.json"),
+      (1 to 5).map(_ => body).mkString("\n").getBytes)
+
+    val cfg = Pipeline.GraftConfig(
+      listenFrom = Pipeline.ListenFrom("file", path = s"$dir/in", codec = "collectd"),
+      forwardTo = Seq(Pipeline.ForwardTo("csv", "debug", s"$dir/csv")))
+    val q = Pipeline.assemble(spark, cfg)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.csv(s"$dir/csv")
+    assert(out.count() === 5)
+    // metric name is first CSV column; dims JSON-encoded alongside
+    assert(out.collect().forall(_.getString(0) === "cpu.0.percent.user"))
+  }
+
   test("typed ingest yields Dataset[Datapoint] and drops malformed lines") {
     val sq = spark
     import sq.implicits._
