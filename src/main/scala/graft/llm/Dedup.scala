@@ -143,17 +143,40 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", slice(col("sig"), b * rows + lit(1), lit(rows)))))
         .as(Seq("band", "bkey")))
-    val cands = banded.select(col("doc_id").as("da"), col("sig").as("siga"), col("band"), col("bkey"))
+    // est is a pure function of the pair, so compute it per band hit (≤bands
+    // cheap zip_with evaluations) and dedup band hits with a primitive-key
+    // groupBy — distinct() over the 16-long signature ARRAYS was the
+    // bottleneck on clone-heavy corpora (non-codegen array comparisons on
+    // every duplicated candidate row)
+    banded.select(col("doc_id").as("da"), col("sig").as("siga"), col("band"), col("bkey"))
       .join(banded.select(col("doc_id").as("db"), col("sig").as("sigb"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .filter(col("da") < col("db"))
-      .select("da", "db", "siga", "sigb").distinct()
-    cands
-      .withColumn("est_jac",
-        aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .select(col("da"), col("db"),
+        (aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est0"))
+      .groupBy("da", "db").agg(min("est0").as("est_jac"))
       .filter(col("est_jac") >= estThreshold)
       .select(col("da"), col("db"), round(col("est_jac"), 4).as("est_jac"))
+  }
+
+  /** Scale pipeline: exact-duplicate collapse → near-dup pair generation
+    * over unique texts only. Web-scale corpora are dominated by EXACT
+    * copies; a k-clone cluster contributes C(k,2) candidate pairs to every
+    * LSH band and every shared-shingle posting, turning candidate
+    * generation quadratic in clone count. Collapsing to one representative
+    * per content digest first (a single cheap hash-groupBy) makes the
+    * expensive near-dup join see each distinct text once. Returns pairs
+    * over representative doc_ids (min doc_id per digest, deterministic);
+    * join with [[exactDuplicates]] to expand back to full clusters. */
+  def nearDupPairs(documents: DataFrame, n: Int = 3, numHashes: Int = 16,
+                   bands: Int = 8, estThreshold: Double = 0.5,
+                   baseHash: Column => Column = fastHash): DataFrame = {
+    val reps = documents
+      .groupBy(md5(lower(col("text"))).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+      .select("doc_id", "text")
+    minhashPairs(reps, n, numHashes, bands, estThreshold, baseHash)
   }
 
   /** 64-bit SimHash fingerprint per document: bitᵢ = sign of Σ(±1) over

@@ -37,6 +37,7 @@ object ScaleProbe {
     }
 
     time("exact-dedup")(Dedup.exactDuplicates(big).count())
+    time("neardup-collapsed")(Dedup.nearDupPairs(big, 3, 16, 8, 0.5).count())
     time("minhash-pairs")(Dedup.minhashPairs(big, 3, 16, 8, 0.5).count())
     time("simhash-pairs")(Dedup.simhashPairs(big, 3, 3).count())
     time("jaccard-pairs")(Dedup.jaccardPairs(big, 3, 0.8).count())

@@ -80,6 +80,21 @@ class DedupSpec extends SparkSpec {
     assert(nearAvg < randomAvg / 2, s"no separation: near=$nearAvg random=$randomAvg")
   }
 
+  test("nearDupPairs: exact-dup collapse yields the unique-corpus pairs") {
+    // 5 exact clones of every document (distinct ids) — the clone-cluster
+    // candidate blow-up case
+    val cloned = (0 until 5).map { i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text"))
+    }.reduce(_ unionAll _)
+    val viaCollapse = Dedup.nearDupPairs(cloned, 3, 16, 8, 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unique = Dedup.minhashPairs(docs, 3, 16, 8, 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // representatives are the original ids (min per digest), so the pair
+    // set over representatives equals the unique-corpus pair set
+    assert(viaCollapse === unique)
+  }
+
   test("deterministic across runs") {
     val a = canon(Dedup.minhashSignatures(docs).orderBy("doc_id").limit(10))
     val b = canon(Dedup.minhashSignatures(docs).orderBy("doc_id").limit(10))
