@@ -171,13 +171,18 @@ object Dedup {
     * join with [[exactDuplicates]] to expand back to full clusters. */
   def nearDupPairs(documents: DataFrame, n: Int = 3, numHashes: Int = 16,
                    bands: Int = 8, estThreshold: Double = 0.5,
-                   baseHash: Column => Column = fastHash): DataFrame = {
-    val reps = documents
+                   baseHash: Column => Column = fastHash): DataFrame =
+    minhashPairs(representatives(documents), n, numHashes, bands, estThreshold, baseHash)
+
+  /** One representative document per content digest (min doc_id / min text
+    * — deterministic). Compose with ANY pair generator ([[jaccardPairs]],
+    * [[simhashPairs]], …) the same way [[nearDupPairs]] does for MinHash:
+    * collapse exact clones BEFORE the quadratic-candidate stage. */
+  def representatives(documents: DataFrame): DataFrame =
+    documents
       .groupBy(md5(lower(col("text"))).as("digest"))
       .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
       .select("doc_id", "text")
-    minhashPairs(reps, n, numHashes, bands, estThreshold, baseHash)
-  }
 
   /** 64-bit SimHash fingerprint per document: bitᵢ = sign of Σ(±1) over
     * shingle hashes' i-th bits. (doc_id, simhash).
