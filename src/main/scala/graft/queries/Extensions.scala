@@ -20,12 +20,23 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object Extensions {
 
+  /** Spread a (often single-split) source over the configured shuffle
+    * partitions before per-row-heavy work — see Dedup.shingles for why the
+    * count must be explicit (AQE re-coalesces byte-small exchanges). */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(parts, col(key))
+  }
+
   /** Documents/embeddings loaded from the registered views. */
   private def docs(spark: SparkSession, dir: String): DataFrame = {
-    Tables.register(spark, dir); spark.table("documents")
+    Tables.register(spark, dir); spread(spark.table("documents"), "doc_id")
   }
   private def embs(spark: SparkSession, dir: String): DataFrame = {
     Tables.register(spark, dir); spark.table("embeddings")
+  }
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir); spread(spark.table("events"), "event_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -54,21 +65,19 @@ object Extensions {
       Multimodal.binaryMeta(Multimodal.documentsAsMedia(s, docs(s, d)).toDF())
         .orderBy(col("media_id")).limit(50)),
     "PARSE-COMMAKEYS" -> { (s, d) =>
-      Tables.register(s, d)
       val metric = concat(lit("svc."), col("event_type"), lit(".count[user="),
         col("user_id").cast("string"), lit(",ev="), col("event_id").cast("string"), lit("]"))
       val dims = Carbon.CommaKeysDeconstructor.dimensions(metric)
-      s.table("events").select(
+      events(s, d).select(
         Carbon.CommaKeysDeconstructor.base(metric).as("metric"),
         element_at(dims, "user").cast("long").as("u"),
         element_at(dims, "ev").cast("long").as("e"))
         .orderBy(col("e")).limit(50)
     },
     "PARSE-DELIMITER" -> { (s, d) =>
-      Tables.register(s, d)
       val metric = concat(lit("svc."), col("event_type"), lit(".count"))
       val dims = Carbon.DelimiterDeconstructor(Seq("ns", "etype", "stat")).dimensions(metric)
-      s.table("events").select(
+      events(s, d).select(
         col("event_id").as("e"),
         element_at(dims, "ns").as("ns"),
         element_at(dims, "etype").as("etype"),
