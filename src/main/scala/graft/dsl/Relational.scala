@@ -468,6 +468,13 @@ object Relational {
 
     // both explode the whole corpus: spread the (often single-split) source
     // first so the per-row string work parallelizes — see Dedup.shingles
+    "FN-FORMAT" -> (s => s.table("lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        format_string("%05d|%s", col("l_linenumber"), col("l_returnflag")).as("tag"),
+        format_string("%.2f", round(col("l_extendedprice"), 2)).as("price"),
+        repeat(lit("*"), col("l_linenumber").cast("int")).as("stars"))
+      .orderBy("l_orderkey", "l_linenumber", "price").limit(50)),
+
     "TEXT-VOCAB" -> { s =>
       val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       s.table("documents").repartition(parts, col("doc_id"))

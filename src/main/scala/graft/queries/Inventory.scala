@@ -627,6 +627,18 @@ object Inventory {
       |  SELECT s_suppkey AS id, s_nationkey AS k FROM supplier WHERE s_suppkey <= 50
       |) t ORDER BY k, id""".stripMargin)
 
+  q("FN-FORMAT",
+    """SELECT l_orderkey, l_linenumber,
+      |  format_string('%05d|%s', l_linenumber, l_returnflag) AS tag,
+      |  format_string('%.2f', round(l_extendedprice, 2)) AS price,
+      |  repeat('*', CAST(l_linenumber AS INT)) AS stars
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, price LIMIT 50""".stripMargin,
+    """SELECT l_orderkey, l_linenumber,
+      |  printf('%05d|%s', l_linenumber, l_returnflag) AS tag,
+      |  printf('%.2f', round(l_extendedprice, 2)) AS price,
+      |  repeat('*', CAST(l_linenumber AS INT)) AS stars
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, price LIMIT 50""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(
