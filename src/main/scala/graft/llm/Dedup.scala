@@ -9,15 +9,20 @@ import org.apache.spark.sql.functions._
   *  - exact dedup is a hash-groupBy — one shuffle on the digest, map-side
   *    partial aggregation;
   *  - all-pairs Jaccard is inherently quadratic, so [[jaccardPairs]] joins on
-  *    shared shingles first (candidate generation) — documents with no
-  *    common shingle never meet; still O(Σ posting-list²) worst case, which
-  *    is why [[minhashPairs]] exists: LSH banding bounds candidate
-  *    generation to documents agreeing on a 4-hash band, making the join
-  *    key-equality (shuffle-friendly, skew-salted by band index) rather
-  *    than all-pairs;
+  *    shared shingles first (candidate generation, plus an exact size-ratio
+  *    prefilter) — documents with no common shingle never meet; still
+  *    O(Σ posting-list²) worst case, which is why [[minhashPairs]] exists:
+  *    LSH banding bounds candidate generation to documents agreeing on a
+  *    signature band, making the join key-equality (shuffle-friendly)
+  *    rather than all-pairs;
   *  - SimHash reduces each document to one 64-bit fingerprint; candidate
   *    pairs come from equality on 16-bit chunks (Hamming ≤ 3 ⇒ at least one
-  *    of 4 chunks equal — pigeonhole), again a plain equi-join.
+  *    of 4 chunks equal — pigeonhole), again a plain equi-join;
+  *  - clone-heavy corpora (the web-crawl norm) collapse exact duplicates
+  *    FIRST via [[representatives]]/[[nearDupPairs]] — a k-clone cluster
+  *    otherwise costs C(k,2) candidates in every band/posting list;
+  *  - residual hot keys in any of these equi-joins can be spread with
+  *    [[graft.operators.Skew.saltedJoin]] or AQE's skew-join split.
   */
 object Dedup {
 
