@@ -523,6 +523,16 @@ object Relational {
         .select(col("o_orderkey"), col("maxq"))
         .orderBy("o_orderkey").limit(50)
     },
+
+    // lateral correlated derived table — same decorrelated left-join form
+    "JOIN-LATERAL" -> { s =>
+      val agg = s.table("lineitem").groupBy("l_orderkey")
+        .agg(round(max("l_quantity").cast("double"), 2).as("maxq"))
+      s.table("orders")
+        .join(agg, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("maxq"))
+        .orderBy("o_orderkey").limit(50)
+    },
   )
 
   def apply(id: String, spark: SparkSession): DataFrame = impls(id)(spark)

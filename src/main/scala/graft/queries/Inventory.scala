@@ -627,6 +627,15 @@ object Inventory {
       |  SELECT s_suppkey AS id, s_nationkey AS k FROM supplier WHERE s_suppkey <= 50
       |) t ORDER BY k, id""".stripMargin)
 
+  // LEFT (not comma/inner) lateral: engines disagree on whether an inner
+  // lateral keeps the NULL row of an empty-group aggregate subquery —
+  // LEFT ... ON true pins the row-preserving semantics in both
+  q("JOIN-LATERAL",
+    """SELECT o_orderkey, t.maxq
+      |FROM orders LEFT JOIN LATERAL (SELECT round(CAST(max(l_quantity) AS DOUBLE), 2) AS maxq
+      |                               FROM lineitem WHERE l_orderkey = o_orderkey) t ON true
+      |ORDER BY o_orderkey LIMIT 50""".stripMargin)
+
   q("FN-FORMAT",
     """SELECT l_orderkey, l_linenumber,
       |  format_string('%05d|%s', l_linenumber, l_returnflag) AS tag,

@@ -31,6 +31,43 @@ object Pipeline {
   final case class GraftConfig(listenFrom: ListenFrom, forwardTo: Seq[ForwardTo],
                                triggerMillis: Long = 1000)
 
+  /** Parse a JSON pipeline config — the reference boots from a JSON file
+    * (`exampleSfdbproxy.conf` [P]) with ListenFrom[]/ForwardTo[] blocks;
+    * ours mirrors that shape:
+    * {{{
+    * {"listenFrom": {"kind":"file", "path":"/in", "codec":"carbon",
+    *                 "deconstructor":"delimiter", "template":["ns","ep","stat"]},
+    *  "forwardTo": [{"kind":"csv", "name":"debug", "dir":"/out/csv"}],
+    *  "triggerMillis": 1000}
+    * }}} */
+  def fromJson(json: String): GraftConfig = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val j = JsonMethods.parse(json)
+    val lf = j \ "listenFrom"
+    val decon = (lf \ "deconstructor").extractOpt[String].getOrElse("identity") match {
+      case "identity"  => Carbon.IdentityDeconstructor
+      case "commakeys" => Carbon.CommaKeysDeconstructor
+      case "delimiter" =>
+        Carbon.DelimiterDeconstructor((lf \ "template").extract[Seq[String]])
+      case other => throw new IllegalArgumentException(s"unknown deconstructor '$other'")
+    }
+    GraftConfig(
+      listenFrom = ListenFrom(
+        kind = (lf \ "kind").extract[String],
+        path = (lf \ "path").extractOpt[String].getOrElse(""),
+        host = (lf \ "host").extractOpt[String].getOrElse("localhost"),
+        port = (lf \ "port").extractOpt[Int].getOrElse(2003),
+        codec = (lf \ "codec").extractOpt[String].getOrElse("carbon"),
+        deconstructor = decon),
+      forwardTo = (j \ "forwardTo").extract[Seq[JValue]].map { ft =>
+        ForwardTo((ft \ "kind").extract[String], (ft \ "name").extract[String],
+          (ft \ "dir").extract[String])
+      },
+      triggerMillis = (j \ "triggerMillis").extractOpt[Long].getOrElse(1000L))
+  }
+
   /** Build the line source stream for a listener. */
   def source(spark: SparkSession, lf: ListenFrom): DataFrame = lf.kind match {
     case "file" =>

@@ -172,6 +172,25 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._1 == "2024-01-01 08:00:00"), "late event was not dropped")
   }
 
+  test("pipeline config parses from JSON (reference-style boot file)") {
+    val cfg = Pipeline.fromJson(
+      """{"listenFrom": {"kind":"file", "path":"/tmp/in", "codec":"carbon",
+        |                "deconstructor":"delimiter", "template":["ns","ep","stat"]},
+        | "forwardTo": [{"kind":"csv", "name":"debug", "dir":"/tmp/csv"},
+        |               {"kind":"carbon", "name":"fwd", "dir":"/tmp/carbon"}],
+        | "triggerMillis": 250}""".stripMargin)
+    assert(cfg.listenFrom.kind === "file" && cfg.listenFrom.path === "/tmp/in")
+    assert(cfg.listenFrom.deconstructor
+      .isInstanceOf[graft.ingest.Carbon.DelimiterDeconstructor])
+    assert(cfg.forwardTo.map(_.kind) === Seq("csv", "carbon"))
+    assert(cfg.triggerMillis === 250L)
+    // defaults fill in
+    val minimal = Pipeline.fromJson(
+      """{"listenFrom": {"kind":"socket"}, "forwardTo": []}""")
+    assert(minimal.listenFrom.port === 2003 && minimal.listenFrom.codec === "carbon")
+    assert(minimal.triggerMillis === 1000L)
+  }
+
   test("pipeline with collectd codec: JSON-lines file listener to csv sink") {
     val dir = Files.createTempDirectory("graft_collectd").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
