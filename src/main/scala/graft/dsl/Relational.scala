@@ -468,6 +468,21 @@ object Relational {
 
     // both explode the whole corpus: spread the (often single-split) source
     // first so the per-row string work parallelizes — see Dedup.shingles
+    // ordered string aggregation: numeric sort_array before the join keeps
+    // the WITHIN GROUP (ORDER BY c_custkey) ordering of the SQL twin
+    "AGG-STRING" -> (s => s.table("customer")
+      .where(col("c_custkey") <= 40)
+      .groupBy(col("c_nationkey").as("k"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("c_custkey"))), _.cast("string"))).as("ids"))
+      .orderBy("k")),
+
+    "FN-REGEXALL" -> (s => s.table("part")
+      .select(col("p_partkey"),
+        regexp_extract_all(col("p_name"), lit("[a-z]{5,}"), lit(0)).as("words"),
+        size(regexp_extract_all(col("p_name"), lit("[a-z]{5,}"), lit(0))).as("n"))
+      .orderBy("p_partkey").limit(40)),
+
     "FN-FORMAT" -> (s => s.table("lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         format_string("%05d|%s", col("l_linenumber"), col("l_returnflag")).as("tag"),

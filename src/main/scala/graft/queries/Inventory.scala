@@ -648,6 +648,20 @@ object Inventory {
       |  repeat('*', CAST(l_linenumber AS INT)) AS stars
       |FROM lineitem ORDER BY l_orderkey, l_linenumber, price LIMIT 50""".stripMargin)
 
+  q("AGG-STRING",
+    """SELECT c_nationkey AS k, listagg(CAST(c_custkey AS STRING), ',') WITHIN GROUP (ORDER BY c_custkey) AS ids
+      |FROM customer WHERE c_custkey <= 40 GROUP BY c_nationkey ORDER BY k""".stripMargin,
+    """SELECT c_nationkey AS k, string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS ids
+      |FROM customer WHERE c_custkey <= 40 GROUP BY c_nationkey ORDER BY k""".stripMargin)
+
+  q("FN-REGEXALL",
+    """SELECT p_partkey, regexp_extract_all(p_name, '[a-z]{5,}', 0) AS words,
+      |  size(regexp_extract_all(p_name, '[a-z]{5,}', 0)) AS n
+      |FROM part ORDER BY p_partkey LIMIT 40""".stripMargin,
+    """SELECT p_partkey, regexp_extract_all(p_name, '[a-z]{5,}', 0) AS words,
+      |  len(regexp_extract_all(p_name, '[a-z]{5,}', 0)) AS n
+      |FROM part ORDER BY p_partkey LIMIT 40""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(
