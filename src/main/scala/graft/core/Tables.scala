@@ -37,15 +37,33 @@ object Tables {
     * workaround to plan CONSTRUCTION of those operators only (Dataset
     * analysis is eager, so the conf is read inside `f`), restoring the
     * previous value after — genuine self-joins elsewhere keep the guard. */
-  def withoutAmbiguousSelfJoinCheck[T](spark: SparkSession)(f: => T): T = {
-    val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try f
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+  def withoutAmbiguousSelfJoinCheck[T](spark: SparkSession)(f: => T): T =
+    // serialized: concurrent plan construction on a shared session must not
+    // interleave the set/restore (a sibling thread could lose the guard for
+    // a genuine self-join, or "restore" the temporary false permanently)
+    ambiguousSelfJoinLock.synchronized {
+      val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try f
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
+
+  private val ambiguousSelfJoinLock = new Object
+
+  /** Spread a DataFrame over the configured shuffle-partition count by a
+    * key column, for per-row-heavy work downstream. A small corpus often
+    * arrives as ONE input split, serializing explodes/regexes/hashing on a
+    * single core; the count is EXPLICIT because AQE re-coalesces a bare
+    * repartition(col) of a byte-small exchange back to one partition. At
+    * real scale the source has many splits and this is a cheap
+    * co-location. */
+  def spread(df: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(parts, org.apache.spark.sql.functions.col(key))
   }
 
   /** Register all fixture tables from `dir` as temp views (idempotent). */

@@ -490,18 +490,16 @@ object Relational {
         repeat(lit("*"), col("l_linenumber").cast("int")).as("stars"))
       .orderBy("l_orderkey", "l_linenumber", "price").limit(50)),
 
-    "TEXT-VOCAB" -> { s =>
-      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      s.table("documents").repartition(parts, col("doc_id"))
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("tok")).limit(20)
-    },
+    // both explode the whole corpus: spread the (often single-split) source
+    // first so the per-row string work parallelizes
+    "TEXT-VOCAB" -> (s => graft.core.Tables.spread(s.table("documents"), "doc_id")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(20)),
 
     "TEXT-BIGRAMS" -> { s =>
-      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val t = split(col("text"), " ")
-      s.table("documents").repartition(parts, col("doc_id"))
+      graft.core.Tables.spread(s.table("documents"), "doc_id")
         .select(explode(transform(sequence(lit(1), size(t) - 1),
           i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("freq"))

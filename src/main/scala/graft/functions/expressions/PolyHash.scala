@@ -1,8 +1,9 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Portable polynomial string hash: acc = (acc·31 + codepoint) mod 1e9+7
@@ -20,6 +21,14 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_poly_hash"
+
+  // fail at ANALYSIS on non-string input (the function is SQL-exposed) —
+  // without this, a graft_poly_hash(bigint) call dies at runtime with a
+  // codegen/ClassCastException instead of a clear error
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
     PolyHash.hash(input.asInstanceOf[UTF8String])

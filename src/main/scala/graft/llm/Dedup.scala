@@ -61,16 +61,9 @@ object Dedup {
     val toks = split(col("text"), " ")
     val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
       .otherwise(array().cast("array<int>"))
-    // a small corpus often arrives as ONE input split (single parquet file)
-    // — without a spread, the explode and every downstream join/agg run on
-    // one core. Hash-repartitioning by doc_id costs one tiny shuffle of the
-    // raw docs and parallelizes the whole dedup pipeline; at real scale the
-    // source has many splits and this is a cheap co-location no-op. The
-    // partition count is EXPLICIT because AQE would coalesce a bare
-    // repartition(col) of a small frame back to one partition — the row
-    // count is small but the per-row string work is not.
-    val parts = documents.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    documents.repartition(parts, col("doc_id")).select(
+    // spread first: the explode and every downstream join/agg would
+    // otherwise run on one core for a single-split corpus (see Tables.spread)
+    graft.core.Tables.spread(documents, "doc_id").select(
       col("doc_id"),
       explode(array_distinct(
         transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))).as("s"))
@@ -179,14 +172,18 @@ object Dedup {
                    baseHash: Column => Column = fastHash): DataFrame =
     minhashPairs(representatives(documents), n, numHashes, bands, estThreshold, baseHash)
 
-  /** One representative document per content digest (min doc_id / min text
-    * — deterministic). Compose with ANY pair generator ([[jaccardPairs]],
-    * [[simhashPairs]], …) the same way [[nearDupPairs]] does for MinHash:
-    * collapse exact clones BEFORE the quadratic-candidate stage. */
+  /** One representative document per content digest: the ROW with the
+    * minimum doc_id (min_by keeps id and text from the same document —
+    * independent min(doc_id)/min(text) aggregates could stitch one doc's
+    * id to a case-variant clone's text, since the digest lowercases).
+    * Compose with ANY pair generator ([[jaccardPairs]], [[simhashPairs]],
+    * …) the same way [[nearDupPairs]] does for MinHash: collapse exact
+    * clones BEFORE the quadratic-candidate stage. */
   def representatives(documents: DataFrame): DataFrame =
     documents
       .groupBy(md5(lower(col("text"))).as("digest"))
-      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"))
       .select("doc_id", "text")
 
   /** 64-bit SimHash fingerprint per document: bitᵢ = sign of Σ(±1) over

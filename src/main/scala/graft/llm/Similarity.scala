@@ -79,7 +79,9 @@ object Similarity {
                      probeId: Long, k: Int): DataFrame = {
     val index = spark.read.parquet(path)
     val probeRow = index.filter(col("vec_id") === probeId)
-      .select("embedding", "cell").head()
+      .select("embedding", "cell").collect().headOption
+      .getOrElse(throw new NoSuchElementException(
+        s"probe vec_id=$probeId not found in IVF index at $path"))
     val pcell = probeRow.getInt(probeRow.fieldIndex("cell"))
     val p = probeRow.getSeq[Float](probeRow.fieldIndex("embedding"))
     index.filter(col("cell") === pcell && col("vec_id") =!= probeId)
@@ -94,12 +96,9 @@ object Similarity {
     * All-pairs — correctness baseline; the LSH/IVF operators above are the
     * scale path for this shape too. */
   def topPairs(embeddings: DataFrame, n: Int): DataFrame = {
-    // spread the stream side: a small corpus is often ONE input split, and
-    // the broadcast-nested-loop pair scan would otherwise run on one core
-    // (explicit count — AQE would coalesce a bare repartition(col) of a
-    // byte-small frame back to one partition)
-    val parts = embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val a = embeddings.repartition(parts, col("vec_id"))
+    // spread the stream side: the broadcast-nested-loop pair scan would
+    // otherwise run on one core for a single-split corpus (Tables.spread)
+    val a = graft.core.Tables.spread(embeddings, "vec_id")
       .select(col("vec_id").as("va"), col("embedding").as("ea"))
     val b = embeddings.select(col("vec_id").as("vb"), col("embedding").as("eb"))
     a.join(broadcast(b), col("va") < col("vb"))

@@ -17,16 +17,39 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types whose semantics survive salting: large-side rows each carry
+    * ONE salt, small-side rows exist at EVERY salt, so every large row
+    * meets every matching small row exactly once. Right/full outer would
+    * emit an unmatched small-side row once per salt — rejected. */
+  private val saltableJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+
   /** Equi-join `large ⋈ small` on `key`, salted `salts` ways.
     * The small side is replicated `salts`× — size it accordingly (that is
     * the trade: replication vs reducer hot-spotting). */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
-    // deterministic per-row spread: hash of the whole row, not a RNG —
-    // re-execution of a lost partition must re-salt identically
+    require(saltableJoinTypes(joinType.toLowerCase),
+      s"saltedJoin supports ${saltableJoinTypes.mkString("/")} — '$joinType' would " +
+        "replicate unmatched small-side rows once per salt")
+    // deterministic per-row spread: hash of the row's hashable columns, not
+    // a RNG — re-execution of a lost partition must re-salt identically.
+    // Map/array/struct columns (e.g. datapoint dimension maps) are excluded:
+    // Spark rejects hash() over MapType.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val hashable = large.schema.fields.collect {
+      case f if !f.dataType.isInstanceOf[MapType]
+        && !f.dataType.isInstanceOf[ArrayType]
+        && !f.dataType.isInstanceOf[StructType] => col(f.name)
+    }.toIndexedSeq
+    val spreadSrc =
+      if (hashable.nonEmpty) xxhash64(hashable: _*)
+      // all-complex schema: fall back to a partition-layout-deterministic id
+      else monotonically_increasing_id()
     val saltedLarge = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col).toIndexedSeq: _*)), lit(salts.toLong)).cast("int"))
+      pmod(spreadSrc, lit(salts.toLong)).cast("int"))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLarge.join(replicatedSmall, Seq(key, "__salt"), joinType).drop("__salt")

@@ -20,23 +20,17 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object Extensions {
 
-  /** Spread a (often single-split) source over the configured shuffle
-    * partitions before per-row-heavy work — see Dedup.shingles for why the
-    * count must be explicit (AQE re-coalesces byte-small exchanges). */
-  private def spread(df: DataFrame, key: String): DataFrame = {
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    df.repartition(parts, col(key))
-  }
-
-  /** Documents/embeddings loaded from the registered views. */
+  /** Documents/embeddings/events loaded from the registered views; the
+    * per-row-heavy consumers get Tables.spread (single-split sources would
+    * otherwise serialize their string/regex work on one core). */
   private def docs(spark: SparkSession, dir: String): DataFrame = {
-    Tables.register(spark, dir); spread(spark.table("documents"), "doc_id")
+    Tables.register(spark, dir); Tables.spread(spark.table("documents"), "doc_id")
   }
   private def embs(spark: SparkSession, dir: String): DataFrame = {
     Tables.register(spark, dir); spark.table("embeddings")
   }
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    Tables.register(spark, dir); spread(spark.table("events"), "event_id")
+    Tables.register(spark, dir); Tables.spread(spark.table("events"), "event_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

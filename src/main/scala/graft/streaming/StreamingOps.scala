@@ -138,26 +138,44 @@ object StreamingOps {
     * (metric, epoch, Δvalue/Δt) for points that advance time. This is the
     * `flatMapGroupsWithState` escape hatch for semantics the declarative
     * streaming API can't express: the rate of the FIRST point of a batch
-    * depends on the LAST point of the previous one. */
-  def counterToRate(points: Dataset[RatePoint]): Dataset[RateOut] = {
+    * depends on the LAST point of the previous one.
+    *
+    * State is BOUNDED by default: metrics idle longer than `idleTimeout`
+    * are evicted via processing-time timeout — with churning series
+    * (per-pod metrics that appear once and die, the norm for a proxy)
+    * unbounded state would grow one entry per dead metric forever. Pass
+    * `idleTimeout = None` for no eviction (finite test corpora;
+    * run-to-completion harnesses — timeout scheduling keeps an always-on
+    * query busy, which wedges processAllAvailable-style drivers). */
+  def counterToRate(points: Dataset[RatePoint],
+                    idleTimeout: Option[String] = Some("1 hour")): Dataset[RateOut] = {
     val session = points.sparkSession
     import session.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     points.groupByKey(_.metric)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (metric: String, it: Iterator[RatePoint], state: GroupState[RateState]) =>
-          val out = Seq.newBuilder[RateOut]
-          var last = state.getOption
-          it.toSeq.sortBy(_.epoch).foreach { p =>
-            last match {
-              case Some(st) if p.epoch > st.epoch =>
-                out += RateOut(metric, p.epoch,
-                  (p.value - st.value) / (p.epoch - st.epoch))
-              case _ => ()
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = Seq.newBuilder[RateOut]
+            var last = state.getOption
+            it.toSeq.sortBy(_.epoch).foreach { p =>
+              last match {
+                case Some(st) if p.epoch > st.epoch =>
+                  out += RateOut(metric, p.epoch,
+                    (p.value - st.value) / (p.epoch - st.epoch))
+                case _ => ()
+              }
+              if (last.forall(_.epoch <= p.epoch)) last = Some(RateState(p.epoch, p.value))
             }
-            if (last.forall(_.epoch <= p.epoch)) last = Some(RateState(p.epoch, p.value))
+            last.foreach(state.update)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
       }
   }
 }

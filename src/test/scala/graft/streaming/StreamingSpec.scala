@@ -106,8 +106,11 @@ class StreamingSpec extends SparkSpec {
   test("counterToRate: stateful rate spans micro-batch boundaries") {
     val sq = spark
     import sq.implicits._
+    // idleTimeout = None: timeout scheduling keeps an always-on query busy
+    // forever, which wedges processAllAvailable — eviction is exercised
+    // separately below; the cross-batch state semantics are identical
     val input = MemoryStream[RatePoint](spark)
-    val query = StreamingOps.counterToRate(input.toDS())
+    val query = StreamingOps.counterToRate(input.toDS(), idleTimeout = None)
       .writeStream.format("memory").queryName("rate_out")
       .outputMode("append").start()
     // batch 1: counter m rises 10 -> 40 over 10s
@@ -122,6 +125,24 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.metric, r.epoch) -> r.rate).toMap
     assert(out === Map(("m", 110L) -> 3.0, ("m", 120L) -> 6.0))
     // "n" has one point and no prior state: no rate emitted yet
+  }
+
+  test("counterToRate with idle-timeout eviction produces the same rates") {
+    val sq = spark
+    import sq.implicits._
+    val input = MemoryStream[RatePoint](spark)
+    val query = StreamingOps.counterToRate(input.toDS()) // default 1h timeout
+      .writeStream.format("memory").queryName("rate_to_out")
+      .outputMode("append").start()
+    input.addData(Seq(RatePoint("m", 100, 10.0), RatePoint("m", 110, 40.0)))
+    // cannot processAllAvailable (timeout batches keep the query busy) —
+    // poll the sink instead
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def rows() = spark.table("rate_to_out").as[RateOut].collect()
+    while (rows().isEmpty && System.nanoTime() < deadline) Thread.sleep(200)
+    query.stop()
+    val out = rows().map(r => (r.metric, r.epoch) -> r.rate).toMap
+    assert(out === Map(("m", 110L) -> 3.0))
   }
 
   test("dedupWithinWatermark keeps first arrival per key") {
