@@ -302,7 +302,9 @@ object Relational {
         coalesce(col("P"), lit(0L)).as("p_cnt"))
       .orderBy("o_orderpriority")),
 
-    "AGG-MEDIAN" -> (s => s.table("orders")
+    // spread first: exact percentile buffers values per partition, and a
+    // single-split orders scan would build the whole buffer on one core
+    "AGG-MEDIAN" -> (s => graft.core.Tables.spread(s.table("orders"), "o_orderkey")
       .groupBy("o_orderstatus")
       .agg(round(percentile(col("o_totalprice"), lit(0.5)).cast("double"), 2).as("med"),
         round(percentile(col("o_totalprice"), lit(0.9)).cast("double"), 2).as("p90"))
@@ -483,7 +485,9 @@ object Relational {
         size(regexp_extract_all(col("p_name"), lit("[a-z]{5,}"), lit(0))).as("n"))
       .orderBy("p_partkey").limit(40)),
 
-    "FN-FORMAT" -> (s => s.table("lineitem")
+    // spread first: the formatted price participates in the sort, so every
+    // row formats — on a single-split lineitem that is one core's work
+    "FN-FORMAT" -> (s => graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
       .select(col("l_orderkey"), col("l_linenumber"),
         format_string("%05d|%s", col("l_linenumber"), col("l_returnflag")).as("tag"),
         format_string("%.2f", round(col("l_extendedprice"), 2)).as("price"),
