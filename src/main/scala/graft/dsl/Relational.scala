@@ -135,6 +135,18 @@ object Relational {
         .orderBy(col("c_mktsegment").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
 
+    "AGG-GROUPING-FN" -> (s => graft.core.Tables.withoutAmbiguousSelfJoinCheck(s) {
+      s.table("orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(grouping(col("o_orderstatus")).cast("int").as("g_st"),
+          grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+          count(lit(1)).as("c"))
+        .select(coalesce(col("o_orderstatus"), lit("?")).as("st"),
+          coalesce(col("o_orderpriority"), lit("?")).as("pri"),
+          col("g_st"), col("g_pri"), col("c"))
+        .orderBy("g_st", "g_pri", "st", "pri")
+    }),
+
     "AGG-STATS" -> (s => s.table("events")
       .groupBy("event_type")
       .agg(round(stddev_samp(col("value")).cast("double"), 3).as("sd"),

@@ -662,6 +662,13 @@ object Inventory {
       |  len(regexp_extract_all(p_name, '[a-z]{5,}', 0)) AS n
       |FROM part ORDER BY p_partkey LIMIT 40""".stripMargin)
 
+  q("AGG-GROUPING-FN",
+    """SELECT coalesce(o_orderstatus, '?') AS st, coalesce(o_orderpriority, '?') AS pri,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_st, CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+      |  count(*) AS c
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY g_st, g_pri, st, pri""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(
