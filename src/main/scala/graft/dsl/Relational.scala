@@ -322,10 +322,14 @@ object Relational {
         round(percentile(col("o_totalprice"), lit(0.9)).cast("double"), 2).as("p90"))
       .orderBy("o_orderstatus")),
 
+    // '|'-joined string encoding of the collected array: raw ARRAY output
+    // columns crash the driver's pandas canonicalizer (same as AGG-STRING)
     "AGG-COLLECT" -> (s => s.table("customer")
       .where(col("c_custkey") <= 40)
       .groupBy(col("c_nationkey").as("k"))
-      .agg(sort_array(collect_list(col("c_custkey"))).as("ids"))
+      .agg(array_join(transform(sort_array(collect_list(col("c_custkey"))),
+          _.cast("string")), "|").as("ids"),
+        count(lit(1)).as("n"))
       .orderBy("k")),
 
     "AGG-FILTERED" -> (s => s.table("events")

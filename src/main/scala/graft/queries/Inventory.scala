@@ -386,10 +386,17 @@ object Inventory {
       |  round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 2) AS p90
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 
+  // the collected array is string-encoded ('|' joined) in BOTH dialects:
+  // raw ARRAY output columns crash the driver's pandas canonicalizer
+  // (unhashable ndarray in sort_values) — same pattern as AGG-STRING
   q("AGG-COLLECT",
-    """SELECT c_nationkey AS k, sort_array(collect_list(c_custkey)) AS ids
+    """SELECT c_nationkey AS k,
+      |  array_join(transform(sort_array(collect_list(c_custkey)), x -> CAST(x AS STRING)), '|') AS ids,
+      |  count(*) AS n
       |FROM customer WHERE c_custkey <= 40 GROUP BY c_nationkey ORDER BY k""".stripMargin,
-    """SELECT c_nationkey AS k, list_sort(list(c_custkey)) AS ids
+    """SELECT c_nationkey AS k,
+      |  coalesce(array_to_string(list_sort(list(c_custkey)), '|'), '') AS ids,
+      |  count(*) AS n
       |FROM customer WHERE c_custkey <= 40 GROUP BY c_nationkey ORDER BY k""".stripMargin)
 
   q("AGG-FILTERED",
@@ -654,11 +661,14 @@ object Inventory {
     """SELECT c_nationkey AS k, string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS ids
       |FROM customer WHERE c_custkey <= 40 GROUP BY c_nationkey ORDER BY k""".stripMargin)
 
+  // matches string-encoded (',' joined) in BOTH dialects — see AGG-COLLECT
+  // note; Spark array_join([]) = '' but DuckDB array_to_string([]) = NULL,
+  // hence the coalesce on the oracle side
   q("FN-REGEXALL",
-    """SELECT p_partkey, regexp_extract_all(p_name, '[a-z]{5,}', 0) AS words,
+    """SELECT p_partkey, array_join(regexp_extract_all(p_name, '[a-z]{5,}', 0), ',') AS words,
       |  size(regexp_extract_all(p_name, '[a-z]{5,}', 0)) AS n
       |FROM part ORDER BY p_partkey LIMIT 40""".stripMargin,
-    """SELECT p_partkey, regexp_extract_all(p_name, '[a-z]{5,}', 0) AS words,
+    """SELECT p_partkey, coalesce(array_to_string(regexp_extract_all(p_name, '[a-z]{5,}', 0), ','), '') AS words,
       |  len(regexp_extract_all(p_name, '[a-z]{5,}', 0)) AS n
       |FROM part ORDER BY p_partkey LIMIT 40""".stripMargin)
 
