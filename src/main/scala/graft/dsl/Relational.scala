@@ -495,9 +495,11 @@ object Relational {
         transform(sort_array(collect_list(col("c_custkey"))), _.cast("string"))).as("ids"))
       .orderBy("k")),
 
+    // words is ','-joined (not a raw array) so the driver's pandas-side
+    // canonicalizer can sort it — same contract as AGG-STRING/AGG-COLLECT
     "FN-REGEXALL" -> (s => s.table("part")
       .select(col("p_partkey"),
-        regexp_extract_all(col("p_name"), lit("[a-z]{5,}"), lit(0)).as("words"),
+        array_join(regexp_extract_all(col("p_name"), lit("[a-z]{5,}"), lit(0)), ",").as("words"),
         size(regexp_extract_all(col("p_name"), lit("[a-z]{5,}"), lit(0))).as("n"))
       .orderBy("p_partkey").limit(40)),
 
