@@ -13,9 +13,9 @@ import org.apache.spark.sql.types._
   * }}}
   * (timestamps are millisecond-epoch on the wire [P] —
   * com_signalfx_metrics_protobuf uses int64 ms). The protobuf variant of
-  * the same endpoint maps to Spark's `from_protobuf` (spark-protobuf,
-  * Spark ≥3.4) given the descriptor set; no protobuf fixtures exist here,
-  * so only the JSON path is implemented.
+  * the same endpoint is [[SignalFxProto.decode]] (hand-rolled wire codec;
+  * `from_protobuf` would need a compiled descriptor set this environment
+  * cannot produce).
   *
   * Decode is a narrow transform over a `body` string column; the three
   * type arrays are exploded and unioned with their MetricType tag.

@@ -1,0 +1,241 @@
+package graft.ingest
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** SignalFx protobuf wire codec — the reference's PRIMARY efficient ingest
+  * format and forwarder payload (SURVEY.md §2a rows 7b/11,
+  * `protocol/signalfx/` [P]). The message schema is the public
+  * `com.signalfx.metrics.protobuf` set (signalfx_metrics.proto [P]):
+  *
+  * {{{
+  * message DataPointUploadMessage { repeated DataPoint datapoints = 1; }
+  * message DataPoint {
+  *   optional string     source     = 1;
+  *   optional string     metric     = 2;
+  *   optional int64      timestamp  = 3;   // epoch millis
+  *   optional Datum      value      = 4;
+  *   optional MetricType metricType = 5;
+  *   repeated Dimension  dimensions = 6;
+  * }
+  * message Datum { optional string strValue = 1; optional double doubleValue = 2;
+  *                 optional int64 intValue = 3; }
+  * message Dimension { optional string key = 1; optional string value = 2; }
+  * enum MetricType { GAUGE = 0; COUNTER = 1; ENUM = 2; CUMULATIVE_COUNTER = 3; }
+  * }}}
+  *
+  * No protobuf runtime exists in this environment (and `from_protobuf`
+  * needs a compiled descriptor set), so the proto2 WIRE FORMAT itself is
+  * implemented here — varint / fixed64 / length-delimited framing per the
+  * public protobuf encoding spec. The codec is deliberately tiny: four
+  * fixed messages, unknown fields skipped (forward-compatible, as proto
+  * requires), deterministic field-order encoding.
+  *
+  * Spark-side shape: decode is a typed narrow `flatMap` over a binary
+  * payload column (one upload message → N datapoint rows, no shuffle —
+  * the same per-partition opaque-codec pattern as
+  * [[graft.llm.Multimodal]]); encode packs each partition's rows into one
+  * upload payload via `mapPartitions` (the unit a forwarder would POST).
+  */
+object SignalFxProto {
+
+  /** Decoded datapoint row; Datum arms kept separate (a oneof in spirit). */
+  final case class SfxPoint(source: String, metric: String, timestamp: Long,
+                            strValue: String, doubleValue: Option[Double],
+                            intValue: Option[Long], metricType: String,
+                            dimensions: Map[String, String])
+
+  val MetricTypes: IndexedSeq[String] =
+    IndexedSeq("GAUGE", "COUNTER", "ENUM", "CUMULATIVE_COUNTER")
+
+  private def typeCode(name: String): Int = {
+    val i = MetricTypes.indexOf(name)
+    if (i >= 0) i else 0
+  }
+
+  // ---------------------------------------------------------------- wire IO
+
+  /** Minimal protobuf writer: varint (two's-complement int64, 1–10 bytes),
+    * little-endian fixed64, and length-delimited chunks. */
+  private final class Writer {
+    val out = new ByteArrayOutputStream(64)
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0L) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def tag(field: Int, wire: Int): Unit = varint((field.toLong << 3) | wire)
+    def fixed64(bits: Long): Unit = {
+      var i = 0
+      while (i < 8) { out.write(((bits >>> (8 * i)) & 0xFF).toInt); i += 1 }
+    }
+    def lenDelim(field: Int, bytes: Array[Byte]): Unit = {
+      tag(field, 2); varint(bytes.length.toLong); out.write(bytes, 0, bytes.length)
+    }
+    def str(field: Int, s: String): Unit = lenDelim(field, s.getBytes(UTF_8))
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  /** Minimal protobuf reader over a byte slice; unknown fields skipped. */
+  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while (shift < 64) {
+        val b = buf(pos); pos += 1
+        v |= (b & 0x7FL) << shift
+        if ((b & 0x80) == 0) return v
+        shift += 7
+      }
+      throw new IllegalArgumentException("malformed varint")
+    }
+    def fixed64(): Long = {
+      var bits = 0L; var i = 0
+      while (i < 8) { bits |= (buf(pos + i) & 0xFFL) << (8 * i); i += 1 }
+      pos += 8; bits
+    }
+    def fixed32(): Long = {
+      var bits = 0L; var i = 0
+      while (i < 4) { bits |= (buf(pos + i) & 0xFFL) << (8 * i); i += 1 }
+      pos += 4; bits
+    }
+    /** Returns a sub-reader over the next length-delimited chunk. */
+    def chunk(): Reader = {
+      val len = varint().toInt
+      val r = new Reader(buf, pos, pos + len)
+      pos += len; r
+    }
+    def str(): String = {
+      val len = varint().toInt
+      val s = new String(buf, pos, len, UTF_8)
+      pos += len; s
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint(); ()
+      case 1 => pos += 8
+      case 2 => val len = varint().toInt; pos += len
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+    }
+  }
+
+  // ------------------------------------------------------------- encode
+
+  private def encodeDatum(p: SfxPoint): Array[Byte] = {
+    val w = new Writer
+    if (p.strValue != null) w.str(1, p.strValue)
+    p.doubleValue.foreach { d => w.tag(2, 1); w.fixed64(java.lang.Double.doubleToLongBits(d)) }
+    p.intValue.foreach { v => w.tag(3, 0); w.varint(v) }
+    w.bytes
+  }
+
+  def encodeDataPoint(p: SfxPoint): Array[Byte] = {
+    val w = new Writer
+    if (p.source != null) w.str(1, p.source)
+    if (p.metric != null) w.str(2, p.metric)
+    w.tag(3, 0); w.varint(p.timestamp)
+    w.lenDelim(4, encodeDatum(p))
+    val tc = typeCode(p.metricType)
+    if (tc != 0) { w.tag(5, 0); w.varint(tc.toLong) } // proto2 default omitted
+    p.dimensions.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val dw = new Writer; dw.str(1, k); dw.str(2, v)
+      w.lenDelim(6, dw.bytes)
+    }
+    w.bytes
+  }
+
+  /** One `DataPointUploadMessage` over the given points — the POST body
+    * unit of the reference's protobuf forwarder. */
+  def encodeUpload(points: Iterator[SfxPoint]): Array[Byte] = {
+    val w = new Writer
+    points.foreach(p => w.lenDelim(1, encodeDataPoint(p)))
+    w.bytes
+  }
+
+  // ------------------------------------------------------------- decode
+
+  private def decodeDatum(r: Reader): (String, Option[Double], Option[Long]) = {
+    var sv: String = null; var dv: Option[Double] = None; var iv: Option[Long] = None
+    while (r.hasMore) {
+      val key = r.varint(); val field = (key >>> 3).toInt; val wire = (key & 7).toInt
+      (field, wire) match {
+        case (1, 2) => sv = r.str()
+        case (2, 1) => dv = Some(java.lang.Double.longBitsToDouble(r.fixed64()))
+        case (3, 0) => iv = Some(r.varint())
+        case _      => r.skip(wire)
+      }
+    }
+    (sv, dv, iv)
+  }
+
+  def decodeDataPoint(bytes: Array[Byte], from: Int = 0, to: Int = -1): SfxPoint = {
+    val r = new Reader(bytes, from, if (to < 0) bytes.length else to)
+    var source: String = null; var metric: String = null; var ts = 0L
+    var sv: String = null; var dv: Option[Double] = None; var iv: Option[Long] = None
+    var mtype = 0; val dims = Map.newBuilder[String, String]
+    while (r.hasMore) {
+      val key = r.varint(); val field = (key >>> 3).toInt; val wire = (key & 7).toInt
+      (field, wire) match {
+        case (1, 2) => source = r.str()
+        case (2, 2) => metric = r.str()
+        case (3, 0) => ts = r.varint()
+        case (4, 2) =>
+          val d = decodeDatum(r.chunk()); sv = d._1; dv = d._2; iv = d._3
+        case (5, 0) => mtype = r.varint().toInt
+        case (6, 2) =>
+          val dr = r.chunk()
+          var k: String = null; var v: String = null
+          while (dr.hasMore) {
+            val dk = dr.varint(); val df = (dk >>> 3).toInt; val dwire = (dk & 7).toInt
+            (df, dwire) match {
+              case (1, 2) => k = dr.str()
+              case (2, 2) => v = dr.str()
+              case _      => dr.skip(dwire)
+            }
+          }
+          if (k != null) dims += (k -> (if (v == null) "" else v))
+        case _ => r.skip(wire)
+      }
+    }
+    val tname = if (mtype >= 0 && mtype < MetricTypes.length) MetricTypes(mtype)
+                else s"UNKNOWN_$mtype"
+    SfxPoint(source, metric, ts, sv, dv, iv, tname, dims.result())
+  }
+
+  /** Decode one `DataPointUploadMessage` payload into its datapoints. */
+  def decodeUpload(bytes: Array[Byte]): Seq[SfxPoint] = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val out = Seq.newBuilder[SfxPoint]
+    while (r.hasMore) {
+      val key = r.varint(); val field = (key >>> 3).toInt; val wire = (key & 7).toInt
+      if (field == 1 && wire == 2) {
+        val c = r.chunk()
+        out += decodeDataPoint(bytes, c.pos, c.end)
+      } else r.skip(wire)
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------- Spark
+
+  /** Listener arm: binary upload payloads → datapoint rows. A typed narrow
+    * flatMap — no shuffle; batch and streaming sources both compose. */
+  def decode(payloads: DataFrame, binCol: String = "payload"): Dataset[SfxPoint] = {
+    val s = payloads.sparkSession
+    import s.implicits._
+    payloads.select(col(binCol)).as[Array[Byte]].flatMap(decodeUpload(_))
+  }
+
+  /** Forwarder arm: pack each partition's datapoints into ONE upload
+    * payload (the reference forwarder's batched POST body unit). */
+  def encode(points: Dataset[SfxPoint]): DataFrame = {
+    val s = points.sparkSession
+    import s.implicits._
+    points.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty else Iterator.single(encodeUpload(it))
+    }.toDF("payload")
+  }
+}

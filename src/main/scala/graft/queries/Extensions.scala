@@ -78,6 +78,32 @@ object Extensions {
         element_at(dims, "stat").as("stat"))
         .orderBy(col("e")).limit(50)
     },
+    // full wire round-trip: orders → SignalFx protobuf upload payloads
+    // (one per partition) → decode → aggregate. The codec round-trip is
+    // the identity, so DuckDB checks the same aggregate computed directly —
+    // a real hash oracle over the §2a protobuf listener/forwarder pair.
+    "PARSE-SFXPROTO" -> { (s, d) =>
+      Tables.register(s, d)
+      import graft.ingest.SignalFxProto
+      val points = Tables.spread(s.table("orders"), "o_orderkey").select(
+        lit(null).cast("string").as("source"),
+        concat(lit("order."), col("o_orderstatus")).as("metric"),
+        (col("o_orderkey") * lit(1000L)).as("timestamp"),
+        lit(null).cast("string").as("strValue"),
+        col("o_totalprice").cast("double").as("doubleValue"),
+        lit(null).cast("long").as("intValue"),
+        lit("GAUGE").as("metricType"),
+        map(lit("pri"), col("o_orderpriority")).as("dimensions"))
+      val sq = s
+      import sq.implicits._
+      SignalFxProto.decode(SignalFxProto.encode(points.as[SignalFxProto.SfxPoint]))
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("doubleValue").cast("decimal(18,2)")).cast("double"), 2).as("total"),
+          countDistinct(element_at(col("dimensions"), "pri")).as("npri"),
+          max(col("timestamp")).as("max_ts"))
+        .orderBy("metric")
+    },
   )
 
   /** Shared DuckDB CTE: distinct 3-gram shingles + the portable polynomial
@@ -222,5 +248,11 @@ object Extensions {
         |  FROM events)
         |SELECT event_id AS e, parts[1] AS ns, parts[2] AS etype, parts[3] AS stat
         |FROM m ORDER BY e LIMIT 50""".stripMargin,
+    "PARSE-SFXPROTO" ->
+      """SELECT concat('order.', o_orderstatus) AS metric, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+        |  count(DISTINCT o_orderpriority) AS npri,
+        |  max(o_orderkey * 1000) AS max_ts
+        |FROM orders GROUP BY metric ORDER BY metric""".stripMargin,
   )
 }

@@ -98,6 +98,31 @@ object StreamingOps {
         .write.mode("overwrite").text(s"$dir/batch=$batchId")
   }
 
+  /** SignalFx protobuf sink (signalfxforwarder.go [P]): serializes each
+    * micro-batch's datapoints into `DataPointUploadMessage` wire payloads —
+    * one payload per partition, the batched POST-body unit — written as a
+    * `batch=<id>` parquet of binary payloads (idempotent overwrite;
+    * stand-in for the HTTP client, the codec and batching are the real
+    * parts). Expects (metric, value, epoch) columns like [[CarbonForwarder]]. */
+  final case class SignalFxProtoForwarder(name: String, dir: String) extends Forwarder {
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      val s = batch.sparkSession
+      import s.implicits._
+      val points = batch.select(
+          lit(null).cast("string").as("source"),
+          col("metric"),
+          (col("epoch").cast("long") * 1000L).as("timestamp"),
+          lit(null).cast("string").as("strValue"),
+          col("value").cast("double").as("doubleValue"),
+          lit(null).cast("long").as("intValue"),
+          lit("GAUGE").as("metricType"),
+          map().cast("map<string,string>").as("dimensions"))
+        .as[graft.ingest.SignalFxProto.SfxPoint]
+      graft.ingest.SignalFxProto.encode(points)
+        .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+    }
+  }
+
   /** Demultiplexer (demultiplexer.go [P]): one source stream fanned out to
     * ALL registered forwarders from a single foreachBatch — one source-side
     * computation per micro-batch, N sink writes (persist the batch so sinks

@@ -1,0 +1,94 @@
+package graft.ingest
+
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+import SignalFxProto._
+
+class SignalFxProtoSpec extends SparkSpec {
+
+  private def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xFF}%02x").mkString
+
+  test("encode matches the hand-computed protobuf wire bytes") {
+    val p = SfxPoint(null, "cpu", 1000L, null, Some(1.5), None, "GAUGE",
+      Map("host" -> "a"))
+    // field 2 "cpu" | field 3 varint 1000 | field 4 Datum{doubleValue=1.5}
+    // | field 6 Dimension{key="host", value="a"} — per the public protobuf
+    // encoding spec (tag = field<<3 | wire; doubles little-endian fixed64)
+    val expected =
+      "1203637075" +                 // 0x12 len=3 "cpu"
+      "18e807" +                     // 0x18 varint(1000)
+      "220911000000000000f83f" +     // 0x22 len=9, 0x11 + LE bits of 1.5
+      "32090a04686f7374120161"       // 0x32 len=9, key="host" value="a"
+    assert(hex(encodeDataPoint(p)) === expected)
+    assert(decodeDataPoint(encodeDataPoint(p)) === p)
+  }
+
+  test("upload round-trips arbitrary datapoints (property)") {
+    val strGen = Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString)
+    val pointGen = for {
+      src   <- Gen.option(strGen)
+      m     <- strGen
+      ts    <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+      sv    <- Gen.option(strGen)
+      dv    <- Gen.option(Gen.chooseNum(-1e12, 1e12))
+      iv    <- Gen.option(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      mt    <- Gen.oneOf(MetricTypes)
+      dims  <- Gen.mapOfN(3, Gen.zip(strGen, strGen))
+    } yield SfxPoint(src.orNull, m, ts, sv.orNull, dv, iv, mt, dims)
+    val points = Gen.listOfN(50, pointGen).sample.get
+    assert(decodeUpload(encodeUpload(points.iterator)) === points)
+  }
+
+  test("decoder skips unknown fields of every wire type") {
+    val p = SfxPoint("src", "mem", -42L, null, None, Some(-7L), "COUNTER", Map())
+    val base = encodeDataPoint(p)
+    // splice unknown fields in front: 99 varint, 98 length-delim, 97
+    // fixed64, 96 fixed32 — a conforming decoder must skip all of them
+    val extra = Array[Int](
+      0x98, 0x31, 0x05,                         // field 99 wire 0, varint 5
+      0x92, 0x31, 0x02, 0xAA, 0xBB,             // field 98 wire 2, 2 bytes
+      0x89, 0x31, 1, 2, 3, 4, 5, 6, 7, 8,       // field 97 wire 1
+      0x85, 0x31, 9, 9, 9, 9                    // field 96 wire 5
+    ).map(_.toByte)
+    assert(decodeDataPoint(extra ++ base) === p)
+  }
+
+  test("Spark decode explodes upload payloads into datapoint rows") {
+    val sq = spark
+    import sq.implicits._
+    val a = (1 to 5).map(i => SfxPoint(null, s"m$i", i * 1000L, null,
+      Some(i * 0.5), None, "GAUGE", Map("host" -> s"h$i")))
+    val b = Seq(SfxPoint("agent", "up", 99L, null, None, Some(1L),
+      "CUMULATIVE_COUNTER", Map()))
+    val payloads = Seq(encodeUpload(a.iterator), encodeUpload(b.iterator))
+      .toDF("payload")
+    val rows = SignalFxProto.decode(payloads).collect().toSet
+    assert(rows === (a ++ b).toSet)
+  }
+
+  test("Spark encode packs partitions; decode(encode(x)) == x") {
+    val sq = spark
+    import sq.implicits._
+    val pts = (1 to 40).map(i => SfxPoint(null, s"m${i % 7}", i.toLong, null,
+      Some(i.toDouble), None, "GAUGE", Map("k" -> "v")))
+    val ds = sq.createDataset(pts).repartition(4)
+    val encoded = SignalFxProto.encode(ds)
+    assert(encoded.count() <= 4) // one payload per non-empty partition
+    val back = SignalFxProto.decode(encoded).collect().toSet
+    assert(back === pts.toSet)
+  }
+
+  test("protobuf forwarder is idempotent per batchId") {
+    val sq = spark
+    import sq.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sfxfwd").toString
+    val batch = Seq(("cpu", 0.5, 10L), ("mem", 0.7, 11L))
+      .toDF("metric", "value", "epoch")
+    val fwd = graft.streaming.StreamingOps.SignalFxProtoForwarder("sfx", dir)
+    fwd.write(batch, 3L); fwd.write(batch, 3L) // replay must overwrite
+    val rows = SignalFxProto.decode(sq.read.parquet(s"$dir/batch=3")).collect()
+    assert(rows.map(p => (p.metric, p.doubleValue.get, p.timestamp)).toSet ===
+      Set(("cpu", 0.5, 10000L), ("mem", 0.7, 11000L)))
+  }
+}
