@@ -63,7 +63,12 @@ object Tables {
     * co-location. */
   def spread(df: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    df.repartition(parts, org.apache.spark.sql.functions.col(key))
+    // adaptive: a source already scanned in >= parts/2 splits gains nothing
+    // from an extra exchange — at real scale (thousands of native splits)
+    // this is a no-op and the narrow plan is kept; the repartition only
+    // fires for the degenerate few-split scan it exists to fix
+    if (df.rdd.getNumPartitions >= math.max(2, parts / 2)) df
+    else df.repartition(parts, org.apache.spark.sql.functions.col(key))
   }
 
   /** Register all fixture tables from `dir` as temp views (idempotent). */

@@ -89,7 +89,10 @@ object Relational {
         .orderBy("event_id").limit(80)
     },
 
-    "AGG-TPCH-Q1" -> (s => s.table("lineitem")
+    // spread: the single-split scan otherwise serializes the decimal
+    // partial agg on one core (no-op at real scale — Tables.spread is
+    // adaptive, so the canonical partial→Exchange→final plan is kept there)
+    "AGG-TPCH-Q1" -> (s => graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum(col("l_quantity").cast(dec(18, 2))).cast("double"), 2).as("sum_qty"),
@@ -316,11 +319,39 @@ object Relational {
 
     // spread first: exact percentile buffers values per partition, and a
     // single-split orders scan would build the whole buffer on one core
-    "AGG-MEDIAN" -> (s => graft.core.Tables.spread(s.table("orders"), "o_orderkey")
-      .groupBy("o_orderstatus")
-      .agg(round(percentile(col("o_totalprice"), lit(0.5)).cast("double"), 2).as("med"),
-        round(percentile(col("o_totalprice"), lit(0.9)).cast("double"), 2).as("p90"))
-      .orderBy("o_orderstatus")),
+    // exact interpolated percentiles via per-group sort + rank arithmetic
+    // instead of percentile(): the ObjectHashAggregate buffers EVERY value
+    // per group and merge-sorts them on one thread per group — a scale
+    // (and, measured, local) loser vs the window sort, which distributes
+    // by group and reduces to <= 4 candidate rows per group before the agg
+    "AGG-MEDIAN" -> { s =>
+      val w = Window.partitionBy("o_orderstatus").orderBy("v")
+      val cw = Window.partitionBy("o_orderstatus")
+      // positions and interpolation stay in DECIMAL: quantile positions
+      // (cnt-1)*q are exact at scale 1, values exact at scale 2, so the
+      // interpolated value is exact at scale 3 — double arithmetic here
+      // loses ...145 boundary cases to round-down (observed at sf0.1)
+      val ranked = s.table("orders")
+        .select(col("o_orderstatus"), col("o_totalprice").as("v"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("pos50",
+          lit(1) + (count(lit(1)).over(cw) - 1) * lit(new java.math.BigDecimal("0.5")))
+        .withColumn("pos90",
+          lit(1) + (count(lit(1)).over(cw) - 1) * lit(new java.math.BigDecimal("0.9")))
+      // quantile_cont semantics: v = v_l + frac(pos) * (v_{l+1} - v_l)
+      def interp(pos: String) = {
+        val l = floor(col(pos))
+        val vl = max(when(col("rn") === l, col("v")))
+        val vu = coalesce(max(when(col("rn") === l + 1, col("v"))), vl)
+        round(vl + (max(col(pos)) - max(floor(col(pos)))) * (vu - vl), 2).cast("double")
+      }
+      ranked
+        .where((col("rn") >= floor(col("pos50"))) && (col("rn") <= floor(col("pos50")) + 1) ||
+               (col("rn") >= floor(col("pos90"))) && (col("rn") <= floor(col("pos90")) + 1))
+        .groupBy("o_orderstatus")
+        .agg(interp("pos50").as("med"), interp("pos90").as("p90"))
+        .orderBy("o_orderstatus")
+    },
 
     // '|'-joined string encoding of the collected array: raw ARRAY output
     // columns crash the driver's pandas canonicalizer (same as AGG-STRING)
@@ -520,10 +551,12 @@ object Relational {
       .orderBy(col("freq").desc, col("tok")).limit(20)),
 
     "TEXT-BIGRAMS" -> { s =>
+      // zip_with over two shifted slices beats transform(sequence):
+      // no per-element array index lookups, one pass over the tokens
       val t = split(col("text"), " ")
       graft.core.Tables.spread(s.table("documents"), "doc_id")
-        .select(explode(transform(sequence(lit(1), size(t) - 1),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))).as("bigram"))
+        .select(explode(zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("bigram")).limit(20)
     },
