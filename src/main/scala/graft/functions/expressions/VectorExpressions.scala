@@ -76,7 +76,9 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "graft_poly_hash" -> (exprs => PolyHash(exprs.head)),
-    "graft_simhash_agg" -> (exprs => SimHashAgg(exprs.head).toAggregateExpression()))
+    "graft_simhash_agg" -> (exprs => SimHashAgg(exprs.head).toAggregateExpression()),
+    "graft_simhash_balance" -> (exprs =>
+      SimHashBalanceAgg(exprs(0), exprs(1)).toAggregateExpression()))
 
   /** Register graft functions on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -202,10 +202,12 @@ object Dedup {
 
   /** Portable 60-bit SimHash: two affine projections g1, g2 of the portable
     * shingle hash give 30 bits each; bitᵢ = 1 iff Σ(±1) over shingles > 0.
-    * (doc_id, simhash). Unlike [[simhash]] (xxhash64 + imperative
-    * aggregate, the scale path) this is reproducible in the DuckDB oracle.
-    * Implementation: 60 codegen'd conditional sums in ONE hash aggregate —
-    * a single shuffle, no per-bit row explosion. */
+    * (doc_id, simhash). Unlike [[simhash]] (xxhash64, the scale path) this
+    * is reproducible in the DuckDB oracle. Implementation: the
+    * graft_simhash_balance TypedImperativeAggregate — one fixed 240-byte
+    * buffer folding all 60 balance counters, map-side partial agg (the
+    * previous 60-separate-`sum()` formulation paid 60 aggregate buffers +
+    * 60 shift/mask expression trees per row). */
   def simhashPortable(documents: DataFrame, n: Int = 3): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(documents.sparkSession)
     val (a1, b1) = AB(0)
@@ -215,14 +217,8 @@ object Dedup {
       .select(col("doc_id"),
         ((col("hr") * a1 + b1) % P).as("g1"),
         ((col("hr") * a2 + b2) % P).as("g2"))
-    val sums = (0 until 60).map { i =>
-      val src = if (i < 30) shiftright(col("g1"), i) else shiftright(col("g2"), i - 30)
-      sum(src.bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i")
-    }
-    g.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 60).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).cast("long").as("simhash"))
+    g.groupBy("doc_id")
+      .agg(call_function("graft_simhash_balance", col("g1"), col("g2")).as("simhash"))
   }
 
   /** Near-duplicate pairs by portable-SimHash Hamming distance ≤ maxDist,
