@@ -138,6 +138,27 @@ object Relational {
         .orderBy(col("c_mktsegment").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
 
+    "AGG-HISTOGRAM" -> (s => s.table("orders")
+      .groupBy(least(floor(col("o_totalprice").cast("double") / 30000), lit(19))
+        .cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice").cast("double"), 2).as("lo"),
+        round(max("o_totalprice").cast("double"), 2).as("hi"))
+      .orderBy("bucket")),
+
+    // per-class hash-mod rates: the sampling predicate is a pure column
+    // expression, so it pushes into the scan-side projection — no shuffle
+    // before the (tiny) per-class aggregate
+    "SAMPLE-STRATIFIED" -> (s => s.table("orders")
+      .select(col("o_orderstatus"), col("o_totalprice"),
+        call_function("graft_poly_hash", col("o_orderkey").cast("string")).as("h"))
+      .where(col("h") % when(col("o_orderstatus") === "F", 10)
+        .when(col("o_orderstatus") === "O", 100).otherwise(2) === 0)
+      .groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast(dec(18, 2))).cast("double"), 2).as("sv"))
+      .orderBy("st")),
+
     "AGG-GROUPING-FN" -> (s => graft.core.Tables.withoutAmbiguousSelfJoinCheck(s) {
       s.table("orders")
         .rollup("o_orderstatus", "o_orderpriority")

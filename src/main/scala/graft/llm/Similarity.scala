@@ -92,6 +92,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Random-hyperplane (SimHash-for-cosine) LSH bucket id: `bits` sign
+    * bits of dot products with deterministic pseudo-random hyperplanes.
+    * Plane k's component for dimension d is ((a_k·(d+1)+b_k) mod P)/P − 0.5
+    * (the [[Dedup.AB]] affine family — portable, so the DuckDB oracle can
+    * build the identical planes). Unlike [[ivfCell]] (leading-dimension
+    * signs), hyperplane buckets use EVERY dimension, so bucket collision
+    * probability tracks cosine similarity — the textbook LSH guarantee. */
+  def hyperplaneBucket(emb: org.apache.spark.sql.Column, bits: Int = 8,
+                       dims: Int = 64): org.apache.spark.sql.Column =
+    (0 until bits).map { k =>
+      val (a, b) = Dedup.AB(k)
+      val plane = array((0 until dims).map(d =>
+        lit(((a * (d + 1) + b) % Dedup.P).toDouble / Dedup.P - 0.5)): _*)
+      val dot = aggregate(zip_with(emb, plane, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1 << k)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Hyperplane-LSH ANN: score only the probe's bucket, exact-cosine
+    * rerank: (vec_id, bucket, cos). The 100 TB shape matches [[ivfTopK]]
+    * (bucket id is a plain column → partition key at write time; probe
+    * broadcast; no shuffle before top-k) with ~1/2^bits of the corpus
+    * scanned per probe and collision probability (1 − θ/π)^bits. */
+  def hyperplaneTopK(embeddings: DataFrame, probeId: Long, k: Int,
+                     bits: Int = 8): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket", hyperplaneBucket(col("embedding"), bits))
+    val probe = bucketed.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("p"), col("bucket").as("pb"))
+    bucketed.join(broadcast(probe), col("bucket") === col("pb") && col("vec_id") =!= probeId)
+      .select(col("vec_id"), col("bucket"),
+        round(cosineNative(col("embedding"), col("p")), 3).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Top-n most similar corpus pairs (va < vb) by cosine: (va, vb, cos).
     * All-pairs — correctness baseline; the LSH/IVF operators above are the
     * scale path for this shape too. */

@@ -52,6 +52,9 @@ object Extensions {
         .orderBy(col("da"), col("db"))),
     "LLM-EMB-PAIRS" -> ((s, d) => Similarity.topPairs(embs(s, d), 10)),
     "LLM-ANN-IVF" -> ((s, d) => Similarity.ivfTopK(embs(s, d), probeId = 0L, k = 5)),
+    // bits=4 in the query variant: 16 buckets keeps the probe's bucket
+    // populated at oracle SFs (8+ bits is the realistic large-corpus value)
+    "LLM-COSINE-LSH" -> ((s, d) => Similarity.hyperplaneTopK(embs(s, d), probeId = 0L, k = 5, bits = 4)),
     "LLM-ANN-PROBES" -> ((s, d) =>
       Similarity.multiProbeTopK(embs(s, d), Seq(0L, 1L, 2L), k = 3)
         .orderBy(col("probe_id"), col("rank"))),
@@ -158,6 +161,27 @@ object Extensions {
        |WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db""".stripMargin
   }
 
+  /** DuckDB twin of Similarity.hyperplaneBucket + hyperplaneTopK: the same
+    * 8 affine-derived hyperplanes (constants interpolated from Dedup.AB),
+    * dot-product sign bits, probe-bucket filter, exact-cosine rerank. */
+  private def cosineLshOracle: String = {
+    val P = Dedup.P
+    val bits = 4 // must match the LLM-COSINE-LSH query variant
+    val dots = (0 until bits).map { k =>
+      val (a, b) = Dedup.AB(k)
+      s"list_sum(list_transform(generate_series(1, 64), d -> CAST(embedding[d] AS DOUBLE) * (CAST(($a*d + $b) % $P AS DOUBLE)/$P - 0.5)))"
+    }
+    val bucket = (0 until bits).map(k =>
+      s"(CASE WHEN ${dots(k)} > 0 THEN ${1 << k} ELSE 0 END)").mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |probe AS (SELECT embedding AS p, bucket AS pb FROM b WHERE vec_id = 0)
+       |SELECT e.vec_id, e.bucket,
+       |  round(CAST(list_cosine_similarity(e.embedding, probe.p) AS DOUBLE), 3) AS cos
+       |FROM b e CROSS JOIN probe
+       |WHERE e.bucket = probe.pb AND e.vec_id <> 0
+       |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin
+  }
+
   private val STOP_EN = "('the','a','of','and','is')"
   private val STOP_DE = "('der','die','das','und','ist')"
   private val STOP_ES = "('el','la','que','los','y')"
@@ -165,6 +189,7 @@ object Extensions {
 
   val oracleSql: Map[String, String] = Map(
     "LLM-MINHASH-LSH" -> minhashOracle,
+    "LLM-COSINE-LSH" -> cosineLshOracle,
     "LLM-SIMHASH" -> simhashOracle,
     "TEXT-QUALITY" ->
       s"""WITH t AS (SELECT doc_id, length(text) AS n_chars, string_split(text,' ') AS toks FROM documents)

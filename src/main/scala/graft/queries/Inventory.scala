@@ -679,6 +679,35 @@ object Inventory {
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY g_st, g_pri, st, pri""".stripMargin)
 
+  // fixed-range 20-bucket histogram (feature-stats shape): bucket edges are
+  // exact integer multiples, so floor(v/30000) is engine-portable
+  q("AGG-HISTOGRAM",
+    """SELECT CAST(least(floor(CAST(o_totalprice AS DOUBLE) / 30000), 19) AS INT) AS bucket,
+      |  count(*) AS n,
+      |  round(CAST(min(o_totalprice) AS DOUBLE), 2) AS lo,
+      |  round(CAST(max(o_totalprice) AS DOUBLE), 2) AS hi
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)
+
+  // stratified deterministic sampling: per-class hash-mod rates (10% F,
+  // 1% O, 50% P) — the dataset-curation shape; same portable hash as
+  // SAMPLE-HASH so the oracle reproduces the exact sample
+  q("SAMPLE-STRATIFIED",
+    """SELECT o_orderstatus AS st, count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv
+      |FROM (SELECT o_orderstatus, o_totalprice,
+      |      graft_poly_hash(CAST(o_orderkey AS STRING)) AS h FROM orders) t
+      |WHERE h % (CASE o_orderstatus WHEN 'F' THEN 10 WHEN 'O' THEN 100 ELSE 2 END) = 0
+      |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
+    """SELECT o_orderstatus AS st, count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv
+      |FROM (SELECT o_orderstatus, o_totalprice,
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, CAST(length(CAST(o_orderkey AS VARCHAR)) AS INT)),
+      |          i -> CAST(ascii(substr(CAST(o_orderkey AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+      |        (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM orders) t
+      |WHERE h % (CASE o_orderstatus WHEN 'F' THEN 10 WHEN 'O' THEN 100 ELSE 2 END) = 0
+      |GROUP BY o_orderstatus ORDER BY st""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(

@@ -34,6 +34,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("hyperplaneTopK is brute-force ranking restricted to the probe's bucket") {
+    import org.apache.spark.sql.functions.col
+    val bucketed = embs.withColumn("bucket", Similarity.hyperplaneBucket(col("embedding"), 4))
+    val probeBucket = bucketed.filter(col("vec_id") === 0L).collect()(0).getAs[Int]("bucket")
+    val bucketIds = bucketed.filter(col("bucket") === probeBucket).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val expect = Similarity.cosineTopK(embs, 0L, Int.MaxValue / 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(p => bucketIds.contains(p._1)).take(5).map(_._1).toSeq
+    val got = Similarity.hyperplaneTopK(embs, 0L, 5, bits = 4).collect()
+    assert(got.map(_.getInt(1)).toSet === Set(probeBucket))
+    assert(got.map(_.getLong(0)).toSeq === expect)
+  }
+
   test("multiProbeTopK ranks are 1..k per probe") {
     val rows = Similarity.multiProbeTopK(embs, Seq(0L, 1L, 2L), 3).collect()
     val byProbe = rows.groupBy(_.getLong(0))
