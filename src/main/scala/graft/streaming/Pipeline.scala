@@ -13,18 +13,19 @@ import graft.ingest.Carbon.MetricDeconstructor
   */
 object Pipeline {
 
-  /** One listener (reference ListenFrom[]): where lines come from and how
-    * they decode. codec "carbon" parses graphite lines (with the pluggable
+  /** One listener (reference ListenFrom[]): where input comes from and how
+    * it decodes. codec "carbon" parses graphite lines (with the pluggable
     * deconstructor); "collectd" / "signalfx" parse the respective JSON
-    * bodies, one per input line (§2a rows 6–7). */
-  final case class ListenFrom(kind: String, // "file" | "socket"
+    * bodies, one per input line; "sfxproto" decodes binary
+    * `DataPointUploadMessage` payloads (kind = "binary") — §2a rows 6–7b. */
+  final case class ListenFrom(kind: String, // "file" | "socket" | "binary"
                               path: String = "", host: String = "localhost",
                               port: Int = 2003,
                               codec: String = "carbon",
                               deconstructor: MetricDeconstructor = Carbon.IdentityDeconstructor)
 
   /** One forwarder target (reference ForwardTo[]). */
-  final case class ForwardTo(kind: String, // "csv" | "carbon"
+  final case class ForwardTo(kind: String, // "csv" | "carbon" | "sfxproto"
                              name: String, dir: String)
 
   /** Engine pipeline config (reference config.go [P]). */
@@ -68,10 +69,22 @@ object Pipeline {
       triggerMillis = (j \ "triggerMillis").extractOpt[Long].getOrElse(1000L))
   }
 
-  /** Build the line source stream for a listener. */
+  /** Build the source stream for a listener: text lines for the line
+    * codecs, whole binary files (column `payload`) for "binary" —
+    * the protobuf POST-body stand-in. */
   def source(spark: SparkSession, lf: ListenFrom): DataFrame = lf.kind match {
     case "file" =>
       spark.readStream.text(lf.path).withColumnRenamed("value", "line")
+    case "binary" =>
+      // binaryFile's schema is fixed, but streaming sources require it
+      // stated explicitly
+      import org.apache.spark.sql.types._
+      spark.readStream.format("binaryFile")
+        .schema(StructType(Seq(
+          StructField("path", StringType), StructField("modificationTime", TimestampType),
+          StructField("length", LongType), StructField("content", BinaryType))))
+        .load(lf.path)
+        .select(org.apache.spark.sql.functions.col("content").as("payload"))
     case "socket" =>
       spark.readStream.format("socket")
         .option("host", lf.host).option("port", lf.port).load()
@@ -80,9 +93,10 @@ object Pipeline {
   }
 
   private def forwarder(ft: ForwardTo): StreamingOps.Forwarder = ft.kind match {
-    case "csv"    => StreamingOps.CsvForwarder(ft.name, ft.dir)
-    case "carbon" => StreamingOps.CarbonForwarder(ft.name, ft.dir)
-    case other    => throw new IllegalArgumentException(s"unknown forwarder kind '$other'")
+    case "csv"      => StreamingOps.CsvForwarder(ft.name, ft.dir)
+    case "carbon"   => StreamingOps.CarbonForwarder(ft.name, ft.dir)
+    case "sfxproto" => StreamingOps.SignalFxProtoForwarder(ft.name, ft.dir)
+    case other      => throw new IllegalArgumentException(s"unknown forwarder kind '$other'")
   }
 
   /** Decode listener lines to datapoints per the configured codec. Bad
@@ -96,6 +110,15 @@ object Pipeline {
         graft.ingest.Collectd.decode(lines.withColumnRenamed("line", "body"))
       case "signalfx" =>
         graft.ingest.SignalFxJson.decode(lines.withColumnRenamed("line", "body"))
+      case "sfxproto" =>
+        // binary upload payloads (ListenFrom kind = "binary"); normalize to
+        // the same datapoint shape as the signalfx JSON arm
+        graft.ingest.SignalFxProto.decode(lines).toDF()
+          .select(col("metric"), col("dimensions"),
+            org.apache.spark.sql.functions.coalesce(
+              col("doubleValue"), col("intValue").cast("double")).as("value"),
+            col("metricType"),
+            org.apache.spark.sql.functions.timestamp_millis(col("timestamp")).as("ts"))
       case other => throw new IllegalArgumentException(s"unknown codec '$other'")
     }
     points

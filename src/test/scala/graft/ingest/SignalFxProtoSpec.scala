@@ -79,6 +79,24 @@ class SignalFxProtoSpec extends SparkSpec {
     assert(back === pts.toSet)
   }
 
+  test("pipeline assembles a binary sfxproto listener end-to-end") {
+    val root = java.nio.file.Files.createTempDirectory("sfxpipe").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+    val pts = (1 to 20).map(i => SfxPoint(null, s"m${i % 3}", i * 1000L, null,
+      Some(i * 0.5), None, "GAUGE", Map("host" -> "h")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/in/upload1.pb"),
+      encodeUpload(pts.iterator))
+    val cfg = graft.streaming.Pipeline.GraftConfig(
+      listenFrom = graft.streaming.Pipeline.ListenFrom("binary", path = s"$root/in",
+        codec = "sfxproto"),
+      forwardTo = Seq(graft.streaming.Pipeline.ForwardTo("csv", "debug", s"$root/csv")))
+    val q = graft.streaming.Pipeline.assemble(spark, cfg)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.csv(s"$root/csv")
+    assert(out.count() === 20)
+  }
+
   test("protobuf forwarder is idempotent per batchId") {
     val sq = spark
     import sq.implicits._
