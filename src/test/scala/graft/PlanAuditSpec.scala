@@ -83,4 +83,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(parts === spark.conf.get("spark.sql.shuffle.partitions").toInt,
       s"explode runs on $parts partition(s) — single-core string work")
   }
+
+  test("spread is adaptive: a no-op on sources that already have enough splits") {
+    tables()
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val wide = spark.table("lineitem").repartition(parts)
+    // an already-wide frame must come back unchanged (same plan object),
+    // keeping the narrow 100×-scale plan free of a gratuitous exchange
+    assert(graft.core.Tables.spread(wide, "l_orderkey") eq wide)
+  }
+
+  test("LLM-COSINE-LSH: probe broadcasts; bucket filter, no shuffle before top-k") {
+    val p = finalPlan("LLM-COSINE-LSH")
+    assert(p.contains("Broadcast"), "probe row should broadcast")
+    assert(!p.contains("SortMergeJoin"), "bucket probe should not shuffle the corpus")
+    assert(p.contains("TakeOrderedAndProject"), "rerank top-k should not globally sort")
+  }
+
+  test("SAMPLE-STRATIFIED: per-class predicate applies before the aggregate") {
+    val d = df("SAMPLE-STRATIFIED")
+    d.collect()
+    val plan = d.queryExecution.executedPlan.toString
+    val filterIdx = plan.indexOf("Filter")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(filterIdx >= 0 && aggIdx >= 0, "expected filter + hash aggregate")
+    // executedPlan prints top-down: the aggregate must appear ABOVE the
+    // filter, i.e. the sample predicate runs scan-side
+    assert(aggIdx < filterIdx, "sampling predicate did not stay below the aggregate")
+  }
+
+  test("PARSE-SFXPROTO: codec round-trip stays narrow until the final aggregate") {
+    val p = finalPlan("PARSE-SFXPROTO")
+    assert(p.contains("HashAggregate") && p.contains("partial"),
+      "decoded points should partially aggregate map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "codec path must not introduce a join")
+  }
 }
