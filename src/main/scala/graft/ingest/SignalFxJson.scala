@@ -33,6 +33,25 @@ object SignalFxJson {
     StructField("counter", dpSchema),
     StructField("cumulative_counter", dpSchema)))
 
+  private val eventSchema = ArrayType(StructType(Seq(
+    StructField("eventType", StringType),
+    StructField("category", StringType),
+    StructField("dimensions", MapType(StringType, StringType)),
+    StructField("properties", MapType(StringType, StringType)),
+    StructField("timestamp", LongType)))) // epoch millis
+
+  /** Decode a `/v2/event` JSON-string column (an ARRAY body of event
+    * objects [P]) into events: (eventType, category, dimensions,
+    * properties, ts). Same narrow single-parse shape as [[decode]]. */
+  def decodeEvents(bodies: DataFrame, bodyCol: String = "body"): DataFrame =
+    bodies.select(explode(from_json(col(bodyCol), eventSchema)).as("e"))
+      .select(
+        col("e.eventType").as("eventType"),
+        coalesce(col("e.category"), lit("USER_DEFINED")).as("category"),
+        coalesce(col("e.dimensions"), map().cast("map<string,string>")).as("dimensions"),
+        coalesce(col("e.properties"), map().cast("map<string,string>")).as("properties"),
+        timestamp_millis(col("e.timestamp")).as("ts"))
+
   /** Decode a `/v2/datapoint` JSON-string column into datapoints:
     * (metric, dimensions, value, metricType, ts).
     *

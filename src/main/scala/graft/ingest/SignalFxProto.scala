@@ -219,6 +219,119 @@ object SignalFxProto {
     out.result()
   }
 
+  // ------------------------------------------------------------- events
+
+  /** Decoded `/v2/event` row (Event message [P]: eventType=1, dimensions=2,
+    * properties=3, category=4, timestamp=5; properties carry a
+    * PropertyValue oneof — normalized here to strings, the engine's event
+    * property representation). */
+  final case class SfxEvent(eventType: String, category: String,
+                            dimensions: Map[String, String],
+                            properties: Map[String, String], timestamp: Long)
+
+  val EventCategories: IndexedSeq[String] =
+    IndexedSeq("USER_DEFINED", "ALERT", "AUDIT", "JOB", "COLLECTD",
+      "POLICY", "SERVICE_DISCOVERY", "EXCEPTION")
+
+  def encodeEvent(e: SfxEvent): Array[Byte] = {
+    val w = new Writer
+    if (e.eventType != null) w.str(1, e.eventType)
+    e.dimensions.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val dw = new Writer; dw.str(1, k); dw.str(2, v)
+      w.lenDelim(2, dw.bytes)
+    }
+    e.properties.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val vw = new Writer; vw.str(1, v) // PropertyValue.strValue
+      val pw = new Writer; pw.str(1, k); pw.lenDelim(2, vw.bytes)
+      w.lenDelim(3, pw.bytes)
+    }
+    val cat = EventCategories.indexOf(e.category)
+    if (cat > 0) { w.tag(4, 0); w.varint(cat.toLong) }
+    w.tag(5, 0); w.varint(e.timestamp)
+    w.bytes
+  }
+
+  /** One `EventUploadMessage` (repeated Event = 1) over the given events. */
+  def encodeEventUpload(events: Iterator[SfxEvent]): Array[Byte] = {
+    val w = new Writer
+    events.foreach(e => w.lenDelim(1, encodeEvent(e)))
+    w.bytes
+  }
+
+  private def decodeKeyValue(r: Reader): (String, String) = {
+    var k: String = null; var v: String = null
+    while (r.hasMore) {
+      val key = r.varint(); val field = (key >>> 3).toInt; val wire = (key & 7).toInt
+      (field, wire) match {
+        case (1, 2) => k = r.str()
+        case (2, 2) => v = r.str()
+        case _      => r.skip(wire)
+      }
+    }
+    (k, if (v == null) "" else v)
+  }
+
+  private def decodePropertyValue(r: Reader): String = {
+    var out = ""
+    while (r.hasMore) {
+      val key = r.varint(); val field = (key >>> 3).toInt; val wire = (key & 7).toInt
+      (field, wire) match {
+        case (1, 2) => out = r.str()
+        case (2, 1) => out = java.lang.Double.longBitsToDouble(r.fixed64()).toString
+        case (3, 0) => out = r.varint().toString
+        case (4, 0) => out = (r.varint() != 0L).toString
+        case _      => r.skip(wire)
+      }
+    }
+    out
+  }
+
+  def decodeEvent(bytes: Array[Byte], from: Int, to: Int): SfxEvent = {
+    val r = new Reader(bytes, from, to)
+    var etype: String = null; var cat = 0; var ts = 0L
+    val dims = Map.newBuilder[String, String]
+    val props = Map.newBuilder[String, String]
+    while (r.hasMore) {
+      val key = r.varint(); val field = (key >>> 3).toInt; val wire = (key & 7).toInt
+      (field, wire) match {
+        case (1, 2) => etype = r.str()
+        case (2, 2) => val kv = decodeKeyValue(r.chunk()); if (kv._1 != null) dims += kv
+        case (3, 2) =>
+          val pr = r.chunk()
+          var k: String = null; var v = ""
+          while (pr.hasMore) {
+            val pk = pr.varint(); val pf = (pk >>> 3).toInt; val pwire = (pk & 7).toInt
+            (pf, pwire) match {
+              case (1, 2) => k = pr.str()
+              case (2, 2) => v = decodePropertyValue(pr.chunk())
+              case _      => pr.skip(pwire)
+            }
+          }
+          if (k != null) props += (k -> v)
+        case (4, 0) => cat = r.varint().toInt
+        case (5, 0) => ts = r.varint()
+        case _      => r.skip(wire)
+      }
+    }
+    val cname = if (cat >= 0 && cat < EventCategories.length) EventCategories(cat)
+                else s"UNKNOWN_$cat"
+    SfxEvent(etype, cname, dims.result(), props.result(), ts)
+  }
+
+  /** Decode one `EventUploadMessage` payload into its events. */
+  def decodeEventUpload(bytes: Array[Byte]): Seq[SfxEvent] = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val out = Seq.newBuilder[SfxEvent]
+    while (r.hasMore) {
+      val key = r.varint(); val field = (key >>> 3).toInt; val wire = (key & 7).toInt
+      if (field == 1 && wire == 2) {
+        val c = r.chunk()
+        out += decodeEvent(bytes, c.pos, c.end)
+      } else r.skip(wire)
+    }
+    out.result()
+  }
+
   // ------------------------------------------------------------- Spark
 
   /** Listener arm: binary upload payloads → datapoint rows. A typed narrow
@@ -236,6 +349,22 @@ object SignalFxProto {
     import s.implicits._
     points.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty else Iterator.single(encodeUpload(it))
+    }.toDF("payload")
+  }
+
+  /** Event listener arm: binary `EventUploadMessage` payloads → event rows. */
+  def decodeEvents(payloads: DataFrame, binCol: String = "payload"): Dataset[SfxEvent] = {
+    val s = payloads.sparkSession
+    import s.implicits._
+    payloads.select(col(binCol)).as[Array[Byte]].flatMap(decodeEventUpload(_))
+  }
+
+  /** Event forwarder arm: one `EventUploadMessage` payload per partition. */
+  def encodeEvents(events: Dataset[SfxEvent]): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty else Iterator.single(encodeEventUpload(it))
     }.toDF("payload")
   }
 }

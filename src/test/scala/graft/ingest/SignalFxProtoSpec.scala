@@ -79,6 +79,62 @@ class SignalFxProtoSpec extends SparkSpec {
     assert(back === pts.toSet)
   }
 
+  test("event upload round-trips arbitrary events (property)") {
+    val strGen = Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString)
+    val eventGen = for {
+      et   <- strGen
+      cat  <- Gen.oneOf(EventCategories)
+      dims <- Gen.mapOfN(3, Gen.zip(strGen, strGen))
+      prps <- Gen.mapOfN(2, Gen.zip(strGen, strGen))
+      ts   <- Gen.chooseNum(0L, Long.MaxValue / 2)
+    } yield SfxEvent(et, cat, dims, prps, ts)
+    val events = Gen.listOfN(40, eventGen).sample.get
+    assert(decodeEventUpload(encodeEventUpload(events.iterator)) === events)
+  }
+
+  test("event decoder normalizes non-string PropertyValue arms") {
+    // hand-build an Event with double/int/bool property values: the decoder
+    // must render them as strings (the engine's event property type)
+    def prop(k: String, valueBytes: Array[Byte]): Array[Byte] = {
+      val kb = k.getBytes("UTF-8")
+      Array[Byte](0x0A.toByte, kb.length.toByte) ++ kb ++
+        Array[Byte](0x12.toByte, valueBytes.length.toByte) ++ valueBytes
+    }
+    val dbl = Array[Byte](0x11.toByte) ++ // field 2 wire 1
+      java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(2.5).array()
+    val int = Array[Byte](0x18.toByte, 0x2A.toByte)       // field 3 varint 42
+    val bool = Array[Byte](0x20.toByte, 0x01.toByte)      // field 4 varint 1
+    val et = "deploy".getBytes("UTF-8")
+    val body = Array[Byte](0x0A.toByte, et.length.toByte) ++ et ++
+      Seq(prop("d", dbl), prop("i", int), prop("b", bool)).flatMap { p =>
+        Array[Byte](0x1A.toByte, p.length.toByte) ++ p
+      } ++ Array[Byte](0x28.toByte, 0x07.toByte) // timestamp=7
+    val e = decodeEvent(body, 0, body.length)
+    assert(e.eventType === "deploy")
+    assert(e.properties === Map("d" -> "2.5", "i" -> "42", "b" -> "true"))
+    assert(e.timestamp === 7L)
+  }
+
+  test("Spark event decode explodes payloads; JSON arm agrees on shape") {
+    val sq = spark
+    import sq.implicits._
+    val evs = (1 to 6).map(i => SfxEvent(s"deploy$i", "AUDIT",
+      Map("svc" -> s"s$i"), Map("ok" -> "true"), i * 1000L))
+    val payloads = Seq(encodeEventUpload(evs.iterator)).toDF("payload")
+    val back = SignalFxProto.decodeEvents(payloads).collect().toSet
+    assert(back === evs.toSet)
+    // JSON arm: same logical event through /v2/event JSON decodes to the
+    // same (eventType, category, dimensions, properties) values
+    val json = """[{"eventType":"deploy1","category":"AUDIT","dimensions":{"svc":"s1"},
+      |"properties":{"ok":"true"},"timestamp":1000}]""".stripMargin.replace("\n", "")
+    val row = SignalFxJson.decodeEvents(Seq(json).toDF("body")).collect()(0)
+    assert(row.getString(0) === "deploy1")
+    assert(row.getString(1) === "AUDIT")
+    assert(row.getMap[String, String](2) === Map("svc" -> "s1"))
+    assert(row.getMap[String, String](3) === Map("ok" -> "true"))
+  }
+
   test("pipeline assembles a binary sfxproto listener end-to-end") {
     val root = java.nio.file.Files.createTempDirectory("sfxpipe").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
