@@ -159,6 +159,19 @@ object Relational {
         round(sum(col("o_totalprice").cast(dec(18, 2))).cast("double"), 2).as("sv"))
       .orderBy("st")),
 
+    // two-phase: tiny (status, priority) count aggregate first, then the
+    // rank — the window sees |groups| rows, not |orders|
+    "AGG-MODE" -> { s =>
+      val counts = s.table("orders")
+        .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("st").orderBy(col("n").desc, col("pri"))
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("st"), col("pri").as("mode_pri"), col("n"))
+        .orderBy("st")
+    },
+
     "AGG-GROUPING-FN" -> (s => graft.core.Tables.withoutAmbiguousSelfJoinCheck(s) {
       s.table("orders")
         .rollup("o_orderstatus", "o_orderpriority")
@@ -243,7 +256,7 @@ object Relational {
       .select(col("p_partkey"), upper(col("p_brand")).as("ub"),
         lower(col("p_type")).as("lt"), substring(col("p_name"), 1, 8).as("s8"),
         length(col("p_name")).as("ln"),
-        regexp_replace(col("p_brand"), "#", "-").as("rp"),
+        replace(col("p_brand"), lit("#"), lit("-")).as("rp"),
         trim(concat(lit(" "), col("p_name"), lit(" "))).as("tc"),
         lpad(col("p_size").cast("string"), 4, "0").as("pad"))
       .orderBy("p_partkey").limit(40)),

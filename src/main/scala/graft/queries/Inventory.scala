@@ -708,6 +708,16 @@ object Inventory {
       |WHERE h % (CASE o_orderstatus WHEN 'F' THEN 10 WHEN 'O' THEN 100 ELSE 2 END) = 0
       |GROUP BY o_orderstatus ORDER BY st""".stripMargin)
 
+  // per-group modal value — native mode() is tie-nondeterministic across
+  // engines, so the contract shape is count + rank with a value tie-break
+  q("AGG-MODE",
+    """SELECT st, pri AS mode_pri, n FROM (
+      |  SELECT o_orderstatus AS st, o_orderpriority AS pri, count(*) AS n,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY count(*) DESC, o_orderpriority) AS rn
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+      |WHERE rn = 1 ORDER BY st""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(
