@@ -127,6 +127,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding near-duplicate pairs at scale: hyperplane-LSH bucketing →
+    * within-bucket pairs (va < vb) → exact-cosine verify ≥ threshold:
+    * (va, vb, cos). The candidate join is BUCKET-equality (never
+    * all-pairs), so at 100 TB it shuffles on a primitive int key and each
+    * bucket's pair expansion is local — the same collapse-then-candidate
+    * shape as [[Dedup.nearDupPairs]] for text. Recall is tunable via
+    * `bits` (collision prob (1 − θ/π)^bits); multi-table OR-amplification
+    * composes by unioning calls with different plane offsets. */
+  def nearDupEmbPairs(embeddings: DataFrame, threshold: Double,
+                      bits: Int = 4): DataFrame = {
+    val bucketed = graft.core.Tables.spread(embeddings, "vec_id")
+      .withColumn("bucket", hyperplaneBucket(col("embedding"), bits))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        round(cosineNative(col("ea"), col("eb")), 3).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("cos").desc, col("va"), col("vb"))
+  }
+
   /** Top-n most similar corpus pairs (va < vb) by cosine: (va, vb, cos).
     * All-pairs — correctness baseline; the LSH/IVF operators above are the
     * scale path for this shape too. */

@@ -51,6 +51,7 @@ object Extensions {
       Dedup.simhashPairsPortable(docs(s, d), n = 3, maxDist = 3)
         .orderBy(col("da"), col("db"))),
     "LLM-EMB-PAIRS" -> ((s, d) => Similarity.topPairs(embs(s, d), 10)),
+    "LLM-EMB-NEARDUP" -> ((s, d) => Similarity.nearDupEmbPairs(embs(s, d), 0.35, bits = 4)),
     "LLM-ANN-IVF" -> ((s, d) => Similarity.ivfTopK(embs(s, d), probeId = 0L, k = 5)),
     // bits=4 in the query variant: 16 buckets keeps the probe's bucket
     // populated at oracle SFs (8+ bits is the realistic large-corpus value)
@@ -164,15 +165,19 @@ object Extensions {
   /** DuckDB twin of Similarity.hyperplaneBucket + hyperplaneTopK: the same
     * 8 affine-derived hyperplanes (constants interpolated from Dedup.AB),
     * dot-product sign bits, probe-bucket filter, exact-cosine rerank. */
-  private def cosineLshOracle: String = {
+  /** DuckDB bucket expression twin of Similarity.hyperplaneBucket. */
+  private def hyperplaneBucketSql(bits: Int): String = {
     val P = Dedup.P
-    val bits = 4 // must match the LLM-COSINE-LSH query variant
     val dots = (0 until bits).map { k =>
       val (a, b) = Dedup.AB(k)
       s"list_sum(list_transform(generate_series(1, 64), d -> CAST(embedding[d] AS DOUBLE) * (CAST(($a*d + $b) % $P AS DOUBLE)/$P - 0.5)))"
     }
-    val bucket = (0 until bits).map(k =>
+    (0 until bits).map(k =>
       s"(CASE WHEN ${dots(k)} > 0 THEN ${1 << k} ELSE 0 END)").mkString(" + ")
+  }
+
+  private def cosineLshOracle: String = {
+    val bucket = hyperplaneBucketSql(4) // must match the LLM-COSINE-LSH query variant
     s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
        |probe AS (SELECT embedding AS p, bucket AS pb FROM b WHERE vec_id = 0)
        |SELECT e.vec_id, e.bucket,
@@ -190,6 +195,13 @@ object Extensions {
   val oracleSql: Map[String, String] = Map(
     "LLM-MINHASH-LSH" -> minhashOracle,
     "LLM-COSINE-LSH" -> cosineLshOracle,
+    "LLM-EMB-NEARDUP" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${hyperplaneBucketSql(4)} AS bucket FROM embeddings)
+        |SELECT a.vec_id AS va, c.vec_id AS vb,
+        |  round(CAST(list_cosine_similarity(a.embedding, c.embedding) AS DOUBLE), 3) AS cos
+        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |WHERE round(CAST(list_cosine_similarity(a.embedding, c.embedding) AS DOUBLE), 3) >= 0.35
+        |ORDER BY cos DESC, va, vb""".stripMargin,
     "LLM-SIMHASH" -> simhashOracle,
     "TEXT-QUALITY" ->
       s"""WITH t AS (SELECT doc_id, length(text) AS n_chars, string_split(text,' ') AS toks FROM documents)
