@@ -108,6 +108,27 @@ object Extensions {
           max(col("timestamp")).as("max_ts"))
         .orderBy("metric")
     },
+    // event-codec twin of PARSE-SFXPROTO: events → EventUploadMessage
+    // payloads → decode → aggregate, checked against the direct aggregate
+    "PARSE-SFXEVENT" -> { (s, d) =>
+      Tables.register(s, d)
+      import graft.ingest.SignalFxProto
+      val evs = Tables.spread(s.table("events"), "event_id").select(
+        col("event_type").as("eventType"),
+        lit("AUDIT").as("category"),
+        map(lit("user"), col("user_id").cast("string")).as("dimensions"),
+        map(lit("et"), col("event_type")).as("properties"),
+        (col("ts").cast("long") * 1000L).as("timestamp"))
+      val sq = s
+      import sq.implicits._
+      SignalFxProto.decodeEvents(
+          SignalFxProto.encodeEvents(evs.as[SignalFxProto.SfxEvent]))
+        .groupBy(col("eventType"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(element_at(col("dimensions"), "user")).as("nu"),
+          max(col("timestamp")).as("max_ts"))
+        .orderBy("eventType")
+    },
   )
 
   /** Shared DuckDB CTE: distinct 3-gram shingles + the portable polynomial
@@ -285,6 +306,11 @@ object Extensions {
         |  FROM events)
         |SELECT event_id AS e, parts[1] AS ns, parts[2] AS etype, parts[3] AS stat
         |FROM m ORDER BY e LIMIT 50""".stripMargin,
+    "PARSE-SFXEVENT" ->
+      """SELECT event_type AS eventType, count(*) AS n,
+        |  count(DISTINCT user_id) AS nu,
+        |  max(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 1000) AS max_ts
+        |FROM events GROUP BY event_type ORDER BY eventType""".stripMargin,
     "PARSE-SFXPROTO" ->
       """SELECT concat('order.', o_orderstatus) AS metric, count(*) AS n,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
