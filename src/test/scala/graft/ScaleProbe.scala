@@ -41,6 +41,17 @@ object ScaleProbe {
     time("minhash-pairs")(Dedup.minhashPairs(big, 3, 16, 8, 0.5).count())
     time("simhash-pairs")(Dedup.simhashPairs(big, 3, 3).count())
     time("jaccard-pairs")(Dedup.jaccardPairs(big, 3, 0.8).count())
+
+    // embedding near-dup: replicate with remapped ids; more hyperplane bits
+    // shrink the candidate buckets as the corpus grows (the scale knob)
+    val ebase = spark.table("embeddings")
+    val ebig = (0 until mult).map { i =>
+      ebase.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding"))
+    }.reduce(_ unionAll _)
+    time("embneardup-4bit")(
+      graft.llm.Similarity.nearDupEmbPairs(ebig, 0.35, bits = 4).count())
+    time("embneardup-8bit")(
+      graft.llm.Similarity.nearDupEmbPairs(ebig, 0.35, bits = 8).count())
     spark.stop()
   }
 }
