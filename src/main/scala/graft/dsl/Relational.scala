@@ -201,6 +201,12 @@ object Relational {
         .orderBy("user_id", "rn").limit(80)
     },
 
+    // NOTE (scale): WIN-LAG-LEAD / WIN-FRAME-RANGE / WIN-NTILE below are
+    // the DECLARED contract shapes and use an UNPARTITIONED window — Spark
+    // moves all rows to one partition (the bench's WindowExec warning). At
+    // real scale, partition the window (as WIN-RANK / WIN-FRAME-ROWS do)
+    // or pre-bucket the ordering key; the global total order is the
+    // scale-killer, not the frame.
     "WIN-LAG-LEAD" -> { s =>
       val w = Window.orderBy("ts", "event_id")
       s.table("events").where(col("user_id") === 3)
