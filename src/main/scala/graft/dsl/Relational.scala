@@ -623,23 +623,34 @@ object Relational {
 
     // correlated scalar subquery, expressed as the decorrelated plan the
     // optimizer produces anyway: left join against the per-key aggregate
+    // limit FIRST (TakeOrderedAndProject over orders), then broadcast the
+    // 50 keys as a semi-join into lineitem BEFORE aggregating: the fact
+    // table aggregates only the probed groups instead of all of them — at
+    // 100× this turns a full-table shuffle into a 50-key scan-side filter.
+    // Left join keeps orders with no lineitem → hash-identical output.
     "SUB-SCALAR" -> { s =>
-      val agg = s.table("lineitem").groupBy("l_orderkey")
+      val top = s.table("orders").select("o_orderkey").orderBy("o_orderkey").limit(50)
+      val agg = s.table("lineitem")
+        .join(broadcast(top.select(col("o_orderkey").as("k"))),
+          col("l_orderkey") === col("k"), "left_semi")
+        .groupBy("l_orderkey")
         .agg(round(max("l_quantity").cast("double"), 2).as("maxq"))
-      s.table("orders")
-        .join(agg, col("o_orderkey") === col("l_orderkey"), "left")
+      top.join(agg, col("o_orderkey") === col("l_orderkey"), "left")
         .select(col("o_orderkey"), col("maxq"))
-        .orderBy("o_orderkey").limit(50)
+        .orderBy("o_orderkey")
     },
 
-    // lateral correlated derived table — same decorrelated left-join form
+    // lateral correlated derived table — same decorrelated, prune-first form
     "JOIN-LATERAL" -> { s =>
-      val agg = s.table("lineitem").groupBy("l_orderkey")
+      val top = s.table("orders").select("o_orderkey").orderBy("o_orderkey").limit(50)
+      val agg = s.table("lineitem")
+        .join(broadcast(top.select(col("o_orderkey").as("k"))),
+          col("l_orderkey") === col("k"), "left_semi")
+        .groupBy("l_orderkey")
         .agg(round(max("l_quantity").cast("double"), 2).as("maxq"))
-      s.table("orders")
-        .join(agg, col("o_orderkey") === col("l_orderkey"), "left")
+      top.join(agg, col("o_orderkey") === col("l_orderkey"), "left")
         .select(col("o_orderkey"), col("maxq"))
-        .orderBy("o_orderkey").limit(50)
+        .orderBy("o_orderkey")
     },
   )
 
