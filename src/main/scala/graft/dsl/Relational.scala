@@ -159,6 +159,26 @@ object Relational {
         round(sum(col("o_totalprice").cast(dec(18, 2))).cast("double"), 2).as("sv"))
       .orderBy("st")),
 
+    // OHLC downsample: windows partition by (user, bucket) — shuffles once
+    // on the same key the aggregate uses, so the agg is partition-local
+    "TS-RESAMPLE" -> { s =>
+      val b = s.table("events").where(col("user_id") < 5)
+        .select(col("user_id"),
+          (floor(col("ts").cast("double") / 21600) * 21600).cast("bigint").as("bucket"),
+          col("value"), col("ts"), col("event_id"))
+      val asc = Window.partitionBy("user_id", "bucket").orderBy(col("ts"), col("event_id"))
+      val desc = Window.partitionBy("user_id", "bucket")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      b.withColumn("rna", row_number().over(asc))
+        .withColumn("rnd", row_number().over(desc))
+        .groupBy("user_id", "bucket")
+        .agg(round(max(when(col("rna") === 1, col("value"))), 2).as("open"),
+          round(max(when(col("rnd") === 1, col("value"))), 2).as("close"),
+          round(min("value"), 2).as("lo"), round(max("value"), 2).as("hi"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "bucket")
+    },
+
     // two-phase: tiny (status, priority) count aggregate first, then the
     // rank — the window sees |groups| rows, not |orders|
     "AGG-MODE" -> { s =>

@@ -708,6 +708,29 @@ object Inventory {
       |WHERE h % (CASE o_orderstatus WHEN 'F' THEN 10 WHEN 'O' THEN 100 ELSE 2 END) = 0
       |GROUP BY o_orderstatus ORDER BY st""".stripMargin)
 
+  // OHLC-style time-bucket downsampling (the proxy's rollup shape):
+  // open/close are tie-broken by (ts, event_id) row_number — first()/last()
+  // and arg_min/arg_max are tie-nondeterministic across engines
+  q("TS-RESAMPLE",
+    """WITH b AS (SELECT user_id, CAST(floor(CAST(ts AS DOUBLE)/21600)*21600 AS BIGINT) AS bucket,
+      |    value, ts, event_id FROM events WHERE user_id < 5),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) AS rna,
+      |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC) AS rnd FROM b)
+      |SELECT user_id, bucket,
+      |  round(max(CASE WHEN rna = 1 THEN value END), 2) AS open,
+      |  round(max(CASE WHEN rnd = 1 THEN value END), 2) AS close,
+      |  round(min(value), 2) AS lo, round(max(value), 2) AS hi, count(*) AS n
+      |FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin,
+    s"""WITH b AS (SELECT user_id, CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS bucket,
+      |    value, ts, event_id FROM $EV e WHERE user_id < 5),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) AS rna,
+      |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC) AS rnd FROM b)
+      |SELECT user_id, bucket,
+      |  round(max(CASE WHEN rna = 1 THEN value END), 2) AS open,
+      |  round(max(CASE WHEN rnd = 1 THEN value END), 2) AS close,
+      |  round(min(value), 2) AS lo, round(max(value), 2) AS hi, count(*) AS n
+      |FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin)
+
   // per-group modal value — native mode() is tie-nondeterministic across
   // engines, so the contract shape is count + rank with a value tie-break
   q("AGG-MODE",
