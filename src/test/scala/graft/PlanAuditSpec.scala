@@ -69,6 +69,16 @@ class PlanAuditSpec extends SparkSpec {
   test("SUB-SCALAR: decorrelated form joins without a cartesian product") {
     val p = finalPlan("SUB-SCALAR")
     assert(!p.contains("CartesianProduct"))
+    // prune-first shape: the 50 probed keys broadcast-semi-join into the
+    // fact table BEFORE its aggregate, so lineitem never fully aggregates
+    assert(p.contains("LeftSemi"), "fact-side key pruning (semi join) lost")
+    assert(p.contains("Broadcast"), "probed keys should broadcast")
+  }
+
+  test("AGG-DISTINCT: dedup-then-count plan has no Expand") {
+    val p = finalPlan("AGG-DISTINCT")
+    assert(!p.contains("Expand"), "countDistinct Expand crept back in")
+    assert(p.contains("HashAggregate"), "expected hash aggregation")
   }
 
   test("SAMPLE-HASH: poly-hash filter stays inside whole-stage codegen") {
