@@ -22,7 +22,12 @@ object Pipeline {
                               path: String = "", host: String = "localhost",
                               port: Int = 2003,
                               codec: String = "carbon",
-                              deconstructor: MetricDeconstructor = Carbon.IdentityDeconstructor)
+                              deconstructor: MetricDeconstructor = Carbon.IdentityDeconstructor,
+                              // bounded per-batch drain (BufferedForwarder's
+                              // maxDrainSize analog [P]): cap files ingested
+                              // per micro-batch so one listener backlog
+                              // cannot monopolize a trigger
+                              maxFilesPerTrigger: Option[Int] = None)
 
   /** One forwarder target (reference ForwardTo[]). */
   final case class ForwardTo(kind: String, // "csv" | "carbon" | "sfxproto"
@@ -61,7 +66,8 @@ object Pipeline {
         host = (lf \ "host").extractOpt[String].getOrElse("localhost"),
         port = (lf \ "port").extractOpt[Int].getOrElse(2003),
         codec = (lf \ "codec").extractOpt[String].getOrElse("carbon"),
-        deconstructor = decon),
+        deconstructor = decon,
+        maxFilesPerTrigger = (lf \ "maxFilesPerTrigger").extractOpt[Int]),
       forwardTo = (j \ "forwardTo").extract[Seq[JValue]].map { ft =>
         ForwardTo((ft \ "kind").extract[String], (ft \ "name").extract[String],
           (ft \ "dir").extract[String])
@@ -74,16 +80,19 @@ object Pipeline {
     * the protobuf POST-body stand-in. */
   def source(spark: SparkSession, lf: ListenFrom): DataFrame = lf.kind match {
     case "file" =>
-      spark.readStream.text(lf.path).withColumnRenamed("value", "line")
+      val r = spark.readStream
+      lf.maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.text(lf.path).withColumnRenamed("value", "line")
     case "binary" =>
       // binaryFile's schema is fixed, but streaming sources require it
       // stated explicitly
       import org.apache.spark.sql.types._
-      spark.readStream.format("binaryFile")
+      val r = spark.readStream.format("binaryFile")
         .schema(StructType(Seq(
           StructField("path", StringType), StructField("modificationTime", TimestampType),
           StructField("length", LongType), StructField("content", BinaryType))))
-        .load(lf.path)
+      lf.maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.load(lf.path)
         .select(org.apache.spark.sql.functions.col("content").as("payload"))
     case "socket" =>
       spark.readStream.format("socket")

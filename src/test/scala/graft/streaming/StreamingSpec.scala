@@ -196,7 +196,8 @@ class StreamingSpec extends SparkSpec {
   test("pipeline config parses from JSON (reference-style boot file)") {
     val cfg = Pipeline.fromJson(
       """{"listenFrom": {"kind":"file", "path":"/tmp/in", "codec":"carbon",
-        |                "deconstructor":"delimiter", "template":["ns","ep","stat"]},
+        |                "deconstructor":"delimiter", "template":["ns","ep","stat"],
+        |                "maxFilesPerTrigger": 8},
         | "forwardTo": [{"kind":"csv", "name":"debug", "dir":"/tmp/csv"},
         |               {"kind":"carbon", "name":"fwd", "dir":"/tmp/carbon"}],
         | "triggerMillis": 250}""".stripMargin)
@@ -205,10 +206,12 @@ class StreamingSpec extends SparkSpec {
       .isInstanceOf[graft.ingest.Carbon.DelimiterDeconstructor])
     assert(cfg.forwardTo.map(_.kind) === Seq("csv", "carbon"))
     assert(cfg.triggerMillis === 250L)
+    assert(cfg.listenFrom.maxFilesPerTrigger === Some(8))
     // defaults fill in
     val minimal = Pipeline.fromJson(
       """{"listenFrom": {"kind":"socket"}, "forwardTo": []}""")
     assert(minimal.listenFrom.port === 2003 && minimal.listenFrom.codec === "carbon")
+    assert(minimal.listenFrom.maxFilesPerTrigger === None)
     assert(minimal.triggerMillis === 1000L)
   }
 
