@@ -95,6 +95,28 @@ class DedupSpec extends SparkSpec {
     assert(viaCollapse === unique)
   }
 
+  test("SimHashBalanceAgg: partial-buffer merge across partitions equals single-partition result") {
+    // spread-by-doc keeps each doc's shingles partition-local, so the
+    // oracle path may never exercise merge()/serialize(). Force it: the
+    // same projected-hash rows round-robin across 16 partitions must
+    // produce identical fingerprints to a single partition.
+    import org.apache.spark.sql.functions._
+    tables()
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val g = Dedup.shingles(spark.table("documents"), 3)
+      .select(col("doc_id"), Dedup.portableHash(col("s")).as("hr"))
+      .select(col("doc_id"),
+        ((col("hr") * Dedup.AB(0)._1 + Dedup.AB(0)._2) % Dedup.P).as("g1"),
+        ((col("hr") * Dedup.AB(1)._1 + Dedup.AB(1)._2) % Dedup.P).as("g2"))
+    def fps(df: org.apache.spark.sql.DataFrame) = df.groupBy("doc_id")
+      .agg(call_function("graft_simhash_balance", col("g1"), col("g2")).as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val spanned = fps(g.repartition(16)) // doc rows span partitions → merge path
+    val local = fps(g.coalesce(1))       // single buffer per doc → update path only
+    assert(spanned === local)
+    assert(spanned.nonEmpty)
+  }
+
   test("deterministic across runs") {
     val a = canon(Dedup.minhashSignatures(docs).orderBy("doc_id").limit(10))
     val b = canon(Dedup.minhashSignatures(docs).orderBy("doc_id").limit(10))
