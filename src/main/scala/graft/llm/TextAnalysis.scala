@@ -23,6 +23,22 @@ object TextAnalysis {
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
+  /** Canonical text normalization — the standard cleanup applied BEFORE
+    * exact/near dedup so trivial variants (case, punctuation, whitespace
+    * runs) collapse to the same form: lowercase → strip non-alphanumerics
+    * (keeping spaces) → collapse whitespace runs → trim. Pure codegen'd
+    * string expressions; no shuffle. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Per-document normalized text with before/after sizes:
+    * (doc_id, norm, n_raw, n_norm). */
+  def normalized(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), normalize(col("text")).as("norm"),
+      length(col("text")).as("n_raw"),
+      length(normalize(col("text"))).as("n_norm"))
+
   /** Per-document quality metrics: char/token counts, mean token length,
     * type-token ratio, stopword ratio. Columns: doc_id, n_chars, n_tokens,
     * avg_tok_len, ttr, stop_ratio. */

@@ -40,6 +40,8 @@ object Extensions {
       TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id")).limit(60)),
     "TEXT-FINGERPRINT" -> ((s, d) =>
       TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id")).limit(60)),
+    "TEXT-NORMALIZE" -> ((s, d) =>
+      TextAnalysis.normalized(docs(s, d)).orderBy(col("doc_id")).limit(50)),
     "LLM-JACCARD-PAIRS" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), n = 3, threshold = 0.8)
         .orderBy(col("jac").desc, col("da"), col("db")).limit(100)),
@@ -247,6 +249,12 @@ object Extensions {
         |       ELSE 'und' END AS guess,
         |  v_en, v_de, v_es, v_fr
         |FROM v ORDER BY doc_id LIMIT 60""".stripMargin,
+    "TEXT-NORMALIZE" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+        |  length(text) AS n_raw,
+        |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS n_norm
+        |FROM documents ORDER BY doc_id LIMIT 50""".stripMargin,
     "TEXT-FINGERPRINT" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |p AS (SELECT doc_id, i, t[i] AS tok
