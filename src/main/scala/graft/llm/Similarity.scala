@@ -127,6 +127,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe hyperplane LSH: additionally search every bucket one sign
+    * flip away from the probe's (the 1-bit Hamming neighbors) — the
+    * standard recall booster that trades bits+1 bucket scans for extra
+    * hash tables. Same broadcast/no-shuffle shape as [[hyperplaneTopK]]:
+    * (vec_id, bucket, cos). */
+  def hyperplaneMultiProbeTopK(embeddings: DataFrame, probeId: Long, k: Int,
+                               bits: Int = 4): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket", hyperplaneBucket(col("embedding"), bits))
+    val probeBuckets = array(
+      (col("bucket") +: (0 until bits).map(j =>
+        col("bucket").bitwiseXOR(lit(1 << j)))): _*)
+    val probe = bucketed.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("p"), explode(probeBuckets).as("pb"))
+    bucketed.join(broadcast(probe), col("bucket") === col("pb") && col("vec_id") =!= probeId)
+      .select(col("vec_id"), col("bucket"),
+        round(cosineNative(col("embedding"), col("p")), 3).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs at scale: hyperplane-LSH bucketing →
     * within-bucket pairs (va < vb) → exact-cosine verify ≥ threshold:
     * (va, vb, cos). The candidate join is BUCKET-equality (never

@@ -58,6 +58,8 @@ object Extensions {
     // bits=4 in the query variant: 16 buckets keeps the probe's bucket
     // populated at oracle SFs (8+ bits is the realistic large-corpus value)
     "LLM-COSINE-LSH" -> ((s, d) => Similarity.hyperplaneTopK(embs(s, d), probeId = 0L, k = 5, bits = 4)),
+    "LLM-ANN-MULTIPROBE" -> ((s, d) =>
+      Similarity.hyperplaneMultiProbeTopK(embs(s, d), probeId = 0L, k = 5, bits = 4)),
     "LLM-ANN-PROBES" -> ((s, d) =>
       Similarity.multiProbeTopK(embs(s, d), Seq(0L, 1L, 2L), k = 3)
         .orderBy(col("probe_id"), col("rank"))),
@@ -218,6 +220,15 @@ object Extensions {
   val oracleSql: Map[String, String] = Map(
     "LLM-MINHASH-LSH" -> minhashOracle,
     "LLM-COSINE-LSH" -> cosineLshOracle,
+    "LLM-ANN-MULTIPROBE" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${hyperplaneBucketSql(4)} AS bucket FROM embeddings),
+        |probe AS (SELECT embedding AS p, bucket AS pb0 FROM b WHERE vec_id = 0),
+        |pbs AS (SELECT p, unnest([pb0, xor(pb0,1), xor(pb0,2), xor(pb0,4), xor(pb0,8)]) AS pb FROM probe)
+        |SELECT e.vec_id, e.bucket,
+        |  round(CAST(list_cosine_similarity(e.embedding, pbs.p) AS DOUBLE), 3) AS cos
+        |FROM b e JOIN pbs ON e.bucket = pbs.pb
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
     "LLM-EMB-NEARDUP" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${hyperplaneBucketSql(4)} AS bucket FROM embeddings)
         |SELECT a.vec_id AS va, c.vec_id AS vb,
