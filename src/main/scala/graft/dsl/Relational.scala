@@ -185,6 +185,17 @@ object Relational {
         .orderBy("user_id", "bucket")
     },
 
+    // NO spread here: repartitioning changes the partial-moment merge
+    // order of corr/covar, and the rounded value must stay bit-equal to
+    // the single-scan plan the oracle was validated against
+    "AGG-CORR" -> (s => s.table("lineitem")
+      .groupBy(col("l_returnflag").as("f"))
+      .agg(
+        round(corr(col("l_quantity").cast("double"), col("l_extendedprice").cast("double")), 4).as("c"),
+        round(covar_samp(col("l_quantity").cast("double"), col("l_discount").cast("double")), 6).as("cv"),
+        round(regr_slope(col("l_extendedprice").cast("double"), col("l_quantity").cast("double")), 4).as("sl"))
+      .orderBy("f")),
+
     // two-phase: tiny (status, priority) count aggregate first, then the
     // rank — the window sees |groups| rows, not |orders|
     "AGG-MODE" -> { s =>

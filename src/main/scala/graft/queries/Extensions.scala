@@ -42,6 +42,13 @@ object Extensions {
       TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id")).limit(60)),
     "TEXT-NORMALIZE" -> ((s, d) =>
       TextAnalysis.normalized(docs(s, d)).orderBy(col("doc_id")).limit(50)),
+    // normalization composed into exact dedup: trivially-variant docs
+    // (case/punct/whitespace) collapse to one digest group
+    "LLM-DEDUP-NORM" -> ((s, d) => docs(s, d)
+      .groupBy(md5(TextAnalysis.normalize(col("text"))).as("digest"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("digest"))),
     "LLM-JACCARD-PAIRS" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), n = 3, threshold = 0.8)
         .orderBy(col("jac").desc, col("da"), col("db")).limit(100)),
@@ -260,6 +267,11 @@ object Extensions {
         |       ELSE 'und' END AS guess,
         |  v_en, v_de, v_es, v_fr
         |FROM v ORDER BY doc_id LIMIT 60""".stripMargin,
+    "LLM-DEDUP-NORM" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS digest,
+        |  count(*) AS n_docs, min(doc_id) AS rep
+        |FROM documents
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY digest""".stripMargin,
     "TEXT-NORMALIZE" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,

@@ -731,6 +731,15 @@ object Inventory {
       |  round(min(value), 2) AS lo, round(max(value), 2) AS hi, count(*) AS n
       |FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin)
 
+  // bivariate statistics (corr / sample covariance / regression slope) —
+  // dual-engine validated at sf0.001/0.01/0.1 before declaration
+  q("AGG-CORR",
+    """SELECT l_returnflag AS f,
+      |  round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 4) AS c,
+      |  round(covar_samp(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)), 6) AS cv,
+      |  round(regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 4) AS sl
+      |FROM lineitem GROUP BY l_returnflag ORDER BY f""".stripMargin)
+
   // per-group modal value — native mode() is tie-nondeterministic across
   // engines, so the contract shape is count + rank with a value tie-break
   q("AGG-MODE",

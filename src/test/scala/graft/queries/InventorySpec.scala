@@ -9,9 +9,11 @@ class InventorySpec extends SparkSpec {
       val first = canon(fn(spark, sfDir))
       val second = canon(fn(spark, sfDir))
       assert(first === second, s"$id not deterministic")
-      // emptiness is SF-dependent for exactly one declared query (JOIN-ANTI /
-      // SET-EXCEPT are non-empty at sf0.001: 0/15 rows — FIXTURES.md #3)
-      if (id != "JOIN-ANTI") assert(first.nonEmpty, s"$id returned no rows")
+      // emptiness is SF-dependent for these (JOIN-ANTI empty at sf0.001 —
+      // FIXTURES.md #3; LLM-DEDUP-NORM has duplicate docs only at sf0.1+,
+      // same corpus quirk as LLM-DEDUP's zero count below sf0.1)
+      if (id != "JOIN-ANTI" && id != "LLM-DEDUP-NORM")
+        assert(first.nonEmpty, s"$id returned no rows")
     }
   }
 
