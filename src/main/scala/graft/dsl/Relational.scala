@@ -185,6 +185,28 @@ object Relational {
         .orderBy("user_id", "bucket")
     },
 
+    "WIN-RATIO" -> { s =>
+      val w = Window.partitionBy("c_nationkey")
+      s.table("customer").where(col("c_custkey") <= 100)
+        .select(col("c_custkey"),
+          round(col("c_acctbal").cast("double") /
+            sum(col("c_acctbal").cast("double")).over(w), 6).as("share"))
+        .orderBy("c_custkey")
+    },
+
+    "AGG-BOOL" -> (s => s.table("orders")
+      .groupBy(col("o_orderstatus").as("st"))
+      .agg(bool_and(col("o_totalprice") > 900).as("all_900"),
+        bool_or(col("o_totalprice") > 400000).as("any_400k"),
+        count(lit(1)).as("n"))
+      .orderBy("st")),
+
+    "FN-TRYCAST" -> (s => s.table("part")
+      .select(col("p_partkey"),
+        substring(col("p_name"), 1, 3).try_cast("int").as("bad"),
+        col("p_size").cast("string").try_cast("int").as("good"))
+      .orderBy("p_partkey").limit(40)),
+
     // NO spread here: repartitioning changes the partial-moment merge
     // order of corr/covar, and the rounded value must stay bit-equal to
     // the single-scan plan the oracle was validated against

@@ -731,6 +731,29 @@ object Inventory {
       |  round(min(value), 2) AS lo, round(max(value), 2) AS hi, count(*) AS n
       |FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin)
 
+  // ratio-to-report: per-partition share via a window sum (partitioned —
+  // scales, unlike the global-window contract shapes)
+  q("WIN-RATIO",
+    """SELECT c_custkey,
+      |  round(CAST(c_acctbal AS DOUBLE) / sum(CAST(c_acctbal AS DOUBLE)) OVER (PARTITION BY c_nationkey), 6) AS share
+      |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin)
+
+  // boolean aggregates (bool_and/bool_or exist natively in both engines)
+  q("AGG-BOOL",
+    """SELECT o_orderstatus AS st, bool_and(o_totalprice > 900) AS all_900,
+      |  bool_or(o_totalprice > 400000) AS any_400k, count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin)
+
+  // error-tolerant parsing: try_cast yields NULL on malformed input in
+  // both engines (the proxy's log-and-skip ingest semantics, relationally)
+  q("FN-TRYCAST",
+    """SELECT p_partkey, try_cast(substr(p_name, 1, 3) AS INT) AS bad,
+      |  try_cast(CAST(p_size AS STRING) AS INT) AS good
+      |FROM part ORDER BY p_partkey LIMIT 40""".stripMargin,
+    """SELECT p_partkey, try_cast(substr(p_name, 1, 3) AS INT) AS bad,
+      |  try_cast(CAST(p_size AS VARCHAR) AS INT) AS good
+      |FROM part ORDER BY p_partkey LIMIT 40""".stripMargin)
+
   // bivariate statistics (corr / sample covariance / regression slope) —
   // dual-engine validated at sf0.001/0.01/0.1 before declaration
   q("AGG-CORR",
