@@ -62,12 +62,25 @@ object Tables {
     * real scale the source has many splits and this is a cheap
     * co-location. */
   def spread(df: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // the no-op gate reads df.rdd.getNumPartitions, which reports the
+    // PRE-AQE count — for a frame whose lineage ends in a shuffle that is
+    // just spark.sql.shuffle.partitions, and AQE can still coalesce the
+    // byte-small exchange to ONE partition at runtime (the exact trap
+    // spread exists to fix). So the no-op is only trusted for scan-only
+    // (narrow) lineage, where the split count is physical reality
+    val scanOnly = df.queryExecution.optimizedPlan.find {
+      case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
+           _: Deduplicate | _: RepartitionOperation | _: GlobalLimit => true
+      case _ => false
+    }.isEmpty
     // adaptive: a source already scanned in >= parts/2 splits gains nothing
     // from an extra exchange — at real scale (thousands of native splits)
-    // this is a no-op and the narrow plan is kept; the repartition only
-    // fires for the degenerate few-split scan it exists to fix
-    if (df.rdd.getNumPartitions >= math.max(2, parts / 2)) df
+    // this is a no-op and the narrow plan is kept. The explicit partition
+    // COUNT matters in the fallback: AQE does not coalesce a
+    // repartition(n, col), but re-coalesces a bare repartition(col)
+    if (scanOnly && df.rdd.getNumPartitions >= math.max(2, parts / 2)) df
     else df.repartition(parts, org.apache.spark.sql.functions.col(key))
   }
 

@@ -103,8 +103,11 @@ object Relational {
 
     // explicit dedup-then-count instead of countDistinct: map-side partial
     // dedup replaces the Expand + two-phase distinct aggregate (measured
-    // 2× at sf0.1, same shuffle key at scale). The isNotNull guard keeps
-    // countDistinct's null-excluding semantics exactly.
+    // 2× at sf0.1, same shuffle key at scale). The isNotNull guard matches
+    // countDistinct's null-excluding counts — with ONE caveat: a group
+    // whose ids are ALL null vanishes here, where countDistinct would emit
+    // it with u=0 (no such group exists in any fixture SF; if null-only
+    // groups must survive, group first and count a deduped non-null join).
     "AGG-DISTINCT" -> (s => s.table("events")
       .where(col("user_id").isNotNull)
       .select("event_type", "user_id").distinct()

@@ -42,6 +42,14 @@ import org.apache.spark.sql.functions._
   */
 object SignalFxProto {
 
+  /** Typed wire-level decode failure: truncated or corrupt payload bytes.
+    * Extends IllegalArgumentException so callers treating decode errors
+    * generically keep working; [[decodeLenient]] / the Pipeline binary arm
+    * catch THIS type and drop the payload (the binary twin of the line
+    * codecs' log-and-skip contract). */
+  final class MalformedPayloadException(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** Decoded datapoint row; Datum arms kept separate (a oneof in spirit). */
   final case class SfxPoint(source: String, metric: String, timestamp: Long,
                             strValue: String, doubleValue: Option[Double],
@@ -79,25 +87,35 @@ object SignalFxProto {
     def bytes: Array[Byte] = out.toByteArray
   }
 
-  /** Minimal protobuf reader over a byte slice; unknown fields skipped. */
+  /** Minimal protobuf reader over a byte slice; unknown fields skipped.
+    * Every read bound-checks against `end`: a truncated nested message must
+    * surface as a typed [[MalformedPayloadException]], never silently
+    * consume bytes from the enclosing message or escape as a raw
+    * ArrayIndexOutOfBoundsException. */
   private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
+    private def need(n: Int): Unit =
+      if (n < 0 || pos + n > end) throw new MalformedPayloadException(
+        s"truncated payload: need $n bytes at offset $pos (end $end)")
     def varint(): Long = {
       var shift = 0; var v = 0L
       while (shift < 64) {
+        need(1)
         val b = buf(pos); pos += 1
         v |= (b & 0x7FL) << shift
         if ((b & 0x80) == 0) return v
         shift += 7
       }
-      throw new IllegalArgumentException("malformed varint")
+      throw new MalformedPayloadException("malformed varint")
     }
     def fixed64(): Long = {
+      need(8)
       var bits = 0L; var i = 0
       while (i < 8) { bits |= (buf(pos + i) & 0xFFL) << (8 * i); i += 1 }
       pos += 8; bits
     }
     def fixed32(): Long = {
+      need(4)
       var bits = 0L; var i = 0
       while (i < 4) { bits |= (buf(pos + i) & 0xFFL) << (8 * i); i += 1 }
       pos += 4; bits
@@ -105,20 +123,22 @@ object SignalFxProto {
     /** Returns a sub-reader over the next length-delimited chunk. */
     def chunk(): Reader = {
       val len = varint().toInt
+      need(len)
       val r = new Reader(buf, pos, pos + len)
       pos += len; r
     }
     def str(): String = {
       val len = varint().toInt
+      need(len)
       val s = new String(buf, pos, len, UTF_8)
       pos += len; s
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint(); ()
-      case 1 => pos += 8
-      case 2 => val len = varint().toInt; pos += len
-      case 5 => pos += 4
-      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+      case 1 => need(8); pos += 8
+      case 2 => val len = varint().toInt; need(len); pos += len
+      case 5 => need(4); pos += 4
+      case w => throw new MalformedPayloadException(s"unsupported wire type $w")
     }
   }
 
@@ -233,6 +253,19 @@ object SignalFxProto {
     IndexedSeq("USER_DEFINED", "ALERT", "AUDIT", "JOB", "COLLECTD",
       "POLICY", "SERVICE_DISCOVERY", "EXCEPTION")
 
+  /** Wire values of the public com.signalfx.metrics.protobuf EventCategory
+    * enum — the enum is SPARSE (values are NOT declaration indices), so
+    * encoding list positions would be wire-incompatible with real SignalFx
+    * producers/consumers. USER_DEFINED is the first declared value, hence
+    * the proto2 default for an absent optional field. */
+  val EventCategoryValues: Map[String, Int] = Map(
+    "USER_DEFINED" -> 1000000, "ALERT" -> 100000, "AUDIT" -> 200000,
+    "JOB" -> 300000, "COLLECTD" -> 400000, "POLICY" -> 500000,
+    "SERVICE_DISCOVERY" -> 600000, "EXCEPTION" -> 700000)
+  private val EventCategoryNames: Map[Int, String] =
+    EventCategoryValues.map(_.swap)
+  private val UnknownCat = "UNKNOWN_(\\d+)".r
+
   def encodeEvent(e: SfxEvent): Array[Byte] = {
     val w = new Writer
     if (e.eventType != null) w.str(1, e.eventType)
@@ -245,8 +278,17 @@ object SignalFxProto {
       val pw = new Writer; pw.str(1, k); pw.lenDelim(2, vw.bytes)
       w.lenDelim(3, pw.bytes)
     }
-    val cat = EventCategories.indexOf(e.category)
-    if (cat > 0) { w.tag(4, 0); w.varint(cat.toLong) }
+    // USER_DEFINED is the proto2 default → legitimately omitted; a decoded
+    // UNKNOWN_<v> carries its numeric value back out (round-trips instead
+    // of silently re-encoding as the default); anything else is an error.
+    val cat = e.category match {
+      case null | "USER_DEFINED" => 0
+      case c => EventCategoryValues.getOrElse(c, c match {
+        case UnknownCat(v) => v.toInt
+        case _ => throw new IllegalArgumentException(s"unknown event category '$c'")
+      })
+    }
+    if (cat != 0) { w.tag(4, 0); w.varint(cat.toLong) }
     w.tag(5, 0); w.varint(e.timestamp)
     w.bytes
   }
@@ -288,7 +330,7 @@ object SignalFxProto {
 
   def decodeEvent(bytes: Array[Byte], from: Int, to: Int): SfxEvent = {
     val r = new Reader(bytes, from, to)
-    var etype: String = null; var cat = 0; var ts = 0L
+    var etype: String = null; var cat = -1; var ts = 0L
     val dims = Map.newBuilder[String, String]
     val props = Map.newBuilder[String, String]
     while (r.hasMore) {
@@ -313,8 +355,9 @@ object SignalFxProto {
         case _      => r.skip(wire)
       }
     }
-    val cname = if (cat >= 0 && cat < EventCategories.length) EventCategories(cat)
-                else s"UNKNOWN_$cat"
+    // absent field → proto2 default (USER_DEFINED, the first declared value)
+    val cname = if (cat < 0) "USER_DEFINED"
+                else EventCategoryNames.getOrElse(cat, s"UNKNOWN_$cat")
     SfxEvent(etype, cname, dims.result(), props.result(), ts)
   }
 
@@ -340,6 +383,20 @@ object SignalFxProto {
     val s = payloads.sparkSession
     import s.implicits._
     payloads.select(col(binCol)).as[Array[Byte]].flatMap(decodeUpload(_))
+  }
+
+  /** Listener arm that DROPS malformed payloads (truncated/corrupt wire
+    * bytes) instead of failing the whole micro-batch — the binary twin of
+    * the line codecs' log-and-skip contract (carbonlistener.go [P]). The
+    * strict [[decode]] stays the default for self-encoded payloads, where
+    * an error is a bug that must surface. */
+  def decodeLenient(payloads: DataFrame, binCol: String = "payload"): Dataset[SfxPoint] = {
+    val s = payloads.sparkSession
+    import s.implicits._
+    payloads.select(col(binCol)).as[Array[Byte]].flatMap { b =>
+      try decodeUpload(b)
+      catch { case _: MalformedPayloadException => Nil }
+    }
   }
 
   /** Forwarder arm: pack each partition's datapoints into ONE upload

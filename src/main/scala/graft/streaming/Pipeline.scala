@@ -121,8 +121,11 @@ object Pipeline {
         graft.ingest.SignalFxJson.decode(lines.withColumnRenamed("line", "body"))
       case "sfxproto" =>
         // binary upload payloads (ListenFrom kind = "binary"); normalize to
-        // the same datapoint shape as the signalfx JSON arm
-        graft.ingest.SignalFxProto.decode(lines).toDF()
+        // the same datapoint shape as the signalfx JSON arm. Lenient: a
+        // truncated/corrupt payload is dropped (MalformedPayloadException),
+        // not allowed to fail the micro-batch — same contract as the line
+        // codecs' log-and-skip
+        graft.ingest.SignalFxProto.decodeLenient(lines).toDF()
           .select(col("metric"), col("dimensions"),
             org.apache.spark.sql.functions.coalesce(
               col("doubleValue"), col("intValue").cast("double")).as("value"),

@@ -92,6 +92,48 @@ class SignalFxProtoSpec extends SparkSpec {
     assert(decodeEventUpload(encodeEventUpload(events.iterator)) === events)
   }
 
+  test("event category encodes the sparse public enum wire values") {
+    // AUDIT = 200000 on the wire (not list index 2): tag 0x20 (field 4,
+    // varint) followed by varint(200000) = c0 9a 0c
+    val e = SfxEvent("x", "AUDIT", Map(), Map(), 7L)
+    assert(hex(encodeEvent(e)).contains("20c09a0c"))
+    assert(decodeEvent(encodeEvent(e), 0, encodeEvent(e).length).category === "AUDIT")
+    // USER_DEFINED is the proto2 default (first declared value) → omitted
+    val ud = encodeEvent(SfxEvent("x", "USER_DEFINED", Map(), Map(), 7L))
+    assert(!hex(ud).contains("20")
+      || decodeEvent(ud, 0, ud.length).category === "USER_DEFINED")
+    // a decoded unknown wire value surfaces as UNKNOWN_<v> and re-encodes
+    // as that value (round-trip), not silently as the default
+    val w = SfxEvent("x", "UNKNOWN_424242", Map(), Map(), 7L)
+    assert(decodeEvent(encodeEvent(w), 0, encodeEvent(w).length).category
+      === "UNKNOWN_424242")
+    // a category that is neither a known name nor UNKNOWN_<v> is an error
+    intercept[IllegalArgumentException] {
+      encodeEvent(SfxEvent("x", "NOT_A_CATEGORY", Map(), Map(), 7L))
+    }
+  }
+
+  test("truncated payloads throw typed errors; lenient decode drops them") {
+    val sq = spark
+    import sq.implicits._
+    val good = encodeUpload(Iterator(
+      SfxPoint(null, "cpu", 1000L, null, Some(1.5), None, "GAUGE", Map())))
+    // cut inside the nested DataPoint message: strict decode must raise the
+    // typed malformed-payload error (not AIOOBE, not silently-wrong data)
+    val truncated = good.take(good.length - 3)
+    intercept[SignalFxProto.MalformedPayloadException] {
+      decodeUpload(truncated)
+    }
+    // a length prefix pointing past the end must also be typed
+    intercept[SignalFxProto.MalformedPayloadException] {
+      decodeUpload(Array[Byte](0x0A, 0x7F, 0x01))
+    }
+    // the lenient listener arm drops the bad payload, keeps the good one
+    val rows = SignalFxProto.decodeLenient(
+      Seq(good, truncated).toDF("payload")).collect()
+    assert(rows.length === 1 && rows(0).metric === "cpu")
+  }
+
   test("event decoder normalizes non-string PropertyValue arms") {
     // hand-build an Event with double/int/bool property values: the decoder
     // must render them as strings (the engine's event property type)
