@@ -65,12 +65,17 @@ object Tables {
     import org.apache.spark.sql.catalyst.plans.logical._
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // the no-op gate reads df.rdd.getNumPartitions, which reports the
-    // PRE-AQE count — for a frame whose lineage ends in a shuffle that is
-    // just spark.sql.shuffle.partitions, and AQE can still coalesce the
+    // PRE-AQE count — for a frame whose lineage ends in a generic shuffle
+    // (join/agg/bare repartition(col)) that is just
+    // spark.sql.shuffle.partitions, and AQE can still coalesce the
     // byte-small exchange to ONE partition at runtime (the exact trap
-    // spread exists to fix). So the no-op is only trusted for scan-only
-    // (narrow) lineage, where the split count is physical reality
-    val scanOnly = df.queryExecution.optimizedPlan.find {
+    // spread exists to fix). So the no-op is trusted only when every
+    // shuffle in the lineage is AQE-STABLE: scans are physical reality,
+    // and an explicit-count Repartition/RepartitionByExpression is a
+    // user-specified count AQE never coalesces. Anything else re-spreads.
+    val aqeStable = df.queryExecution.optimizedPlan.find {
+      case r: RepartitionByExpression => r.optNumPartitions.isEmpty
+      case _: Repartition => false // repartition(n)/coalesce(n): explicit count
       case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
            _: Deduplicate | _: RepartitionOperation | _: GlobalLimit => true
       case _ => false
@@ -80,7 +85,7 @@ object Tables {
     // this is a no-op and the narrow plan is kept. The explicit partition
     // COUNT matters in the fallback: AQE does not coalesce a
     // repartition(n, col), but re-coalesces a bare repartition(col)
-    if (scanOnly && df.rdd.getNumPartitions >= math.max(2, parts / 2)) df
+    if (aqeStable && df.rdd.getNumPartitions >= math.max(2, parts / 2)) df
     else df.repartition(parts, org.apache.spark.sql.functions.col(key))
   }
 

@@ -95,7 +95,11 @@ object SignalFxProto {
   private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
     private def need(n: Int): Unit =
-      if (n < 0 || pos + n > end) throw new MalformedPayloadException(
+      // overflow-safe form: `pos + n` wraps negative when a corrupt length
+      // prefix decodes to a huge positive n (e.g. varint 0x7FFFFFFF) and
+      // the naive check passes; `end - pos` cannot overflow (both bounded
+      // by the array length)
+      if (n < 0 || n > end - pos) throw new MalformedPayloadException(
         s"truncated payload: need $n bytes at offset $pos (end $end)")
     def varint(): Long = {
       var shift = 0; var v = 0L
@@ -390,14 +394,33 @@ object SignalFxProto {
     * the line codecs' log-and-skip contract (carbonlistener.go [P]). The
     * strict [[decode]] stays the default for self-encoded payloads, where
     * an error is a bug that must surface. */
-  def decodeLenient(payloads: DataFrame, binCol: String = "payload"): Dataset[SfxPoint] = {
+  def decodeLenient(payloads: DataFrame, binCol: String = "payload"): Dataset[SfxPoint] =
+    decodeLenientCounted(payloads, binCol)._1
+
+  /** [[decodeLenient]] plus the drop counter: each dropped payload is
+    * logged (size + cause) and counted in a named LongAccumulator, so the
+    * log-and-skip contract has the reference listener's observability
+    * (dropped-point stat keepers [P]) instead of silent data loss. The
+    * accumulator shows up in the Spark UI per stage and is returned for
+    * programmatic assertion. */
+  def decodeLenientCounted(payloads: DataFrame, binCol: String = "payload")
+      : (Dataset[SfxPoint], org.apache.spark.util.LongAccumulator) = {
     val s = payloads.sparkSession
     import s.implicits._
-    payloads.select(col(binCol)).as[Array[Byte]].flatMap { b =>
+    val dropped = s.sparkContext.longAccumulator("graft.sfxproto.dropped_payloads")
+    val ds = payloads.select(col(binCol)).as[Array[Byte]].flatMap { b =>
       try decodeUpload(b)
-      catch { case _: MalformedPayloadException => Nil }
+      catch {
+        case e: MalformedPayloadException =>
+          dropped.add(1L)
+          log.warn(s"dropping malformed payload (${b.length} bytes): ${e.getMessage}")
+          Nil
+      }
     }
+    (ds, dropped)
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ingest.SignalFxProto")
 
   /** Forwarder arm: pack each partition's datapoints into ONE upload
     * payload (the reference forwarder's batched POST body unit). */

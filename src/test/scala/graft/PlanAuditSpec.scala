@@ -99,8 +99,27 @@ class PlanAuditSpec extends SparkSpec {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val wide = spark.table("lineitem").repartition(parts)
     // an already-wide frame must come back unchanged (same plan object),
-    // keeping the narrow 100×-scale plan free of a gratuitous exchange
+    // keeping the narrow 100×-scale plan free of a gratuitous exchange —
+    // an explicit-count repartition is AQE-stable, so its pre-AQE split
+    // count is trustworthy
     assert(graft.core.Tables.spread(wide, "l_orderkey") eq wide)
+    val wideByKey = spark.table("lineitem")
+      .repartition(parts, org.apache.spark.sql.functions.col("l_orderkey"))
+    assert(graft.core.Tables.spread(wideByKey, "l_orderkey") eq wideByKey)
+  }
+
+  test("spread distrusts AQE-coalescible lineage: bare repartition(col) re-spreads") {
+    tables()
+    // a bare repartition(col) reports shuffle.partitions pre-AQE, but AQE
+    // re-coalesces the byte-small exchange to ONE partition at runtime —
+    // spread must not trust it and must pin an explicit count
+    val bare = spark.table("lineitem")
+      .repartition(org.apache.spark.sql.functions.col("l_orderkey"))
+    val spreadBare = graft.core.Tables.spread(bare, "l_orderkey")
+    assert(!(spreadBare eq bare), "bare repartition(col) lineage must re-spread")
+    // same for a frame whose lineage ends in an aggregate exchange
+    val agged = spark.table("lineitem").groupBy("l_orderkey").count()
+    assert(!(graft.core.Tables.spread(agged, "l_orderkey") eq agged))
   }
 
   test("LLM-COSINE-LSH: probe broadcasts; bucket filter, no shuffle before top-k") {

@@ -128,10 +128,20 @@ class SignalFxProtoSpec extends SparkSpec {
     intercept[SignalFxProto.MalformedPayloadException] {
       decodeUpload(Array[Byte](0x0A, 0x7F, 0x01))
     }
-    // the lenient listener arm drops the bad payload, keeps the good one
-    val rows = SignalFxProto.decodeLenient(
-      Seq(good, truncated).toDF("payload")).collect()
+    // a HUGE length prefix (varint 0x7FFFFFFF) must not overflow the bound
+    // check (pos + n wraps negative) into a raw AIOOBE — typed error, so
+    // the lenient arm still drops it instead of failing the micro-batch
+    val huge = Array[Byte](0x0A, 0xFF.toByte, 0xFF.toByte,
+      0xFF.toByte, 0xFF.toByte, 0x07)
+    intercept[SignalFxProto.MalformedPayloadException] { decodeUpload(huge) }
+    // the lenient listener arm drops the bad payloads, keeps the good one,
+    // and counts every drop in the named accumulator (observability: the
+    // reference listener's dropped-point stat keeper, not silent loss)
+    val (ds, dropped) = SignalFxProto.decodeLenientCounted(
+      Seq(good, truncated, huge).toDF("payload"))
+    val rows = ds.collect()
     assert(rows.length === 1 && rows(0).metric === "cpu")
+    assert(dropped.value === 2L)
   }
 
   test("event decoder normalizes non-string PropertyValue arms") {
