@@ -300,6 +300,36 @@ object Relational {
         .orderBy("o_orderkey").limit(60)
     },
 
+    // Scale-path twins of the three global-window shapes: identical
+    // results (the SQL twins ARE the plain global windows), computed by
+    // graft.operators.GlobalWindow's partitioned plans — range-bucketed
+    // key, bucket-local window, broadcast boundary/offset metadata. The
+    // only unpartitioned WindowExec runs over the per-bucket AGGREGATE
+    // (metadata scale), never over the data; PlanAuditSpec asserts it.
+    "WIN-LAG-LEAD-SCALE" -> { s =>
+      graft.operators.GlobalWindow.lagLead(s.table("events"),
+          rangeKey = col("ts").cast("double"), orderCols = Seq("ts", "event_id"),
+          valueCol = "event_id", prevName = "prev_id", nextName = "next_id")
+        .select("event_id", "prev_id", "next_id")
+        .orderBy("event_id").limit(100)
+    },
+
+    "WIN-FRAME-RANGE-SCALE" -> { s =>
+      graft.operators.GlobalWindow.rangeCount(s.table("orders"),
+          key = col("o_totalprice").cast(dec(18, 2)), span = 1000L, cntName = "near_cnt")
+        .select("o_orderkey", "near_cnt")
+        .orderBy(col("o_orderkey").desc).limit(80)
+    },
+
+    "WIN-NTILE-SCALE" -> { s =>
+      graft.operators.GlobalWindow.ntileGlobal(s.table("orders"),
+          rangeKey = negate(col("o_totalprice").cast("double")),
+          orderCols = Seq(col("o_totalprice").cast(dec(18, 2)).desc, col("o_orderkey")),
+          n = 4, tileName = "q")
+        .select("o_orderkey", "q")
+        .orderBy(col("o_orderkey").desc).limit(80)
+    },
+
     "SORT-TOPK" -> (s => s.table("orders")
       .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
       .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("p"))),

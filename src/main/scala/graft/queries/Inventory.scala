@@ -206,6 +206,32 @@ object Inventory {
     """SELECT o_orderkey, ntile(4) OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS q
       |FROM orders ORDER BY o_orderkey LIMIT 60""".stripMargin)
 
+  // Scale-path twins of the three global-window shapes above: same
+  // semantics (the SQL here IS the plain global window — that's what the
+  // oracle checks), but the DSL implementation (graft.operators
+  // .GlobalWindow, served by SparkEntry) runs the PARTITIONED plan:
+  // range-bucketed key, bucket-local window, broadcast boundary/offset
+  // metadata — no single-partition WindowExec over the data.
+  q("WIN-LAG-LEAD-SCALE",
+    """SELECT event_id,
+      |  lag(event_id) OVER w AS prev_id, lead(event_id) OVER w AS next_id
+      |FROM events
+      |WINDOW w AS (ORDER BY ts, event_id) ORDER BY event_id LIMIT 100""".stripMargin,
+    s"""SELECT event_id,
+      |  lag(event_id) OVER w AS prev_id, lead(event_id) OVER w AS next_id
+      |FROM $EV events
+      |WINDOW w AS (ORDER BY ts, event_id) ORDER BY event_id LIMIT 100""".stripMargin)
+
+  q("WIN-FRAME-RANGE-SCALE",
+    """SELECT o_orderkey,
+      |  count(*) OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
+      |        RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS near_cnt
+      |FROM orders ORDER BY o_orderkey DESC LIMIT 80""".stripMargin)
+
+  q("WIN-NTILE-SCALE",
+    """SELECT o_orderkey, ntile(4) OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS q
+      |FROM orders ORDER BY o_orderkey DESC LIMIT 80""".stripMargin)
+
   // ----------------------------------------------------------- sort/limit
   q("SORT-TOPK",
     """SELECT o_orderkey, round(o_totalprice,2) AS p FROM orders

@@ -108,6 +108,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(graft.core.Tables.spread(wideByKey, "l_orderkey") eq wideByKey)
   }
 
+  test("global-window scale paths: no unpartitioned WindowExec over the data") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    Seq("WIN-LAG-LEAD-SCALE", "WIN-FRAME-RANGE-SCALE", "WIN-NTILE-SCALE").foreach { id =>
+      val plan = df(id).queryExecution.optimizedPlan
+      val windows = plan.collect { case w: LWindow => w }
+      assert(windows.exists(_.partitionSpec.nonEmpty),
+        s"$id: expected a bucket-partitioned window over the data")
+      // any unpartitioned window must sit on metadata-scale input (<=
+      // bucket-count rows): a per-bucket aggregate, or the edge-row filter
+      // of a bucket-partitioned window — never on the raw table
+      windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+        val reduced = w.child.collectFirst {
+          case a: Aggregate => a
+          case pw: LWindow if pw.partitionSpec.nonEmpty => pw
+        }
+        assert(reduced.isDefined,
+          s"$id: unpartitioned Window over non-reduced (data-scale) input")
+      }
+    }
+    // the contract shape, by contrast, IS the single-partition window —
+    // the scale twin exists precisely because of this
+    val contract = df("WIN-NTILE").queryExecution.optimizedPlan
+    assert(contract.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty)
+  }
+
   test("spread distrusts AQE-coalescible lineage: bare repartition(col) re-spreads") {
     tables()
     // a bare repartition(col) reports shuffle.partitions pre-AQE, but AQE
