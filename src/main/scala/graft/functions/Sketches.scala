@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate sketch operators — the first tools a user reaches for at
+  * 100 TB, where exact `count(DISTINCT ...)` means a full shuffle of every
+  * key and exact medians mean a global sort.
+  *
+  * All of these are Spark-native sketch aggregates (HLL++ for
+  * approx_count_distinct, Apache DataSketches HLL for the mergeable
+  * sketch column, Greenwald-Khanna summaries for percentile_approx):
+  * map-side partial aggregation, fixed-size buffers, one narrow shuffle of
+  * sketch bytes instead of raw keys. The mergeable variants are the
+  * re-aggregation pattern: sketch once per fine-grained group (per day,
+  * per shard), roll up to any coarser grouping later WITHOUT rescanning
+  * the data.
+  *
+  * Estimates are deterministic for a given input (sketches are hashed, not
+  * sampled), so error-bound assertions on fixed data are stable — see
+  * AGG-APPROX-DISTINCT / AGG-APPROX-MEDIAN and SketchesSpec.
+  */
+object Sketches {
+
+  /** Per-group approximate distinct count of `valueCol` (HLL++). `rsd` is
+    * the target relative standard deviation (default 5%). */
+  def approxDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                     rsd: Double = 0.05): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(approx_count_distinct(col(valueCol), rsd).as("approx_nd"))
+
+  /** Per-group MERGEABLE HLL sketch of `valueCol` (DataSketches, binary
+    * column). lgK = log2 of the register count: 12 → 4 KiB per group,
+    * ~1.6% relative error. */
+  def hllSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("hll"))
+
+  /** Roll sketches up to a coarser grouping without touching the raw data —
+    * e.g. per-(day, shard) sketches to per-day totals. The merge shuffles
+    * only sketch bytes (4 KiB per input group at lgK=12). */
+  def hllRollup(sketches: DataFrame, coarserCols: Seq[String],
+                sketchCol: String = "hll",
+                allowDifferentLgK: Boolean = false): DataFrame =
+    sketches.groupBy(coarserCols.map(col): _*)
+      .agg(hll_union_agg(col(sketchCol), lit(allowDifferentLgK)).as(sketchCol))
+
+  /** Distinct-count estimate from a sketch column. */
+  def hllEstimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  /** Per-group approximate median (Greenwald-Khanna; rank error bounded by
+    * group_size / accuracy). Returns an actual data value, no
+    * interpolation. */
+  def approxMedian(df: DataFrame, groupCol: String, valueCol: String,
+                   accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol), lit(0.5), lit(accuracy)).as("approx_median"))
+
+  /** Per-group approximate quantile vector. */
+  def approxQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                      probs: Seq[Double], accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol),
+        array(probs.map(lit): _*), lit(accuracy)).as("approx_q"))
+}

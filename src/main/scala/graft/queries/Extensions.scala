@@ -119,6 +119,34 @@ object Extensions {
           max(col("timestamp")).as("max_ts"))
         .orderBy("metric")
     },
+    // Approximate sketches, hash-checked via DETERMINISTIC error-bound
+    // booleans: sketches are hashed (not sampled), so on fixed data the
+    // estimate — and therefore the bound check — is bit-stable. The oracle
+    // side asserts all-true; the Spark side computes approx AND exact and
+    // checks |err| against the documented bound. SketchesSpec carries the
+    // numeric error assertions; Bench carries the timing.
+    "AGG-APPROX-DISTINCT" -> { (s, d) =>
+      val ev = events(s, d)
+      val apx = graft.functions.Sketches.approxDistinct(ev, "event_type", "user_id", rsd = 0.05)
+      val ext = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("exact_nd"))
+      apx.join(ext, "event_type")
+        .select(col("event_type").as("g"),
+          (abs(col("approx_nd") - col("exact_nd")) <=
+            greatest(col("exact_nd") * 0.15, lit(2.0))).as("within_bound"))
+        .orderBy("g")
+    },
+    "AGG-APPROX-MEDIAN" -> { (s, d) =>
+      val ev = events(s, d)
+      val apx = graft.functions.Sketches.approxMedian(ev, "event_type", "value", accuracy = 10000)
+      val ext = ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.45)").as("p45"),
+        expr("percentile(value, 0.55)").as("p55"))
+      apx.join(ext, "event_type")
+        .select(col("event_type").as("g"),
+          (col("approx_median") >= col("p45") &&
+            col("approx_median") <= col("p55")).as("within_bound"))
+        .orderBy("g")
+    },
     // event-codec twin of PARSE-SFXPROTO: events → EventUploadMessage
     // payloads → decode → aggregate, checked against the direct aggregate
     "PARSE-SFXEVENT" -> { (s, d) =>
@@ -225,6 +253,13 @@ object Extensions {
   private val STOP_FR = "('le','les','des','et','est')"
 
   val oracleSql: Map[String, String] = Map(
+    // approx sketches: the oracle asserts the deterministic bound holds
+    "AGG-APPROX-DISTINCT" ->
+      """SELECT event_type AS g, TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY g""".stripMargin,
+    "AGG-APPROX-MEDIAN" ->
+      """SELECT event_type AS g, TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY g""".stripMargin,
     "LLM-MINHASH-LSH" -> minhashOracle,
     "LLM-COSINE-LSH" -> cosineLshOracle,
     "LLM-ANN-MULTIPROBE" ->

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Error-bound assertions for the approximate sketch operators against the
+  * EXACT answers (the AGG-DISTINCT / AGG-MEDIAN ground truth). Sketches are
+  * deterministic on fixed data, so these are hard assertions, not flaky
+  * statistical ones. */
+class SketchesSpec extends SparkSpec {
+
+  test("approxDistinct: relative error within 3x rsd of exact per group") {
+    tables()
+    val ev = spark.table("events")
+    val rows = Sketches.approxDistinct(ev, "event_type", "user_id", rsd = 0.05)
+      .join(ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("exact")), "event_type")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val apx = r.getAs[Long]("approx_nd").toDouble
+      val exact = r.getAs[Long]("exact").toDouble
+      val relErr = math.abs(apx - exact) / math.max(exact, 1.0)
+      assert(relErr <= 0.15, s"${r.get(0)}: approx=$apx exact=$exact relErr=$relErr")
+    }
+  }
+
+  test("hll sketches merge: rollup of fine-grained sketches matches the direct estimate") {
+    tables()
+    val ev = spark.table("events")
+    // sketch per (event_type, user_id bucket) — the "per shard" fine grain —
+    // then roll up to event_type WITHOUT rescanning events
+    val fine = Sketches.hllSketch(
+      ev.withColumn("shard", pmod(col("user_id"), lit(8))),
+      Seq("event_type", "shard"), "user_id", lgK = 12)
+    val rolled = Sketches.hllRollup(fine, Seq("event_type"))
+      .select(col("event_type"), Sketches.hllEstimate(col("hll")).as("est"))
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("exact"))
+    val rows = rolled.join(exact, "event_type").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est").toDouble
+      val ex = r.getAs[Long]("exact").toDouble
+      // lgK=12 → ~1.6% rsd; assert 3-sigma + small-count slack
+      assert(math.abs(est - ex) <= math.max(ex * 0.05, 2.0),
+        s"${r.get(0)}: merged est=$est exact=$ex")
+    }
+  }
+
+  test("hll rollup estimate equals sketching the coarse group directly") {
+    tables()
+    val ev = spark.table("events")
+    val viaRollup = Sketches.hllRollup(
+        Sketches.hllSketch(ev.withColumn("shard", pmod(col("user_id"), lit(8))),
+          Seq("event_type", "shard"), "user_id"),
+        Seq("event_type"))
+      .select(col("event_type"), round(Sketches.hllEstimate(col("hll")), 6).as("est"))
+    val direct = Sketches.hllSketch(ev, Seq("event_type"), "user_id")
+      .select(col("event_type"), round(Sketches.hllEstimate(col("hll")), 6).as("est"))
+    assert(canon(viaRollup.orderBy("event_type")) === canon(direct.orderBy("event_type")),
+      "HLL union must be lossless: merge-of-parts == sketch-of-whole")
+  }
+
+  test("approxMedian: rank error within group_size/accuracy of the true median") {
+    tables()
+    val ev = spark.table("events")
+    val apx = Sketches.approxMedian(ev, "event_type", "value", accuracy = 10000)
+    val rows = apx.join(ev.groupBy("event_type").agg(count(lit(1)).as("n")), "event_type")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getString(0)
+      val m = r.getAs[Double]("approx_median")
+      val n = r.getAs[Long]("n").toDouble
+      val below = ev.where(col("event_type") === g && col("value") <= m).count().toDouble
+      // GK guarantee: |rank - n/2| <= n/accuracy (+1 slack for ties)
+      assert(math.abs(below - n / 2) <= n / 10000 + 1,
+        s"$g: approx median $m has rank $below of $n")
+    }
+  }
+
+  test("approxQuantiles returns a monotone vector of data values") {
+    tables()
+    val ev = spark.table("events")
+    val rows = Sketches.approxQuantiles(ev, "event_type", "value",
+      Seq(0.1, 0.5, 0.9)).collect()
+    rows.foreach { r =>
+      val q = r.getSeq[Double](1)
+      assert(q.size === 3 && q(0) <= q(1) && q(1) <= q(2), s"${r.get(0)}: $q")
+    }
+  }
+}
