@@ -109,12 +109,13 @@ object Dedup {
     * baseHash = [[portableHash]] the signatures (and everything built on
     * them) hash-match the DuckDB oracle. */
   def minhashSignatures(documents: DataFrame, n: Int = 3, numHashes: Int = 16,
-                        baseHash: Column => Column = fastHash): DataFrame = {
-    require(numHashes <= AB.length, s"at most ${AB.length} hash slots")
+                        baseHash: Column => Column = fastHash,
+                        abOffset: Int = 0): DataFrame = {
+    require(abOffset + numHashes <= AB.length, s"at most ${AB.length} hash slots")
     graft.functions.expressions.GraftFunctions.register(documents.sparkSession)
     val sh = shingles(documents, n).select(col("doc_id"), baseHash(col("s")).as("hr"))
     val mins = (0 until numHashes).map { k =>
-      val (a, b) = AB(k)
+      val (a, b) = AB(abOffset + k)
       min((col("hr") * a + b) % P).as(s"h$k")
     }
     sh.groupBy("doc_id")
@@ -155,6 +156,51 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est0"))
       .groupBy("da", "db").agg(min("est0").as("est_jac"))
       .filter(col("est_jac") >= estThreshold)
+      .select(col("da"), col("db"), round(col("est_jac"), 4).as("est_jac"))
+  }
+
+  /** OR-amplified MinHash LSH: `tables` independent hash families (disjoint
+    * [[AB]] slices), a pair is a candidate if ANY table's banding catches
+    * it — detection probability 1 − (1 − p₁)^tables where p₁ is the
+    * single-table probability 1 − (1 − j^rows)^bands. This is the
+    * shippable recall knob: one table's (1 − (1 − j^rows)^bands) is not a
+    * guarantee at corpus scale; K tables drive the miss rate to (miss₁)^K.
+    *
+    * Cost discipline: ONE shingle + signature pass computes all
+    * tables·numHashes slots (the affine family makes extra slots nearly
+    * free), the banded self-join stays key-equality on (band, bkey) with
+    * the table id folded into the band index, and candidate dedup across
+    * tables is a primitive-key (da, db) groupBy. est_jac = the detecting
+    * table's best agreement fraction. */
+  def minhashPairsK(documents: DataFrame, tables: Int = 4, n: Int = 3,
+                    numHashes: Int = 16, bands: Int = 8,
+                    estThreshold: Double = 0.5,
+                    baseHash: Column => Column = fastHash): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(tables * numHashes <= AB.length,
+      s"tables*numHashes must be <= ${AB.length}")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(documents, n, tables * numHashes, baseHash)
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(tables * bands - 1)),
+        b => concat_ws(",", slice(col("sig"), b * rows + lit(1), lit(rows)))))
+        .as(Seq("band", "bkey")))
+    // per-hit est over the DETECTING table's slice of the signature; the
+    // band index encodes the table (band div bands)
+    val start = (col("band").cast("int") / bands).cast("int") * numHashes + 1
+    banded.select(col("doc_id").as("da"), col("sig").as("siga"), col("band"), col("bkey"))
+      .join(banded.select(col("doc_id").as("db"), col("sig").as("sigb"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        (aggregate(zip_with(
+            slice(col("siga"), start, lit(numHashes)),
+            slice(col("sigb"), start, lit(numHashes)),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est0"))
+      .filter(col("est0") >= estThreshold)
+      .groupBy("da", "db").agg(max("est0").as("est_jac"))
       .select(col("da"), col("db"), round(col("est_jac"), 4).as("est_jac"))
   }
 

@@ -100,9 +100,9 @@ object Similarity {
     * signs), hyperplane buckets use EVERY dimension, so bucket collision
     * probability tracks cosine similarity — the textbook LSH guarantee. */
   def hyperplaneBucket(emb: org.apache.spark.sql.Column, bits: Int = 8,
-                       dims: Int = 64): org.apache.spark.sql.Column =
+                       dims: Int = 64, planeOffset: Int = 0): org.apache.spark.sql.Column =
     (0 until bits).map { k =>
-      val (a, b) = Dedup.AB(k)
+      val (a, b) = Dedup.AB(planeOffset + k)
       val plane = array((0 until dims).map(d =>
         lit(((a * (d + 1) + b) % Dedup.P).toDouble / Dedup.P - 0.5)): _*)
       val dot = aggregate(zip_with(emb, plane, (x, p) => x.cast("double") * p),
@@ -163,6 +163,34 @@ object Similarity {
     val b = bucketed.select(col("bucket"), col("vec_id").as("vb"), col("embedding").as("eb"))
     a.join(b, Seq("bucket"))
       .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        round(cosineNative(col("ea"), col("eb")), 3).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("cos").desc, col("va"), col("vb"))
+  }
+
+  /** OR-amplified embedding near-dup pairs: `tables` independent
+    * hyperplane families (disjoint [[Dedup.AB]] slices). A pair is a
+    * candidate if it collides in ANY table, so the miss probability drops
+    * from (1 − (1 − θ/π)^bits) complement to its `tables`-th power — the
+    * published guarantee for multi-table LSH. Candidates are deduped on
+    * the primitive (va, vb) key BEFORE the exact-cosine verify (one
+    * cosine per pair, not per table hit); the join stays
+    * (table, bucket)-equality — never all-pairs. */
+  def nearDupEmbPairsK(embeddings: DataFrame, threshold: Double,
+                       bits: Int = 4, tables: Int = 4): DataFrame = {
+    require(tables * bits <= Dedup.AB.length,
+      s"tables*bits must be <= ${Dedup.AB.length}")
+    val bucketed = graft.core.Tables.spread(embeddings, "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until tables).map(t =>
+          hyperplaneBucket(col("embedding"), bits, planeOffset = t * bits)): _*))
+          .as(Seq("tbl", "bucket")))
+    val a = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("va") < col("vb"))
+      .groupBy("va", "vb").agg(first(col("ea")).as("ea"), first(col("eb")).as("eb"))
       .select(col("va"), col("vb"),
         round(cosineNative(col("ea"), col("eb")), 3).as("cos"))
       .filter(col("cos") >= threshold)
