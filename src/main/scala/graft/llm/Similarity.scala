@@ -64,33 +64,65 @@ object Similarity {
       .limit(k)
   }
 
-  /** Persist an IVF index: the corpus written parquet-partitioned BY CELL,
-    * so a probe read scans only its cell's files — at 100 TB the cell id
+  /** Persist an IVF index: the corpus written parquet-partitioned BY CELL
+    * (so a probe read scans only its cell's files — at 100 TB the cell id
     * is the partition key and Spark's partition pruning turns an ANN probe
-    * into a ~1/2^bits scan with no shuffle. */
-  def writeIvfIndex(embeddings: DataFrame, path: String, bits: Int = 3): Unit =
-    ivfCell(embeddings, bits).write.mode("overwrite")
-      .partitionBy("cell").parquet(path)
+    * into a ~1/2^bits scan with no shuffle), PLUS a probe-resolution
+    * SIDECAR: (vec_id, cell, embedding) range-partitioned and sorted by
+    * vec_id, so resolving a probe id is a row-group-pruned point lookup
+    * (vec_id equality pushed to the parquet footer stats), never a full
+    * index scan. */
+  def writeIvfIndex(embeddings: DataFrame, path: String, bits: Int = 3): Unit = {
+    val cells = ivfCell(embeddings, bits)
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    cells.select("vec_id", "cell", "embedding")
+      .repartitionByRange(col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(sidecarPath(path))
+  }
 
-  /** Probe a persisted IVF index: resolve the probe's cell (a point lookup),
-    * then scan ONLY that cell via partition pruning (verify with
-    * `PartitionFilters` in the plan): (vec_id, cell, cos). */
+  /** Probe-resolution sidecar location for an index at `path`. */
+  def sidecarPath(path: String): String = path.stripSuffix("/") + "_probes"
+
+  /** Probe a persisted IVF index by probe id: resolve the probe against
+    * the vec_id-sorted SIDECAR (a pushdown point lookup — file- and
+    * row-group-pruned by the parquet min/max stats, O(one row group) at
+    * any index size), then scan ONLY the probe's cell via partition
+    * pruning (verify with `PartitionFilters` in the plan):
+    * (vec_id, cell, cos). */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      probeId: Long, k: Int): DataFrame = {
-    val index = spark.read.parquet(path)
-    val probeRow = index.filter(col("vec_id") === probeId)
+    val probeRow = spark.read.parquet(sidecarPath(path))
+      .filter(col("vec_id") === probeId)
       .select("embedding", "cell").collect().headOption
       .getOrElse(throw new NoSuchElementException(
         s"probe vec_id=$probeId not found in IVF index at $path"))
     val pcell = probeRow.getInt(probeRow.fieldIndex("cell"))
-    val p = probeRow.getSeq[Float](probeRow.fieldIndex("embedding"))
-    index.filter(col("cell") === pcell && col("vec_id") =!= probeId)
+    val p = probeRow.getSeq[Float](probeRow.fieldIndex("embedding")).toArray
+    ivfTopKIndexed(spark, path, p, pcell, probeId, k)
+  }
+
+  /** Probe a persisted IVF index with an EXPLICIT query vector (no lookup
+    * at all — the shape for out-of-corpus queries): the cell comes from
+    * the same deterministic quantizer used at write time. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     probe: Array[Float], k: Int, bits: Int): DataFrame = {
+    val pcell = (0 until bits).map { d =>
+      if (probe(d) > 0f) 1 << (bits - 1 - d) else 0
+    }.sum
+    ivfTopKIndexed(spark, path, probe, pcell, excludeId = -1L, k)
+  }
+
+  private def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                             probe: Array[Float], pcell: Int, excludeId: Long,
+                             k: Int): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("cell") === pcell && col("vec_id") =!= excludeId)
       .select(col("vec_id"), col("cell"),
         round(cosineNative(col("embedding"),
-          lit(p.toArray).cast("array<float>")), 3).as("cos"))
+          lit(probe).cast("array<float>")), 3).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
-  }
 
   /** Random-hyperplane (SimHash-for-cosine) LSH bucket id: `bits` sign
     * bits of dot products with deterministic pseudo-random hyperplanes.

@@ -75,5 +75,24 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), "cell filter not pushed to partition pruning")
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
       s"cell not in PartitionFilters")
+
+    // probe RESOLUTION goes through the vec_id-sorted sidecar with the
+    // equality pushed to the parquet scan (row-group-pruned point lookup),
+    // not a full scan of the cell-partitioned index
+    import org.apache.spark.sql.functions.col
+    val lookup = spark.read.parquet(Similarity.sidecarPath(dir))
+      .filter(col("vec_id") === 0L)
+    lookup.collect()
+    val lplan = lookup.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(vec_id".r.findFirstIn(lplan).isDefined,
+      s"vec_id point lookup not pushed down:\n$lplan")
+
+    // the explicit-vector overload (out-of-corpus probe) agrees with the
+    // id-resolved path up to the self-exclusion
+    val probeVec = embs.filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val byVec = Similarity.ivfTopKIndexed(spark, dir, probeVec, k = 6, bits = 3)
+    val byVecIds = byVec.collect().map(_.getLong(0)).filterNot(_ == 0L).take(5)
+    assert(byVecIds.toSeq === probed.collect().map(_.getLong(0)).toSeq)
   }
 }
