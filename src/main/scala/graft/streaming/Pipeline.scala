@@ -17,8 +17,10 @@ object Pipeline {
     * it decodes. codec "carbon" parses graphite lines (with the pluggable
     * deconstructor); "collectd" / "signalfx" parse the respective JSON
     * bodies, one per input line; "sfxproto" decodes binary
-    * `DataPointUploadMessage` payloads (kind = "binary") — §2a rows 6–7b. */
-  final case class ListenFrom(kind: String, // "file" | "socket" | "binary"
+    * `DataPointUploadMessage` payloads (kind = "binary") — §2a rows 6–7b.
+    * kind "partitioned" is the Kafka-shaped replay source (see
+    * [[source]]). */
+  final case class ListenFrom(kind: String, // "file" | "socket" | "binary" | "partitioned"
                               path: String = "", host: String = "localhost",
                               port: Int = 2003,
                               codec: String = "carbon",
@@ -98,6 +100,27 @@ object Pipeline {
       spark.readStream.format("socket")
         .option("host", lf.host).option("port", lf.port).load()
         .withColumnRenamed("value", "line")
+    case "partitioned" =>
+      // Kafka-shaped partitioned replay (SURVEY §1b's "Kafka source
+      // (prod)" without a broker): the topic is a directory of
+      // `partition=P` groups whose files are named `offset=<zero-padded>`
+      // (a file is the fetch unit, like a Kafka record batch). Files
+      // drain oldest-first, bounded by maxFilesPerTrigger — so a replay
+      // produced in offset order is consumed in per-partition offset
+      // order, N partition groups draining in parallel. Each row carries
+      // (src_partition, src_offset) metadata, the authoritative order.
+      // The production swap-in is `format("kafka")` with the same
+      // downstream decode.
+      import org.apache.spark.sql.functions._
+      val r = spark.readStream
+      lf.maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.text(lf.path.stripSuffix("/") + "/partition=*")
+        .select(col("value").as("line"), input_file_name().as("__f"))
+        .withColumn("src_partition",
+          regexp_extract(col("__f"), "partition=(\\d+)", 1).cast("int"))
+        .withColumn("src_offset",
+          regexp_extract(col("__f"), "offset=(\\d+)", 1).cast("long"))
+        .drop("__f")
     case other => throw new IllegalArgumentException(s"unknown listener kind '$other'")
   }
 
