@@ -92,4 +92,18 @@ object TextAnalysis {
   /** Token counts per document (the LLM-TOKENIZE shape, as an API). */
   def tokenCounts(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+
+  /** BPE-style pre-tokenizer regex (GPT-2-family shape, minus lookahead —
+    * portable to RE2, so the DuckDB oracle can run the identical pattern):
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs. */
+  val BpePattern: String = "'[a-z]+| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Whitespace AND BPE-ish token counts per document — the two token
+    * budgets a training pipeline tracks (raw words vs subword-ish units).
+    * Codegen'd regexp over a narrow projection, no shuffle. */
+  def bpeTokenCounts(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      size(tokens(col("text"))).as("n_ws"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe"))
 }

@@ -42,6 +42,9 @@ object Extensions {
       TextAnalysis.fingerprint(docs(s, d)).orderBy(col("doc_id")).limit(60)),
     "TEXT-NORMALIZE" -> ((s, d) =>
       TextAnalysis.normalized(docs(s, d)).orderBy(col("doc_id")).limit(50)),
+    // two token budgets per doc: whitespace words + BPE-ish regex units
+    "TEXT-TOKENS-BPE" -> ((s, d) =>
+      TextAnalysis.bpeTokenCounts(docs(s, d)).orderBy(col("doc_id")).limit(60)),
     // normalization composed into exact dedup: trivially-variant docs
     // (case/punct/whitespace) collapse to one digest group
     "LLM-DEDUP-NORM" -> ((s, d) => docs(s, d)
@@ -260,6 +263,10 @@ object Extensions {
     "AGG-APPROX-MEDIAN" ->
       """SELECT event_type AS g, TRUE AS within_bound
         |FROM events GROUP BY event_type ORDER BY g""".stripMargin,
+    "TEXT-TOKENS-BPE" ->
+      s"""SELECT doc_id, len(string_split(text, ' ')) AS n_ws,
+        |  len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}')) AS n_bpe
+        |FROM documents ORDER BY doc_id LIMIT 60""".stripMargin,
     "LLM-MINHASH-LSH" -> minhashOracle,
     "LLM-COSINE-LSH" -> cosineLshOracle,
     "LLM-ANN-MULTIPROBE" ->

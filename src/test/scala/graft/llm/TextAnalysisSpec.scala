@@ -46,4 +46,18 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("n_tokens") =!= size(split(col("text"), " ")))
     assert(bad.count() === 0)
   }
+
+  test("bpeTokenCounts: BPE-ish units cover known shapes; n_bpe >= n_ws on word text") {
+    val sq = spark
+    import sq.implicits._
+    val t = Seq((1L, "hello world don't stop 42 times!"), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.bpeTokenCounts(t).orderBy("doc_id").collect()
+    // "hello"," world"," don","'t"," stop"," 42"," times","!" → 8 BPE units, 6 words
+    assert(rows(0).getInt(1) === 6 && rows(0).getInt(2) === 8)
+    assert(rows(1).getInt(1) === 3 && rows(1).getInt(2) === 3)
+    // on the fixture corpus, subword-ish units never undercount words
+    val bad = TextAnalysis.bpeTokenCounts(docs).filter(col("n_bpe") < col("n_ws"))
+    assert(bad.count() === 0)
+  }
 }
