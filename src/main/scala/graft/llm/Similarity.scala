@@ -220,12 +220,18 @@ object Similarity {
           .as(Seq("tbl", "bucket")))
     val a = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("va"), col("embedding").as("ea"))
     val b = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    // verify map-side, dedup after: the cosine is identical for every
+    // table hit of a pair, so computing it per hit (cheap codegen over
+    // rows the join already materialized) and shuffling only the
+    // surviving (va, vb, cos) triples beats carrying 2 x 256-byte
+    // embeddings through the dedup groupBy — and the threshold filter
+    // runs BEFORE the shuffle, dropping most candidates map-side
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("va") < col("vb"))
-      .groupBy("va", "vb").agg(first(col("ea")).as("ea"), first(col("eb")).as("eb"))
       .select(col("va"), col("vb"),
-        round(cosineNative(col("ea"), col("eb")), 3).as("cos"))
-      .filter(col("cos") >= threshold)
+        round(cosineNative(col("ea"), col("eb")), 3).as("cos0"))
+      .filter(col("cos0") >= threshold)
+      .groupBy("va", "vb").agg(max("cos0").as("cos"))
       .orderBy(col("cos").desc, col("va"), col("vb"))
   }
 

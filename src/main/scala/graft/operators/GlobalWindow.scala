@@ -146,8 +146,15 @@ object GlobalWindow {
     * rows contribute to counts but produce no output. One hash shuffle,
     * <= 2x transient data, no metadata joins at all. */
   def rangeCount(df: DataFrame, key: Column, span: Long, buckets: Int = 0,
-                 cntName: String = "cnt"): DataFrame = {
-    require(span > 0, "rangeCount requires span > 0")
+                 cntName: String = "cnt"): DataFrame =
+    rangeAgg(df, key, span, count(lit(1)), buckets, cntName)
+
+  /** Any distributive/algebraic aggregate over the same global range frame
+    * (sum, avg, min, max, count — anything whose value is a function of
+    * the frame's rows): same halo construction, same single shuffle. */
+  def rangeAgg(df: DataFrame, key: Column, span: Long, agg: Column,
+               buckets: Int = 0, outName: String = "agg"): DataFrame = {
+    require(span > 0, "rangeAgg requires span > 0")
     val nb = if (buckets > 0) buckets else defaultBuckets(df)
     val (lo, hi) = keyRange(df, key)
     val width = math.max(1.5 * span, math.max((hi - lo) / nb, 1e-9))
@@ -162,7 +169,7 @@ object GlobalWindow {
       .withColumn("__gw_halo", lit(true))
     val w = Window.partitionBy(B).orderBy(key).rangeBetween(-span, Window.currentRow)
     orig.unionByName(halo)
-      .withColumn(cntName, count(lit(1)).over(w))
+      .withColumn(outName, agg.over(w))
       .where(!col("__gw_halo"))
       .drop(B, "__gw_halo")
   }

@@ -38,6 +38,10 @@ object ScaleProbe {
 
     time("exact-dedup")(Dedup.exactDuplicates(big).count())
     time("neardup-collapsed")(Dedup.nearDupPairs(big, 3, 16, 8, 0.5).count())
+    // OR-amplified (4 tables) over the collapsed corpus: candidate volume
+    // must stay O(tables x single-table), never quadratic
+    time("neardup-collapsed-K4")(
+      Dedup.minhashPairsK(Dedup.representatives(big), 4, 3, 16, 8, 0.5).count())
     time("minhash-pairs")(Dedup.minhashPairs(big, 3, 16, 8, 0.5).count())
     time("simhash-pairs")(Dedup.simhashPairs(big, 3, 3).count())
     time("jaccard-pairs")(Dedup.jaccardPairs(big, 3, 0.8).count())
@@ -52,6 +56,8 @@ object ScaleProbe {
       graft.llm.Similarity.nearDupEmbPairs(ebig, 0.35, bits = 4).count())
     time("embneardup-8bit")(
       graft.llm.Similarity.nearDupEmbPairs(ebig, 0.35, bits = 8).count())
+    time("embneardup-8bit-K4")(
+      graft.llm.Similarity.nearDupEmbPairsK(ebig, 0.35, bits = 8, tables = 4).count())
     spark.stop()
   }
 }
