@@ -35,9 +35,14 @@ object Pipeline {
   final case class ForwardTo(kind: String, // "csv" | "carbon" | "sfxproto"
                              name: String, dir: String)
 
-  /** Engine pipeline config (reference config.go [P]). */
+  /** Engine pipeline config (reference config.go [P]). stateStore
+    * "rocksdb" backs streaming state (windows, dedup, counterToRate) with
+    * the RocksDB provider — at 100 TB/day state no longer fits the
+    * default in-memory HDFS-backed store; RocksDB spills to local disk
+    * with incremental checkpointing. */
   final case class GraftConfig(listenFrom: ListenFrom, forwardTo: Seq[ForwardTo],
-                               triggerMillis: Long = 1000)
+                               triggerMillis: Long = 1000,
+                               stateStore: String = "memory")
 
   /** Parse a JSON pipeline config — the reference boots from a JSON file
     * (`exampleSfdbproxy.conf` [P]) with ListenFrom[]/ForwardTo[] blocks;
@@ -74,7 +79,18 @@ object Pipeline {
         ForwardTo((ft \ "kind").extract[String], (ft \ "name").extract[String],
           (ft \ "dir").extract[String])
       },
-      triggerMillis = (j \ "triggerMillis").extractOpt[Long].getOrElse(1000L))
+      triggerMillis = (j \ "triggerMillis").extractOpt[Long].getOrElse(1000L),
+      stateStore = (j \ "stateStore").extractOpt[String].getOrElse("memory"))
+  }
+
+  /** Apply the configured state-store backend to the session (must happen
+    * before the query starts; the provider is read at query planning). */
+  def applyStateStore(spark: SparkSession, cfg: GraftConfig): Unit = cfg.stateStore match {
+    case "rocksdb" => spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    case "memory" => () // default HDFSBackedStateStoreProvider
+    case other => throw new IllegalArgumentException(s"unknown stateStore '$other'")
   }
 
   /** Build the source stream for a listener: text lines for the line
@@ -164,6 +180,7 @@ object Pipeline {
   /** Assemble listener → decode/deconstruct → demux(forwarders). Caller
     * `.start()`s (and names/checkpoints) the returned writer. */
   def assemble(spark: SparkSession, cfg: GraftConfig): DataStreamWriter[Row] = {
+    applyStateStore(spark, cfg)
     val points = decode(source(spark, cfg.listenFrom), cfg.listenFrom)
     StreamingOps.demux(points, cfg.forwardTo.map(forwarder),
       Trigger.ProcessingTime(cfg.triggerMillis))

@@ -105,6 +105,42 @@ class RecoverySpec extends SparkSpec {
     // pre-restart state (20, 3.0) — its presence proves state recovery
     assert(rates.toSeq === Seq(("cpu", 20L, 0.2), ("cpu", 30L, 0.3)))
   }
+
+  test("counterToRate state survives restart on the RocksDB state store") {
+    val sq = spark
+    import sq.implicits._
+    val root = Files.createTempDirectory("graft_rocksdb").toString
+    Files.createDirectories(Paths.get(s"$root/in"))
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    Pipeline.applyStateStore(spark, Pipeline.GraftConfig(
+      Pipeline.ListenFrom("file", path = s"$root/in"), Nil, stateStore = "rocksdb"))
+    try {
+      def startQuery() = {
+        val pts = spark.readStream.text(s"$root/in")
+          .select(split(col("value"), " ").as("p"))
+          .select(col("p")(0).as("metric"), col("p")(1).cast("long").as("epoch"),
+            col("p")(2).cast("double").as("value"))
+          .as[RatePoint]
+        StreamingOps.counterToRate(pts, idleTimeout = None)
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append").start()
+      }
+      Files.write(Paths.get(s"$root/in/f1.txt"), "gpu 100 5.0\ngpu 110 9.0".getBytes)
+      val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+      Files.write(Paths.get(s"$root/in/f2.txt"), "gpu 120 15.0".getBytes)
+      val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+      val rates = spark.read.parquet(s"$root/out").orderBy("epoch").collect()
+        .map(r => (r.getAs[Long]("epoch"), r.getAs[Double]("rate")))
+      assert(rates.toSeq === Seq((110L, 0.4), (120L, 0.6)))
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
 
 object RecoverySpec {
