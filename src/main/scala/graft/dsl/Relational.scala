@@ -234,6 +234,39 @@ object Relational {
         .orderBy("st")
     },
 
+    // AGG-MODE generalized to k > 1: per-group heavy hitters. The window
+    // runs over the (group, value) AGGREGATE (tiny), never the raw rows.
+    "AGG-TOPK-FREQ" -> { s =>
+      val counts = s.table("events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy(col("cnt").desc, col("user_id"))
+      counts.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("event_type"), col("rk"), col("user_id"), col("cnt"))
+        .orderBy("event_type", "rk")
+    },
+
+    // gap-based sessionization (6h): lag → break flag → running sum, all
+    // partitioned on user_id — scales without a global sort. Integer-µs
+    // gap arithmetic for exact cross-engine comparison.
+    "WIN-SESSIONIZE" -> { s =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val prevUs = lag(unix_micros(col("ts")), 1).over(w)
+      s.table("events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(prevUs.isNull || unix_micros(col("ts")) - prevUs > 21600000000L, 1)
+            .otherwise(0).as("brk"))
+        .select(col("user_id"), col("ts"),
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).cast("long").as("t_start"),
+          max(col("ts")).cast("long").as("t_end"))
+        .orderBy("user_id", "session_id").limit(100)
+    },
+
     "AGG-GROUPING-FN" -> (s => graft.core.Tables.withoutAmbiguousSelfJoinCheck(s) {
       s.table("orders")
         .rollup("o_orderstatus", "o_orderpriority")

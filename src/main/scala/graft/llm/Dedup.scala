@@ -204,6 +204,59 @@ object Dedup {
       .select(col("da"), col("db"), round(col("est_jac"), 4).as("est_jac"))
   }
 
+  /** Connected components over a duplicate-pair graph — the dedup endgame:
+    * pair generators ([[jaccardPairs]], [[minhashPairs]], [[simhashPairs]])
+    * emit EDGES, but the keep/drop decision needs CLUSTERS (a≈b and b≈c must
+    * collapse to one kept document even when a≉b directly). Returns
+    * (cluster_id, doc_id) — cluster_id is the component's minimum member,
+    * so the canonical representative is the row where cluster_id == doc_id.
+    * Documents that appear in no pair are absent (they keep themselves).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the minimum label among itself and its neighbors, converging in
+    * O(graph diameter) rounds. Each round is one key-equality join + one
+    * groupBy (shuffle-friendly, never all-pairs), and `localCheckpoint`
+    * truncates the plan lineage so iteration N doesn't replay rounds 1..N-1
+    * (the classic iterative-DataFrame trap). Near-dup cluster graphs are
+    * dense blobs with tiny diameter, so rounds ≈ 2–4 in practice; for
+    * adversarially long path graphs at 100 TB, swap in the
+    * small-star/large-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce"), which converges in O(log n) rounds over the
+    * same join/groupBy primitives — the per-round plan shape is identical.
+    * On a real cluster prefer `checkpoint` (reliable storage) over
+    * `localCheckpoint` for fault tolerance on long chains.
+    *
+    * First two columns of `pairs` are taken as the edge endpoints. Throws
+    * if not converged within maxIter (a wrong answer is worse than an
+    * error). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val Seq(ca, cb) = pairs.columns.take(2).toSeq
+    val fwd = pairs.select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b"))
+    // symmetrize: min-labels must flow both directions along every edge
+    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val prop = edges.select(col("a").as("node"), col("b"))
+        .join(labels.select(col("node").as("b"), col("lbl")), "b")
+        .select(col("node"), col("lbl"))
+      val next = labels.unionByName(prop)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("node"), col("lbl").as("prev")), "node")
+        .filter(col("lbl") < col("prev")).count()
+      labels = next
+      it += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds")
+    labels.select(col("lbl").as("cluster_id"), col("node").as("doc_id"))
+  }
+
   /** Scale pipeline: exact-duplicate collapse → near-dup pair generation
     * over unique texts only. Web-scale corpora are dominated by EXACT
     * copies; a k-clone cluster contributes C(k,2) candidate pairs to every

@@ -799,6 +799,56 @@ object Inventory {
       |  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
       |WHERE rn = 1 ORDER BY st""".stripMargin)
 
+  // AGG-MODE generalized to k > 1: per-group top-k most frequent values
+  // (heavy hitters) — partitioned window over the tiny (group, value)
+  // aggregate, never over the raw rows
+  q("AGG-TOPK-FREQ",
+    """SELECT event_type, rk, user_id, cnt FROM (
+      |  SELECT event_type, user_id, count(*) AS cnt,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY count(*) DESC, user_id) AS rk
+      |  FROM events GROUP BY event_type, user_id) t
+      |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin)
+
+  // gap-based sessionization: a session breaks when the within-user gap
+  // exceeds 6h. Two partitioned windows (lag → running sum of breaks), then
+  // a per-session aggregate — every stage keyed on user_id, no global sort.
+  // Integer-µs gap arithmetic so both engines compare exactly.
+  q("WIN-SESSIONIZE",
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN unix_micros(ts) - lag(unix_micros(ts))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 21600000000
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM x)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  CAST(min(ts) AS BIGINT) AS t_start, CAST(max(ts) AS BIGINT) AS t_end
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id LIMIT 100""".stripMargin,
+    s"""WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 21600000000
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM $EV events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM x)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  CAST(floor(epoch(min(ts))) AS BIGINT) AS t_start,
+      |  CAST(floor(epoch(max(ts))) AS BIGINT) AS t_end
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id LIMIT 100""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(

@@ -122,4 +122,43 @@ class DedupSpec extends SparkSpec {
     val b = canon(Dedup.minhashSignatures(docs).orderBy("doc_id").limit(10))
     assert(a === b)
   }
+
+  test("connected components: transitive clusters with min-member ids") {
+    import spark.implicits._
+    // two components: {1,2,3,4} via a path (1≈2, 2≈3, 3≈4 — 1 and 4 never
+    // pair directly) and {10,11}; 99 is isolated (no pair → absent)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("da", "db")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: long path needs diameter rounds, still converges") {
+    import spark.implicits._
+    // a 12-node path, edges listed high-to-low so labels must walk the
+    // whole chain; plus reversed-endpoint edges (db < da) to prove the
+    // symmetrization isn't order-sensitive
+    val edges = (1L until 12L).map(i => if (i % 2 == 0) (i + 1, i) else (i, i + 1))
+    val got = Dedup.connectedComponents(edges.toDF("da", "db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 12 && got.forall(_._1 === 1L))
+  }
+
+  test("connected components: empty pair set yields empty clustering") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(Dedup.connectedComponents(empty).count() === 0)
+  }
+
+  test("connected components over jaccard pairs: every cluster member shares a pair chain") {
+    val pairs = Dedup.jaccardPairs(docs, 3, 0.8).select("da", "db")
+    val cc = Dedup.connectedComponents(pairs)
+    // every paired node appears exactly once, and cluster_id is a member
+    val nodes = pairs.select(col("da").as("n")).union(pairs.select(col("db").as("n"))).distinct()
+    assert(cc.count() === nodes.count())
+    assert(cc.join(nodes, cc("doc_id") === nodes("n")).count() === cc.count())
+    val badRep = cc.select(col("cluster_id").as("n")).distinct()
+      .join(nodes, Seq("n"), "left_anti")
+    assert(badRep.count() === 0)
+  }
 }
