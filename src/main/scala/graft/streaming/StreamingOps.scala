@@ -155,6 +155,37 @@ object StreamingOps {
     points.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join (attribution shape: every right-side event
+    * joined to same-key left-side events at most `maxDelay` after it has,
+    * e.g. purchase ← click within 10 minutes). The batch twin is JOIN-RANGE/
+    * JOIN-ASOF; this is the streaming form.
+    *
+    * State is BOUNDED because both inputs carry watermarks AND the join
+    * condition bounds event time in both directions — Spark derives from
+    * them how long each side's rows must be retained and evicts state older
+    * than that. Without the time-range conjunct a stream-stream join must
+    * keep EVERY row forever (unbounded state — the 100 TB killer), and
+    * Spark rejects outer variants outright. Both sides shuffle-partition on
+    * the join key, so the stateful join is key-local; `joinType` supports
+    * "inner" and "leftOuter" (left rows with no match emit nulls once the
+    * watermark passes their eligibility window).
+    *
+    * Column names (other than `keyCol`) must be disjoint between the sides
+    * — the output carries both sides' columns with one `keyCol`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTsCol: String, rightTsCol: String, maxDelay: String,
+                   leftWatermark: String, rightWatermark: String,
+                   joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, leftWatermark).alias("l")
+    val r = right.withWatermark(rightTsCol, rightWatermark).alias("r")
+    l.join(r,
+        expr(s"""l.$keyCol = r.$keyCol
+                 AND $leftTsCol >= $rightTsCol
+                 AND $leftTsCol <= $rightTsCol + interval $maxDelay"""),
+        joinType)
+      .drop(col(s"r.$keyCol"))
+  }
+
   /** CUMULATIVE_COUNTER → per-second RATE conversion, the reference's
     * counter semantics (golib/datapoint MetricType [P]), as a custom
     * stateful streaming operator: state = last (ts, value) per metric,

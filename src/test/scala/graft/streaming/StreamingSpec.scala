@@ -10,6 +10,8 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.SparkSpec
 
 case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+case class Click(user_id: Long, click_ts: Timestamp, ad: String)
+case class Purchase(user_id: Long, buy_ts: Timestamp, amount: Double)
 
 class StreamingSpec extends SparkSpec {
 
@@ -249,6 +251,68 @@ class StreamingSpec extends SparkSpec {
     assert(pts(0).metric === "svc.a" && pts(0).value === 1.5)
     // typed lambda over the Dataset — compile-time field access
     assert(ds.map(_.metric.toUpperCase).collect().toSeq === Seq("SVC.A"))
+  }
+
+  private def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("stream-stream interval join: purchases attribute to clicks within 10 minutes") {
+    val sq = spark
+    import sq.implicits._
+    val clicks = MemoryStream[Click](spark)
+    val buys = MemoryStream[Purchase](spark)
+    val joined = StreamingOps.intervalJoin(
+      buys.toDF(), clicks.toDF(), keyCol = "user_id",
+      leftTsCol = "buy_ts", rightTsCol = "click_ts", maxDelay = "10 minutes",
+      leftWatermark = "1 minute", rightWatermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    clicks.addData(
+      Click(1L, t(0), "adA"),   // matched at +5
+      Click(2L, t(0), "adB"),   // matched twice (user 2 buys at +5 via both clicks)
+      Click(2L, t(4), "adC"),
+      Click(3L, t(0), "adD"))   // user 3 never buys
+    buys.addData(
+      Purchase(1L, t(5), 9.99),   // within 10m of adA
+      Purchase(1L, t(20), 5.00),  // 20m after the only user-1 click: no match
+      Purchase(2L, t(5), 7.50),   // within 10m of adB AND adC
+      Purchase(4L, t(5), 1.00))   // no click at all
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attrib_out")
+      .select(col("user_id"), col("buy_ts").cast("long").as("bt"), col("ad"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out === Set(
+      (1L, 1700000300L, "adA"),
+      (2L, 1700000300L, "adB"),
+      (2L, 1700000300L, "adC")))
+  }
+
+  test("stream-stream interval join: leftOuter emits unmatched rows after watermark passes") {
+    val sq = spark
+    import sq.implicits._
+    val clicks = MemoryStream[Click](spark)
+    val buys = MemoryStream[Purchase](spark)
+    val joined = StreamingOps.intervalJoin(
+      buys.toDF(), clicks.toDF(), keyCol = "user_id",
+      leftTsCol = "buy_ts", rightTsCol = "click_ts", maxDelay = "10 minutes",
+      leftWatermark = "1 minute", rightWatermark = "1 minute",
+      joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    clicks.addData(Click(1L, t(0), "adA"))
+    buys.addData(Purchase(1L, t(5), 9.99), Purchase(4L, t(5), 1.00))
+    q.processAllAvailable()
+    // outer results emit only once the watermark proves no match can still
+    // arrive — push both watermarks far past the eligibility window
+    clicks.addData(Click(99L, t(600), "sentinel"))
+    buys.addData(Purchase(99L, t(600), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attrib_outer")
+      .filter(col("user_id") =!= 99L)
+      .select(col("user_id"), col("ad"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(out === Set((1L, Some("adA")), (4L, None)))
   }
 
   test("withCounters observes point counts without a second aggregation") {
