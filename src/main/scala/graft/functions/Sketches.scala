@@ -63,4 +63,19 @@ object Sketches {
     df.groupBy(col(groupCol))
       .agg(percentile_approx(col(valueCol),
         array(probs.map(lit): _*), lit(accuracy)).as("approx_q"))
+
+  /** Per-group frequent items (heavy hitters): Misra-Gries sketch with at
+    * most `k` counters, returned as map<string,bigint> of item → estimated
+    * count ([[graft.functions.expressions.FreqItemsAgg]]). Guarantees:
+    * estimates never overstate, undercount ≤ n/(k+1), and every item with
+    * true count > n/(k+1) is present. Map-side partial aggregation ships
+    * ≤ k entries per partition instead of the raw key stream — the scale
+    * twin of the exact AGG-TOPK-FREQ query. */
+  def frequentItems(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                    k: Int = 64): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(df.sparkSession)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_freq_items",
+        col(valueCol).cast("string"), lit(k)).as("freq"))
+  }
 }

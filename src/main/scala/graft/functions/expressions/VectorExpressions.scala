@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -78,7 +78,17 @@ object GraftFunctions {
     "graft_poly_hash" -> (exprs => PolyHash(exprs.head)),
     "graft_simhash_agg" -> (exprs => SimHashAgg(exprs.head).toAggregateExpression()),
     "graft_simhash_balance" -> (exprs =>
-      SimHashBalanceAgg(exprs(0), exprs(1)).toAggregateExpression()))
+      SimHashBalanceAgg(exprs(0), exprs(1)).toAggregateExpression()),
+    "graft_freq_items" -> { exprs =>
+      // k must be a foldable int literal (it sizes the aggregation buffer)
+      val k = exprs(1).eval(InternalRow.empty) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_freq_items k must be an integer literal, got $other")
+      }
+      FreqItemsAgg(exprs(0), k).toAggregateExpression()
+    })
 
   /** Register graft functions on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

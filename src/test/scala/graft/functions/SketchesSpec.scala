@@ -89,4 +89,63 @@ class SketchesSpec extends SparkSpec {
       assert(q.size === 3 && q(0) <= q(1) && q(1) <= q(2), s"${r.get(0)}: $q")
     }
   }
+
+  /** Assert the Misra-Gries guarantees of a frequentItems result against
+    * exact counts: no overestimates, undercount ≤ n/(k+1), every item with
+    * true count > n/(k+1) present. */
+  private def assertMgBounds(freq: Map[String, Long], exact: Map[String, Long], k: Int): Unit = {
+    val n = exact.values.sum.toDouble
+    val bound = n / (k + 1)
+    freq.foreach { case (item, est) =>
+      val truth = exact.getOrElse(item, 0L)
+      assert(est <= truth, s"$item: est $est overstates true $truth")
+      assert(truth - est <= bound, s"$item: undercount ${truth - est} > $bound")
+    }
+    exact.foreach { case (item, truth) =>
+      if (truth > bound)
+        assert(freq.contains(item), s"guaranteed-heavy $item (count $truth > $bound) missing")
+    }
+  }
+
+  test("frequentItems: MG bounds hold per group on events") {
+    tables()
+    val ev = spark.table("events")
+    val k = 16
+    val freq = Sketches.frequentItems(ev, Seq("event_type"), "user_id", k)
+      .collect().map(r => r.getString(0) -> r.getMap[String, Long](1).toMap).toMap
+    assert(freq.nonEmpty && freq.values.forall(m => m.nonEmpty && m.size <= k))
+    val exact = ev.groupBy("event_type", "user_id").count().collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => r.getLong(1).toString -> r.getLong(2)).toMap
+      }
+    freq.foreach { case (g, m) => assertMgBounds(m, exact(g), k) }
+  }
+
+  test("frequentItems: merge path (many partitions) keeps the bounds") {
+    tables()
+    val ev = spark.table("events").repartition(32)
+    val k = 8
+    val freq = Sketches.frequentItems(ev, Seq("event_type"), "user_id", k)
+      .collect().map(r => r.getString(0) -> r.getMap[String, Long](1).toMap).toMap
+    val exact = spark.table("events").groupBy("event_type", "user_id").count().collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => r.getLong(1).toString -> r.getLong(2)).toMap
+      }
+    freq.foreach { case (g, m) => assertMgBounds(m, exact(g), k) }
+  }
+
+  test("frequentItems: a dominant key always surfaces, even with k=2") {
+    val sq = spark
+    import sq.implicits._
+    // 500 copies of "hot" drowned in 900 singletons: true count 500 >
+    // n/(k+1) = 1400/3, so MG with k=2 MUST keep it
+    val rows = Seq.fill(500)("hot") ++ (1 to 900).map(i => s"cold_$i")
+    val df = rows.toDF("v").repartition(16).withColumn("g", lit("all"))
+    val freq = Sketches.frequentItems(df, Seq("g"), "v", k = 2)
+      .collect().head.getMap[String, Long](1).toMap
+    assert(freq.contains("hot"), s"dominant key missing from $freq")
+    assert(freq("hot") <= 500L)
+  }
 }
