@@ -124,6 +124,84 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
 
+  /** Spherical k-means centroids over the embedding column (Lloyd's
+    * algorithm), the LEARNED coarse quantizer for IVF — unlike [[ivfCell]]
+    * (fixed sign-bit cells) the cells adapt to the corpus, which is what a
+    * production IVF index uses (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", the IVF part).
+    *
+    * Scale shape per iteration:
+    *  - ASSIGN is a pure map-side pass: the k centroids (k × dims doubles —
+    *    tiny by construction) are collected to the driver and inlined as a
+    *    literal array of (score, cid) structs; `array_max` picks the argmax
+    *    centroid per row in codegen. No shuffle, no window, no join.
+    *  - UPDATE shuffles only (cell, dim) partial sums — k·dims keys, with
+    *    map-side partial aggregation — never the embeddings themselves.
+    *  - centroids re-normalize on the driver (spherical k-means: argmax
+    *    dot == argmax cosine once centroids are unit-norm).
+    * Deterministic init (the k lowest-vec_id vectors), argmax ties break
+    * on centroid id (struct comparison), fixed iteration count; results
+    * are repeatable up to the fp merge order of the averaging shuffle
+    * (why this is a ScalaTest-gated operator, not a DuckDB-oracle query).
+    * Empty cells keep their previous centroid. Returns (cell, centroid). */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8,
+                      iters: Int = 5): Array[(Int, Array[Double])] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    var centroids = embeddings.orderBy("vec_id").limit(k)
+      .select(col("embedding")).collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> normalize(r.getSeq[Float](0).map(_.toDouble).toArray) }
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(embeddings, centroids)
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("cell", "d").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> normalize(r.getSeq[Double](1).toArray))
+        .toMap
+      centroids = centroids.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    centroids
+  }
+
+  /** Assign every row its nearest centroid (max cosine, ties to the lower
+    * cell id) as a `cell` column. Map-side only: centroids are inlined as
+    * a literal (score, cid) struct array and `array_max` does the argmax
+    * in codegen — the assignment of a 100 TB corpus is one scan. */
+  def assignCells(embeddings: DataFrame,
+                  centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val scored = array(centroids.map { case (cid, c) =>
+      struct(
+        cosineNative(col("embedding"),
+          lit(c.map(_.toFloat)).cast("array<float>")).as("s"),
+        lit(-cid).as("negcid")) // struct max = lexicographic: score, then LOWER cid
+    }: _*)
+    embeddings.withColumn("cell", -array_max(scored).getField("negcid"))
+  }
+
+  /** IVF ANN over LEARNED cells: k-means quantizer, probe scans only its
+    * own cell, exact-cosine rerank: (vec_id, cell, cos). Same downstream
+    * shape as [[ivfTopK]] — the cell id is a plain int column, so at write
+    * time it's a parquet partition key and probing is partition-pruned. */
+  def ivfTopKKmeans(embeddings: DataFrame, probeId: Long, k: Int,
+                    cells: Int = 8, iters: Int = 5): DataFrame = {
+    val model = kmeansCentroids(embeddings, cells, iters)
+    val assigned = assignCells(embeddings, model)
+    val probe = assigned.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("p"), col("cell").as("pcell"))
+    assigned.join(broadcast(probe), col("cell") === col("pcell") && col("vec_id") =!= probeId)
+      .select(col("vec_id"), col("cell"),
+        round(cosineNative(col("embedding"), col("p")), 3).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Random-hyperplane (SimHash-for-cosine) LSH bucket id: `bits` sign
     * bits of dot products with deterministic pseudo-random hyperplanes.
     * Plane k's component for dimension d is ((a_k·(d+1)+b_k) mod P)/P − 0.5

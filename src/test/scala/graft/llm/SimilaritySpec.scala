@@ -1,5 +1,7 @@
 package graft.llm
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class SimilaritySpec extends SparkSpec {
@@ -94,5 +96,58 @@ class SimilaritySpec extends SparkSpec {
     val byVec = Similarity.ivfTopKIndexed(spark, dir, probeVec, k = 6, bits = 3)
     val byVecIds = byVec.collect().map(_.getLong(0)).filterNot(_ == 0L).take(5)
     assert(byVecIds.toSeq === probed.collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("k-means centroids: unit-norm, deterministic, objective improves with iterations") {
+    val k = 4
+    val m1 = Similarity.kmeansCentroids(embs, k, iters = 1)
+    val m5 = Similarity.kmeansCentroids(embs, k, iters = 5)
+    assert(m5.length === k)
+    m5.foreach { case (_, c) =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    // repeatable up to fp merge order of the averaging shuffle: same data,
+    // same init, same iterations -> same model within tolerance
+    val m5b = Similarity.kmeansCentroids(embs, k, iters = 5)
+    m5.zip(m5b).foreach { case ((_, a), (_, b)) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+    // Lloyd's monotonicity: mean cosine to the assigned centroid never
+    // degrades with more iterations
+    def objective(model: Array[(Int, Array[Double])]): Double = {
+      val cents = model.toMap
+      embs.select("vec_id", "embedding").collect().map { r =>
+        val x = r.getSeq[Float](1).map(_.toDouble).toArray
+        val nx = math.sqrt(x.map(v => v * v).sum)
+        cents.values.map(c => x.zip(c).map { case (a, b) => a * b }.sum / nx).max
+      }.sum
+    }
+    assert(objective(m5) >= objective(m1) - 1e-9)
+  }
+
+  test("assignCells: every row gets its argmax-cosine centroid (ties to lower cell)") {
+    val model = Similarity.kmeansCentroids(embs, 4, iters = 3)
+    val assigned = Similarity.assignCells(embs, model)
+      .select("vec_id", "embedding", "cell").collect()
+    val cents = model.toMap
+    assigned.foreach { r =>
+      val x = r.getSeq[Float](1).map(_.toDouble).toArray
+      val nx = math.sqrt(x.map(v => v * v).sum)
+      def cos(c: Array[Double]) = x.zip(c).map { case (a, b) => a * b }.sum / nx
+      val best = model.map { case (cid, c) => (cos(c), cid) }
+        .reduceLeft((p, q) => if (q._1 > p._1 || (q._1 == p._1 && q._2 < p._2)) q else p)
+      assert(r.getInt(2) === best._2,
+        s"vec ${r.getLong(0)}: got cell ${r.getInt(2)}, want ${best._2}")
+    }
+  }
+
+  test("ivfTopKKmeans: exact within the probe's learned cell") {
+    val model = Similarity.kmeansCentroids(embs, 4, iters = 3)
+    val assigned = Similarity.assignCells(embs, model)
+    val pcell = assigned.filter(col("vec_id") === 0L).select("cell").collect()(0).getInt(0)
+    val expected = Similarity.cosineTopK(
+      assigned.filter(col("cell") === pcell).drop("cell"), 0L, 5)
+    val got = Similarity.ivfTopKKmeans(embs, probeId = 0L, k = 5, cells = 4, iters = 3)
+    assert(canon(got.select("vec_id", "cos")) === canon(expected.select("vec_id", "cos")))
   }
 }
