@@ -237,21 +237,31 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).localCheckpoint()
-    var changed = 1L
+    // convergence detector: labels only ever DECREASE, so the label sum
+    // strictly decreases iff any label changed — one scalar aggregate per
+    // round instead of a join+count. decimal(38,0) keeps the sum exact for
+    // any Long ids at any node count.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = lblSum(labels)
+    var changed = true
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (changed && it < maxIter) {
       val prop = edges.select(col("a").as("node"), col("b"))
         .join(labels.select(col("node").as("b"), col("lbl")), "b")
         .select(col("node"), col("lbl"))
-      val next = labels.unionByName(prop)
+      labels = labels.unionByName(prop)
         .groupBy("node").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("node"), col("lbl").as("prev")), "node")
-        .filter(col("lbl") < col("prev")).count()
-      labels = next
+      val s = lblSum(labels)
+      // null sums (empty graph) compare equal — nothing to propagate
+      changed =
+        if (s == null || prevSum == null) s != prevSum
+        else s.compareTo(prevSum) != 0
+      prevSum = s
       it += 1
     }
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds")
     labels.select(col("lbl").as("cluster_id"), col("node").as("doc_id"))
