@@ -232,9 +232,12 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val Seq(ca, cb) = pairs.columns.take(2).toSeq
     val fwd = pairs.select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b"))
-    // symmetrize: min-labels must flow both directions along every edge
+    // symmetrize: min-labels must flow both directions along every edge.
+    // No dedup — min() is idempotent under duplicate edges, and the pair
+    // generators emit unique pairs anyway; a distinct() here would shuffle
+    // the whole edge set once before the first round.
     val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).localCheckpoint()
     // convergence detector: labels only ever DECREASE, so the label sum
