@@ -247,6 +247,49 @@ object Relational {
         .orderBy("event_type", "rk")
     },
 
+    // melt via Dataset.unpivot — the inverse of AGG-PIVOT; the narrow
+    // (metric, v) stream aggregates with map-side partials
+    "AGG-UNPIVOT" -> { s =>
+      s.table("lineitem")
+        .select(col("l_discount").as("disc"), col("l_extendedprice").as("price"),
+          col("l_quantity").as("qty"), col("l_tax").as("tax"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column], "metric", "v")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("c"),
+          round(sum(col("v").cast(dec(18, 2))).cast("double"), 2).as("sv"))
+        .orderBy("metric")
+    },
+
+    // EMA: ordered collect + left fold — both engines run the identical
+    // double arithmetic in the identical (ts, event_id) order. Sequential
+    // by nature; see the Inventory comment for the affine parallel-prefix
+    // scale path.
+    "TS-EMA" -> { s =>
+      val vals = transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+        _.getField("value"))
+      s.table("events")
+        .groupBy("event_type")
+        .agg(vals.as("vals"))
+        .select(col("event_type"), size(col("vals")).as("n"),
+          round(aggregate(slice(col("vals"), lit(2), size(col("vals")) - 1),
+            element_at(col("vals"), 1),
+            (acc, x) => acc * 0.7 + x * 0.3), 4).as("ema"))
+        .orderBy("event_type")
+    },
+
+    "FN-URL" -> { s =>
+      val url = concat(lit("https://"), lower(col("event_type")),
+        lit(".example.com/u/"), col("user_id").cast("string"),
+        lit("/p?ev="), col("event_id").cast("string"), lit("&x=1"))
+      s.table("events")
+        .select(col("event_id"),
+          parse_url(url, lit("HOST")).as("host"),
+          parse_url(url, lit("PATH")).as("path"),
+          parse_url(url, lit("QUERY"), lit("ev")).cast("bigint").as("ev"))
+        .orderBy("event_id").limit(50)
+    },
+
     // gap-based sessionization (6h): lag → break flag → running sum, all
     // partitioned on user_id — scales without a global sort. Integer-µs
     // gap arithmetic for exact cross-engine comparison.

@@ -849,6 +849,75 @@ object Inventory {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id LIMIT 100""".stripMargin)
 
+  // melt: wide measure columns to (metric, value) rows — the inverse of
+  // AGG-PIVOT. Spark side uses Dataset.unpivot (stack in the SQL twin);
+  // the duck twin is the portable UNION ALL formulation.
+  q("AGG-UNPIVOT",
+    """SELECT metric, count(*) AS c,
+      |  round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv
+      |FROM (
+      |  SELECT stack(4, 'disc', l_discount, 'price', l_extendedprice,
+      |                  'qty', l_quantity, 'tax', l_tax) AS (metric, v)
+      |  FROM lineitem) t
+      |GROUP BY metric ORDER BY metric""".stripMargin,
+    """SELECT metric, count(*) AS c,
+      |  round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv
+      |FROM (
+      |  SELECT 'disc' AS metric, l_discount AS v FROM lineitem
+      |  UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'qty', l_quantity FROM lineitem
+      |  UNION ALL SELECT 'tax', l_tax FROM lineitem) t
+      |GROUP BY metric ORDER BY metric""".stripMargin)
+
+  // exponential moving average: an inherently SEQUENTIAL per-series fold
+  // (each output depends on the previous), expressed as an ordered
+  // collect + left fold so both engines run the identical double
+  // arithmetic in the identical order. Scale note: per-series state must
+  // fit one task (the time-series norm); for monster series the affine
+  // trick applies — acc' = 0.7*acc + 0.3*x composes associatively as
+  // (scale, offset) pairs, so a parallel prefix can split a series.
+  q("TS-EMA",
+    """SELECT event_type,
+      |  size(vals) AS n,
+      |  round(aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1),
+      |                  (acc, x) -> acc * 0.7 + x * 0.3), 4) AS ema
+      |FROM (
+      |  SELECT event_type,
+      |    transform(array_sort(collect_list(struct(ts, event_id, value))),
+      |              s -> s.value) AS vals
+      |  FROM events GROUP BY event_type) t
+      |ORDER BY event_type""".stripMargin,
+    """SELECT event_type,
+      |  CAST(len(vals) AS INT) AS n,
+      |  round(list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3), 4) AS ema
+      |FROM (
+      |  SELECT event_type, list(value ORDER BY ts, event_id) AS vals
+      |  FROM events GROUP BY event_type) t
+      |ORDER BY event_type""".stripMargin)
+
+  // URL parsing: host/path/single query param from a constructed URL
+  // column (testdata has no URL field; the construction mirrors how
+  // PARSE-COMMAKEYS builds metric names from columns)
+  q("FN-URL",
+    """WITH u AS (SELECT event_id,
+      |    concat('https://', lower(event_type), '.example.com/u/',
+      |           CAST(user_id AS STRING), '/p?ev=',
+      |           CAST(event_id AS STRING), '&x=1') AS url
+      |  FROM events)
+      |SELECT event_id, parse_url(url, 'HOST') AS host,
+      |  parse_url(url, 'PATH') AS path,
+      |  CAST(parse_url(url, 'QUERY', 'ev') AS BIGINT) AS ev
+      |FROM u ORDER BY event_id LIMIT 50""".stripMargin,
+    """WITH u AS (SELECT event_id,
+      |    concat('https://', lower(event_type), '.example.com/u/',
+      |           CAST(user_id AS VARCHAR), '/p?ev=',
+      |           CAST(event_id AS VARCHAR), '&x=1') AS url
+      |  FROM events)
+      |SELECT event_id, regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+      |  regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+      |  CAST(regexp_extract(url, '[?&]ev=([^&]*)', 1) AS BIGINT) AS ev
+      |FROM u ORDER BY event_id LIMIT 50""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(
