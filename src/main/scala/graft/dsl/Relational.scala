@@ -290,6 +290,21 @@ object Relational {
         .orderBy("event_id").limit(50)
     },
 
+    // trailing z-score: per-series window (20 preceding, excluding self) —
+    // shuffle-once on the series key, never a global window
+    "WIN-ZSCORE" -> { s =>
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-20, -1)
+      s.table("events")
+        .select(col("event_id"), col("value"),
+          avg(col("value")).over(w).as("mu"),
+          stddev_samp(col("value")).over(w).as("sigma"),
+          count(lit(1)).over(w).as("nprev"))
+        .where(col("nprev") >= 5 && col("sigma") > 0.001)
+        .select(col("event_id"), round((col("value") - col("mu")) / col("sigma"), 3).as("z"))
+        .orderBy("event_id").limit(100)
+    },
+
     // gap-based sessionization (6h): lag → break flag → running sum, all
     // partitioned on user_id — scales without a global sort. Integer-µs
     // gap arithmetic for exact cross-engine comparison.

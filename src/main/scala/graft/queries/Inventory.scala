@@ -918,6 +918,34 @@ object Inventory {
       |  CAST(regexp_extract(url, '[?&]ev=([^&]*)', 1) AS BIGINT) AS ev
       |FROM u ORDER BY event_id LIMIT 50""".stripMargin)
 
+  // trailing-window z-score (the proxy's anomaly shape): each point scored
+  // against the mean/stddev of its own series' previous 20 points — the
+  // window partitions on the series key, so the plan is shuffle-once
+  // per-series, never global
+  q("WIN-ZSCORE",
+    """WITH s AS (
+      |  SELECT event_type, event_id, value,
+      |    avg(value) OVER w AS mu,
+      |    stddev_samp(value) OVER w AS sigma,
+      |    count(*) OVER w AS nprev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, round((value - mu) / sigma, 3) AS z
+      |FROM s WHERE nprev >= 5 AND sigma > 0.001
+      |ORDER BY event_id LIMIT 100""".stripMargin,
+    s"""WITH s AS (
+      |  SELECT event_type, event_id, value,
+      |    avg(value) OVER w AS mu,
+      |    stddev_samp(value) OVER w AS sigma,
+      |    count(*) OVER w AS nprev
+      |  FROM $EV events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, round((value - mu) / sigma, 3) AS z
+      |FROM s WHERE nprev >= 5 AND sigma > 0.001
+      |ORDER BY event_id LIMIT 100""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(
