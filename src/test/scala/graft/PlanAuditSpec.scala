@@ -133,6 +133,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(contract.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty)
   }
 
+  test("sessionize and z-score: every window is series-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("WIN-SESSIONIZE", "WIN-ZSCORE").foreach { id =>
+      val plan = df(id).queryExecution.optimizedPlan
+      val windows = plan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$id: expected window operators")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$id: unpartitioned WindowExec over the data — the scale-killer shape"))
+    }
+  }
+
   test("spread distrusts AQE-coalescible lineage: bare repartition(col) re-spreads") {
     tables()
     // a bare repartition(col) reports shuffle.partitions pre-AQE, but AQE
