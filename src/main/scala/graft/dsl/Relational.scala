@@ -290,6 +290,34 @@ object Relational {
         .orderBy("event_id").limit(50)
     },
 
+    // context-window chunking: 50-token chunks, 40-token stride — narrow
+    // per-row explode, no shuffle
+    "TEXT-CHUNK" -> { s =>
+      val toks = split(col("text"), " ")
+      s.table("documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")), lit(40))).as("st"))
+        .select(col("doc_id"), col("st"),
+          least(lit(50), size(col("toks")) - col("st") + 1).as("n_tok"),
+          md5(concat_ws(" ", slice(col("toks"), col("st"), lit(50)))).as("chunk_md5"))
+        .orderBy("doc_id", "st").limit(200)
+    },
+
+    // int8 symmetric embedding quantization: scale = max|x|/127, narrow
+    // codegen transform; contract carries scale + integer checksums
+    "EMB-QUANT" -> { s =>
+      val m = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      s.table("embeddings")
+        .select(col("vec_id"), m.as("m"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 127 / m).cast("bigint")).as("qv"))
+        .select(col("vec_id"), round(col("m") / 127, 6).as("scale"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + x).as("qsum"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + abs(x)).as("qabs"))
+        .orderBy("vec_id").limit(60)
+    },
+
     // trailing z-score: per-series window (20 preceding, excluding self) —
     // shuffle-once on the series key, never a global window
     "WIN-ZSCORE" -> { s =>

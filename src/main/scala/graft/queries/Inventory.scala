@@ -946,6 +946,48 @@ object Inventory {
       |FROM s WHERE nprev >= 5 AND sigma > 0.001
       |ORDER BY event_id LIMIT 100""".stripMargin)
 
+  // context-window chunking: 50-token chunks on a 40-token stride (10
+  // overlap), one row per (doc, chunk-start) — the standard training-data
+  // prep before tokenization. Chunk text rides as an md5 so the contract
+  // stays small; a narrow per-row explode, no shuffle.
+  q("TEXT-CHUNK",
+    """SELECT doc_id, st, least(50, size(toks) - st + 1) AS n_tok,
+      |  md5(concat_ws(' ', slice(toks, st, 50))) AS chunk_md5
+      |FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents) d
+      |LATERAL VIEW explode(sequence(1, size(toks), 40)) s AS st
+      |ORDER BY doc_id, st LIMIT 200""".stripMargin,
+    """SELECT doc_id, st, least(50, len(t) - st + 1) AS n_tok,
+      |  md5(array_to_string(t[st:st+49], ' ')) AS chunk_md5
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d
+      |CROSS JOIN unnest(generate_series(1, len(t), 40)) AS s(st)
+      |ORDER BY doc_id, st LIMIT 200""".stripMargin)
+
+  // int8 symmetric quantization of the embedding column (the storage /
+  // PQ-lite shape): scale = max|x| / 127, q_i = round(x_i/scale). Narrow
+  // per-row codegen transform; the contract carries the scale and two
+  // integer checksums of the quantized vector.
+  q("EMB-QUANT",
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m,
+      |    transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127 /
+      |      array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))) AS BIGINT)) AS qv
+      |  FROM embeddings)
+      |SELECT vec_id, round(m / 127, 6) AS scale,
+      |  aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x) AS qsum,
+      |  aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + abs(x)) AS qabs
+      |FROM q ORDER BY vec_id LIMIT 60""".stripMargin,
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127 /
+      |      list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) AS BIGINT)) AS qv
+      |  FROM embeddings)
+      |SELECT vec_id, round(m / 127, 6) AS scale,
+      |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+      |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS qabs
+      |FROM q ORDER BY vec_id LIMIT 60""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(
