@@ -150,6 +150,37 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).count() === 0)
   }
 
+  test("connected components: random graphs match a driver-side union-find") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // reference implementation: classic union-find with path compression
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // root = min of component by construction (always parent the larger)
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      touched.map(x => x -> find(x.toInt).toLong).toMap
+    }
+    val n = 60
+    val genEdges = Gen.listOf(for {
+      a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) if a != b
+    } yield (a.toLong, b.toLong))
+    (0 until 8).foreach { i =>
+      val edges = genEdges.apply(Gen.Parameters.default.withSize(40), Seed(i.toLong))
+        .getOrElse(Nil)
+      if (edges.nonEmpty) {
+        val got = Dedup.connectedComponents(edges.toDF("da", "db"))
+          .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+        assert(got === unionFind(n, edges), s"seed $i, ${edges.length} edges")
+      }
+    }
+  }
+
   test("connected components over jaccard pairs: every cluster member shares a pair chain") {
     val pairs = Dedup.jaccardPairs(docs, 3, 0.8).select("da", "db")
     val cc = Dedup.connectedComponents(pairs)
