@@ -129,6 +129,23 @@ object Extensions {
           max(col("timestamp")).as("max_ts"))
         .orderBy("metric")
     },
+    // batch-replay twin of StreamingOps.intervalJoin (same pattern as
+    // STREAM-TUMBLE/SESSION/DEDUP): the DSL calls the REAL streaming
+    // operator — withWatermark is a no-op on batch frames — so the oracle
+    // checks the exact join the streaming attribution pipeline runs.
+    // Purchases attribute to same-user clicks at most 30 min earlier.
+    "STREAM-JOIN" -> { (s, d) =>
+      val ev = events(s, d)
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("buy_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("click_ts"))
+      graft.streaming.StreamingOps.intervalJoin(buys, clicks, "user_id",
+          "buy_ts", "click_ts", "30 minutes", "1 minute", "1 minute")
+        .groupBy(col("p_id"))
+        .agg(count(lit(1)).as("n_clicks"), max(col("c_id")).as("last_click"))
+        .orderBy("p_id").limit(100)
+    },
     // Approximate sketches, hash-checked via DETERMINISTIC error-bound
     // booleans: sketches are hashed (not sampled), so on fixed data the
     // estimate — and therefore the bound check — is bit-stable. The oracle
@@ -263,6 +280,15 @@ object Extensions {
   private val STOP_FR = "('le','les','des','et','est')"
 
   val oracleSql: Map[String, String] = Map(
+    "STREAM-JOIN" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |b AS (SELECT user_id, event_id AS p_id, ts AS buy_ts FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS c_id, ts AS click_ts FROM e WHERE event_type = 'click')
+        |SELECT p_id, count(*) AS n_clicks, max(c_id) AS last_click
+        |FROM b JOIN c ON b.user_id = c.user_id
+        |  AND epoch_us(buy_ts) >= epoch_us(click_ts)
+        |  AND epoch_us(buy_ts) <= epoch_us(click_ts) + 1800000000
+        |GROUP BY p_id ORDER BY p_id LIMIT 100""".stripMargin,
     // approx sketches: the oracle asserts the deterministic bound holds
     "AGG-APPROX-DISTINCT" ->
       """SELECT event_type AS g, TRUE AS within_bound
