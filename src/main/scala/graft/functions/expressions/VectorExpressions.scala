@@ -79,6 +79,16 @@ object GraftFunctions {
     "graft_simhash_agg" -> (exprs => SimHashAgg(exprs.head).toAggregateExpression()),
     "graft_simhash_balance" -> (exprs =>
       SimHashBalanceAgg(exprs(0), exprs(1)).toAggregateExpression()),
+    "graft_hyperplane_bucket" -> { exprs =>
+      def intLit(e: Expression, what: String): Int = e.eval(InternalRow.empty) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_hyperplane_bucket $what must be an integer literal, got $other")
+      }
+      HyperplaneBuckets(exprs(0), intLit(exprs(1), "bits"),
+        intLit(exprs(2), "dims"), intLit(exprs(3), "planeOffset"))
+    },
     "graft_freq_items" -> { exprs =>
       // k must be a foldable int literal (it sizes the aggregation buffer)
       val k = exprs(1).eval(InternalRow.empty) match {

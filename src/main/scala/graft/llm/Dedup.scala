@@ -33,12 +33,11 @@ object Dedup {
   /** Affine universal-hash constants (a_k odd, b_k), deterministically
     * derived — h_k(x) = (a_k·x + b_k) mod P. The same Scala values are
     * interpolated into the DuckDB oracle SQL, so both engines use the
-    * identical family. */
-  val AB: IndexedSeq[(Long, Long)] = (0 until 64).map { k =>
-    val a = ((2862933555777941757L * (k + 1) + 3037000493L) & 0x3FFFFFFFL) | 1L
-    val b = (3202034522624059733L * (k + 1) + 1234567891L) & 0x3FFFFFFFL
-    (a, b)
-  }
+    * identical family. Single source of truth:
+    * [[graft.functions.expressions.AffineFamily]] (shared with the codegen
+    * HyperplaneBuckets expression). */
+  val AB: IndexedSeq[(Long, Long)] =
+    (0 until 64).map(graft.functions.expressions.AffineFamily.ab)
 
   /** Portable polynomial string hash: fold acc = (acc·31 + codepoint) mod P
     * over the characters — the codegen'd

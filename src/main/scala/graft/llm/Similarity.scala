@@ -211,14 +211,11 @@ object Similarity {
     * probability tracks cosine similarity — the textbook LSH guarantee. */
   def hyperplaneBucket(emb: org.apache.spark.sql.Column, bits: Int = 8,
                        dims: Int = 64, planeOffset: Int = 0): org.apache.spark.sql.Column =
-    (0 until bits).map { k =>
-      val (a, b) = Dedup.AB(planeOffset + k)
-      val plane = array((0 until dims).map(d =>
-        lit(((a * (d + 1) + b) % Dedup.P).toDouble / Dedup.P - 0.5)): _*)
-      val dot = aggregate(zip_with(emb, plane, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1 << k)).otherwise(lit(0))
-    }.reduce(_ + _)
+    // all sign bits in ONE codegen'd loop (HyperplaneBuckets) — the HOF
+    // formulation this replaces (bits × (zip_with + aggregate) interpreted
+    // lambdas) is bit-equal but interpreted per element. Requires
+    // GraftFunctions.register (graft.core.Tables.register does it).
+    call_function("graft_hyperplane_bucket", emb, lit(bits), lit(dims), lit(planeOffset))
 
   /** Hyperplane-LSH ANN: score only the probe's bucket, exact-cosine
     * rerank: (vec_id, bucket, cos). The 100 TB shape matches [[ivfTopK]]
@@ -227,6 +224,7 @@ object Similarity {
     * scanned per probe and collision probability (1 − θ/π)^bits. */
   def hyperplaneTopK(embeddings: DataFrame, probeId: Long, k: Int,
                      bits: Int = 8): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(embeddings.sparkSession)
     val bucketed = embeddings.withColumn("bucket", hyperplaneBucket(col("embedding"), bits))
     val probe = bucketed.filter(col("vec_id") === probeId)
       .select(col("embedding").as("p"), col("bucket").as("pb"))
@@ -244,6 +242,7 @@ object Similarity {
     * (vec_id, bucket, cos). */
   def hyperplaneMultiProbeTopK(embeddings: DataFrame, probeId: Long, k: Int,
                                bits: Int = 4): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(embeddings.sparkSession)
     val bucketed = embeddings.withColumn("bucket", hyperplaneBucket(col("embedding"), bits))
     val probeBuckets = array(
       (col("bucket") +: (0 until bits).map(j =>
@@ -267,6 +266,7 @@ object Similarity {
     * composes by unioning calls with different plane offsets. */
   def nearDupEmbPairs(embeddings: DataFrame, threshold: Double,
                       bits: Int = 4): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(embeddings.sparkSession)
     val bucketed = graft.core.Tables.spread(embeddings, "vec_id")
       .withColumn("bucket", hyperplaneBucket(col("embedding"), bits))
     val a = bucketed.select(col("bucket"), col("vec_id").as("va"), col("embedding").as("ea"))
@@ -289,6 +289,7 @@ object Similarity {
     * (table, bucket)-equality — never all-pairs. */
   def nearDupEmbPairsK(embeddings: DataFrame, threshold: Double,
                        bits: Int = 4, tables: Int = 4): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(embeddings.sparkSession)
     require(tables * bits <= Dedup.AB.length,
       s"tables*bits must be <= ${Dedup.AB.length}")
     val bucketed = graft.core.Tables.spread(embeddings, "vec_id")
