@@ -202,6 +202,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist a LEARNED-quantizer IVF index: k-means cells as the parquet
+    * partition key (same pruned-probe layout as [[writeIvfIndex]]), the
+    * vec_id-sorted probe sidecar, and a `_centroids` sidecar holding the
+    * model — everything a probe needs without re-learning. */
+  def writeIvfIndexKmeans(embeddings: DataFrame, path: String,
+                          cells: Int = 8, iters: Int = 5): Unit = {
+    val model = kmeansCentroids(embeddings, cells, iters)
+    val assigned = assignCells(embeddings, model)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    assigned.select("vec_id", "cell", "embedding")
+      .repartitionByRange(col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(sidecarPath(path))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    model.toSeq.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(centroidsPath(path))
+  }
+
+  /** Centroid-model sidecar location for a k-means IVF index at `path`. */
+  def centroidsPath(path: String): String = path.stripSuffix("/") + "_centroids"
+
+  /** Probe a persisted k-means IVF index with an explicit query vector:
+    * the probe's cell is the argmax-cosine centroid from the `_centroids`
+    * sidecar (tiny driver-side read — the same assignment rule as
+    * [[assignCells]]), then ONLY that cell is scanned via partition
+    * pruning: (vec_id, cell, cos). */
+  def ivfTopKIndexedKmeans(spark: org.apache.spark.sql.SparkSession, path: String,
+                           probe: Array[Float], k: Int): DataFrame = {
+    val model = spark.read.parquet(centroidsPath(path)).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val np = math.sqrt(probe.map(x => x.toDouble * x).sum)
+    // float-cast the centroids like assignCells does (cosineNative sees
+    // float literals), so the probe lands in the same cell on near-ties
+    def cos(c: Array[Double]) =
+      probe.map(_.toDouble).zip(c.map(_.toFloat.toDouble))
+        .map { case (a, b) => a * b }.sum / np
+    val pcell = model.map { case (cid, c) => (cos(c), cid) }
+      .reduceLeft((p, q) => if (q._1 > p._1 || (q._1 == p._1 && q._2 < p._2)) q else p)._2
+    spark.read.parquet(path)
+      .filter(col("cell") === pcell)
+      .select(col("vec_id"), col("cell"),
+        round(cosineNative(col("embedding"), lit(probe).cast("array<float>")), 3).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Random-hyperplane (SimHash-for-cosine) LSH bucket id: `bits` sign
     * bits of dot products with deterministic pseudo-random hyperplanes.
     * Plane k's component for dimension d is ((a_k·(d+1)+b_k) mod P)/P − 0.5

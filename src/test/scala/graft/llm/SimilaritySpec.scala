@@ -141,6 +141,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted k-means IVF: pruned probe equals in-memory cell scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kivf").toString
+    Similarity.writeIvfIndexKmeans(embs, dir, cells = 4, iters = 3)
+    val probeVec = embs.filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val probed = Similarity.ivfTopKIndexedKmeans(spark, dir, probeVec, k = 5)
+    val rows = probed.collect()
+    assert(rows.nonEmpty && rows.head.getLong(0) === 0L && rows.head.getDouble(2) === 1.0,
+      "probe's own vector (cos 1.0) should rank first in its own cell")
+    // same as scanning the stored cell in memory
+    val pcell = rows.head.getInt(1)
+    val model = Similarity.kmeansCentroids(embs, 4, iters = 3)
+    val expected = Similarity.assignCells(embs, model)
+      .filter(col("cell") === pcell)
+      .select(col("vec_id"), col("cell"),
+        org.apache.spark.sql.functions.round(
+          graft.functions.VectorFunctions.cosineNative(col("embedding"),
+            org.apache.spark.sql.functions.lit(probeVec).cast("array<float>")), 3).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(5)
+    assert(canon(probed) === canon(expected))
+    // and the scan is partition-pruned to the probe's cell
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell not in PartitionFilters:\n$plan")
+  }
+
   test("ivfTopKKmeans: exact within the probe's learned cell") {
     val model = Similarity.kmeansCentroids(embs, 4, iters = 3)
     val assigned = Similarity.assignCells(embs, model)
