@@ -269,6 +269,25 @@ object Dedup {
     labels.select(col("lbl").as("cluster_id"), col("node").as("doc_id"))
   }
 
+  /** The user-facing dedup endgame: the corpus with every non-representative
+    * near-duplicate removed. Composes the full pipeline — exact-clone
+    * collapse ([[representatives]]) → near-dup pair generation over unique
+    * texts (`pairGen`, default MinHash LSH) → [[connectedComponents]] →
+    * drop every clustered document except its cluster's minimum id. A
+    * document with no duplicate keeps itself. Every stage is key-equality
+    * joins and hash aggregations — the whole pipeline is the 100 TB shape.
+    *
+    * Returns the KEPT documents (same schema as the input). */
+  def dedupCorpus(documents: DataFrame,
+                  pairGen: DataFrame => DataFrame = nearDupPairs(_)): DataFrame = {
+    val reps = representatives(documents)
+    val clustered = connectedComponents(pairGen(reps).select("da", "db"))
+    val dropReps = clustered.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    // keep: exact-clone representatives minus non-representative cluster
+    // members (anti join on the primitive doc_id key)
+    reps.join(dropReps, Seq("doc_id"), "left_anti")
+  }
+
   /** Scale pipeline: exact-duplicate collapse → near-dup pair generation
     * over unique texts only. Web-scale corpora are dominated by EXACT
     * copies; a k-clone cluster contributes C(k,2) candidate pairs to every

@@ -202,6 +202,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF ANN with nprobe > 1 (the standard IVF recall knob): scan the
+    * `nprobe` cells whose centroids are nearest the probe, not just the
+    * top one — recall rises toward exact as nprobe → cells while the
+    * scanned fraction stays ≈ nprobe/cells. The cell set is computed
+    * driver-side from the tiny centroid model; the scan is a single
+    * `cell IN (...)` filter, so on a cell-partitioned index it stays
+    * partition-pruned. Probe excluded from results: (vec_id, cell, cos). */
+  def ivfTopKKmeansMultiProbe(embeddings: DataFrame, probeId: Long, k: Int,
+                              cells: Int = 8, iters: Int = 5,
+                              nprobe: Int = 2): DataFrame = {
+    val model = kmeansCentroids(embeddings, cells, iters)
+    val assigned = assignCells(embeddings, model)
+    val probe = assigned.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("p"))
+    val pvec = probe.collect()(0).getSeq[Float](0).toArray
+    val np = math.sqrt(pvec.map(x => x.toDouble * x).sum)
+    def cos(c: Array[Double]) =
+      pvec.map(_.toDouble).zip(c.map(_.toFloat.toDouble))
+        .map { case (a, b) => a * b }.sum / np
+    val probeCells = model.map { case (cid, c) => (cos(c), cid) }
+      .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2)
+    assigned.filter(col("cell").isInCollection(probeCells.toSeq) && col("vec_id") =!= probeId)
+      .join(broadcast(probe))
+      .select(col("vec_id"), col("cell"),
+        round(cosineNative(col("embedding"), col("p")), 3).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Persist a LEARNED-quantizer IVF index: k-means cells as the parquet
     * partition key (same pruned-probe layout as [[writeIvfIndex]]), the
     * vec_id-sorted probe sidecar, and a `_centroids` sidecar holding the

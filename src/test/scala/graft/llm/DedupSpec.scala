@@ -181,6 +181,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupCorpus: keeps one representative per near-dup cluster, all singletons") {
+    import spark.implicits._
+    // exact clones (1,2), near-dups via transitive chain (3,4,5), singleton 6
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // exact clone of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near 3
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),     // near 3/4
+      (6L, "completely different text about spark engines and parquet files")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(corpus,
+        pairGen = d => Dedup.jaccardPairs(d, n = 3, threshold = 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 6L))
+    // schema preserved
+    assert(Dedup.dedupCorpus(corpus, d => Dedup.jaccardPairs(d, 3, 0.5))
+      .columns.toSeq === Seq("doc_id", "text"))
+  }
+
   test("connected components over jaccard pairs: every cluster member shares a pair chain") {
     val pairs = Dedup.jaccardPairs(docs, 3, 0.8).select("da", "db")
     val cc = Dedup.connectedComponents(pairs)

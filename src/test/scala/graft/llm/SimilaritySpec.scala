@@ -167,6 +167,20 @@ class SimilaritySpec extends SparkSpec {
       s"cell not in PartitionFilters:\n$plan")
   }
 
+  test("ivfTopKKmeansMultiProbe: nprobe=cells recovers brute force; recall never drops") {
+    val k = 5
+    val exact = Similarity.cosineTopK(embs, 0L, k).collect().map(_.getLong(0)).toSet
+    def recallAt(nprobe: Int): Double = {
+      val got = Similarity.ivfTopKKmeansMultiProbe(embs, 0L, k,
+        cells = 4, iters = 3, nprobe = nprobe).collect().map(_.getLong(0)).toSet
+      got.intersect(exact).size.toDouble / k
+    }
+    val r = (1 to 4).map(recallAt)
+    // monotone non-decreasing recall in nprobe, and full scan == exact
+    r.zip(r.tail).foreach { case (a, b) => assert(b >= a, s"recall dropped: $r") }
+    assert(r.last === 1.0, s"nprobe=cells must equal brute force, got $r")
+  }
+
   test("ivfTopKKmeans: exact within the probe's learned cell") {
     val model = Similarity.kmeansCentroids(embs, 4, iters = 3)
     val assigned = Similarity.assignCells(embs, model)
