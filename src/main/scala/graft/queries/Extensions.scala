@@ -62,6 +62,12 @@ object Extensions {
       Dedup.connectedComponents(
           Dedup.jaccardPairs(docs(s, d), n = 3, threshold = 0.8).select("da", "db"))
         .orderBy("cluster_id", "doc_id")),
+    // the full user-facing dedup pipeline, oracle-checked: exact-clone
+    // collapse → exact-jaccard pairs over unique texts → connected
+    // components → drop non-representative members; output = kept ids
+    "LLM-DEDUP-SWEEP" -> ((s, d) =>
+      Dedup.dedupCorpus(docs(s, d), dd => Dedup.jaccardPairs(dd, n = 3, threshold = 0.8))
+        .select("doc_id").orderBy("doc_id").limit(500)),
     "LLM-MINHASH-LSH" -> ((s, d) =>
       Dedup.minhashPairs(docs(s, d), n = 3, numHashes = 16, bands = 8,
           estThreshold = 0.5, baseHash = Dedup.portableHash)
@@ -360,6 +366,33 @@ object Extensions {
         |SELECT doc_id,
         |  CAST(sum((ascii(substr(tok,1,1)) * 31 + length(tok)) * i) % 1000000007 AS BIGINT) AS fp
         |FROM p GROUP BY doc_id ORDER BY doc_id LIMIT 60""".stripMargin,
+    // the dedupCorpus pipeline in one recursive-CTE statement: exact-clone
+    // reps → jaccard pairs over rep texts → transitive closure → keep
+    // everything except non-minimum cluster members
+    "LLM-DEDUP-SWEEP" ->
+      """WITH RECURSIVE reps AS (
+        |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+        |  FROM documents GROUP BY md5(lower(text))),
+        |toks AS (SELECT doc_id, string_split(text,' ') AS t FROM reps),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2],' ') AS s
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS g(i)),
+        |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT da, db
+        |          FROM inter JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
+        |          WHERE CAST(i AS DOUBLE)/(ca.c+cb.c-i) >= 0.8),
+        |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+        |),
+        |dropped AS (SELECT node AS doc_id FROM reach GROUP BY node
+        |            HAVING node <> min(r))
+        |SELECT doc_id FROM reps
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id LIMIT 500""".stripMargin,
     // transitive closure via recursive CTE: reach(node, r) = r is reachable
     // from node; min reachable label == component minimum (undirected graph)
     "LLM-DUP-CLUSTERS" ->
