@@ -180,6 +180,42 @@ object Extensions {
             col("approx_median") <= col("p55")).as("within_bound"))
         .orderBy("g")
     },
+    // frequent-items sketch under the same deterministic bound-check
+    // contract as AGG-APPROX-DISTINCT/MEDIAN: WHICH borderline items the
+    // MG sketch keeps can vary with merge order, but the Misra-Gries
+    // guarantees (no overestimate, undercount <= n/(k+1), every item
+    // above the bound present) hold for EVERY valid sketch — so the
+    // boolean is bit-stable and the oracle asserts all-true.
+    "AGG-APPROX-TOPK" -> { (s, d) =>
+      val k = 16
+      val ev = events(s, d)
+      val entries = graft.functions.Sketches
+        .frequentItems(ev, Seq("event_type"), "user_id", k)
+        .select(col("event_type"), explode(col("freq")).as(Seq("item", "est")))
+      val exact = ev.groupBy(col("event_type"),
+          col("user_id").cast("string").as("item"))
+        .agg(count(lit(1)).as("truth"))
+      val totals = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val boundsOk = entries.join(exact, Seq("event_type", "item"))
+        .join(totals, "event_type")
+        .groupBy("event_type")
+        .agg(bool_and(col("est") <= col("truth") &&
+          (col("truth") - col("est")).cast("double") <= col("n") / (k + 1)).as("bounds_ok"))
+      val missingHeavy = exact.join(totals, "event_type")
+        .filter(col("truth").cast("double") > col("n") / (k + 1))
+        .join(entries.select("event_type", "item"), Seq("event_type", "item"), "left_anti")
+        .groupBy("event_type").agg(count(lit(1)).as("n_missing"))
+      // base frame = ALL groups: a group whose sketch came back EMPTY (every
+      // counter died in the merge subtract — valid MG output when no item
+      // exceeds n/(k+1)) passes vacuously unless a guaranteed-heavy item
+      // exists, which missingHeavy then flags
+      totals.join(boundsOk, Seq("event_type"), "left")
+        .join(missingHeavy, Seq("event_type"), "left")
+        .select(col("event_type").as("g"),
+          (coalesce(col("bounds_ok"), lit(true)) &&
+            coalesce(col("n_missing"), lit(0L)) === 0).as("within_bound"))
+        .orderBy("g")
+    },
     // event-codec twin of PARSE-SFXPROTO: events → EventUploadMessage
     // payloads → decode → aggregate, checked against the direct aggregate
     "PARSE-SFXEVENT" -> { (s, d) =>
@@ -300,6 +336,9 @@ object Extensions {
       """SELECT event_type AS g, TRUE AS within_bound
         |FROM events GROUP BY event_type ORDER BY g""".stripMargin,
     "AGG-APPROX-MEDIAN" ->
+      """SELECT event_type AS g, TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY g""".stripMargin,
+    "AGG-APPROX-TOPK" ->
       """SELECT event_type AS g, TRUE AS within_bound
         |FROM events GROUP BY event_type ORDER BY g""".stripMargin,
     "TEXT-TOKENS-BPE" ->

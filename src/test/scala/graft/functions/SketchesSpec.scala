@@ -136,6 +136,21 @@ class SketchesSpec extends SparkSpec {
     freq.foreach { case (g, m) => assertMgBounds(m, exact(g), k) }
   }
 
+  test("frequentItems: uniform high-cardinality input may sketch empty — still valid") {
+    val sq = spark
+    import sq.implicits._
+    // 2000 distinct singletons, k=4, 16-way merge: every counter can die in
+    // the decrement/subtract steps. An empty (or tiny) map is VALID MG
+    // output here — no item's true count exceeds n/(k+1) = 400 — and the
+    // bound contract must hold vacuously rather than crash or overstate.
+    val df = (1 to 2000).map(i => s"u$i").toDF("v")
+      .repartition(16).withColumn("g", lit("all"))
+    val freq = Sketches.frequentItems(df, Seq("g"), "v", k = 4)
+      .collect().head.getMap[String, Long](1).toMap
+    assert(freq.size <= 4)
+    freq.values.foreach(est => assert(est >= 1L && est <= 1L))
+  }
+
   test("frequentItems: a dominant key always surfaces, even with k=2") {
     val sq = spark
     import sq.implicits._
