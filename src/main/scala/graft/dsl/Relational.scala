@@ -318,6 +318,22 @@ object Relational {
         .orderBy("vec_id").limit(60)
     },
 
+    // character-entropy quality signal: ordered-count fold (TS-EMA
+    // pattern) for bit-stable cross-engine double arithmetic
+    "TEXT-ENTROPY" -> { s =>
+      val counts = s.table("documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
+      counts.groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("c"), col("k")))),
+            _.getField("k")).as("ks"),
+          sum(col("k")).as("n"))
+        .select(col("doc_id"), col("n").cast("bigint").as("n_chars"),
+          round(aggregate(col("ks"), lit(0.0),
+            (acc, x) => acc - (x / col("n")) * log(x / col("n"))), 4).as("ent"))
+        .orderBy("doc_id").limit(60)
+    },
+
     // trailing z-score: per-series window (20 preceding, excluding self) —
     // shuffle-once on the series key, never a global window
     "WIN-ZSCORE" -> { s =>

@@ -988,6 +988,32 @@ object Inventory {
       |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS qabs
       |FROM q ORDER BY vec_id LIMIT 60""".stripMargin)
 
+  // character-entropy quality signal (gibberish detection): Shannon
+  // entropy in nats over each document's character distribution. The
+  // per-doc sum folds an ORDERED count list (same sequential double
+  // arithmetic in both engines — the TS-EMA pattern); ln, not log2,
+  // follows FN-MATH's proven cross-engine libm parity.
+  q("TEXT-ENTROPY",
+    """WITH ch AS (
+      |  SELECT doc_id, c FROM (SELECT doc_id, split(text, '') AS cs FROM documents) t
+      |  LATERAL VIEW explode(cs) e AS c),
+      |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+      |v AS (SELECT doc_id, transform(array_sort(collect_list(struct(c, k))), s -> s.k) AS ks,
+      |      sum(k) AS n FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+      |  round(aggregate(ks, CAST(0.0 AS DOUBLE),
+      |        (acc, x) -> acc - (x / n) * ln(x / n)), 4) AS ent
+      |FROM v ORDER BY doc_id LIMIT 60""".stripMargin,
+    """WITH ch AS (
+      |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+      |  FROM documents CROSS JOIN unnest(generate_series(1, length(text))) AS g(i)),
+      |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+      |v AS (SELECT doc_id, list(k ORDER BY c) AS ks, sum(k) AS n FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(ks, x -> -(x / n) * ln(x / n))), (acc, t) -> acc + t), 4) AS ent
+      |FROM v ORDER BY doc_id LIMIT 60""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(
