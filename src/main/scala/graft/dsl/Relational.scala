@@ -318,6 +318,17 @@ object Relational {
         .orderBy("vec_id").limit(60)
     },
 
+    // weighted aggregation: exact decimal sums, double division
+    "AGG-WEIGHTED" -> { s =>
+      val wsumDec = sum((col("l_extendedprice") * col("l_quantity")).cast(dec(28, 4)))
+      val qsumDec = sum(col("l_quantity").cast(dec(18, 2)))
+      s.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(wsumDec.cast("double") / qsumDec.cast("double"), 4).as("wavg_price"),
+          round(wsumDec.cast("double"), 2).as("wsum"))
+        .orderBy("l_returnflag")
+    },
+
     // character-entropy quality signal: ordered-count fold (TS-EMA
     // pattern) for bit-stable cross-engine double arithmetic
     "TEXT-ENTROPY" -> { s =>

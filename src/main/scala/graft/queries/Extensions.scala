@@ -52,6 +52,28 @@ object Extensions {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep"))
       .filter(col("n_docs") > 1)
       .orderBy(col("digest"))),
+    // the prep pipeline composed end-to-end: quality filter → context-
+    // window chunking → per-language chunk-dedup summary. One oracle
+    // query proving the stages COMPOSE, not just pass individually.
+    "LLM-PREP-PIPELINE" -> { (s, d) =>
+      val dd = docs(s, d)
+      val kept = dd.join(
+        TextAnalysis.quality(dd)
+          .filter(col("n_tokens") >= 20 && col("stop_ratio") >= 0.05)
+          .select("doc_id"),
+        "doc_id")
+      val toks = split(col("text"), " ")
+      kept.select(col("doc_id"), col("lang"), toks.as("toks"))
+        .select(col("doc_id"), col("lang"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")), lit(40))).as("st"))
+        .select(col("doc_id"), col("lang"),
+          md5(concat_ws(" ", slice(col("toks"), col("st"), lit(50)))).as("chunk_md5"))
+        .groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("docs_kept"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_md5")).as("n_uniq_chunks"))
+        .orderBy("lang")
+    },
     "LLM-JACCARD-PAIRS" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), n = 3, threshold = 0.8)
         .orderBy(col("jac").desc, col("da"), col("db")).limit(100)),
@@ -432,6 +454,19 @@ object Extensions {
         |SELECT doc_id FROM reps
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY doc_id LIMIT 500""".stripMargin,
+    "LLM-PREP-PIPELINE" ->
+      s"""WITH q AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, string_split(text,' ') AS toks FROM documents) t
+        |  WHERE len(toks) >= 20
+        |    AND round(CAST(len(list_filter(toks, x -> x IN $STOP_EN)) AS DOUBLE) / len(toks), 4) >= 0.05),
+        |kept AS (SELECT d.doc_id, d.lang, string_split(d.text,' ') AS t
+        |         FROM documents d JOIN q ON q.doc_id = d.doc_id),
+        |chunks AS (SELECT doc_id, lang, md5(array_to_string(t[st:st+49], ' ')) AS chunk_md5
+        |           FROM kept CROSS JOIN unnest(generate_series(1, len(t), 40)) AS s(st))
+        |SELECT lang, count(DISTINCT doc_id) AS docs_kept, count(*) AS n_chunks,
+        |  count(DISTINCT chunk_md5) AS n_uniq_chunks
+        |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin,
     // transitive closure via recursive CTE: reach(node, r) = r is reachable
     // from node; min reachable label == component minimum (undirected graph)
     "LLM-DUP-CLUSTERS" ->

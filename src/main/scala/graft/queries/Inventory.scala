@@ -1014,6 +1014,15 @@ object Inventory {
       |        list_transform(ks, x -> -(x / n) * ln(x / n))), (acc, t) -> acc + t), 4) AS ent
       |FROM v ORDER BY doc_id LIMIT 60""".stripMargin)
 
+  // weighted aggregation (the metrics-rollup staple): quantity-weighted
+  // average price per return flag, decimal-pinned for cross-engine parity
+  q("AGG-WEIGHTED",
+    """SELECT l_returnflag,
+      |  round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS DOUBLE) /
+      |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS wavg_price,
+      |  round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS DOUBLE), 2) AS wsum
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(
