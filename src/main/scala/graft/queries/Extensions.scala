@@ -121,6 +121,26 @@ object Extensions {
         element_at(dims, "ev").cast("long").as("e"))
         .orderBy(col("e")).limit(50)
     },
+    // the rewrite middleware chain on synthesized datapoints: decorate
+    // dimensions (existing keys win) → allow/deny filter → regex rename →
+    // aggregate. DuckDB checks the equivalent direct computation.
+    "PARSE-REWRITE" -> { (s, d) =>
+      import graft.ingest.Rewrite
+      val pts = events(s, d).select(
+        concat(lit("svc."), col("event_type"), lit(".count")).as("metric"),
+        col("value"),
+        map(lit("user"), col("user_id").cast("string")).as("dimensions"))
+      val rewritten = Rewrite.renameMetric(
+        Rewrite.filterMetrics(
+          Rewrite.addDimensions(pts, Map("dc" -> "us1")),
+          allow = Some("^svc\\."), deny = Some("purchase")),
+        "^svc\\.", "service.")
+      rewritten.groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(element_at(col("dimensions"), "user")).as("nu"),
+          max(element_at(col("dimensions"), "dc")).as("dc"))
+        .orderBy("metric")
+    },
     "PARSE-DELIMITER" -> { (s, d) =>
       val metric = concat(lit("svc."), col("event_type"), lit(".count"))
       val dims = Carbon.DelimiterDeconstructor(Seq("ns", "etype", "stat")).dimensions(metric)
@@ -534,6 +554,11 @@ object Extensions {
         |  CAST(regexp_extract(raw, 'user=([0-9]+)', 1) AS BIGINT) AS u,
         |  CAST(regexp_extract(raw, 'ev=([0-9]+)', 1) AS BIGINT) AS e
         |FROM m ORDER BY e LIMIT 50""".stripMargin,
+    "PARSE-REWRITE" ->
+      """SELECT concat('service.', event_type, '.count') AS metric, count(*) AS n,
+        |  count(DISTINCT CAST(user_id AS VARCHAR)) AS nu, 'us1' AS dc
+        |FROM events WHERE event_type <> 'purchase'
+        |GROUP BY event_type ORDER BY metric""".stripMargin,
     "PARSE-DELIMITER" ->
       """WITH m AS (SELECT event_id, string_split(concat('svc.', event_type, '.count'), '.') AS parts
         |  FROM events)
