@@ -278,6 +278,19 @@ object Relational {
         .orderBy("event_type")
     },
 
+    // Scale twin of TS-EMA: identical sequential-fold semantics (the SQL
+    // twin IS the ordered fold — that's what the oracle checks), computed
+    // by graft.operators.SegmentedEma's chunked affine decomposition —
+    // two partitioned hash aggregates, no whole-series array on any task.
+    "TS-EMA-SCALE" -> { s =>
+      graft.operators.SegmentedEma.emaFinal(s.table("events"),
+          seriesCols = Seq("event_type"), rangeKey = col("ts").cast("double"),
+          orderCols = Seq(col("ts"), col("event_id")), valueCol = col("value"))
+        .select(col("event_type"), col("n").cast("int").as("n"),
+          round(col("ema"), 4).as("ema"))
+        .orderBy("event_type")
+    },
+
     "FN-URL" -> { s =>
       val url = concat(lit("https://"), lower(col("event_type")),
         lit(".example.com/u/"), col("user_id").cast("string"),

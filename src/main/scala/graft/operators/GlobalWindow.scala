@@ -34,7 +34,7 @@ object GlobalWindow {
 
   /** Driver-side range metadata: ONE column-pruned min/max pass, O(1) rows
     * collected (RangePartitioner-style planning action). */
-  private def keyRange(df: DataFrame, key: Column): (Double, Double) = {
+  private[operators] def keyRange(df: DataFrame, key: Column): (Double, Double) = {
     val r = df.agg(min(key.cast("double")).as("lo"), max(key.cast("double")).as("hi")).head()
     if (r.isNullAt(0)) (0.0, 0.0) else (r.getDouble(0), r.getDouble(1))
   }
@@ -42,7 +42,7 @@ object GlobalWindow {
   /** Monotonic range-bucket id for `key`, clamped to [0, buckets). Any
     * k1 <= k2 gets b1 <= b2, so per-bucket order + bucket order = the
     * global order. */
-  private def bucketCol(key: Column, lo: Double, width: Double, buckets: Int): Column =
+  private[operators] def bucketCol(key: Column, lo: Double, width: Double, buckets: Int): Column =
     least(greatest(floor((key.cast("double") - lit(lo)) / lit(width)), lit(0L)),
       lit(buckets - 1L)).cast("long")
 

@@ -895,6 +895,32 @@ object Inventory {
       |  FROM events GROUP BY event_type) t
       |ORDER BY event_type""".stripMargin)
 
+  // Scale twin of TS-EMA: the SQL here IS the sequential ordered fold
+  // (what the oracle checks); the DSL implementation (graft.operators
+  // .SegmentedEma, served by SparkEntry) runs the PARTITIONED plan —
+  // range-bucketed chunks fold independently to affine (a, b) pairs
+  // (y -> decay*y + weight*x composes associatively), combined per series
+  // over metadata-scale chunk summaries. No whole-series array on any
+  // task; PlanAuditSpec asserts the data-side aggregate is chunk-grouped.
+  q("TS-EMA-SCALE",
+    """SELECT event_type,
+      |  size(vals) AS n,
+      |  round(aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1),
+      |                  (acc, x) -> acc * 0.7 + x * 0.3), 4) AS ema
+      |FROM (
+      |  SELECT event_type,
+      |    transform(array_sort(collect_list(struct(ts, event_id, value))),
+      |              s -> s.value) AS vals
+      |  FROM events GROUP BY event_type) t
+      |ORDER BY event_type""".stripMargin,
+    """SELECT event_type,
+      |  CAST(len(vals) AS INT) AS n,
+      |  round(list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3), 4) AS ema
+      |FROM (
+      |  SELECT event_type, list(value ORDER BY ts, event_id) AS vals
+      |  FROM events GROUP BY event_type) t
+      |ORDER BY event_type""".stripMargin)
+
   // URL parsing: host/path/single query param from a constructed URL
   // column (testdata has no URL field; the construction mirrors how
   // PARSE-COMMAKEYS builds metric names from columns)
