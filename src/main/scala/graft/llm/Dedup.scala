@@ -217,28 +217,28 @@ object Dedup {
     * groupBy (shuffle-friendly, never all-pairs), and `localCheckpoint`
     * truncates the plan lineage so iteration N doesn't replay rounds 1..N-1
     * (the classic iterative-DataFrame trap). Near-dup cluster graphs are
-    * dense blobs with tiny diameter, so rounds ≈ 2–4 in practice; for
-    * adversarially long path graphs at 100 TB, swap in the
-    * small-star/large-star contraction (Kiveris et al., "Connected
-    * Components in MapReduce"), which converges in O(log n) rounds over the
-    * same join/groupBy primitives — the per-round plan shape is identical.
-    * On a real cluster prefer `checkpoint` (reliable storage) over
-    * `localCheckpoint` for fault tolerance on long chains.
+    * dense blobs with tiny diameter, so rounds ≈ 2–4 in practice; if the
+    * round budget runs out (a long-path graph — linked-page chains,
+    * adversarial inputs), the call hands off to
+    * [[connectedComponentsStar]], the O(log n) small-star/large-star
+    * contraction with the same contract. On a real cluster prefer
+    * `checkpoint` (reliable storage) over `localCheckpoint` for fault
+    * tolerance on long chains.
     *
-    * First two columns of `pairs` are taken as the edge endpoints. Throws
-    * if not converged within maxIter (a wrong answer is worse than an
-    * error). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    * First two columns of `pairs` are taken as the edge endpoints. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
     val Seq(ca, cb) = pairs.columns.take(2).toSeq
     val fwd = pairs.select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b"))
     // symmetrize: min-labels must flow both directions along every edge.
     // No dedup — min() is idempotent under duplicate edges, and the pair
     // generators emit unique pairs anyway; a distinct() here would shuffle
     // the whole edge set once before the first round.
-    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    val edgeChain = new CheckpointChain(pairs.sparkSession)
+    val labelChain = new CheckpointChain(pairs.sparkSession)
+    val edges = edgeChain.next(
+      fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))))
+    var labels = labelChain.next(edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
     // convergence detector: labels only ever DECREASE, so the label sum
     // strictly decreases iff any label changed — one scalar aggregate per
     // round instead of a join+count. decimal(38,0) keeps the sum exact for
@@ -252,9 +252,8 @@ object Dedup {
       val prop = edges.select(col("a").as("node"), col("b"))
         .join(labels.select(col("node").as("b"), col("lbl")), "b")
         .select(col("node"), col("lbl"))
-      labels = labels.unionByName(prop)
-        .groupBy("node").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+      labels = labelChain.next(labels.unionByName(prop)
+        .groupBy("node").agg(min("lbl").as("lbl")))
       val s = lblSum(labels)
       // null sums (empty graph) compare equal — nothing to propagate
       changed =
@@ -263,10 +262,120 @@ object Dedup {
       prevSum = s
       it += 1
     }
-    if (changed)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIter rounds")
+    edgeChain.release()
+    lastCcRounds = it
+    if (changed) {
+      // O(diameter) label propagation hit its round budget — a long-path
+      // graph (linked-page chains, adversarial inputs). Hand off to the
+      // O(log n) star contraction instead of failing: same contract, same
+      // join/groupBy primitives, round count independent of diameter.
+      labelChain.release()
+      return connectedComponentsStar(pairs)
+    }
     labels.select(col("lbl").as("cluster_id"), col("node").as("doc_id"))
+  }
+
+  /** Connected components by alternating small-star/large-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the long-diameter scale path. Same contract as
+    * [[connectedComponents]]: returns (cluster_id, doc_id), cluster_id =
+    * the component's minimum member; isolated nodes absent.
+    *
+    * Each round is two contraction steps over a canonical (child > parent)
+    * edge set:
+    *  - LARGE-STAR: every node connects its strictly-larger neighbors to
+    *    the minimum of its neighborhood (incl. itself);
+    *  - SMALL-STAR: every node connects its smaller neighbors (its
+    *    parents) and itself to the smallest of them.
+    * Both are one key-equality join against a per-node min aggregate —
+    * the identical shuffle shape as one label-propagation round — but the
+    * edge set contracts toward a star forest in O(log n) rounds regardless
+    * of graph diameter (propagation needs O(diameter)). Preferred when the
+    * pair graph may contain long paths; for the dedup norm (dense
+    * diameter-≈2 blobs) plain propagation converges in fewer, cheaper
+    * rounds.
+    *
+    * Convergence = the (count, id-sums, hash-sum) fingerprint of the edge
+    * set reaching a fixpoint — the star forest is a fixpoint of both
+    * steps; the 64-bit hash-sum makes a false positive vanishingly
+    * unlikely without a per-round except() over the full edge set. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
+    val Seq(ca, cb) = pairs.columns.take(2).toSeq
+    val chain = new CheckpointChain(pairs.sparkSession)
+    var edges = chain.next(pairs
+      .select(greatest(col(ca).cast("long"), col(cb).cast("long")).as("a"),
+        least(col(ca).cast("long"), col(cb).cast("long")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct())
+    def fingerprint(df: DataFrame): Seq[Any] =
+      df.agg(count(lit(1)), sum(col("a").cast("decimal(38,0)")),
+          sum(col("b").cast("decimal(38,0)")),
+          sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")))
+        .collect()(0).toSeq
+    var prev = fingerprint(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star over the symmetrized graph: emit (v, m(u)) for v > u,
+      // where m(u) = min(Γ(u) ∪ {u}); output is (child > parent) canonical
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      val minsL = sym.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val large = sym.join(minsL, "a").where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+      // small-star on (child, parents): connect parents ∪ {child} to the
+      // minimum parent
+      val minsS = large.groupBy("a").agg(min("b").as("m"))
+      val small = large.join(minsS, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(minsS.select(col("a"), col("m").as("b")))
+        .where(col("a") =!= col("b"))
+        .distinct()
+      edges = chain.next(small)
+      val s = fingerprint(edges)
+      converged = s == prev
+      prev = s
+      it += 1
+    }
+    lastCcRounds = it
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIter rounds")
+    // star forest: every child points at its component minimum; centers
+    // keep themselves
+    edges.select(col("b").as("cluster_id"), col("a").as("doc_id"))
+      .union(edges.select(col("b").as("cluster_id"), col("b").as("doc_id")).distinct())
+  }
+
+  /** Rounds taken by the most recent connectedComponents/Star call on this
+    * JVM — probe/test instrumentation, not part of the operator contract. */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
+  /** localCheckpoint chained across loop rounds: materializes the new
+    * checkpoint, then unpersists the previous round's — bounding cached
+    * blocks at one generation per chain instead of one per round (a
+    * long-diameter CC run otherwise accumulates every round's labels for
+    * the life of the session). Tracking is by persistent-RDD id diff
+    * around the (eager) localCheckpoint call; `release()` drops the last
+    * generation once the caller no longer needs it. The FINAL checkpoint
+    * backing a returned DataFrame must NOT be released — localCheckpoint
+    * truncates lineage, so its blocks are the only copy. */
+  private class CheckpointChain(spark: org.apache.spark.sql.SparkSession) {
+    private val sc = spark.sparkContext
+    private var prevIds: Set[Int] = Set.empty
+    def next(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      val added = sc.getPersistentRDDs.keySet.toSet -- before
+      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevIds = added
+      out
+    }
+    def release(): Unit = {
+      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevIds = Set.empty
+    }
   }
 
   /** The user-facing dedup endgame: the corpus with every non-representative
@@ -280,7 +389,13 @@ object Dedup {
     * Returns the KEPT documents (same schema as the input). */
   def dedupCorpus(documents: DataFrame,
                   pairGen: DataFrame => DataFrame = nearDupPairs(_)): DataFrame = {
-    val reps = representatives(documents)
+    // the representative set feeds BOTH the pair-generation graph and the
+    // final keep-list anti-join; localCheckpoint materializes the collapse
+    // once instead of re-deriving it through each consumer's lineage (the
+    // returned frame references the checkpoint, so it stays persisted —
+    // one O(unique-texts) generation per call, like connectedComponents'
+    // final labels)
+    val reps = representatives(documents).localCheckpoint()
     val clustered = connectedComponents(pairGen(reps).select("da", "db"))
     val dropReps = clustered.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     // keep: exact-clone representatives minus non-representative cluster

@@ -48,8 +48,19 @@ object CcScaleProbe {
     val (chainClusters, chainSec) = time {
       Dedup.connectedComponents(chain).select("cluster_id").distinct().count()
     }
-    println(f"CC chain n=${nClusters * size}%d edges=${nClusters * (size - 1)}%d clusters=$chainClusters%d sec=$chainSec%.1f")
+    // lastCcRounds reports the FINAL algorithm's rounds: propagation if it
+    // converged, the star fallback's count if the budget ran out
+    val propRounds = Dedup.lastCcRounds
+    println(f"CC chain n=${nClusters * size}%d edges=${nClusters * (size - 1)}%d clusters=$chainClusters%d sec=$chainSec%.1f rounds=$propRounds%d (auto: propagation, star fallback past budget)")
     assert(chainClusters == nClusters, s"expected $nClusters chain clusters")
+
+    // same chain through the small-star/large-star contraction: round
+    // count is O(log n), independent of the diameter
+    val (starChainClusters, starChainSec) = time {
+      Dedup.connectedComponentsStar(chain).select("cluster_id").distinct().count()
+    }
+    println(f"CC chain (star contraction) clusters=$starChainClusters%d sec=$starChainSec%.1f rounds=${Dedup.lastCcRounds}%d")
+    assert(starChainClusters == nClusters, s"expected $nClusters chain clusters (star)")
 
     spark.stop()
   }

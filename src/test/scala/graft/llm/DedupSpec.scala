@@ -181,6 +181,65 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("star CC: transitive clusters, long path, reversed edges, empty set") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("da", "db")
+    val got = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // 12-node path with mixed edge orientation: star contraction must not
+    // need diameter rounds — log-ish round count
+    val edges = (1L until 12L).map(i => if (i % 2 == 0) (i + 1, i) else (i, i + 1))
+    val path = Dedup.connectedComponentsStar(edges.toDF("da", "db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(path.length === 12 && path.forall(_._1 === 1L))
+    assert(Dedup.lastCcRounds <= 6,
+      s"star contraction took ${Dedup.lastCcRounds} rounds on a 12-path")
+
+    val empty = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(Dedup.connectedComponentsStar(empty).count() === 0)
+  }
+
+  test("star CC: random graphs match a driver-side union-find") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      touched.map(x => x -> find(x.toInt).toLong).toMap
+    }
+    val n = 60
+    val genEdges = Gen.listOf(for {
+      a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) if a != b
+    } yield (a.toLong, b.toLong))
+    (0 until 8).foreach { i =>
+      val edges = genEdges.apply(Gen.Parameters.default.withSize(40), Seed(100L + i))
+        .getOrElse(Nil)
+      if (edges.nonEmpty) {
+        val got = Dedup.connectedComponentsStar(edges.toDF("da", "db"))
+          .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+        assert(got === unionFind(n, edges), s"seed $i, ${edges.length} edges")
+      }
+    }
+  }
+
+  test("propagation CC falls back to star contraction when maxIter is too small") {
+    import spark.implicits._
+    // 30-node path: diameter 29 >> maxIter 3 — propagation alone cannot
+    // converge; the fallback must still produce the exact clustering
+    val edges = (1L until 30L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(edges.toDF("da", "db"), maxIter = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 30 && got.forall(_._1 === 1L))
+  }
+
   test("dedupCorpus: keeps one representative per near-dup cluster, all singletons") {
     import spark.implicits._
     // exact clones (1,2), near-dups via transitive chain (3,4,5), singleton 6
