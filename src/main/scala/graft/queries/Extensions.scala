@@ -194,6 +194,18 @@ object Extensions {
         .agg(count(lit(1)).as("n_clicks"), max(col("c_id")).as("last_click"))
         .orderBy("p_id").limit(100)
     },
+    // streaming-NATIVE sessionization (the STREAM-JOIN trick applied to
+    // session_window): the DSL calls the REAL StreamingOps.sessionize —
+    // session_window + watermark behave identically on a batch frame — so
+    // the oracle hashes the exact session windows the streaming operator
+    // emits (start = first event, end = last event + gap, events with a
+    // gap >= 30 min split), not STREAM-SESSION's batch lag/sum
+    // reformulation.
+    "STREAM-SESSION-NATIVE" -> { (s, d) =>
+      val ev = events(s, d)
+      graft.streaming.StreamingOps.sessionize(ev, "ts", "user_id", "30 minutes")
+        .orderBy("user_id", "sstart").limit(150)
+    },
     // Approximate sketches, hash-checked via DETERMINISTIC error-bound
     // booleans: sketches are hashed (not sampled), so on fixed data the
     // estimate — and therefore the bound check — is bit-stable. The oracle
@@ -373,6 +385,23 @@ object Extensions {
         |  AND epoch_us(buy_ts) >= epoch_us(click_ts)
         |  AND epoch_us(buy_ts) <= epoch_us(click_ts) + 1800000000
         |GROUP BY p_id ORDER BY p_id LIMIT 100""".stripMargin,
+    // session_window semantics, relationally: sessions merge while the
+    // inter-event gap is STRICTLY under 30 min (windows [t, t+gap) merge
+    // iff they overlap), start = first event, end = last event + gap
+    "STREAM-SESSION-NATIVE" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT min(ts) AS sstart, max(ts) + INTERVAL 30 MINUTE AS send,
+        |  user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, sstart LIMIT 150""".stripMargin,
     // approx sketches: the oracle asserts the deterministic bound holds
     "AGG-APPROX-DISTINCT" ->
       """SELECT event_type AS g, TRUE AS within_bound
