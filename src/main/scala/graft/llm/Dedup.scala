@@ -77,21 +77,37 @@ object Dedup {
       .filter(col("n_docs") > 1)
 
   /** All document pairs (da < db) with shingle-set Jaccard ≥ threshold:
-    * (da, db, jac — rounded 4dp). Exact, but pruned two ways:
+    * (da, db, jac — rounded 4dp). Exact by default, pruned two ways:
     *  - candidate generation joins on shared shingles, so disjoint
     *    documents never meet;
     *  - a size-ratio prefilter inside the join condition — J(A,B) ≤
     *    min(|A|,|B|)/max(|A|,|B|), so J ≥ t requires t·max ≤ min — drops
     *    unbalanced pairs BEFORE the per-pair intersection count (exact for
     *    the declared threshold; a no-op when threshold = 0).
-    * Cardinalities ride along through the groupBy instead of being
-    * re-joined afterwards (two fewer shuffles). */
-  def jaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    *
+    * `maxPostingList > 0` enables the STOP-SHINGLE cut (the standard
+    * web-scale dedup defense): shingles whose posting list exceeds the cap
+    * (boilerplate headers, license blocks, ubiquitous phrases) are dropped
+    * from candidate generation, bounding the per-shingle join fan-out at
+    * cap² instead of the hot list's |posting|². The trade-off is
+    * one-sided: the intersection count can only shrink, so the reported
+    * jac is a LOWER BOUND and the threshold filter loses recall for pairs
+    * whose overlap is concentrated in stop shingles — precision is never
+    * lost (no pair is reported above its true similarity). Denominators
+    * stay the FULL shingle-set sizes. Costs one extra aggregate pass over
+    * the shingle stream. Keep 0 (exact) for oracle-checked variants. */
+  def jaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                   maxPostingList: Int = 0): DataFrame = {
     val sh = shingles(documents, n)
     val card = sh.groupBy(col("doc_id")).agg(count("*").as("c"))
-    val shc = sh.join(card, "doc_id")
-    val a = shc.toDF("da", "s", "ca")
-    val b = shc.toDF("db", "s2", "cb")
+    val shc0 = sh.join(card, "doc_id")
+    val shc =
+      if (maxPostingList > 0)
+        shc0.join(hotShingles(documents, n, maxPostingList).select("s"),
+          Seq("s"), "left_anti")
+      else shc0
+    val a = shc.select(col("doc_id").as("da"), col("s"), col("c").as("ca"))
+    val b = shc.select(col("doc_id").as("db"), col("s").as("s2"), col("c").as("cb"))
     a.join(b,
         col("s") === col("s2") && col("da") < col("db")
           && greatest(col("ca"), col("cb")) * threshold <= least(col("ca"), col("cb")))
@@ -99,6 +115,15 @@ object Dedup {
       .withColumn("jacx", col("i").cast("double") / (col("ca") + col("cb") - col("i")))
       .filter(col("jacx") >= threshold)
       .select(col("da"), col("db"), round(col("jacx"), 4).as("jac"))
+  }
+
+  /** The stop-shingle set for [[jaccardPairs]]' cap: shingles whose
+    * posting list exceeds `cap`, as (s, pl). One hash aggregate over the
+    * shingle stream. */
+  def hotShingles(documents: DataFrame, n: Int = 3, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    shingles(documents, n).groupBy("s").agg(count("*").as("pl"))
+      .where(col("pl") > cap)
   }
 
   /** MinHash signatures: numHashes min-hashes per document over its shingle

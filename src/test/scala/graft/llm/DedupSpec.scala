@@ -181,6 +181,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("stop-shingle cap: hot shingles cut from candidates, recall-only trade-off") {
+    import spark.implicits._
+    // every doc ends with the same boilerplate phrase — one ubiquitous
+    // shingle with a posting list of 42 (the hot-key shape: 42² candidate
+    // rows from that single posting without the cap)
+    val boiler = "common legal boilerplate"
+    val corpus = ((1 to 40).map(i => (i.toLong, s"u${i}a u${i}b u${i}c u${i}d $boiler")) ++ Seq(
+      (100L, s"x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 $boiler"),
+      (101L, s"x1 x2 x3 x4 x5 x6 x7 x8 x9 y10 $boiler"))).toDF("doc_id", "text")
+
+    // the ubiquitous shingle is flagged; nothing else reaches the cap
+    val hot = Dedup.hotShingles(corpus, n = 3, cap = 10).collect()
+    assert(hot.map(_.getString(0)).toSeq === Seq(boiler))
+    assert(hot.head.getLong(1) === 42L)
+
+    val uncapped = Dedup.jaccardPairs(corpus, n = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val capped = Dedup.jaccardPairs(corpus, n = 3, threshold = 0.4, maxPostingList = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the true near-dup pair survives the cut (its overlap is private
+    // shingles), every boilerplate-only pair stays absent
+    assert(uncapped.map(p => (p._1, p._2)).toSet === Set((100L, 101L)))
+    assert(capped.map(p => (p._1, p._2)).toSet === Set((100L, 101L)))
+    // lower-bound property: the capped jac can only shrink (the pair's
+    // shared boilerplate shingle no longer counts toward the intersection)
+    assert(capped.head._3 <= uncapped.head._3)
+    assert(capped.head._3 >= 0.4)
+  }
+
   test("star CC: transitive clusters, long path, reversed edges, empty set") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("da", "db")
