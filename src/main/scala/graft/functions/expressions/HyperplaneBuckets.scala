@@ -29,9 +29,14 @@ object AffineFamily {
   * Replaces the higher-order-function formulation (bits × (zip_with +
   * aggregate) interpreted lambdas per row) with a single codegen'd Java
   * loop — same shape as [[CosineSimilarity]], which measured ~20× on the
-  * HOF path. Accumulation order (d ascending, double precision) is
+  * HOF path. For embeddings of length == `dims` (the fixture/operator
+  * contract) the accumulation order (d ascending, double precision) is
   * IDENTICAL to the HOF left fold, so buckets are bit-equal and oracle
-  * hashes are unaffected.
+  * hashes are unaffected. Length-MISMATCHED vectors diverge deliberately:
+  * this loop computes a partial dot over min(length, dims) and buckets
+  * normally, where the old zip_with null-padded the shorter side and
+  * null-propagated every malformed vector into bucket 0 — a silent hot
+  * bucket of garbage rather than a usable signature.
   */
 case class HyperplaneBuckets(child: Expression, bits: Int, dims: Int,
                              planeOffset: Int) extends UnaryExpression {

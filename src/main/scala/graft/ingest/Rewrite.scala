@@ -16,7 +16,9 @@ object Rewrite {
 
   /** Add static dimensions to every datapoint. Existing per-point
     * dimensions WIN on key collision (the listener's config decorates,
-    * it never clobbers what the sender set). */
+    * it never clobbers what the sender set). A NULL dimensions map is
+    * decorated too — it becomes exactly the static map (map_concat would
+    * otherwise null-propagate and silently drop the decoration). */
   def addDimensions(points: DataFrame, dims: Map[String, String],
                     dimsCol: String = "dimensions"): DataFrame = {
     if (dims.isEmpty) points
@@ -24,8 +26,9 @@ object Rewrite {
       val static: Column = map(dims.toSeq.sortBy(_._1)
         .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
       points.withColumn(dimsCol,
-        map_concat(col(dimsCol),
-          map_filter(static, (k, _) => !map_contains_key(col(dimsCol), k))))
+        when(col(dimsCol).isNull, static)
+          .otherwise(map_concat(col(dimsCol),
+            map_filter(static, (k, _) => !map_contains_key(col(dimsCol), k)))))
     }
   }
 

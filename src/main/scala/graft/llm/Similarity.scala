@@ -214,15 +214,29 @@ object Similarity {
                               nprobe: Int = 2): DataFrame = {
     val model = kmeansCentroids(embeddings, cells, iters)
     val assigned = assignCells(embeddings, model)
-    val probe = assigned.filter(col("vec_id") === probeId)
-      .select(col("embedding").as("p"))
-    val pvec = probe.collect()(0).getSeq[Float](0).toArray
+    val probeRows = assigned.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("p"), col("cell").as("pcell")).collect()
+    if (probeRows.isEmpty)
+      // sibling semantics (ivfTopKKmeans, hyperplaneTopK): an absent probe
+      // id yields an empty result through the join, not an exception
+      return assigned.select(col("vec_id"), col("cell"), lit(0.0).as("cos")).limit(0)
+    val pvec = probeRows(0).getSeq[Float](0).toArray
+    val assignedCell = probeRows(0).getInt(1)
     val np = math.sqrt(pvec.map(x => x.toDouble * x).sum)
     def cos(c: Array[Double]) =
       pvec.map(_.toDouble).zip(c.map(_.toFloat.toDouble))
         .map { case (a, b) => a * b }.sum / np
-    val probeCells = model.map { case (cid, c) => (cos(c), cid) }
-      .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2)
+    // the probe's OWN cell is pinned into the scan set: this driver-side
+    // ranking re-accumulates the dot in a different fp order than the
+    // codegen argmax in assignCells, so on a near-tie the ranking alone
+    // could exclude the cell the probe actually lives in
+    val ranked = model.map { case (cid, c) => (cos(c), cid) }
+      .sortBy { case (s, cid) => (-s, cid) }.map(_._2)
+    val probeCells =
+      if (ranked.take(nprobe).contains(assignedCell)) ranked.take(nprobe)
+      else ranked.take(nprobe - 1) :+ assignedCell
+    val probe = assigned.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("p"))
     assigned.filter(col("cell").isInCollection(probeCells.toSeq) && col("vec_id") =!= probeId)
       .join(broadcast(probe))
       .select(col("vec_id"), col("cell"),
@@ -284,14 +298,30 @@ object Similarity {
     * (the [[Dedup.AB]] affine family — portable, so the DuckDB oracle can
     * build the identical planes). Unlike [[ivfCell]] (leading-dimension
     * signs), hyperplane buckets use EVERY dimension, so bucket collision
-    * probability tracks cosine similarity — the textbook LSH guarantee. */
+    * probability tracks cosine similarity — the textbook LSH guarantee.
+    *
+    * REGISTRATION CONTRACT: the returned Column calls the codegen
+    * `graft_hyperplane_bucket` function (one fused loop over all bits —
+    * the HOF formulation it replaced was interpreted per element), which
+    * must be registered on the session that analyzes the plan:
+    * `GraftFunctions.register(spark)` (done by `graft.core.Tables
+    * .register` and by every Similarity/Dedup entry point). Composing the
+    * bare Column on a fresh session without registering fails analysis
+    * with "undefined function" — use [[withHyperplaneBucket]] when you
+    * hold a DataFrame, which registers for you. */
   def hyperplaneBucket(emb: org.apache.spark.sql.Column, bits: Int = 8,
                        dims: Int = 64, planeOffset: Int = 0): org.apache.spark.sql.Column =
-    // all sign bits in ONE codegen'd loop (HyperplaneBuckets) — the HOF
-    // formulation this replaces (bits × (zip_with + aggregate) interpreted
-    // lambdas) is bit-equal but interpreted per element. Requires
-    // GraftFunctions.register (graft.core.Tables.register does it).
     call_function("graft_hyperplane_bucket", emb, lit(bits), lit(dims), lit(planeOffset))
+
+  /** [[hyperplaneBucket]] with the registration handled: appends the
+    * bucket column to `df`, registering the codegen function on df's own
+    * session first (the same pattern as `Sketches.frequentItems`). */
+  def withHyperplaneBucket(df: DataFrame, embCol: String, out: String = "bucket",
+                           bits: Int = 8, dims: Int = 64,
+                           planeOffset: Int = 0): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(df.sparkSession)
+    df.withColumn(out, hyperplaneBucket(col(embCol), bits, dims, planeOffset))
+  }
 
   /** Hyperplane-LSH ANN: score only the probe's bucket, exact-cosine
     * rerank: (vec_id, bucket, cos). The 100 TB shape matches [[ivfTopK]]

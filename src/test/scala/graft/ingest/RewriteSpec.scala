@@ -28,6 +28,19 @@ class RewriteSpec extends SparkSpec {
     assert(Rewrite.addDimensions(points, Map.empty).collect().length === 3)
   }
 
+  test("addDimensions decorates a NULL dimensions map (no null propagation)") {
+    val sq = spark
+    import sq.implicits._
+    val withNull = Seq(("m.a", 1.0, Map("k" -> "v")), ("m.b", 2.0, null))
+      .toDF("metric", "value", "dimensions")
+    val out = Rewrite.addDimensions(withNull, Map("dc" -> "us1"))
+      .select(col("metric"), col("dimensions")).collect()
+      .map(r => r.getString(0) -> Option(r.getMap[String, String](1)).map(_.toMap)).toMap
+    assert(out("m.a") === Some(Map("k" -> "v", "dc" -> "us1")))
+    // a null map gains exactly the static dims — it must not stay null
+    assert(out("m.b") === Some(Map("dc" -> "us1")))
+  }
+
   test("filterMetrics applies allow then deny") {
     def metrics(df: org.apache.spark.sql.DataFrame) =
       df.select("metric").collect().map(_.getString(0)).toSet

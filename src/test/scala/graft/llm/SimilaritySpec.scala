@@ -181,6 +181,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r.last === 1.0, s"nprobe=cells must equal brute force, got $r")
   }
 
+  test("ivfTopKKmeansMultiProbe: absent probe id yields empty, own cell always scanned") {
+    // sibling semantics: unknown id → empty frame, not an exception
+    assert(Similarity.ivfTopKKmeansMultiProbe(embs, probeId = -999L, k = 5,
+      cells = 4, iters = 3, nprobe = 2).count() === 0)
+    // nprobe=1 must still scan the cell the probe is ASSIGNED to (codegen
+    // argmax), whatever the driver-side fp ranking says — so the result
+    // equals single-cell ivfTopKKmeans exactly
+    val single = Similarity.ivfTopKKmeans(embs, probeId = 3L, k = 5, cells = 4, iters = 3)
+    val multi1 = Similarity.ivfTopKKmeansMultiProbe(embs, probeId = 3L, k = 5,
+      cells = 4, iters = 3, nprobe = 1)
+    assert(canon(multi1) === canon(single))
+  }
+
+  test("withHyperplaneBucket registers the codegen function on the frame's session") {
+    val bucketed = Similarity.withHyperplaneBucket(embs, "embedding", bits = 6)
+    val direct = embs.withColumn("bucket",
+      Similarity.hyperplaneBucket(col("embedding"), bits = 6))
+    assert(canon(bucketed.select("vec_id", "bucket").orderBy("vec_id")) ===
+      canon(direct.select("vec_id", "bucket").orderBy("vec_id")))
+  }
+
   test("ivfTopKKmeans: exact within the probe's learned cell") {
     val model = Similarity.kmeansCentroids(embs, 4, iters = 3)
     val assigned = Similarity.assignCells(embs, model)
