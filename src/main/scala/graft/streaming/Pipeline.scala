@@ -20,7 +20,7 @@ object Pipeline {
     * `DataPointUploadMessage` payloads (kind = "binary") — §2a rows 6–7b.
     * kind "partitioned" is the Kafka-shaped replay source (see
     * [[source]]). */
-  final case class ListenFrom(kind: String, // "file" | "socket" | "binary" | "partitioned"
+  final case class ListenFrom(kind: String, // "file" | "socket" | "binary" | "partitioned" | "kafka"
                               path: String = "", host: String = "localhost",
                               port: Int = 2003,
                               codec: String = "carbon",
@@ -137,6 +137,41 @@ object Pipeline {
         .withColumn("src_offset",
           regexp_extract(col("__f"), "offset=(\\d+)", 1).cast("long"))
         .drop("__f")
+    case "kafka" =>
+      // PRODUCTION mapping onto the spark-sql-kafka-0-10 connector — the
+      // `partitioned` replay source above mimics exactly this contract
+      // broker-free, so the two kinds are drop-in swaps:
+      //   path "host1:9092,host2:9092/topic" → kafka.bootstrap.servers +
+      //     subscribe;
+      //   maxFilesPerTrigger (BufferedForwarder's bounded drain [P]) →
+      //     maxOffsetsPerTrigger (records, the Kafka fetch unit);
+      //   (line, src_partition, src_offset) ← (CAST(value AS STRING),
+      //     partition, offset) — the same authoritative-order metadata.
+      // This sandbox ships no connector jar and no broker, so load()
+      // fails; the error says exactly what to add.
+      import org.apache.spark.sql.functions._
+      val sep = lf.path.lastIndexOf('/')
+      require(sep > 0 && sep < lf.path.length - 1,
+        s"kafka listener path must be '<bootstrap-servers>/<topic>', got '${lf.path}'")
+      val (servers, topic) = (lf.path.substring(0, sep), lf.path.substring(sep + 1))
+      val r = spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+      lf.maxFilesPerTrigger.foreach(n => r.option("maxOffsetsPerTrigger", n.toLong))
+      val raw =
+        try r.load()
+        catch {
+          case e: Exception =>
+            throw new IllegalStateException(
+              "listener kind 'kafka' requires the spark-sql-kafka-0-10 connector on the " +
+                "classpath (this sandbox has no connector jar and no broker). The option " +
+                "mapping above is complete; use kind 'partitioned' as the broker-free " +
+                "stand-in — it exposes the identical (line, src_partition, src_offset) " +
+                "contract.", e)
+        }
+      raw.select(col("value").cast("string").as("line"),
+        col("partition").as("src_partition"), col("offset").as("src_offset"))
     case other => throw new IllegalArgumentException(s"unknown listener kind '$other'")
   }
 

@@ -217,6 +217,24 @@ class StreamingSpec extends SparkSpec {
     assert(minimal.triggerMillis === 1000L)
   }
 
+  test("kafka listener: option mapping compiles, sandbox failure is actionable") {
+    // the mapping itself (path split, option wiring) runs before load();
+    // a malformed path fails fast with the expected shape
+    val bad = intercept[IllegalArgumentException] {
+      Pipeline.source(spark, Pipeline.ListenFrom("kafka", path = "no-topic-here"))
+    }
+    assert(bad.getMessage.contains("<bootstrap-servers>/<topic>"))
+    // with no connector jar in this sandbox, load() fails — the error must
+    // name the missing artifact and the broker-free stand-in
+    val e = intercept[IllegalStateException] {
+      Pipeline.source(spark,
+        Pipeline.ListenFrom("kafka", path = "broker1:9092,broker2:9092/points",
+          maxFilesPerTrigger = Some(30000)))
+    }
+    assert(e.getMessage.contains("spark-sql-kafka-0-10"))
+    assert(e.getMessage.contains("partitioned"))
+  }
+
   test("pipeline with collectd codec: JSON-lines file listener to csv sink") {
     val dir = Files.createTempDirectory("graft_collectd").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
