@@ -89,6 +89,23 @@ object GraftFunctions {
       HyperplaneBuckets(exprs(0), intLit(exprs(1), "bits"),
         intLit(exprs(2), "dims"), intLit(exprs(3), "planeOffset"))
     },
+    "graft_pq_encode" -> { exprs =>
+      def intLit(e: Expression, what: String): Int = e.eval(InternalRow.empty) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_pq_encode $what must be an integer literal, got $other")
+      }
+      // the codebook is DATA learned at train time — it arrives as a
+      // foldable array literal and is extracted once at build time
+      val flat = exprs(1).eval(InternalRow.empty) match {
+        case a: ArrayData => a.toDoubleArray()
+        case other => throw new IllegalArgumentException(
+          s"graft_pq_encode codebook must be an array<double> literal, got $other")
+      }
+      PqEncode(exprs(0), flat, intLit(exprs(2), "m"), intLit(exprs(3), "k"),
+        intLit(exprs(4), "subDim"))
+    },
     "graft_freq_items" -> { exprs =>
       // k must be a foldable int literal (it sizes the aggregation buffer)
       val k = exprs(1).eval(InternalRow.empty) match {

@@ -66,6 +66,14 @@ object AnnRecallProbe {
     recall("ivf-kmeans c=8 np=1", p => kmeansProbe(p, 1))
     recall("ivf-kmeans c=8 np=2", p => kmeansProbe(p, 2))
     recall("ivf-kmeans c=8 np=4", p => kmeansProbe(p, 4))
+    // IVF+PQ: same nprobe-cell scan, but candidates are scored from
+    // 8-byte ADC codes (1/32 the in-cell bytes of the 256 B floats) with
+    // an exact rerank of the 4k short list
+    val pqModel = graft.llm.Pq.train(embs, dims = 64)
+    recall("ivf-pq c=8 np=4 rr=4k", p =>
+      graft.llm.Pq.ivfPqTopK(embs, pqModel, model, p, kTop = k, nprobe = 4, rerank = 4 * k))
+    recall("ivf-pq c=8 np=4 rr=10k", p =>
+      graft.llm.Pq.ivfPqTopK(embs, pqModel, model, p, kTop = k, nprobe = 4, rerank = 10 * k))
     recall("hyperplane b=4", p => Similarity.hyperplaneTopK(embs, p, k, bits = 4))
     recall("hyperplane-mp b=4", p => Similarity.hyperplaneMultiProbeTopK(embs, p, k, bits = 4))
     spark.stop()
