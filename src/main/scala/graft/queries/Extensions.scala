@@ -194,6 +194,24 @@ object Extensions {
         .agg(count(lit(1)).as("n_clicks"), max(col("c_id")).as("last_click"))
         .orderBy("p_id").limit(100)
     },
+    // streaming-NATIVE tumble/slide (same trick as STREAM-SESSION-NATIVE):
+    // the DSL calls the REAL StreamingOps.tumble/slide — the `window()`
+    // operator behaves identically on batch frames — so the oracle hashes
+    // the exact epoch-aligned windows the streaming rollup emits (counts
+    // and window starts are exact integers; the contract shapes
+    // STREAM-TUMBLE/SLIDE check the equivalent bucket arithmetic instead)
+    "STREAM-TUMBLE-NATIVE" -> { (s, d) =>
+      val ev = events(s, d)
+      graft.streaming.StreamingOps.tumble(ev, "ts", "event_type", "6 hours")
+        .select(col("wstart").cast("long").as("wstart"), col("event_type"), col("c"))
+        .orderBy("wstart", "event_type").limit(100)
+    },
+    "STREAM-SLIDE-NATIVE" -> { (s, d) =>
+      val ev = events(s, d)
+      graft.streaming.StreamingOps.slide(ev, "ts", "6 hours", "3 hours")
+        .select(col("wstart").cast("long").as("wstart"), col("c"))
+        .orderBy("wstart").limit(100)
+    },
     // streaming-NATIVE sessionization (the STREAM-JOIN trick applied to
     // session_window): the DSL calls the REAL StreamingOps.sessionize —
     // session_window + watermark behave identically on a batch frame — so
@@ -385,6 +403,17 @@ object Extensions {
         |  AND epoch_us(buy_ts) >= epoch_us(click_ts)
         |  AND epoch_us(buy_ts) <= epoch_us(click_ts) + 1800000000
         |GROUP BY p_id ORDER BY p_id LIMIT 100""".stripMargin,
+    // window() semantics, relationally: epoch-aligned 6h buckets (and the
+    // two 3h-shifted window families for slide), starts as epoch seconds
+    "STREAM-TUMBLE-NATIVE" ->
+      """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600 AS BIGINT) AS wstart,
+        |  event_type, count(*) AS c
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100""".stripMargin,
+    "STREAM-SLIDE-NATIVE" ->
+      """WITH shifts AS (SELECT 0 AS s UNION ALL SELECT 10800),
+        |b AS (SELECT CAST(floor((epoch(CAST(ts AS TIMESTAMP)) - s) / 21600) * 21600 + s AS BIGINT) AS wstart
+        |      FROM events CROSS JOIN shifts)
+        |SELECT wstart, count(*) AS c FROM b GROUP BY wstart ORDER BY wstart LIMIT 100""".stripMargin,
     // session_window semantics, relationally: sessions merge while the
     // inter-event gap is STRICTLY under 30 min (windows [t, t+gap) merge
     // iff they overlap), start = first event, end = last event + gap
