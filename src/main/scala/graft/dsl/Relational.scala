@@ -1,6 +1,6 @@
 package graft.dsl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -275,6 +275,41 @@ object Relational {
           round(aggregate(slice(col("vals"), lit(2), size(col("vals")) - 1),
             element_at(col("vals"), 1),
             (acc, x) => acc * 0.7 + x * 0.3), 4).as("ema"))
+        .orderBy("event_type")
+    },
+
+    // Holt linear smoothing: the TS-EMA ordered-fold pattern with a
+    // [level, trend] pair accumulator (fp written to mirror the SQL twins
+    // operation-for-operation)
+    "TS-HOLT" -> { s =>
+      def holtStep(acc: Column, x: Column): Column = array(
+        lit(0.3) * x + lit(0.7) * (element_at(acc, 1) + element_at(acc, 2)),
+        lit(0.2) * ((lit(0.3) * x + lit(0.7) * (element_at(acc, 1) + element_at(acc, 2)))
+          - element_at(acc, 1)) + lit(0.8) * element_at(acc, 2))
+      val vals = transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+        _.getField("value"))
+      s.table("events")
+        .groupBy("event_type")
+        .agg(vals.as("vals"))
+        .select(col("event_type"), size(col("vals")).as("n"),
+          aggregate(slice(col("vals"), lit(2), size(col("vals")) - 1),
+            array(element_at(col("vals"), 1), lit(0.0)), holtStep).as("hb"))
+        .select(col("event_type"), col("n"),
+          round(element_at(col("hb"), 1), 4).as("level"),
+          round(element_at(col("hb"), 2), 4).as("trend"))
+        .orderBy("event_type")
+    },
+
+    // Scale twin: graft.operators.SegmentedHolt's chunked matrix-affine
+    // decomposition — the same partitioned two-aggregate plan as
+    // TS-EMA-SCALE, generalized to the (level, trend) state
+    "TS-HOLT-SCALE" -> { s =>
+      graft.operators.SegmentedHolt.holtFinal(s.table("events"),
+          seriesCols = Seq("event_type"), rangeKey = col("ts").cast("double"),
+          orderCols = Seq(col("ts"), col("event_id")), valueCol = col("value"))
+        .select(col("event_type"), col("n").cast("int").as("n"),
+          round(col("level"), 4).as("level"), round(col("trend"), 4).as("trend"))
         .orderBy("event_type")
     },
 

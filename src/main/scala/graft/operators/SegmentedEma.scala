@@ -103,3 +103,89 @@ object SegmentedEma {
           .as("ema")): _*)
   }
 }
+
+/** Segmented Holt linear (double-exponential) smoothing — the 2×2
+  * generalization of [[SegmentedEma]].
+  *
+  * Holt's recurrences over state s = (level, trend):
+  * {{{
+  *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+  *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+  * }}}
+  * are one AFFINE map of the state per input: s_t = M·s_{t−1} + c·x_t with
+  * M = [[1−α, 1−α], [−αβ, 1−αβ]], c = (α, αβ). Affine maps over vectors
+  * compose associatively exactly like the scalar case — (M₂,v₂)∘(M₁,v₁) =
+  * (M₂M₁, M₂v₁+v₂) — so the same chunked decomposition applies: each
+  * range-bucketed chunk folds independently to its composed (M, v)
+  * (6 doubles), and the per-series combine applies the ≤`buckets` chunk
+  * affines to the running 2-vector state in chunk order, metadata-scale.
+  * Seed (the contract): s_1 = (x_1, 0).
+  *
+  * Same plan as [[SegmentedEma]]: two hash aggregates, no window, no
+  * whole-series array on any task. Re-association is algebraically exact;
+  * 4-decimal agreement with the sequential fold is oracle-asserted.
+  */
+object SegmentedHolt {
+
+  private val B = "__sh_b"
+
+  /** (seriesCols*, n LONG, level DOUBLE, trend DOUBLE) — Holt's final
+    * state per series over `valueCol` ordered by `orderCols`. */
+  def holtFinal(df: DataFrame, seriesCols: Seq[String], rangeKey: Column,
+                orderCols: Seq[Column], valueCol: Column,
+                alpha: Double = 0.3, beta: Double = 0.2,
+                buckets: Int = 0): DataFrame = {
+    val nb = if (buckets > 0) buckets
+             else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt * 4
+    val (lo, hi) = GlobalWindow.keyRange(df, rangeKey)
+    val width = math.max((hi - lo) / nb, 1e-9)
+    val t = df.withColumn(B, GlobalWindow.bucketCol(rangeKey, lo, width, nb))
+
+    // one Holt step composed onto an accumulated affine [m11,m12,m21,m22,v1,v2]
+    val (ma, mb2) = (1.0 - alpha, 1.0 - alpha)
+    val (mc, md) = (-alpha * beta, 1.0 - alpha * beta)
+    def step(acc: Column, x: Column): Column = array(
+      lit(ma) * element_at(acc, 1) + lit(mb2) * element_at(acc, 3),
+      lit(ma) * element_at(acc, 2) + lit(mb2) * element_at(acc, 4),
+      lit(mc) * element_at(acc, 1) + lit(md) * element_at(acc, 3),
+      lit(mc) * element_at(acc, 2) + lit(md) * element_at(acc, 4),
+      lit(ma) * element_at(acc, 5) + lit(mb2) * element_at(acc, 6) + lit(alpha) * x,
+      lit(mc) * element_at(acc, 5) + lit(md) * element_at(acc, 6) + lit(alpha * beta) * x)
+    val identity6 = array(lit(1.0), lit(0.0), lit(0.0), lit(1.0), lit(0.0), lit(0.0))
+
+    val sortKey = orderCols.zipWithIndex.map { case (c, i) => c.as(s"__sh_o$i") } :+
+      valueCol.cast("double").as("__sh_v")
+    val chunk = t
+      .groupBy((seriesCols.map(col) :+ col(B)): _*)
+      .agg(collect_list(struct(sortKey: _*)).as("raw"))
+      .select((seriesCols.map(col) :+ col(B) :+
+        transform(array_sort(col("raw")), _.getField("__sh_v")).as("vals")): _*)
+      .select((seriesCols.map(col) :+ col(B).as("b") :+
+        size(col("vals")).cast("long").as("m") :+
+        element_at(col("vals"), 1).as("first") :+
+        aggregate(col("vals"), identity6, step).as("full") :+
+        aggregate(slice(col("vals"), lit(2), size(col("vals")) - 1),
+          identity6, step).as("tail")): _*)
+
+    // per series: seed = first chunk's tail affine applied to (first, 0),
+    // then each later chunk's full affine applied to the running state
+    def applyAff(aff: Column, s: Column): Column = array(
+      element_at(aff, 1) * element_at(s, 1) + element_at(aff, 2) * element_at(s, 2) +
+        element_at(aff, 5),
+      element_at(aff, 3) * element_at(s, 1) + element_at(aff, 4) * element_at(s, 2) +
+        element_at(aff, 6))
+    val chunks = array_sort(collect_list(struct(
+      col("b"), col("m"), col("first"), col("full"), col("tail"))))
+    chunk
+      .groupBy(seriesCols.map(col): _*)
+      .agg(sum(col("m")).as("n"), chunks.as("cs"))
+      .select((seriesCols.map(col) :+ col("n") :+
+        aggregate(slice(col("cs"), lit(2), size(col("cs")) - 1),
+          applyAff(element_at(col("cs"), 1).getField("tail"),
+            array(element_at(col("cs"), 1).getField("first"), lit(0.0))),
+          (s, c) => applyAff(c.getField("full"), s)).as("hb")): _*)
+      .select((seriesCols.map(col) :+ col("n") :+
+        element_at(col("hb"), 1).as("level") :+
+        element_at(col("hb"), 2).as("trend")): _*)
+  }
+}

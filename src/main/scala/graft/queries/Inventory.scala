@@ -921,6 +921,74 @@ object Inventory {
       |  FROM events GROUP BY event_type) t
       |ORDER BY event_type""".stripMargin)
 
+  // Holt linear (double-exponential) smoothing: level + trend, the
+  // proxy-domain forecast state. Same sequential-fold contract as TS-EMA,
+  // with a 2-vector accumulator — both engines fold [level, trend] pairs
+  // (DuckDB's list_reduce needs acc type == element type, so values ride
+  // as [v, 0] pairs and the seed [x_1, 0] is prepended). α=0.3, β=0.2,
+  // s_1 = (x_1, 0); double literals pinned (bare 0.3 is DECIMAL in DuckDB
+  // and silently truncates the fold).
+  q("TS-HOLT",
+    """SELECT event_type, size(vals) AS n,
+      |  round(hb[0], 4) AS level, round(hb[1], 4) AS trend
+      |FROM (
+      |  SELECT event_type, vals,
+      |    aggregate(slice(vals, 2, size(vals) - 1),
+      |              array(element_at(vals, 1), CAST(0.0 AS DOUBLE)),
+      |              (acc, x) -> array(
+      |                0.3D * x + 0.7D * (acc[0] + acc[1]),
+      |                0.2D * ((0.3D * x + 0.7D * (acc[0] + acc[1])) - acc[0]) + 0.8D * acc[1])) AS hb
+      |  FROM (
+      |    SELECT event_type,
+      |      transform(array_sort(collect_list(struct(ts, event_id, value))),
+      |                s -> s.value) AS vals
+      |    FROM events GROUP BY event_type) t) u
+      |ORDER BY event_type""".stripMargin,
+    """SELECT event_type, CAST(len(vals) AS INT) AS n,
+      |  round(hb[1], 4) AS level, round(hb[2], 4) AS trend
+      |FROM (
+      |  SELECT event_type, vals,
+      |    list_reduce(list_prepend([vals[1], 0.0::DOUBLE],
+      |                             list_transform(vals[2:], v -> [v, 0.0::DOUBLE])),
+      |      (acc, x) -> [0.3::DOUBLE * x[1] + 0.7::DOUBLE * (acc[1] + acc[2]),
+      |                   0.2::DOUBLE * ((0.3::DOUBLE * x[1] + 0.7::DOUBLE * (acc[1] + acc[2])) - acc[1]) + 0.8::DOUBLE * acc[2]]) AS hb
+      |  FROM (SELECT event_type, list(value ORDER BY ts, event_id) AS vals
+      |        FROM events GROUP BY event_type) t) u
+      |ORDER BY event_type""".stripMargin)
+
+  // Scale twin: the SQL IS the sequential pair fold above; the DSL runs
+  // graft.operators.SegmentedHolt — the 2×2 matrix-affine generalization
+  // of TS-EMA-SCALE's chunk decomposition (Holt's update is one affine
+  // map of the (level, trend) state per input, and affine maps compose
+  // associatively), so no whole-series array on any task.
+  q("TS-HOLT-SCALE",
+    """SELECT event_type, size(vals) AS n,
+      |  round(hb[0], 4) AS level, round(hb[1], 4) AS trend
+      |FROM (
+      |  SELECT event_type, vals,
+      |    aggregate(slice(vals, 2, size(vals) - 1),
+      |              array(element_at(vals, 1), CAST(0.0 AS DOUBLE)),
+      |              (acc, x) -> array(
+      |                0.3D * x + 0.7D * (acc[0] + acc[1]),
+      |                0.2D * ((0.3D * x + 0.7D * (acc[0] + acc[1])) - acc[0]) + 0.8D * acc[1])) AS hb
+      |  FROM (
+      |    SELECT event_type,
+      |      transform(array_sort(collect_list(struct(ts, event_id, value))),
+      |                s -> s.value) AS vals
+      |    FROM events GROUP BY event_type) t) u
+      |ORDER BY event_type""".stripMargin,
+    """SELECT event_type, CAST(len(vals) AS INT) AS n,
+      |  round(hb[1], 4) AS level, round(hb[2], 4) AS trend
+      |FROM (
+      |  SELECT event_type, vals,
+      |    list_reduce(list_prepend([vals[1], 0.0::DOUBLE],
+      |                             list_transform(vals[2:], v -> [v, 0.0::DOUBLE])),
+      |      (acc, x) -> [0.3::DOUBLE * x[1] + 0.7::DOUBLE * (acc[1] + acc[2]),
+      |                   0.2::DOUBLE * ((0.3::DOUBLE * x[1] + 0.7::DOUBLE * (acc[1] + acc[2])) - acc[1]) + 0.8::DOUBLE * acc[2]]) AS hb
+      |  FROM (SELECT event_type, list(value ORDER BY ts, event_id) AS vals
+      |        FROM events GROUP BY event_type) t) u
+      |ORDER BY event_type""".stripMargin)
+
   // URL parsing: host/path/single query param from a constructed URL
   // column (testdata has no URL field; the construction mirrors how
   // PARSE-COMMAKEYS builds metric names from columns)

@@ -133,23 +133,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(contract.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty)
   }
 
-  test("TS-EMA-SCALE: no whole-series collect — data-side aggregate is chunk-grouped") {
+  test("TS-EMA/HOLT-SCALE: no whole-series collect — data-side aggregate is chunk-grouped") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    val plan = df("TS-EMA-SCALE").queryExecution.optimizedPlan
-    // no window operator at all: the scale path is two hash aggregates
-    assert(plan.collect { case w: LWindow => w }.isEmpty,
-      "TS-EMA-SCALE: unexpected window operator")
-    val aggs = plan.collect { case a: Aggregate => a }
-    assert(aggs.nonEmpty, "expected hash aggregates")
-    // the aggregate that touches the DATA (no aggregate below it) must
-    // group by (series, chunk) — a series-only grouping there is the
-    // whole-array-on-one-task shape the twin exists to avoid. Aggregates
-    // over already-reduced input (chunk summaries) may group by series.
-    aggs.filter(a => a.child.collect { case x: Aggregate => x }.isEmpty)
-      .foreach { a =>
-        assert(a.groupingExpressions.size >= 2,
-          "data-side aggregate is not chunk-grouped — whole-series collect")
-      }
+    Seq("TS-EMA-SCALE", "TS-HOLT-SCALE").foreach { id =>
+      val plan = df(id).queryExecution.optimizedPlan
+      // no window operator at all: the scale path is two hash aggregates
+      assert(plan.collect { case w: LWindow => w }.isEmpty,
+        s"$id: unexpected window operator")
+      val aggs = plan.collect { case a: Aggregate => a }
+      assert(aggs.nonEmpty, s"$id: expected hash aggregates")
+      // the aggregate that touches the DATA (no aggregate below it) must
+      // group by (series, chunk) — a series-only grouping there is the
+      // whole-array-on-one-task shape the twin exists to avoid. Aggregates
+      // over already-reduced input (chunk summaries) may group by series.
+      aggs.filter(a => a.child.collect { case x: Aggregate => x }.isEmpty)
+        .foreach { a =>
+          assert(a.groupingExpressions.size >= 2,
+            s"$id: data-side aggregate is not chunk-grouped — whole-series collect")
+        }
+    }
     // the contract shape, by contrast, IS the series-only ordered collect
     val contract = df("TS-EMA").queryExecution.optimizedPlan
     assert(contract.collect {
