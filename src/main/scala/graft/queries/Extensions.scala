@@ -194,6 +194,21 @@ object Extensions {
         .agg(count(lit(1)).as("n_clicks"), max(col("c_id")).as("last_click"))
         .orderBy("p_id").limit(100)
     },
+    // Pure range join (NO equi key): naive Spark plans a
+    // BroadcastNestedLoopJoin (every point x every interval); the DSL
+    // runs operators.RangeJoin's domain-bucketed equi-join instead —
+    // PlanAuditSpec asserts no BNLJ/cartesian. The oracle is the plain
+    // theta join (DuckDB's IEJoin handles it at oracle scale).
+    "JOIN-RANGE-SCALE" -> { (s, d) =>
+      Tables.register(s, d)
+      val iv = s.table("orders").filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") / 100).as("lo"),
+          (col("o_totalprice") / 100 + 200).as("hi"))
+      val pts = s.table("lineitem").select(col("l_extendedprice").as("p"))
+      graft.operators.RangeJoin.pointInInterval(pts, "p", iv, "lo", "hi")
+        .groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderkey").limit(100)
+    },
     // streaming-NATIVE tumble/slide (same trick as STREAM-SESSION-NATIVE):
     // the DSL calls the REAL StreamingOps.tumble/slide — the `window()`
     // operator behaves identically on batch frames — so the oracle hashes
@@ -403,6 +418,13 @@ object Extensions {
         |  AND epoch_us(buy_ts) >= epoch_us(click_ts)
         |  AND epoch_us(buy_ts) <= epoch_us(click_ts) + 1800000000
         |GROUP BY p_id ORDER BY p_id LIMIT 100""".stripMargin,
+    "JOIN-RANGE-SCALE" ->
+      """SELECT o_orderkey, count(*) AS cnt
+        |FROM orders JOIN lineitem
+        |  ON l_extendedprice >= o_totalprice / 100
+        | AND l_extendedprice <= o_totalprice / 100 + 200
+        |WHERE o_orderkey % 100 = 0
+        |GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 100""".stripMargin,
     // window() semantics, relationally: epoch-aligned 6h buckets (and the
     // two 3h-shifted window families for slide), starts as epoch seconds
     "STREAM-TUMBLE-NATIVE" ->

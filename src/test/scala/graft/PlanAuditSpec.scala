@@ -159,6 +159,13 @@ class PlanAuditSpec extends SparkSpec {
     }.nonEmpty)
   }
 
+  test("JOIN-RANGE-SCALE: bucketed range join is key-equality, never a nested loop") {
+    val p = finalPlan("JOIN-RANGE-SCALE")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "pure range predicate degenerated to a nested-loop join")
+    assert(!p.contains("CartesianProduct"), "range join degenerated to a cartesian")
+  }
+
   test("sessionize and z-score: every window is series-partitioned") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     Seq("WIN-SESSIONIZE", "WIN-ZSCORE").foreach { id =>
