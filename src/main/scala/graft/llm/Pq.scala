@@ -150,6 +150,95 @@ object Pq {
       .limit(kTop)
   }
 
+  /** Persist an IVF+PQ index — the deployed layout the operator docs
+    * promise: the CODES table (vec_id, codes) parquet-partitioned by
+    * k-means cell (8 logical bytes per vector in the scanned partitions),
+    * the full-float sidecar vec_id-sorted for point-lookup reranks
+    * ([[Similarity.sidecarPath]]), plus `_centroids` and `_pq` model
+    * sidecars so a probe needs no re-learning. */
+  def writeIvfPqIndex(embeddings: DataFrame, path: String, cells: Int = 8,
+                      iters: Int = 5, dims: Int = 64, m: Int = 16,
+                      k: Int = 16): Unit = {
+    val spark = embeddings.sparkSession
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val centroids = Similarity.kmeansCentroids(embeddings, cells, iters)
+    val model = train(embeddings, dims, m, k)
+    val assigned = Similarity.assignCells(embeddings, centroids)
+    encode(assigned, model).select("vec_id", "cell", "codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    assigned.select("vec_id", "cell", "embedding")
+      .repartitionByRange(col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(Similarity.sidecarPath(path))
+    import spark.implicits._
+    centroids.toSeq.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(Similarity.centroidsPath(path))
+    model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+    }.toSeq.toDF("j", "c", "centroid")
+      .write.mode("overwrite").parquet(pqModelPath(path))
+  }
+
+  /** PQ-model sidecar location for an index at `path`. */
+  def pqModelPath(path: String): String = path.stripSuffix("/") + "_pq"
+
+  /** Load the PQ model sidecar written by [[writeIvfPqIndex]]. */
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(pqModelPath(path)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val subDim = rows.head._3.length
+    val cb = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { case (j, c, cent) => cb(j)(c) = cent }
+    Model(m, k, subDim, cb.map(_.toArray))
+  }
+
+  /** Probe a persisted IVF+PQ index with an explicit query vector: cell
+    * selection from the tiny `_centroids` sidecar, a PARTITION-PRUNED
+    * scan of only the nprobe cells' CODES (8 B/vector), ADC scoring, then
+    * an exact rerank that fetches floats for just the `rerank` short-list
+    * ids via a row-group-pruned point lookup on the sorted sidecar (the
+    * id collect is ≤ rerank rows — metadata-scale). */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       probe: Array[Float], kTop: Int, nprobe: Int = 2,
+                       rerank: Int = 64): DataFrame = {
+    require(rerank >= kTop, "rerank short list must be >= kTop")
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val model = readModel(spark, path)
+    val centroids = spark.read.parquet(Similarity.centroidsPath(path)).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val qn = normalize(probe.map(_.toDouble))
+    def ccos(c: Array[Double]) =
+      qn.zip(c.map(_.toFloat.toDouble)).map { case (a, b) => a * b }.sum
+    val probeCells = centroids.map { case (cid, c) => (ccos(c), cid) }
+      .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2).toSeq
+    val lut = Array.tabulate(model.m) { j =>
+      Array.tabulate(model.k) { c =>
+        val cb = model.codebooks(j)(c)
+        var s = 0.0; var i = 0
+        while (i < model.subDim) { s += qn(j * model.subDim + i) * cb(i); i += 1 }
+        s
+      }
+    }
+    val lutLit = typedlit(lut.map(_.toSeq).toSeq)
+    val adc = aggregate(
+      zip_with(col("codes"), lutLit, (c, l) => element_at(l, c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    val ids = spark.read.parquet(path)
+      .filter(col("cell").isInCollection(probeCells))
+      .select(col("vec_id"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(rerank)
+      .collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(Similarity.sidecarPath(path))
+      .filter(col("vec_id").isInCollection(ids))
+      .select(col("vec_id"),
+        round(cosineNative(col("embedding"), lit(probe).cast("array<float>")), 3).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(kTop)
+  }
+
   /** IVF+PQ probe: scan only the `nprobe` nearest k-means cells (the
     * [[Similarity.ivfTopKKmeansMultiProbe]] cell selection), score the
     * in-cell candidates by ADC, exact-rerank the short list. The deployed

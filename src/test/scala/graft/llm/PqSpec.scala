@@ -61,6 +61,31 @@ class PqSpec extends SparkSpec {
     assert(mean >= 0.7, s"ADC@rerank=4k mean recall $mean (per-probe: $recalls)")
   }
 
+  test("persisted IVF+PQ index: pruned codes scan, full probe recovers brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Pq.writeIvfPqIndex(embs, dir, cells = 4, iters = 3, dims = 64)
+    val n = embs.count().toInt
+    val probeVec = embs.filter(col("vec_id") === 1L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    // explicit-vector probe keeps the probe row itself (cos = 1 at top);
+    // nprobe = cells + rerank = corpus must equal the exact ranking
+    val expected = embs.select(col("vec_id"),
+        round(graft.functions.VectorFunctions.cosineNative(col("embedding"),
+          lit(probeVec).cast("array<float>")), 3).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(5)
+    val got = Pq.ivfPqTopKIndexed(spark, dir, probeVec, kTop = 5, nprobe = 4, rerank = n)
+    assert(canon(got) === canon(expected))
+    // the model sidecar round-trips exactly
+    val loaded = Pq.readModel(spark, dir)
+    assert(loaded.m === 16 && loaded.k === 16 && loaded.subDim === 4)
+    // the codes layout is partition-pruned on cell
+    val codesScan = spark.read.parquet(dir).filter(col("cell").isInCollection(Seq(0, 1)))
+    codesScan.collect()
+    val plan = codesScan.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell not in PartitionFilters:\n$plan")
+  }
+
   test("ivfPqTopK: absent probe empty; nprobe=cells + full rerank == brute force") {
     val centroids = Similarity.kmeansCentroids(embs, 4, iters = 3)
     assert(Pq.ivfPqTopK(embs, model, centroids, probeId = -7L, kTop = 5).count() === 0)
