@@ -103,8 +103,9 @@ object Dedup {
     val shc0 = sh.join(card, "doc_id")
     val shc =
       if (maxPostingList > 0)
-        shc0.join(hotShingles(documents, n, maxPostingList).select("s"),
-          Seq("s"), "left_anti")
+        // posting lists from the SAME shingle frame (not a second
+        // shingling scan of the corpus) — the cap costs one aggregate
+        shc0.join(hotFrom(sh, maxPostingList).select("s"), Seq("s"), "left_anti")
       else shc0
     val a = shc.select(col("doc_id").as("da"), col("s"), col("c").as("ca"))
     val b = shc.select(col("doc_id").as("db"), col("s").as("s2"), col("c").as("cb"))
@@ -120,10 +121,12 @@ object Dedup {
   /** The stop-shingle set for [[jaccardPairs]]' cap: shingles whose
     * posting list exceeds `cap`, as (s, pl). One hash aggregate over the
     * shingle stream. */
-  def hotShingles(documents: DataFrame, n: Int = 3, cap: Int): DataFrame = {
+  def hotShingles(documents: DataFrame, n: Int = 3, cap: Int): DataFrame =
+    hotFrom(shingles(documents, n), cap)
+
+  private def hotFrom(sh: DataFrame, cap: Int): DataFrame = {
     require(cap > 0, "cap must be positive")
-    shingles(documents, n).groupBy("s").agg(count("*").as("pl"))
-      .where(col("pl") > cap)
+    sh.groupBy("s").agg(count("*").as("pl")).where(col("pl") > cap)
   }
 
   /** MinHash signatures: numHashes min-hashes per document over its shingle
@@ -381,25 +384,29 @@ object Dedup {
     * checkpoint, then unpersists the previous round's — bounding cached
     * blocks at one generation per chain instead of one per round (a
     * long-diameter CC run otherwise accumulates every round's labels for
-    * the life of the session). Tracking is by persistent-RDD id diff
-    * around the (eager) localCheckpoint call; `release()` drops the last
-    * generation once the caller no longer needs it. The FINAL checkpoint
-    * backing a returned DataFrame must NOT be released — localCheckpoint
-    * truncates lineage, so its blocks are the only copy. */
+    * the life of the session). The checkpoint's backing RDD is read
+    * straight out of the returned frame's plan (the LogicalRDD leaf), so
+    * tracking is exact and safe under concurrent use of the session —
+    * never a diff of the SparkContext-global persistent-RDD registry,
+    * which could adopt (and later destroy) another thread's checkpoint.
+    * `release()` drops the last generation once the caller no longer
+    * needs it. The FINAL checkpoint backing a returned DataFrame must NOT
+    * be released — localCheckpoint truncates lineage, so its blocks are
+    * the only copy. */
   private class CheckpointChain(spark: org.apache.spark.sql.SparkSession) {
-    private val sc = spark.sparkContext
-    private var prevIds: Set[Int] = Set.empty
+    private var prev: Option[org.apache.spark.rdd.RDD[_]] = None
     def next(df: DataFrame): DataFrame = {
-      val before = sc.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint()
-      val added = sc.getPersistentRDDs.keySet.toSet -- before
-      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevIds = added
+      val rdd = out.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      prev.foreach(_.unpersist(blocking = false))
+      prev = rdd
       out
     }
     def release(): Unit = {
-      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevIds = Set.empty
+      prev.foreach(_.unpersist(blocking = false))
+      prev = None
     }
   }
 

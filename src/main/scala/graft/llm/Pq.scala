@@ -69,8 +69,9 @@ object Pq {
     val codebooks = Array.tabulate(m) { j =>
       val subs = sample.map(_.slice(j * subDim, (j + 1) * subDim))
       // deterministic init: first k DISTINCT subvectors (pad by repeats if
-      // the sample has fewer distinct values than codes)
-      val init = subs.distinct.take(k)
+      // the sample has fewer distinct values than codes). Compare by VALUE
+      // — Array.distinct is reference equality on JVM arrays, a no-op.
+      val init = subs.map(_.toSeq).distinct.take(k).map(_.toArray)
       var cb = Array.tabulate(k)(c => init(c % init.length))
       def d2(a: Array[Double], b: Array[Double]): Double = {
         var s = 0.0; var i = 0
@@ -119,14 +120,11 @@ object Pq {
     * `rerank`-sized short list. Both stages end in TakeOrderedAndProject.
     * Input must carry vec_id, the embedding column, and [[encode]]'s
     * codes. */
-  def adcTopK(encoded: DataFrame, probe: Array[Float], model: Model, kTop: Int,
-              rerank: Int, embCol: String = "embedding",
-              codesCol: String = "codes"): DataFrame = {
-    require(rerank >= kTop, "rerank short list must be >= kTop")
-    // the exact rerank uses the codegen graft_cosine — register it on this
-    // frame's session (the Similarity entry-point pattern)
-    graft.functions.expressions.GraftFunctions.register(encoded.sparkSession)
-    val qn = normalize(probe.map(_.toDouble))
+  /** ADC score Column for `codesCol` against a NORMALIZED query: the m×k
+    * LUT of query-subvector · codebook-entry dots rides as one literal;
+    * the score is m lookups + adds. Single definition — every ADC scorer
+    * (in-memory and indexed) must drift together or not at all. */
+  private def adcScore(model: Model, qn: Array[Double], codesCol: Column): Column = {
     val lut = Array.tabulate(model.m) { j =>
       Array.tabulate(model.k) { c =>
         val cb = model.codebooks(j)(c)
@@ -135,12 +133,21 @@ object Pq {
         s
       }
     }
-    val lutLit = typedlit(lut.map(_.toSeq).toSeq)
-    val adc = aggregate(
-      zip_with(col(codesCol), lutLit, (c, l) => element_at(l, c + 1)),
+    aggregate(
+      zip_with(codesCol, typedlit(lut.map(_.toSeq).toSeq), (c, l) => element_at(l, c + 1)),
       lit(0.0), (acc, v) => acc + v)
+  }
+
+  def adcTopK(encoded: DataFrame, probe: Array[Float], model: Model, kTop: Int,
+              rerank: Int, embCol: String = "embedding",
+              codesCol: String = "codes"): DataFrame = {
+    require(rerank >= kTop, "rerank short list must be >= kTop")
+    // the exact rerank uses the codegen graft_cosine — register it on this
+    // frame's session (the Similarity entry-point pattern)
+    graft.functions.expressions.GraftFunctions.register(encoded.sparkSession)
+    val qn = normalize(probe.map(_.toDouble))
     val shortList = encoded
-      .select(col("vec_id"), col(embCol), adc.as("adc"))
+      .select(col("vec_id"), col(embCol), adcScore(model, qn, col(codesCol)).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(rerank)
     shortList
@@ -162,7 +169,7 @@ object Pq {
     val spark = embeddings.sparkSession
     graft.functions.expressions.GraftFunctions.register(spark)
     val centroids = Similarity.kmeansCentroids(embeddings, cells, iters)
-    val model = train(embeddings, dims, m, k)
+    val model = train(embeddings, dims, m, k, iters = iters)
     val assigned = Similarity.assignCells(embeddings, centroids)
     encode(assigned, model).select("vec_id", "cell", "codes")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -213,21 +220,9 @@ object Pq {
       qn.zip(c.map(_.toFloat.toDouble)).map { case (a, b) => a * b }.sum
     val probeCells = centroids.map { case (cid, c) => (ccos(c), cid) }
       .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2).toSeq
-    val lut = Array.tabulate(model.m) { j =>
-      Array.tabulate(model.k) { c =>
-        val cb = model.codebooks(j)(c)
-        var s = 0.0; var i = 0
-        while (i < model.subDim) { s += qn(j * model.subDim + i) * cb(i); i += 1 }
-        s
-      }
-    }
-    val lutLit = typedlit(lut.map(_.toSeq).toSeq)
-    val adc = aggregate(
-      zip_with(col("codes"), lutLit, (c, l) => element_at(l, c + 1)),
-      lit(0.0), (acc, v) => acc + v)
     val ids = spark.read.parquet(path)
       .filter(col("cell").isInCollection(probeCells))
-      .select(col("vec_id"), adc.as("adc"))
+      .select(col("vec_id"), adcScore(model, qn, col("codes")).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(rerank)
       .collect().map(_.getLong(0)).toSeq

@@ -159,10 +159,18 @@ object Pipeline {
         .option("subscribe", topic)
         .option("startingOffsets", "earliest")
       lf.maxFilesPerTrigger.foreach(n => r.option("maxOffsetsPerTrigger", n.toLong))
+      // only a MISSING data source gets the "add the connector" message —
+      // with the connector present, genuine load() errors (bad option,
+      // version conflict) must surface as themselves
+      def missingSource(e: Throwable): Boolean = e != null && (
+        e.isInstanceOf[ClassNotFoundException] ||
+          (e.getMessage != null && (e.getMessage.contains("Failed to find data source") ||
+            e.getMessage.contains("DATA_SOURCE_NOT_FOUND"))) ||
+          missingSource(e.getCause))
       val raw =
         try r.load()
         catch {
-          case e: Exception =>
+          case e: Exception if missingSource(e) =>
             throw new IllegalStateException(
               "listener kind 'kafka' requires the spark-sql-kafka-0-10 connector on the " +
                 "classpath (this sandbox has no connector jar and no broker). The option " +
