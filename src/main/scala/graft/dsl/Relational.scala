@@ -798,6 +798,18 @@ object Relational {
         .orderBy("user_id", "bucket")
     },
 
+    // balanced per-class sample: fixed count per class, deterministic
+    // hash order, class-partitioned window (never a global sort)
+    "SAMPLE-BALANCED" -> { s =>
+      val w = Window.partitionBy("label")
+        .orderBy(graft.llm.Dedup.portableHash(col("vec_id").cast("string")), col("vec_id"))
+      s.table("embeddings")
+        .select(col("label"), col("vec_id"), row_number().over(w).as("rn"))
+        .where(col("rn") <= 5)
+        .select("label", "vec_id")
+        .orderBy("label", "vec_id")
+    },
+
     "SAMPLE-HASH" -> (s => s.table("events")
       .select(col("value"),
         call_function("graft_poly_hash",

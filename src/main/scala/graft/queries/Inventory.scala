@@ -566,6 +566,28 @@ object Inventory {
       |      FROM events) t
       |WHERE h % 20 = 0""".stripMargin)
 
+  // balanced per-class sampling: a FIXED COUNT per class (dataset
+  // curation's class-rebalance shape — SAMPLE-STRATIFIED's per-class
+  // RATES can't equalize counts), deterministic via the portable hash;
+  // the per-class window is partitioned on the class key, so the plan
+  // scales with class cardinality, never a global sort
+  q("SAMPLE-BALANCED",
+    """SELECT label, vec_id
+      |FROM (SELECT label, vec_id,
+      |        row_number() OVER (PARTITION BY label
+      |          ORDER BY graft_poly_hash(CAST(vec_id AS STRING)), vec_id) AS rn
+      |      FROM embeddings) t
+      |WHERE rn <= 5 ORDER BY label, vec_id""".stripMargin,
+    """SELECT label, vec_id
+      |FROM (SELECT label, vec_id,
+      |        row_number() OVER (PARTITION BY label ORDER BY h, vec_id) AS rn
+      |      FROM (SELECT label, vec_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |              list_transform(generate_series(1, CAST(length(CAST(vec_id AS VARCHAR)) AS INT)),
+      |                i -> CAST(ascii(substr(CAST(vec_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+      |              (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |            FROM embeddings) u) t
+      |WHERE rn <= 5 ORDER BY label, vec_id""".stripMargin)
+
   // multimodal frame-sampling plumbing: byte-derived frame count, one row
   // per sampled frame (the decode itself is stubbed — deterministic digest)
   q("MM-FRAME-SAMPLE",
