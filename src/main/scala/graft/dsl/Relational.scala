@@ -278,6 +278,32 @@ object Relational {
         .orderBy("event_type")
     },
 
+    // Lagged cross-correlation of two metric series: hourly bucket sums
+    // (decimal-exact), purchase shifted 0..3h, Pearson r from re-pinned
+    // moment sums — every aggregate exact, only the closed form in double
+    "TS-XCORR" -> { s =>
+      def series(et: String, bName: String, vName: String) =
+        s.table("events").where(col("event_type") === et)
+          .groupBy(floor(col("ts").cast("double") / 3600).cast("bigint").as(bName))
+          .agg(sum(col("value").cast(dec(18, 2))).cast("double").as(vName))
+      val a = series("click", "b", "x")
+      val p = series("purchase", "pb", "y")
+      val l = s.range(0, 4).select(col("id").cast("int").as("lagh"))
+      val j = a.crossJoin(l).join(p, col("pb") === col("b") + col("lagh"))
+      def d(c: Column) = c.cast("double")
+      val (n, sx, sy) = (d(count(lit(1))),
+        d(sum(col("x").cast(dec(18, 2)))), d(sum(col("y").cast(dec(18, 2)))))
+      val (sxy, sxx, syy) = (
+        d(sum((col("x") * col("y")).cast(dec(28, 4)))),
+        d(sum((col("x") * col("x")).cast(dec(28, 4)))),
+        d(sum((col("y") * col("y")).cast(dec(28, 4)))))
+      j.groupBy("lagh")
+        .agg(count(lit(1)).as("n"),
+          round((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4).as("r"))
+        .orderBy("lagh")
+    },
+
     // Holt linear smoothing: the TS-EMA ordered-fold pattern with a
     // [level, trend] pair accumulator (fp written to mirror the SQL twins
     // operation-for-operation)

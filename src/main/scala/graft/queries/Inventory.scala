@@ -943,6 +943,46 @@ object Inventory {
       |  FROM events GROUP BY event_type) t
       |ORDER BY event_type""".stripMargin)
 
+  // Lagged cross-correlation between two metric series (does one metric
+  // LEAD another?): hourly-bucketed sums per series, the purchase series
+  // shifted by 0..3 buckets, Pearson r per lag. FP discipline: bucket
+  // sums are DECIMAL-exact; the moment sums (x·y etc.) are exact-integer
+  // doubles re-pinned to DECIMAL; only the final closed-form r runs in
+  // double — identical inputs, identical ops, bit-stable 4dp hash.
+  q("TS-XCORR",
+    """WITH a AS (SELECT CAST(floor(CAST(ts AS DOUBLE) / 3600) AS BIGINT) AS b,
+      |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+      |           FROM events WHERE event_type = 'click' GROUP BY 1),
+      |p AS (SELECT CAST(floor(CAST(ts AS DOUBLE) / 3600) AS BIGINT) AS pb,
+      |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |l AS (SELECT explode(sequence(0, 3)) AS lagh),
+      |j AS (SELECT lagh, x, y FROM a CROSS JOIN l JOIN p ON pb = b + lagh)
+      |SELECT lagh, count(*) AS n,
+      |  round((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE)
+      |         - CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE))
+      |    / sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE)
+      |            - CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE))
+      |         * (CAST(count(*) AS DOUBLE) * CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE)
+      |            - CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE))), 4) AS r
+      |FROM j GROUP BY lagh ORDER BY lagh""".stripMargin,
+    s"""WITH a AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+      |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+      |           FROM $EV events WHERE event_type = 'click' GROUP BY 1),
+      |p AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS pb,
+      |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+      |      FROM $EV events WHERE event_type = 'purchase' GROUP BY 1),
+      |l AS (SELECT CAST(g.i AS INT) AS lagh FROM unnest(generate_series(0, 3)) AS g(i)),
+      |j AS (SELECT lagh, x, y FROM a CROSS JOIN l JOIN p ON pb = b + lagh)
+      |SELECT lagh, count(*) AS n,
+      |  round((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE)
+      |         - CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE))
+      |    / sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE)
+      |            - CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE))
+      |         * (CAST(count(*) AS DOUBLE) * CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE)
+      |            - CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE))), 4) AS r
+      |FROM j GROUP BY lagh ORDER BY lagh""".stripMargin)
+
   // Holt linear (double-exponential) smoothing: level + trend, the
   // proxy-domain forecast state. Same sequential-fold contract as TS-EMA,
   // with a 2-vector accumulator — both engines fold [level, trend] pairs
