@@ -68,6 +68,30 @@ object EmaScaleProbe {
     val agree = gRows.map(_.toString).sameElements(sRows.map(_.toString))
     println(f"[emascale] agree=$agree speedup=${gSec / sSec}%.1fx")
     require(agree, "segmented EMA diverged from the sequential fold at 4dp")
+
+    // Holt shares the identical two-aggregate plan; time its twins too
+    val (hgSec, hgRows) = time("whole-series Holt fold (contract shape)") {
+      events.groupBy("event_type")
+        .agg(transform(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+          _.getField("value")).as("vals"))
+        .select(col("event_type"),
+          round(element_at(aggregate(slice(col("vals"), lit(2), size(col("vals")) - 1),
+            array(element_at(col("vals"), 1), lit(0.0)),
+            (acc, x) => array(
+              lit(0.3) * x + lit(0.7) * (element_at(acc, 1) + element_at(acc, 2)),
+              lit(0.2) * ((lit(0.3) * x + lit(0.7) * (element_at(acc, 1) + element_at(acc, 2)))
+                - element_at(acc, 1)) + lit(0.8) * element_at(acc, 2))), 1), 4).as("level"))
+        .orderBy("event_type").collect()
+    }
+    val (hsSec, hsRows) = time("segmented Holt (matrix affine)") {
+      graft.operators.SegmentedHolt.holtFinal(events, Seq("event_type"),
+          col("ts").cast("double"), Seq(col("ts"), col("event_id")), col("value"))
+        .select(col("event_type"), round(col("level"), 4).as("level"))
+        .orderBy("event_type").collect()
+    }
+    val hAgree = hgRows.map(_.toString).sameElements(hsRows.map(_.toString))
+    println(f"[emascale] holt agree=$hAgree speedup=${hgSec / hsSec}%.1fx")
+    require(hAgree, "segmented Holt diverged from the sequential fold at 4dp")
     spark.stop()
   }
 }
