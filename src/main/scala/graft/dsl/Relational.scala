@@ -278,6 +278,40 @@ object Relational {
         .orderBy("event_type")
     },
 
+    // Funnel conversion: first click -> purchase within 24h, per-user
+    // aggregates + one equi-join with the time bound as a residual
+    "EVENT-FUNNEL" -> { s =>
+      val ev = s.table("events")
+      val c = ev.where(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+      val conv = c.join(ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts")),
+          Seq("user_id"))
+        .where(col("ts").cast("double") >= col("first_click").cast("double") &&
+          col("ts").cast("double") <= col("first_click").cast("double") + 86400)
+        .select("user_id").distinct()
+      c.agg(count(lit(1)).as("n_clickers"))
+        .crossJoin(conv.agg(count(lit(1)).as("n_converted")))
+        .select(col("n_clickers"), col("n_converted"),
+          round(col("n_converted").cast("double") / col("n_clickers").cast("double"), 4)
+            .as("conv_rate"))
+    },
+
+    // Weekly cohort retention: first-activity week vs active weeks,
+    // all-integer counts
+    "EVENT-RETENTION" -> { s =>
+      val ev = s.table("events")
+      val f = ev.groupBy("user_id")
+        .agg(floor(min(col("ts")).cast("double") / 604800).cast("bigint").as("cohort"))
+      val a = ev.select(col("user_id"),
+        floor(col("ts").cast("double") / 604800).cast("bigint").as("wk")).distinct()
+      f.join(a, "user_id")
+        .where(col("wk") - col("cohort") <= 4)
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_n"))
+        .agg(count(lit(1)).as("active"))
+        .orderBy("cohort", "week_n")
+    },
+
     // Lagged cross-correlation of two metric series: hourly bucket sums
     // (decimal-exact), purchase shifted 0..3h, Pearson r from re-pinned
     // moment sums — every aggregate exact, only the closed form in double

@@ -943,6 +943,60 @@ object Inventory {
       |  FROM events GROUP BY event_type) t
       |ORDER BY event_type""".stripMargin)
 
+  // Funnel conversion: of the users whose first click exists, how many
+  // purchase within 24h of it — the 2-step sequential-pattern shape of
+  // product analytics. Every stage is a per-user aggregate or equi-join
+  // (partitioned by user at scale); µs-epoch arithmetic keeps the window
+  // bound exact in both engines.
+  q("EVENT-FUNNEL",
+    """WITH c AS (SELECT user_id, min(ts) AS first_click
+      |           FROM events WHERE event_type = 'click' GROUP BY user_id),
+      |conv AS (SELECT c.user_id
+      |         FROM c JOIN events p
+      |           ON p.user_id = c.user_id AND p.event_type = 'purchase'
+      |          AND CAST(p.ts AS DOUBLE) >= CAST(c.first_click AS DOUBLE)
+      |          AND CAST(p.ts AS DOUBLE) <= CAST(c.first_click AS DOUBLE) + 86400
+      |         GROUP BY c.user_id)
+      |SELECT (SELECT count(*) FROM c) AS n_clickers,
+      |       (SELECT count(*) FROM conv) AS n_converted,
+      |       round(CAST((SELECT count(*) FROM conv) AS DOUBLE)
+      |             / CAST((SELECT count(*) FROM c) AS DOUBLE), 4) AS conv_rate""".stripMargin,
+    s"""WITH c AS (SELECT user_id, min(ts) AS first_click
+      |           FROM $EV events WHERE event_type = 'click' GROUP BY user_id),
+      |conv AS (SELECT c.user_id
+      |         FROM c JOIN $EV p
+      |           ON p.user_id = c.user_id AND p.event_type = 'purchase'
+      |          AND epoch(p.ts) >= epoch(c.first_click)
+      |          AND epoch(p.ts) <= epoch(c.first_click) + 86400
+      |         GROUP BY c.user_id)
+      |SELECT (SELECT count(*) FROM c) AS n_clickers,
+      |       (SELECT count(*) FROM conv) AS n_converted,
+      |       round(CAST((SELECT count(*) FROM conv) AS DOUBLE)
+      |             / CAST((SELECT count(*) FROM c) AS DOUBLE), 4) AS conv_rate""".stripMargin)
+
+  // Weekly cohort retention: users bucketed by first-activity week, how
+  // many are active N weeks later — all-integer counts, partitioned
+  // per-user aggregates + one equi-join.
+  q("EVENT-RETENTION",
+    """WITH f AS (SELECT user_id,
+      |             CAST(floor(CAST(min(ts) AS DOUBLE) / 604800) AS BIGINT) AS cohort
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id,
+      |        CAST(floor(CAST(ts AS DOUBLE) / 604800) AS BIGINT) AS wk FROM events)
+      |SELECT cohort, wk - cohort AS week_n, count(*) AS active
+      |FROM f JOIN a ON f.user_id = a.user_id
+      |WHERE wk - cohort <= 4
+      |GROUP BY cohort, wk ORDER BY cohort, week_n""".stripMargin,
+    s"""WITH f AS (SELECT user_id,
+      |             CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort
+      |           FROM $EV events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id,
+      |        CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk FROM $EV events)
+      |SELECT cohort, wk - cohort AS week_n, count(*) AS active
+      |FROM f JOIN a ON f.user_id = a.user_id
+      |WHERE wk - cohort <= 4
+      |GROUP BY cohort, wk ORDER BY cohort, week_n""".stripMargin)
+
   // Lagged cross-correlation between two metric series (does one metric
   // LEAD another?): hourly-bucketed sums per series, the purchase series
   // shifted by 0..3 buckets, Pearson r per lag. FP discipline: bucket
