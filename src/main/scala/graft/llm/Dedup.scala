@@ -129,6 +129,34 @@ object Dedup {
     sh.groupBy("s").agg(count("*").as("pl")).where(col("pl") > cap)
   }
 
+  /** Benchmark-contamination detection: for each (probe, document) pair,
+    * the CONTAINMENT of the probe's shingle set in the document —
+    * |S(probe) ∩ S(doc)| / |S(probe)| — the asymmetric measure that
+    * catches a document QUOTING an eval passage even when resemblance
+    * (Jaccard) is tiny because the document is much longer. This is the
+    * standard decontamination primitive for training corpora: `probes` =
+    * the benchmark suite, `documents` = the corpus; any pair at high
+    * containment means the benchmark leaks into training data.
+    *
+    * Returns (probe_id, doc_id, containment ≥ threshold, 4dp); a probe
+    * never pairs with the same doc_id. Scale shape: benchmark suites are
+    * SMALL, so the probe shingle set broadcasts into a key-equality join
+    * against the corpus shingle stream — per-pair state is one count,
+    * never an all-pairs comparison. */
+  def containmentPairs(documents: DataFrame, probes: DataFrame, n: Int = 3,
+                       threshold: Double = 0.5): DataFrame = {
+    val dsh = shingles(documents, n)
+    val psh = shingles(probes, n).select(col("doc_id").as("probe_id"), col("s"))
+    val pcard = psh.groupBy("probe_id").agg(count("*").as("pc"))
+    dsh.join(broadcast(psh), "s")
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy("probe_id", "doc_id").agg(count("*").as("i"))
+      .join(broadcast(pcard), "probe_id")
+      .withColumn("cont", col("i").cast("double") / col("pc"))
+      .filter(col("cont") >= threshold)
+      .select(col("probe_id"), col("doc_id"), round(col("cont"), 4).as("containment"))
+  }
+
   /** MinHash signatures: numHashes min-hashes per document over its shingle
     * set, as (doc_id, sig array<bigint>). One base hash per shingle plus an
     * affine family h_k = (a_k·H + b_k) mod P — 16× cheaper than 16

@@ -90,6 +90,16 @@ object Extensions {
     "LLM-DEDUP-SWEEP" -> ((s, d) =>
       Dedup.dedupCorpus(docs(s, d), dd => Dedup.jaccardPairs(dd, n = 3, threshold = 0.8))
         .select("doc_id").orderBy("doc_id").limit(500)),
+    // decontamination: treat the first 20 docs as the benchmark suite and
+    // flag corpus documents containing >= 50% of a probe's shingles —
+    // the asymmetric measure that catches quoted passages inside long
+    // documents where symmetric Jaccard stays tiny
+    "LLM-CONTAIN" -> { (s, d) =>
+      val corpus = docs(s, d)
+      Dedup.containmentPairs(corpus, corpus.filter(col("doc_id") < 20),
+          n = 3, threshold = 0.5)
+        .orderBy("probe_id", "doc_id").limit(100)
+    },
     "LLM-MINHASH-LSH" -> ((s, d) =>
       Dedup.minhashPairs(docs(s, d), n = 3, numHashes = 16, bands = 8,
           estThreshold = 0.5, baseHash = Dedup.portableHash)
@@ -587,6 +597,20 @@ object Extensions {
         |)
         |SELECT min(r) AS cluster_id, node AS doc_id FROM reach
         |GROUP BY node ORDER BY cluster_id, doc_id""".stripMargin,
+    // asymmetric containment of benchmark-probe shingle sets in corpus docs
+    "LLM-CONTAIN" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2],' ') AS s
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS g(i)),
+        |p AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id < 20),
+        |pc AS (SELECT probe_id, count(*) AS c FROM p GROUP BY probe_id),
+        |hits AS (SELECT p.probe_id, d.doc_id, count(*) AS i
+        |         FROM p JOIN sh d ON d.s = p.s AND d.doc_id <> p.probe_id
+        |         GROUP BY 1, 2)
+        |SELECT probe_id, doc_id, round(CAST(i AS DOUBLE) / pc.c, 4) AS containment
+        |FROM hits JOIN pc USING (probe_id)
+        |WHERE CAST(i AS DOUBLE) / pc.c >= 0.5
+        |ORDER BY probe_id, doc_id LIMIT 100""".stripMargin,
     "LLM-JACCARD-PAIRS" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2],' ') AS s

@@ -210,6 +210,32 @@ class DedupSpec extends SparkSpec {
     assert(capped.head._3 >= 0.4)
   }
 
+  test("containment: catches a quoted probe inside a long doc that Jaccard misses") {
+    import spark.implicits._
+    val probeText = "the quick brown fox jumps over the lazy dog"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, probeText),                       // the benchmark probe
+      (2L, s"$filler $probeText"),           // long doc QUOTING the probe
+      (3L, filler),                          // unrelated long doc
+      (4L, "the quick brown fox naps")       // small partial overlap
+    ).toDF("doc_id", "text")
+    val probes = corpus.filter(col("doc_id") === 1L)
+    val got = Dedup.containmentPairs(corpus, probes, n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 2 contains EVERY probe shingle -> containment 1.0; Jaccard for
+    // the same pair is small (probe 7 shingles vs doc 67)
+    assert(got.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(got.head._3 === 1.0)
+    val jac = Dedup.jaccardPairs(corpus, n = 3, threshold = 0.0)
+      .where(col("da") === 1L && col("db") === 2L)
+      .collect().headOption.map(_.getDouble(2)).getOrElse(0.0)
+    assert(jac < 0.2, s"expected tiny Jaccard for the quoted pair, got $jac")
+    // asymmetry: the probe never pairs with itself, and thresholds hold
+    assert(Dedup.containmentPairs(corpus, probes, n = 3, threshold = 0.5)
+      .where(col("doc_id") === 3L).count() === 0)
+  }
+
   test("star CC: transitive clusters, long path, reversed edges, empty set") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("da", "db")
