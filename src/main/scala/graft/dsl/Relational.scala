@@ -331,10 +331,17 @@ object Relational {
         d(sum((col("x") * col("y")).cast(dec(28, 4)))),
         d(sum((col("x") * col("x")).cast(dec(28, 4)))),
         d(sum((col("y") * col("y")).cast(dec(28, 4)))))
+      // degenerate lag groups (n=1 or zero variance) are filtered on the
+      // moment products BEFORE the sqrt/division: the decimal-rounded
+      // moments can make the variance term a hair negative, and
+      // NaN/inf handling diverges between engines
       j.groupBy("lagh")
         .agg(count(lit(1)).as("n"),
-          round((n * sxy - sx * sy) /
-            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4).as("r"))
+          (n * sxy - sx * sy).as("num"),
+          ((n * sxx - sx * sx) * (n * syy - sy * sy)).as("den"))
+        .where(col("den") > 0)
+        .select(col("lagh"), col("n"),
+          round(col("num") / sqrt(col("den")), 4).as("r"))
         .orderBy("lagh")
     },
 

@@ -1011,15 +1011,17 @@ object Inventory {
       |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
       |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
       |l AS (SELECT explode(sequence(0, 3)) AS lagh),
-      |j AS (SELECT lagh, x, y FROM a CROSS JOIN l JOIN p ON pb = b + lagh)
-      |SELECT lagh, count(*) AS n,
-      |  round((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE)
-      |         - CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE))
-      |    / sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE)
-      |            - CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE))
-      |         * (CAST(count(*) AS DOUBLE) * CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE)
-      |            - CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE))), 4) AS r
-      |FROM j GROUP BY lagh ORDER BY lagh""".stripMargin,
+      |j AS (SELECT lagh, x, y FROM a CROSS JOIN l JOIN p ON pb = b + lagh),
+      |m AS (SELECT lagh, count(*) AS n,
+      |        CAST(count(*) AS DOUBLE) * CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE)
+      |          - CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS num,
+      |        (CAST(count(*) AS DOUBLE) * CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE)
+      |          - CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE))
+      |        * (CAST(count(*) AS DOUBLE) * CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE)
+      |          - CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE)) AS den
+      |      FROM j GROUP BY lagh)
+      |SELECT lagh, n, round(num / sqrt(den), 4) AS r
+      |FROM m WHERE den > 0 ORDER BY lagh""".stripMargin,
     s"""WITH a AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
       |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
       |           FROM $EV events WHERE event_type = 'click' GROUP BY 1),
@@ -1027,15 +1029,17 @@ object Inventory {
       |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
       |      FROM $EV events WHERE event_type = 'purchase' GROUP BY 1),
       |l AS (SELECT CAST(g.i AS INT) AS lagh FROM unnest(generate_series(0, 3)) AS g(i)),
-      |j AS (SELECT lagh, x, y FROM a CROSS JOIN l JOIN p ON pb = b + lagh)
-      |SELECT lagh, count(*) AS n,
-      |  round((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE)
-      |         - CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE))
-      |    / sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE)
-      |            - CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE))
-      |         * (CAST(count(*) AS DOUBLE) * CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE)
-      |            - CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE))), 4) AS r
-      |FROM j GROUP BY lagh ORDER BY lagh""".stripMargin)
+      |j AS (SELECT lagh, x, y FROM a CROSS JOIN l JOIN p ON pb = b + lagh),
+      |m AS (SELECT lagh, count(*) AS n,
+      |        CAST(count(*) AS DOUBLE) * CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE)
+      |          - CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS num,
+      |        (CAST(count(*) AS DOUBLE) * CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE)
+      |          - CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE))
+      |        * (CAST(count(*) AS DOUBLE) * CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE)
+      |          - CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE)) AS den
+      |      FROM j GROUP BY lagh)
+      |SELECT lagh, n, round(num / sqrt(den), 4) AS r
+      |FROM m WHERE den > 0 ORDER BY lagh""".stripMargin)
 
   // Holt linear (double-exponential) smoothing: level + trend, the
   // proxy-domain forecast state. Same sequential-fold contract as TS-EMA,
