@@ -127,10 +127,14 @@ object GraftFunctions {
 
 /** `--conf spark.sql.extensions=graft.functions.expressions.GraftSparkExtensions` */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[CosineSimilarity].getName, name),
         builder))
     }
+    // no-equi-key range joins → bucketed equi-joins (no-op until
+    // spark.graft.rangeJoin.bucketWidth is set; see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
