@@ -1017,6 +1017,69 @@ object Relational {
         .select(col("o_orderkey"), col("maxq"))
         .orderBy("o_orderkey")
     },
+
+    // Gopher-style repetition signals: mode-token fraction (one explode →
+    // groupBy) + duplicate-bigram fraction (pure array work, no shuffle)
+    "TEXT-REPETITION" -> { s =>
+      val toks = graft.core.Tables.spread(s.table("documents"), "doc_id")
+        .where(col("doc_id") < 60)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val tf = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val top = tf.groupBy("doc_id").agg(max("c").as("topc"), sum("c").as("n"))
+      val t = col("t")
+      val big = toks.where(size(t) >= 2).select(col("doc_id"),
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => concat_ws(" ", a, b)).as("bg"))
+      top.join(big, "doc_id")
+        .select(col("doc_id"),
+          round(col("topc").cast("double") / col("n"), 4).as("top_tok_frac"),
+          round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")), 4)
+            .as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // tf-idf top terms: tf and df share one exploded token stream; df is
+    // vocabulary-sized (broadcast side of the join at any corpus scale)
+    "TEXT-TFIDF" -> { s =>
+      val toks = graft.core.Tables.spread(s.table("documents"), "doc_id")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("f"))
+      val df = toks.groupBy("tok").agg(countDistinct("doc_id").as("d"))
+      val n = s.table("documents").agg(countDistinct("doc_id").as("nd"))
+      val score = round(col("f") * log(col("nd").cast("double") / col("d")), 4)
+      val w = Window.partitionBy("doc_id").orderBy(score.desc, col("tok"))
+      tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"), score.as("tfidf"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") <= 3 && col("doc_id") < 20)
+        .orderBy("doc_id", "rn")
+    },
+
+    // sequential Poisson sample (Ohlsson 1998): ξ = hash-uniform / weight,
+    // k smallest ξ — deterministic weighted sampling, one top-k pass
+    "SAMPLE-WEIGHTED" -> { s =>
+      val hm = call_function("graft_poly_hash", col("doc_id").cast("string")) % 1000003
+      val xi = hm.cast("double") / 1000003 / col("n_chars")
+      s.table("documents")
+        .select(col("doc_id"), col("n_chars"), xi.as("xi_raw"))
+        .orderBy(col("xi_raw"), col("doc_id")).limit(10)
+        .select(col("doc_id"), col("n_chars"), round(col("xi_raw") * 1000000, 4).as("xi"))
+    },
+
+    // first-order Markov transitions over the clickstream: one lag window
+    // per user, then count + per-source conditional probability
+    "EVENT-PATH" -> { s =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val p = s.table("events").select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("nxt"))
+      p.where(col("nxt").isNotNull)
+        .groupBy("event_type", "nxt").agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("nxt"), col("n"),
+          round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy("event_type")), 4).as("p_next"))
+        .orderBy(col("n").desc, col("event_type"), col("nxt")).limit(15)
+    },
   )
 
   def apply(id: String, spark: SparkSession): DataFrame = impls(id)(spark)

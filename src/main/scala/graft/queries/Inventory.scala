@@ -1237,6 +1237,99 @@ object Inventory {
       |  round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS DOUBLE), 2) AS wsum
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
+  // Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction of
+  // tokens taken by the single most frequent token, and fraction of
+  // duplicate word-2-grams. High values flag boilerplate/spam for
+  // training-data curation. Both are per-doc narrow array work — at scale
+  // the only shuffle is the explode→groupBy for the token mode.
+  q("TEXT-REPETITION",
+    """WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents WHERE doc_id < 60),
+      |tf AS (SELECT doc_id, tok, count(*) AS c
+      |       FROM (SELECT doc_id, explode(t) AS tok FROM toks) x GROUP BY doc_id, tok),
+      |top AS (SELECT doc_id, max(c) AS topc, sum(c) AS n FROM tf GROUP BY doc_id),
+      |big AS (SELECT doc_id, zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+      |          (a, b) -> concat_ws(' ', a, b)) AS bg
+      |        FROM toks WHERE size(t) >= 2)
+      |SELECT t.doc_id, round(CAST(topc AS DOUBLE) / n, 4) AS top_tok_frac,
+      |  round(1.0 - CAST(size(array_distinct(bg)) AS DOUBLE) / size(bg), 4) AS dup_bigram_frac
+      |FROM top t JOIN big b ON t.doc_id = b.doc_id ORDER BY t.doc_id""".stripMargin,
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 60),
+      |tf AS (SELECT doc_id, tok, count(*) AS c
+      |       FROM (SELECT doc_id, unnest(t) AS tok FROM toks) x GROUP BY doc_id, tok),
+      |top AS (SELECT doc_id, max(c) AS topc, sum(c) AS n FROM tf GROUP BY doc_id),
+      |big AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 1),
+      |          i -> concat(t[i], ' ', t[i + 1])) AS bg
+      |        FROM toks WHERE len(t) >= 2)
+      |SELECT t.doc_id, round(CAST(topc AS DOUBLE) / n, 4) AS top_tok_frac,
+      |  round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4) AS dup_bigram_frac
+      |FROM top t JOIN big b ON t.doc_id = b.doc_id ORDER BY t.doc_id""".stripMargin)
+
+  // tf-idf top terms per document: term frequency × ln(N/df). The rank
+  // window orders by the ROUNDED score (then token) so the cross-engine
+  // order is decided on the same 4-dp values the hash compares; ln parity
+  // follows FN-MATH. df and tf share one explode — at scale this is two
+  // aggregations over the token stream plus a broadcast-sized df join.
+  q("TEXT-TFIDF",
+    """WITH toks AS (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS f FROM toks GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS d FROM toks GROUP BY tok),
+      |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+      |s AS (SELECT tf.doc_id, tf.tok, round(f * ln(CAST(nd AS DOUBLE) / d), 4) AS tfidf,
+      |        row_number() OVER (PARTITION BY tf.doc_id
+      |          ORDER BY round(f * ln(CAST(nd AS DOUBLE) / d), 4) DESC, tf.tok) AS rn
+      |      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+      |SELECT doc_id, tok, tfidf, rn FROM s WHERE rn <= 3 AND doc_id < 20
+      |ORDER BY doc_id, rn""".stripMargin,
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS f FROM toks GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS d FROM toks GROUP BY tok),
+      |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+      |s AS (SELECT tf.doc_id, tf.tok, round(f * ln(CAST(nd AS DOUBLE) / d), 4) AS tfidf,
+      |        row_number() OVER (PARTITION BY tf.doc_id
+      |          ORDER BY round(f * ln(CAST(nd AS DOUBLE) / d), 4) DESC, tf.tok) AS rn
+      |      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+      |SELECT doc_id, tok, tfidf, CAST(rn AS INT) AS rn FROM s WHERE rn <= 3 AND doc_id < 20
+      |ORDER BY doc_id, rn""".stripMargin)
+
+  // deterministic weighted sample — sequential Poisson sampling (Ohlsson
+  // 1998): priority ξ = u/w with u a portable-hash uniform and w = n_chars;
+  // the k smallest ξ form a without-replacement size-biased sample. All
+  // arithmetic is exact-int → IEEE division, so both engines order on
+  // bit-identical doubles (the SAMPLE-HASH determinism pattern).
+  q("SAMPLE-WEIGHTED",
+    """WITH h AS (SELECT doc_id, n_chars,
+      |  graft_poly_hash(CAST(doc_id AS STRING)) % 1000003 AS hm FROM documents)
+      |SELECT doc_id, n_chars,
+      |  round(CAST(hm AS DOUBLE) / 1000003 / n_chars * 1000000, 4) AS xi
+      |FROM h ORDER BY CAST(hm AS DOUBLE) / 1000003 / n_chars, doc_id LIMIT 10""".stripMargin,
+    """WITH h AS (SELECT doc_id, n_chars,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, CAST(length(CAST(doc_id AS VARCHAR)) AS INT)),
+      |      i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) % 1000003 AS hm FROM documents)
+      |SELECT doc_id, n_chars,
+      |  round(CAST(hm AS DOUBLE) / 1000003 / n_chars * 1000000, 4) AS xi
+      |FROM h ORDER BY CAST(hm AS DOUBLE) / 1000003 / n_chars, doc_id LIMIT 10""".stripMargin)
+
+  // event-path mining (first-order Markov transitions): top next-event
+  // transitions with per-source conditional probability. One window pass
+  // per user then a count aggregation — the classic clickstream shape.
+  q("EVENT-PATH",
+    """WITH p AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM events)
+      |SELECT event_type, nxt, count(*) AS n,
+      |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY event_type), 4) AS p_next
+      |FROM p WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+      |ORDER BY n DESC, event_type, nxt LIMIT 15""".stripMargin,
+    s"""WITH p AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM $EV e)
+      |SELECT event_type, nxt, count(*) AS n,
+      |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY event_type), 4) AS p_next
+      |FROM p WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+      |ORDER BY n DESC, event_type, nxt LIMIT 15""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(
