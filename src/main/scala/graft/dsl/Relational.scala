@@ -1067,6 +1067,19 @@ object Relational {
         .select(col("doc_id"), col("n_chars"), round(col("xi_raw") * 1000000, 4).as("xi"))
     },
 
+    // exact top-k per group: bounded-heap aggregate, k rows per group per
+    // map-side partial — no per-group full sort anywhere in the plan
+    "AGG-GROUP-TOPK" -> { s =>
+      val item = concat(col("l_orderkey").cast("string"), lit("#"),
+        col("l_linenumber").cast("string"))
+      s.table("lineitem").groupBy("l_returnflag")
+        .agg(call_function("graft_topk_by", col("l_extendedprice"), item, lit(3)).as("arr"))
+        .select(col("l_returnflag"), posexplode(col("arr")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rn"),
+          col("col.ord").as("price"), col("col.item").as("item"))
+        .orderBy("l_returnflag", "rn")
+    },
+
     // first-order Markov transitions over the clickstream: one lag window
     // per user, then count + per-source conditional probability
     "EVENT-PATH" -> { s =>

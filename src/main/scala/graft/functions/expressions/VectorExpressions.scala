@@ -115,6 +115,15 @@ object GraftFunctions {
           s"graft_freq_items k must be an integer literal, got $other")
       }
       FreqItemsAgg(exprs(0), k).toAggregateExpression()
+    },
+    "graft_topk_by" -> { exprs =>
+      val k = exprs(2).eval(InternalRow.empty) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_topk_by k must be an integer literal, got $other")
+      }
+      TopKByAgg(exprs(0), exprs(1), k).toAggregateExpression()
     })
 
   /** Register graft functions on an existing session (idempotent). */

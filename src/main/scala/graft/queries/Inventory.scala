@@ -1311,6 +1311,27 @@ object Inventory {
       |  round(CAST(hm AS DOUBLE) / 1000003 / n_chars * 1000000, 4) AS xi
       |FROM h ORDER BY CAST(hm AS DOUBLE) / 1000003 / n_chars, doc_id LIMIT 10""".stripMargin)
 
+  // exact top-k rows per group via the bounded-heap aggregate
+  // (graft_topk_by): map-side partials retain k rows per group per
+  // partition, so the shuffle ships k·groups·partitions rows instead of
+  // the full window sort the oracle twin runs. Exact under any merge
+  // order → oracle-hashable, unlike the sketch aggregates.
+  q("AGG-GROUP-TOPK",
+    """WITH t AS (SELECT l_returnflag,
+      |    graft_topk_by(l_extendedprice,
+      |      concat(CAST(l_orderkey AS STRING), '#', CAST(l_linenumber AS STRING)), 3) AS arr
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(pos + 1 AS INT) AS rn, s.ord AS price, s.item AS item
+      |FROM t LATERAL VIEW posexplode(arr) p AS pos, s
+      |ORDER BY l_returnflag, rn""".stripMargin,
+    """SELECT l_returnflag, CAST(rn AS INT) AS rn, price, item FROM (
+      |  SELECT l_returnflag, l_extendedprice AS price,
+      |    concat(CAST(l_orderkey AS VARCHAR), '#', CAST(l_linenumber AS VARCHAR)) AS item,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC,
+      |        concat(CAST(l_orderkey AS VARCHAR), '#', CAST(l_linenumber AS VARCHAR))) AS rn
+      |  FROM lineitem) x WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin)
+
   // event-path mining (first-order Markov transitions): top next-event
   // transitions with per-source conditional probability. One window pass
   // per user then a count aggregation — the classic clickstream shape.
