@@ -1080,6 +1080,40 @@ object Relational {
         .orderBy("l_returnflag", "rn")
     },
 
+    // "concat and chunk" training-sequence packing: per-source cumulative
+    // token sum (partitioned window), chunk range per doc, one explode
+    "LLM-PACK" -> { s =>
+      val d = graft.core.Tables.spread(s.table("documents"), "doc_id")
+        .where(col("doc_id") < 200)
+        .select(col("source"), col("doc_id"), size(split(col("text"), " ")).as("toks"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val st = d.withColumn("send", sum("toks").over(w))
+        .withColumn("sstart", col("send") - col("toks"))
+        .withColumn("c0", floor((col("send") - col("toks")) / 128).cast("int"))
+        .withColumn("c1", floor((col("send") - 1) / 128).cast("int"))
+      st.select(col("source"), col("doc_id"), col("sstart"), col("send"),
+          explode(sequence(col("c0"), col("c1"))).as("ch"))
+        .select(col("source"), col("ch").cast("int").as("chunk_id"), col("doc_id"),
+          (greatest(col("sstart"), col("ch") * 128) - col("sstart")).cast("int").as("tok_from"),
+          (least(col("send"), (col("ch") + 1) * 128) - col("sstart")).cast("int").as("tok_to"))
+        .orderBy("source", "chunk_id", "doc_id")
+    },
+
+    // domain-weighted mixture: fixed per-source curation targets taken in
+    // portable-hash order — deterministic, one partitioned window pass
+    "SAMPLE-MIX" -> { s =>
+      val hh = call_function("graft_poly_hash", col("doc_id").cast("string"))
+      val w = Window.partitionBy("source").orderBy(col("hh"), col("doc_id"))
+      val target = when(col("source") === "src0", 20)
+        .when(col("source") === "src1", 10)
+        .when(col("source") === "src2", 5).otherwise(2)
+      s.table("documents").select(col("source"), col("doc_id"), hh.as("hh"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= target)
+        .select(col("source"), col("doc_id"), col("rn"))
+        .orderBy("source", "rn")
+    },
+
     // first-order Markov transitions over the clickstream: one lag window
     // per user, then count + per-source conditional probability
     "EVENT-PATH" -> { s =>

@@ -1351,6 +1351,61 @@ object Inventory {
       |FROM p WHERE nxt IS NOT NULL GROUP BY event_type, nxt
       |ORDER BY n DESC, event_type, nxt LIMIT 15""".stripMargin)
 
+  // training-sequence packing ("concat and chunk"): per source, documents
+  // concatenate in doc_id order and split into fixed 128-token chunks;
+  // output is each doc's (chunk, token-range) assignment, straddles
+  // included. The cumulative sum is a PARTITIONED window (one source =
+  // one packing stream), so the shape scales like the WIN-*-SCALE twins.
+  q("LLM-PACK",
+    """WITH d AS (SELECT source, doc_id, size(split(text, ' ')) AS toks
+      |  FROM documents WHERE doc_id < 200),
+      |c AS (SELECT source, doc_id, toks,
+      |  sum(toks) OVER (PARTITION BY source ORDER BY doc_id) AS send FROM d),
+      |s AS (SELECT source, doc_id, toks, send, send - toks AS sstart,
+      |  CAST(floor((send - toks) / 128) AS INT) AS c0,
+      |  CAST(floor((send - 1) / 128) AS INT) AS c1 FROM c)
+      |SELECT source, CAST(ch AS INT) AS chunk_id, doc_id,
+      |  CAST(greatest(sstart, ch * 128) - sstart AS INT) AS tok_from,
+      |  CAST(least(send, (ch + 1) * 128) - sstart AS INT) AS tok_to
+      |FROM s LATERAL VIEW explode(sequence(c0, c1)) e AS ch
+      |ORDER BY source, chunk_id, doc_id""".stripMargin,
+    """WITH d AS (SELECT source, doc_id, len(string_split(text, ' ')) AS toks
+      |  FROM documents WHERE doc_id < 200),
+      |c AS (SELECT source, doc_id, toks,
+      |  sum(toks) OVER (PARTITION BY source ORDER BY doc_id) AS send FROM d),
+      |s AS (SELECT source, doc_id, toks, send, send - toks AS sstart,
+      |  CAST(floor((send - toks) / 128) AS INT) AS c0,
+      |  CAST(floor((send - 1) / 128) AS INT) AS c1 FROM c)
+      |SELECT source, CAST(g.ch AS INT) AS chunk_id, doc_id,
+      |  CAST(greatest(sstart, g.ch * 128) - sstart AS INT) AS tok_from,
+      |  CAST(least(send, (g.ch + 1) * 128) - sstart AS INT) AS tok_to
+      |FROM s CROSS JOIN unnest(generate_series(c0, c1)) AS g(ch)
+      |ORDER BY source, chunk_id, doc_id""".stripMargin)
+
+  // domain-weighted mixture sampling (curation): fixed per-source target
+  // counts taken in portable-hash order — a deterministic "mix 20/10/5/2
+  // docs from these domains" curation step, one partitioned window pass
+  q("SAMPLE-MIX",
+    """WITH h AS (SELECT source, doc_id,
+      |  graft_poly_hash(CAST(doc_id AS STRING)) AS hh FROM documents),
+      |r AS (SELECT source, doc_id,
+      |  row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h)
+      |SELECT source, doc_id, rn FROM r
+      |WHERE rn <= CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 10
+      |  WHEN 'src2' THEN 5 ELSE 2 END
+      |ORDER BY source, rn""".stripMargin,
+    """WITH h AS (SELECT source, doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, CAST(length(CAST(doc_id AS VARCHAR)) AS INT)),
+      |      i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS hh FROM documents),
+      |r AS (SELECT source, doc_id,
+      |  row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h)
+      |SELECT source, doc_id, CAST(rn AS INT) AS rn FROM r
+      |WHERE rn <= CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 10
+      |  WHEN 'src2' THEN 5 ELSE 2 END
+      |ORDER BY source, rn""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(
