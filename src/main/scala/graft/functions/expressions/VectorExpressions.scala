@@ -116,6 +116,16 @@ object GraftFunctions {
       }
       FreqItemsAgg(exprs(0), k).toAggregateExpression()
     },
+    "graft_bloom_might_contain" -> { exprs =>
+      // the sketch is plan-constant DATA: it arrives as a binary literal
+      // and is extracted once at build time (the graft_pq_encode pattern)
+      val bytes = exprs(1).eval(InternalRow.empty) match {
+        case b: Array[Byte] => b
+        case other => throw new IllegalArgumentException(
+          s"graft_bloom_might_contain sketch must be a BINARY literal, got $other")
+      }
+      BloomMightContain(exprs(0), bytes)
+    },
     "graft_topk_by" -> { exprs =>
       val k = exprs(2).eval(InternalRow.empty) match {
         case i: Int => i

@@ -54,4 +54,35 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLarge.join(replicatedSmall, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Semi-join reduction for selective big-to-big equi-joins: build a
+    * Bloom sketch of `small`'s join keys (one driver-side job; the sketch
+    * is bits-sized metadata, NOT the rows — ~1.2 MB per 1M keys at 1%
+    * fpp), then prune `large` with a codegen `mightContain` probe BEFORE
+    * the shuffle. When the join matches few large-side rows, the shuffle
+    * shrinks by ~the selectivity; false positives only waste shuffle,
+    * false negatives cannot occur, so results are exactly the plain
+    * join's. This is the explicit form of Spark's runtime bloom-filter
+    * injection — for when the planner's version doesn't fire (derived
+    * keys, non-broadcastable creation side) or the sketch is reused
+    * across several joins.
+    *
+    * Only `inner`/`left_semi` survive pruning: an outer join must keep
+    * unmatched large rows and an anti join must OUTPUT them — pruning
+    * drops exactly those. Key column must be integral or string, hashed
+    * compatibly with `DataFrameStatFunctions.bloomFilter`. */
+  def bloomPrunedJoin(large: DataFrame, small: DataFrame,
+                      largeKey: String, smallKey: String,
+                      expectedItems: Long, fpp: Double = 0.03,
+                      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_semi", "leftsemi")(joinType.toLowerCase),
+      s"bloomPrunedJoin supports inner/left_semi — '$joinType' needs the pruned rows")
+    graft.functions.expressions.GraftFunctions.register(large.sparkSession)
+    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val pruned = large.where(
+      call_function("graft_bloom_might_contain", col(largeKey), lit(bos.toByteArray)))
+    pruned.join(small, pruned(largeKey) === small(smallKey), joinType)
+  }
 }
