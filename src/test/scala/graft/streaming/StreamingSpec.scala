@@ -44,6 +44,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming top-k per group: graft_topk_by holds incremental state in complete mode") {
+    val sq = spark
+    import sq.implicits._
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val batchRows = fixtureEvents()
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      .as[Ev].collect().toSeq
+
+    // TypedImperativeAggregate buffers serialize into the state store, so
+    // the bounded heap works as a streaming aggregate unchanged
+    val input = MemoryStream[Ev](spark)
+    input.addData(batchRows)
+    val item = concat(col("user_id").cast("string"), lit("#"),
+      col("ts").cast("long").cast("string"))
+    val query = input.toDF().groupBy("event_type")
+      .agg(call_function("graft_topk_by", col("value"), item, lit(5)).as("arr"))
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] = canon(
+      df.select(col("event_type"), posexplode(col("arr")))
+        .select(col("event_type"), col("pos"), round(col("col.ord"), 4).as("v"),
+          col("col.item").as("item"))
+        .orderBy("event_type", "pos"))
+    val streamed = shape(spark.table("topk_out"))
+    val batch = shape(fixtureEvents().groupBy("event_type")
+      .agg(call_function("graft_topk_by", col("value"), item, lit(5)).as("arr")))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming sessionize: per-user session count equals batch-replay formulation") {
     val sq = spark
     import sq.implicits._
