@@ -1114,6 +1114,27 @@ object Relational {
         .orderBy("source", "rn")
     },
 
+    // unigram-LM perplexity (CCNet-style quality signal): per-doc avg
+    // negative log-likelihood under corpus token frequencies; ordered fold
+    // per doc for cross-engine sum determinism (TEXT-ENTROPY recipe)
+    "TEXT-PERPLEXITY" -> { s =>
+      val toks = graft.core.Tables.spread(s.table("documents"), "doc_id")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("f"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val n = toks.agg(count(lit(1)).as("nt"))
+      val terms = tf.join(broadcast(vocab), "tok").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"), col("f"),
+          (-log(col("c").cast("double") / col("nt")) * col("f")).as("nll"))
+      terms.groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("tok"), col("nll")))),
+          st => st.getField("nll")).as("ks"), sum("f").as("ntok"))
+        .select(col("doc_id"),
+          round(aggregate(col("ks"), lit(0.0).cast("double"), (acc, x) => acc + x)
+            / col("ntok"), 4).as("avg_nll"))
+        .orderBy("doc_id").limit(60)
+    },
+
     // first-order Markov transitions over the clickstream: one lag window
     // per user, then count + per-source conditional probability
     "EVENT-PATH" -> { s =>

@@ -1406,6 +1406,35 @@ object Inventory {
       |  WHEN 'src2' THEN 5 ELSE 2 END
       |ORDER BY source, rn""".stripMargin)
 
+  // unigram-LM perplexity scoring (the CCNet-style quality signal): train
+  // the LM on the corpus itself (token frequencies), score each doc by
+  // average negative log-likelihood. The per-doc sum folds an ORDERED
+  // term list (TEXT-ENTROPY's determinism recipe); ln parity per FN-MATH.
+  // At scale: two aggregations over one token stream + a broadcast-sized
+  // vocabulary join — no shuffle grows with doc length.
+  q("TEXT-PERPLEXITY",
+    """WITH toks AS (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS f FROM toks GROUP BY doc_id, tok),
+      |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |n AS (SELECT count(*) AS nt FROM toks),
+      |terms AS (SELECT tf.doc_id, tf.tok, tf.f, -ln(CAST(c AS DOUBLE) / nt) * f AS nll
+      |          FROM tf JOIN vocab ON tf.tok = vocab.tok CROSS JOIN n),
+      |v AS (SELECT doc_id, transform(array_sort(collect_list(struct(tok, nll))),
+      |        s -> s.nll) AS ks, sum(f) AS ntok FROM terms GROUP BY doc_id)
+      |SELECT doc_id, round(aggregate(ks, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / ntok, 4) AS avg_nll
+      |FROM v ORDER BY doc_id LIMIT 60""".stripMargin,
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS f FROM toks GROUP BY doc_id, tok),
+      |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |n AS (SELECT count(*) AS nt FROM toks),
+      |terms AS (SELECT tf.doc_id, tf.tok, tf.f, -ln(CAST(c AS DOUBLE) / nt) * f AS nll
+      |          FROM tf JOIN vocab ON tf.tok = vocab.tok CROSS JOIN n),
+      |v AS (SELECT doc_id, list(nll ORDER BY tok) AS ks, sum(f) AS ntok
+      |      FROM terms GROUP BY doc_id)
+      |SELECT doc_id, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ks),
+      |  (acc, t) -> acc + t) / ntok, 4) AS avg_nll
+      |FROM v ORDER BY doc_id LIMIT 60""".stripMargin)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(
