@@ -217,4 +217,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       "codec path must not introduce a join")
   }
+
+  test("TEXT-TFIDF / TEXT-PERPLEXITY: vocabulary-side joins broadcast, never shuffle") {
+    for (id <- Seq("TEXT-TFIDF", "TEXT-PERPLEXITY")) {
+      val p = finalPlan(id)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+        s"$id: df/vocab join should broadcast")
+      assert(!p.contains("SortMergeJoin"),
+        s"$id: token stream must not shuffle against the vocabulary")
+    }
+  }
+
+  test("LLM-PACK / SAMPLE-MIX: every window partitioned (no global cumsum/rank)") {
+    for (id <- Seq("LLM-PACK", "SAMPLE-MIX")) {
+      val p = finalPlan(id)
+      val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+      assert(windows.nonEmpty, s"$id: expected a window operator")
+      windows.foreach { w =>
+        // an unpartitioned WindowExec prints an empty partition spec
+        assert(!w.matches(""".*windowspecdefinition\(\s*[a-z_]+#\d+L? ASC.*""") ||
+          w.contains("source"),
+          s"$id: window must be partitioned by source:\n$w")
+      }
+      assert(p.contains("source"), s"$id: partition column missing from plan")
+    }
+  }
+
+  test("AGG-GROUP-TOPK: heap aggregate with map-side partials, no window, no global sort of data") {
+    val p = finalPlan("AGG-GROUP-TOPK")
+    assert(p.contains("ObjectHashAggregate"), "graft_topk_by should run as ObjectHashAggregate")
+    assert(p.contains("partial_graft_topk_by"), "map-side partial heap missing")
+    assert(!p.contains("Window"), "top-k must not fall back to a window sort")
+  }
 }
