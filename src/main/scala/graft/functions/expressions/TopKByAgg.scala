@@ -5,6 +5,7 @@ import java.nio.ByteBuffer
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
@@ -38,6 +39,18 @@ case class TopKByAgg(ord: Expression, item: Expression, k: Int,
   override def left: Expression = ord
   override def right: Expression = item
 
+  // fail at ANALYSIS on bad input types (the PolyHash convention): without
+  // this a string ord or non-string item dies mid-job inside executor
+  // tasks with MatchError/ClassCastException instead of a clear error
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ordOk = ord.dataType.isInstanceOf[NumericType]
+    val itemOk = item.dataType == StringType
+    if (ordOk && itemOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (numeric ord, string item), got " +
+        s"(${ord.dataType.catalogString}, ${item.dataType.catalogString})")
+  }
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("ord", DoubleType, nullable = false),
     StructField("item", StringType, nullable = false))), containsNull = false)
@@ -45,10 +58,15 @@ case class TopKByAgg(ord: Expression, item: Expression, k: Int,
   override def prettyName: String = "graft_topk_by"
 
   // head of the queue = WEAKEST retained element (smallest ord, then
-  // binary-largest item), so a stronger arrival replaces it in O(log k)
+  // binary-largest item), so a stronger arrival replaces it in O(log k).
+  // Signed zeros compare EQUAL (SQL ordering semantics — the window
+  // formulation this aggregate must match) but rows keep their original
+  // value; only the comparison normalizes.
   private val weakestFirst: Ordering[(Double, UTF8String)] =
     (a: (Double, UTF8String), b: (Double, UTF8String)) => {
-      val c = java.lang.Double.compare(b._1, a._1)
+      val av = if (a._1 == 0.0d) 0.0d else a._1
+      val bv = if (b._1 == 0.0d) 0.0d else b._1
+      val c = java.lang.Double.compare(bv, av)
       if (c != 0) c else a._2.compareTo(b._2)
     }
 

@@ -77,6 +77,20 @@ object Skew {
                       joinType: String = "inner"): DataFrame = {
     require(Set("inner", "left_semi", "leftsemi")(joinType.toLowerCase),
       s"bloomPrunedJoin supports inner/left_semi — '$joinType' needs the pruned rows")
+    // the two keys must share a hash family: a sketch built with putLong
+    // can NEVER match a probe hashing UTF-8 bytes, so a STRING⋈BIGINT join
+    // (legal in Spark via implicit cast) would silently prune every match
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    def family(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case LongType | IntegerType => "integral"
+      case StringType => "string"
+      case other => other.catalogString
+    }
+    val lf = family(large.schema(largeKey).dataType)
+    val sf = family(small.schema(smallKey).dataType)
+    require(lf == sf && Set("integral", "string")(lf),
+      s"bloomPrunedJoin keys must share a bloom hash family (both integral or " +
+        s"both string) — got $largeKey: $lf vs $smallKey: $sf; cast one side first")
     graft.functions.expressions.GraftFunctions.register(large.sparkSession)
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()

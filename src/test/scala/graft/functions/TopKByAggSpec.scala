@@ -66,6 +66,26 @@ class TopKByAggSpec extends SparkSpec {
     assert(topkVia(df, 5) === Seq("1|3.0000|x", "1|2.0000|y"))
   }
 
+  test("signed zeros: -0.0 ties with 0.0 and the tie-break decides, like SQL ordering") {
+    register()
+    import spark.implicits._
+    val df = Seq((1, 0.0, "z"), (1, -0.0, "a")).toDF("g", "v", "item").repartition(2)
+    // SQL ORDER BY treats -0.0 = 0.0, so 'a' wins the k=1 slot on the tie-break
+    assert(topkVia(df, 1) === windowVia(df, 1))
+    assert(topkVia(df, 1).head.endsWith("|a"))
+  }
+
+  test("bad input types fail at analysis, not mid-job") {
+    register()
+    import spark.implicits._
+    val df = Seq(("x", 1.0)).toDF("s", "v")
+    val err = intercept[Exception] {
+      df.groupBy().agg(call_function("graft_topk_by", col("s"), col("s"), lit(1))).collect()
+    }
+    assert(err.getMessage.contains("graft_topk_by") ||
+      err.getMessage.toLowerCase.contains("data type mismatch"), err.getMessage)
+  }
+
   test("AGG-GROUP-TOPK plan: partial ObjectHashAggregate, no Window, no per-group sort of base data") {
     tables()
     register()

@@ -52,6 +52,16 @@ class BloomPrunedJoinSpec extends SparkSpec {
     }
   }
 
+  test("hash-family mismatch (string vs bigint keys) is rejected, not silently empty") {
+    import spark.implicits._
+    val large = Seq("42", "7").toDF("k")
+    val small = Seq(42L).toDF("dk")
+    val err = intercept[IllegalArgumentException] {
+      Skew.bloomPrunedJoin(large, small, "k", "dk", 10, 0.01)
+    }
+    assert(err.getMessage.contains("hash family"), err.getMessage)
+  }
+
   test("probe stays inside whole-stage codegen") {
     import spark.implicits._
     // spark.range, not a local Seq: ConvertToLocalRelation would evaluate
