@@ -877,6 +877,18 @@ object Relational {
         .orderBy("label", "vec_id")
     },
 
+    // SAMPLE-BALANCED's heap-aggregate scale twin — same rows, no window
+    "SAMPLE-BALANCED-SCALE" -> { s =>
+      val negHash = -call_function("graft_poly_hash",
+        col("vec_id").cast("string")).cast("double")
+      s.table("embeddings").groupBy("label")
+        .agg(call_function("graft_topk_by", negHash,
+          lpad(col("vec_id").cast("string"), 12, "0"), lit(5)).as("arr"))
+        .select(col("label"), explode(col("arr")).as("s"))
+        .select(col("label"), col("s.item").cast("bigint").as("vec_id"))
+        .orderBy("label", "vec_id")
+    },
+
     "SAMPLE-HASH" -> (s => s.table("events")
       .select(col("value"),
         call_function("graft_poly_hash",

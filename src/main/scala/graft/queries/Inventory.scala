@@ -588,6 +588,29 @@ object Inventory {
       |            FROM embeddings) u) t
       |WHERE rn <= 5 ORDER BY label, vec_id""".stripMargin)
 
+  // SAMPLE-BALANCED's scale twin: identical rows from the bounded-heap
+  // aggregate instead of the per-class window sort — bottom-5 by hash is
+  // top-5 by negated hash, and the zero-padded item string makes the
+  // heap's tie-break equal the window's numeric vec_id order. ≤ k rows
+  // per class per map partition instead of a full per-class sort.
+  q("SAMPLE-BALANCED-SCALE",
+    """WITH t AS (SELECT label,
+      |    graft_topk_by(-CAST(graft_poly_hash(CAST(vec_id AS STRING)) AS DOUBLE),
+      |      lpad(CAST(vec_id AS STRING), 12, '0'), 5) AS arr
+      |  FROM embeddings GROUP BY label)
+      |SELECT label, CAST(s.item AS BIGINT) AS vec_id
+      |FROM t LATERAL VIEW explode(arr) e AS s
+      |ORDER BY label, vec_id""".stripMargin,
+    """SELECT label, vec_id
+      |FROM (SELECT label, vec_id,
+      |        row_number() OVER (PARTITION BY label ORDER BY h, vec_id) AS rn
+      |      FROM (SELECT label, vec_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |              list_transform(generate_series(1, CAST(length(CAST(vec_id AS VARCHAR)) AS INT)),
+      |                i -> CAST(ascii(substr(CAST(vec_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+      |              (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |            FROM embeddings) u) t
+      |WHERE rn <= 5 ORDER BY label, vec_id""".stripMargin)
+
   // multimodal frame-sampling plumbing: byte-derived frame count, one row
   // per sampled frame (the decode itself is stubbed — deterministic digest)
   q("MM-FRAME-SAMPLE",
