@@ -12,6 +12,10 @@ final case class RatePoint(metric: String, epoch: Long, value: Double)
 final case class RateOut(metric: String, epoch: Long, rate: Double)
 /** State per metric: the last seen (epoch, value). */
 final case class RateState(epoch: Long, value: Double)
+/** Anomaly flag: a point whose |z| exceeded the threshold at arrival. */
+final case class AnomalyOut(metric: String, epoch: Long, value: Double, zscore: Double)
+/** Per-metric EWMA state: points seen, running mean and variance. */
+final case class AnomalyState(n: Long, mean: Double, varr: Double)
 
 /** Streaming rollups and forwarder sinks — the Spark-native equivalent of
   * the reference's listener → demultiplexer → buffered forwarder spine
@@ -232,6 +236,44 @@ object StreamingOps {
             idleTimeout.foreach(state.setTimeoutDuration)
             out.result().iterator
           }
+      }
+  }
+
+  /** Streaming anomaly flags per metric: exponentially-weighted mean and
+    * variance maintained across micro-batches (West 1979's EW update),
+    * emitting points whose |z| = |v − mean|/√var exceeds `z` once `warmup`
+    * points have been absorbed. The z-score is computed against the state
+    * BEFORE the point updates it, so an outlier cannot mask itself.
+    * Within a batch, points fold in (epoch, value) order, so any
+    * micro-batch slicing that preserves cross-batch epoch order (the
+    * replay-source property; Kafka per-partition order) yields the same
+    * flags — which lets the batch-mode run of this SAME operator serve as
+    * the correctness oracle (flatMapGroupsWithState runs in batch mode
+    * with empty initial state). Out-of-order arrival ACROSS batches folds
+    * in arrival order — inherent to any one-pass detector. State is two
+    * doubles and a count per metric — bounded regardless of stream length
+    * or cardinality. */
+  def anomalies(points: Dataset[RatePoint], alpha: Double = 0.3,
+                z: Double = 3.0, warmup: Int = 5): Dataset[AnomalyOut] = {
+    val session = points.sparkSession
+    import session.implicits._
+    points.groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (metric: String, it: Iterator[RatePoint], state: GroupState[AnomalyState]) =>
+          var st = state.getOption.getOrElse(AnomalyState(0L, 0.0, 0.0))
+          val out = Seq.newBuilder[AnomalyOut]
+          it.toSeq.sortBy(p => (p.epoch, p.value)).foreach { p =>
+            if (st.n >= warmup && st.varr > 0.0) {
+              val zs = (p.value - st.mean) / math.sqrt(st.varr)
+              if (math.abs(zs) > z) out += AnomalyOut(metric, p.epoch, p.value, zs)
+            }
+            val d = p.value - st.mean
+            val mean = st.mean + alpha * d
+            val varr = (1.0 - alpha) * (st.varr + alpha * d * d)
+            st = AnomalyState(st.n + 1, mean, varr)
+          }
+          state.update(st)
+          out.result().iterator
       }
   }
 }

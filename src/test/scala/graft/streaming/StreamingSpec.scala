@@ -77,6 +77,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("anomalies: EWMA z-score flags span micro-batches and equal the batch run") {
+    val sq = spark
+    import sq.implicits._
+    // stable baseline around 10 with two gross outliers after warmup
+    val pts = (1 to 30).map { i =>
+      val v = if (i == 20) 100.0 else if (i == 26) -80.0 else 10.0 + (i % 3) * 0.1
+      RatePoint("m1", i.toLong, v)
+    } ++ (1 to 12).map(i => RatePoint("m2", i.toLong, 5.0)) // constant: never flags
+
+    val input = MemoryStream[RatePoint](spark)
+    val query = StreamingOps.anomalies(input.toDS())
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    // two micro-batches: state must carry mean/var across the boundary
+    input.addData(pts.filter(_.epoch <= 15))
+    query.processAllAvailable()
+    input.addData(pts.filter(_.epoch > 15))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = canon(spark.table("anom_out")
+      .select(col("metric"), col("epoch"), col("value"), round(col("zscore"), 4).as("zs"))
+      .orderBy("metric", "epoch"))
+    val batch = canon(StreamingOps.anomalies(pts.toDS()).toDF()
+      .select(col("metric"), col("epoch"), col("value"), round(col("zscore"), 4).as("zs"))
+      .orderBy("metric", "epoch"))
+    assert(streamed === batch)
+    val flagged = spark.table("anom_out").select("epoch").as[Long].collect().toSet
+    assert(flagged === Set(20L, 26L), s"expected exactly the two outliers, got $flagged")
+  }
+
   test("streaming sessionize: per-user session count equals batch-replay formulation") {
     val sq = spark
     import sq.implicits._
