@@ -1079,6 +1079,19 @@ object Relational {
         .select(col("doc_id"), col("n_chars"), round(col("xi_raw") * 1000000, 4).as("xi"))
     },
 
+    // last-touch attribution via the payload-carrying as-of join — one
+    // sort-based window pass, no per-key pair blow-up
+    "EVENT-ATTRIBUTION" -> { s =>
+      val ev = s.table("events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      AsOfJoin.lastBeforeWith(clicks, purchases, "user_id", "ts", "event_id", "click_id")
+        .select(col("event_id"), col("last_payload").as("click_id"))
+        .orderBy("event_id").limit(80)
+    },
+
     // exact top-k per group: bounded-heap aggregate, k rows per group per
     // map-side partial — no per-group full sort anywhere in the plan
     "AGG-GROUP-TOPK" -> { s =>

@@ -39,4 +39,33 @@ object AsOfJoin {
       .where(col("__side") === 1)
       .select(col("__rid").as(idCol), col("__last_left").as("last_left_ts"))
   }
+
+  /** [[lastBefore]] carrying a left-side payload (the practical attribution
+    * form: WHICH click, not just when). The window additionally orders by
+    * the payload so equal-timestamp left rows resolve deterministically —
+    * the LARGEST payload at the latest qualifying timestamp wins, matching
+    * the `max(struct(ts, payload))` theta-join contract formulation. Same
+    * single sort-based pass, no pair blow-up. Payload must be long-castable
+    * (ids); nulls on the right side sort before left payloads at equal
+    * (ts, side) and never win the `last` (ignoreNulls). */
+  def lastBeforeWith(left: DataFrame, right: DataFrame, keyCol: String,
+                     tsCol: String, idCol: String, payloadCol: String): DataFrame = {
+    val l = left.select(col(keyCol), col(tsCol),
+      lit(null).cast("long").as("__rid"), lit(0).as("__side"),
+      col(payloadCol).cast("long").as("__pay"))
+    val r = right.select(col(keyCol), col(tsCol),
+      col(idCol).cast("long").as("__rid"), lit(1).as("__side"),
+      lit(null).cast("long").as("__pay"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"), col("__pay"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.union(r)
+      .withColumn("__last_left",
+        last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+      .withColumn("__last_pay",
+        last(when(col("__side") === 0, col("__pay")), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col("__rid").as(idCol), col("__last_left").as("last_left_ts"),
+        col("__last_pay").as("last_payload"))
+  }
 }

@@ -1334,6 +1334,26 @@ object Inventory {
       |  round(CAST(hm AS DOUBLE) / 1000003 / n_chars * 1000000, 4) AS xi
       |FROM h ORDER BY CAST(hm AS DOUBLE) / 1000003 / n_chars, doc_id LIMIT 10""".stripMargin)
 
+  // last-touch attribution: each purchase attributed to the most recent
+  // at-or-before click of the same user — the payload-carrying as-of
+  // join. The contract SQL is the quadratic-per-key theta-join +
+  // max(struct) collapse; the DSL serves AsOfJoin.lastBeforeWith, the
+  // single sort-based window pass (ties resolve to the largest click_id
+  // in both formulations).
+  q("EVENT-ATTRIBUTION",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.event_id, max(struct(c.ts, c.click_id)).click_id AS click_id
+      |      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+      |      GROUP BY p.event_id)
+      |SELECT event_id, click_id FROM j ORDER BY event_id LIMIT 80""".stripMargin,
+    s"""WITH p AS (SELECT event_id, user_id, ts FROM $EV e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, event_id AS click_id FROM $EV e2 WHERE event_type = 'click')
+      |SELECT p.event_id,
+      |  (SELECT c.click_id FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+      |   ORDER BY c.ts DESC, c.click_id DESC LIMIT 1) AS click_id
+      |FROM p ORDER BY p.event_id LIMIT 80""".stripMargin)
+
   // exact top-k rows per group via the bounded-heap aggregate
   // (graft_topk_by): map-side partials retain k rows per group per
   // partition, so the shuffle ships k·groups·partitions rows instead of
