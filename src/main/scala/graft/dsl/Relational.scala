@@ -1105,6 +1105,24 @@ object Relational {
         .orderBy("l_returnflag", "rn")
     },
 
+    // fuzzy near-dup pairs: noun-blocked self-join (key-equality), length
+    // band in the join condition, Levenshtein threshold in the residual
+    "LLM-FUZZY-PAIRS" -> { s =>
+      val p = graft.core.Tables.spread(s.table("part"), "p_partkey")
+        .where(col("p_partkey") <= 5000)
+        .select(col("p_partkey").as("k"), col("p_name").as("nm"),
+          element_at(split(col("p_name"), " "), -1).as("noun"))
+      val a = p.select(col("k").as("ka"), col("nm").as("na"), col("noun"))
+      val b = p.select(col("k").as("kb"), col("nm").as("nb"), col("noun").as("noun_b"))
+      a.join(b, col("noun") === col("noun_b") && col("ka") < col("kb") &&
+          abs(length(col("na")) - length(col("nb"))) <= 2)
+        .where(levenshtein(col("na"), col("nb")) <= 2)
+        .groupBy("noun")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(levenshtein(col("na"), col("nb"))).cast("bigint").as("min_d"))
+        .orderBy("noun")
+    },
+
     // "concat and chunk" training-sequence packing: per-source cumulative
     // token sum (partitioned window), chunk range per doc, one explode
     "LLM-PACK" -> { s =>

@@ -1394,6 +1394,29 @@ object Inventory {
       |FROM p WHERE nxt IS NOT NULL GROUP BY event_type, nxt
       |ORDER BY n DESC, event_type, nxt LIMIT 15""".stripMargin)
 
+  // fuzzy near-dup pairs by edit distance with blocking: block on the
+  // name's noun token (a key-equality join — never all-pairs), band on
+  // length inside the join condition (|len diff| ≤ d is necessary for
+  // lev ≤ d), threshold classic Levenshtein in the residual. The fuzzy
+  // complement to the shingle/minhash dedup family for short strings.
+  q("LLM-FUZZY-PAIRS",
+    """WITH p AS (SELECT p_partkey AS k, p_name AS nm,
+      |  element_at(split(p_name, ' '), -1) AS noun FROM part WHERE p_partkey <= 5000)
+      |SELECT a.noun, count(*) AS n_pairs,
+      |  CAST(min(levenshtein(a.nm, b.nm)) AS BIGINT) AS min_d
+      |FROM p a JOIN p b ON a.noun = b.noun AND a.k < b.k
+      |  AND abs(length(a.nm) - length(b.nm)) <= 2
+      |WHERE levenshtein(a.nm, b.nm) <= 2
+      |GROUP BY a.noun ORDER BY a.noun""".stripMargin,
+    """WITH p AS (SELECT p_partkey AS k, p_name AS nm,
+      |  string_split(p_name, ' ')[-1] AS noun FROM part WHERE p_partkey <= 5000)
+      |SELECT a.noun, count(*) AS n_pairs,
+      |  CAST(min(CAST(levenshtein(a.nm, b.nm) AS BIGINT)) AS BIGINT) AS min_d
+      |FROM p a JOIN p b ON a.noun = b.noun AND a.k < b.k
+      |  AND abs(length(a.nm) - length(b.nm)) <= 2
+      |WHERE levenshtein(a.nm, b.nm) <= 2
+      |GROUP BY a.noun ORDER BY a.noun""".stripMargin)
+
   // training-sequence packing ("concat and chunk"): per source, documents
   // concatenate in doc_id order and split into fixed 128-token chunks;
   // output is each doc's (chunk, token-range) assignment, straddles
