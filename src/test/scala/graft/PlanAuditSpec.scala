@@ -243,6 +243,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("LLM-FUZZY-PAIRS: blocked self-join stays key-equality (no cartesian/BNLJ)") {
+    val p = finalPlan("LLM-FUZZY-PAIRS")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy blocking must join on the noun key:\n$p")
+  }
+
+  test("EVENT-ATTRIBUTION: one key-partitioned window pass, no theta join") {
+    val p = finalPlan("EVENT-ATTRIBUTION")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of path must not materialize click x purchase pairs:\n$p")
+    assert(p.contains("Window"), "expected the sort-based as-of window")
+    assert(p.contains("user_id"), "window must partition by user_id")
+  }
+
   test("AGG-GROUP-TOPK: heap aggregate with map-side partials, no window, no global sort of data") {
     val p = finalPlan("AGG-GROUP-TOPK")
     assert(p.contains("ObjectHashAggregate"), "graft_topk_by should run as ObjectHashAggregate")
