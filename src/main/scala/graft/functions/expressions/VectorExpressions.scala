@@ -116,6 +116,7 @@ object GraftFunctions {
       }
       FreqItemsAgg(exprs(0), k).toAggregateExpression()
     },
+    "graft_zorder" -> (exprs => ZOrderInterleave(exprs(0), exprs(1))),
     "graft_bloom_might_contain" -> { exprs =>
       // the sketch is plan-constant DATA: it arrives as a binary literal
       // and is extracted once at build time (the graft_pq_encode pattern)

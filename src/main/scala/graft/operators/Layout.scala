@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical data layout for multi-dimensional data skipping.
+  *
+  * Parquet scans prune row groups / files from min-max statistics, but a
+  * single-column sort only tightens ONE column's ranges: a box predicate
+  * `x BETWEEN a AND b AND y BETWEEN c AND d` over a y-sorted 100 TB table
+  * still reads every file for the x bound. Z-ordering sorts by the Morton
+  * interleave of bucketed (x, y), so each file covers a small RECTANGLE of
+  * the value domain and both bounds prune — the standard lakehouse
+  * clustering technique, here as a plain column + writer (no table format
+  * required).
+  */
+object Layout {
+
+  /** Z-order key column: bucket both values into `bits`-bit ordinals over
+    * [min, max] (clamped; nulls → bucket 0) and Morton-interleave them.
+    * Requires GraftFunctions registration (graft.core.Tables.register does
+    * it; Layout.zorderWrite does too). */
+  def zorderKey(x: Column, xMin: Double, xMax: Double,
+                y: Column, yMin: Double, yMax: Double, bits: Int = 15): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    require(xMax > xMin && yMax > yMin, "degenerate value domain")
+    val buckets = (1L << bits) - 1
+    def ord(c: Column, lo: Double, hi: Double): Column =
+      least(lit(buckets), greatest(lit(0L),
+        floor((coalesce(c.cast("double"), lit(lo)) - lit(lo)) /
+          lit(hi - lo) * lit(buckets.toDouble)).cast("long")))
+    call_function("graft_zorder", ord(x, xMin, xMax), ord(y, yMin, yMax))
+  }
+
+  /** Rewrite `df` into `numFiles` z-order-clustered parquet files at
+    * `path`. One metadata-scale min/max aggregate fixes the bucket
+    * domains (the GlobalWindow pattern — same pass a RangePartitioner
+    * pays), then range-partition + in-partition sort by the z-key. */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String,
+                  path: String, numFiles: Int, bits: Int = 15): Unit = {
+    graft.functions.expressions.GraftFunctions.register(df.sparkSession)
+    val r = df.agg(min(col(xCol).cast("double")), max(col(xCol).cast("double")),
+      min(col(yCol).cast("double")), max(col(yCol).cast("double"))).head()
+    val (xMin, xMax, yMin, yMax) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))
+    val z = zorderKey(col(xCol), xMin, xMax, col(yCol), yMin, yMax, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Z-order layout: interleave math + the property that actually matters —
+  * each written file covers a small rectangle of the 2-D value domain, so
+  * min-max stats prune box predicates on BOTH columns. */
+class LayoutSpec extends SparkSpec {
+
+  import graft.functions.expressions.ZOrderInterleave.interleave
+
+  test("interleave: bit placement, bounds, monotone locality") {
+    assert(interleave(0L, 0L) === 0L)
+    assert(interleave(1L, 0L) === 1L)
+    assert(interleave(0L, 1L) === 2L)
+    assert(interleave(3L, 3L) === 15L)
+    // x bits land at even positions, y at odd — recoverable exactly
+    val rnd = new Random(7)
+    (1 to 200).foreach { _ =>
+      val x = rnd.nextInt(Int.MaxValue).toLong
+      val y = rnd.nextInt(Int.MaxValue).toLong
+      val z = interleave(x, y)
+      var rx = 0L; var ry = 0L
+      (0 until 31).foreach { i =>
+        rx |= ((z >> (2 * i)) & 1L) << i
+        ry |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(rx === x && ry === y)
+    }
+    // points sharing high bucket bits share high z bits (quadrant nesting)
+    assert((interleave(0x40000000L >> 1, 0L) >> 60) === (interleave(
+      (0x40000000L >> 1) | 1L, 1L) >> 60))
+  }
+
+  test("z-order write: files cover small rectangles; row-order files span the domain") {
+    val sq = spark
+    import sq.implicits._
+    val rnd = new Random(42)
+    val pts = (1 to 60000).map(_ => (rnd.nextDouble(), rnd.nextDouble()))
+      .toDF("x", "y").repartition(8).cache()
+    pts.count()
+
+    def meanFileBoxArea(path: String): Double = {
+      val per = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(((max("x") - min("x")) * (max("y") - min("y"))).as("area"))
+      val n = per.count()
+      assert(n >= 8, s"expected >= 8 files, got $n")
+      per.agg(avg("area")).head().getDouble(0)
+    }
+
+    val base = Files.createTempDirectory("zorder").toString
+    Layout.zorderWrite(pts, "x", "y", s"$base/z", numFiles = 16)
+    pts.repartition(16).write.parquet(s"$base/plain")
+
+    val zArea = meanFileBoxArea(s"$base/z")
+    val plainArea = meanFileBoxArea(s"$base/plain")
+    // 16 z-ordered files ≈ 1/16 of the unit square each; round-robin files
+    // each span essentially the whole square
+    assert(zArea < 0.35 * plainArea,
+      f"z-order locality missing: z=$zArea%.3f plain=$plainArea%.3f")
+    assert(zArea < 0.25, f"each z file should cover a small rectangle, got $zArea%.3f")
+
+    // and the rewrite is lossless
+    val a = spark.read.parquet(s"$base/z").agg(count(lit(1)), round(sum("x"), 6)).head()
+    val b = pts.agg(count(lit(1)), round(sum("x"), 6)).head()
+    assert(a === b)
+  }
+}
