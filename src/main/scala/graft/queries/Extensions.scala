@@ -249,6 +249,25 @@ object Extensions {
       graft.streaming.StreamingOps.sessionize(ev, "ts", "user_id", "30 minutes")
         .orderBy("user_id", "sstart").limit(150)
     },
+    // streaming-NATIVE anomaly detection: the REAL StreamingOps.anomalies
+    // (EWMA mean/variance state, |z|>2 against the pre-update state) run
+    // in batch mode — flatMapGroupsWithState folds each metric's points in
+    // (epoch, value) order with empty initial state, exactly the fold the
+    // DuckDB recursive-CTE oracle replays step by step. Every state update
+    // is the same exactly-rounded double sequence on both engines, so the
+    // 4dp flag rows hash-match.
+    "STREAM-ANOMALY" -> { (s, d) =>
+      import s.implicits._
+      val pts = events(s, d).where(col("user_id") < 30)
+        .select(col("event_type").as("metric"), col("ts").cast("long").as("epoch"),
+          col("value"))
+        .as[graft.streaming.RatePoint]
+      graft.streaming.StreamingOps.anomalies(pts, alpha = 0.3, z = 2.0, warmup = 5)
+        .toDF()
+        .select(col("metric"), col("epoch"), round(col("value"), 4).as("value"),
+          round(col("zscore"), 4).as("zscore"))
+        .orderBy("metric", "epoch", "value", "zscore").limit(150)
+    },
     // Approximate sketches, hash-checked via DETERMINISTIC error-bound
     // booleans: sketches are hashed (not sampled), so on fixed data the
     // estimate — and therefore the bound check — is bit-stable. The oracle
@@ -463,6 +482,33 @@ object Extensions {
         |  user_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, sstart LIMIT 150""".stripMargin,
+    // the EWMA anomaly fold replayed as a recursive CTE: state row rn holds
+    // (n, mean, var) BEFORE point rn folds in; double literals pinned, and
+    // every arithmetic step mirrors StreamingOps.anomalies token for token
+    "STREAM-ANOMALY" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_type AS metric,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep, value AS v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT), value) AS rn
+        |  FROM events WHERE user_id < 30
+        |),
+        |st AS (
+        |  SELECT metric, CAST(1 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS n,
+        |    0.0::DOUBLE AS mean, 0.0::DOUBLE AS varr
+        |  FROM (SELECT DISTINCT metric FROM pts) m
+        |  UNION ALL
+        |  SELECT s.metric, s.rn + 1, s.n + 1,
+        |    s.mean + 0.3::DOUBLE * (p.v - s.mean),
+        |    (1.0::DOUBLE - 0.3::DOUBLE) * (s.varr + 0.3::DOUBLE * (p.v - s.mean) * (p.v - s.mean))
+        |  FROM st s JOIN pts p ON p.metric = s.metric AND p.rn = s.rn
+        |)
+        |SELECT p.metric, p.ep AS epoch, round(p.v, 4) AS value,
+        |  round((p.v - s.mean) / sqrt(s.varr), 4) AS zscore
+        |FROM pts p JOIN st s ON s.metric = p.metric AND s.rn = p.rn
+        |WHERE s.n >= 5 AND s.varr > 0
+        |  AND abs((p.v - s.mean) / sqrt(s.varr)) > 2.0
+        |ORDER BY p.metric, p.ep, p.v, zscore LIMIT 150""".stripMargin,
     // approx sketches: the oracle asserts the deterministic bound holds
     "AGG-APPROX-DISTINCT" ->
       """SELECT event_type AS g, TRUE AS within_bound
