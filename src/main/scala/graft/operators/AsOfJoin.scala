@@ -48,8 +48,13 @@ object AsOfJoin {
     * single sort-based pass, no pair blow-up. Payload must be long-castable
     * (ids); nulls on the right side sort before left payloads at equal
     * (ts, side) and never win the `last` (ignoreNulls). */
+  /** Optional `toleranceSec`: matches older than `right.ts − tolerance`
+    * null out (both ts and payload) — the standard bounded attribution
+    * window ("credit a click only within 24 h"). Applied as a residual on
+    * the window result, so the plan is unchanged. */
   def lastBeforeWith(left: DataFrame, right: DataFrame, keyCol: String,
-                     tsCol: String, idCol: String, payloadCol: String): DataFrame = {
+                     tsCol: String, idCol: String, payloadCol: String,
+                     toleranceSec: Option[Long] = None): DataFrame = {
     val l = left.select(col(keyCol), col(tsCol),
       lit(null).cast("long").as("__rid"), lit(0).as("__side"),
       col(payloadCol).cast("long").as("__pay"))
@@ -65,7 +70,13 @@ object AsOfJoin {
       .withColumn("__last_pay",
         last(when(col("__side") === 0, col("__pay")), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(col("__rid").as(idCol), col("__last_left").as("last_left_ts"),
-        col("__last_pay").as("last_payload"))
+      .withColumn("__ok", toleranceSec match {
+        case Some(tol) =>
+          col("__last_left").cast("double") >= col(tsCol).cast("double") - tol
+        case None => col("__last_left").isNotNull
+      })
+      .select(col("__rid").as(idCol),
+        when(col("__ok"), col("__last_left")).as("last_left_ts"),
+        when(col("__ok"), col("__last_pay")).as("last_payload"))
   }
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** AsOfJoin.lastBeforeWith: payload carry, deterministic ties, tolerance. */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def fx = {
+    val sq = spark
+    import sq.implicits._
+    // clicks (user, ts, click_id); two clicks tie at ts=100 for user 1
+    val clicks = Seq((1L, 100L, 7L), (1L, 100L, 9L), (1L, 50L, 3L), (2L, 10L, 4L))
+      .toDF("user_id", "ts", "click_id")
+    // purchases (user, ts, event_id)
+    val buys = Seq((1L, 100L, 1000L), (1L, 60L, 1001L), (2L, 500L, 1002L),
+      (3L, 77L, 1003L)).toDF("user_id", "ts", "event_id")
+    (clicks, buys)
+  }
+
+  test("payload carry: latest at-or-before click wins, ties to largest payload") {
+    val (clicks, buys) = fx
+    val got = AsOfJoin.lastBeforeWith(clicks, buys, "user_id", "ts", "event_id", "click_id")
+      .orderBy("event_id").collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.toString).orNull, Option(r.get(2)).map(_.toString).orNull)).toSeq
+    assert(got === Seq(
+      (1000L, "100", "9"), // tie at ts=100 → click 9 (largest payload)
+      (1001L, "50", "3"),
+      (1002L, "10", "4"),
+      (1003L, null, null))) // user 3 has no clicks
+  }
+
+  test("tolerance nulls out attributions older than the window") {
+    val (clicks, buys) = fx
+    val got = AsOfJoin.lastBeforeWith(clicks, buys, "user_id", "ts", "event_id",
+        "click_id", toleranceSec = Some(50L))
+      .orderBy("event_id").collect().map(r => (r.getLong(0),
+        Option(r.get(2)).map(_.toString).orNull)).toSeq
+    assert(got === Seq(
+      (1000L, "9"),  // click at 100, buy at 100: within 50s
+      (1001L, "3"),  // click at 50, buy at 60: within 50s
+      (1002L, null), // click at 10, buy at 500: outside the window
+      (1003L, null)))
+  }
+}
