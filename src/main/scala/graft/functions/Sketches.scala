@@ -64,6 +64,32 @@ object Sketches {
       .agg(percentile_approx(col(valueCol),
         array(probs.map(lit): _*), lit(accuracy)).as("approx_q"))
 
+  /** Per-group MERGEABLE quantile sketches (KLL, Karnin-Lang-Liberty
+    * FOCS'16): unlike GK percentiles, KLL sketches union losslessly — so
+    * build per-(fine-grain, shard) sketches once and re-aggregate coarser
+    * with [[kllRollup]] WITHOUT rescanning the raw data, the same contract
+    * as the HLL distinct column. Rank error ≈ 1.65 % at k=200 (99 %). */
+  def kllSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                k: Int = 200): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(df.sparkSession)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_kll_agg", col(valueCol).cast("double"), lit(k))
+        .as("kll"))
+  }
+
+  /** Union fine-grain KLL sketches to a coarser grouping — quantiles over
+    * any rollup of the grain, no raw-data rescan. */
+  def kllRollup(sketches: DataFrame, coarserCols: Seq[String],
+                sketchCol: String = "kll", k: Int = 200): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(sketches.sparkSession)
+    sketches.groupBy(coarserCols.map(col): _*)
+      .agg(call_function("graft_kll_merge", col(sketchCol), lit(k)).as(sketchCol))
+  }
+
+  /** Quantile readout from a KLL sketch column (inclusive rank). */
+  def kllQuantile(sketch: Column, q: Double): Column =
+    call_function("graft_kll_quantile", sketch, lit(q))
+
   /** Per-group frequent items (heavy hitters): Misra-Gries sketch with at
     * most `k` counters, returned as map<string,bigint> of item → estimated
     * count ([[graft.functions.expressions.FreqItemsAgg]]). Guarantees:

@@ -117,6 +117,25 @@ object GraftFunctions {
       FreqItemsAgg(exprs(0), k).toAggregateExpression()
     },
     "graft_zorder" -> (exprs => ZOrderInterleave(exprs(0), exprs(1))),
+    "graft_kll_agg" -> { exprs =>
+      val k = exprs(1).eval(InternalRow.empty) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_kll_agg k must be an integer literal, got $other")
+      }
+      KllSketchAgg(exprs(0), k).toAggregateExpression()
+    },
+    "graft_kll_merge" -> { exprs =>
+      val k = exprs(1).eval(InternalRow.empty) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_kll_merge k must be an integer literal, got $other")
+      }
+      KllMergeAgg(exprs(0), k).toAggregateExpression()
+    },
+    "graft_kll_quantile" -> (exprs => KllQuantile(exprs(0), exprs(1))),
     "graft_bloom_might_contain" -> { exprs =>
       // the sketch is plan-constant DATA: it arrives as a binary literal
       // and is extracted once at build time (the graft_pq_encode pattern)

@@ -25,6 +25,55 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("kll quantile sketches: rank error bounded, rollup needs no raw-data rescan") {
+    tables()
+    val ev = spark.table("events").where(col("value").isNotNull)
+    // fine grain: per-(event_type, user bucket) sketches — the shape a
+    // 100 TB pipeline materializes once per partition/hour
+    val fine = Sketches.kllSketch(
+      ev.withColumn("shard", (col("user_id") % 8).cast("int")),
+      Seq("event_type", "shard"), "value")
+    // coarse: union shards per event_type, then read quantiles
+    val rolled = Sketches.kllRollup(fine, Seq("event_type"))
+      .select(col("event_type"),
+        Sketches.kllQuantile(col("kll"), 0.5).as("q50"),
+        Sketches.kllQuantile(col("kll"), 0.9).as("q90"))
+    val got = rolled.collect().map(r =>
+      r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    // verify by RANK (the KLL guarantee): the estimated quantile's true
+    // rank must be within ~3x the 1.65% one-sided bound of the target
+    val values = ev.select(col("event_type"), col("value").cast("double"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted)
+    got.foreach { case (g, (q50, q90)) =>
+      val vs = values(g)
+      def rank(x: Double): Double = vs.count(_ <= x).toDouble / vs.length
+      assert(math.abs(rank(q50) - 0.5) <= 0.05, s"$g q50 rank=${rank(q50)}")
+      assert(math.abs(rank(q90) - 0.9) <= 0.05, s"$g q90 rank=${rank(q90)}")
+    }
+  }
+
+  test("kll rollup across groupings: day-level answers from hour-level sketches") {
+    tables()
+    val ev = spark.table("events").where(col("value").isNotNull)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withColumn("day", date_trunc("day", col("ts")))
+    val hourly = Sketches.kllSketch(ev, Seq("day", "hour"), "value")
+    val daily = Sketches.kllRollup(hourly, Seq("day"))
+      .select(col("day"), Sketches.kllQuantile(col("kll"), 0.5).as("q50"))
+    val gotDays = daily.collect().map(r => r.get(0).toString -> r.getDouble(1)).toMap
+    val exact = ev.groupBy("day").agg(expr("percentile(value, 0.5)").as("m"))
+      .collect().map(r => r.get(0).toString -> r.getDouble(1)).toMap
+    assert(gotDays.nonEmpty && gotDays.keySet === exact.keySet)
+    // medians land near the exact per-day median (value-domain tolerance:
+    // rank 0.5 ± 5% of a smooth-ish distribution)
+    gotDays.foreach { case (d, q) =>
+      assert(!q.isNaN)
+      assert(math.abs(q - exact(d)) / math.max(math.abs(exact(d)), 1.0) <= 0.25,
+        s"$d kll=$q exact=${exact(d)}")
+    }
+  }
+
   test("hll sketches merge: rollup of fine-grained sketches matches the direct estimate") {
     tables()
     val ev = spark.table("events")
