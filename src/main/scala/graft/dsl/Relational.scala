@@ -1116,10 +1116,11 @@ object Relational {
       val b = p.select(col("k").as("kb"), col("nm").as("nb"), col("noun").as("noun_b"))
       a.join(b, col("noun") === col("noun_b") && col("ka") < col("kb") &&
           abs(length(col("na")) - length(col("nb"))) <= 2)
-        .where(levenshtein(col("na"), col("nb")) <= 2)
+        .withColumn("d", levenshtein(col("na"), col("nb")))
+        .where(col("d") <= 2)
         .groupBy("noun")
         .agg(count(lit(1)).as("n_pairs"),
-          min(levenshtein(col("na"), col("nb"))).cast("bigint").as("min_d"))
+          min(col("d")).cast("bigint").as("min_d"))
         .orderBy("noun")
     },
 

@@ -81,6 +81,8 @@ case class KllMergeAgg(child: Expression, k: Int,
     extends TypedImperativeAggregate[KllDoublesSketch]
     with UnaryLike[Expression] {
 
+  require(k >= 8 && k <= 65535, "k must be in [8, 65535]")
+
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = "graft_kll_merge"
@@ -124,6 +126,7 @@ case class KllQuantile(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_kll_quantile"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -137,8 +140,14 @@ case class KllQuantile(left: Expression, right: Expression)
     KllQuantile.quantile(sk.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.expressions.KllQuantile.quantile($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("kllq")
+      s"""
+         |java.lang.Double $tmp = graft.functions.expressions.KllQuantile.quantile($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =
@@ -146,7 +155,12 @@ case class KllQuantile(left: Expression, right: Expression)
 }
 
 object KllQuantile {
-  def quantile(bytes: Array[Byte], q: Double): Double =
-    KllDoublesSketch.heapify(Memory.wrap(bytes))
-      .getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
+  /** Null for an EMPTY sketch (what an all-null group aggregates to)
+    * instead of the library's SketchesArgumentException — the same
+    * contract as Spark's own percentile on an empty group. */
+  def quantile(bytes: Array[Byte], q: Double): java.lang.Double = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    if (sk.isEmpty) null
+    else java.lang.Double.valueOf(sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
+  }
 }

@@ -46,9 +46,12 @@ object AsOfJoin {
     * the LARGEST payload at the latest qualifying timestamp wins, matching
     * the `max(struct(ts, payload))` theta-join contract formulation. Same
     * single sort-based pass, no pair blow-up. Payload must be long-castable
-    * (ids); nulls on the right side sort before left payloads at equal
-    * (ts, side) and never win the `last` (ignoreNulls). */
-  /** Optional `toleranceSec`: matches older than `right.ts − tolerance`
+    * (ids). The (ts, payload) pair is carried in ONE `last(struct)` so both
+    * fields always come from the SAME left row — a left row whose payload
+    * is null (or fails the long cast) still wins attribution and reports a
+    * null payload, exactly as `max(struct(ts, payload))` would.
+    *
+    * Optional `toleranceSec`: matches older than `right.ts − tolerance`
     * null out (both ts and payload) — the standard bounded attribution
     * window ("credit a click only within 24 h"). Applied as a residual on
     * the window result, so the plan is unchanged. */
@@ -57,7 +60,7 @@ object AsOfJoin {
                      toleranceSec: Option[Long] = None): DataFrame = {
     val l = left.select(col(keyCol), col(tsCol),
       lit(null).cast("long").as("__rid"), lit(0).as("__side"),
-      col(payloadCol).cast("long").as("__pay"))
+      col(payloadCol).try_cast("long").as("__pay"))
     val r = right.select(col(keyCol), col(tsCol),
       col(idCol).cast("long").as("__rid"), lit(1).as("__side"),
       lit(null).cast("long").as("__pay"))
@@ -65,18 +68,19 @@ object AsOfJoin {
       .orderBy(col(tsCol), col("__side"), col("__pay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.union(r)
-      .withColumn("__last_left",
-        last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
-      .withColumn("__last_pay",
-        last(when(col("__side") === 0, col("__pay")), ignoreNulls = true).over(w))
+      .withColumn("__last",
+        last(when(col("__side") === 0,
+          struct(col(tsCol).as("ts"), col("__pay").as("pay"))),
+          ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .withColumn("__ok", toleranceSec match {
         case Some(tol) =>
-          col("__last_left").cast("double") >= col(tsCol).cast("double") - tol
-        case None => col("__last_left").isNotNull
+          col("__last").getField("ts").cast("double") >=
+            col(tsCol).cast("double") - tol
+        case None => col("__last").isNotNull
       })
       .select(col("__rid").as(idCol),
-        when(col("__ok"), col("__last_left")).as("last_left_ts"),
-        when(col("__ok"), col("__last_pay")).as("last_payload"))
+        when(col("__ok"), col("__last").getField("ts")).as("last_left_ts"),
+        when(col("__ok"), col("__last").getField("pay")).as("last_payload"))
   }
 }

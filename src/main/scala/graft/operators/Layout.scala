@@ -35,14 +35,26 @@ object Layout {
   /** Rewrite `df` into `numFiles` z-order-clustered parquet files at
     * `path`. One metadata-scale min/max aggregate fixes the bucket
     * domains (the GlobalWindow pattern — same pass a RangePartitioner
-    * pays), then range-partition + in-partition sort by the z-key. */
+    * pays), then range-partition + in-partition sort by the z-key.
+    *
+    * Degenerate inputs fall back instead of failing mid-job: an empty
+    * (or all-null-dimension) frame writes plainly, and a constant
+    * dimension widens to a unit domain so every row lands in its
+    * bucket 0 — the z-key then degrades to a 1-D sort on the other
+    * dimension, which is the right layout for that slice anyway. */
   def zorderWrite(df: DataFrame, xCol: String, yCol: String,
                   path: String, numFiles: Int, bits: Int = 15): Unit = {
     graft.functions.expressions.GraftFunctions.register(df.sparkSession)
     val r = df.agg(min(col(xCol).cast("double")), max(col(xCol).cast("double")),
       min(col(yCol).cast("double")), max(col(yCol).cast("double"))).head()
-    val (xMin, xMax, yMin, yMax) = (r.getDouble(0), r.getDouble(1),
-      r.getDouble(2), r.getDouble(3))
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    def dom(lo: Double, hi: Double): (Double, Double) =
+      if (hi > lo) (lo, hi) else (lo, lo + 1.0)
+    val (xMin, xMax) = dom(r.getDouble(0), r.getDouble(1))
+    val (yMin, yMax) = dom(r.getDouble(2), r.getDouble(3))
     val z = zorderKey(col(xCol), xMin, xMax, col(yCol), yMin, yMax, bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))

@@ -508,7 +508,7 @@ object Extensions {
         |FROM pts p JOIN st s ON s.metric = p.metric AND s.rn = p.rn
         |WHERE s.n >= 5 AND s.varr > 0
         |  AND abs((p.v - s.mean) / sqrt(s.varr)) > 2.0
-        |ORDER BY p.metric, p.ep, p.v, zscore LIMIT 150""".stripMargin,
+        |ORDER BY p.metric, p.ep, value, zscore LIMIT 150""".stripMargin,
     // approx sketches: the oracle asserts the deterministic bound holds
     "AGG-APPROX-DISTINCT" ->
       """SELECT event_type AS g, TRUE AS within_bound

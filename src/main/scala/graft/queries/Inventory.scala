@@ -1401,13 +1401,13 @@ object Inventory {
   // complement to the shingle/minhash dedup family for short strings.
   q("LLM-FUZZY-PAIRS",
     """WITH p AS (SELECT p_partkey AS k, p_name AS nm,
-      |  element_at(split(p_name, ' '), -1) AS noun FROM part WHERE p_partkey <= 5000)
-      |SELECT a.noun, count(*) AS n_pairs,
-      |  CAST(min(levenshtein(a.nm, b.nm)) AS BIGINT) AS min_d
-      |FROM p a JOIN p b ON a.noun = b.noun AND a.k < b.k
-      |  AND abs(length(a.nm) - length(b.nm)) <= 2
-      |WHERE levenshtein(a.nm, b.nm) <= 2
-      |GROUP BY a.noun ORDER BY a.noun""".stripMargin,
+      |  element_at(split(p_name, ' '), -1) AS noun FROM part WHERE p_partkey <= 5000),
+      |j AS (SELECT a.noun, levenshtein(a.nm, b.nm) AS d
+      |  FROM p a JOIN p b ON a.noun = b.noun AND a.k < b.k
+      |    AND abs(length(a.nm) - length(b.nm)) <= 2)
+      |SELECT noun, count(*) AS n_pairs, CAST(min(d) AS BIGINT) AS min_d
+      |FROM j WHERE d <= 2
+      |GROUP BY noun ORDER BY noun""".stripMargin,
     """WITH p AS (SELECT p_partkey AS k, p_name AS nm,
       |  string_split(p_name, ' ')[-1] AS noun FROM part WHERE p_partkey <= 5000)
       |SELECT a.noun, count(*) AS n_pairs,

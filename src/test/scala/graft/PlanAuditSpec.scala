@@ -253,8 +253,13 @@ class PlanAuditSpec extends SparkSpec {
     val p = finalPlan("EVENT-ATTRIBUTION")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"as-of path must not materialize click x purchase pairs:\n$p")
-    assert(p.contains("Window"), "expected the sort-based as-of window")
-    assert(p.contains("user_id"), "window must partition by user_id")
+    val winLines = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(winLines.nonEmpty, "expected the sort-based as-of window")
+    // partition spec is the second bracket group of the Window operator —
+    // matching "], [user_id#" pins the spec itself, not an incidental
+    // user_id elsewhere on the line
+    assert(winLines.exists(_.matches(""".*Window .*\], \[user_id#\d+.*""")),
+      s"window must partition by user_id:\n${winLines.mkString("\n")}")
   }
 
   test("AGG-GROUP-TOPK: heap aggregate with map-side partials, no window, no global sort of data") {

@@ -74,6 +74,19 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("kll quantile of an all-null group reads out null, not a crash") {
+    val sq = spark
+    import sq.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("b", None), ("b", None))
+      .toDF("g", "value")
+    val got = Sketches.kllSketch(df, Seq("g"), "value")
+      .select(col("g"), Sketches.kllQuantile(col("kll"), 0.5).as("q"))
+      .orderBy("g").collect()
+    assert(got(0).getString(0) === "a" && !got(0).isNullAt(1))
+    assert(got(1).getString(0) === "b" && got(1).isNullAt(1),
+      "an empty sketch (all-null group) must yield a null quantile")
+  }
+
   test("hll sketches merge: rollup of fine-grained sketches matches the direct estimate") {
     tables()
     val ev = spark.table("events")

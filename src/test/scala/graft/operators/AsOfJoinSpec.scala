@@ -31,6 +31,25 @@ class AsOfJoinSpec extends SparkSpec {
       (1003L, null, null))) // user 3 has no clicks
   }
 
+  test("null-payload click still wins attribution, ts and payload stay paired") {
+    val sq = spark
+    import sq.implicits._
+    // user 1: click 3 at ts=10, then a LATER click at ts=50 whose id fails
+    // the long cast (null payload). The ts=50 click must win (null ts+pay
+    // pairing bug: two independent last() calls credited click 3 with ts=50)
+    val clicks = Seq((1L, 10L, "3"), (1L, 50L, "x")).toDF("user_id", "ts", "click_id")
+    val buys = Seq((1L, 60L, 1000L)).toDF("user_id", "ts", "event_id")
+    val got = AsOfJoin.lastBeforeWith(clicks, buys, "user_id", "ts", "event_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2))).toSeq
+    assert(got === Seq((1000L, 50L, null)))
+    // with a 15s tolerance the ts=50 winner is in-window → same pair; the
+    // old unpaired form reported (50, 3) and wrongly credited the ts=10 click
+    val tol = AsOfJoin.lastBeforeWith(clicks, buys, "user_id", "ts", "event_id",
+        "click_id", toleranceSec = Some(15L))
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2))).toSeq
+    assert(tol === Seq((1000L, 50L, null)))
+  }
+
   test("tolerance nulls out attributions older than the window") {
     val (clicks, buys) = fx
     val got = AsOfJoin.lastBeforeWith(clicks, buys, "user_id", "ts", "event_id",

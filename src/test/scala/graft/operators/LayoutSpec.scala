@@ -72,4 +72,23 @@ class LayoutSpec extends SparkSpec {
     val b = pts.agg(count(lit(1)), round(sum("x"), 6)).head()
     assert(a === b)
   }
+
+  test("z-order write degenerate inputs: empty frame and constant dimension fall back") {
+    val sq = spark
+    import sq.implicits._
+    val base = Files.createTempDirectory("zorder-degen").toString
+    // empty input: min/max are null — plain write, no NPE
+    Layout.zorderWrite(Seq.empty[(Double, Double)].toDF("x", "y"),
+      "x", "y", s"$base/empty", numFiles = 4)
+    assert(spark.read.schema("x double, y double").parquet(s"$base/empty").count() === 0)
+    // constant y (a realistic partition slice): unit-domain widening makes
+    // the z-key a 1-D sort on x instead of a require() crash
+    val constY = (1 to 1000).map(i => (i.toDouble, 5.0)).toDF("x", "y")
+    Layout.zorderWrite(constY, "x", "y", s"$base/const", numFiles = 4)
+    val back = spark.read.parquet(s"$base/const")
+    assert(back.count() === 1000)
+    val mm = back.groupBy(input_file_name().as("f")).agg((max("x") - min("x")).as("span"))
+    assert(mm.agg(avg("span")).head().getDouble(0) < 500.0,
+      "constant-y fallback should still cluster on x")
+  }
 }
