@@ -136,6 +136,28 @@ object GraftFunctions {
       KllMergeAgg(exprs(0), k).toAggregateExpression()
     },
     "graft_kll_quantile" -> (exprs => KllQuantile(exprs(0), exprs(1))),
+    "graft_theta_agg" -> { exprs =>
+      val lgK = exprs(1).eval(InternalRow.empty) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_theta_agg lgK must be an integer literal, got $other")
+      }
+      ThetaSketchAgg(exprs(0), lgK).toAggregateExpression()
+    },
+    "graft_theta_union" -> { exprs =>
+      val lgK = exprs(1).eval(InternalRow.empty) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_theta_union lgK must be an integer literal, got $other")
+      }
+      ThetaUnionAgg(exprs(0), lgK).toAggregateExpression()
+    },
+    "graft_theta_estimate" -> (exprs => ThetaEstimate(exprs(0))),
+    "graft_theta_intersect" -> (exprs => ThetaSetOp(exprs(0), exprs(1), 0)),
+    "graft_theta_anotb" -> (exprs => ThetaSetOp(exprs(0), exprs(1), 1)),
+    "graft_theta_union_pair" -> (exprs => ThetaSetOp(exprs(0), exprs(1), 2)),
     "graft_bloom_might_contain" -> { exprs =>
       // the sketch is plan-constant DATA: it arrives as a binary literal
       // and is extracted once at build time (the graft_pq_encode pattern)

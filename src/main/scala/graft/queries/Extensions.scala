@@ -284,6 +284,47 @@ object Extensions {
             greatest(col("exact_nd") * 0.15, lit(2.0))).as("within_bound"))
         .orderBy("g")
     },
+    // theta-sketch set algebra under the same deterministic bound-check
+    // contract: per segment, |users(g) ∪ users(purchase)|, |∩| and |g \
+    // purchase| are read from SKETCHES (union/intersect/aNotB — the ops
+    // HLL cannot do) and checked against the exactly-computed answers.
+    // One sketch build per segment answers every pairwise set question;
+    // the exact side is here only to power the bound booleans.
+    "AGG-THETA-SETOPS" -> { (s, d) =>
+      val ev = events(s, d)
+      import graft.functions.Sketches
+      val sk = Sketches.thetaSketch(ev, Seq("event_type"), "user_id")
+      val base = sk.where(col("event_type") === "purchase")
+        .select(col("theta").as("tb"))
+      val est = sk.crossJoin(broadcast(base))
+        .select(col("event_type"),
+          Sketches.thetaEstimate(
+            Sketches.thetaUnionPair(col("theta"), col("tb"))).as("e_u"),
+          Sketches.thetaEstimate(
+            Sketches.thetaIntersect(col("theta"), col("tb"))).as("e_i"),
+          Sketches.thetaEstimate(
+            Sketches.thetaANotB(col("theta"), col("tb"))).as("e_d"))
+      val users = ev.select("event_type", "user_id").distinct()
+      val pu = users.where(col("event_type") === "purchase")
+        .select(col("user_id").as("puid"))
+      val ex = users.join(broadcast(pu), col("user_id") === col("puid"), "left")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_g"), count(col("puid")).as("n_i"))
+      val np = pu.agg(count(lit(1)).as("n_p"))
+      val exact = ex.crossJoin(broadcast(np))
+        .select(col("event_type"),
+          (col("n_g") + col("n_p") - col("n_i")).as("x_u"),
+          col("n_i").as("x_i"), (col("n_g") - col("n_i")).as("x_d"))
+      est.join(exact, "event_type")
+        .select(col("event_type").as("g"),
+          (abs(col("e_u") - col("x_u")) <=
+            greatest(col("x_u") * 0.05, lit(2.0))).as("union_ok"),
+          (abs(col("e_i") - col("x_i")) <=
+            greatest(col("x_i") * 0.10, lit(2.0))).as("inter_ok"),
+          (abs(col("e_d") - col("x_d")) <=
+            greatest(col("x_d") * 0.10, lit(2.0))).as("diff_ok"))
+        .orderBy("g")
+    },
     "AGG-APPROX-MEDIAN" -> { (s, d) =>
       val ev = events(s, d)
       val apx = graft.functions.Sketches.approxMedian(ev, "event_type", "value", accuracy = 10000)
@@ -515,6 +556,11 @@ object Extensions {
         |FROM events GROUP BY event_type ORDER BY g""".stripMargin,
     "AGG-APPROX-MEDIAN" ->
       """SELECT event_type AS g, TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY g""".stripMargin,
+    // theta set ops: the oracle asserts the deterministic bounds hold
+    "AGG-THETA-SETOPS" ->
+      """SELECT event_type AS g, TRUE AS union_ok, TRUE AS inter_ok,
+        |  TRUE AS diff_ok
         |FROM events GROUP BY event_type ORDER BY g""".stripMargin,
     "AGG-APPROX-TOPK" ->
       """SELECT event_type AS g, TRUE AS within_bound

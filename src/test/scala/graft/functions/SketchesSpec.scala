@@ -74,6 +74,57 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("theta sketches: exact below nominal; set algebra matches ground truth") {
+    val sq = spark
+    import sq.implicits._
+    // A = [0, 2000), B = [1000, 3000): union 3000, intersect 1000, diff 1000
+    val df = ((0L until 2000L).map(("a", _)) ++ (1000L until 3000L).map(("b", _)))
+      .toDF("seg", "uid")
+    val sk = Sketches.thetaSketch(df, Seq("seg"), "uid") // lgK=12 > 3000: exact mode
+    val r = sk.where(col("seg") === "a").select(col("theta").as("ta"))
+      .crossJoin(sk.where(col("seg") === "b").select(col("theta").as("tb")))
+      .select(
+        Sketches.thetaEstimate(Sketches.thetaUnionPair(col("ta"), col("tb"))).as("u"),
+        Sketches.thetaEstimate(Sketches.thetaIntersect(col("ta"), col("tb"))).as("i"),
+        Sketches.thetaEstimate(Sketches.thetaANotB(col("ta"), col("tb"))).as("d"))
+      .head()
+    assert(math.abs(r.getDouble(0) - 3000.0) < 1e-6, s"union=${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 1000.0) < 1e-6, s"inter=${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 1000.0) < 1e-6, s"diff=${r.getDouble(2)}")
+  }
+
+  test("theta estimation mode: bounded error on set ops, rollup without rescan") {
+    val sq = spark
+    import sq.implicits._
+    // 120k-element segments with 50% overlap, lgK=10 (1024 retained):
+    // rse ~ 3.1%, assert a 5-sigma-ish 15% (deterministic on fixed data)
+    val n = 120000L
+    val df = ((0L until n).map(("a", _)) ++ ((n / 2) until (n / 2 + n)).map(("b", _)))
+      .toDF("seg", "uid").repartition(8)
+    val sk = Sketches.thetaSketch(df, Seq("seg"), "uid", lgK = 10)
+    val r = sk.where(col("seg") === "a").select(col("theta").as("ta"))
+      .crossJoin(sk.where(col("seg") === "b").select(col("theta").as("tb")))
+      .select(
+        Sketches.thetaEstimate(Sketches.thetaUnionPair(col("ta"), col("tb"))).as("u"),
+        Sketches.thetaEstimate(Sketches.thetaIntersect(col("ta"), col("tb"))).as("i"),
+        Sketches.thetaEstimate(Sketches.thetaANotB(col("ta"), col("tb"))).as("d"))
+      .head()
+    def relErr(est: Double, exact: Double) = math.abs(est - exact) / exact
+    assert(relErr(r.getDouble(0), 1.5 * n) <= 0.15, s"union=${r.getDouble(0)}")
+    assert(relErr(r.getDouble(1), 0.5 * n) <= 0.15, s"inter=${r.getDouble(1)}")
+    assert(relErr(r.getDouble(2), 0.5 * n) <= 0.15, s"diff=${r.getDouble(2)}")
+    // rollup: per-(seg, shard) sketches union to per-seg estimates with
+    // the same bound — the no-rescan re-aggregation contract
+    val fine = Sketches.thetaSketch(
+      df.withColumn("sh", pmod(col("uid"), lit(16))), Seq("seg", "sh"), "uid", lgK = 10)
+    assert(fine.count() === 32)
+    val rolled = Sketches.thetaRollup(fine, Seq("seg"), lgK = 10)
+      .select(col("seg"), Sketches.thetaEstimate(col("theta")).as("est"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(relErr(rolled("a"), n.toDouble) <= 0.15, s"rolled a=${rolled("a")}")
+    assert(relErr(rolled("b"), n.toDouble) <= 0.15, s"rolled b=${rolled("b")}")
+  }
+
   test("kll quantile of an all-null group reads out null, not a crash") {
     val sq = spark
     import sq.implicits._
