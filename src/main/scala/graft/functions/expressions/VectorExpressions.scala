@@ -197,5 +197,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // no-equi-key range joins → bucketed equi-joins (no-op until
     // spark.graft.rangeJoin.bucketWidth is set; see the rule's scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // exact count(DISTINCT x) → HLL++ (no-op until
+    // spark.graft.approx.countDistinct is set to a target rsd)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }
 }
