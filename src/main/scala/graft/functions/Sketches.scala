@@ -90,6 +90,11 @@ object Sketches {
   def kllQuantile(sketch: Column, q: Double): Column =
     call_function("graft_kll_quantile", sketch, lit(q))
 
+  /** Inverse readout: estimated normalized rank of a value — the
+    * fraction of the sketched distribution <= x (inclusive). */
+  def kllRank(sketch: Column, x: Column): Column =
+    call_function("graft_kll_rank", sketch, x.cast("double"))
+
   /** Per-group MERGEABLE theta sketches: distinct-count summaries CLOSED
     * UNDER SET ALGEBRA — unlike HLL, theta sketches intersect and
     * subtract, so segment-overlap questions ("users who did A and B",

@@ -164,3 +164,47 @@ object KllQuantile {
     else java.lang.Double.valueOf(sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
   }
 }
+
+/** Inverse readout: the estimated normalized rank of a VALUE — what
+  * fraction of the sketched distribution is <= x. With [[KllQuantile]]
+  * this closes the pair (value at rank / rank of value); per-group rows
+  * only, so heapify is metadata-scale. Null on an empty sketch. */
+case class KllRank(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_kll_rank"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BINARY sketch, DOUBLE value), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def nullSafeEval(sk: Any, x: Any): Any =
+    KllRank.rank(sk.asInstanceOf[Array[Byte]], x.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("kllr")
+      s"""
+         |java.lang.Double $tmp = graft.functions.expressions.KllRank.rank($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object KllRank {
+  def rank(bytes: Array[Byte], x: Double): java.lang.Double = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    if (sk.isEmpty) null
+    else java.lang.Double.valueOf(sk.getRank(x, QuantileSearchCriteria.INCLUSIVE))
+  }
+}

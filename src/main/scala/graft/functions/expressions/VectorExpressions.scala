@@ -136,6 +136,7 @@ object GraftFunctions {
       KllMergeAgg(exprs(0), k).toAggregateExpression()
     },
     "graft_kll_quantile" -> (exprs => KllQuantile(exprs(0), exprs(1))),
+    "graft_kll_rank" -> (exprs => KllRank(exprs(0), exprs(1))),
     "graft_theta_agg" -> { exprs =>
       val lgK = exprs(1).eval(InternalRow.empty) match {
         case i: Int => i

@@ -262,6 +262,24 @@ class PlanAuditSpec extends SparkSpec {
       s"window must partition by user_id:\n${winLines.mkString("\n")}")
   }
 
+  test("sweep: no CartesianProduct in ANY declared query plan") {
+    // the one global invariant every plan must satisfy: no unkeyed
+    // pair-materializing join anywhere in the 144-query inventory.
+    // (Broadcast one-row cross joins plan as BroadcastNestedLoopJoin and
+    // are fine; CartesianProduct is the shuffle-everything disaster.)
+    // JOIN-CROSS is the intentional exception — a declared cross join on
+    // two clamped dimension slices.
+    tables()
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_ == "JOIN-CROSS").flatMap { id =>
+        val plan = graft.dsl.Relational.impls.get(id).map(_(spark))
+          .getOrElse(graft.queries.Extensions.queries(id)(spark, sfDir))
+          .queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(id) else None
+      }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("AGG-GROUP-TOPK: heap aggregate with map-side partials, no window, no global sort of data") {
     val p = finalPlan("AGG-GROUP-TOPK")
     assert(p.contains("ObjectHashAggregate"), "graft_topk_by should run as ObjectHashAggregate")

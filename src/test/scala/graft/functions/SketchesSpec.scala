@@ -125,6 +125,24 @@ class SketchesSpec extends SparkSpec {
     assert(relErr(rolled("b"), n.toDouble) <= 0.15, s"rolled b=${rolled("b")}")
   }
 
+  test("kll rank readout inverts quantile within the rank-error bound") {
+    tables()
+    val ev = spark.table("events").where(col("value").isNotNull)
+    val sk = Sketches.kllSketch(ev, Seq("event_type"), "value")
+      .select(col("event_type"),
+        Sketches.kllQuantile(col("kll"), 0.7).as("q70"))
+    // rank(quantile(0.7)) must come back ~0.7 on the SAME sketch
+    val both = Sketches.kllSketch(ev, Seq("event_type"), "value")
+      .join(sk, "event_type")
+      .select(col("event_type"), Sketches.kllRank(col("kll"), col("q70")).as("r"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { x =>
+      assert(math.abs(x.getDouble(1) - 0.7) <= 0.05,
+        s"${x.getString(0)}: rank(q70)=${x.getDouble(1)}")
+    }
+  }
+
   test("kll quantile of an all-null group reads out null, not a crash") {
     val sq = spark
     import sq.implicits._

@@ -77,6 +77,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming theta sketch: distinct users accumulate across micro-batches") {
+    val sq = spark
+    import sq.implicits._
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val batchRows = fixtureEvents()
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      .as[Ev].collect().toSeq
+    val (wave1, wave2) = batchRows.splitAt(batchRows.size / 2)
+
+    // the Union buffer serializes into the state store like any
+    // TypedImperativeAggregate, so the mergeable distinct sketch is a
+    // streaming aggregate unchanged — two waves, state carries across
+    val input = MemoryStream[Ev](spark)
+    val query = input.toDF().groupBy("event_type")
+      .agg(call_function("graft_theta_agg", col("user_id"), lit(12)).as("theta"))
+      .writeStream.format("memory").queryName("theta_out")
+      .outputMode("complete").start()
+    input.addData(wave1)
+    query.processAllAvailable()
+    input.addData(wave2)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("theta_out")
+      .select(col("event_type"),
+        graft.functions.Sketches.thetaEstimate(col("theta")).cast("long").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = fixtureEvents().groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fixture cardinalities sit far below the lgK=12 nominal, so the
+    // sketch is in exact mode: streamed estimates EQUAL the exact counts
+    assert(streamed === exact)
+    assert(streamed.nonEmpty)
+  }
+
   test("anomalies: EWMA z-score flags span micro-batches and equal the batch run") {
     val sq = spark
     import sq.implicits._
