@@ -515,6 +515,25 @@ object Relational {
         round(max(col("value")), 2).as("mx"))
       .orderBy("event_type")),
 
+    // winsorized moments: per-group p05/p95 clip (the standard outlier
+    // treatment before training statistics) — bounds from one small
+    // aggregate broadcast back, clip + moments in a single second pass
+    "AGG-WINSOR" -> { s =>
+      val ev = s.table("events").where(col("value").isNotNull)
+      val b = ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+      ev.join(broadcast(b), "event_type")
+        .select(col("event_type"),
+          greatest(col("lo"), least(col("hi"), col("value"))).as("w"))
+        .groupBy("event_type")
+        .agg(round(avg("w"), 4).as("wmean"),
+          round(stddev_samp("w"), 4).as("wstd"),
+          count(lit(1)).as("n"))
+        .select(col("event_type").as("g"), col("wmean"), col("wstd"), col("n"))
+        .orderBy("g")
+    },
+
     "WIN-RANK" -> { s =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       s.table("events").where(col("user_id") < 5)

@@ -32,6 +32,26 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** PII redaction — the standard scrub pass training pipelines run
+    * before anything else ships: emails, IPv4 addresses, phone-shaped
+    * and long digit runs are replaced by typed placeholder tokens. One
+    * chained codegen `regexp_replace` per pattern, narrow (no shuffle);
+    * patterns restricted to the regex subset Java and RE2 share
+    * (character classes, bounded repetition — no backrefs/lookaround),
+    * so the DuckDB oracle replays them byte-for-byte. Order matters and
+    * is part of the contract: emails before digit runs (an email's
+    * digits must not be half-eaten first), IPs before digit runs,
+    * phones before generic digit runs. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]")
+    val ip = regexp_replace(email,
+      "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "[IP]")
+    val phone = regexp_replace(ip,
+      "[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]")
+    regexp_replace(phone, "[0-9]{6,}", "[NUM]")
+  }
+
   /** Per-document normalized text with before/after sizes:
     * (doc_id, norm, n_raw, n_norm). */
   def normalized(documents: DataFrame): DataFrame =

@@ -32,6 +32,21 @@ object Layout {
     call_function("graft_zorder", ord(x, xMin, xMax), ord(y, yMin, yMax))
   }
 
+  /** Write `df` as a managed parquet table bucketed AND sorted by
+    * `keyCol` — the sort-merge-bucket layout. Two tables bucketed the
+    * same way (same key semantics, same bucket count) join with NO
+    * shuffle on either side: the scan's bucket metadata already
+    * satisfies the join's required hash distribution, so a fact-fact
+    * join over 100 TB pays zero Exchange — the co-location pattern for
+    * repeated joins on a stable key (pre-shuffle once at write time,
+    * join forever). The in-bucket sort lets the merge join skip its
+    * sort too when each bucket lands in one file. */
+  def bucketedWrite(df: DataFrame, keyCol: String, numBuckets: Int,
+                    table: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, keyCol).sortBy(keyCol)
+      .saveAsTable(table)
+
   /** Rewrite `df` into `numFiles` z-order-clustered parquet files at
     * `path`. One metadata-scale min/max aggregate fixes the bucket
     * domains (the GlobalWindow pattern — same pass a RangePartitioner

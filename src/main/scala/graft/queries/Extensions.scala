@@ -34,6 +34,22 @@ object Extensions {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII scrub: fixtures carry no PII, so the query synthesizes
+    // deterministic PII-shaped text from part columns (identically on
+    // both engines) and redacts it — emails, IPs, phone shapes, long
+    // digit runs → typed placeholders, in the documented order
+    "TEXT-SCRUB" -> { (s, d) =>
+      Tables.register(s, d)
+      val p = s.table("part").where(col("p_partkey") <= 2000)
+      val raw = concat(col("p_name"), lit(" mail u"), col("p_partkey"),
+        lit("@ex.com ip 10.0."), col("p_partkey") % 256,
+        lit(".7 tel 555-"),
+        lpad((col("p_partkey") % 1000).cast("string"), 3, "0"),
+        lit("-1234 id "), col("p_partkey") * 104729)
+      p.select(col("p_partkey").as("k"),
+          TextAnalysis.redactPii(raw).as("scrubbed"))
+        .orderBy("k").limit(100)
+    },
     "TEXT-QUALITY" -> ((s, d) =>
       TextAnalysis.quality(docs(s, d)).orderBy(col("doc_id")).limit(50)),
     "TEXT-LANGID" -> ((s, d) =>
@@ -588,6 +604,20 @@ object Extensions {
         |WHERE round(CAST(list_cosine_similarity(a.embedding, c.embedding) AS DOUBLE), 3) >= 0.35
         |ORDER BY cos DESC, va, vb""".stripMargin,
     "LLM-SIMHASH" -> simhashOracle,
+    // same regex subset (Java ∩ RE2: classes + bounded repetition), same
+    // chain order, 'g' flag to match Spark's replace-all semantics
+    "TEXT-SCRUB" ->
+      """SELECT p_partkey AS k,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    concat(p_name, ' mail u', p_partkey, '@ex.com ip 10.0.',
+        |           p_partkey % 256, '.7 tel 555-',
+        |           lpad(CAST(p_partkey % 1000 AS VARCHAR), 3, '0'),
+        |           '-1234 id ', p_partkey * 104729),
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+        |    '[0-9]{6,}', '[NUM]', 'g') AS scrubbed
+        |FROM part WHERE p_partkey <= 2000 ORDER BY k LIMIT 100""".stripMargin,
     "TEXT-QUALITY" ->
       s"""WITH t AS (SELECT doc_id, length(text) AS n_chars, string_split(text,' ') AS toks FROM documents)
         |SELECT doc_id, n_chars, len(toks) AS n_tokens,

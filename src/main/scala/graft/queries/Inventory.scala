@@ -412,6 +412,30 @@ object Inventory {
       |  round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 2) AS p90
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 
+  // winsorized moments: per-group p05/p95 clip before the statistics —
+  // the standard outlier treatment for training-data numeric columns
+  q("AGG-WINSOR",
+    """WITH b AS (SELECT event_type, percentile(value, 0.05) AS lo,
+      |  percentile(value, 0.95) AS hi
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+      |SELECT e.event_type AS g,
+      |  round(avg(greatest(b.lo, least(b.hi, e.value))), 4) AS wmean,
+      |  round(stddev_samp(greatest(b.lo, least(b.hi, e.value))), 4) AS wstd,
+      |  count(*) AS n
+      |FROM events e JOIN b ON e.event_type = b.event_type
+      |WHERE e.value IS NOT NULL
+      |GROUP BY e.event_type ORDER BY g""".stripMargin,
+    """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+      |  quantile_cont(value, 0.95) AS hi
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+      |SELECT e.event_type AS g,
+      |  round(avg(greatest(b.lo, least(b.hi, e.value))), 4) AS wmean,
+      |  round(stddev_samp(greatest(b.lo, least(b.hi, e.value))), 4) AS wstd,
+      |  count(*) AS n
+      |FROM events e JOIN b ON e.event_type = b.event_type
+      |WHERE e.value IS NOT NULL
+      |GROUP BY e.event_type ORDER BY g""".stripMargin)
+
   // the collected array is string-encoded ('|' joined) in BOTH dialects:
   // raw ARRAY output columns crash the driver's pandas canonicalizer
   // (unhashable ndarray in sort_values) — same pattern as AGG-STRING

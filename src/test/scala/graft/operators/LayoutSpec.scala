@@ -73,6 +73,34 @@ class LayoutSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bucketed co-located join: zero Exchange on either side, results exact") {
+    tables()
+    val li = spark.table("lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = spark.table("orders").select("o_orderkey", "o_totalprice")
+    Layout.bucketedWrite(li, "l_orderkey", 8, "li_bkt")
+    Layout.bucketedWrite(ord, "o_orderkey", 8, "ord_bkt")
+    try {
+      // force the merge-join path: a broadcast join would skip the
+      // shuffle trivially and prove nothing about the bucket layout
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_bkt")
+        .join(spark.table("ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), s"bucket pruning metadata missing:\n$plan")
+      // and it is the same join
+      val expected = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() === expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    }
+  }
+
   test("z-order write degenerate inputs: empty frame and constant dimension fall back") {
     val sq = spark
     import sq.implicits._
