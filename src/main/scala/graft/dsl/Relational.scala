@@ -101,6 +101,78 @@ object Relational {
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")),
 
+    // TPC-H composition shapes: selective dim filters first (pushed to the
+    // scans), dims broadcast, one fact shuffle each; revenue in DECIMAL
+    // for exact order-independent sums (the Q1 trick)
+    "JOIN-TPCH-Q3" -> { s =>
+      val rev = sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(dec(18, 4)))
+      val cust = s.table("customer").where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = s.table("orders")
+        .where(col("o_orderdate") < lit("1997-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .where(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(rev.cast("double"), 2).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("date").as("odate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    },
+
+    "JOIN-TPCH-Q5" -> { s =>
+      val rev = sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(dec(18, 4)))
+      val asiaNations = s.table("nation")
+        .join(broadcast(s.table("region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = s.table("supplier")
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val cust = s.table("customer").select("c_custkey", "c_nationkey")
+      val ord = s.table("orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(round(rev.cast("double"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    "JOIN-TPCH-Q10" -> { s =>
+      val rev = sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(dec(18, 4)))
+      val ord = s.table("orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val cust = s.table("customer")
+        .join(broadcast(s.table("nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(rev.cast("double"), 2).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          round(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+
     // explicit dedup-then-count instead of countDistinct: map-side partial
     // dedup replaces the Expand + two-phase distinct aggregate (measured
     // 2× at sf0.1, same shuffle key at scale). The isNotNull guard matches

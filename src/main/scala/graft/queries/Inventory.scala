@@ -126,6 +126,50 @@ object Inventory {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin)
 
+  // full TPC-H composition queries (adapted to the fixture's columns and
+  // date range): multi-join + aggregate shapes exercising broadcast dim
+  // joins, selective date filters, and top-k — the plans a BI user runs,
+  // not just isolated operators. Revenue sums ride DECIMAL for exact,
+  // order-independent cross-engine totals (the AGG-TPCH-Q1 trick).
+  q("JOIN-TPCH-Q3",
+    """SELECT l_orderkey,
+      |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-03-15'
+      |  AND l_shipdate > TIMESTAMP '1997-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+
+  q("JOIN-TPCH-Q5",
+    """SELECT n_name,
+      |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+      |FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+
+  q("JOIN-TPCH-Q10",
+    """SELECT c_custkey, c_name,
+      |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+      |  round(c_acctbal, 2) AS acctbal, n_name
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+
   q("AGG-DISTINCT",
     """SELECT event_type, count(DISTINCT user_id) AS u
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -262,6 +262,20 @@ class PlanAuditSpec extends SparkSpec {
       s"window must partition by user_id:\n${winLines.mkString("\n")}")
   }
 
+  test("JOIN-TPCH-Q3/Q5: dims broadcast, selective filters pushed to the scans") {
+    val p3 = finalPlan("JOIN-TPCH-Q3")
+    assert(p3.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$p3")
+    assert(p3.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]")
+      || p3.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"mktsegment filter not pushed:\n$p3")
+    val p5 = finalPlan("JOIN-TPCH-Q5")
+    // region/nation/supplier/customer all ride broadcasts; the only
+    // pair-shuffle is the lineitem-orders fact join + the final agg
+    assert(p5.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p5")
+    assert(!p5.contains("CartesianProduct") && !p5.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join crept into Q5:\n$p5")
+  }
+
   test("sweep: no CartesianProduct in ANY declared query plan") {
     // the one global invariant every plan must satisfy: no unkeyed
     // pair-materializing join anywhere in the 144-query inventory.
