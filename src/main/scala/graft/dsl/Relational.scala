@@ -173,6 +173,31 @@ object Relational {
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
     },
 
+    // Q18 large-volume orders: the having-derived semi-join shape. The key
+    // list is an AGGREGATE of the fact table (not a dim scan), so it is not
+    // hinted broadcast — at 100 TB the qualifying set can exceed the hint
+    // threshold; AQE converts the semi join to broadcast at runtime when
+    // the aggregate output is actually small. qty sums are integral
+    // doubles (exact in fp), safe under the %.4f canonicalizer.
+    "JOIN-TPCH-Q18" -> { s =>
+      val li = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .select("l_orderkey", "l_quantity")
+      val bigOrders = li.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("s"))
+        .where(col("s") > 300).select("l_orderkey")
+      val ord = s.table("orders")
+        .join(bigOrders, col("o_orderkey") === bigOrders("l_orderkey"), "left_semi")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(s.table("customer").select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(sum("l_quantity").as("qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("odate"),
+          round(col("o_totalprice"), 2).as("totalprice"), col("qty"))
+        .orderBy(col("totalprice").desc, col("o_orderkey")).limit(100)
+    },
+
     // explicit dedup-then-count instead of countDistinct: map-side partial
     // dedup replaces the Expand + two-phase distinct aggregate (measured
     // 2× at sf0.1, same shuffle key at scale). The isNotNull guard matches

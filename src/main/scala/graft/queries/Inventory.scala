@@ -170,6 +170,21 @@ object Inventory {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
 
+  // Q18 large-volume orders: semi-join on a HAVING aggregate of the fact
+  // table itself — a different composition shape than Q3/Q5/Q10's dim
+  // filters (the qualifying key set is computed, not scanned).
+  q("JOIN-TPCH-Q18",
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS odate,
+      |  round(o_totalprice, 2) AS totalprice, sum(l_quantity) AS qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+
   q("AGG-DISTINCT",
     """SELECT event_type, count(DISTINCT user_id) AS u
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -276,6 +276,15 @@ class PlanAuditSpec extends SparkSpec {
       s"unkeyed join crept into Q5:\n$p5")
   }
 
+  test("JOIN-TPCH-Q18: having-derived key set rides a semi join, customer broadcasts") {
+    val p = finalPlan("JOIN-TPCH-Q18")
+    assert(p.contains("LeftSemi"), s"qualifying-order filter must be a semi join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$p")
+    // the HAVING aggregate must be partial+final (map-side combine on the fact)
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"big-order aggregate lost its partial phase:\n$p")
+  }
+
   test("sweep: no CartesianProduct in ANY declared query plan") {
     // the one global invariant every plan must satisfy: no unkeyed
     // pair-materializing join anywhere in the 144-query inventory.
