@@ -25,29 +25,52 @@ import org.apache.spark.unsafe.types.UTF8String
   * sketches.
   *
   * Buffer is a theta Union: it accepts raw updates AND sketch merges, so
-  * one class serves build (update) and both partial/final merge phases.
+  * one buffer type serves build (update) and both partial/final merge
+  * phases; [[ThetaSketchAgg]] (raw values in) and [[ThetaUnionAgg]]
+  * (serialized sketches in) differ only in their update path.
   */
-case class ThetaSketchAgg(child: Expression, lgK: Int,
-                          mutableAggBufferOffset: Int = 0,
-                          inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Union]
+abstract class ThetaAggBase extends TypedImperativeAggregate[Union]
     with UnaryLike[Expression] {
 
-  require(lgK >= 4 && lgK <= 26, "lgK must be in [4, 26]")
+  // abstract, implemented by the case-class param — validated in
+  // checkInputDataTypes (NOT a body-level require: the superclass
+  // constructor would read the subclass val before it is initialized)
+  def lgK: Int
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
-  override def prettyName: String = "graft_theta_agg"
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType | BinaryType | LongType | IntegerType | DoubleType =>
-      TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires string/binary/integral/double, got ${other.catalogString}")
-  }
+  protected def checkLgK(): TypeCheckResult =
+    if (lgK >= 4 && lgK <= 26) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName lgK must be in [4, 26], got $lgK")
 
   override def createAggregationBuffer(): Union =
     SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def merge(a: Union, b: Union): Union = { a.union(b.getResult); a }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    u.union(Memory.wrap(bytes))
+    u
+  }
+}
+
+/** Build sketches from raw values (the scan-side aggregate). */
+case class ThetaSketchAgg(child: Expression, lgK: Int,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0) extends ThetaAggBase {
+
+  override def prettyName: String = "graft_theta_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType | LongType | IntegerType | DoubleType => checkLgK()
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string/binary/integral/double, got ${other.catalogString}")
+  }
 
   override def update(buf: Union, input: InternalRow): Union = {
     val v = child.eval(input)
@@ -59,17 +82,6 @@ case class ThetaSketchAgg(child: Expression, lgK: Int,
       case d: Double => buf.update(d)
     }
     buf
-  }
-
-  override def merge(a: Union, b: Union): Union = { a.union(b.getResult); a }
-
-  override def eval(buf: Union): Any = buf.getResult.toByteArray
-
-  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
-  override def deserialize(bytes: Array[Byte]): Union = {
-    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
-    u.union(Memory.wrap(bytes))
-    u
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketchAgg =
@@ -84,38 +96,19 @@ case class ThetaSketchAgg(child: Expression, lgK: Int,
   * segments from finer sketch columns, no raw-data rescan). */
 case class ThetaUnionAgg(child: Expression, lgK: Int,
                          mutableAggBufferOffset: Int = 0,
-                         inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Union]
-    with UnaryLike[Expression] {
+                         inputAggBufferOffset: Int = 0) extends ThetaAggBase {
 
-  require(lgK >= 4 && lgK <= 26, "lgK must be in [4, 26]")
-
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
   override def prettyName: String = "graft_theta_union"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == BinaryType) checkLgK()
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a BINARY sketch column, got ${child.dataType.catalogString}")
-
-  override def createAggregationBuffer(): Union =
-    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
 
   override def update(buf: Union, input: InternalRow): Union = {
     val v = child.eval(input)
     if (v != null) buf.union(Memory.wrap(v.asInstanceOf[Array[Byte]]))
     buf
-  }
-
-  override def merge(a: Union, b: Union): Union = { a.union(b.getResult); a }
-
-  override def eval(buf: Union): Any = buf.getResult.toByteArray
-  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
-  override def deserialize(bytes: Array[Byte]): Union = {
-    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
-    u.union(Memory.wrap(bytes))
-    u
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionAgg =
@@ -194,7 +187,19 @@ object ThetaOps {
     val out: CompactSketch = mode match {
       case 0 => SetOperation.builder().buildIntersection().intersect(sa, sb)
       case 1 => SetOperation.builder().buildANotB().aNotB(sa, sb)
-      case 2 => SetOperation.builder().buildUnion().union(sa, sb)
+      case 2 =>
+        // Intersection and A-not-B inherit precision from the input thetas,
+        // but a Union has its own nominal-entries cap: the builder default
+        // (4096 = lgK 12) would silently DOWNSAMPLE sketches built at a
+        // larger lgK. A compact sketch retains at most its nominal entries,
+        // so sizing the union to the next power of two >= the larger input's
+        // retained count guarantees the pairwise union never throws away
+        // precision the caller paid for (floor 12 keeps exact-mode inputs on
+        // the default; cap 26 is the library max).
+        val retained = math.max(sa.getRetainedEntries(true), sb.getRetainedEntries(true))
+        val lgNom = math.min(26,
+          math.max(12, 32 - Integer.numberOfLeadingZeros(math.max(retained - 1, 1))))
+        SetOperation.builder().setLogNominalEntries(lgNom).buildUnion().union(sa, sb)
     }
     out.toByteArray
   }

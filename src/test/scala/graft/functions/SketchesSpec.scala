@@ -125,6 +125,29 @@ class SketchesSpec extends SparkSpec {
     assert(relErr(rolled("b"), n.toDouble) <= 0.15, s"rolled b=${rolled("b")}")
   }
 
+  test("theta pairwise union preserves input precision (no lgK-12 downsample)") {
+    val sq = spark
+    import sq.implicits._
+    // disjoint 150k-uid segments at lgK=14 (16384 retained each, ~0.8% rse):
+    // the pairwise union must size itself from the inputs, not the builder
+    // default (4096 = lgK 12), or the result silently carries 2x the error
+    val n = 150000L
+    val df = ((0L until n).map(("a", _)) ++ (n until 2 * n).map(("b", _)))
+      .toDF("seg", "uid").repartition(8)
+    val sk = Sketches.thetaSketch(df, Seq("seg"), "uid", lgK = 14)
+    val union = sk.where(col("seg") === "a").select(col("theta").as("ta"))
+      .crossJoin(sk.where(col("seg") === "b").select(col("theta").as("tb")))
+      .select(Sketches.thetaUnionPair(col("ta"), col("tb")).as("u")).head()
+      .getAs[Array[Byte]](0)
+    val heap = org.apache.datasketches.theta.Sketches.heapifySketch(
+      org.apache.datasketches.memory.Memory.wrap(union))
+    assert(heap.getRetainedEntries(true) > 8192,
+      s"union downsampled to ${heap.getRetainedEntries(true)} entries " +
+        "(lgK-12 default) despite lgK=14 inputs")
+    val est = heap.getEstimate
+    assert(math.abs(est - 2.0 * n) / (2.0 * n) <= 0.05, s"union est=$est")
+  }
+
   test("kll rank readout inverts quantile within the rank-error bound") {
     tables()
     val ev = spark.table("events").where(col("value").isNotNull)

@@ -51,17 +51,20 @@ class ApproxDistinctRewriteSpec extends SparkSpec {
 
   test("no-ops: config unset; multi-arg distinct and FILTER stay correct") {
     attachRule()
-    // unset → exact value, plan untouched
+    // unset → exact value, plan untouched. The rewrite renders as
+    // approx_count_distinct in plan strings (never "hyperloglog") — the
+    // negative probes must grep the marker that actually appears, or they
+    // pass vacuously.
     val off = df.agg(countDistinct(col("u")).as("nd"))
     assert(off.head().getLong(0) === 9001L)
-    assert(!off.queryExecution.optimizedPlan.toString.toLowerCase
-      .contains("hyperloglog"))
+    assert(!off.queryExecution.optimizedPlan.toString
+      .contains("approx_count_distinct"))
     try {
       spark.conf.set(Key, "0.05")
       // multi-arg count(DISTINCT a, b) counts tuples — left exact
       val multi = df.agg(countDistinct(col("g"), col("u")).as("nd"))
       val multiPlan = multi.queryExecution.optimizedPlan.toString
-      assert(!multiPlan.toLowerCase.contains("hyperloglog"),
+      assert(!multiPlan.contains("approx_count_distinct"),
         s"multi-arg distinct must stay exact:\n$multiPlan")
       assert(multi.head().getLong(0) === df.select("g", "u").distinct().count())
       // FILTER clause rides along on the rewritten aggregate
