@@ -201,5 +201,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // exact count(DISTINCT x) → HLL++ (no-op until
     // spark.graft.approx.countDistinct is set to a target rsd)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // theta-join + max() as-of shape → union + running-window plan (no-op
+    // until spark.graft.asofJoin.rewrite=true)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRewrite)
   }
 }

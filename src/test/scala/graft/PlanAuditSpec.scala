@@ -303,6 +303,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("JOIN-ASOF contract SQL under the rewrite conf: theta join gone, key-partitioned window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Window => LWindow}
+    tables()
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.AsOfJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.AsOfJoinRewrite
+    val sql = graft.queries.Inventory.byId("JOIN-ASOF").sparkSql
+    // rule off: the contract SQL plans as the theta join (the shape users write)
+    spark.conf.unset("spark.graft.asofJoin.rewrite")
+    assert(spark.sql(sql).queryExecution.optimizedPlan
+      .collect { case j: LJoin => j }.nonEmpty)
+    try {
+      spark.conf.set("spark.graft.asofJoin.rewrite", "true")
+      val opt = spark.sql(sql).queryExecution.optimizedPlan
+      assert(opt.collect { case j: LJoin => j }.isEmpty,
+        s"as-of theta join survived the rewrite:\n$opt")
+      assert(opt.collect { case w: LWindow if w.partitionSpec.nonEmpty => w }.nonEmpty,
+        "expected the key-partitioned running window")
+    } finally spark.conf.unset("spark.graft.asofJoin.rewrite")
+  }
+
   test("AGG-GROUP-TOPK: heap aggregate with map-side partials, no window, no global sort of data") {
     val p = finalPlan("AGG-GROUP-TOPK")
     assert(p.contains("ObjectHashAggregate"), "graft_topk_by should run as ObjectHashAggregate")
