@@ -1228,13 +1228,10 @@ object Relational {
         .where(col("p_partkey") <= 5000)
         .select(col("p_partkey").as("k"), col("p_name").as("nm"),
           element_at(split(col("p_name"), " "), -1).as("noun"))
-      val a = p.select(col("k").as("ka"), col("nm").as("na"), col("noun"))
-      val b = p.select(col("k").as("kb"), col("nm").as("nb"), col("noun").as("noun_b"))
-      a.join(b, col("noun") === col("noun_b") && col("ka") < col("kb") &&
-          abs(length(col("na")) - length(col("nb"))) <= 2)
-        .withColumn("d", levenshtein(col("na"), col("nb")))
-        .where(col("d") <= 2)
-        .groupBy("noun")
+      // exact mode (maxBlock = 0) — the capped variant is the scale path
+      // for over-hot blocking keys (FuzzyCapSpec)
+      graft.llm.Dedup.fuzzyPairs(p, "k", "nm", "noun", maxEdit = 2, lengthBand = 2)
+        .groupBy(col("blk").as("noun"))
         .agg(count(lit(1)).as("n_pairs"),
           min(col("d")).cast("bigint").as("min_d"))
         .orderBy("noun")

@@ -129,6 +129,51 @@ object Dedup {
     sh.groupBy("s").agg(count("*").as("pl")).where(col("pl") > cap)
   }
 
+  /** Blocked fuzzy (edit-distance) near-duplicate pairs with an opt-in
+    * per-block cap — the [[jaccardPairs]] `maxPostingList` idea applied to
+    * blocking-key joins.
+    *
+    * Candidate generation is a key-equality self-join on `blockCol` with a
+    * length band inside the join condition and the codegen `levenshtein`
+    * residual after it — never all-pairs. But a blocked join's worst case
+    * is quadratic WITHIN a block: one ubiquitous blocking key (think a
+    * stop-word noun shared by 1% of a 100 TB corpus) makes its block
+    * C(n,2) internally. `maxBlock > 0` bounds that: rows of an over-cap
+    * block are deterministically hash-thinned to an EXPECTED `maxBlock`
+    * rows (keep iff `pmod(xxhash64(id), n_block) < maxBlock`), so hot-block
+    * candidates are O(cap²) instead of O(n²). Thinning beats the window
+    * alternative (row_number ≤ cap) because it needs no per-block sort and
+    * never serializes a hot block onto one task — the filter is a scalar
+    * predicate after a count join, fully parallel at any skew. Recall-only
+    * trade-off, and ONLY on over-cap blocks: under-cap blocks are exact
+    * (the predicate short-circuits on `n_block <= maxBlock`), so the
+    * default `maxBlock = 0` path is the exact oracle shape.
+    *
+    * Returns (blk, ka, kb, d): pair ids ordered ka < kb, edit distance d.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String, blockCol: String,
+                 maxEdit: Int = 2, lengthBand: Int = 2,
+                 maxBlock: Int = 0): DataFrame = {
+    val base = df.select(col(idCol).as("k"), col(strCol).as("nm"),
+      col(blockCol).as("blk"))
+    val thinned =
+      if (maxBlock > 0) {
+        val counts = base.groupBy("blk").agg(count(lit(1)).as("__bc"))
+        base.join(counts, "blk")
+          .where(col("__bc") <= maxBlock ||
+            pmod(xxhash64(col("k")), col("__bc")) < maxBlock)
+          .drop("__bc")
+      } else base
+    val a = thinned.select(col("k").as("ka"), col("nm").as("na"), col("blk"))
+    val b = thinned.select(col("k").as("kb"), col("nm").as("nb"),
+      col("blk").as("blk_b"))
+    a.join(b, col("blk") === col("blk_b") && col("ka") < col("kb") &&
+        abs(length(col("na")) - length(col("nb"))) <= lengthBand)
+      .withColumn("d", levenshtein(col("na"), col("nb")))
+      .where(col("d") <= maxEdit)
+      .select(col("blk"), col("ka"), col("kb"), col("d"))
+  }
+
   /** Benchmark-contamination detection: for each (probe, document) pair,
     * the CONTAINMENT of the probe's shingle set in the document —
     * |S(probe) ∩ S(doc)| / |S(probe)| — the asymmetric measure that
