@@ -58,4 +58,17 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // Array[Byte] as a case-class field compares by reference, so two probes
+  // built from identical sketch bytes would never be equal — defeating
+  // common-subexpression elimination and canonicalized plan comparison.
+  // Compare the payload by content instead.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
 }

@@ -191,13 +191,24 @@ object Pq {
 
   /** Load the PQ model sidecar written by [[writeIvfPqIndex]]. */
   def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
-    val rows = spark.read.parquet(pqModelPath(path)).collect()
+    val sidecar = pqModelPath(path)
+    val rows = spark.read.parquet(sidecar).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"PQ model sidecar at $sidecar is empty")
     val m = rows.map(_._1).max + 1
     val k = rows.map(_._2).max + 1
     val subDim = rows.head._3.length
+    // a partially-written sidecar would otherwise surface much later as
+    // an opaque NPE inside encode/adcScore — fail at load with the path
+    require(rows.length == m * k,
+      s"PQ model sidecar at $sidecar has ${rows.length} rows, expected " +
+        s"m*k = ${m * k} — partial or corrupted write")
     val cb = Array.ofDim[Array[Double]](m, k)
     rows.foreach { case (j, c, cent) => cb(j)(c) = cent }
+    for (j <- 0 until m; c <- 0 until k)
+      require(cb(j)(c) != null,
+        s"PQ model sidecar at $sidecar is missing codebook cell " +
+          s"(subspace=$j, code=$c) — partial or corrupted write")
     Model(m, k, subDim, cb.map(_.toArray))
   }
 

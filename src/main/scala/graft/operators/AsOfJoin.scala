@@ -27,10 +27,14 @@ object AsOfJoin {
     * last_left_ts (timestamp, null when no left event precedes). */
   def lastBefore(left: DataFrame, right: DataFrame,
                  keyCol: String, tsCol: String, idCol: String): DataFrame = {
+    // carry the right id through in its ORIGINAL type (the union's left
+    // side nulls are cast to match) — a long round-trip would null out
+    // non-castable ids and silently retype the output column
+    val idType = right.schema(idCol).dataType
     val l = left.select(col(keyCol), col(tsCol),
-      lit(null).cast("long").as("__rid"), lit(0).as("__side"))
+      lit(null).cast(idType).as("__rid"), lit(0).as("__side"))
     val r = right.select(col(keyCol), col(tsCol),
-      col(idCol).cast("long").as("__rid"), lit(1).as("__side"))
+      col(idCol).as("__rid"), lit(1).as("__side"))
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.union(r)
@@ -58,11 +62,12 @@ object AsOfJoin {
   def lastBeforeWith(left: DataFrame, right: DataFrame, keyCol: String,
                      tsCol: String, idCol: String, payloadCol: String,
                      toleranceSec: Option[Long] = None): DataFrame = {
+    val idType = right.schema(idCol).dataType
     val l = left.select(col(keyCol), col(tsCol),
-      lit(null).cast("long").as("__rid"), lit(0).as("__side"),
+      lit(null).cast(idType).as("__rid"), lit(0).as("__side"),
       col(payloadCol).try_cast("long").as("__pay"))
     val r = right.select(col(keyCol), col(tsCol),
-      col(idCol).cast("long").as("__rid"), lit(1).as("__side"),
+      col(idCol).as("__rid"), lit(1).as("__side"),
       lit(null).cast("long").as("__pay"))
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__side"), col("__pay"))

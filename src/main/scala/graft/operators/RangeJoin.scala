@@ -36,6 +36,11 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, pCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
                       buckets: Int = 0): DataFrame = {
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      "pointInInterval requires column names distinct across the two " +
+        s"frames (the residual predicate would bind ambiguously); " +
+        s"overlapping: ${overlap.toSeq.sorted.mkString(", ")}")
     val nb = if (buckets > 0) buckets
              else points.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt * 4
     val (lo, hi) = GlobalWindow.keyRange(points, col(pCol))

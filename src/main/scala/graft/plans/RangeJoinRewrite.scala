@@ -35,10 +35,21 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType}
   * join carries an equality conjunct, so the rule never re-fires on its
   * own output. Attach with `spark.experimental.extraOptimizations` or the
   * [[graft.functions.expressions.GraftSparkExtensions]] injector.
+  *
+  * A width far below the interval spans would explode each interval into
+  * huge bucket arrays (multiplying the interval side's row count, or dying
+  * mid-job on Spark's array-length ceiling). Unlike
+  * [[graft.operators.RangeJoin.pointInInterval]], which derives width ≥ max
+  * span from the data, this rule only sees the plan — so it guards instead:
+  * any interval covering more than `spark.graft.rangeJoin.maxBucketsPerInterval`
+  * buckets (default 4096) fails fast with a message naming the width to
+  * raise, rather than silently inflating the job. The cap never drops pairs:
+  * under it the explosion is complete, over it the job errors.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   private val WidthKey = "spark.graft.rangeJoin.bucketWidth"
+  private val CapKey = "spark.graft.rangeJoin.maxBucketsPerInterval"
 
   /** (point, bound, pointIsLhsOfOriginal, lower?) for one comparison,
     * oriented so `point` comes from `pointSide` and `bound` from the
@@ -91,6 +102,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     if (width.isEmpty) return plan
     val w = width.toDouble
     require(w > 0, s"$WidthKey must be positive, got $w")
+    val cap = conf.getConfString(CapKey, "4096").trim.toLong
+    require(cap > 0, s"$CapKey must be positive, got $cap")
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if j.resolved && sandwich(cond, left.outputSet, right.outputSet).isDefined ||
@@ -106,7 +119,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         val pBucket = Alias(bucketOf(p, w), "__rj_pb")()
         val ptsB = Project(pts.output :+ pBucket, pts)
         val loB = bucketOf(lo, w)
-        val hiB = bucketOf(hi, w)
+        val hiB0 = bucketOf(hi, w)
+        // guard: an interval spanning more than `cap` buckets means the
+        // configured width is far below the data's spans — fail with the
+        // fix named instead of exploding the interval side
+        val span = Subtract(hiB0, loB)
+        val capMsg = Concat(Seq(
+          Literal("graft range-join rewrite: an interval covers "),
+          Cast(span, org.apache.spark.sql.types.StringType),
+          Literal(s" buckets at $WidthKey=$w, exceeding $CapKey=$cap; " +
+            "raise the width (or use RangeJoin.pointInInterval, which " +
+            "derives width >= max span from the data)")))
+        val hiB = If(LessThanOrEqual(span, Literal(cap)),
+          hiB0, Cast(new RaiseError(capMsg), LongType))
         // Sequence is TimeZoneAwareExpression (date sequences exist): it
         // only resolves with a zone pinned, even for integral bounds
         val seq = new Sequence(loB, Greatest(Seq(hiB, loB)), Literal(1L))
