@@ -104,12 +104,22 @@ object Tables {
     ensureConfigs(spark)
     graft.functions.expressions.GraftFunctions.register(spark)
     names.foreach { t =>
-      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(s"${t}_raw")
+      val raw = spark.read.parquet(s"$dir/$t.parquet")
+      raw.createOrReplaceTempView(s"${t}_raw")
       if (t == "events") {
-        // ns → µs: BIGINT nanos (legacy read mode) back to a real TIMESTAMP.
+        // Normalize ts to a session-TZ TIMESTAMP whatever the fixture
+        // generation wrote: timestamp[ns] physical surfaces as BIGINT nanos
+        // under the legacy read mode (ns → µs derivation), while
+        // timestamp[us] physical surfaces as TIMESTAMP_NTZ (cast is
+        // wall-clock-preserving with the UTC session TZ ensureConfigs pins).
+        val tsExpr = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            "timestamp_micros(CAST(ts DIV 1000 AS LONG))"
+          case _ => "CAST(ts AS TIMESTAMP)"
+        }
         spark.sql(
-          """CREATE OR REPLACE TEMP VIEW events AS
-            |SELECT event_id, timestamp_micros(CAST(ts DIV 1000 AS LONG)) AS ts,
+          s"""CREATE OR REPLACE TEMP VIEW events AS
+            |SELECT event_id, $tsExpr AS ts,
             |       user_id, event_type, value, props
             |FROM events_raw""".stripMargin)
       } else {

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -410,6 +411,105 @@ object Extensions {
           max(col("timestamp")).as("max_ts"))
         .orderBy("eventType")
     },
+    // KLL mergeable quantiles under the deterministic bound-check contract
+    // (the quantile twin of AGG-APPROX-DISTINCT): per-(group, hour) KLL
+    // sketches roll up to per-group quantiles WITHOUT rescanning raw data —
+    // the capability GK percentile_approx lacks — and both the rolled-up
+    // and the directly-built sketch must land p50 inside the exact p40–p60
+    // band and p90 inside p82–p98. Rank error at k=200 is ~1.65 % (99 %);
+    // the 8–10 % rank margins make the booleans bit-stable even though KLL
+    // compaction is randomized. The oracle asserts all-true.
+    "AGG-APPROX-QUANTILES" -> { (s, d) =>
+      val ev = events(s, d)
+      import graft.functions.Sketches
+      val fine = Sketches.kllSketch(
+        ev.withColumn("hr", date_trunc("hour", col("ts"))),
+        Seq("event_type", "hr"), "value")
+      val rolled = Sketches.kllRollup(fine, Seq("event_type"))
+        .select(col("event_type"),
+          Sketches.kllQuantile(col("kll"), 0.5).as("r50"),
+          Sketches.kllQuantile(col("kll"), 0.9).as("r90"))
+      val whole = Sketches.kllSketch(ev, Seq("event_type"), "value")
+        .select(col("event_type"),
+          Sketches.kllQuantile(col("kll"), 0.5).as("w50"),
+          Sketches.kllQuantile(col("kll"), 0.9).as("w90"))
+      val exact = ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.40)").as("p40"),
+        expr("percentile(value, 0.60)").as("p60"),
+        expr("percentile(value, 0.82)").as("p82"),
+        expr("percentile(value, 0.98)").as("p98"))
+      whole.join(rolled, "event_type").join(exact, "event_type")
+        .select(col("event_type").as("g"),
+          (col("w50") >= col("p40") && col("w50") <= col("p60") &&
+            col("w90") >= col("p82") && col("w90") <= col("p98")).as("sketch_ok"),
+          (col("r50") >= col("p40") && col("r50") <= col("p60") &&
+            col("r90") >= col("p82") && col("r90") <= col("p98")).as("rollup_ok"))
+        .orderBy("g")
+    },
+    // k-step ordered funnel (EVENT-FUNNEL generalized): first view, then
+    // first click within 24 h of it, then first purchase within 24 h of
+    // THAT click — per-user, order-sensitive. One shuffle on user_id: the
+    // three conditional running-mins stack on the SAME user-partitioned
+    // sort (RANGE frames, so equal-timestamp ties resolve identically in
+    // both engines), and the per-user + summary aggregates reuse the
+    // window's hash partitioning — no theta join, no pair blow-up. The
+    // running min of step-(i-1) matches the step's global first-qualifying
+    // time whenever any qualifying row precedes, so the windowed funnel
+    // equals the oracle's decorrelated join formulation exactly.
+    "EVENT-FUNNEL-K" -> { (s, d) =>
+      val ev = events(s, d)
+      val wsec = 86400L
+      val ep = col("ts").cast("double")
+      val w = Window.partitionBy("user_id").orderBy(ep)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = ev
+        .withColumn("t1", min(when(col("event_type") === "view", ep)).over(w))
+        .withColumn("q2ts",
+          when(col("event_type") === "click" && col("t1").isNotNull &&
+            ep <= col("t1") + wsec, ep))
+        .withColumn("t2", min(col("q2ts")).over(w))
+        .withColumn("q3ts",
+          when(col("event_type") === "purchase" && col("t2").isNotNull &&
+            ep <= col("t2") + wsec, ep))
+      staged.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", ep)).as("u1"),
+          min(col("q2ts")).as("u2"), min(col("q3ts")).as("u3"))
+        .agg(count(col("u1")).as("n_step1"), count(col("u2")).as("n_step2"),
+          count(col("u3")).as("n_step3"))
+        .select(col("n_step1"), col("n_step2"), col("n_step3"),
+          when(col("n_step1") > 0,
+            round(col("n_step2").cast("double") / col("n_step1"), 4)).as("conv12"),
+          when(col("n_step2") > 0,
+            round(col("n_step3").cast("double") / col("n_step2"), 4)).as("conv23"))
+    },
+    // theta time-grain rollup, mirroring the HLL rollup contract: hourly
+    // per-group user sketches UNION to the per-group sketch — and because
+    // theta union is order-insensitive and every group here stays in exact
+    // mode (distinct users per group < 4096 nominal entries at every SF),
+    // merge-of-parts equals sketch-of-whole EXACTLY, and both equal the
+    // exact distinct count. rollup_exact is the strict equality; within_bound
+    // is the estimation-mode-safe 5 % band that would still hold at 100 TB.
+    "AGG-THETA-ROLLUP" -> { (s, d) =>
+      val ev = events(s, d)
+      import graft.functions.Sketches
+      val fine = Sketches.thetaSketch(
+        ev.withColumn("hr", date_trunc("hour", col("ts"))),
+        Seq("event_type", "hr"), "user_id")
+      val rolled = Sketches.thetaRollup(fine, Seq("event_type"))
+        .select(col("event_type"),
+          round(Sketches.thetaEstimate(col("theta")), 4).as("e_r"))
+      val whole = Sketches.thetaSketch(ev, Seq("event_type"), "user_id")
+        .select(col("event_type"),
+          round(Sketches.thetaEstimate(col("theta")), 4).as("e_w"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("x"))
+      rolled.join(whole, "event_type").join(exact, "event_type")
+        .select(col("event_type").as("g"),
+          (col("e_r") === col("e_w")).as("rollup_exact"),
+          (abs(col("e_r") - col("x")) <=
+            greatest(col("x") * 0.05, lit(2.0))).as("within_bound"))
+        .orderBy("g")
+    },
   )
 
   /** Shared DuckDB CTE: distinct 3-gram shingles + the portable polynomial
@@ -580,6 +680,35 @@ object Extensions {
         |FROM events GROUP BY event_type ORDER BY g""".stripMargin,
     "AGG-APPROX-TOPK" ->
       """SELECT event_type AS g, TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY g""".stripMargin,
+    // k-step funnel: decorrelated join formulation — first view, first
+    // qualifying click within 24 h, first qualifying purchase within 24 h
+    "EVENT-FUNNEL-K" ->
+      """WITH s1 AS (SELECT user_id, min(epoch(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(epoch(e.ts)) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch(e.ts) >= s1.t1
+        |    AND epoch(e.ts) <= s1.t1 + 86400 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(epoch(e.ts)) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch(e.ts) >= s2.t2
+        |    AND epoch(e.ts) <= s2.t2 + 86400 GROUP BY e.user_id)
+        |SELECT n_step1, n_step2, n_step3,
+        |  CASE WHEN n_step1 > 0
+        |    THEN round(CAST(n_step2 AS DOUBLE) / n_step1, 4) END AS conv12,
+        |  CASE WHEN n_step2 > 0
+        |    THEN round(CAST(n_step3 AS DOUBLE) / n_step2, 4) END AS conv23
+        |FROM (SELECT (SELECT count(*) FROM s1) AS n_step1,
+        |  (SELECT count(*) FROM s2) AS n_step2,
+        |  (SELECT count(*) FROM s3) AS n_step3)""".stripMargin,
+    // KLL quantiles: the oracle asserts the deterministic rank-error bounds
+    "AGG-APPROX-QUANTILES" ->
+      """SELECT event_type AS g, TRUE AS sketch_ok, TRUE AS rollup_ok
+        |FROM events GROUP BY event_type ORDER BY g""".stripMargin,
+    // theta rollup: exact-mode union equality + the estimation-safe bound
+    "AGG-THETA-ROLLUP" ->
+      """SELECT event_type AS g, TRUE AS rollup_exact, TRUE AS within_bound
         |FROM events GROUP BY event_type ORDER BY g""".stripMargin,
     "TEXT-TOKENS-BPE" ->
       s"""SELECT doc_id, len(string_split(text, ' ')) AS n_ws,
