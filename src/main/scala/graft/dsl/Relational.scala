@@ -198,6 +198,41 @@ object Relational {
         .orderBy(col("totalprice").desc, col("o_orderkey")).limit(100)
     },
 
+    // Q21-shape composition: semi AND anti correlated subqueries against
+    // the SAME fact table — "suppliers whose returned line sat in a
+    // finished multi-supplier order where NO other supplier also had a
+    // return". Both subqueries decorrelate to orderkey-equality joins with
+    // a suppkey<> residual (SortMergeJoin LeftSemi/LeftAnti — never a
+    // cartesian); the 'F'-status order filter is itself a semi join (the
+    // orders columns aren't projected), and the supplier×nation dim rides
+    // broadcast. Fixture lineitem has no receipt/commit dates, so "kept
+    // the order waiting" is adapted to l_returnflag = 'R'.
+    "JOIN-TPCH-Q21" -> { s =>
+      val li = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val l1 = li.where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey")
+      val others = li.select(col("l_orderkey").as("o2_ok"),
+        col("l_suppkey").as("o2_sk"))
+      val lateOthers = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3_ok"), col("l_suppkey").as("o3_sk"))
+      val fOrders = s.table("orders")
+        .where(col("o_orderstatus") === "F").select("o_orderkey")
+      val sup = s.table("supplier")
+        .join(broadcast(s.table("nation").where(col("n_nationkey") < 13)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+      l1.join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(others, col("l_orderkey") === col("o2_ok") &&
+          col("l_suppkey") =!= col("o2_sk"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("o3_ok") &&
+          col("l_suppkey") =!= col("o3_sk"), "left_anti")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name", "n_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
+    },
+
     // explicit dedup-then-count instead of countDistinct: map-side partial
     // dedup replaces the Expand + two-phase distinct aggregate (measured
     // 2× at sf0.1, same shuffle key at scale). The isNotNull guard matches

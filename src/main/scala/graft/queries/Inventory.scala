@@ -185,6 +185,26 @@ object Inventory {
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
 
+  // Q21-shape composition: semi AND anti correlated subqueries against the
+  // same fact — the hardest standard BI pattern (waiting-supplier shape).
+  // "late" is adapted to l_returnflag = 'R' (fixture lineitem carries no
+  // receipt/commit dates); both EXISTS decorrelate to orderkey-equality
+  // semi/anti joins with a suppkey<> residual, never a cartesian.
+  q("JOIN-TPCH-Q21",
+    """SELECT s_name, n_name, count(*) AS numwait
+      |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |  JOIN orders ON o_orderkey = l1.l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND n_nationkey < 13
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name, n_name
+      |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+
   q("AGG-DISTINCT",
     """SELECT event_type, count(DISTINCT user_id) AS u
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

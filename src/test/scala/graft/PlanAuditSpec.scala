@@ -285,6 +285,28 @@ class PlanAuditSpec extends SparkSpec {
       s"big-order aggregate lost its partial phase:\n$p")
   }
 
+  test("JOIN-TPCH-Q21: both correlated subqueries decorrelate to semi/anti joins") {
+    val p = finalPlan("JOIN-TPCH-Q21")
+    assert(p.contains("LeftSemi"),
+      s"EXISTS (another supplier in the order) must plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS (another LATE supplier) must plan as an anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier x nation dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated subqueries must never materialize pairs:\n$p")
+  }
+
+  test("EVENT-FUNNEL-K: stacked funnel windows all user-partitioned, no join at all") {
+    val p = finalPlan("EVENT-FUNNEL-K")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"),
+      s"the k-step funnel is window-only — no pair join of any kind:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(winLines.nonEmpty, "expected the stacked running-min windows")
+    assert(winLines.forall(_.matches(""".*Window .*\], \[user_id#\d+.*""")),
+      s"every funnel window must partition by user_id:\n${winLines.mkString("\n")}")
+  }
+
   test("sweep: no CartesianProduct in ANY declared query plan") {
     // the one global invariant every plan must satisfy: no unkeyed
     // pair-materializing join anywhere in the 144-query inventory.
