@@ -174,6 +174,57 @@ object Dedup {
       .select(col("blk"), col("ka"), col("kb"), col("d"))
   }
 
+  /** Cross-document repeated-span detection — the substring-level dedup
+    * step AFTER doc-level dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): near-distinct documents that
+    * still share boilerplate passages (licenses, headers, quoted blocks)
+    * keep those spans over-represented unless they are found and removed
+    * span-wise.
+    *
+    * Shape: positioned k-token shingle hashes over the corpus → hashes
+    * seen in ≥ `minDocs` DISTINCT documents mark their positions as
+    * repeated → per-document overlapping/adjacent repeated positions merge
+    * to MAXIMAL spans (gaps-and-islands: a new island starts when the gap
+    * to the previous repeated position exceeds k, i.e. the k-wide spans no
+    * longer touch). 100 TB story: everything is key-equality — the
+    * repeated-bucket set is a hash-groupBy (map-side partial distinct),
+    * the mark-back is an equi-join on the hash, and the merge window
+    * partitions by doc_id; nothing is ever all-pairs and no state exceeds
+    * a document's own positions.
+    *
+    * Returns (doc_id, span_start, span_end, n_shingles): 1-based token
+    * positions, span_end inclusive (`span_end - span_start + 1` tokens
+    * would be removed or down-weighted downstream).
+    */
+  def repeatedSpans(documents: DataFrame, k: Int = 8, minDocs: Int = 2,
+                    baseHash: Column => Column = portableHash): DataFrame = {
+    require(k >= 2, s"span shingle width must be >= 2, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2 (a repeat needs two docs), got $minDocs")
+    graft.functions.expressions.GraftFunctions.register(documents.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val pos = graft.core.Tables.spread(documents, "doc_id")
+      .select(col("doc_id"), explode(transform(starts, i =>
+        struct(i.as("p"),
+          baseHash(concat_ws(" ", slice(toks, i, lit(k)))).as("h")))).as("ph"))
+      .select(col("doc_id"), col("ph.p").as("p"), col("ph.h").as("h"))
+    val rep = pos.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs).select("h")
+    val marked = pos.join(rep, Seq("h")).select("doc_id", "p")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val prev = lag(col("p"), 1).over(w)
+    marked
+      .withColumn("brk", when(prev.isNull || col("p") - prev > k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) + (k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select("doc_id", "span_start", "span_end", "n_shingles")
+  }
+
   /** Benchmark-contamination detection: for each (probe, document) pair,
     * the CONTAINMENT of the probe's shingle set in the document —
     * |S(probe) ∩ S(doc)| / |S(probe)| — the asymmetric measure that

@@ -117,6 +117,12 @@ object Extensions {
           n = 3, threshold = 0.5)
         .orderBy("probe_id", "doc_id").limit(100)
     },
+    // substring-level dedup AFTER doc-level dedup (Lee et al. 2022):
+    // maximal cross-document repeated spans from positioned 8-token
+    // shingle buckets — key-equality throughout, merge window per doc
+    "LLM-SPAN-DEDUP" -> ((s, d) =>
+      Dedup.repeatedSpans(docs(s, d), k = 8, minDocs = 2)
+        .orderBy("doc_id", "span_start")),
     "LLM-MINHASH-LSH" -> ((s, d) =>
       Dedup.minhashPairs(docs(s, d), n = 3, numHashes = 16, bands = 8,
           estThreshold = 0.5, baseHash = Dedup.portableHash)
@@ -873,6 +879,26 @@ object Extensions {
         |FROM inter JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
         |WHERE CAST(i AS DOUBLE)/(ca.c+cb.c-i) >= 0.8
         |ORDER BY jac DESC, da, db LIMIT 100""".stripMargin,
+    // repeated-span removal: positioned 8-token shingles, cross-doc
+    // repeated buckets, gaps-and-islands merge to maximal spans
+    "LLM-SPAN-DEDUP" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, i AS p, array_to_string(t[i:i+7],' ') AS s
+        |        FROM toks CROSS JOIN unnest(generate_series(1, len(t)-7)) AS g(i)),
+        |hs AS (SELECT doc_id, p, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(1, CAST(length(s) AS INT)), i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+        |        (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM pos),
+        |rep AS (SELECT h FROM hs GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT doc_id, p FROM hs JOIN rep USING (h)),
+        |isl AS (SELECT doc_id, p, CASE WHEN lag(p) OVER w IS NULL
+        |          OR p - lag(p) OVER w > 8 THEN 1 ELSE 0 END AS brk
+        |        FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |grp AS (SELECT doc_id, p,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM isl)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 7 AS span_end,
+        |  count(*) AS n_shingles
+        |FROM grp GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     "LLM-EMB-PAIRS" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
         |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS cos

@@ -307,6 +307,16 @@ class PlanAuditSpec extends SparkSpec {
       s"every funnel window must partition by user_id:\n${winLines.mkString("\n")}")
   }
 
+  test("LLM-SPAN-DEDUP: repeated-bucket mark-back is key-equality, merge window per doc") {
+    val p = finalPlan("LLM-SPAN-DEDUP")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span detection must join on the shingle hash, never all-pairs:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(winLines.nonEmpty, "expected the gaps-and-islands merge windows")
+    assert(winLines.forall(_.matches(""".*Window .*\], \[doc_id#\d+.*""")),
+      s"every merge window must partition by doc_id:\n${winLines.mkString("\n")}")
+  }
+
   test("sweep: no CartesianProduct in ANY declared query plan") {
     // the one global invariant every plan must satisfy: no unkeyed
     // pair-materializing join anywhere in the 144-query inventory.
