@@ -225,6 +225,34 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "n_shingles")
   }
 
+  /** The removal half of substring-level dedup: scrub the token spans
+    * flagged by [[repeatedSpans]] out of the documents. Returns only the
+    * AFFECTED documents as (doc_id, clean_text, n_spans) — unaffected
+    * documents pass through a pipeline untouched, so emitting them here
+    * would only re-shuffle the corpus. A document whose entire text is
+    * flagged (a whole-doc near-dup) yields clean_text = "".
+    *
+    * Policy note: spans are removed from EVERY document carrying them
+    * ("strip boilerplate everywhere"). The keep-one-occurrence policy from
+    * Lee et al. 2022 is a downstream choice: filter the span frame to
+    * all-but-one doc per repeated bucket before calling this.
+    *
+    * 100 TB story: spans collapse to one array per doc (bounded by the
+    * doc's own token count), the join is doc_id-equality, and the scrub is
+    * a codegen higher-order filter over the token array — no explode, no
+    * window, no extra shuffle beyond the span groupBy. */
+  def removeSpans(documents: DataFrame, spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__sp"))
+    documents.join(sp, Seq("doc_id"))
+      .select(col("doc_id"),
+        concat_ws(" ", filter(split(col("text"), " "), (_, i) =>
+          !exists(col("__sp"), s =>
+            i + 1 >= s.getField("span_start") &&
+              i + 1 <= s.getField("span_end")))).as("clean_text"),
+        size(col("__sp")).cast("long").as("n_spans"))
+  }
+
   /** Benchmark-contamination detection: for each (probe, document) pair,
     * the CONTAINMENT of the probe's shingle set in the document —
     * |S(probe) ∩ S(doc)| / |S(probe)| — the asymmetric measure that

@@ -123,6 +123,13 @@ object Extensions {
     "LLM-SPAN-DEDUP" -> ((s, d) =>
       Dedup.repeatedSpans(docs(s, d), k = 8, minDocs = 2)
         .orderBy("doc_id", "span_start")),
+    // the removal half: scrub the flagged spans out of the affected docs
+    // (whole-doc repeats scrub to clean_text = '')
+    "LLM-SPAN-SCRUB" -> { (s, d) =>
+      val corpus = docs(s, d)
+      Dedup.removeSpans(corpus, Dedup.repeatedSpans(corpus, k = 8, minDocs = 2))
+        .orderBy("doc_id")
+    },
     "LLM-MINHASH-LSH" -> ((s, d) =>
       Dedup.minhashPairs(docs(s, d), n = 3, numHashes = 16, bands = 8,
           estThreshold = 0.5, baseHash = Dedup.portableHash)
@@ -899,6 +906,36 @@ object Extensions {
         |  count(*) AS n_shingles
         |FROM grp GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+    // span scrub: same span CTE, then token-level anti-semantics removal;
+    // a fully-covered doc yields the empty string (string_agg over zero
+    // kept tokens is NULL -> coalesce)
+    "LLM-SPAN-SCRUB" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, i AS p, array_to_string(t[i:i+7],' ') AS s
+        |        FROM toks CROSS JOIN unnest(generate_series(1, len(t)-7)) AS g(i)),
+        |hs AS (SELECT doc_id, p, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(1, CAST(length(s) AS INT)), i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+        |        (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM pos),
+        |rep AS (SELECT h FROM hs GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT doc_id, p FROM hs JOIN rep USING (h)),
+        |isl AS (SELECT doc_id, p, CASE WHEN lag(p) OVER w IS NULL
+        |          OR p - lag(p) OVER w > 8 THEN 1 ELSE 0 END AS brk
+        |        FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |grp AS (SELECT doc_id, p,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM isl),
+        |sp AS (SELECT doc_id, min(p) AS s, max(p) + 7 AS e
+        |       FROM grp GROUP BY doc_id, island),
+        |aff AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+        |tokpos AS (SELECT doc_id, i AS p, t[i] AS tok FROM toks
+        |           CROSS JOIN unnest(generate_series(1, len(t))) AS g(i)),
+        |kept AS (SELECT tp.doc_id, tp.p, tp.tok
+        |         FROM tokpos tp JOIN aff USING (doc_id)
+        |         WHERE NOT EXISTS (SELECT 1 FROM sp
+        |           WHERE sp.doc_id = tp.doc_id AND tp.p BETWEEN sp.s AND sp.e)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct
+        |        FROM kept GROUP BY doc_id)
+        |SELECT a.doc_id, coalesce(agg.ct, '') AS clean_text, a.n_spans
+        |FROM aff a LEFT JOIN agg USING (doc_id) ORDER BY a.doc_id""".stripMargin,
     "LLM-EMB-PAIRS" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
         |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS cos

@@ -46,6 +46,30 @@ class RepeatedSpansSpec extends SparkSpec {
     spans.foreach { case (_, s, e, n) => assert(n == e - s + 1 - 8 + 1) }
   }
 
+  test("removeSpans scrubs exactly the flagged tokens; full-coverage docs scrub to empty") {
+    val df = fixture
+    val scrubbed = Dedup.removeSpans(df, Dedup.repeatedSpans(df, k = 8, minDocs = 2))
+      .orderBy("doc_id")
+      .collect().map { case Row(d: Long, t: String, n: Long) => (d, t, n) }
+    val byDoc = scrubbed.map(t => t._1 -> t).toMap
+    // doc 1: passage (tokens 11..50) removed, a-head kept verbatim
+    assert(byDoc(1L)._2 == (1 to 10).map(i => s"a$i").mkString(" "))
+    assert(byDoc(1L)._3 == 1L)
+    // doc 2: b-head kept
+    assert(byDoc(2L)._2 == (1 to 25).map(i => s"b$i").mkString(" "))
+    // doc 3 untouched => NOT in the output (only affected docs emitted)
+    assert(!byDoc.contains(3L))
+    // doc 4: two spans removed, only the break token survives
+    assert(byDoc(4L)._2 == "XBREAK" && byDoc(4L)._3 == 2L)
+    // full-coverage: two identical docs scrub to the empty string
+    val sq = spark; import sq.implicits._
+    val clones = Seq((1L, (1 to 20).map(i => s"c$i").mkString(" ")),
+      (2L, (1 to 20).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val cs = Dedup.removeSpans(clones, Dedup.repeatedSpans(clones, k = 8, minDocs = 2))
+      .collect().map { case Row(_, t: String, _) => t }
+    assert(cs.length == 2 && cs.forall(_ == ""))
+  }
+
   test("a passage must appear in >= minDocs DISTINCT docs: within-doc repeats alone don't flag") {
     val sq = spark; import sq.implicits._
     val rep = (1 to 10).map(i => s"r$i").mkString(" ")
