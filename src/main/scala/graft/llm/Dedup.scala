@@ -212,7 +212,10 @@ object Dedup {
       .select(col("doc_id"), col("ph.p").as("p"), col("ph.h").as("h"))
     val rep = pos.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= minDocs).select("h")
-    val marked = pos.join(rep, Seq("h")).select("doc_id", "p")
+    // semi join: rep is already distinct on h, so this is pure filtering —
+    // the semi shape can never duplicate a position and stays eligible for
+    // runtime bloom/broadcast reduction of the pos side
+    val marked = pos.join(rep, Seq("h"), "left_semi").select("doc_id", "p")
     val w = Window.partitionBy("doc_id").orderBy("p")
     val prev = lag(col("p"), 1).over(w)
     marked

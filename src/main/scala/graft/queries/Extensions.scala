@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -461,40 +460,12 @@ object Extensions {
     },
     // k-step ordered funnel (EVENT-FUNNEL generalized): first view, then
     // first click within 24 h of it, then first purchase within 24 h of
-    // THAT click — per-user, order-sensitive. One shuffle on user_id: the
-    // three conditional running-mins stack on the SAME user-partitioned
-    // sort (RANGE frames, so equal-timestamp ties resolve identically in
-    // both engines), and the per-user + summary aggregates reuse the
-    // window's hash partitioning — no theta join, no pair blow-up. The
-    // running min of step-(i-1) matches the step's global first-qualifying
-    // time whenever any qualifying row precedes, so the windowed funnel
-    // equals the oracle's decorrelated join formulation exactly.
-    "EVENT-FUNNEL-K" -> { (s, d) =>
-      val ev = events(s, d)
-      val wsec = 86400L
-      val ep = col("ts").cast("double")
-      val w = Window.partitionBy("user_id").orderBy(ep)
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      val staged = ev
-        .withColumn("t1", min(when(col("event_type") === "view", ep)).over(w))
-        .withColumn("q2ts",
-          when(col("event_type") === "click" && col("t1").isNotNull &&
-            ep <= col("t1") + wsec, ep))
-        .withColumn("t2", min(col("q2ts")).over(w))
-        .withColumn("q3ts",
-          when(col("event_type") === "purchase" && col("t2").isNotNull &&
-            ep <= col("t2") + wsec, ep))
-      staged.groupBy("user_id")
-        .agg(min(when(col("event_type") === "view", ep)).as("u1"),
-          min(col("q2ts")).as("u2"), min(col("q3ts")).as("u3"))
-        .agg(count(col("u1")).as("n_step1"), count(col("u2")).as("n_step2"),
-          count(col("u3")).as("n_step3"))
-        .select(col("n_step1"), col("n_step2"), col("n_step3"),
-          when(col("n_step1") > 0,
-            round(col("n_step2").cast("double") / col("n_step1"), 4)).as("conv12"),
-          when(col("n_step2") > 0,
-            round(col("n_step3").cast("double") / col("n_step2"), 4)).as("conv23"))
-    },
+    // THAT click — per-user, order-sensitive; see operators.Funnel for the
+    // one-shuffle stacked-window plan and the equality argument vs the
+    // oracle's decorrelated join formulation.
+    "EVENT-FUNNEL-K" -> ((s, d) =>
+      graft.operators.Funnel.summary(events(s, d), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"), windowSec = 86400L)),
     // theta time-grain rollup, mirroring the HLL rollup contract: hourly
     // per-group user sketches UNION to the per-group sketch — and because
     // theta union is order-insensitive and every group here stays in exact
