@@ -16,6 +16,13 @@ final case class RateState(epoch: Long, value: Double)
 final case class AnomalyOut(metric: String, epoch: Long, value: Double, zscore: Double)
 /** Per-metric EWMA state: points seen, running mean and variance. */
 final case class AnomalyState(n: Long, mean: Double, varr: Double)
+/** A funnel input event: (user, step name, epoch seconds). */
+final case class FunnelPoint(user: Long, step: String, epoch: Double)
+/** A funnel stage completion: user first completed `stage` (1-based) at
+  * `epoch`. */
+final case class FunnelHit(user: Long, stage: Int, epoch: Double)
+/** Per-user funnel state: first qualifying time per stage (NaN = not yet). */
+final case class FunnelTimes(times: Seq[Double])
 
 /** Streaming rollups and forwarder sinks — the Spark-native equivalent of
   * the reference's listener → demultiplexer → buffered forwarder spine
@@ -253,6 +260,47 @@ object StreamingOps {
     * in arrival order — inherent to any one-pass detector. State is two
     * doubles and a count per metric — bounded regardless of stream length
     * or cardinality. */
+  /** Streaming k-step ordered funnel: the stateful twin of
+    * [[graft.operators.Funnel]] — emits a [[FunnelHit]] the first time each
+    * user completes each stage (stage i qualifying only within `windowSec`
+    * of the FIRST qualifying stage-(i-1) time). Within a batch, events fold
+    * in (epoch, stage-index) order — the stage-index tie-break reproduces
+    * the batch operator's RANGE-frame semantics, where a stage-i event at
+    * exactly the stage-(i-1) time qualifies. Any micro-batch slicing that
+    * preserves cross-batch epoch order (the replay-source property) yields
+    * the same hits as one batch, so the batch-mode run of this SAME
+    * operator — and the window-based `Funnel.stepTimes` — serve as the
+    * correctness oracle (asserted in StreamingSpec). State is k doubles
+    * per user that has entered the funnel — bounded by funnel depth, not
+    * stream length. */
+  def funnelSteps(points: Dataset[FunnelPoint], steps: Seq[String],
+                  windowSec: Double): Dataset[FunnelHit] = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    val session = points.sparkSession
+    import session.implicits._
+    val idx = steps.zipWithIndex.toMap
+    points.groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[FunnelPoint], state: GroupState[FunnelTimes]) =>
+          val t = state.getOption.map(_.times.toArray)
+            .getOrElse(Array.fill(steps.size)(Double.NaN))
+          val out = Seq.newBuilder[FunnelHit]
+          it.toSeq
+            .sortBy(p => (p.epoch, idx.getOrElse(p.step, Int.MaxValue)))
+            .foreach { p =>
+              idx.get(p.step).foreach { i =>
+                if (t(i).isNaN) {
+                  val ok = if (i == 0) true
+                  else !t(i - 1).isNaN && p.epoch <= t(i - 1) + windowSec
+                  if (ok) { t(i) = p.epoch; out += FunnelHit(user, i + 1, p.epoch) }
+                }
+              }
+            }
+          state.update(FunnelTimes(t.toSeq))
+          out.result().iterator
+      }
+  }
+
   def anomalies(points: Dataset[RatePoint], alpha: Double = 0.3,
                 z: Double = 3.0, warmup: Int = 5): Dataset[AnomalyOut] = {
     val session = points.sparkSession

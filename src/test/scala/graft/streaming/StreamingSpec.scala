@@ -144,6 +144,49 @@ class StreamingSpec extends SparkSpec {
     assert(flagged === Set(20L, 26L), s"expected exactly the two outliers, got $flagged")
   }
 
+  test("streaming funnel: hits span micro-batches and equal both batch oracles") {
+    val sq = spark
+    import sq.implicits._
+    // the REAL event fixture, mapped to funnel points — cross-batch split
+    // at the median epoch preserves epoch order (the replay property)
+    val pts = fixtureEvents()
+      .select(col("user_id").as("user"), col("event_type").as("step"),
+        col("ts").cast("double").as("epoch"))
+      .as[FunnelPoint].collect().toSeq.sortBy(_.epoch)
+    val steps = Seq("view", "click", "purchase")
+    val mid = pts(pts.size / 2).epoch
+
+    val input = MemoryStream[FunnelPoint](spark)
+    val query = StreamingOps.funnelSteps(input.toDS(), steps, 86400.0)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    input.addData(pts.filter(_.epoch <= mid))
+    query.processAllAvailable()
+    input.addData(pts.filter(_.epoch > mid))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("funnel_out")
+      .collect().map { case org.apache.spark.sql.Row(u: Long, s: Int, e: Double) => (u, s, e) }
+      .toSet
+    // oracle 1: the same operator in batch mode (empty initial state)
+    val batch = StreamingOps.funnelSteps(pts.toDS(), steps, 86400.0)
+      .collect().map(h => (h.user, h.stage, h.epoch)).toSet
+    assert(streamed === batch)
+    // oracle 2: the window-based batch operator's per-user step times
+    val winTimes = graft.operators.Funnel.stepTimes(
+        pts.toDF("user", "step", "epoch").withColumn("ts", col("epoch")),
+        "user", "step", "ts", steps, 86400L)
+      .collect().flatMap { r =>
+        val u = r.getLong(0)
+        (1 to steps.size).flatMap(i =>
+          if (r.isNullAt(i)) None else Some((u, i, r.getDouble(i))))
+      }.toSet
+    assert(streamed === winTimes)
+    assert(streamed.nonEmpty && streamed.exists(_._2 == 3),
+      "fixture must drive at least one full-funnel completion")
+  }
+
   test("streaming sessionize: per-user session count equals batch-replay formulation") {
     val sq = spark
     import sq.implicits._
