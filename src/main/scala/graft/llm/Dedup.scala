@@ -195,9 +195,17 @@ object Dedup {
     * Returns (doc_id, span_start, span_end, n_shingles): 1-based token
     * positions, span_end inclusive (`span_end - span_start + 1` tokens
     * would be removed or down-weighted downstream).
+    *
+    * `keepFirst = true` applies the Lee et al. keep-one-occurrence policy:
+    * each repeated bucket's canonical document (min doc_id among its
+    * carriers) is NOT flagged, so [[removeSpans]] preserves exactly one
+    * copy of every repeated passage corpus-wide instead of deleting it
+    * everywhere. Same plan shape — the canonical id rides the existing
+    * bucket aggregate, the mark-back join stays hash-equality.
     */
   def repeatedSpans(documents: DataFrame, k: Int = 8, minDocs: Int = 2,
-                    baseHash: Column => Column = portableHash): DataFrame = {
+                    baseHash: Column => Column = portableHash,
+                    keepFirst: Boolean = false): DataFrame = {
     require(k >= 2, s"span shingle width must be >= 2, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2 (a repeat needs two docs), got $minDocs")
     graft.functions.expressions.GraftFunctions.register(documents.sparkSession)
@@ -210,12 +218,19 @@ object Dedup {
         struct(i.as("p"),
           baseHash(concat_ws(" ", slice(toks, i, lit(k)))).as("h")))).as("ph"))
       .select(col("doc_id"), col("ph.p").as("p"), col("ph.h").as("h"))
-    val rep = pos.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= minDocs).select("h")
+    val repAll = pos.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("__keeper"))
+      .where(col("nd") >= minDocs)
     // semi join: rep is already distinct on h, so this is pure filtering —
     // the semi shape can never duplicate a position and stays eligible for
-    // runtime bloom/broadcast reduction of the pos side
-    val marked = pos.join(rep, Seq("h"), "left_semi").select("doc_id", "p")
+    // runtime bloom/broadcast reduction of the pos side (keepFirst needs
+    // the keeper id, so it joins inner — still unique on h, no fan-out)
+    val marked =
+      if (keepFirst)
+        pos.join(repAll.select("h", "__keeper"), Seq("h"))
+          .where(col("doc_id") =!= col("__keeper")).select("doc_id", "p")
+      else pos.join(repAll.select("h"), Seq("h"), "left_semi")
+        .select("doc_id", "p")
     val w = Window.partitionBy("doc_id").orderBy("p")
     val prev = lag(col("p"), 1).over(w)
     marked

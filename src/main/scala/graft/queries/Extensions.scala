@@ -281,6 +281,46 @@ object Extensions {
           coalesce(col("n_obs"), lit(0L)).as("n_obs"))
         .orderBy("event_type", "hr")
     },
+    // linear interpolation across gaps — the other standard fill policy
+    // (graphite interpolate()): observed hours keep their value, interior
+    // gaps take the time-weighted line between the bracketing
+    // observations, head/tail gaps extend the nearest observation. Same
+    // grid as TS-GAPFILL plus one backward-looking window; all gap
+    // arithmetic in DOUBLE on both engines so the 4dp hash is bit-stable.
+    "TS-INTERP" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+      val b = ev.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sv"))
+      val rng = b.groupBy("event_type").agg(min("hr").as("lo"), max("hr").as("hi"))
+      val grid = rng.select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
+      val ord = Window.partitionBy("event_type").orderBy("hr")
+      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val ep = col("hr").cast("double")
+      grid.join(b, Seq("event_type", "hr"), "left")
+        .withColumn("pv", last(col("sv"), ignoreNulls = true).over(back))
+        .withColumn("ph",
+          last(when(col("sv").isNotNull, ep), ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("sv"), ignoreNulls = true).over(fwd))
+        .withColumn("nh",
+          first(when(col("sv").isNotNull, ep), ignoreNulls = true).over(fwd))
+        .select(col("event_type"), col("hr").cast("long").as("hr"),
+          // NOT round(): interpolation lands on exact 4dp ties (x.xxxx5),
+          // where Spark rounds the decimal STRING of the double (HALF_UP on
+          // BigDecimal.valueOf) but DuckDB rounds the binary double —
+          // disagreeing by 1 ulp of the 4th decimal. floor(x·1e4 + 0.5)/1e4
+          // is pure double arithmetic, bit-identical on identical inputs.
+          (floor((when(col("sv").isNotNull, col("sv"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                col("pv") + (col("nv") - col("pv")) *
+                  (ep - col("ph")) / (col("nh") - col("ph")))
+              .otherwise(coalesce(col("pv"), col("nv")))) * lit(1e4) + lit(0.5))
+            / lit(1e4)).as("v"))
+        .orderBy("event_type", "hr")
+    },
     // batch counter-to-rate — the collectd DERIVE/COUNTER decode shape and
     // the batch twin of streaming counterToRate: per-series derivative
     // between consecutive points, counter-reset (value drop) restarting at
@@ -659,6 +699,30 @@ object Extensions {
         |    OVER (PARTITION BY event_type ORDER BY hr) AS DOUBLE), 4) AS filled,
         |  coalesce(n_obs, 0) AS n_obs
         |FROM j ORDER BY event_type, hr""".stripMargin,
+    // linear interpolation: bracketing observations via IGNORE NULLS
+    // windows in both directions, time-weighted line in DOUBLE
+    "TS-INTERP" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |           FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM b GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM rng),
+        |j AS (SELECT g.event_type, g.hr, b.sv FROM grid g
+        |      LEFT JOIN b ON b.event_type = g.event_type AND b.hr = g.hr),
+        |w AS (SELECT event_type, hr, sv,
+        |        last_value(sv IGNORE NULLS) OVER bk AS pv,
+        |        last_value(CASE WHEN sv IS NOT NULL THEN epoch(hr) END IGNORE NULLS) OVER bk AS ph,
+        |        first_value(sv IGNORE NULLS) OVER fw AS nv,
+        |        first_value(CASE WHEN sv IS NOT NULL THEN epoch(hr) END IGNORE NULLS) OVER fw AS nh
+        |      FROM j WINDOW
+        |        bk AS (PARTITION BY event_type ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |        fw AS (PARTITION BY event_type ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, CAST(epoch(hr) AS BIGINT) AS hr,
+        |  floor((CASE WHEN sv IS NOT NULL THEN sv
+        |        WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |          THEN pv + (nv - pv) * (epoch(hr) - ph) / (nh - ph)
+        |        ELSE coalesce(pv, nv) END) * 1e4 + 0.5) / 1e4 AS v
+        |FROM w ORDER BY event_type, hr""".stripMargin,
     // counter-to-rate: per-series derivative, reset restarts at v/dt,
     // zero-dt pairs dropped by the ep > pe guard on both engines
     "TS-RATE" ->

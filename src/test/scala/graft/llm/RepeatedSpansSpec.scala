@@ -80,6 +80,24 @@ class RepeatedSpansSpec extends SparkSpec {
     assert(Dedup.repeatedSpans(df, k = 8, minDocs = 2).count() == 0)
   }
 
+  test("keepFirst: the bucket-canonical doc is never flagged, one copy survives scrub") {
+    val df = fixture
+    val spans = Dedup.repeatedSpans(df, k = 8, minDocs = 2, keepFirst = true)
+      .collect().map { case Row(d: Long, s: Long, e: Long, _) => (d, s, e) }
+    val byDoc = spans.groupBy(_._1)
+    // doc 1 is min doc_id for the w-passage buckets (and the only carrier
+    // of doc 4's split halves is {1, 4} -> keeper 1): doc 1 keeps everything
+    assert(!byDoc.contains(1L))
+    // docs 2 and 4 still flag their copies
+    assert(byDoc(2L).map(t => (t._2, t._3)).toSeq == Seq((26L, 65L)))
+    assert(byDoc(4L).nonEmpty)
+    // scrub under keepFirst: the passage survives exactly once (in doc 1)
+    val scrubbed = Dedup.removeSpans(df,
+        Dedup.repeatedSpans(df, k = 8, minDocs = 2, keepFirst = true))
+      .collect().map { case Row(d: Long, t: String, _) => (d, t) }.toMap
+    assert(!scrubbed.contains(1L) && scrubbed(2L) == (1 to 25).map(i => s"b$i").mkString(" "))
+  }
+
   test("spans from different shared passages with a gap > k stay separate") {
     val sq = spark; import sq.implicits._
     val p1 = (1 to 10).map(i => s"p$i").mkString(" ")
