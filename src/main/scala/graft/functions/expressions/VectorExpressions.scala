@@ -204,5 +204,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // theta-join + max() as-of shape → union + running-window plan (no-op
     // until spark.graft.asofJoin.rewrite=true)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRewrite)
+    // exact percentile()/median() → GK approx_percentile (no-op until
+    // spark.graft.approx.percentile is set to an accuracy)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
   }
 }

@@ -255,33 +255,8 @@ object Extensions {
     // the exact epoch-aligned windows the streaming rollup emits (counts
     // and window starts are exact integers; the contract shapes
     // STREAM-TUMBLE/SLIDE check the equivalent bucket arithmetic instead)
-    // metrics gap filling — the carbon/graphite null-bridging shape: hourly
-    // DECIMAL-exact bucket sums per series, the per-series hour grid
-    // densified with sequence(), missing buckets forward-filled from the
-    // last observed value. One shuffle for the buckets; the grid explode is
-    // per-series metadata (min/max hour), the densify join key-equality on
-    // (series, hour), the fill a series-partitioned running last() —
-    // series count scales out, never a global pass. n_obs marks real vs
-    // filled rows so downstream can tell bridged gaps apart.
-    "TS-GAPFILL" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = events(s, d)
-      val b = ev.groupBy(col("event_type"),
-          date_trunc("hour", col("ts")).as("hr"))
-        .agg(sum(col("value").cast(DecimalType(18, 6))).as("sv"),
-          count(lit(1)).as("n_obs"))
-      val rng = b.groupBy("event_type").agg(min("hr").as("lo"), max("hr").as("hi"))
-      val grid = rng.select(col("event_type"),
-        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
-      val w = Window.partitionBy("event_type").orderBy("hr")
-      grid.join(b, Seq("event_type", "hr"), "left")
-        .select(col("event_type"), col("hr").cast("long").as("hr"),
-          round(last(col("sv"), ignoreNulls = true).over(w).cast("double"), 4)
-            .as("filled"),
-          coalesce(col("n_obs"), lit(0L)).as("n_obs"))
-        .orderBy("event_type", "hr")
-    },
-    // linear interpolation across gaps — the other standard fill policy
+    // linear interpolation across gaps — the fill policy TS-GAPFILL
+    // (zero-fill) and TS-LOCF (carry-forward) both lack
     // (graphite interpolate()): observed hours keep their value, interior
     // gaps take the time-weighted line between the bracketing
     // observations, head/tail gaps extend the nearest observation. Same
@@ -325,8 +300,9 @@ object Extensions {
     // the batch twin of streaming counterToRate: per-series derivative
     // between consecutive points, counter-reset (value drop) restarting at
     // v/dt, zero-dt pairs null (not Inf — engines disagree on 0-division).
-    // One series-partitioned window, no join.
-    "TS-RATE" -> { (s, d) =>
+    // One series-partitioned window, no join. (TS-RATE is the plain
+    // gauge derivative; this is the reset-aware COUNTER semantics.)
+    "TS-COUNTER-RATE" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val ev = events(s, d).where(col("user_id") < 5)
       val ep = col("ts").cast("double")
@@ -684,21 +660,6 @@ object Extensions {
         |GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 100""".stripMargin,
     // window() semantics, relationally: epoch-aligned 6h buckets (and the
     // two 3h-shifted window families for slide), starts as epoch seconds
-    // gap filling: per-series hour grid + forward fill (last_value IGNORE
-    // NULLS == Spark's last(col, ignoreNulls) over the same sort)
-    "TS-GAPFILL" ->
-      """WITH b AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
-        |             sum(CAST(value AS DECIMAL(18,6))) AS sv, count(*) AS n_obs
-        |           FROM events GROUP BY 1, 2),
-        |rng AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM b GROUP BY 1),
-        |grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM rng),
-        |j AS (SELECT g.event_type, g.hr, b.sv, b.n_obs FROM grid g
-        |      LEFT JOIN b ON b.event_type = g.event_type AND b.hr = g.hr)
-        |SELECT event_type, CAST(epoch(hr) AS BIGINT) AS hr,
-        |  round(CAST(last_value(sv IGNORE NULLS)
-        |    OVER (PARTITION BY event_type ORDER BY hr) AS DOUBLE), 4) AS filled,
-        |  coalesce(n_obs, 0) AS n_obs
-        |FROM j ORDER BY event_type, hr""".stripMargin,
     // linear interpolation: bracketing observations via IGNORE NULLS
     // windows in both directions, time-weighted line in DOUBLE
     "TS-INTERP" ->
@@ -725,7 +686,7 @@ object Extensions {
         |FROM w ORDER BY event_type, hr""".stripMargin,
     // counter-to-rate: per-series derivative, reset restarts at v/dt,
     // zero-dt pairs dropped by the ep > pe guard on both engines
-    "TS-RATE" ->
+    "TS-COUNTER-RATE" ->
       """WITH e AS (SELECT event_type, event_id, epoch(CAST(ts AS TIMESTAMP)) AS ep, value
         |           FROM events WHERE user_id < 5),
         |l AS (SELECT event_type, event_id, ep, value,

@@ -317,6 +317,18 @@ class PlanAuditSpec extends SparkSpec {
       s"every merge window must partition by doc_id:\n${winLines.mkString("\n")}")
   }
 
+  test("TS-INTERP/COUNTER-RATE: every window series-partitioned, densify join key-equality") {
+    Seq("TS-INTERP", "TS-COUNTER-RATE").foreach { id =>
+      val p = finalPlan(id)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$id: grid densify must stay key-equality:\n$p")
+      val winLines = p.linesIterator.filter(_.contains("Window ")).toList
+      assert(winLines.nonEmpty, s"$id: expected the fill/rate windows")
+      assert(winLines.forall(_.matches(""".*Window .*\], \[event_type#\d+.*""")),
+        s"$id: every window must partition by series:\n${winLines.mkString("\n")}")
+    }
+  }
+
   test("sweep: no CartesianProduct in ANY declared query plan") {
     // the one global invariant every plan must satisfy: no unkeyed
     // pair-materializing join anywhere in the 144-query inventory.
