@@ -79,6 +79,31 @@ class AsOfJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("rewritten contract SQL matches the oracle-verified DSL at all three SFs") {
+    attachRule()
+    // expected side = the DSL as-of operator (the path the correctness
+    // gate hash-verifies against DuckDB at every SF) — so this closes the
+    // loop: rule-on SQL == DSL == DuckDB, without paying the naive theta
+    // join at sf0.1
+    try {
+      for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+        graft.core.Tables.register(spark, dir)
+        for (id <- Seq("JOIN-ASOF", "EVENT-ATTRIBUTION")) {
+          val expected = canon(graft.dsl.Relational.impls(id)(spark))
+          spark.conf.set(Key, "true")
+          val rewritten = spark.sql(graft.queries.Inventory.byId(id).sparkSql)
+          assertRewritten(rewritten)
+          assert(canon(rewritten) === expected, s"$id drifted at $dir")
+          spark.conf.unset(Key)
+        }
+      }
+    } finally {
+      spark.conf.unset(Key)
+      tables() // restore the shared sf0.001 views for later suites
+    }
+  }
+
   test("no-fire: conf off, non-monotone max, extra aggregates, extra conjuncts") {
     attachRule(); fixture()
     def joins(df: DataFrame) =
