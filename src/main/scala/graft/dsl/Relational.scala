@@ -500,6 +500,40 @@ object Relational {
         .orderBy("event_type")
     },
 
+    // Holt-Winters additive (triple exponential smoothing): Holt's
+    // (level, trend) plus a rotating m=4 seasonal vector — the classic
+    // metrics forecasting model. The state array keeps the CURRENT step's
+    // seasonal at a fixed slot and rotates: [l, b, s_now, s+1, s+2, s+3] →
+    // [l', b', s+1, s+2, s+3, s_now']; l0 = first value, b0 = 0, s = 0.
+    // forecast = l + b + s_next (1-step ahead). α=.3, β=.2, γ=.3.
+    "TS-HOLT-WINTERS" -> { s =>
+      def hwStep(acc: Column, x: Column): Column = {
+        val lNew = lit(0.3) * (x - element_at(acc, 3)) +
+          lit(0.7) * (element_at(acc, 1) + element_at(acc, 2))
+        array(
+          lNew,
+          lit(0.2) * (lNew - element_at(acc, 1)) + lit(0.8) * element_at(acc, 2),
+          element_at(acc, 4), element_at(acc, 5), element_at(acc, 6),
+          lit(0.3) * (x - lNew) + lit(0.7) * element_at(acc, 3))
+      }
+      val vals = transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+        _.getField("value"))
+      s.table("events")
+        .groupBy("event_type")
+        .agg(vals.as("vals"))
+        .select(col("event_type"), size(col("vals")).as("n"),
+          aggregate(slice(col("vals"), lit(2), size(col("vals")) - 1),
+            array(element_at(col("vals"), 1), lit(0.0), lit(0.0), lit(0.0),
+              lit(0.0), lit(0.0)), hwStep).as("hb"))
+        .select(col("event_type"), col("n"),
+          round(element_at(col("hb"), 1), 4).as("level"),
+          round(element_at(col("hb"), 2), 4).as("trend"),
+          round(element_at(col("hb"), 1) + element_at(col("hb"), 2) +
+            element_at(col("hb"), 3), 4).as("forecast"))
+        .orderBy("event_type")
+    },
+
     // Scale twin: graft.operators.SegmentedHolt's chunked matrix-affine
     // decomposition — the same partitioned two-aggregate plan as
     // TS-EMA-SCALE, generalized to the (level, trend) state
