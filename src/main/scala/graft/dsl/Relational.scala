@@ -534,6 +534,24 @@ object Relational {
         .orderBy("event_type")
     },
 
+    // Scale twin: the 6×6 matrix-affine chunk decomposition
+    // (operators.SegmentedAffine with the Holt-Winters step) — the same
+    // partitioned two-aggregate no-window plan as TS-EMA/HOLT-SCALE,
+    // generalized to the rotating seasonal state
+    "TS-HOLT-WINTERS-SCALE" -> { s =>
+      val (m, c) = graft.operators.SegmentedAffine.holtWintersStep(0.3, 0.2, 0.3)
+      graft.operators.SegmentedAffine.affineFinal(s.table("events"),
+          seriesCols = Seq("event_type"), rangeKey = col("ts").cast("double"),
+          orderCols = Seq(col("ts"), col("event_id")), valueCol = col("value"),
+          m = m, cVec = c)
+        .select(col("event_type"), col("n").cast("int").as("n"),
+          round(element_at(col("s"), 1), 4).as("level"),
+          round(element_at(col("s"), 2), 4).as("trend"),
+          round(element_at(col("s"), 1) + element_at(col("s"), 2) +
+            element_at(col("s"), 3), 4).as("forecast"))
+        .orderBy("event_type")
+    },
+
     // Scale twin: graft.operators.SegmentedHolt's chunked matrix-affine
     // decomposition — the same partitioned two-aggregate plan as
     // TS-EMA-SCALE, generalized to the (level, trend) state

@@ -189,3 +189,106 @@ object SegmentedHolt {
         element_at(col("hb"), 2).as("trend")): _*)
   }
 }
+
+/** Segmented fold for ANY linear time-invariant state recurrence
+  * `s_t = M·s_{t−1} + c·x_t` (constant d×d matrix M, constant input
+  * vector c, seed s_1 = (x_1, 0, …, 0)) — [[SegmentedEma]] is the d=1
+  * case, [[SegmentedHolt]] the d=2 case; Holt-Winters additive is d=6
+  * (level, trend, rotating m=4 seasonal vector). Composition is the same
+  * algebra at every dimension — (M₂,v₂)∘(M₁,v₁) = (M₂M₁, M₂v₁+v₂) — so
+  * the chunked decomposition and the two-hash-aggregate plan carry over
+  * unchanged. Step expressions skip M's structural zeros (the HW matrix is
+  * 2/3 permutation rows), keeping codegen size linear in nnz(M)·d, not d³.
+  */
+object SegmentedAffine {
+
+  private val B = "__sa_b"
+
+  /** (seriesCols*, n LONG, s ARRAY<DOUBLE> of length d) — the final state
+    * per series. `m`/`cVec`: the per-step update. */
+  def affineFinal(df: DataFrame, seriesCols: Seq[String], rangeKey: Column,
+                  orderCols: Seq[Column], valueCol: Column,
+                  m: Array[Array[Double]], cVec: Array[Double],
+                  buckets: Int = 0): DataFrame = {
+    val d = m.length
+    require(m.forall(_.length == d) && cVec.length == d,
+      s"step matrix must be ${d}x$d with a $d-vector input column")
+    val nb = if (buckets > 0) buckets
+             else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt * 4
+    val (lo, hi) = GlobalWindow.keyRange(df, rangeKey)
+    val width = math.max((hi - lo) / nb, 1e-9)
+    val t = df.withColumn(B, GlobalWindow.bucketCol(rangeKey, lo, width, nb))
+
+    // accumulated affine = array(d*d + d): M row-major, then v (1-based)
+    def idx(i: Int, j: Int) = i * d + j + 1
+    def vidx(i: Int) = d * d + i + 1
+    val identity = array(
+      ((0 until d).flatMap(i => (0 until d).map(j =>
+        lit(if (i == j) 1.0 else 0.0))) ++ (0 until d).map(_ => lit(0.0))): _*)
+    // ±1 coefficients compile to bare references/negations — permutation
+    // rows (most of the HW matrix) cost zero multiplies per step
+    def scaled(coef: Double, e: Column): Column =
+      if (coef == 1.0) e else if (coef == -1.0) -e else lit(coef) * e
+    def step(acc: Column, x: Column): Column = {
+      val cells = for (i <- 0 until d; j <- 0 until d) yield {
+        val terms = (0 until d).filter(k => m(i)(k) != 0.0)
+          .map(k => scaled(m(i)(k), element_at(acc, idx(k, j))))
+        if (terms.isEmpty) lit(0.0) else terms.reduce(_ + _)
+      }
+      val vs = (0 until d).map { i =>
+        val terms = (0 until d).filter(k => m(i)(k) != 0.0)
+          .map(k => scaled(m(i)(k), element_at(acc, vidx(k))))
+        val base = if (terms.isEmpty) lit(0.0) else terms.reduce(_ + _)
+        if (cVec(i) != 0.0) base + lit(cVec(i)) * x else base
+      }
+      array((cells ++ vs): _*)
+    }
+    def applyAff(aff: Column, s: Column): Column = array((0 until d).map { i =>
+      (0 until d).map(j => element_at(aff, idx(i, j)) * element_at(s, j + 1))
+        .reduce(_ + _) + element_at(aff, vidx(i))
+    }: _*)
+
+    val sortKey = orderCols.zipWithIndex.map { case (c, i) => c.as(s"__sa_o$i") } :+
+      valueCol.cast("double").as("__sa_v")
+    val chunk = t
+      .groupBy((seriesCols.map(col) :+ col(B)): _*)
+      .agg(collect_list(struct(sortKey: _*)).as("raw"))
+      .select((seriesCols.map(col) :+ col(B) :+
+        transform(array_sort(col("raw")), _.getField("__sa_v")).as("vals")): _*)
+      .select((seriesCols.map(col) :+ col(B).as("b") :+
+        size(col("vals")).cast("long").as("m") :+
+        element_at(col("vals"), 1).as("first") :+
+        aggregate(col("vals"), identity, step).as("full") :+
+        aggregate(slice(col("vals"), lit(2), size(col("vals")) - 1),
+          identity, step).as("tail")): _*)
+
+    val seed0 = array((lit(1.0) +: (1 until d).map(_ => lit(0.0))): _*)
+    val chunks = array_sort(collect_list(struct(
+      col("b"), col("m"), col("first"), col("full"), col("tail"))))
+    chunk
+      .groupBy(seriesCols.map(col): _*)
+      .agg(sum(col("m")).as("n"), chunks.as("cs"))
+      .select((seriesCols.map(col) :+ col("n") :+
+        aggregate(slice(col("cs"), lit(2), size(col("cs")) - 1),
+          applyAff(element_at(col("cs"), 1).getField("tail"),
+            transform(seed0, e => e * element_at(col("cs"), 1).getField("first"))),
+          (s, c) => applyAff(c.getField("full"), s)).as("s")): _*)
+  }
+
+  /** Holt-Winters additive step (α level, β trend, γ seasonal, m=4):
+    * state (l, b, s_now, s+1, s+2, s+3), seasonal rotated to the back
+    * after update — the (M, c) pair for [[affineFinal]]. */
+  def holtWintersStep(alpha: Double, beta: Double,
+                      gamma: Double): (Array[Array[Double]], Array[Double]) = {
+    val m = Array(
+      Array(1 - alpha, 1 - alpha, -alpha, 0.0, 0.0, 0.0),
+      Array(-alpha * beta, 1 - alpha * beta, -alpha * beta, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0, 0.0, 1.0),
+      Array(-gamma * (1 - alpha), -gamma * (1 - alpha),
+        gamma * alpha + 1 - gamma, 0.0, 0.0, 0.0))
+    val c = Array(alpha, alpha * beta, 0.0, 0.0, 0.0, gamma * (1 - alpha))
+    (m, c)
+  }
+}

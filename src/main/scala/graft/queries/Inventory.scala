@@ -1241,6 +1241,43 @@ object Inventory {
       |        FROM events GROUP BY event_type) t) u
       |ORDER BY event_type""".stripMargin)
 
+  // Scale twin: the SQL IS the sequential rotating-state fold above; the
+  // DSL runs operators.SegmentedAffine (6x6 matrix-affine chunk
+  // decomposition) - same contract as TS-EMA/HOLT-SCALE.
+  q("TS-HOLT-WINTERS-SCALE",
+    """SELECT event_type, size(vals) AS n,
+      |  round(hb[0], 4) AS level, round(hb[1], 4) AS trend,
+      |  round(hb[0] + hb[1] + hb[2], 4) AS forecast
+      |FROM (
+      |  SELECT event_type, vals,
+      |    aggregate(slice(vals, 2, size(vals) - 1),
+      |              array(element_at(vals, 1), 0.0D, 0.0D, 0.0D, 0.0D, 0.0D),
+      |              (acc, x) -> array(
+      |                0.3D * (x - acc[2]) + 0.7D * (acc[0] + acc[1]),
+      |                0.2D * ((0.3D * (x - acc[2]) + 0.7D * (acc[0] + acc[1])) - acc[0]) + 0.8D * acc[1],
+      |                acc[3], acc[4], acc[5],
+      |                0.3D * (x - (0.3D * (x - acc[2]) + 0.7D * (acc[0] + acc[1]))) + 0.7D * acc[2])) AS hb
+      |  FROM (
+      |    SELECT event_type,
+      |      transform(array_sort(collect_list(struct(ts, event_id, value))),
+      |                s -> s.value) AS vals
+      |    FROM events GROUP BY event_type) t) u
+      |ORDER BY event_type""".stripMargin,
+    """SELECT event_type, CAST(len(vals) AS INT) AS n,
+      |  round(hb[1], 4) AS level, round(hb[2], 4) AS trend,
+      |  round(hb[1] + hb[2] + hb[3], 4) AS forecast
+      |FROM (
+      |  SELECT event_type, vals,
+      |    list_reduce(list_prepend([vals[1], 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE],
+      |                             list_transform(vals[2:], v -> [v, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE])),
+      |      (acc, x) -> [0.3::DOUBLE * (x[1] - acc[3]) + 0.7::DOUBLE * (acc[1] + acc[2]),
+      |                   0.2::DOUBLE * ((0.3::DOUBLE * (x[1] - acc[3]) + 0.7::DOUBLE * (acc[1] + acc[2])) - acc[1]) + 0.8::DOUBLE * acc[2],
+      |                   acc[4], acc[5], acc[6],
+      |                   0.3::DOUBLE * (x[1] - (0.3::DOUBLE * (x[1] - acc[3]) + 0.7::DOUBLE * (acc[1] + acc[2]))) + 0.7::DOUBLE * acc[3]]) AS hb
+      |  FROM (SELECT event_type, list(value ORDER BY ts, event_id) AS vals
+      |        FROM events GROUP BY event_type) t) u
+      |ORDER BY event_type""".stripMargin)
+
   // Scale twin: the SQL IS the sequential pair fold above; the DSL runs
   // graft.operators.SegmentedHolt — the 2×2 matrix-affine generalization
   // of TS-EMA-SCALE's chunk decomposition (Holt's update is one affine

@@ -92,6 +92,37 @@ object EmaScaleProbe {
     val hAgree = hgRows.map(_.toString).sameElements(hsRows.map(_.toString))
     println(f"[emascale] holt agree=$hAgree speedup=${hgSec / hsSec}%.1fx")
     require(hAgree, "segmented Holt diverged from the sequential fold at 4dp")
+
+    // Holt-Winters: the 6-state rotating-seasonal fold vs the 6×6 affine
+    val (wgSec, wgRows) = time("whole-series Holt-Winters fold (contract shape)") {
+      def hwStep(acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) = {
+        val lNew = lit(0.3) * (x - element_at(acc, 3)) +
+          lit(0.7) * (element_at(acc, 1) + element_at(acc, 2))
+        array(lNew,
+          lit(0.2) * (lNew - element_at(acc, 1)) + lit(0.8) * element_at(acc, 2),
+          element_at(acc, 4), element_at(acc, 5), element_at(acc, 6),
+          lit(0.3) * (x - lNew) + lit(0.7) * element_at(acc, 3))
+      }
+      events.groupBy("event_type")
+        .agg(transform(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+          _.getField("value")).as("vals"))
+        .select(col("event_type"),
+          round(element_at(aggregate(slice(col("vals"), lit(2), size(col("vals")) - 1),
+            array(element_at(col("vals"), 1), lit(0.0), lit(0.0), lit(0.0),
+              lit(0.0), lit(0.0)), hwStep), 1), 4).as("level"))
+        .orderBy("event_type").collect()
+    }
+    val (wsSec, wsRows) = time("segmented Holt-Winters (6x6 affine)") {
+      val (m, c) = graft.operators.SegmentedAffine.holtWintersStep(0.3, 0.2, 0.3)
+      graft.operators.SegmentedAffine.affineFinal(events, Seq("event_type"),
+          col("ts").cast("double"), Seq(col("ts"), col("event_id")), col("value"),
+          m, c)
+        .select(col("event_type"), round(element_at(col("s"), 1), 4).as("level"))
+        .orderBy("event_type").collect()
+    }
+    val wAgree = wgRows.map(_.toString).sameElements(wsRows.map(_.toString))
+    println(f"[emascale] holt-winters agree=$wAgree speedup=${wgSec / wsSec}%.1fx")
+    require(wAgree, "segmented Holt-Winters diverged from the sequential fold at 4dp")
     spark.stop()
   }
 }

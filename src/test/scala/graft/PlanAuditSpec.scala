@@ -135,7 +135,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("TS-EMA/HOLT-SCALE: no whole-series collect — data-side aggregate is chunk-grouped") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    Seq("TS-EMA-SCALE", "TS-HOLT-SCALE").foreach { id =>
+    Seq("TS-EMA-SCALE", "TS-HOLT-SCALE", "TS-HOLT-WINTERS-SCALE").foreach { id =>
       val plan = df(id).queryExecution.optimizedPlan
       // no window operator at all: the scale path is two hash aggregates
       assert(plan.collect { case w: LWindow => w }.isEmpty,
