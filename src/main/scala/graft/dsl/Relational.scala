@@ -702,6 +702,30 @@ object Relational {
     // winsorized moments: per-group p05/p95 clip (the standard outlier
     // treatment before training statistics) — bounds from one small
     // aggregate broadcast back, clip + moments in a single second pass
+    // RFM segmentation: per-user purchase aggregates scored 1-4 against
+    // broadcast corpus quartiles — no global window, no ntile sort
+    "EVENT-RFM" -> { s =>
+      val u = s.table("events").where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(col("ts").cast("double")).as("rec"),
+          count(lit(1)).as("freq"),
+          sum(col("value").cast(dec(18, 6))).cast("double").as("mon"))
+      val qs = for {
+        (m, p) <- Seq("rec" -> "r", "freq" -> "f", "mon" -> "m")
+        (q, i) <- Seq("0.25" -> 1, "0.5" -> 2, "0.75" -> 3)
+      } yield expr(s"percentile($m, $q)").as(s"$p$i")
+      val t = u.agg(qs.head, qs.tail: _*)
+      def score(v: Column, p: String) = lit(1) +
+        (v > col(s"${p}1")).cast("int") + (v > col(s"${p}2")).cast("int") +
+        (v > col(s"${p}3")).cast("int")
+      u.crossJoin(broadcast(t))
+        .select(col("user_id"), score(col("rec"), "r").as("r_score"),
+          score(col("freq"), "f").as("f_score"), score(col("mon"), "m").as("m_score"))
+        .select(col("user_id"), col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm_cell"))
+        .orderBy("user_id").limit(200)
+    },
+
     "AGG-WINSOR" -> { s =>
       val ev = s.table("events").where(col("value").isNotNull)
       val b = ev.groupBy("event_type").agg(

@@ -493,6 +493,48 @@ object Inventory {
 
   // winsorized moments: per-group p05/p95 clip before the statistics —
   // the standard outlier treatment for training-data numeric columns
+  // RFM user segmentation (recency / frequency / monetary): per-user
+  // purchase aggregates scored 1-4 against the corpus quartiles — the
+  // classic CRM cell assignment. Thresholds are ONE row (broadcast on the
+  // Spark side), scores pure CASE arithmetic — no global window, no ntile
+  // sort; quartile ties resolve identically because both engines compare
+  // the same interpolated doubles.
+  q("EVENT-RFM",
+    """WITH u AS (
+      |  SELECT user_id, max(CAST(ts AS DOUBLE)) AS rec, count(*) AS freq,
+      |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS mon
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |t AS (SELECT
+      |  percentile(rec, 0.25) AS r1, percentile(rec, 0.5) AS r2, percentile(rec, 0.75) AS r3,
+      |  percentile(freq, 0.25) AS f1, percentile(freq, 0.5) AS f2, percentile(freq, 0.75) AS f3,
+      |  percentile(mon, 0.25) AS m1, percentile(mon, 0.5) AS m2, percentile(mon, 0.75) AS m3
+      |  FROM u),
+      |s AS (SELECT u.user_id,
+      |  1 + CAST(u.rec > t.r1 AS INT) + CAST(u.rec > t.r2 AS INT) + CAST(u.rec > t.r3 AS INT) AS r_score,
+      |  1 + CAST(u.freq > t.f1 AS INT) + CAST(u.freq > t.f2 AS INT) + CAST(u.freq > t.f3 AS INT) AS f_score,
+      |  1 + CAST(u.mon > t.m1 AS INT) + CAST(u.mon > t.m2 AS INT) + CAST(u.mon > t.m3 AS INT) AS m_score
+      |  FROM u CROSS JOIN t)
+      |SELECT user_id, r_score, f_score, m_score,
+      |  r_score * 100 + f_score * 10 + m_score AS rfm_cell
+      |FROM s ORDER BY user_id LIMIT 200""".stripMargin,
+    """WITH u AS (
+      |  SELECT user_id, max(epoch(CAST(ts AS TIMESTAMP))) AS rec, count(*) AS freq,
+      |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS mon
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |t AS (SELECT
+      |  quantile_cont(rec, 0.25) AS r1, quantile_cont(rec, 0.5) AS r2, quantile_cont(rec, 0.75) AS r3,
+      |  quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2, quantile_cont(freq, 0.75) AS f3,
+      |  quantile_cont(mon, 0.25) AS m1, quantile_cont(mon, 0.5) AS m2, quantile_cont(mon, 0.75) AS m3
+      |  FROM u),
+      |s AS (SELECT u.user_id,
+      |  1 + CAST(u.rec > t.r1 AS INT) + CAST(u.rec > t.r2 AS INT) + CAST(u.rec > t.r3 AS INT) AS r_score,
+      |  1 + CAST(u.freq > t.f1 AS INT) + CAST(u.freq > t.f2 AS INT) + CAST(u.freq > t.f3 AS INT) AS f_score,
+      |  1 + CAST(u.mon > t.m1 AS INT) + CAST(u.mon > t.m2 AS INT) + CAST(u.mon > t.m3 AS INT) AS m_score
+      |  FROM u CROSS JOIN t)
+      |SELECT user_id, r_score, f_score, m_score,
+      |  r_score * 100 + f_score * 10 + m_score AS rfm_cell
+      |FROM s ORDER BY user_id LIMIT 200""".stripMargin)
+
   q("AGG-WINSOR",
     """WITH b AS (SELECT event_type, percentile(value, 0.05) AS lo,
       |  percentile(value, 0.95) AS hi
