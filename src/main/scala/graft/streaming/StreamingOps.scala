@@ -272,32 +272,48 @@ object StreamingOps {
     * operator — and the window-based `Funnel.stepTimes` — serve as the
     * correctness oracle (asserted in StreamingSpec). State is k doubles
     * per user that has entered the funnel — bounded by funnel depth, not
-    * stream length. */
+    * stream length. Completed users' state must STAY (dropping it would
+    * let a later event restart the funnel and emit duplicate hits — every
+    * stage latches its FIRST time forever); at unbounded user cardinality
+    * use `idleTimeout` (counterToRate's knob) to evict users with no
+    * activity for the duration. An evicted user who reappears restarts
+    * from stage 1 — the standard bounded-state trade-off, off by default
+    * so the batch-parity contract stays exact. */
   def funnelSteps(points: Dataset[FunnelPoint], steps: Seq[String],
-                  windowSec: Double): Dataset[FunnelHit] = {
+                  windowSec: Double,
+                  idleTimeout: Option[String] = None): Dataset[FunnelHit] = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
     val session = points.sparkSession
     import session.implicits._
     val idx = steps.zipWithIndex.toMap
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     points.groupByKey(_.user)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (user: Long, it: Iterator[FunnelPoint], state: GroupState[FunnelTimes]) =>
-          val t = state.getOption.map(_.times.toArray)
-            .getOrElse(Array.fill(steps.size)(Double.NaN))
-          val out = Seq.newBuilder[FunnelHit]
-          it.toSeq
-            .sortBy(p => (p.epoch, idx.getOrElse(p.step, Int.MaxValue)))
-            .foreach { p =>
-              idx.get(p.step).foreach { i =>
-                if (t(i).isNaN) {
-                  val ok = if (i == 0) true
-                  else !t(i - 1).isNaN && p.epoch <= t(i - 1) + windowSec
-                  if (ok) { t(i) = p.epoch; out += FunnelHit(user, i + 1, p.epoch) }
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val t = state.getOption.map(_.times.toArray)
+              .getOrElse(Array.fill(steps.size)(Double.NaN))
+            val out = Seq.newBuilder[FunnelHit]
+            it.toSeq
+              .sortBy(p => (p.epoch, idx.getOrElse(p.step, Int.MaxValue)))
+              .foreach { p =>
+                idx.get(p.step).foreach { i =>
+                  if (t(i).isNaN) {
+                    val ok = if (i == 0) true
+                    else !t(i - 1).isNaN && p.epoch <= t(i - 1) + windowSec
+                    if (ok) { t(i) = p.epoch; out += FunnelHit(user, i + 1, p.epoch) }
+                  }
                 }
               }
-            }
-          state.update(FunnelTimes(t.toSeq))
-          out.result().iterator
+            state.update(FunnelTimes(t.toSeq))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
       }
   }
 

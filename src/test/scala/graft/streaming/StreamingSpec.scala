@@ -185,6 +185,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === winTimes)
     assert(streamed.nonEmpty && streamed.exists(_._2 == 3),
       "fixture must drive at least one full-funnel completion")
+
+    // idle-timeout variant: identical hits when nothing actually idles out
+    // within the run (the eviction knob must not perturb live semantics).
+    // Cannot processAllAvailable under ProcessingTimeTimeout (timeout
+    // batches keep the query busy) — poll the sink, counterToRate-style.
+    val input2 = MemoryStream[FunnelPoint](spark)
+    val q2 = StreamingOps.funnelSteps(input2.toDS(), steps, 86400.0,
+        idleTimeout = Some("1 hour"))
+      .writeStream.format("memory").queryName("funnel_out_idle")
+      .outputMode("append").start()
+    input2.addData(pts)
+    def idleRows() = spark.table("funnel_out_idle")
+      .collect().map { case org.apache.spark.sql.Row(u: Long, s2: Int, e: Double) => (u, s2, e) }
+      .toSet
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (idleRows().size < batch.size && System.nanoTime() < deadline)
+      Thread.sleep(200)
+    q2.stop()
+    assert(idleRows() === batch)
   }
 
   test("streaming sessionize: per-user session count equals batch-replay formulation") {
