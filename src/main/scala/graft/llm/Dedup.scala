@@ -563,22 +563,7 @@ object Dedup {
     * needs it. The FINAL checkpoint backing a returned DataFrame must NOT
     * be released — localCheckpoint truncates lineage, so its blocks are
     * the only copy. */
-  private class CheckpointChain(spark: org.apache.spark.sql.SparkSession) {
-    private var prev: Option[org.apache.spark.rdd.RDD[_]] = None
-    def next(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint()
-      val rdd = out.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
-      prev.foreach(_.unpersist(blocking = false))
-      prev = rdd
-      out
-    }
-    def release(): Unit = {
-      prev.foreach(_.unpersist(blocking = false))
-      prev = None
-    }
-  }
+  private type CheckpointChain = graft.core.CheckpointChain
 
   /** The user-facing dedup endgame: the corpus with every non-representative
     * near-duplicate removed. Composes the full pipeline — exact-clone
