@@ -16,6 +16,12 @@ final case class RateState(epoch: Long, value: Double)
 final case class AnomalyOut(metric: String, epoch: Long, value: Double, zscore: Double)
 /** Per-metric EWMA state: points seen, running mean and variance. */
 final case class AnomalyState(n: Long, mean: Double, varr: Double)
+/** 1-step-ahead forecast emitted BEFORE the point updates the state —
+  * forecast error is directly observable per point. */
+final case class ForecastOut(metric: String, epoch: Long, value: Double, forecast: Double)
+/** Per-metric Holt-Winters state: points absorbed + (level, trend,
+  * rotating seasonals). */
+final case class HwState(n: Long, s: Seq[Double])
 /** A funnel input event: (user, step name, epoch seconds). */
 final case class FunnelPoint(user: Long, step: String, epoch: Double)
 /** A funnel stage completion: user first completed `stage` (1-based) at
@@ -260,6 +266,46 @@ object StreamingOps {
     * in arrival order — inherent to any one-pass detector. State is two
     * doubles and a count per metric — bounded regardless of stream length
     * or cardinality. */
+  /** Streaming Holt-Winters forecaster: the stateful twin of the batch
+    * TS-HOLT-WINTERS fold — per-metric (level, trend, rotating m-seasonal)
+    * state across micro-batches, emitting each point's 1-STEP-AHEAD
+    * forecast (level + trend + next seasonal, computed BEFORE the point
+    * updates the state, so forecast error is observable per point; the
+    * first `warmup` points are absorbed silently). Within a batch, points
+    * fold in (epoch, value) order — the anomalies determinism recipe — so
+    * any epoch-order-preserving micro-batch slicing equals the batch-mode
+    * run of this SAME operator (asserted in StreamingSpec together with a
+    * reference-fold cross-check). State is season+2 doubles and a count
+    * per metric — bounded at any cardinality and stream length. */
+  def holtWintersForecast(points: Dataset[RatePoint], alpha: Double = 0.3,
+                          beta: Double = 0.2, gamma: Double = 0.3,
+                          season: Int = 4, warmup: Int = 1): Dataset[ForecastOut] = {
+    require(season >= 2, s"season must be >= 2, got $season")
+    val session = points.sparkSession
+    import session.implicits._
+    points.groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (metric: String, it: Iterator[RatePoint], state: GroupState[HwState]) =>
+          var st = state.getOption.getOrElse(HwState(0L, Nil))
+          val out = Seq.newBuilder[ForecastOut]
+          it.toSeq.sortBy(p => (p.epoch, p.value)).foreach { p =>
+            if (st.n == 0L) {
+              st = HwState(1L, p.value +: 0.0 +: Seq.fill(season)(0.0))
+            } else {
+              val v = st.s
+              val (l, b, sNow) = (v(0), v(1), v(2))
+              if (st.n >= warmup) out += ForecastOut(metric, p.epoch, p.value, l + b + sNow)
+              val l2 = alpha * (p.value - sNow) + (1 - alpha) * (l + b)
+              val b2 = beta * (l2 - l) + (1 - beta) * b
+              val s2 = gamma * (p.value - l2) + (1 - gamma) * sNow
+              st = HwState(st.n + 1, l2 +: b2 +: (v.drop(3) :+ s2))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming k-step ordered funnel: the stateful twin of
     * [[graft.operators.Funnel]] — emits a [[FunnelHit]] the first time each
     * user completes each stage (stage i qualifying only within `windowSec`

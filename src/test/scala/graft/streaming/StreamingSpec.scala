@@ -206,6 +206,51 @@ class StreamingSpec extends SparkSpec {
     assert(idleRows() === batch)
   }
 
+  test("holt-winters forecast: state spans micro-batches, equals batch run and reference fold") {
+    val sq = spark
+    import sq.implicits._
+    // two metrics with a period-4 seasonal pattern plus drift
+    val pts = (for {
+      m <- Seq("m1", "m2"); i <- 1 to 40
+    } yield RatePoint(m, i.toLong,
+      (if (m == "m1") 10.0 else 50.0) + i * 0.5 + Seq(3.0, -1.0, -2.0, 0.0)(i % 4)))
+
+    val input = MemoryStream[RatePoint](spark)
+    val query = StreamingOps.holtWintersForecast(input.toDS())
+      .writeStream.format("memory").queryName("hw_out")
+      .outputMode("append").start()
+    input.addData(pts.filter(_.epoch <= 20))
+    query.processAllAvailable()
+    input.addData(pts.filter(_.epoch > 20))
+    query.processAllAvailable()
+    query.stop()
+
+    def canonRows(df: org.apache.spark.sql.DataFrame) = canon(
+      df.select(col("metric"), col("epoch"), round(col("forecast"), 4).as("f"))
+        .orderBy("metric", "epoch"))
+    val streamed = canonRows(spark.table("hw_out"))
+    val batch = canonRows(StreamingOps.holtWintersForecast(pts.toDS()).toDF())
+    assert(streamed === batch)
+
+    // reference sequential fold for m1
+    var st = Array(pts.find(_.metric == "m1").get.value, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val expected = pts.filter(_.metric == "m1").drop(1).map { p =>
+      val f = st(0) + st(1) + st(2)
+      val l2 = 0.3 * (p.value - st(2)) + 0.7 * (st(0) + st(1))
+      val s2 = 0.3 * (p.value - l2) + 0.7 * st(2)
+      st = Array(l2, 0.2 * (l2 - st(0)) + 0.8 * st(1), st(3), st(4), st(5), s2)
+      (p.epoch, BigDecimal(f).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = spark.table("hw_out").where(col("metric") === "m1")
+      .select(col("epoch"), round(col("forecast"), 4).as("f"))
+      .orderBy("epoch").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+    // seasonal model must beat the naive level forecast on seasonal data
+    val hwErr = spark.table("hw_out").where(col("metric") === "m1" && col("epoch") > 20)
+      .select(avg(abs(col("value") - col("forecast")))).head().getDouble(0)
+    assert(hwErr < 2.0, s"seasonal forecast error too large: $hwErr")
+  }
+
   test("streaming sessionize: per-user session count equals batch-replay formulation") {
     val sq = spark
     import sq.implicits._
