@@ -233,6 +233,255 @@ object Relational {
         .orderBy(col("numwait").desc, col("s_name")).limit(100)
     },
 
+    // Q2 min-cost supplier: the correlated MIN decorrelates to a per-part
+    // aggregate joined back on (partkey, price = min). The part slice is
+    // applied FIRST as a broadcast semi join, so the per-part min is only
+    // computed for qualifying parts — at 100 TB the aggregate input is the
+    // slice, not the fact table.
+    "JOIN-TPCH-Q2" -> { s =>
+      val pSlice = s.table("part")
+        .where(col("p_type") === "STANDARD" && col("p_size") <= 5)
+        .select("p_partkey", "p_name")
+      val li = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+      val sliced = li.join(broadcast(pSlice.select(col("p_partkey").as("pk"))),
+        col("l_partkey") === col("pk"), "left_semi")
+      val minp = sliced.groupBy(col("l_partkey").as("mpk"))
+        .agg(min("l_extendedprice").as("minp"))
+      sliced.join(broadcast(minp),
+          col("l_partkey") === col("mpk") && col("l_extendedprice") === col("minp"))
+        .join(broadcast(pSlice), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(s.table("supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+          round(col("l_extendedprice"), 2).as("minprice"))
+        .orderBy("p_partkey", "s_suppkey").limit(100)
+    },
+
+    // Q4 order-priority checking: the correlated EXISTS is an orderkey
+    // semi join with the ship-after-30-days residual inside the join
+    // condition — never materializing the matching lineitems.
+    "JOIN-TPCH-Q4" -> { s =>
+      val ord = s.table("orders")
+        .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .select("l_orderkey", "l_shipdate")
+      ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '30' DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Q7 volume shipping: nation→region names decorate supplier/customer
+    // via broadcast dims (pre-pruned to the two blocs); one fact shuffle.
+    "JOIN-TPCH-Q7" -> { s =>
+      val nr = s.table("nation")
+        .join(broadcast(s.table("region")), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name").isin("ASIA", "EUROPE"))
+        .select("n_nationkey", "r_name")
+      val supp = s.table("supplier")
+        .join(broadcast(nr.select(col("n_nationkey").as("snk"),
+          col("r_name").as("supp_region"))), col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "supp_region")
+      val cust = s.table("customer")
+        .join(broadcast(nr.select(col("n_nationkey").as("cnk"),
+          col("r_name").as("cust_region"))), col("c_nationkey") === col("cnk"))
+        .select("c_custkey", "cust_region")
+      val ord = s.table("orders").select("o_orderkey", "o_custkey")
+      val li = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .where((col("supp_region") === "ASIA" && col("cust_region") === "EUROPE") ||
+          (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
+        .groupBy(col("supp_region"), col("cust_region"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(dec(18, 4))).cast("double"), 2).as("revenue"))
+        .orderBy("supp_region", "cust_region", "l_year")
+    },
+
+    // Q8 market share: the part slice and the ASIA customer set are both
+    // broadcast filters (semi join for customers — only membership is
+    // used); supplier nation decorates the surviving rows. Both ratio
+    // sums ride DECIMAL; one deterministic double division at the end.
+    "JOIN-TPCH-Q8" -> { s =>
+      val pe = s.table("part").where(col("p_type") === "ECONOMY").select("p_partkey")
+      val asiaKeys = s.table("nation")
+        .join(broadcast(s.table("region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")
+      val asiaCust = s.table("customer")
+        .join(broadcast(asiaKeys), col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .select("c_custkey")
+      val supN = s.table("supplier")
+        .join(broadcast(s.table("nation").select(col("n_nationkey").as("snk"),
+          col("n_name").as("nat"))), col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "nat")
+      val ord = s.table("orders").select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec(18, 4))
+      li.join(broadcast(pe), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("nat") === "NATION_2", vol).otherwise(lit(0).cast(dec(18, 4))))
+            .cast("double") / sum(vol).cast("double"), 4).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // Q11 important parts: per-part value vs a threshold derived from ONE
+    // global aggregate (total + distinct-part count in a single pass,
+    // broadcast as a 1-row frame — the scalar-subquery pattern).
+    "AGG-TPCH-Q11" -> { s =>
+      val li = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .select("l_partkey", "l_extendedprice")
+      val per = li.groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice").cast(dec(18, 2))).as("value"))
+      val tot = li.agg(
+        sum(col("l_extendedprice").cast(dec(18, 2))).cast("double").as("tot"),
+        countDistinct("l_partkey").as("np"))
+      per.crossJoin(broadcast(tot))
+        .where(col("value").cast("double") > lit(1.5) * col("tot") / col("np"))
+        .select(col("l_partkey"), round(col("value").cast("double"), 2).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+
+    // Q13 customer distribution: filter BEFORE the outer join (equivalent
+    // to the ON-clause predicate), then two stacked aggregates.
+    "JOIN-TPCH-Q13" -> { s =>
+      val ord = s.table("orders").where(col("o_orderpriority") =!= "5-LOW")
+        .select("o_custkey", "o_orderkey")
+      s.table("customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Q14 promo revenue: one month of fact rows, part type via broadcast,
+    // conditional/total DECIMAL sums, single double division.
+    "JOIN-TPCH-Q14" -> { s =>
+      val li = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .where(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec(18, 4))
+      li.join(broadcast(s.table("part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(dec(18, 4))))
+            .cast("double") / sum(rev).cast("double"), 4).as("promo_revenue"))
+    },
+
+    // Q15 top supplier: the scalar max over the derived revenue view is a
+    // 1-row broadcast; DECIMAL equality keeps the tie-set exact.
+    "JOIN-TPCH-Q15" -> { s =>
+      val li = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val rev = li.groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(dec(18, 4))).as("total_revenue"))
+      val mx = rev.agg(max("total_revenue").as("mx"))
+      rev.crossJoin(broadcast(mx)).where(col("total_revenue") === col("mx"))
+        .join(broadcast(s.table("supplier").select("s_suppkey", "s_name")),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_revenue").cast("double"), 2).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // Q17 small-quantity revenue: the correlated AVG decorrelates to a
+    // per-part aggregate over the SLICED fact rows (the slice is a part-
+    // attribute filter, so per-part stats are unchanged by pre-filtering).
+    "JOIN-TPCH-Q17" -> { s =>
+      val pSlice = s.table("part")
+        .where(col("p_brand") === "Brand#23" && col("p_size") <= 25)
+        .select("p_partkey")
+      val li = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val sliced = li.join(broadcast(pSlice),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      val avgq = sliced.groupBy(col("l_partkey").as("apk"))
+        .agg((lit(0.2) * avg("l_quantity")).as("thresh"))
+      sliced.join(broadcast(avgq), col("l_partkey") === col("apk"))
+        .where(col("l_quantity") < col("thresh"))
+        .agg(round(sum(col("l_extendedprice").cast(dec(18, 2)))
+          .cast("double") / lit(7.0), 2).as("avg_yearly"))
+    },
+
+    // Q19 disjunctive predicates: the part side is pre-pruned to the three
+    // brands (a pushable disjunction residual), quantity conjuncts apply
+    // after the broadcast join.
+    "JOIN-TPCH-Q19" -> { s =>
+      val li = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val p = s.table("part")
+        .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#4"))
+        .select("p_partkey", "p_brand", "p_size")
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .where(cond)
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(dec(18, 4))).cast("double"), 2).as("revenue"))
+    },
+
+    // Q20 excess-share supplier: two stacked fact aggregates (per-pair
+    // quantity, per-part max) joined on (part, q = max); the blue-part
+    // slice pushes down as a semi join before either aggregate. Quantity
+    // sums are integral doubles — max-equality is exact.
+    "JOIN-TPCH-Q20" -> { s =>
+      val blue = s.table("part").where(col("p_name").like("blue%"))
+        .select("p_partkey")
+      val per = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(blue), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey").agg(sum("l_quantity").as("q"))
+      val mx = per.groupBy(col("l_partkey").as("mpk")).agg(max("q").as("mq"))
+      val winners = per.join(broadcast(mx),
+          col("l_partkey") === col("mpk") && col("q") === col("mq"))
+        .select("l_suppkey").distinct()
+      s.table("supplier")
+        .join(winners, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name").orderBy("s_suppkey")
+    },
+
+    // Q22 sales opportunity: 1-row broadcast threshold (DECIMAL-sum mean,
+    // one deterministic division) + anti join on urgent orders (quirk #3:
+    // customers without ANY order don't exist below sf0.1).
+    "JOIN-TPCH-Q22" -> { s =>
+      val cust = s.table("customer")
+      val thr = cust.where(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast(dec(18, 2))).cast("double") /
+          count(lit(1))).as("thr"))
+      val urgent = s.table("orders")
+        .where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      cust.crossJoin(broadcast(thr))
+        .where(col("c_acctbal") > col("thr"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 5).cast("int").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast(dec(18, 2))).cast("double"), 2)
+            .as("totacctbal"))
+        .orderBy("cntrycode")
+    },
+
     // explicit dedup-then-count instead of countDistinct: map-side partial
     // dedup replaces the Expand + two-phase distinct aggregate (measured
     // 2× at sf0.1, same shuffle key at scale). The isNotNull guard matches

@@ -205,6 +205,164 @@ object Inventory {
       |GROUP BY s_name, n_name
       |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
 
+  // Q2 minimum-cost supplier: correlated MIN scalar subquery per part
+  // (fixture has no partsupp, so the min is over lineitem's observed
+  // prices). min() on double is order-independent — exact cross-engine.
+  q("JOIN-TPCH-Q2",
+    """SELECT p_partkey, p_name, s_suppkey, s_name, round(l_extendedprice, 2) AS minprice
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE p_type = 'STANDARD' AND p_size <= 5
+      |  AND l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)
+      |ORDER BY p_partkey, s_suppkey LIMIT 100""".stripMargin)
+
+  // Q4 order-priority checking: correlated EXISTS with a non-equi residual
+  // ("shipped >30 days after order" stands in for the missing commit date).
+  q("JOIN-TPCH-Q4",
+    """SELECT o_orderpriority, count(*) AS order_count FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL '30' DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    """SELECT o_orderpriority, count(*) AS order_count FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  // Q7 volume shipping between two trading blocs (region-level: the
+  // sf0.001 supplier sample is too sparse for single-nation pairs).
+  q("JOIN-TPCH-Q7",
+    """SELECT supp_region, cust_region, l_year,
+      |  round(CAST(sum(volume) AS DOUBLE), 2) AS revenue FROM (
+      |  SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+      |    year(l_shipdate) AS l_year,
+      |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume
+      |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      |    JOIN orders ON o_orderkey = l_orderkey
+      |    JOIN customer ON c_custkey = o_custkey
+      |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |    JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+      |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |  WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+      |      OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01') t
+      |GROUP BY supp_region, cust_region, l_year
+      |ORDER BY supp_region, cust_region, l_year""".stripMargin)
+
+  // Q8 market share: one nation's slice of a region's import volume by
+  // year — conditional-sum ratio over a 7-table join. Both sums ride
+  // DECIMAL; the final division is one deterministic double op.
+  q("JOIN-TPCH-Q8",
+    """SELECT o_year,
+      |  round(CAST(sum(CASE WHEN nat = 'NATION_2' THEN volume ELSE 0 END) AS DOUBLE)
+      |      / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share FROM (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+      |    n2.n_name AS nat
+      |  FROM part JOIN lineitem ON p_partkey = l_partkey
+      |    JOIN supplier ON s_suppkey = l_suppkey
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |    JOIN region ON n1.n_regionkey = r_regionkey
+      |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY') t
+      |GROUP BY o_year ORDER BY o_year""".stripMargin)
+
+  // Q11 important-part concentration (no partsupp: "value" is lineitem
+  // revenue per part): HAVING-style filter against a global-aggregate
+  // scalar subquery, threshold scaled by distinct-part count so the
+  // query selects at every SF.
+  q("AGG-TPCH-Q11",
+    """SELECT l_partkey, round(CAST(value AS DOUBLE), 2) AS value FROM (
+      |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+      |  FROM lineitem GROUP BY l_partkey) t
+      |WHERE CAST(value AS DOUBLE) >
+      |  1.5 * (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) FROM lineitem)
+      |      / (SELECT count(DISTINCT l_partkey) FROM lineitem)
+      |ORDER BY value DESC, l_partkey""".stripMargin)
+
+  // Q13 customer distribution: outer-join fact histogram — count orders
+  // per customer (zeros kept), then the distribution of those counts.
+  q("JOIN-TPCH-Q13",
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+
+  // Q14 promo revenue share: conditional-aggregate ratio over one month.
+  q("JOIN-TPCH-Q14",
+    """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(rev) AS DOUBLE), 4) AS promo_revenue FROM (
+      |  SELECT p_type, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01') t""".stripMargin)
+
+  // Q15 top supplier: argmax against a scalar subquery over a derived
+  // revenue view (used twice: join input + max). DECIMAL equality is
+  // exact, so the tie-set is cross-engine stable.
+  q("JOIN-TPCH-Q15",
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin)
+
+  // Q17 small-quantity-order revenue: correlated scalar AVG per part
+  // (quantities are integral doubles — the avg is exact either engine).
+  q("JOIN-TPCH-Q17",
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23' AND p_size <= 25
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+
+  // Q19 disjunctive predicates: OR of brand×size×quantity conjunctions —
+  // the filter shape that exercises disjunction pushdown.
+  q("JOIN-TPCH-Q19",
+    """SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+
+  // Q20 excess-share supplier: nested IN-subquery over two stacked fact
+  // aggregates (per-(part,supplier) quantity vs the part's max) — the
+  // argmax variant fits every SF where a fixed share threshold cannot.
+  q("JOIN-TPCH-Q20",
+    """WITH per AS (
+      |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |mx AS (SELECT l_partkey, max(q) AS mq FROM per GROUP BY l_partkey)
+      |SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM per JOIN mx USING (l_partkey)
+      |    JOIN part ON p_partkey = l_partkey
+      |  WHERE p_name LIKE 'blue%' AND q = mq)
+      |ORDER BY s_suppkey""".stripMargin)
+
+  // Q22 global sales opportunity: anti join + scalar-subquery threshold.
+  // "has no urgent orders" stands in for quirk #3 (customers without ANY
+  // order don't exist below sf0.1); country code is nationkey mod 5.
+  q("JOIN-TPCH-Q22",
+    """SELECT cntrycode, count(*) AS numcust,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal FROM (
+      |  SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, c_acctbal FROM customer
+      |  WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |      FROM customer WHERE c_acctbal > 0.0)
+      |    AND NOT EXISTS (SELECT 1 FROM orders
+      |      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')) t
+      |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)
+
   q("AGG-DISTINCT",
     """SELECT event_type, count(DISTINCT user_id) AS u
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
