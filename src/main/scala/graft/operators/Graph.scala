@@ -28,7 +28,8 @@ object Graph {
     * per dst are a parallel double sum) — assert ranks to a tolerance,
     * not bit-exactly, across cluster layouts. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 10, d: Double = 0.85): DataFrame = {
+               iterations: Int = 10, d: Double = 0.85,
+               pinDecimals: Int = 0): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(d > 0 && d < 1, s"damping must be in (0,1), got $d")
     val spark = edges.sparkSession
@@ -40,15 +41,25 @@ object Graph {
     val n = nodes.count().toDouble
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+    // exactly-rounded state pinning (the STREAM-ANOMALY recipe): with
+    // pinDecimals > 0 every stored rank is floor(x·10^p + 0.5)/10^p, so a
+    // SQL replay of the same pinned sequence hash-matches bit-for-bit —
+    // per-iteration fp drift (~1e-16) never survives the pin. 0 = off
+    // (the default; cluster runs assert to a tolerance instead).
+    val pinF = math.pow(10, pinDecimals)
+    def pin(c: org.apache.spark.sql.Column) =
+      if (pinDecimals > 0) floor(c * pinF + 0.5) / pinF else c
+    def pinS(x: Double) =
+      if (pinDecimals > 0) math.floor(x * pinF + 0.5) / pinF else x
 
     val chain = new graft.core.CheckpointChain(spark)
     var ranks = chain.next(
-      nodes.withColumn("rank", lit(1.0 / n)))
+      nodes.withColumn("rank", pin(lit(1.0 / n))))
     for (_ <- 1 to iterations) {
       val withDeg = ranks.join(deg, Seq("node"), "left")
       // one-row aggregate: total rank parked on dangling nodes
-      val dangling = withDeg.where(col("deg").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val dangling = pinS(withDeg.where(col("deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0))
       val contribs = withDeg.where(col("deg").isNotNull)
         .join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
@@ -56,9 +67,57 @@ object Graph {
       ranks = chain.next(
         nodes.join(contribs, Seq("node"), "left")
           .select(col("node"),
-            (lit((1.0 - d) / n) + lit(d) *
+            pin(lit((1.0 - d) / n) + lit(d) *
               (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("rank")))
     }
     ranks
+  }
+
+  /** Exact triangle count over an undirected edge list (first two columns
+    * = endpoints; direction, duplicates and self-loops are normalized
+    * away). Returns one row: `n_triangles`.
+    *
+    * Algorithm: degree orientation (Chiba–Nishizeki / the MapReduce
+    * formulation of Suri & Vassilvitskii WWW'11). Each undirected edge is
+    * oriented from its lower-(degree, id) endpoint to the higher; wedges
+    * are pairs of out-edges at a node, and a triangle is a wedge whose
+    * outer pair is itself an oriented edge. Out-degrees under this
+    * orientation are O(√m), so the wedge set — the only intermediate that
+    * can exceed the input — is bounded by Σ outdeg² = O(m^1.5) REGARDLESS
+    * of hub skew, where the naive neighbor-join explodes quadratically on
+    * the hottest vertex. Both stages are key-equality joins + one count:
+    * the 100 TB shape, no cartesian anywhere. */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+    // total order for orientation: (degree, id) — ties broken by id
+    val withDeg = und
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), Seq("v"))
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("src"),
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("v"))
+        .otherwise(col("u")).as("dst"))
+      .localCheckpoint()
+    // wedges at the LOW end: unordered out-neighbor pairs {b, c} emitted
+    // once in id order, then probed against the id-canonical undirected
+    // edge set — a pure two-column equi join (the OR-of-orientations
+    // probe would plan as a nested-loop join)
+    val o1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+    val o2 = oriented.select(col("src").as("a2"), col("dst").as("c"))
+    val wedges = o1.join(o2, col("a") === col("a2") && col("b") < col("c"))
+      .select("b", "c")
+    wedges.join(und, col("b") === col("u") && col("c") === col("v"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
   }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.ingest.Carbon
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.Graph
 
 /** LLM-data-pipeline operator registry — the training-data operations built
   * on top of the SURVEY §2b inventory, implemented with the idiomatic
@@ -34,7 +35,45 @@ object Extensions {
     Tables.register(spark, dir); Tables.spread(spark.table("events"), "event_id")
   }
 
+  /** Nation trade graph derived from the star schema: directed edge
+    * cust-nation → supp-nation for each nation's top-k trading partners
+    * by lineitem count (ties broken by partner key — deterministic).
+    * The DERIVATION is the distributed-heavy part (a fact-table join +
+    * aggregate); the contracted graph is nation-cardinality, which is
+    * exactly how graph analytics lands at 100 TB — contract first, then
+    * iterate on the small(er) graph. */
+  private def tradeEdges(s: SparkSession, d: String, k: Int): DataFrame = {
+    Tables.register(s, d)
+    val li = Tables.spread(s.table("lineitem"), "l_orderkey")
+      .select("l_orderkey", "l_suppkey")
+    val ord = s.table("orders").select("o_orderkey", "o_custkey")
+    val cust = s.table("customer").select("c_custkey", "c_nationkey")
+    val supp = s.table("supplier").select("s_suppkey", "s_nationkey")
+    val trade = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    trade.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(col("cnt").desc, col("dst"))))
+      .where(col("rn") <= k).select("src", "dst")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // graph analytics over the derived nation trade graph — the real
+    // operators (degree-oriented triangle counting, power-iteration
+    // PageRank) oracle-hashed, not batch reformulations
+    "GRAPH-TRIANGLES" -> ((s, d) =>
+      Graph.triangleCount(tradeEdges(s, d, 3), "src", "dst")),
+    // pinDecimals=12: every stored rank is exactly-rounded to 12 dp so
+    // the DuckDB unrolled replay of the same pinned sequence (10
+    // iterations, d=0.85, uniform dangling redistribution) hash-matches
+    "GRAPH-PAGERANK" -> ((s, d) =>
+      Graph.pageRank(tradeEdges(s, d, 3), "src", "dst",
+          iterations = 10, d = 0.85, pinDecimals = 12)
+        .orderBy("node")),
     // PII scrub: fixtures carry no PII, so the query synthesizes
     // deterministic PII-shaped text from part columns (identically on
     // both engines) and redacts it — emails, IPs, phone shapes, long
@@ -641,7 +680,57 @@ object Extensions {
   private val STOP_ES = "('el','la','que','los','y')"
   private val STOP_FR = "('le','les','des','et','est')"
 
+  /** Shared DuckDB CTE prefix for the nation trade graph (k inlined). */
+  private def tradeDuckCtes(k: Int): String =
+    s"""trade AS MATERIALIZED (
+       |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS cnt
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey <> s_nationkey
+       |  GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cnt DESC, dst) AS rn
+       |  FROM trade) t WHERE rn <= $k)""".stripMargin
+
+  /** DuckDB replay of Graph.pageRank(iterations=10, d=0.85,
+    * pinDecimals=12): the power iteration unrolled as chained CTEs — one
+    * (dangling, contribs, ranks) triple per step, every stored rank
+    * exactly-rounded to 12 dp with the same floor(x·1e12+0.5)/1e12 pin
+    * the operator applies, and every double literal written as the SAME
+    * expression the Scala side evaluates ((1.0 - 0.85), not 0.15 — they
+    * are different doubles). */
+  private def pageRankDuckSql: String = {
+    val head =
+      s"""WITH ${tradeDuckCtes(3)},
+         |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |deg AS MATERIALIZED (SELECT src AS node, count(*) AS dg FROM e GROUP BY 1),
+         |r0 AS MATERIALIZED (SELECT node, floor(1.0/nn.n*1e12+0.5)/1e12 AS rank FROM nodes, nn)""".stripMargin
+    val steps = (1 to 10).map { i =>
+      val p = i - 1
+      s""",
+         |d$i AS MATERIALIZED (SELECT floor(coalesce(sum(r.rank), 0.0)*1e12+0.5)/1e12 AS dang
+         |  FROM r$p r LEFT JOIN deg ON deg.node = r.node WHERE deg.dg IS NULL),
+         |c$i AS MATERIALIZED (SELECT e.dst AS node, sum(r.rank / deg.dg) AS c
+         |  FROM r$p r JOIN deg ON deg.node = r.node JOIN e ON e.src = r.node
+         |  GROUP BY e.dst),
+         |r$i AS MATERIALIZED (SELECT nodes.node,
+         |    floor(((1.0 - 0.85)/nn.n + 0.85*(coalesce(c$i.c, 0.0) + d$i.dang/nn.n))*1e12+0.5)/1e12 AS rank
+         |  FROM nodes CROSS JOIN nn CROSS JOIN d$i
+         |  LEFT JOIN c$i ON c$i.node = nodes.node)""".stripMargin
+    }.mkString
+    head + steps + "\nSELECT node, rank FROM r10 ORDER BY node"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "GRAPH-TRIANGLES" ->
+      s"""WITH ${tradeDuckCtes(3)},
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e)
+         |SELECT count(*) AS n_triangles FROM und e1
+         |  JOIN und e2 ON e2.u = e1.v
+         |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+    "GRAPH-PAGERANK" -> pageRankDuckSql,
     "STREAM-JOIN" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |b AS (SELECT user_id, event_id AS p_id, ts AS buy_ts FROM e WHERE event_type = 'purchase'),

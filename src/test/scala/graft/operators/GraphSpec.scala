@@ -63,4 +63,56 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(got.values.sum - 1.0) < 1e-9)
     }
   }
+
+  test("pinDecimals replays as the exactly-rounded sequence (still ~exact)") {
+    val sq = spark; import sq.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+    val pinned = Graph.pageRank(edges.toDF("s", "t"), "s", "t",
+        iterations = 10, pinDecimals = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exp = refPageRank(edges, 10)
+    // every pinned value sits on the 1e-12 grid and within grid distance
+    // of the unpinned reference (10 iterations of <=5e-13 pin error)
+    pinned.foreach { case (k, v) =>
+      assert(math.abs(v * 1e12 - math.rint(v * 1e12)) < 1e-3, s"off-grid $k")
+      assert(math.abs(v - exp(k)) < 1e-8, s"node $k")
+    }
+  }
+
+  /** Naive reference triangle count: all id-ordered triples. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Long = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    (for {
+      i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+      if und((i, j)) && und((j, k)) && und((i, k))
+    } yield 1).size.toLong
+  }
+
+  private def runTri(edges: Seq[(Long, Long)]): Long = {
+    val sq = spark; import sq.implicits._
+    Graph.triangleCount(edges.toDF("s", "t"), "s", "t")
+      .collect()(0).getLong(0)
+  }
+
+  test("triangle closed forms: K4, path, bowtie, duplicate/reversed edges") {
+    assert(runTri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))) == 4L)
+    assert(runTri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == 0L)
+    // bowtie: two triangles sharing node 3
+    assert(runTri(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L))) == 2L)
+    // direction, duplicates and self-loops are normalized away
+    assert(runTri(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (1L, 3L))) == 1L)
+  }
+
+  test("random graph with a hub matches the naive reference") {
+    val rnd = new scala.util.Random(11)
+    // hub 0 touches everything (worst case for naive wedge joins; the
+    // degree orientation keeps its out-degree low instead)
+    val hub = (1L to 30L).map(0L -> _)
+    val rest = Seq.fill(120)((rnd.nextInt(30).toLong + 1, rnd.nextInt(30).toLong + 1))
+      .filter { case (a, b) => a != b }
+    val edges = hub ++ rest
+    assert(runTri(edges) == refTriangles(edges))
+  }
 }
