@@ -207,5 +207,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // exact percentile()/median() → GK approx_percentile (no-op until
     // spark.graft.approx.percentile is set to an accuracy)
     ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
+    // unpartitioned entire-frame aggregate windows → one-row aggregate
+    // cross join (no-op until spark.graft.rewrite.globalWindow=true)
+    ext.injectOptimizerRule(_ => graft.plans.GlobalWindowRewrite)
   }
 }
