@@ -335,6 +335,38 @@ object Extensions {
             / lit(1e4)).as("v"))
         .orderBy("event_type", "hr")
     },
+    // classic additive seasonal decomposition (the metrics-forecasting
+    // companion to TS-HOLT-WINTERS, which ESTIMATES seasonals online —
+    // this MEASURES them): hourly decimal-exact bucket sums → centered
+    // 24-point moving-average trend (full windows only, the textbook CMA
+    // edge rule) → detrended residuals → per-hour-of-day seasonal index.
+    // Every cross-engine sum rides DECIMAL (order-independent); the two
+    // divisions and the subtraction are single deterministic double ops;
+    // output pinned with the floor(x·1e4+0.5)/1e4 trick (see TS-INTERP).
+    "TS-SEASONAL" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+      val b = ev.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sv"))
+      val cma = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(-11, 12)
+      val t = b
+        .withColumn("cnt", count(lit(1)).over(cma))
+        .withColumn("trend",
+          sum(col("sv").cast(DecimalType(18, 6))).over(cma).cast("double") /
+            col("cnt"))
+        .where(col("cnt") === 24)
+        .withColumn("det", col("sv") - col("trend"))
+      t.groupBy(col("event_type"), hour(col("hr")).as("hod"))
+        .agg((sum(col("det").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1))).as("raw"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("hod"),
+          (floor(col("raw") * lit(1e4) + lit(0.5)) / lit(1e4)).as("seasonal"),
+          col("n"))
+        .orderBy("event_type", "hod")
+    },
     // batch counter-to-rate — the collectd DERIVE/COUNTER decode shape and
     // the batch twin of streaming counterToRate: per-series derivative
     // between consecutive points, counter-reset (value drop) restarting at
@@ -731,6 +763,21 @@ object Extensions {
          |  JOIN und e2 ON e2.u = e1.v
          |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
     "GRAPH-PAGERANK" -> pageRankDuckSql,
+    "TS-SEASONAL" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, hr, sv,
+        |        count(*) OVER w AS cnt,
+        |        CAST(sum(CAST(sv AS DECIMAL(18,6))) OVER w AS DOUBLE) AS tsum
+        |      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |        ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+        |det AS (SELECT event_type, hour(hr) AS hod, sv - tsum / cnt AS det
+        |        FROM t WHERE cnt = 24)
+        |SELECT event_type, hod,
+        |  floor(CAST(sum(CAST(det AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS seasonal,
+        |  count(*) AS n
+        |FROM det GROUP BY 1, 2 ORDER BY event_type, hod""".stripMargin,
     "STREAM-JOIN" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |b AS (SELECT user_id, event_id AS p_id, ts AS buy_ts FROM e WHERE event_type = 'purchase'),
