@@ -77,4 +77,53 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Compact a parquet directory into ≈`targetBytes` files at `outPath`;
+    * returns the file count written.
+    *
+    * The small-files problem is the other half of layout at 100 TB: a
+    * streaming sink or over-parallel writer leaves thousands of KB-scale
+    * files per partition, and every later scan pays a task (plus footer
+    * read + scheduler round trip) PER FILE — metadata overhead dwarfs the
+    * data. Compaction is the standard maintenance pass (OPTIMIZE in the
+    * table formats), here for plain parquet directories.
+    *
+    * File count = ceil(input bytes / targetBytes), sized from one
+    * driver-side directory listing (metadata-scale; compression ratio is
+    * assumed stable across the rewrite — exact sizing would need a dry
+    * run). With `sortCol` set the rewrite range-partitions + sorts, so
+    * the compacted files carry non-overlapping min-max ranges on that
+    * column and scans with a `sortCol` predicate prune whole files —
+    * compaction and clustering in one pass (one shuffle). Without it,
+    * `coalesce` merges splits with NO shuffle when the scan has enough
+    * partitions (the usual small-files case: more files than target),
+    * falling back to a round-robin repartition when the scan packed the
+    * input into FEWER splits than the target file count (coalesce can
+    * only reduce). */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetBytes: Long = 128L * 1024 * 1024,
+              sortCol: Option[String] = None): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(new org.apache.hadoop.fs.Path(outPath) !=
+      new org.apache.hadoop.fs.Path(inPath), "compact in place is unsafe")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val out = sortCol match {
+      case Some(c) => df.repartitionByRange(nFiles, col(c))
+        .sortWithinPartitions(c)
+      case None =>
+        if (df.rdd.getNumPartitions >= nFiles) df.coalesce(nFiles)
+        else df.repartition(nFiles)
+    }
+    out.write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
 }

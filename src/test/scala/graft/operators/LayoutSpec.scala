@@ -101,6 +101,59 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compact: small files merge to the computed count, rows intact") {
+    val sq = spark; import sq.implicits._
+    val in = Files.createTempDirectory("compact_in").toString
+    val out = Files.createTempDirectory("compact_out").toString
+    val df = (1 to 20000).map(i => (i.toLong, s"row_$i")).toDF("k", "s")
+    df.repartition(40).write.mode("overwrite").parquet(in)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    val nIn = parquetFiles(in).length
+    assert(nIn === 40)
+    val bytes = parquetFiles(in).map(_.length()).sum
+    // target a quarter of the input → expect ceil(bytes / (bytes/4)) ≈ 4
+    val n = Layout.compact(spark, in, out, targetBytes = bytes / 4)
+    assert(parquetFiles(out).length === n && n < nIn && n >= 2)
+    // contents unchanged
+    val back = spark.read.parquet(out)
+    assert(back.count() === 20000)
+    assert(back.agg(sum("k")).head().getLong(0) === 20000L * 20001 / 2)
+  }
+
+  test("compact with sortCol: files carry non-overlapping key ranges") {
+    val sq = spark; import sq.implicits._
+    val in = Files.createTempDirectory("compacts_in").toString
+    val out = Files.createTempDirectory("compacts_out").toString
+    val rnd = new Random(3)
+    (1 to 30000).map(_ => rnd.nextLong()).toDF("k")
+      .repartition(50).write.mode("overwrite").parquet(in)
+    val bytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = Layout.compact(spark, in, out, targetBytes = bytes / 5,
+      sortCol = Some("k"))
+    assert(n >= 3)
+    // per-file min-max ranges must be disjoint → a k-predicate scan
+    // prunes whole files (the clustering half of the pass)
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, "overlapping files")
+      case _ =>
+    }
+    assert(spark.read.parquet(out).count() === 30000)
+  }
+
+  test("compact refuses in-place rewrites") {
+    val in = Files.createTempDirectory("compact_ip").toString
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, in, in)
+    }
+  }
+
   test("z-order write degenerate inputs: empty frame and constant dimension fall back") {
     val sq = spark
     import sq.implicits._
