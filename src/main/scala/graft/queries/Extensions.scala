@@ -335,6 +335,41 @@ object Extensions {
             / lit(1e4)).as("v"))
         .orderBy("event_type", "hr")
     },
+    // bigram conditional LM perplexity (the KenLM-style curation signal
+    // one order above TEXT-PERPLEXITY's unigram): corpus-trained bigram/
+    // context counts, add-0.5 smoothing over the observed vocabulary,
+    // per-doc mean NLL → perplexity. Determinism: each -ln p is a chain
+    // of single double ops on exact integer counts; the per-doc MEAN
+    // pins addends to DECIMAL(18,6) so summation order cannot drift
+    // (simpler than the ordered-fold recipe, same guarantee); output
+    // pinned floor(x·1e4+0.5)/1e4. Count joins are key-equality; the
+    // bigram model is vocabulary²-bounded, not corpus-bounded.
+    "TEXT-BIGRAM-LM" -> { (s, d) =>
+      val dd = docs(s, d)
+      val toks = dd.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val pairs = toks.where(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts)-2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))"))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val ug = bg.groupBy("w1").agg(sum("c2").as("c1"))
+      val vv = pairs.select(col("w1").as("w"))
+        .union(pairs.select(col("w2").as("w")))
+        .agg(countDistinct("w").cast("double").as("v"))
+      val scored = pairs
+        .join(bg, Seq("w1", "w2"))
+        .join(ug, Seq("w1"))
+        .crossJoin(broadcast(vv))
+        .select(col("doc_id"),
+          (-log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * col("v"))))
+            .as("lp"))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (floor(exp(sum(col("lp").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1))) * lit(1e4) + lit(0.5)) / lit(1e4)).as("ppl"))
+        .orderBy("doc_id").limit(60)
+    },
     // classic additive seasonal decomposition (the metrics-forecasting
     // companion to TS-HOLT-WINTERS, which ESTIMATES seasonals online —
     // this MEASURES them): hourly decimal-exact bucket sums → centered
@@ -600,6 +635,31 @@ object Extensions {
     "EVENT-FUNNEL-K" -> ((s, d) =>
       graft.operators.Funnel.summary(events(s, d), "user_id", "event_type",
         "ts", Seq("view", "click", "purchase"), windowSec = 86400L)),
+    // the REAL streaming k-step funnel oracle-hashed (the STREAM-*-NATIVE
+    // trick applied to flatMapGroupsWithState): `StreamingOps.funnelSteps`
+    // on the batch frame — identical operator, one stage-hit per (user,
+    // stage) — aggregated to the same summary row the window operator
+    // produces, against the SAME decorrelated-join oracle as
+    // EVENT-FUNNEL-K (batch == streaming == oracle, three-way)
+    "STREAM-FUNNEL-NATIVE" -> { (s, d) =>
+      import s.implicits._
+      val pts = events(s, d)
+        .select(col("user_id").as("user"), col("event_type").as("step"),
+          col("ts").cast("double").as("epoch"))
+        .as[graft.streaming.FunnelPoint]
+      val hits = graft.streaming.StreamingOps
+        .funnelSteps(pts, Seq("view", "click", "purchase"), windowSec = 86400d)
+        .toDF()
+      val counted = hits.agg(
+        count(when(col("stage") === 1, lit(1))).as("n_step1"),
+        count(when(col("stage") === 2, lit(1))).as("n_step2"),
+        count(when(col("stage") === 3, lit(1))).as("n_step3"))
+      counted.select(col("n_step1"), col("n_step2"), col("n_step3"),
+        when(col("n_step1") > 0,
+          round(col("n_step2").cast("double") / col("n_step1"), 4)).as("conv12"),
+        when(col("n_step2") > 0,
+          round(col("n_step3").cast("double") / col("n_step2"), 4)).as("conv23"))
+    },
     // theta time-grain rollup, mirroring the HLL rollup contract: hourly
     // per-group user sketches UNION to the per-group sketch — and because
     // theta union is order-insensitive and every group here stays in exact
@@ -763,6 +823,24 @@ object Extensions {
          |  JOIN und e2 ON e2.u = e1.v
          |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
     "GRAPH-PAGERANK" -> pageRankDuckSql,
+    "TEXT-BIGRAM-LM" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, unnest(range(1, len(ts))) AS u(i)
+        |  WHERE len(ts) >= 2),
+        |bg AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+        |ug AS (SELECT w1, sum(c2) AS c1 FROM bg GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS v FROM (
+        |  SELECT w1 FROM pairs UNION SELECT w2 FROM pairs) t),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    -ln((bg.c2 + 0.5) / (ug.c1 + 0.5 * vv.v)) AS lp
+        |  FROM pairs p JOIN bg ON p.w1 = bg.w1 AND p.w2 = bg.w2
+        |    JOIN ug ON p.w1 = ug.w1 CROSS JOIN vv)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor(exp(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS ppl
+        |FROM scored GROUP BY doc_id ORDER BY doc_id LIMIT 60""".stripMargin,
     "TS-SEASONAL" ->
       """WITH b AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
         |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
@@ -903,7 +981,27 @@ object Extensions {
         |FROM events GROUP BY event_type ORDER BY g""".stripMargin,
     // k-step funnel: decorrelated join formulation — first view, first
     // qualifying click within 24 h, first qualifying purchase within 24 h
+    // (STREAM-FUNNEL-NATIVE shares it: batch == streaming == oracle)
     "EVENT-FUNNEL-K" ->
+      """WITH s1 AS (SELECT user_id, min(epoch(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(epoch(e.ts)) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch(e.ts) >= s1.t1
+        |    AND epoch(e.ts) <= s1.t1 + 86400 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(epoch(e.ts)) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch(e.ts) >= s2.t2
+        |    AND epoch(e.ts) <= s2.t2 + 86400 GROUP BY e.user_id)
+        |SELECT n_step1, n_step2, n_step3,
+        |  CASE WHEN n_step1 > 0
+        |    THEN round(CAST(n_step2 AS DOUBLE) / n_step1, 4) END AS conv12,
+        |  CASE WHEN n_step2 > 0
+        |    THEN round(CAST(n_step3 AS DOUBLE) / n_step2, 4) END AS conv23
+        |FROM (SELECT (SELECT count(*) FROM s1) AS n_step1,
+        |  (SELECT count(*) FROM s2) AS n_step2,
+        |  (SELECT count(*) FROM s3) AS n_step3)""".stripMargin,
+    "STREAM-FUNNEL-NATIVE" ->
       """WITH s1 AS (SELECT user_id, min(epoch(ts)) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),
         |s2 AS (SELECT e.user_id, min(epoch(e.ts)) AS t2 FROM events e
