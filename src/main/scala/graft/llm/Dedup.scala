@@ -118,6 +118,56 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jacx"), 4).as("jac"))
   }
 
+  /** [[jaccardPairs]] with PREFIX FILTERING (Chaudhuri et al. ICDE'06 /
+    * Xiao et al. PPJoin) — the exact-similarity-join optimization that
+    * cuts candidate generation WITHOUT the stop-shingle recall loss.
+    *
+    * Lemma: if J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, and two sets ordered by
+    * one global token order must then share a token within their first
+    * |A| − ⌈t·|A|⌉ + 1 positions. So only each document's PREFIX shingles
+    * (its (1−t)·|A|+1 rarest, by global document frequency, ties by
+    * shingle text — a deterministic total order) generate candidates, and
+    * the rare-first order makes those exactly the shingles with the
+    * SHORTEST posting lists: the boilerplate header that explodes
+    * jaccardPairs' candidate join sits at the back of every prefix order
+    * and never generates a pair. Survivors are verified EXACTLY against
+    * the full shingle sets (two key-equality joins + a count), so output
+    * equals jaccardPairs bit-for-bit (DedupSpec asserts it) — recall is
+    * never traded, unlike `maxPostingList`.
+    *
+    * 100 TB story: the df table is vocabulary-sized; the prefix rank is a
+    * doc-partitioned window; candidate fan-out is Σ(prefix posting)² over
+    * the RAREST tokens instead of Σ(posting)² over all of them; exact
+    * verification touches candidate pairs only. */
+  def jaccardPairsPrefix(documents: DataFrame, n: Int = 3,
+                         threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(documents, n).localCheckpoint()
+    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "s").join(card, "doc_id")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .where(col("r") <= col("c") - ceil(lit(threshold) * col("c")) + 1)
+    val a = ranked.select(col("doc_id").as("da"), col("s"), col("c").as("ca"))
+    val b = ranked.select(col("doc_id").as("db"), col("s").as("s2"),
+      col("c").as("cb"))
+    val cand = a.join(b,
+        col("s") === col("s2") && col("da") < col("db")
+          && greatest(col("ca"), col("cb")) * threshold <= least(col("ca"), col("cb")))
+      .select("da", "db", "ca", "cb").distinct()
+    val fa = sh.select(col("doc_id").as("da"), col("s"))
+    val fb = sh.select(col("doc_id").as("db2"), col("s").as("s2"))
+    cand.join(fa, "da")
+      .join(fb, col("db") === col("db2") && col("s") === col("s2"))
+      .groupBy("da", "db", "ca", "cb").agg(count(lit(1)).as("i"))
+      .withColumn("jacx", col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+      .filter(col("jacx") >= threshold)
+      .select(col("da"), col("db"), round(col("jacx"), 4).as("jac"))
+  }
+
   /** The stop-shingle set for [[jaccardPairs]]' cap: shingles whose
     * posting list exceeds `cap`, as (s, pl). One hash aggregate over the
     * shingle stream. */
