@@ -335,6 +335,21 @@ object Extensions {
             / lit(1e4)).as("v"))
         .orderBy("event_type", "hr")
     },
+    // deterministic train/val/test split (the assignment step every
+    // training pipeline runs first): hash-bucket the STABLE doc id into
+    // 80/10/10 — a pure per-row function, reproducible forever, immune to
+    // task retries, consistent across tables sharing the id (unlike
+    // randomSplit, which re-rolls per evaluation). Portable hash so the
+    // oracle replays the exact assignment; xxhash64 is the scale default.
+    "SAMPLE-SPLIT" -> { (s, d) =>
+      val dd = docs(s, d)
+      graft.operators.Sampling.hashSplit(dd, col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10),
+          hash = c => pmod(Dedup.portableHash(c.cast("string")), lit(100L)))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+        .orderBy("split", "lang")
+    },
     // bigram conditional LM perplexity (the KenLM-style curation signal
     // one order above TEXT-PERPLEXITY's unigram): corpus-trained bigram/
     // context counts, add-0.5 smoothing over the observed vocabulary,
@@ -823,6 +838,16 @@ object Extensions {
          |  JOIN und e2 ON e2.u = e1.v
          |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
     "GRAPH-PAGERANK" -> pageRankDuckSql,
+    "SAMPLE-SPLIT" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, CAST(length(CAST(doc_id AS VARCHAR)) AS INT)),
+        |        i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) % 100 AS b
+        |  FROM documents)
+        |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n, min(doc_id) AS first_doc
+        |FROM h GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "TEXT-BIGRAM-LM" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |pairs AS (
