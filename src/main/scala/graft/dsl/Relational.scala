@@ -462,6 +462,78 @@ object Relational {
         .select("s_suppkey", "s_name").orderBy("s_suppkey")
     },
 
+    // Q6 canonical pushdown: every predicate reaches the parquet scan
+    // (PlanAudit family), one DECIMAL sum, no join
+    "AGG-TPCH-Q6" -> { s =>
+      graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast(dec(18, 4))).cast("double"), 2).as("revenue"))
+    },
+
+    // Q9 product profit: color slice broadcast with its retailprice (the
+    // cost side), supplier→nation broadcast, one fact shuffle to
+    // (nation, year)
+    "JOIN-TPCH-Q9" -> { s =>
+      val reds = s.table("part").where(col("p_name").like("red%"))
+        .select("p_partkey", "p_retailprice")
+      val supN = s.table("supplier")
+        .join(broadcast(s.table("nation")), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      val ord = s.table("orders").select("o_orderkey", "o_orderdate")
+      val li = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount", "l_quantity")
+      val amount = (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.5) * col("p_retailprice") * col("l_quantity")).cast(dec(18, 4))
+      li.join(broadcast(reds), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name").as("nat"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(amount).cast("double"), 2).as("sum_profit"))
+        .orderBy(col("nat"), col("o_year").desc)
+    },
+
+    // Q12 priority classes over late shipments: the +30-day residual
+    // rides inside the join condition; conditional counts stay BIGINT
+    "JOIN-TPCH-Q12" -> { s =>
+      val ord = s.table("orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_shipdate", "l_returnflag")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '30' DAY"))
+        .groupBy("l_returnflag")
+        .agg(count(when(high, lit(1))).as("high_line_count"),
+          count(when(!high, lit(1))).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+
+    // Q16 supplier diversity: NOT IN → anti join against the (tiny,
+    // broadcast) excluded-supplier set BEFORE the distinct aggregate;
+    // distinct-supplier count shuffles on the group keys once
+    "JOIN-TPCH-Q16" -> { s =>
+      val pSlice = s.table("part")
+        .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val excluded = s.table("supplier").where(col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+      graft.core.Tables.spread(s.table("lineitem"), "l_orderkey")
+        .select("l_partkey", "l_suppkey")
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(pSlice), col("l_partkey") === col("p_partkey"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey").distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(count(lit(1)).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size")).limit(100)
+    },
+
     // Q22 sales opportunity: 1-row broadcast threshold (DECIMAL-sum mean,
     // one deterministic division) + anti join on urgent orders (quirk #3:
     // customers without ANY order don't exist below sf0.1).

@@ -350,6 +350,60 @@ object Inventory {
       |  WHERE p_name LIKE 'blue%' AND q = mq)
       |ORDER BY s_suppkey""".stripMargin)
 
+  // Q6 forecast revenue change: the canonical pushdown query — every
+  // predicate (date range, discount band, quantity cap) must reach the
+  // scan; one DECIMAL sum, no join at all.
+  q("AGG-TPCH-Q6",
+    """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
+
+  // Q9 product-type profit: 5-table join, profit = revenue − cost with
+  // cost adapted to 0.5·retailprice·quantity (fixture has no partsupp
+  // supplycost); color-prefix part slice, nation×year grouping.
+  q("JOIN-TPCH-Q9",
+    """SELECT nat, o_year, round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit FROM (
+      |  SELECT n_name AS nat, year(o_orderdate) AS o_year,
+      |    CAST(l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+      |  FROM part JOIN lineitem ON p_partkey = l_partkey
+      |    JOIN supplier ON s_suppkey = l_suppkey
+      |    JOIN orders ON o_orderkey = l_orderkey
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE 'red%') t
+      |GROUP BY nat, o_year ORDER BY nat, o_year DESC""".stripMargin)
+
+  // Q12 shipping-priority classes: conditional counts per category over a
+  // late-shipment join (shipmode → returnflag, commit date → the +30-day
+  // adaptation Q4 uses); count(CASE) keeps BIGINT on both engines.
+  q("JOIN-TPCH-Q12",
+    """SELECT l_returnflag,
+      |  count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+      |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL '30' DAY
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    """SELECT l_returnflag,
+      |  count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+      |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  // Q16 supplier diversity: distinct-supplier counts per part attribute
+  // combo with a NOT-IN supplier exclusion ("complaints" adapted to
+  // negative account balance) — the distinct-count + anti-join shape.
+  q("JOIN-TPCH-Q16",
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100""".stripMargin)
+
   // Q22 global sales opportunity: anti join + scalar-subquery threshold.
   // "has no urgent orders" stands in for quirk #3 (customers without ANY
   // order don't exist below sf0.1); country code is nationkey mod 5.
