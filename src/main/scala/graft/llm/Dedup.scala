@@ -219,8 +219,14 @@ object Dedup {
       col("blk").as("blk_b"))
     a.join(b, col("blk") === col("blk_b") && col("ka") < col("kb") &&
         abs(length(col("na")) - length(col("nb"))) <= lengthBand)
-      .withColumn("d", levenshtein(col("na"), col("nb")))
-      .where(col("d") <= maxEdit)
+      // thresholded levenshtein (Spark 3.5+): computes only the
+      // (2·maxEdit+1)-wide diagonal band and returns -1 past the
+      // threshold — O(d·n) per candidate instead of O(n²), the Ukkonen
+      // cut that matters when blocked candidates are long strings.
+      // Values ≤ maxEdit are the exact distance, so results (and the
+      // oracle hash) are unchanged.
+      .withColumn("d", levenshtein(col("na"), col("nb"), maxEdit))
+      .where(col("d") >= 0)
       .select(col("blk"), col("ka"), col("kb"), col("d"))
   }
 
