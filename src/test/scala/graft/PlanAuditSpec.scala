@@ -329,6 +329,42 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("AGG-TPCH-Q6: all three predicates pushed to the scan, no join node") {
+    val p = finalPlan("AGG-TPCH-Q6")
+    assert(p.contains("PushedFilters: ["), "filters not pushed")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate"),
+      "date bound missing from pushed filters")
+    assert(!p.contains("Join"), "Q6 must not join")
+    assert(p.contains("partial"), "map-side partial aggregation missing")
+  }
+
+  test("JOIN-TPCH-Q9/Q12: dims broadcast / non-equi residual inside the equi join") {
+    val p9 = finalPlan("JOIN-TPCH-Q9")
+    assert(p9.contains("BroadcastHashJoin"), "Q9 dims should broadcast")
+    assert(!p9.contains("CartesianProduct") && !p9.contains("BroadcastNestedLoopJoin"))
+    val p12 = finalPlan("JOIN-TPCH-Q12")
+    // the +30-day predicate must ride as a residual on the orderkey
+    // equi join, not degrade the join to a nested loop
+    assert(p12.contains("SortMergeJoin") || p12.contains("BroadcastHashJoin") ||
+      p12.contains("ShuffledHashJoin"), "Q12 lost its equi join")
+    assert(!p12.contains("CartesianProduct") && !p12.contains("BroadcastNestedLoopJoin"),
+      "Q12 +30-day residual degraded the join")
+  }
+
+  test("JOIN-TPCH-Q16: exclusion anti join applies before the distinct aggregate") {
+    val p = finalPlan("JOIN-TPCH-Q16")
+    assert(p.contains("LeftAnti"), "NOT-IN exclusion should be an anti join")
+    assert(p.contains("BroadcastHashJoin"), "tiny excluded-supplier set should broadcast")
+    // explicit dedup-then-count: no Expand from a distinct aggregate
+    assert(!p.contains("Expand"), "distinct aggregate Expand appeared")
+  }
+
+  test("GRAPH-TRIANGLES: wedge and closing joins are key-equality, no BNLJ") {
+    val p = finalPlan("GRAPH-TRIANGLES")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "triangle joins degenerated to all-pairs")
+  }
+
   test("sweep: no CartesianProduct in ANY declared query plan") {
     // the one global invariant every plan must satisfy: no unkeyed
     // pair-materializing join anywhere in the 144-query inventory.
