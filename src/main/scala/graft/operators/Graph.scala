@@ -73,6 +73,52 @@ object Graph {
     ranks
   }
 
+  /** Single-source shortest paths over a weighted directed edge list —
+    * synchronous Bellman-Ford relaxation, `maxHops` rounds (or early stop
+    * at a fixpoint). Returns (node, dist) for every node reached within
+    * `maxHops` edges; unreachable nodes are absent.
+    *
+    * Each round is ONE key-equality join (frontier × edges on src) and
+    * ONE min-aggregation by dst — the textbook distributed relaxation;
+    * `CheckpointChain` bounds lineage and cached state to one generation,
+    * as the PageRank and connected-components loops do. Rounds needed =
+    * the (hop-bounded) graph diameter; at 100 TB the per-round cost is a
+    * shuffle of the CURRENT distance frontier, never all paths. Early
+    * stop: distances only ever decrease, so an exact decimal sum of
+    * (count, dist) reaching a fixpoint ends the loop before `maxHops` on
+    * shallow graphs. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    weightCol: String, source: Long,
+                    maxHops: Int = 10): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
+      .localCheckpoint()
+    val chain = new graft.core.CheckpointChain(spark)
+    var dist = chain.next(
+      e.sparkSession.range(1).select(lit(source).as("node"), lit(0.0).as("dist")))
+    def fingerprint(df: DataFrame): Seq[Any] =
+      df.agg(count(lit(1)), sum(col("dist").cast("decimal(38,6)"))).collect()(0).toSeq
+    var prev = fingerprint(dist)
+    var hops = 0
+    var converged = false
+    while (hops < maxHops && !converged) {
+      val relaxed = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .union(dist)
+        .groupBy("node").agg(min("dist").as("dist"))
+      dist = chain.next(relaxed)
+      val s = fingerprint(dist)
+      converged = s == prev
+      prev = s
+      hops += 1
+    }
+    dist
+  }
+
   /** Exact triangle count over an undirected edge list (first two columns
     * = endpoints; direction, duplicates and self-loops are normalized
     * away). Returns one row: `n_triangles`.

@@ -74,6 +74,16 @@ object Extensions {
       Graph.pageRank(tradeEdges(s, d, 3), "src", "dst",
           iterations = 10, d = 0.85, pinDecimals = 12)
         .orderBy("node")),
+    // hop-count SSSP from nation 0 over the trade graph: synchronous
+    // Bellman-Ford relaxation (≤ 6 rounds, early fixpoint stop) — whole-
+    // number doubles, exact either engine; the oracle unrolls the same
+    // relaxation (fixpoint ⇒ extra unrolled rounds are no-ops)
+    "GRAPH-SSSP" -> { (s, d) =>
+      Graph.shortestPaths(
+          tradeEdges(s, d, 3).withColumn("w", lit(1.0)),
+          "src", "dst", "w", source = 0L, maxHops = 6)
+        .orderBy("node")
+    },
     // PII scrub: fixtures carry no PII, so the query synthesizes
     // deterministic PII-shaped text from part columns (identically on
     // both engines) and redacts it — emails, IPs, phone shapes, long
@@ -830,7 +840,27 @@ object Extensions {
     head + steps + "\nSELECT node, rank FROM r10 ORDER BY node"
   }
 
+  /** DuckDB replay of Graph.shortestPaths(source=0, w=1.0, maxHops=6):
+    * the Bellman-Ford relaxation unrolled as MATERIALIZED CTEs — a round
+    * past the fixpoint is a no-op, so unconditional unrolling matches the
+    * operator's early stop. */
+  private def ssspDuckSql: String = {
+    val head =
+      s"""WITH ${tradeDuckCtes(3)},
+         |d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node, CAST(0.0 AS DOUBLE) AS dist)""".stripMargin
+    val steps = (1 to 6).map { i =>
+      val p = i - 1
+      s""",
+         |d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+         |  SELECT e.dst AS node, d$p.dist + 1.0 AS dist
+         |  FROM d$p JOIN e ON e.src = d$p.node
+         |  UNION ALL SELECT node, dist FROM d$p) t GROUP BY node)""".stripMargin
+    }.mkString
+    head + steps + "\nSELECT node, dist FROM d6 ORDER BY node"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "GRAPH-SSSP" -> ssspDuckSql,
     "GRAPH-TRIANGLES" ->
       s"""WITH ${tradeDuckCtes(3)},
          |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e)

@@ -79,6 +79,55 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Reference Dijkstra over a small weighted digraph. */
+  private def refSssp(edges: Seq[(Long, Long, Double)], src: Long): Map[Long, Double] = {
+    val adj = edges.groupBy(_._1)
+    var dist = Map(src -> 0.0)
+    val pq = scala.collection.mutable.PriorityQueue((0.0, src))(
+      Ordering.by[(Double, Long), Double](-_._1))
+    while (pq.nonEmpty) {
+      val (d0, u) = pq.dequeue()
+      if (d0 <= dist.getOrElse(u, Double.MaxValue)) {
+        adj.getOrElse(u, Nil).foreach { case (_, v, w) =>
+          val nd = d0 + w
+          if (nd < dist.getOrElse(v, Double.MaxValue)) {
+            dist += v -> nd; pq.enqueue((nd, v))
+          }
+        }
+      }
+    }
+    dist
+  }
+
+  private def runSssp(edges: Seq[(Long, Long, Double)], src: Long,
+                      maxHops: Int): Map[Long, Double] = {
+    val sq = spark; import sq.implicits._
+    Graph.shortestPaths(edges.toDF("s", "t", "w"), "s", "t", "w", src, maxHops)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("shortest paths: chain distances, unreachable absent, early fixpoint") {
+    val chain = (1L to 5L).sliding(2).map(s => (s(0), s(1), 1.0)).toSeq ++
+      Seq((9L, 10L, 1.0)) // disconnected island
+    val got = runSssp(chain, 1L, maxHops = 10)
+    assert(got === Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 3.0, 5L -> 4.0))
+  }
+
+  test("shortest paths: maxHops bounds the relaxation") {
+    val chain = (1L to 8L).sliding(2).map(s => (s(0), s(1), 1.0)).toSeq
+    val got = runSssp(chain, 1L, maxHops = 3)
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("shortest paths: weighted digraph matches Dijkstra") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(200)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong,
+      (rnd.nextInt(9) + 1).toDouble)).filter(e => e._1 != e._2).distinct
+    val got = runSssp(edges, 0L, maxHops = 25)
+    val exp = refSssp(edges, 0L)
+    assert(got === exp)
+  }
+
   /** Naive reference triangle count: all id-ordered triples. */
   private def refTriangles(edges: Seq[(Long, Long)]): Long = {
     val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
