@@ -143,6 +143,13 @@ object Extensions {
     "LLM-JACCARD-PAIRS" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), n = 3, threshold = 0.8)
         .orderBy(col("jac").desc, col("da"), col("db")).limit(100)),
+    // the SAME exact pair set served by the prefix-filtered join
+    // (Dedup.jaccardPairsPrefix): only each doc's rarest shingles
+    // generate candidates, survivors verified exactly — bit-identical
+    // output, so the two IDs share one oracle text
+    "LLM-JACCARD-PREFIX" -> ((s, d) =>
+      Dedup.jaccardPairsPrefix(docs(s, d), n = 3, threshold = 0.8)
+        .orderBy(col("jac").desc, col("da"), col("db")).limit(100)),
     // the dedup endgame: transitive closure of the near-dup pair graph —
     // iterative min-label propagation (not expressible as one SQL statement
     // on the Spark side; the oracle twin is a recursive CTE)
@@ -1236,6 +1243,17 @@ object Extensions {
         |WHERE CAST(i AS DOUBLE) / pc.c >= 0.5
         |ORDER BY probe_id, doc_id LIMIT 100""".stripMargin,
     "LLM-JACCARD-PAIRS" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2],' ') AS s
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS g(i)),
+        |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT da, db, round(CAST(i AS DOUBLE)/(ca.c+cb.c-i), 4) AS jac
+        |FROM inter JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
+        |WHERE CAST(i AS DOUBLE)/(ca.c+cb.c-i) >= 0.8
+        |ORDER BY jac DESC, da, db LIMIT 100""".stripMargin,
+    "LLM-JACCARD-PREFIX" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2],' ') AS s
         |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS g(i)),
