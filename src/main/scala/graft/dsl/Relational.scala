@@ -1172,6 +1172,17 @@ object Relational {
       .where(col("p_type").rlike("^(STANDARD|SMALL)"))
       .select("p_partkey").orderBy("p_partkey").limit(40)),
 
+    // sequential left folds: index-ordered double adds, bit-identical to
+    // the oracle's list_reduce — see the Inventory note
+    "FN-HOF" -> (s => s.table("embeddings").select(
+      col("vec_id"),
+      size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+      round(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double")), 4).as("s"),
+      round(aggregate(filter(col("embedding"), x => x > 0), lit(0.0),
+        (a, x) => a + x.cast("double")), 4).as("pos_sum"))
+      .orderBy("vec_id").limit(50)),
+
     "FN-DATE" -> (s => s.table("orders")
       .select(col("o_orderkey"), year(col("o_orderdate")).as("y"),
         month(col("o_orderdate")).as("m"), dayofmonth(col("o_orderdate")).as("d"),

@@ -568,6 +568,26 @@ object Inventory {
     """SELECT p_partkey FROM part WHERE regexp_matches(p_type, '^(STANDARD|SMALL)')
       |ORDER BY p_partkey LIMIT 40""".stripMargin)
 
+  // higher-order array lambdas (filter / aggregate folds): both engines
+  // run a SEQUENTIAL left fold in index order with per-element double
+  // casts, so the float summation is bit-identical — no decimal pinning
+  // needed, unlike parallel aggregates
+  q("FN-HOF",
+    """SELECT vec_id,
+      |  size(filter(embedding, x -> x > 0)) AS n_pos,
+      |  round(aggregate(embedding, CAST(0.0 AS DOUBLE),
+      |    (a, x) -> a + CAST(x AS DOUBLE)), 4) AS s,
+      |  round(aggregate(filter(embedding, x -> x > 0), CAST(0.0 AS DOUBLE),
+      |    (a, x) -> a + CAST(x AS DOUBLE)), 4) AS pos_sum
+      |FROM embeddings ORDER BY vec_id LIMIT 50""".stripMargin,
+    """SELECT vec_id,
+      |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, x) -> a + x), 4) AS s,
+      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(list_filter(embedding, x -> x > 0), x -> CAST(x AS DOUBLE))), (a, x) -> a + x), 4) AS pos_sum
+      |FROM embeddings ORDER BY vec_id LIMIT 50""".stripMargin)
+
   q("FN-DATE",
     """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
       |  day(o_orderdate) AS d, CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart
