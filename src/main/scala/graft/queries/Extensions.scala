@@ -434,6 +434,43 @@ object Extensions {
           col("n"))
         .orderBy("event_type", "hod")
     },
+    // seasonally-adjusted anomaly ranking — TS-SEASONAL COMPOSED into
+    // detection (the metrics-monitoring shape STREAM-ANOMALY's plain EWMA
+    // cannot express: a daily-rhythm series needs its rhythm subtracted
+    // before outliers mean anything): residual = value − CMA trend −
+    // hour-of-day seasonal index, top-3 |residual| hours per series.
+    // Determinism: trend/seasonal as in TS-SEASONAL; the rank orders on
+    // the PINNED |residual| with the hour as tiebreak.
+    "TS-SEASONAL-ANOM" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+      val b = ev.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sv"))
+      val cma = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(-11, 12)
+      val t = b
+        .withColumn("cnt", count(lit(1)).over(cma))
+        .withColumn("trend",
+          sum(col("sv").cast(DecimalType(18, 6))).over(cma).cast("double") /
+            col("cnt"))
+        .where(col("cnt") === 24)
+        .withColumn("det", col("sv") - col("trend"))
+        .withColumn("hod", hour(col("hr")))
+      val seas = t.groupBy(col("event_type").as("et2"), col("hod").as("hod2"))
+        .agg((sum(col("det").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))).as("sidx"))
+      val ar = floor(abs(col("det") - col("sidx")) * lit(1e4) + lit(0.5)) / lit(1e4)
+      val ranked = t.join(broadcast(seas),
+          col("event_type") === col("et2") && col("hod") === col("hod2"))
+        .select(col("event_type"), col("hr"), ar.as("resid"))
+        .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("resid").desc, col("hr"))))
+        .where(col("rn") <= 3)
+      ranked.select(col("event_type"), col("hr").cast("long").as("hr"),
+          col("resid"))
+        .orderBy("event_type", "hr")
+    },
     // batch counter-to-rate — the collectd DERIVE/COUNTER decode shape and
     // the batch twin of streaming counterToRate: per-series derivative
     // between consecutive points, counter-reset (value drop) restarting at
@@ -903,6 +940,28 @@ object Extensions {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  floor(exp(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS ppl
         |FROM scored GROUP BY doc_id ORDER BY doc_id LIMIT 60""".stripMargin,
+    "TS-SEASONAL-ANOM" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, hr, sv,
+        |        count(*) OVER w AS cnt,
+        |        CAST(sum(CAST(sv AS DECIMAL(18,6))) OVER w AS DOUBLE) AS tsum
+        |      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |        ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+        |tt AS (SELECT event_type, hr, hour(hr) AS hod, sv - tsum / cnt AS det
+        |       FROM t WHERE cnt = 24),
+        |seas AS (SELECT event_type, hod,
+        |           CAST(sum(CAST(det AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS sidx
+        |         FROM tt GROUP BY 1, 2),
+        |r AS (SELECT tt.event_type, tt.hr,
+        |        floor(abs(tt.det - seas.sidx) * 1e4 + 0.5) / 1e4 AS resid
+        |      FROM tt JOIN seas ON tt.event_type = seas.event_type AND tt.hod = seas.hod),
+        |rk AS (SELECT event_type, hr, resid,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY resid DESC, hr) AS rn
+        |       FROM r)
+        |SELECT event_type, CAST(epoch(hr) AS BIGINT) AS hr, resid
+        |FROM rk WHERE rn <= 3 ORDER BY event_type, hr""".stripMargin,
     "TS-SEASONAL" ->
       """WITH b AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
         |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
