@@ -88,4 +88,52 @@ object AsOfJoin {
         when(col("__ok"), col("__last").getField("ts")).as("last_left_ts"),
         when(col("__ok"), col("__last").getField("pay")).as("last_payload"))
   }
+
+  /** Nearest-in-time join, BOTH directions: for each right row, the left
+    * `tsCol` minimizing |Δt| on the same key — sensor/trade alignment,
+    * where the closest reading matters and may come after. Ties (equal
+    * distance before and after) resolve to the EARLIER left row.
+    *
+    * Same union trick, TWO running windows over one sort: a backward
+    * `last(left ts)` (equal timestamps sort left-first, so `<=` lands
+    * here and is never double-counted) and a forward `first(left ts)`
+    * (strictly after). Still one shuffle by key, no pair blow-up — the
+    * naive nearest formulation is the same O(|L|·|R|)-per-key theta join
+    * as-of suffers, with abs() making the predicate even less pushable.
+    *
+    * Optional `toleranceSec` nulls matches farther than the tolerance.
+    * Output: right's `idCol`, `nearest_left_ts` (null when nothing
+    * qualifies). */
+  def nearest(left: DataFrame, right: DataFrame,
+              keyCol: String, tsCol: String, idCol: String,
+              toleranceSec: Option[Long] = None): DataFrame = {
+    val idType = right.schema(idCol).dataType
+    val l = left.select(col(keyCol), col(tsCol),
+      lit(null).cast(idType).as("__rid"), lit(0).as("__side"))
+    val r = right.select(col(keyCol), col(tsCol),
+      col(idCol).as("__rid"), lit(1).as("__side"))
+    val ord = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val leftTs = when(col("__side") === 0, col(tsCol))
+    val rts = col(tsCol).cast("double")
+    val bef = col("__bef").cast("double")
+    val aft = col("__aft").cast("double")
+    val within: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      d => toleranceSec match {
+        case Some(tol) => d <= lit(tol.toDouble)
+        case None => d.isNotNull
+      }
+    l.union(r)
+      .withColumn("__bef", last(leftTs, ignoreNulls = true).over(back))
+      .withColumn("__aft", first(leftTs, ignoreNulls = true).over(fwd))
+      .where(col("__side") === 1)
+      .withColumn("__db", when(within(rts - bef), rts - bef))
+      .withColumn("__da", when(within(aft - rts), aft - rts))
+      .select(col("__rid").as(idCol),
+        when(col("__db").isNotNull &&
+            (col("__da").isNull || col("__db") <= col("__da")), col("__bef"))
+          .when(col("__da").isNotNull, col("__aft"))
+          .as("nearest_left_ts"))
+  }
 }

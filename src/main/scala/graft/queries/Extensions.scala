@@ -434,6 +434,22 @@ object Extensions {
           col("n"))
         .orderBy("event_type", "hod")
     },
+    // nearest-in-time join, BOTH directions (sensor/trade alignment —
+    // the closest click may come after the purchase): two running windows
+    // over ONE key-sorted pass (backward last + forward first), ties to
+    // the earlier left row; the oracle is the quadratic argmin join the
+    // operator avoids. Output epochs floor to seconds on both engines.
+    "JOIN-ASOF-NEAREST" -> { (s, d) =>
+      import graft.operators.AsOfJoin
+      val ev = events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click").select("user_id", "ts")
+      AsOfJoin.nearest(clicks, purchases, "user_id", "ts", "event_id")
+        .select(col("event_id"),
+          col("nearest_left_ts").cast("long").as("nearest_click_epoch"))
+        .orderBy("event_id").limit(80)
+    },
     // seasonally-adjusted anomaly ranking — TS-SEASONAL COMPOSED into
     // detection (the metrics-monitoring shape STREAM-ANOMALY's plain EWMA
     // cannot express: a daily-rhythm series needs its rhythm subtracted
@@ -940,6 +956,19 @@ object Extensions {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  floor(exp(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS ppl
         |FROM scored GROUP BY doc_id ORDER BY doc_id LIMIT 60""".stripMargin,
+    // nearest click per purchase: lexicographic [|Δt|, click-epoch] argmin
+    // — the quadratic contract formulation of AsOfJoin.nearest
+    "JOIN-ASOF-NEAREST" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM e WHERE event_type = 'click')
+        |SELECT event_id, CAST(floor(m[2]) AS BIGINT) AS nearest_click_epoch FROM (
+        |  SELECT p.event_id,
+        |    min(CASE WHEN c.ts IS NOT NULL
+        |      THEN [abs(epoch(c.ts) - epoch(p.ts)), epoch(c.ts)] END) AS m
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  GROUP BY p.event_id) t
+        |ORDER BY event_id LIMIT 80""".stripMargin,
     "TS-SEASONAL-ANOM" ->
       """WITH b AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
         |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv

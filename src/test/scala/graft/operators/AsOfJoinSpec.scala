@@ -62,4 +62,29 @@ class AsOfJoinSpec extends SparkSpec {
       (1002L, null), // click at 10, buy at 500: outside the window
       (1003L, null)))
   }
+
+  test("nearest: closest in either direction, ties to earlier, tolerance bounds") {
+    val sq = spark; import sq.implicits._
+    val l = Seq((1L, 10L), (1L, 100L), (1L, 200L), (2L, 5L))
+      .toDF("user_id", "ts")
+    val r = Seq(
+      (1L, 40L, 900L),   // 30 after 10, 60 before 100 -> 10
+      (1L, 160L, 901L),  // 60 after 100, 40 before 200 -> 200
+      (1L, 150L, 902L),  // tie: 50 both ways -> earlier (100)
+      (1L, 100L, 903L),  // exact hit -> 100
+      (3L, 70L, 904L))   // no left rows -> null
+      .toDF("user_id", "ts", "event_id")
+    val got = AsOfJoin.nearest(l, r, "user_id", "ts", "event_id")
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(got === Map(900L -> Some(10L), 901L -> Some(200L),
+      902L -> Some(100L), 903L -> Some(100L), 904L -> None))
+    // tolerance 35: 900 keeps its 30-away match, 901/902 lose theirs
+    val tol = AsOfJoin.nearest(l, r, "user_id", "ts", "event_id",
+        toleranceSec = Some(35L))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(tol === Map(900L -> Some(10L), 901L -> None,
+      902L -> None, 903L -> Some(100L), 904L -> None))
+  }
 }
