@@ -52,14 +52,23 @@ object Graph {
     def pinS(x: Double) =
       if (pinDecimals > 0) math.floor(x * pinF + 0.5) / pinF else x
 
+    // one-time: does the graph have dangling nodes at all? When it does
+    // not (every node has out-edges — common for contracted graphs), the
+    // per-iteration dangling-mass aggregate is a wasted driver action ×
+    // iterations; skip it entirely.
+    val hasDangling =
+      !nodes.join(deg, Seq("node"), "left_anti").isEmpty
+
     val chain = new graft.core.CheckpointChain(spark)
     var ranks = chain.next(
       nodes.withColumn("rank", pin(lit(1.0 / n))))
     for (_ <- 1 to iterations) {
       val withDeg = ranks.join(deg, Seq("node"), "left")
       // one-row aggregate: total rank parked on dangling nodes
-      val dangling = pinS(withDeg.where(col("deg").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0))
+      val dangling =
+        if (!hasDangling) 0.0
+        else pinS(withDeg.where(col("deg").isNull)
+          .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0))
       val contribs = withDeg.where(col("deg").isNotNull)
         .join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
