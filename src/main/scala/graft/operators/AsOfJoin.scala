@@ -89,6 +89,45 @@ object AsOfJoin {
         when(col("__ok"), col("__last").getField("pay")).as("last_payload"))
   }
 
+  /** [[lastBefore]] served by the NATIVE physical operator
+    * (`graft.plans.MergeAsOfJoinExec`): same contract — for each right
+    * row, `last_left_ts` = greatest left ts at or before it per key —
+    * but instead of union + running window, the exec declares
+    * SortMergeJoin's distribution/ordering requirements and merges the
+    * two sorted streams per partition in one O(|L|+|R|) pass with O(1)
+    * state. No unioned row set, no window buffering; bucketed or
+    * pre-sorted children join with no extra shuffle (EnsureRequirements
+    * elides what the children already provide).
+    *
+    * Key must be long-castable; null keys/timestamps on the left are
+    * dropped (they can match nothing), null right keys/timestamps yield
+    * null. Registers the planner strategy on first use. */
+  def mergeLastBefore(left: DataFrame, right: DataFrame,
+                      keyCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies
+        .exists(_ eq graft.plans.MergeAsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.MergeAsOfJoinStrategy
+    val l = left
+      .select(col(keyCol).cast("long").as("__lk"), col(tsCol).as("__lts"))
+      .where(col("__lk").isNotNull && col("__lts").isNotNull)
+    val lPlan = l.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    val lKey = lPlan.output.find(_.name == "__lk").get
+    val lTs = lPlan.output.find(_.name == "__lts").get
+    val rKey = rPlan.output.find(_.name == keyCol).getOrElse(
+      throw new IllegalArgumentException(s"right side has no column $keyCol"))
+    val rTs = rPlan.output.find(_.name == tsCol).getOrElse(
+      throw new IllegalArgumentException(s"right side has no column $tsCol"))
+    require(rKey.dataType == org.apache.spark.sql.types.LongType,
+      s"right $keyCol must be LONG (got ${rKey.dataType}); cast it first")
+    val tsOut = AttributeReference("last_left_ts", lTs.dataType)()
+    org.apache.spark.sql.GraftSqlShim.ofRows(spark,
+      graft.plans.MergeAsOfJoin(lPlan, rPlan, lKey, lTs, rKey, rTs, tsOut))
+  }
+
   /** Nearest-in-time join, BOTH directions: for each right row, the left
     * `tsCol` minimizing |Δt| on the same key — sensor/trade alignment,
     * where the closest reading matters and may come after. Ties (equal

@@ -434,6 +434,22 @@ object Extensions {
           col("n"))
         .orderBy("event_type", "hod")
     },
+    // the NATIVE physical as-of join oracle-checked: same contract as
+    // JOIN-ASOF (last click at-or-before each purchase), served by
+    // `MergeAsOfJoinExec` — the custom LogicalPlan + Strategy + SparkPlan
+    // that merges two key-sorted streams per partition in one O(n) pass
+    // with O(1) state (no union, no window buffering)
+    "JOIN-ASOF-NATIVE" -> { (s, d) =>
+      import graft.operators.AsOfJoin
+      val ev = events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click").select("user_id", "ts")
+      AsOfJoin.mergeLastBefore(clicks, purchases, "user_id", "ts")
+        .select(col("event_id"),
+          col("last_left_ts").cast("long").as("last_click_epoch"))
+        .orderBy("event_id").limit(80)
+    },
     // nearest-in-time join, BOTH directions (sensor/trade alignment —
     // the closest click may come after the purchase): two running windows
     // over ONE key-sorted pass (backward last + forward first), ties to
@@ -956,6 +972,16 @@ object Extensions {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  floor(exp(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS ppl
         |FROM scored GROUP BY doc_id ORDER BY doc_id LIMIT 60""".stripMargin,
+    // the JOIN-ASOF contract SQL, reused verbatim for the native exec
+    "JOIN-ASOF-NATIVE" ->
+      s"""WITH purchases AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, max(CAST(floor(epoch(c.ts)) AS BIGINT)) AS last_click_epoch
+        |FROM purchases p LEFT JOIN clicks c
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |GROUP BY p.event_id ORDER BY p.event_id LIMIT 80""".stripMargin,
     // nearest click per purchase: lexicographic [|Δt|, click-epoch] argmin
     // — the quadratic contract formulation of AsOfJoin.nearest
     "JOIN-ASOF-NEAREST" ->
