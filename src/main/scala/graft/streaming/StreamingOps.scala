@@ -29,6 +29,15 @@ final case class FunnelPoint(user: Long, step: String, epoch: Double)
 final case class FunnelHit(user: Long, stage: Int, epoch: Double)
 /** Per-user funnel state: first qualifying time per stage (NaN = not yet). */
 final case class FunnelTimes(times: Seq[Double])
+/** Streaming as-of input: side 0 = left (the matched-against stream, e.g.
+  * clicks), side 1 = right (the probing stream carrying its `id`). */
+final case class AsOfPoint(key: Long, epoch: Double, side: Int, id: Long)
+/** A right-side event with its as-of match: greatest left epoch ≤ `epoch`
+  * seen so far (`matched` false ⇒ no left event yet; `lastLeft` 0). */
+final case class AsOfHit(id: Long, key: Long, epoch: Double,
+                         lastLeft: Double, matched: Boolean)
+/** Per-key as-of state: one double. */
+final case class AsOfState(lastLeft: Double)
 
 /** Streaming rollups and forwarder sinks — the Spark-native equivalent of
   * the reference's listener → demultiplexer → buffered forwarder spine
@@ -357,6 +366,50 @@ object StreamingOps {
                 }
               }
             state.update(FunnelTimes(t.toSeq))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming as-of join — the stateful twin of
+    * `operators.AsOfJoin.lastBefore` / the native merge exec: both
+    * streams arrive as ONE keyed `AsOfPoint` stream (side 0 = left,
+    * side 1 = right); each right event emits the greatest left epoch at
+    * or before it SEEN SO FAR. State is ONE double per key (the running
+    * last left epoch — monotone, so late in-batch reordering is handled
+    * by the per-batch (epoch, side) sort and cross-batch state only ever
+    * advances), bounded at any key cardinality; `idleTimeout` evicts
+    * dead keys, as counterToRate does.
+    *
+    * Semantics caveat (inherent to append-mode streaming as-of): a left
+    * event arriving in a LATER micro-batch than a right event cannot
+    * retroactively match it — as-of looks backward in arrival order
+    * across batches. Within a batch, order is restored exactly. */
+  def asOfLastBefore(points: Dataset[AsOfPoint],
+                     idleTimeout: Option[String] = None): Dataset[AsOfHit] = {
+    val session = points.sparkSession
+    import session.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: Long, it: Iterator[AsOfPoint], state: GroupState[AsOfState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption.map(_.lastLeft).getOrElse(Double.NaN)
+            val out = Seq.newBuilder[AsOfHit]
+            // left sorts before right at equal epochs → inclusive <=
+            it.toSeq.sortBy(p => (p.epoch, p.side)).foreach { p =>
+              if (p.side == 0) {
+                if (last.isNaN || p.epoch >= last) last = p.epoch
+              } else out += AsOfHit(p.id, key, p.epoch,
+                if (last.isNaN) 0.0 else last, !last.isNaN)
+            }
+            if (!last.isNaN) state.update(AsOfState(last))
             idleTimeout.foreach(state.setTimeoutDuration)
             out.result().iterator
           }

@@ -548,4 +548,45 @@ class StreamingSpec extends SparkSpec {
     val observed = StreamingOps.withCounters(df)
     assert(observed.count() === 2)
   }
+
+  test("streaming as-of: cross-batch state equals batch mode and the window operator") {
+    val sq = spark
+    import sq.implicits._
+    val ev = fixtureEvents()
+    val pts = ev.where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id").as("key"), col("ts").cast("double").as("epoch"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"),
+        col("event_id").as("id"))
+      .as[AsOfPoint].collect().toSeq.sortBy(_.epoch)
+    val mid = pts(pts.size / 2).epoch
+
+    val input = MemoryStream[AsOfPoint](spark)
+    val query = StreamingOps.asOfLastBefore(input.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    input.addData(pts.filter(_.epoch <= mid))
+    query.processAllAvailable()
+    input.addData(pts.filter(_.epoch > mid))
+    query.processAllAvailable()
+    query.stop()
+
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getLong(0) -> (if (r.getBoolean(4)) Some(r.getDouble(3)) else None)
+    }.toMap
+    val streamed = asMap(spark.table("asof_out").collect())
+    // oracle 1: the same operator in batch mode (empty initial state)
+    val batch = asMap(StreamingOps.asOfLastBefore(pts.toDS()).toDF().collect())
+    assert(streamed === batch)
+    // oracle 2: the batch window operator on the same split streams
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").cast("double").as("ts"))
+    val buys = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("double").as("ts"), col("event_id"))
+    val win = graft.operators.AsOfJoin
+      .lastBefore(clicks, buys, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(streamed === win)
+    assert(streamed.nonEmpty && streamed.values.exists(_.isDefined))
+  }
 }
