@@ -434,6 +434,25 @@ object Extensions {
           col("n"))
         .orderBy("event_type", "hod")
     },
+    // the REAL streaming as-of join oracle-hashed in batch mode (the
+    // STREAM-*-NATIVE trick): one side-tagged keyed stream through
+    // `StreamingOps.asOfLastBefore` (one double of state per key) —
+    // same contract SQL as JOIN-ASOF, third engine path after the
+    // window operator and the native merge exec
+    "STREAM-ASOF-NATIVE" -> { (s, d) =>
+      import s.implicits._
+      val ev = events(s, d)
+      val pts = ev.where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id").as("key"), col("ts").cast("double").as("epoch"),
+          when(col("event_type") === "click", 0).otherwise(1).as("side"),
+          col("event_id").as("id"))
+        .as[graft.streaming.AsOfPoint]
+      graft.streaming.StreamingOps.asOfLastBefore(pts).toDF()
+        .select(col("id").as("event_id"),
+          when(col("matched"), floor(col("lastLeft")).cast("long"))
+            .as("last_click_epoch"))
+        .orderBy("event_id").limit(80)
+    },
     // the NATIVE physical as-of join oracle-checked: same contract as
     // JOIN-ASOF (last click at-or-before each purchase), served by
     // `MergeAsOfJoinExec` — the custom LogicalPlan + Strategy + SparkPlan
@@ -974,6 +993,15 @@ object Extensions {
         |FROM scored GROUP BY doc_id ORDER BY doc_id LIMIT 60""".stripMargin,
     // the JOIN-ASOF contract SQL, reused verbatim for the native exec
     "JOIN-ASOF-NATIVE" ->
+      s"""WITH purchases AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, max(CAST(floor(epoch(c.ts)) AS BIGINT)) AS last_click_epoch
+        |FROM purchases p LEFT JOIN clicks c
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |GROUP BY p.event_id ORDER BY p.event_id LIMIT 80""".stripMargin,
+    "STREAM-ASOF-NATIVE" ->
       s"""WITH purchases AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'),
         |clicks AS (
