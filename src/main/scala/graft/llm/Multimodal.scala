@@ -5,12 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed metadata.
   *
-  * The decode step is a clearly-marked deterministic STUB (image/audio codec
-  * libraries are not available in this environment); everything around it —
-  * schema, batching, partition-parallel execution via `mapPartitions`, typed
-  * `Dataset` encoders — is the real Spark plumbing a decoder would plug
-  * into. At scale the decode is a narrow per-partition pass: no shuffle, and
-  * partition sizing is controlled by the upstream source split size.
+  * Decode comes in two tiers. UNCOMPRESSED container formats a JVM can
+  * parse without codec libraries get REAL decoders below — RIFF/WAV 16-bit
+  * PCM (magic validation, chunk walking, little-endian sample reads) and
+  * 24-bit BMP (data offset, bottom-up rows, 4-byte padding, BGR order) —
+  * oracle-checked end-to-end via MM-WAV-DECODE / MM-BMP-DECODE. Compressed
+  * formats (JPEG/MP3/H.264) remain a clearly-marked deterministic STUB:
+  * codec libraries are not available in this environment. Everything around
+  * the decode — schema, batching, partition-parallel execution via
+  * `mapPartitions`, typed `Dataset` encoders — is the real Spark plumbing:
+  * a narrow per-partition pass, no shuffle, partition sizing controlled by
+  * the upstream source split size.
   */
 object Multimodal {
 
@@ -57,5 +62,142 @@ object Multimodal {
       col("doc_id").as("media_id"),
       lit("text").as("kind"),
       col("text").cast("binary").as("payload")).as[MediaRow]
+  }
+
+  // ------------------------------------------------------------------
+  // REAL decoders for the uncompressed container formats a JVM can parse
+  // without codec libraries: RIFF/WAV 16-bit PCM and 24-bit BMP. These
+  // replace the stub for these formats — header validation, chunk
+  // walking, little-endian sample reads, BMP row padding and bottom-up
+  // layout are the genuine article. Compressed formats (JPEG/MP3/H.264)
+  // remain environment-blocked: no codec libraries in this sandbox.
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def putLe16(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+  }
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Decoded PCM summary: rate, sample count, mean |amplitude|. */
+  final case class WavInfo(sampleRate: Int, nSamples: Int, meanAbs: Double)
+
+  /** Encode mono 16-bit PCM as a standard RIFF/WAV blob (44-byte header). */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val b = new Array[Byte](44 + dataSize)
+    "RIFF".getBytes.copyToArray(b, 0); putLe32(b, 4, 36 + dataSize)
+    "WAVE".getBytes.copyToArray(b, 8)
+    "fmt ".getBytes.copyToArray(b, 12); putLe32(b, 16, 16)
+    putLe16(b, 20, 1); putLe16(b, 22, 1) // PCM, mono
+    putLe32(b, 24, sampleRate); putLe32(b, 28, sampleRate * 2)
+    putLe16(b, 32, 2); putLe16(b, 34, 16) // block align, bits
+    "data".getBytes.copyToArray(b, 36); putLe32(b, 40, dataSize)
+    var i = 0
+    while (i < samples.length) { putLe16(b, 44 + 2 * i, samples(i) & 0xffff); i += 1 }
+    b
+  }
+
+  /** Parse a RIFF/WAV blob: validates magics, WALKS chunks (fmt may not
+    * be adjacent to data — LIST/INFO chunks are common in the wild),
+    * requires 16-bit PCM, reads little-endian samples. */
+  def decodeWav(bytes: Array[Byte]): WavInfo = {
+    require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+      "not a RIFF/WAVE blob")
+    var off = 12
+    var rate = -1
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+      val id = tag(bytes, off)
+      val sz = le32(bytes, off + 4)
+      if (id == "fmt ") {
+        require(le16(bytes, off + 8) == 1, "not PCM")
+        require(le16(bytes, off + 10) == 1, "not mono")
+        rate = le32(bytes, off + 12)
+        bits = le16(bytes, off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    require(rate > 0 && dataOff >= 0, "missing fmt/data chunk")
+    require(bits == 16, s"expected 16-bit PCM, got $bits")
+    require(dataOff + dataLen <= bytes.length, "truncated data chunk")
+    val n = dataLen / 2
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val s = le16(bytes, dataOff + 2 * i).toShort
+      sum += math.abs(s.toInt)
+      i += 1
+    }
+    WavInfo(rate, n, if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
+  /** Decoded image summary: dimensions + per-channel means. */
+  final case class BmpInfo(width: Int, height: Int,
+                           meanR: Double, meanG: Double, meanB: Double)
+
+  /** Encode a 24-bit bottom-up BMP (BITMAPINFOHEADER, 4-byte row pad). */
+  def encodeBmp(width: Int, height: Int,
+                pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = (width * 3 + 3) & ~3
+    val dataSize = rowBytes * height
+    val b = new Array[Byte](54 + dataSize)
+    b(0) = 'B'; b(1) = 'M'
+    putLe32(b, 2, 54 + dataSize); putLe32(b, 10, 54)
+    putLe32(b, 14, 40); putLe32(b, 18, width); putLe32(b, 22, height)
+    putLe16(b, 26, 1); putLe16(b, 28, 24)
+    putLe32(b, 34, dataSize)
+    var y = 0
+    while (y < height) {
+      val rowOff = 54 + (height - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < width) {
+        val (r, g, bl) = pixel(x, y)
+        b(rowOff + 3 * x) = (bl & 0xff).toByte // BGR order
+        b(rowOff + 3 * x + 1) = (g & 0xff).toByte
+        b(rowOff + 3 * x + 2) = (r & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Parse a 24-bit BMP: magic, data offset, dimensions, bottom-up rows
+    * with 4-byte padding, BGR byte order. */
+  def decodeBmp(bytes: Array[Byte]): BmpInfo = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val dataOff = le32(bytes, 10)
+    val width = le32(bytes, 18)
+    val height = le32(bytes, 22)
+    require(le16(bytes, 28) == 24, "expected 24-bit BMP")
+    require(width > 0 && height > 0, "top-down/degenerate BMP unsupported")
+    val rowBytes = (width * 3 + 3) & ~3
+    require(dataOff + rowBytes * height <= bytes.length, "truncated pixel data")
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < height) {
+      val rowOff = dataOff + (height - 1 - y) * rowBytes
+      var x = 0
+      while (x < width) {
+        sb += bytes(rowOff + 3 * x) & 0xff
+        sg += bytes(rowOff + 3 * x + 1) & 0xff
+        sr += bytes(rowOff + 3 * x + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    BmpInfo(width, height, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
   }
 }

@@ -352,6 +352,56 @@ object Extensions {
             / lit(1e4)).as("v"))
         .orderBy("event_type", "hr")
     },
+    // REAL media decode, oracle-checked: deterministic PCM waveforms are
+    // ENCODED as genuine RIFF/WAV blobs (44-byte header, LE samples) and
+    // then DECODED by the real chunk-walking parser; the oracle computes
+    // the expected sample stats analytically from the generative formula,
+    // so any header/offset/endianness bug in the decoder hash-mismatches
+    "MM-WAV-DECODE" -> { (s, d) =>
+      import s.implicits._
+      Tables.register(s, d)
+      val ks = s.table("part").where(col("p_partkey") <= 100)
+        .select(col("p_partkey")).as[Long]
+      val blobs = ks.map { k =>
+        val n = 400 + (k % 50).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((k * 31 + i * 7) % 2048) - 1024).toShort)
+        (k, Multimodal.encodeWav(8000, samples))
+      }.toDF("k", "payload")
+      blobs.as[(Long, Array[Byte])].map { case (k, p) =>
+          val w = Multimodal.decodeWav(p)
+          (k, w.sampleRate, w.nSamples, w.meanAbs)
+        }.toDF("k", "sample_rate", "n_samples", "mean_abs_raw")
+        .select(col("k"), col("sample_rate"), col("n_samples"),
+          (floor(col("mean_abs_raw") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_abs"))
+        .orderBy("k")
+    },
+    // same contract for images: deterministic pixels → genuine 24-bit BMP
+    // (bottom-up rows, 4-byte padding, BGR) → real parser → per-channel
+    // means vs the analytic oracle
+    "MM-BMP-DECODE" -> { (s, d) =>
+      import s.implicits._
+      Tables.register(s, d)
+      val ks = s.table("part").where(col("p_partkey") <= 100)
+        .select(col("p_partkey")).as[Long]
+      val blobs = ks.map { k =>
+        val w = 16 + (k % 8).toInt
+        val h = 8 + (k % 4).toInt
+        (k, Multimodal.encodeBmp(w, h, (x, y) => (
+          ((k + x * 3 + y * 5) % 256).toInt,
+          ((k * 2 + x * 7 + y) % 256).toInt,
+          ((k * 3 + x + y * 11) % 256).toInt)))
+      }.toDF("k", "payload")
+      blobs.as[(Long, Array[Byte])].map { case (k, p) =>
+          val b = Multimodal.decodeBmp(p)
+          (k, b.width, b.height, b.meanR, b.meanG, b.meanB)
+        }.toDF("k", "width", "height", "r", "g", "b")
+        .select(col("k"), col("width"), col("height"),
+          (floor(col("r") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_r"),
+          (floor(col("g") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_g"),
+          (floor(col("b") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_b"))
+        .orderBy("k")
+    },
     // deterministic train/val/test split (the assignment step every
     // training pipeline runs first): hash-bucket the STABLE doc id into
     // 80/10/10 — a pure per-row function, reproducible forever, immune to
@@ -963,6 +1013,34 @@ object Extensions {
          |  JOIN und e2 ON e2.u = e1.v
          |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
     "GRAPH-PAGERANK" -> pageRankDuckSql,
+    // analytic twins of the real decoders: expected stats straight from
+    // the generative formulas — no bytes on the oracle side, so a decoder
+    // bug cannot cancel out
+    "MM-WAV-DECODE" ->
+      """WITH ks AS (SELECT p_partkey AS k FROM part WHERE p_partkey <= 100),
+        |s AS (SELECT k, 400 + (k % 50) AS n FROM ks),
+        |m AS (SELECT k, n,
+        |  (SELECT sum(abs(((k*31 + i*7) % 2048) - 1024))
+        |   FROM generate_series(0, 448) t(i) WHERE i < n) AS sm FROM s)
+        |SELECT k, 8000 AS sample_rate, CAST(n AS INT) AS n_samples,
+        |  floor(CAST(sm AS DOUBLE) / n * 1e4 + 0.5) / 1e4 AS mean_abs
+        |FROM m ORDER BY k""".stripMargin,
+    "MM-BMP-DECODE" ->
+      """WITH ks AS (SELECT p_partkey AS k FROM part WHERE p_partkey <= 100),
+        |dims AS (SELECT k, 16 + (k % 8) AS w, 8 + (k % 4) AS h FROM ks),
+        |m AS (SELECT k, w, h,
+        |  (SELECT sum((k + x*3 + y*5) % 256) FROM generate_series(0, 22) tx(x),
+        |     generate_series(0, 10) ty(y) WHERE x < w AND y < h) AS sr,
+        |  (SELECT sum((k*2 + x*7 + y) % 256) FROM generate_series(0, 22) tx(x),
+        |     generate_series(0, 10) ty(y) WHERE x < w AND y < h) AS sg,
+        |  (SELECT sum((k*3 + x + y*11) % 256) FROM generate_series(0, 22) tx(x),
+        |     generate_series(0, 10) ty(y) WHERE x < w AND y < h) AS sb
+        |  FROM dims)
+        |SELECT k, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  floor(CAST(sr AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_r,
+        |  floor(CAST(sg AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_g,
+        |  floor(CAST(sb AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_b
+        |FROM m ORDER BY k""".stripMargin,
     "SAMPLE-SPLIT" ->
       """WITH h AS (SELECT doc_id, lang,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),

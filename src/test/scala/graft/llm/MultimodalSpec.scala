@@ -27,4 +27,43 @@ class MultimodalSpec extends SparkSpec {
     assert(a === b)
     feats.unpersist()
   }
+
+  test("WAV codec: round-trip exact, chunk walking, malformed rejected") {
+    val rnd = new scala.util.Random(5)
+    val samples = Array.fill(1000)(rnd.nextInt(65536).toShort)
+    val blob = Multimodal.encodeWav(44100, samples)
+    val w = Multimodal.decodeWav(blob)
+    assert(w.sampleRate === 44100 && w.nSamples === 1000)
+    val expected = samples.map(x => math.abs(x.toInt).toLong).sum.toDouble / 1000
+    assert(w.meanAbs === expected)
+    // decoder must WALK chunks: splice a LIST chunk between fmt and data
+    val listChunk = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val spliced = blob.slice(0, 36) ++ listChunk ++ blob.slice(36, blob.length)
+    // patch RIFF size
+    val total = spliced.length - 8
+    spliced(4) = (total & 0xff).toByte; spliced(5) = ((total >> 8) & 0xff).toByte
+    spliced(6) = ((total >> 16) & 0xff).toByte; spliced(7) = ((total >> 24) & 0xff).toByte
+    val w2 = Multimodal.decodeWav(spliced)
+    assert(w2.nSamples === 1000 && w2.meanAbs === expected)
+    intercept[IllegalArgumentException] { Multimodal.decodeWav("nope".getBytes) }
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(blob.slice(0, 50)) }
+    // empty data chunk decodes to zero samples, not a crash
+    assert(Multimodal.decodeWav(Multimodal.encodeWav(8000, Array.empty)).nSamples === 0)
+  }
+
+  test("BMP codec: round-trip exact across padded and unpadded widths") {
+    val rnd = new scala.util.Random(9)
+    // width 5 -> rowBytes 16 (padded); width 4 -> 12 (unpadded)
+    for (w <- Seq(4, 5, 16, 23); h <- Seq(1, 3, 11)) {
+      val px = Array.fill(h, w)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val blob = Multimodal.encodeBmp(w, h, (x, y) => px(y)(x))
+      val b = Multimodal.decodeBmp(blob)
+      assert(b.width === w && b.height === h)
+      def mean(f: ((Int, Int, Int)) => Int) =
+        px.flatten.map(p => f(p).toLong).sum.toDouble / (w * h)
+      assert(b.meanR === mean(_._1) && b.meanG === mean(_._2) && b.meanB === mean(_._3),
+        s"w=$w h=$h")
+    }
+    intercept[IllegalArgumentException] { Multimodal.decodeBmp(Array[Byte](1, 2, 3)) }
+  }
 }
