@@ -126,4 +126,50 @@ object Layout {
     out.write.mode("overwrite").parquet(outPath)
     nFiles
   }
+
+  /** Retention for hive-partitioned time data: DELETE whole partition
+    * directories whose `partitionCol=value` is lexicographically below
+    * `cutoff` — a pure METADATA operation (directory removals), never a
+    * scan-and-rewrite. This is how 100 TB of date-partitioned metrics
+    * actually expire: dropping `day=2024-01-01/` costs the same whether
+    * it holds a megabyte or a terabyte. Values must be lexicographically
+    * ordered (ISO dates, zero-padded hours — the layouts one partitions
+    * time by). Returns the dropped partition values. */
+  def dropPartitionsOlderThan(spark: org.apache.spark.sql.SparkSession,
+                              path: String, partitionCol: String,
+                              cutoff: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = partitionCol + "="
+    val dropped = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(st => (st.getPath, st.getPath.getName.stripPrefix(prefix)))
+      .filter { case (_, v) => v < cutoff }
+    dropped.foreach { case (dir, _) => fs.delete(dir, true) }
+    dropped.map(_._2).sorted
+  }
+
+  /** [[compact]] per hive partition — OPTIMIZE for a partitioned layout:
+    * each `partitionCol=value` directory compacts independently toward
+    * `targetBytes` files (so one hot day's small files don't force a
+    * rewrite of cold history), preserving the partition structure.
+    * Returns (partition value → files written). Driver-side loop over
+    * partition DIRECTORIES (metadata-scale); each rewrite is its own
+    * distributed job. */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+                         inPath: String, outPath: String, partitionCol: String,
+                         targetBytes: Long = 128L * 1024 * 1024,
+                         sortCol: Option[String] = None): Map[String, Int] = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = partitionCol + "="
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map { st =>
+        val v = st.getPath.getName.stripPrefix(prefix)
+        val n = compact(spark, st.getPath.toString,
+          s"$outPath/${st.getPath.getName}", targetBytes, sortCol)
+        v -> n
+      }.toMap
+  }
 }

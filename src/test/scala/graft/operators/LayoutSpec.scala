@@ -154,6 +154,42 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("partition retention: old partition dirs drop without any scan") {
+    val sq = spark; import sq.implicits._
+    val base = Files.createTempDirectory("ret").toString
+    Seq(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 3L))
+      .flatMap { case (d, v) => Seq.fill(100)((d, v)) }
+      .toDF("day", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(base)
+    val dropped = Layout.dropPartitionsOlderThan(spark, base, "day", "2024-01-03")
+    assert(dropped === Seq("2024-01-01", "2024-01-02"))
+    val left = spark.read.parquet(base)
+    // the partition value is type-inferred (DATE here) — compare as string
+    assert(left.select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("2024-01-03"))
+    assert(left.count() === 100)
+    // idempotent: nothing left below the cutoff
+    assert(Layout.dropPartitionsOlderThan(spark, base, "day", "2024-01-03").isEmpty)
+  }
+
+  test("partitioned compaction: each partition merges independently") {
+    val sq = spark; import sq.implicits._
+    val in = Files.createTempDirectory("cp_in").toString
+    val out = Files.createTempDirectory("cp_out").toString
+    (1 to 9000).map(i => (s"2024-01-0${i % 3 + 1}", i.toLong)).toDF("day", "v")
+      .repartition(20).write.partitionBy("day").mode("overwrite").parquet(in)
+    val perPart = new java.io.File(in).listFiles().filter(_.getName.startsWith("day="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(perPart.values.forall(_ > 5), s"fixture should start fragmented: $perPart")
+    val n = Layout.compactPartitioned(spark, in, out, "day",
+      targetBytes = 1L << 30)
+    assert(n.keySet === Set("2024-01-01", "2024-01-02", "2024-01-03"))
+    assert(n.values.forall(_ === 1), n.toString)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 9000)
+    assert(back.agg(sum("v")).head().getLong(0) === 9000L * 9001 / 2)
+  }
+
   test("z-order write degenerate inputs: empty frame and constant dimension fall back") {
     val sq = spark
     import sq.implicits._
