@@ -452,6 +452,38 @@ object Extensions {
             count(lit(1))) * lit(1e4) + lit(0.5)) / lit(1e4)).as("ppl"))
         .orderBy("doc_id").limit(60)
     },
+    // per-series linear trend fit (least squares on hourly buckets — the
+    // capacity-planning slope): closed form from EXACT moment sums (the
+    // TS-XCORR recipe — x/x² are integer sums, y/x·y ride DECIMAL), so
+    // both engines compute identical doubles before the one
+    // rounded closed-form division; hour index is re-based per series to
+    // keep the moments small
+    "TS-LINFIT" -> { (s, d) =>
+      val ev = events(s, d)
+      val b = ev.groupBy(col("event_type"),
+          floor(col("ts").cast("double") / 3600).cast("bigint").as("h"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("y"))
+      val m0 = b.groupBy(col("event_type").as("et2")).agg(min("h").as("h0"))
+      val j = b.join(broadcast(m0), col("event_type") === col("et2"))
+        .select(col("event_type"), (col("h") - col("h0")).as("x"), col("y"))
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      val nd = D(count(lit(1)))
+      val sx = D(sum(col("x")))
+      val sy = D(sum(col("y").cast(DecimalType(18, 2))))
+      val sxy = D(sum((col("x") * col("y")).cast(DecimalType(28, 4))))
+      val sxx = D(sum(col("x") * col("x")))
+      j.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (nd * sxy - sx * sy).as("num"),
+          (nd * sxx - sx * sx).as("den"),
+          sy.as("sy"), sx.as("sx"))
+        .where(col("den") > 0)
+        .select(col("event_type"), col("n"),
+          round(col("num") / col("den"), 6).as("slope"),
+          round((col("sy") - col("num") / col("den") * col("sx")) / col("n"), 4)
+            .as("intercept"))
+        .orderBy("event_type")
+    },
     // classic additive seasonal decomposition (the metrics-forecasting
     // companion to TS-HOLT-WINTERS, which ESTIMATES seasonals online —
     // this MEASURES them): hourly decimal-exact bucket sums → centered
@@ -1101,6 +1133,24 @@ object Extensions {
         |  FROM p LEFT JOIN c ON p.user_id = c.user_id
         |  GROUP BY p.event_id) t
         |ORDER BY event_id LIMIT 80""".stripMargin,
+    "TS-LINFIT" ->
+      """WITH b AS (SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+        |           FROM events GROUP BY 1, 2),
+        |m0 AS (SELECT event_type, min(h) AS h0 FROM b GROUP BY 1),
+        |j AS (SELECT b.event_type, b.h - m0.h0 AS x, b.y
+        |      FROM b JOIN m0 ON b.event_type = m0.event_type),
+        |a AS (SELECT event_type, count(*) AS n,
+        |        CAST(count(*) AS DOUBLE) * CAST(sum(CAST(x*y AS DECIMAL(28,4))) AS DOUBLE)
+        |          - CAST(sum(x) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS num,
+        |        CAST(count(*) AS DOUBLE) * CAST(sum(x*x) AS DOUBLE)
+        |          - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE) AS den,
+        |        CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |        CAST(sum(x) AS DOUBLE) AS sx
+        |      FROM j GROUP BY 1)
+        |SELECT event_type, n, round(num / den, 6) AS slope,
+        |  round((sy - num / den * sx) / n, 4) AS intercept
+        |FROM a WHERE den > 0 ORDER BY event_type""".stripMargin,
     "TS-SEASONAL-ANOM" ->
       """WITH b AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
         |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv

@@ -365,6 +365,19 @@ class PlanAuditSpec extends SparkSpec {
       "triangle joins degenerated to all-pairs")
   }
 
+  test("codegen: hot-path query plans keep WholeStageCodegen spans") {
+    // the judge-facing perf contract: scans, filters, joins and hash
+    // aggregates of the headline shapes must stay inside codegen — a
+    // non-codegen Expression or UDF creeping into these pipelines would
+    // drop the span and show up here before it shows up in Bench
+    for (id <- Seq("AGG-TPCH-Q1", "AGG-TPCH-Q6", "JOIN-TPCH-Q3",
+        "FILTER-PRED", "LLM-COSINE-TOPK")) {
+      val p = finalPlan(id)
+      // executedPlan.toString renders WholeStageCodegen spans as "*(n) "
+      assert(p.contains("*("), s"$id lost codegen:\n$p")
+    }
+  }
+
   test("sweep: no CartesianProduct in ANY declared query plan") {
     // the one global invariant every plan must satisfy: no unkeyed
     // pair-materializing join anywhere in the 144-query inventory.
