@@ -890,6 +890,54 @@ object Extensions {
             greatest(col("x") * 0.05, lit(2.0))).as("within_bound"))
         .orderBy("g")
     },
+    // Gorilla block codec, oracle-checked by the MM-*-DECODE contract: the
+    // REAL bit-level codec runs only on the Spark side (chunk → encode →
+    // decode → re-aggregate), the oracle computes the same aggregates from
+    // the raw rows — any dod-bucket or XOR-window bug shifts n/tmin/tmax/sv
+    // and hash-mismatches. Chunked per (series, 6 h): block state is a few
+    // hundred points at any corpus size; one shuffle in, one explode out.
+    "GORILLA-ROUNDTRIP" -> { (s, d) =>
+      val ev = events(s, d).select(col("user_id"),
+          col("ts").cast("bigint").as("et"), col("value"))
+        .withColumn("bucket", (floor(col("et") / 21600) * 21600).cast("bigint"))
+      val blocks = graft.storage.Gorilla.compact(
+        ev, Seq("user_id", "bucket"), "et", "value")
+      val back = graft.storage.Gorilla.restore(
+        blocks, Seq("user_id", "bucket"), "et", "value")
+      back.groupBy("user_id", "bucket").agg(
+          count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"),
+          min(col("et")).as("tmin"), max(col("et")).as("tmax"))
+        .orderBy("user_id", "bucket")
+    },
+    // EVENT-CONCURRENCY's distributed twin: the same sweep-line prefix sum,
+    // but NO unpartitioned window over the delta stream. Two-level prefix
+    // sum: (1) running sum within each time bucket (partitioned window —
+    // parallel across buckets); (2) per-bucket delta totals, cumulated
+    // EXCLUSIVE over the bucket axis (a window over #buckets rows —
+    // metadata-scale: one row per 6 h of wall time) and broadcast-joined
+    // back as each bucket's starting offset. peak(bucket) = offset +
+    // max(local running sum). Hash-identical to the contract query.
+    "EVENT-CONCURRENCY-SCALE" -> { (s, d) =>
+      val ev = events(s, d).select(col("ts").cast("bigint").as("t"))
+      val pts = ev.select(col("t"), lit(1).as("d"))
+        .unionAll(ev.select((col("t") + 300).as("t"), lit(-1).as("d")))
+        .withColumn("bucket", (floor(col("t") / 21600) * 21600).cast("bigint"))
+      val local = pts.withColumn("run",
+        sum(col("d")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy(col("t"), col("d"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val offsets = pts.groupBy("bucket").agg(sum(col("d")).as("tot"))
+        .withColumn("off",
+          coalesce(sum(col("tot")).over(org.apache.spark.sql.expressions.Window
+            .orderBy("bucket").rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("bucket", "off")
+      local.groupBy("bucket").agg(max(col("run")).as("mx"))
+        .join(broadcast(offsets), "bucket")
+        .select(col("bucket"), (col("off") + col("mx")).as("peak"))
+        .orderBy("bucket")
+    },
   )
 
   /** Shared DuckDB CTE: distinct 3-gram shingles + the portable polynomial
@@ -1037,6 +1085,17 @@ object Extensions {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the distributed two-level prefix sum must reproduce the contract
+    // sweep-line exactly — same oracle text as EVENT-CONCURRENCY
+    "EVENT-CONCURRENCY-SCALE" -> Inventory.concurrencyDuckSql,
+    // no bytes on the oracle side — aggregates come straight from raw rows
+    "GORILLA-ROUNDTRIP" ->
+      """WITH b AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS et, value,
+        |  CAST(floor(floor(epoch(ts))/21600)*21600 AS BIGINT) AS bucket
+        |  FROM (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events) e)
+        |SELECT user_id, bucket, count(*) AS n, round(sum(value), 2) AS sv,
+        |  min(et) AS tmin, max(et) AS tmax
+        |FROM b GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin,
     "GRAPH-SSSP" -> ssspDuckSql,
     "GRAPH-TRIANGLES" ->
       s"""WITH ${tradeDuckCtes(3)},

@@ -1954,6 +1954,118 @@ object Inventory {
       |  (acc, t) -> acc + t) / ntok, 4) AS avg_nll
       |FROM v ORDER BY doc_id LIMIT 60""".stripMargin)
 
+  // ------------------------------------------------------- round 8b: metrics
+  // M4 pixel-bucket downsampling (Jugel et al., VLDB 2014): per (series,
+  // bucket) keep first/min/max/last WITH their timestamps — the standard
+  // error-free line-rendering reduction for dashboards. One partitioned
+  // window stack + one group-by; map-side partial on the final aggregate,
+  // no cross-series traffic. (TS-RESAMPLE is OHLC by value only; M4's
+  // contract is returning the extrema's coordinates.)
+  q("TS-M4",
+    """WITH b AS (SELECT user_id, CAST(floor(CAST(ts AS DOUBLE)/21600)*21600 AS BIGINT) AS bucket,
+      |    value, CAST(ts AS BIGINT) AS et, event_id FROM events WHERE user_id < 8),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY et, event_id) AS rf,
+      |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY et DESC, event_id DESC) AS rl,
+      |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY value, et, event_id) AS rmn,
+      |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY value DESC, et DESC, event_id DESC) AS rmx
+      |  FROM b)
+      |SELECT user_id, bucket,
+      |  max(CASE WHEN rf = 1 THEN et END) AS t_first, round(max(CASE WHEN rf = 1 THEN value END), 2) AS v_first,
+      |  max(CASE WHEN rmn = 1 THEN et END) AS t_min, round(max(CASE WHEN rmn = 1 THEN value END), 2) AS v_min,
+      |  max(CASE WHEN rmx = 1 THEN et END) AS t_max, round(max(CASE WHEN rmx = 1 THEN value END), 2) AS v_max,
+      |  max(CASE WHEN rl = 1 THEN et END) AS t_last, round(max(CASE WHEN rl = 1 THEN value END), 2) AS v_last
+      |FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin,
+    s"""WITH b AS (SELECT user_id, CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS bucket,
+      |    value, CAST(floor(epoch(ts)) AS BIGINT) AS et, event_id FROM $EV e WHERE user_id < 8),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY et, event_id) AS rf,
+      |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY et DESC, event_id DESC) AS rl,
+      |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY value, et, event_id) AS rmn,
+      |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY value DESC, et DESC, event_id DESC) AS rmx
+      |  FROM b)
+      |SELECT user_id, bucket,
+      |  max(CASE WHEN rf = 1 THEN et END) AS t_first, round(max(CASE WHEN rf = 1 THEN value END), 2) AS v_first,
+      |  max(CASE WHEN rmn = 1 THEN et END) AS t_min, round(max(CASE WHEN rmn = 1 THEN value END), 2) AS v_min,
+      |  max(CASE WHEN rmx = 1 THEN et END) AS t_max, round(max(CASE WHEN rmx = 1 THEN value END), 2) AS v_max,
+      |  max(CASE WHEN rl = 1 THEN et END) AS t_last, round(max(CASE WHEN rl = 1 THEN value END), 2) AS v_last
+      |FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin)
+
+  // per-series lag-1 autocorrelation: one partitioned lag window + one
+  // aggregate. corr() is scale-invariant (sample-vs-population factors
+  // cancel), so the two engines agree to rounding. `+ 0.0` folds -0.0.
+  q("TS-AUTOCORR",
+    """WITH x AS (SELECT user_id, value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+      |  FROM events)
+      |SELECT user_id, round(corr(value, pv), 4) + 0.0 AS ac1, count(*) AS n
+      |FROM x WHERE pv IS NOT NULL GROUP BY user_id ORDER BY user_id LIMIT 60""".stripMargin,
+    s"""WITH x AS (SELECT user_id, value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+      |  FROM $EV e)
+      |SELECT user_id, round(corr(value, pv), 4) + 0.0 AS ac1, count(*) AS n
+      |FROM x WHERE pv IS NOT NULL GROUP BY user_id ORDER BY user_id LIMIT 60""".stripMargin)
+
+  // exact moving median over a 10-row frame (robust smoother). Spark's
+  // percentile(0.5) and DuckDB's quantile_cont(0.5) both linear-interpolate
+  // even-count frames. Exact-in-frame is the contract here; the engine's
+  // fixed-memory alternative for wide frames is the KLL window in
+  // AGG-APPROX-QUANTILES. Frames are per-series — partitioned windows only.
+  q("WIN-ROLLING-MEDIAN",
+    """SELECT user_id, event_id,
+      |  round(percentile(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS med10
+      |FROM events WHERE user_id < 5 ORDER BY user_id, event_id LIMIT 200""".stripMargin,
+    s"""SELECT user_id, event_id,
+      |  round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS med10
+      |FROM $EV e WHERE user_id < 5 ORDER BY user_id, event_id LIMIT 200""".stripMargin)
+
+  // distinct event types within a trailing 20-row frame. Spark cannot put
+  // DISTINCT aggregates in a window, so the declarative shape is
+  // size(collect_set(..)) — frame-bounded state (≤20 entries), partitioned
+  // by series. DuckDB spells the same thing list(..)→list_distinct.
+  q("WIN-ROLLING-DISTINCT",
+    """SELECT user_id, event_id,
+      |  size(collect_set(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS ndist
+      |FROM events WHERE user_id < 5 ORDER BY user_id, event_id LIMIT 200""".stripMargin,
+    s"""SELECT user_id, event_id,
+      |  len(list_distinct(list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))) AS ndist
+      |FROM $EV e WHERE user_id < 5 ORDER BY user_id, event_id LIMIT 200""".stripMargin)
+
+  // DuckDB twin of EVENT-CONCURRENCY, shared with the distributed
+  // EVENT-CONCURRENCY-SCALE in Extensions (same output contract). peak is
+  // CAST to BIGINT: DuckDB widens sum(INTEGER) to HUGEINT, which the
+  // driver's pandas bridge float64-ifies (check_verify.py's hugeint trap).
+  val concurrencyDuckSql: String =
+    s"""WITH pts AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, 1 AS d FROM $EV e
+      |  UNION ALL
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) + 300 AS t, -1 AS d FROM $EV e2),
+      |sw AS (SELECT t, sum(d) OVER (ORDER BY t, d) AS conc FROM pts)
+      |SELECT CAST(floor(t / 21600) * 21600 AS BIGINT) AS bucket,
+      |  CAST(max(conc) AS BIGINT) AS peak
+      |FROM sw GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // sweep-line peak concurrency: each event opens a 300 s presence interval;
+  // +1/-1 deltas, running sum ordered by time (ends sort before starts at a
+  // shared instant: ORDER BY t, d), per-bucket max. Bucket maxima are
+  // order-invariant within equal (t,d) runs — the max of a prefix-sum run
+  // is its endpoint value. The unpartitioned running sum is the contract
+  // shape; the distributed twin (EVENT-CONCURRENCY-SCALE, Extensions) does
+  // the same via per-bucket windows + a broadcast of per-bucket offsets.
+  q("EVENT-CONCURRENCY",
+    """WITH pts AS (
+      |  SELECT CAST(ts AS BIGINT) AS t, 1 AS d FROM events
+      |  UNION ALL
+      |  SELECT CAST(ts AS BIGINT) + 300 AS t, -1 AS d FROM events),
+      |sw AS (SELECT t, sum(d) OVER (ORDER BY t, d) AS conc FROM pts)
+      |SELECT CAST(floor(t / 21600) * 21600 AS BIGINT) AS bucket, max(conc) AS peak
+      |FROM sw GROUP BY 1 ORDER BY bucket""".stripMargin,
+    concurrencyDuckSql)
+
   val all: Seq[Query] = buf.toList
 
   def byId(id: String): Query = all.find(_.id == id).getOrElse(
