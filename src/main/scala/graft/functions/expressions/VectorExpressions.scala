@@ -137,6 +137,20 @@ object GraftFunctions {
     },
     "graft_kll_quantile" -> (exprs => KllQuantile(exprs(0), exprs(1))),
     "graft_kll_rank" -> (exprs => KllRank(exprs(0), exprs(1))),
+    "graft_bloom_agg" -> { exprs =>
+      val n = exprs(1).eval(InternalRow.empty) match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case other => throw new IllegalArgumentException(
+          s"graft_bloom_agg expectedItems must be an integer literal, got $other")
+      }
+      val fpp = exprs(2).eval(InternalRow.empty) match {
+        case d: Double => d
+        case other => throw new IllegalArgumentException(
+          s"graft_bloom_agg fpp must be a double literal, got $other")
+      }
+      BloomFilterBuildAgg(exprs(0), n, fpp).toAggregateExpression()
+    },
     "graft_theta_agg" -> { exprs =>
       val lgK = exprs(1).eval(InternalRow.empty) match {
         case i: Int => i

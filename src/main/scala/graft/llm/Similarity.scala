@@ -420,6 +420,40 @@ object Similarity {
       .orderBy(col("cos").desc, col("va"), col("vb"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540 — public paper): k-means-cluster the embeddings, find
+    * cosine-≥-threshold pairs WITHIN each cluster only, connected-component
+    * the pair graph, keep one document per component (minimum vec_id —
+    * deterministic; the paper found keep-policy choice barely matters).
+    *
+    * Scale shape: cluster assignment is one map-side scan (centroids are a
+    * broadcast literal), pair generation is a key-equality self-join on the
+    * cell id — per-cell work is (n/k)² instead of n², which is exactly the
+    * paper's reason for clustering first; scale `cells` with the corpus so
+    * cells stay bounded. Components use the O(log n)-round star contraction.
+    * Cross-cluster near-dups are invisible by design (the paper's stated
+    * recall trade-off); [[nearDupEmbPairsK]] is the OR-amplified alternative
+    * when cross-bucket recall matters more than cost.
+    *
+    * Returns the KEPT rows (input schema unchanged). */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+                    cells: Int = 8, iters: Int = 5): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(embeddings.sparkSession)
+    val model = kmeansCentroids(embeddings, cells, iters)
+    val assigned = assignCells(graft.core.Tables.spread(embeddings, "vec_id"), model)
+    val a = assigned.select(col("cell"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .filter(cosineNative(col("ea"), col("eb")) >= threshold)
+      .select(col("va"), col("vb"))
+    val cc = Dedup.connectedComponentsStar(pairs)
+    val drop = cc.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("vec_id"))
+    embeddings.join(drop, Seq("vec_id"), "left_anti")
+  }
+
   /** Top-n most similar corpus pairs (va < vb) by cosine: (va, vb, cos).
     * All-pairs — correctness baseline; the LSH/IVF operators above are the
     * scale path for this shape too. */

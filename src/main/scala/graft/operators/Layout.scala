@@ -172,4 +172,70 @@ object Layout {
         v -> n
       }.toMap
   }
+
+  // ---------------------------------------------- bloom data-skipping index
+
+  /** Sidecar location for a per-file bloom index on `keyCol`. */
+  def bloomIndexPath(path: String, keyCol: String): String =
+    path.stripSuffix("/") + s"_bloomidx_$keyCol"
+
+  /** Build a file-level bloom data-skipping index: ONE bloom sketch per
+    * parquet file over `keyCol`, written as a (file, bloom) sidecar table.
+    * Min-max stats (zorder/sort) prune RANGE predicates; blooms prune
+    * POINT lookups on high-cardinality keys that no sort order helps —
+    * "which files could hold series_id = X" — the secondary-index half of
+    * lakehouse data skipping.
+    *
+    * Cost model: one scan of the table, grouped on the file name; the
+    * bloom aggregate's buffer is a fixed bit array (map-side partials, OR
+    * merge), so the index costs numBits/8 bytes per FILE — metadata-scale
+    * output whatever the table size. Returns the number of files indexed. */
+  def writeBloomIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      keyCol: String, expectedItemsPerFile: Long = 1000000L,
+                      fpp: Double = 0.01): Long = {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val idx = spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(keyCol))
+      .groupBy("file")
+      .agg(call_function("graft_bloom_agg", col(keyCol),
+        lit(expectedItemsPerFile), lit(fpp)).as("bloom"))
+    idx.write.mode("overwrite").parquet(bloomIndexPath(path, keyCol))
+    spark.read.parquet(bloomIndexPath(path, keyCol)).count()
+  }
+
+  /** Consult the sidecar: the files whose bloom might contain ANY of
+    * `values`, plus the total file count. Driver-side over the index rows
+    * (one per file — metadata-scale). No false negatives: a file missing
+    * from the keep list provably holds none of the probe values. */
+  def bloomPruneFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                      keyCol: String, values: Seq[Any]): (Seq[String], Int) = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val rows = spark.read.parquet(bloomIndexPath(path, keyCol)).collect()
+    val keep = rows.filter { r =>
+      val bloom = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+      values.exists {
+        case l: Long => bloom.mightContainLong(l)
+        case i: Int => bloom.mightContainLong(i.toLong)
+        case s: String => bloom.mightContainBinary(
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case other => throw new IllegalArgumentException(
+          s"bloom probe supports Long/Int/String values, got $other")
+      }
+    }.map(_.getString(0)).toSeq.sorted
+    (keep, rows.length)
+  }
+
+  /** Point-lookup read through the bloom index: scans ONLY the candidate
+    * files, then applies the exact predicate (false positives cost I/O,
+    * never correctness). Built for flat (non-hive-partitioned) layouts —
+    * the file list is passed straight to the reader. */
+  def bloomPrunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                      keyCol: String, values: Seq[Any]): DataFrame = {
+    val (keep, _) = bloomPruneFiles(spark, path, keyCol, values)
+    val base =
+      if (keep.isEmpty) spark.read.parquet(path).where(lit(false))
+      else spark.read.parquet(keep: _*)
+    base.where(col(keyCol).isin(values: _*))
+  }
 }
