@@ -200,4 +200,79 @@ object Multimodal {
     val n = width.toLong * height
     BmpInfo(width, height, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
   }
+
+  // ------------------------------------------------- feature extraction
+
+  /** Raw PCM access: sample rate + the decoded 16-bit samples (the
+    * summary-only [[decodeWav]] stays the cheap one-number path). */
+  final case class WavSamples(sampleRate: Int, samples: Array[Short])
+
+  def decodeWavSamples(bytes: Array[Byte]): WavSamples = {
+    require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+      "not a RIFF/WAVE blob")
+    var off = 12
+    var rate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+      val id = tag(bytes, off)
+      val sz = le32(bytes, off + 4)
+      if (id == "fmt ") {
+        require(le16(bytes, off + 8) == 1 && le16(bytes, off + 10) == 1 &&
+          le16(bytes, off + 22) == 16, "expected mono 16-bit PCM")
+        rate = le32(bytes, off + 12)
+      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1)
+    }
+    require(rate > 0 && dataOff >= 0 && dataOff + dataLen <= bytes.length,
+      "missing or truncated fmt/data chunk")
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = le16(bytes, dataOff + 2 * i).toShort; i += 1 }
+    WavSamples(rate, out)
+  }
+
+  /** Per-window RMS energy over complete windows of `window` samples —
+    * the basic audio feature (silence detection, loudness curves, VAD
+    * front-ends). Tail samples short of a full window are dropped, so
+    * every window is the same length and the value is comparable. */
+  def wavRms(bytes: Array[Byte], window: Int): Array[Double] = {
+    require(window > 0, "window must be positive")
+    val s = decodeWavSamples(bytes).samples
+    val nw = s.length / window
+    val out = new Array[Double](nw)
+    var w = 0
+    while (w < nw) {
+      var sq = 0.0
+      var i = w * window
+      val end = i + window
+      while (i < end) { val v = s(i).toDouble; sq += v * v; i += 1 }
+      out(w) = math.sqrt(sq / window)
+      w += 1
+    }
+    out
+  }
+
+  /** Nearest-neighbor resize of a 24-bit BMP: dst pixel (x, y) samples src
+    * (⌊x·srcW/dstW⌋, ⌊y·srcH/dstH⌋). Returns a genuine BMP blob again, so
+    * resized thumbnails flow through the same decode/feature operators.
+    * Pure pixel math — the real Spark-side work a thumbnailing pipeline
+    * does per row, minus only the exotic-codec parsing this sandbox can't
+    * host. */
+  def resizeBmpNearest(bytes: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
+    require(dstW > 0 && dstH > 0, "target dimensions must be positive")
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val dataOff = le32(bytes, 10)
+    val srcW = le32(bytes, 18)
+    val srcH = le32(bytes, 22)
+    require(le16(bytes, 28) == 24, "expected 24-bit BMP")
+    val srcRow = (srcW * 3 + 3) & ~3
+    encodeBmp(dstW, dstH, (x, y) => {
+      val sx = x * srcW / dstW
+      val sy = y * srcH / dstH
+      val o = dataOff + (srcH - 1 - sy) * srcRow + 3 * sx
+      ((bytes(o + 2) & 0xff), (bytes(o + 1) & 0xff), (bytes(o) & 0xff))
+    })
+  }
 }

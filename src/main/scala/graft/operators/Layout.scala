@@ -173,6 +173,60 @@ object Layout {
       }.toMap
   }
 
+  // ------------------------------------------------------- keyed upsert
+
+  /** Last-write-wins MERGE into a hive-partitioned parquet layout — the
+    * table-format-free version of `MERGE INTO`: union the updates with the
+    * CURRENT rows of only the partitions the updates touch, keep one row
+    * per key (highest `versionCol`; ties prefer the update side), and
+    * rewrite ONLY those partitions (dynamic partition overwrite — cold
+    * partitions' files are never opened, read, or replaced).
+    *
+    * Scale shape: the partition list is a driver-side distinct over the
+    * updates (metadata-scale); the read is partition-pruned to the
+    * affected values; the merge is one shuffle on the key; the rewrite is
+    * proportional to the touched partitions, not the table. The merged
+    * frame is localCheckpoint-ed before the overwrite because Spark
+    * (correctly) refuses to overwrite a path it is still reading —
+    * bounded by the affected partitions only.
+    *
+    * Returns the affected partition values. */
+  def upsertPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                        updates: DataFrame, keyCols: Seq[String],
+                        versionCol: String, partitionCol: String): Seq[String] = {
+    require(keyCols.nonEmpty, "keyCols must not be empty")
+    val affected = updates.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(p)) updates
+      else {
+        val partType = updates.schema(partitionCol).dataType
+        val cur = spark.read.parquet(path)
+          .where(col(partitionCol).cast("string").isin(affected: _*))
+          .withColumn(partitionCol, col(partitionCol).cast(partType))
+          .withColumn("__src", lit(0))
+        val upd = updates.withColumn("__src", lit(1))
+        cur.unionByName(upd)
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCols.map(col): _*)
+              .orderBy(col(versionCol).desc, col("__src").desc)))
+          .where(col("__rn") === 1)
+          .drop("__rn", "__src")
+      }
+    val staged = merged.localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try staged.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    affected
+  }
+
   // ---------------------------------------------- bloom data-skipping index
 
   /** Sidecar location for a per-file bloom index on `keyCol`. */

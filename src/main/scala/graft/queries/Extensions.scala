@@ -402,6 +402,53 @@ object Extensions {
           (floor(col("b") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_b"))
         .orderBy("k")
     },
+    // windowed RMS energy through the REAL wav pipeline (encode → parse →
+    // per-window fold); the oracle computes each window's sum-of-squares
+    // analytically from the sample formula — no bytes on the oracle side
+    "MM-WAV-RMS" -> { (s, d) =>
+      import s.implicits._
+      Tables.register(s, d)
+      val ks = s.table("part").where(col("p_partkey") <= 100)
+        .select(col("p_partkey")).as[Long]
+      val blobs = ks.map { k =>
+        val n = 400 + (k % 50).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((k * 31 + i * 7) % 2048) - 1024).toShort)
+        (k, Multimodal.encodeWav(8000, samples))
+      }.toDF("k", "payload")
+      blobs.as[(Long, Array[Byte])].flatMap { case (k, p) =>
+          Multimodal.wavRms(p, 100).zipWithIndex.map { case (r, w) => (k, w, r) }
+        }.toDF("k", "w", "rms_raw")
+        .select(col("k"), col("w"),
+          (floor(col("rms_raw") * lit(1e4) + lit(0.5)) / lit(1e4)).as("rms"))
+        .orderBy("k", "w")
+    },
+    // nearest-neighbor thumbnailing through the REAL pixel path: encode a
+    // genuine BMP, resize it (index math on the actual bytes), decode the
+    // RESIZED blob; the oracle replays the sampled-index formula
+    "MM-BMP-RESIZE" -> { (s, d) =>
+      import s.implicits._
+      Tables.register(s, d)
+      val ks = s.table("part").where(col("p_partkey") <= 100)
+        .select(col("p_partkey")).as[Long]
+      val blobs = ks.map { k =>
+        val w = 16 + (k % 8).toInt
+        val h = 8 + (k % 4).toInt
+        (k, Multimodal.encodeBmp(w, h, (x, y) => (
+          ((k + x * 3 + y * 5) % 256).toInt,
+          ((k * 2 + x * 7 + y) % 256).toInt,
+          ((k * 3 + x + y * 11) % 256).toInt)))
+      }.toDF("k", "payload")
+      blobs.as[(Long, Array[Byte])].map { case (k, p) =>
+          val b = Multimodal.decodeBmp(Multimodal.resizeBmpNearest(p, 8, 4))
+          (k, b.width, b.height, b.meanR, b.meanG, b.meanB)
+        }.toDF("k", "width", "height", "r", "g", "b")
+        .select(col("k"), col("width"), col("height"),
+          (floor(col("r") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_r"),
+          (floor(col("g") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_g"),
+          (floor(col("b") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_b"))
+        .orderBy("k")
+    },
     // deterministic train/val/test split (the assignment step every
     // training pipeline runs first): hash-bucket the STABLE doc id into
     // 80/10/10 — a pure per-row function, reproducible forever, immune to
@@ -1115,6 +1162,37 @@ object Extensions {
         |   FROM generate_series(0, 448) t(i) WHERE i < n) AS sm FROM s)
         |SELECT k, 8000 AS sample_rate, CAST(n AS INT) AS n_samples,
         |  floor(CAST(sm AS DOUBLE) / n * 1e4 + 0.5) / 1e4 AS mean_abs
+        |FROM m ORDER BY k""".stripMargin,
+    // every k has n >= 400, so all four 100-sample windows are complete
+    "MM-WAV-RMS" ->
+      """WITH ks AS (SELECT p_partkey AS k FROM part WHERE p_partkey <= 100),
+        |wk AS (SELECT k, unnest([0, 1, 2, 3]) AS w FROM ks),
+        |m AS (SELECT k, w,
+        |  (SELECT sum(CAST(((k*31 + i*7) % 2048) - 1024 AS DOUBLE)
+        |        * (((k*31 + i*7) % 2048) - 1024))
+        |   FROM generate_series(0, 449) t(i)
+        |   WHERE i >= w*100 AND i < w*100 + 100) AS sq
+        | FROM wk)
+        |SELECT k, CAST(w AS INT) AS w,
+        |  floor(sqrt(sq / 100.0) * 1e4 + 0.5) / 1e4 AS rms
+        |FROM m ORDER BY k, w""".stripMargin,
+    // replay the nearest-neighbor index math (integer truncation) on the
+    // generative pixel formulas — the resized blob exists only Spark-side
+    "MM-BMP-RESIZE" ->
+      """WITH ks AS (SELECT p_partkey AS k FROM part WHERE p_partkey <= 100),
+        |dims AS (SELECT k, 16 + (k % 8) AS sw, 8 + (k % 4) AS sh FROM ks),
+        |px AS (SELECT k,
+        |    CAST(floor(x * sw / 8.0) AS BIGINT) AS sx,
+        |    CAST(floor(y * sh / 4.0) AS BIGINT) AS sy
+        |  FROM dims, generate_series(0, 7) tx(x), generate_series(0, 3) ty(y)),
+        |m AS (SELECT k, sum((k + sx*3 + sy*5) % 256) AS sr,
+        |    sum((k*2 + sx*7 + sy) % 256) AS sg,
+        |    sum((k*3 + sx + sy*11) % 256) AS sb
+        |  FROM px GROUP BY k)
+        |SELECT k, 8 AS width, 4 AS height,
+        |  floor(CAST(sr AS DOUBLE) / 32 * 1e4 + 0.5) / 1e4 AS mean_r,
+        |  floor(CAST(sg AS DOUBLE) / 32 * 1e4 + 0.5) / 1e4 AS mean_g,
+        |  floor(CAST(sb AS DOUBLE) / 32 * 1e4 + 0.5) / 1e4 AS mean_b
         |FROM m ORDER BY k""".stripMargin,
     "MM-BMP-DECODE" ->
       """WITH ks AS (SELECT p_partkey AS k FROM part WHERE p_partkey <= 100),

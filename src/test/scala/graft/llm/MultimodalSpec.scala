@@ -66,4 +66,38 @@ class MultimodalSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { Multimodal.decodeBmp(Array[Byte](1, 2, 3)) }
   }
+
+  test("windowed RMS: exact on known signals, tail dropped") {
+    // constant amplitude A -> RMS = A in every window
+    val const = Multimodal.encodeWav(8000, Array.fill(250)(100.toShort))
+    assert(Multimodal.wavRms(const, 100).toSeq === Seq(100.0, 100.0)) // 50 tail dropped
+    // alternating +-A -> RMS = A; half-zero window -> A/sqrt(2)
+    val alt = Array.tabulate(100)(i => (if (i % 2 == 0) 80 else -80).toShort)
+    assert(Multimodal.wavRms(Multimodal.encodeWav(8000, alt), 100).toSeq === Seq(80.0))
+    val half = Array.tabulate(100)(i => (if (i < 50) 60 else 0).toShort)
+    val r = Multimodal.wavRms(Multimodal.encodeWav(8000, half), 100)(0)
+    assert(math.abs(r - 60.0 / math.sqrt(2)) < 1e-9)
+    // shorter than one window -> no windows
+    assert(Multimodal.wavRms(Multimodal.encodeWav(8000, Array.fill(99)(5.toShort)), 100).isEmpty)
+  }
+
+  test("nearest-neighbor resize: identity at same size, exact sampling when shrinking") {
+    val rnd = new scala.util.Random(11)
+    val (w, h) = (10, 6)
+    val px = Array.fill(h, w)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    val blob = Multimodal.encodeBmp(w, h, (x, y) => px(y)(x))
+    // identity resize reproduces the blob's pixel content exactly
+    val same = Multimodal.decodeBmp(Multimodal.resizeBmpNearest(blob, w, h))
+    val orig = Multimodal.decodeBmp(blob)
+    assert(same === orig)
+    // 2x shrink samples (2x, 2y): verify against a hand-built expectation
+    val small = Multimodal.decodeBmp(Multimodal.resizeBmpNearest(blob, 5, 3))
+    val exp = for (y <- 0 until 3; x <- 0 until 5) yield px(y * 2)(x * 2)
+    def mean(f: ((Int, Int, Int)) => Int) = exp.map(p => f(p).toLong).sum.toDouble / 15
+    assert(small.width === 5 && small.height === 3)
+    assert(small.meanR === mean(_._1) && small.meanG === mean(_._2) && small.meanB === mean(_._3))
+    // upscale replicates pixels (means preserved for integer factors)
+    val big = Multimodal.decodeBmp(Multimodal.resizeBmpNearest(blob, w * 2, h * 2))
+    assert(big.width === w * 2 && big.meanR === orig.meanR && big.meanB === orig.meanB)
+  }
 }
