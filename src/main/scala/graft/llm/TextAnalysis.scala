@@ -126,4 +126,30 @@ object TextAnalysis {
     documents.select(col("doc_id"),
       size(tokens(col("text"))).as("n_ws"),
       size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe"))
+
+  /** Deflate length of a byte string — the building block of the
+    * compression-ratio quality signal (Gopher/C4 lineage: highly
+    * compressible ≈ repetitive/boilerplate; barely compressible ≈ random
+    * noise; natural prose sits in between). Deterministic: fixed level,
+    * fresh Deflater per value. */
+  private val deflateLen = udf { (bytes: Array[Byte]) =>
+    val d = new java.util.zip.Deflater(6, /*nowrap=*/ true)
+    d.setInput(bytes); d.finish()
+    val buf = new Array[Byte](1024)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    n
+  }
+
+  /** Per-document compression ratio: deflate(text)/len(text), rounded 4dp.
+    * Map-side only (a UDF is the honest choice here — deflate is a
+    * stateful native-ish loop no Catalyst expression expresses; it stays
+    * inside one projection, so the plan around it is unchanged). Filter
+    * downstream on BOTH tails: ratio < ~0.25 flags pathological
+    * repetition, ratio > ~0.9 flags binary/noise payloads. */
+  def compressionRatio(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), length(col("text")).as("n_chars"),
+      round(deflateLen(encode(col("text"), "UTF-8"))
+        / greatest(length(col("text")), lit(1)).cast("double"), 4).as("deflate_ratio"))
 }

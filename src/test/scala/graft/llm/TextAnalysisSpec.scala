@@ -60,4 +60,28 @@ class TextAnalysisSpec extends SparkSpec {
     val bad = TextAnalysis.bpeTokenCounts(docs).filter(col("n_bpe") < col("n_ws"))
     assert(bad.count() === 0)
   }
+
+  test("compressionRatio separates repetition, prose, and noise; deterministic") {
+    val sq = spark
+    import sq.implicits._
+    val rnd = new scala.util.Random(3)
+    val noise = Array.fill(4000)((33 + rnd.nextInt(94)).toChar).mkString
+    val t = Seq(
+      (1L, "spam ham " * 500),                         // pathological repetition
+      (2L, ("the quick brown fox jumps over the lazy dog and then " +
+        "wanders toward a distant river bank looking for supper ") * 40),
+      (3L, noise))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.compressionRatio(t).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(1L) < 0.05, s"repetition should crush: ${m(1L)}")
+    assert(m(2L) > m(1L) && m(2L) < 0.5, s"prose in between: ${m(2L)}")
+    assert(m(3L) > 0.8, s"noise barely compresses: ${m(3L)}")
+    // deterministic across evaluations
+    val again = TextAnalysis.compressionRatio(t).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again === m)
+    // total on the real corpus, no nulls
+    assert(TextAnalysis.compressionRatio(docs).filter(col("deflate_ratio").isNull).count() === 0)
+  }
 }

@@ -589,4 +589,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === win)
     assert(streamed.nonEmpty && streamed.values.exists(_.isDefined))
   }
+
+  test("approxDistinctByWindow: sketch state spans batches; exact below 2^lgK") {
+    val sq = spark
+    import sq.implicits._
+    // real fixture: distinct users per (event_type, 6h window); every key
+    // has far fewer than 2^12 users, so theta runs in exact mode and the
+    // streaming estimate must EQUAL the exact distinct count
+    val pts = fixtureEvents()
+      .select(col("event_type").as("metric"),
+        (floor(col("ts").cast("long") / 21600) * 21600).cast("long").as("window"),
+        col("user_id").as("item"))
+      .as[DistinctPoint].collect().toSeq.sortBy(p => (p.window, p.item))
+    val mid = pts(pts.size / 2).window
+
+    val input = MemoryStream[DistinctPoint](spark)
+    val query = StreamingOps.approxDistinctByWindow(input.toDS())
+      .writeStream.format("memory").queryName("adist_out")
+      .outputMode("append").start()
+    input.addData(pts.filter(_.window <= mid))
+    query.processAllAvailable()
+    input.addData(pts.filter(_.window > mid))
+    query.processAllAvailable()
+    query.stop()
+
+    // running-estimate contract: keep the LAST emission per key
+    val streamed = spark.table("adist_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("metric", "window")
+          .orderBy(monotonically_increasing_id().desc)))
+      .where(col("rn") === 1)
+      .select(col("metric"), col("window"), col("estimate").cast("long").as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = fixtureEvents()
+      .groupBy(col("event_type").as("metric"),
+        (floor(col("ts").cast("long") / 21600) * 21600).cast("long").as("window"))
+      .agg(countDistinct("user_id").as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === exact)
+    // and the batch-mode run of the SAME operator agrees
+    val batch = StreamingOps.approxDistinctByWindow(pts.toDS()).toDF()
+      .select(col("metric"), col("window"), col("estimate").cast("long").as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(batch === exact)
+  }
 }
