@@ -1748,6 +1748,79 @@ object Relational {
             sum(col("n")).over(Window.partitionBy("event_type")), 4).as("p_next"))
         .orderBy(col("n").desc, col("event_type"), col("nxt")).limit(15)
     },
+
+    // M4 pixel-bucket downsampling: first/min/max/last WITH their
+    // timestamps — four rank windows on ONE (user,bucket) partitioning
+    // (a single shuffle; each frame is per-bucket, never whole-series)
+    "TS-M4" -> { s =>
+      val b = s.table("events").where(col("user_id") < 8)
+        .select(col("user_id"),
+          (floor(col("ts").cast("double") / 21600) * 21600).cast("long").as("bucket"),
+          col("value"), col("ts").cast("long").as("et"), col("event_id"))
+      def w(cols: Column*) =
+        Window.partitionBy("user_id", "bucket").orderBy(cols: _*)
+      val r = b
+        .withColumn("rf", row_number().over(w(col("et"), col("event_id"))))
+        .withColumn("rl", row_number().over(w(col("et").desc, col("event_id").desc)))
+        .withColumn("rmn", row_number().over(w(col("value"), col("et"), col("event_id"))))
+        .withColumn("rmx", row_number().over(w(col("value").desc, col("et").desc, col("event_id").desc)))
+      def pick(rank: String, out: Column) = max(when(col(rank) === 1, out))
+      r.groupBy("user_id", "bucket")
+        .agg(pick("rf", col("et")).as("t_first"), round(pick("rf", col("value")), 2).as("v_first"),
+          pick("rmn", col("et")).as("t_min"), round(pick("rmn", col("value")), 2).as("v_min"),
+          pick("rmx", col("et")).as("t_max"), round(pick("rmx", col("value")), 2).as("v_max"),
+          pick("rl", col("et")).as("t_last"), round(pick("rl", col("value")), 2).as("v_last"))
+        .orderBy("user_id", "bucket")
+    },
+
+    // lag-1 autocorrelation per series: one partitioned lag + corr()
+    "TS-AUTOCORR" -> { s =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      s.table("events")
+        .select(col("user_id"), col("value"), lag(col("value"), 1).over(w).as("pv"))
+        .where(col("pv").isNotNull)
+        .groupBy("user_id")
+        .agg((round(corr(col("value"), col("pv")), 4) + 0.0).as("ac1"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id").limit(60)
+    },
+
+    // exact moving median over a 10-row frame (robust smoother); per-series
+    // partitioned frames only — KLL is the fixed-memory wide-frame path
+    "WIN-ROLLING-MEDIAN" -> { s =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      s.table("events").where(col("user_id") < 5)
+        .select(col("user_id"), col("event_id"),
+          round(call_function("percentile", col("value"), lit(0.5)).over(w), 4).as("med10"))
+        .orderBy("user_id", "event_id").limit(200)
+    },
+
+    // distinct count within a trailing 20-row frame: frame-bounded
+    // collect_set state (≤20 entries), partitioned by series
+    "WIN-ROLLING-DISTINCT" -> { s =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+      s.table("events").where(col("user_id") < 5)
+        .select(col("user_id"), col("event_id"),
+          size(collect_set(col("event_type")).over(w)).as("ndist"))
+        .orderBy("user_id", "event_id").limit(200)
+    },
+
+    // sweep-line peak concurrency: ±1 interval deltas, one running sum
+    // ordered (t, d) — ends before starts at shared instants — per-bucket
+    // max. Default RANGE frame ties match the SQL twin. The unpartitioned
+    // window is the contract shape; EVENT-CONCURRENCY-SCALE (Extensions)
+    // is the distributed per-bucket-offset twin.
+    "EVENT-CONCURRENCY" -> { s =>
+      val ev = s.table("events")
+      val pts = ev.select(col("ts").cast("long").as("t"), lit(1).as("d"))
+        .unionAll(ev.select((col("ts").cast("long") + 300).as("t"), lit(-1).as("d")))
+      val sw = pts.withColumn("conc", sum(col("d")).over(Window.orderBy(col("t"), col("d"))))
+      sw.groupBy((floor(col("t") / 21600) * 21600).cast("long").as("bucket"))
+        .agg(max(col("conc")).as("peak"))
+        .orderBy("bucket")
+    },
   )
 
   def apply(id: String, spark: SparkSession): DataFrame = impls(id)(spark)
