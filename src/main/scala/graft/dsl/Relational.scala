@@ -1807,6 +1807,163 @@ object Relational {
         .orderBy("user_id", "event_id").limit(200)
     },
 
+    // one-sided CUSUM change score: the sequential recurrence
+    // S_t = max(0, S_{t-1} + x_t - mu - k) via its prefix-min closed form —
+    // two running frames on ONE per-series sort, no iterative fold
+    "TS-CUSUM" -> { s =>
+      val run = Window.partitionBy("user_id").orderBy(col("et"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val x = s.table("events").where(col("user_id") < 40)
+        .select(col("user_id"), col("event_id"), col("ts").cast("long").as("et"),
+          col("value"), avg(col("value")).over(Window.partitionBy("user_id")).as("mu"))
+      val c = x.withColumn("cm", sum(col("value") - col("mu") - 5.0).over(run))
+      val score = col("cm") - least(lit(0.0).cast("double"), min(col("cm")).over(run))
+      c.select(col("user_id"), col("event_id"),
+          (round(score, 4) + 0.0).as("cusum"), (score > 500.0).as("alarm"))
+        .orderBy("user_id", "event_id").limit(400)
+    },
+
+    // LTTB downsampling (parallel variant): triangle areas against the
+    // neighbor buckets' 6dp-rounded means; endpoints pinned in the first
+    // and last buckets. One aggregate + one bucket-level window + one
+    // per-bucket rank — all per-series partitioned.
+    "TS-LTTB" -> { s =>
+      val pts = s.table("events").where(col("user_id") < 20)
+        .select(col("user_id"), col("ts").cast("long").as("et"),
+          col("event_id"), col("value"))
+      val st = pts.groupBy("user_id").agg(min("et").as("mn"), max("et").as("mx"))
+      val b = pts.join(st, "user_id")
+        .withColumn("bk", least(
+          floor((col("et") - col("mn")) * 12.0 / (col("mx") - col("mn") + 1)).cast("int"),
+          lit(11)))
+        .select("user_id", "et", "event_id", "value", "bk")
+      val m = b.groupBy("user_id", "bk")
+        .agg(round(avg("et"), 6).as("bx"), round(avg("value"), 6).as("by"))
+      val wb = Window.partitionBy("user_id").orderBy("bk")
+      val n = m.select(col("user_id"), col("bk"),
+        lag("bx", 1).over(wb).as("ax"), lag("by", 1).over(wb).as("ay"),
+        lead("bx", 1).over(wb).as("cx"), lead("by", 1).over(wb).as("cy"))
+      val a = b.join(n, Seq("user_id", "bk"))
+        .withColumn("sel",
+          when(col("ax").isNull, col("et").cast("double"))
+            .when(col("cx").isNull, -col("et").cast("double"))
+            .otherwise(-abs((col("ax") - col("cx")) * (col("value") - col("ay"))
+              - (col("ax") - col("et")) * (col("cy") - col("ay")))))
+      val rn = row_number().over(
+        Window.partitionBy("user_id", "bk").orderBy(col("sel"), col("et"), col("event_id")))
+      a.withColumn("rn", rn).where(col("rn") === 1)
+        .select(col("user_id"), col("bk"), col("et"), round(col("value"), 2).as("v"))
+        .orderBy("user_id", "bk")
+    },
+
+    // 2-D Pareto frontier: the Skyline operator (partition-local dominance
+    // prune, then a frontier-sized global pass — no quadratic self-join)
+    "AGG-SKYLINE" -> { s =>
+      graft.operators.Skyline.pareto2d(
+          s.table("part").select(col("p_retailprice").as("price"), col("p_size").as("size")),
+          "price", "size")
+        .select(round(col("price"), 2).as("price"), col("size"))
+        .orderBy("price")
+    },
+
+    // snapshot diff over planted inserts/deletes/updates: the generic CDC
+    // operator (one full outer join on the key, null-safe column compare)
+    "CDC-DIFF" -> { s =>
+      val o = s.table("orders")
+      val a = o.where(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          round(col("o_totalprice"), 2).as("tp"))
+      val b = o.where(col("o_orderkey") % 10 =!= 1)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 7 === 0, "X").otherwise(col("o_orderstatus")).as("st"),
+          round(col("o_totalprice")
+            + when(col("o_orderkey") % 5 === 0, 10.0).otherwise(0.0), 2).as("tp"))
+      graft.operators.Cdc.snapshotDiff(a, b, Seq("k")).orderBy("k")
+    },
+
+    // type-2 dimension history from the event change log: the generic SCD2
+    // operator (LWW per tick, no-op collapse, validity intervals)
+    "DIM-SCD2" -> { s =>
+      val log = s.table("events").where(col("user_id") < 30)
+        .select(col("user_id"), col("ts").cast("long").as("et"), col("event_id"),
+          floor(col("value") / 100).cast("int").as("state"))
+      graft.operators.Cdc.scd2(log, "user_id", "et", "event_id", Seq("state"))
+        .withColumnRenamed("et", "valid_from")
+        .orderBy("user_id", "valid_from")
+    },
+
+    // exponential (base-2) histogram over integer cents + cumulative
+    // fraction + bucket upper bound; ln-ratio rounded to 9dp before floor
+    // so bucket edges are libm-stable
+    "AGG-EXPHIST" -> { s =>
+      val bucket = floor(round(
+        log(round(col("value") * 100).cast("long").cast("double")) / math.log(2.0), 9))
+        .cast("int")
+      val h = s.table("events").where(col("value") > 0)
+        .select(col("event_type"), bucket.as("bucket"))
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
+      val cum = sum("cnt").over(Window.partitionBy("event_type").orderBy("bucket"))
+      val tot = sum("cnt").over(Window.partitionBy("event_type"))
+      h.select(col("event_type"), col("bucket"), col("cnt"),
+          round(cum * 1.0 / tot, 4).as("cum_frac"),
+          round(pow(2.0, col("bucket") + 1) / 100.0, 4).as("ub"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // hour→day re-aggregation == day-from-raw: the mergeable-rollup
+    // contract behind multi-resolution metric retention
+    "TS-ROLLUP-CASCADE" -> { s =>
+      val pts = s.table("events").select(col("event_type"),
+        col("ts").cast("long").as("et"), col("value"))
+      val h = pts.groupBy(col("event_type"), (col("et") - (col("et") % 3600)).as("hb"))
+        .agg(sum("value").as("sv"), count(lit(1)).as("c"),
+          min("value").as("mn"), max("value").as("mx"))
+      val dh = h.groupBy(col("event_type"), (col("hb") - (col("hb") % 86400)).as("db"))
+        .agg(sum("sv").as("sv"), sum("c").cast("long").as("c"),
+          min("mn").as("mn"), max("mx").as("mx"))
+      val dr = pts.groupBy(col("event_type").as("r_et"), (col("et") - (col("et") % 86400)).as("r_db"))
+        .agg(sum("value").as("r_sv"), count(lit(1)).as("r_c"),
+          min("value").as("r_mn"), max("value").as("r_mx"))
+      dh.join(dr, col("event_type") === col("r_et") && col("db") === col("r_db"))
+        .select(col("event_type"), col("db"), round(col("sv"), 4).as("day_sum"),
+          col("c").as("day_cnt"), round(col("mn"), 4).as("day_min"),
+          round(col("mx"), 4).as("day_max"),
+          (col("c") === col("r_c") && abs(col("sv") - col("r_sv")) < 1e-6
+            && col("mn") === col("r_mn") && col("mx") === col("r_mx")).as("rollup_equal"))
+        .orderBy("event_type", "db")
+    },
+
+    // per-column profiling via the one-pass Quality operator (the SQL twin
+    // is the cols×-scans UNION contract)
+    "DQ-PROFILE" -> { s =>
+      graft.operators.Quality.profile(s.table("orders"),
+        Seq("o_custkey", "o_totalprice"), Seq("o_orderstatus", "o_orderpriority"))
+    },
+
+    // constraint validation report: pk unique / fk orphan / range / null /
+    // enum — each one aggregate or anti join, unioned
+    "DQ-CHECK" -> { s =>
+      val o = s.table("orders")
+      val pk = o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+        .where(col("c") > 1)
+        .agg(coalesce(sum(col("c") - 1), lit(0)).cast("long").as("violations"))
+        .select(lit("pk_unique_orders").as("chk"), col("violations"))
+      val fk = s.table("lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("fk_lineitem_orders").as("chk"), col("violations"))
+      val rng = o.where(col("o_totalprice") <= 0).agg(count(lit(1)).as("violations"))
+        .select(lit("range_totalprice_pos").as("chk"), col("violations"))
+      val nn = o.where(col("o_custkey").isNull).agg(count(lit(1)).as("violations"))
+        .select(lit("nonnull_custkey").as("chk"), col("violations"))
+      val en = o.where(!col("o_orderstatus").isin("F", "O", "P"))
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("enum_orderstatus").as("chk"), col("violations"))
+      pk.unionAll(fk).unionAll(rng).unionAll(nn).unionAll(en)
+        .select(col("chk"), col("violations"), (col("violations") === 0).as("ok"))
+        .orderBy("chk")
+    },
+
     // sweep-line peak concurrency: ±1 interval deltas, one running sum
     // ordered (t, d) — ends before starts at shared instants — per-bucket
     // max. Default RANGE frame ties match the SQL twin. The unpartitioned

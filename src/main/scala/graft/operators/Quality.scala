@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling (Deequ-style column stats) in ONE aggregate pass.
+  *
+  * The naive shape — one `SELECT count/distinct/min/max FROM t` per column,
+  * UNION ALL'd — scans the table once per column. [[profile]] instead folds
+  * every column's metrics into a single aggregate row (count-distincts
+  * share one Expand, so the scan and shuffle are paid once) and explodes it
+  * back to the per-column layout. At 100 TB the difference is `cols`×
+  * fewer scans.
+  */
+object Quality {
+
+  /** Per-column stats: `(col, n_rows, n_nonnull, n_distinct, min_val,
+    * max_val)` — min/max surfaced as DOUBLE for numeric columns, NULL
+    * otherwise (a profile row is type-homogeneous across columns).
+    * Output ordered by column name. */
+  def profile(df: DataFrame, numericCols: Seq[String], otherCols: Seq[String]): DataFrame = {
+    val all = numericCols.map(_ -> true) ++ otherCols.map(_ -> false)
+    require(all.nonEmpty, "profile needs at least one column")
+    all.foreach { case (c, _) => require(df.columns.contains(c), s"no column $c") }
+
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ all.flatMap {
+      case (c, isNum) =>
+        val mm: Seq[Column] =
+          if (isNum) Seq(round(min(col(c)).cast("double"), 4).as(s"__min_$c"),
+            round(max(col(c)).cast("double"), 4).as(s"__max_$c"))
+          else Seq(lit(null).cast("double").as(s"__min_$c"),
+            lit(null).cast("double").as(s"__max_$c"))
+        Seq(count(col(c)).as(s"__nn_$c"),
+          count_distinct(col(c)).as(s"__nd_$c")) ++ mm
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+
+    val rows = all.map { case (c, _) =>
+      struct(lit(c).as("col"), col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nonnull"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.col").as("col"), col("r.n_rows").as("n_rows"),
+        col("r.n_nonnull").as("n_nonnull"), col("r.n_distinct").as("n_distinct"),
+        col("r.min_val").as("min_val"), col("r.max_val").as("max_val"))
+      .orderBy("col")
+  }
+}

@@ -582,6 +582,24 @@ object Extensions {
             .as("last_click_epoch"))
         .orderBy("event_id").limit(80)
     },
+    // the REAL streaming approximate-distinct operator oracle-hashed:
+    // StreamingOps.approxDistinctByWindow (theta sketch per key in
+    // flatMapGroupsWithState, ≤8·2^lgK bytes of state) on the batch frame.
+    // Theta is EXACT below 2^lgK=4096 retained hashes, and distinct users
+    // per (type, 6h window) is far under that at every SF — so the oracle
+    // is plain exact count(DISTINCT): estimation machinery, exact contract.
+    "STREAM-APPROXDIST-NATIVE" -> { (s, d) =>
+      import s.implicits._
+      val ev = events(s, d)
+      val secs = col("ts").cast("long")
+      val pts = ev.select(col("event_type").as("metric"),
+          (secs - (secs % 21600)).as("window"),
+          col("user_id").cast("long").as("item"))
+        .as[graft.streaming.DistinctPoint]
+      graft.streaming.StreamingOps.approxDistinctByWindow(pts).toDF()
+        .select(col("metric"), col("window").as("win"), col("estimate"))
+        .orderBy("metric", "win")
+    },
     // the NATIVE physical as-of join oracle-checked: same contract as
     // JOIN-ASOF (last click at-or-before each purchase), served by
     // `MergeAsOfJoinExec` — the custom LogicalPlan + Strategy + SparkPlan
@@ -1257,6 +1275,16 @@ object Extensions {
         |FROM purchases p LEFT JOIN clicks c
         |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |GROUP BY p.event_id ORDER BY p.event_id LIMIT 80""".stripMargin,
+    // exact replay of the streaming theta-sketch distinct counter: below
+    // 2^lgK retained hashes the sketch estimate IS the exact distinct count
+    "STREAM-APPROXDIST-NATIVE" ->
+      """WITH pts AS (SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS et,
+        |    user_id FROM events)
+        |SELECT metric, win, estimate FROM (
+        |  SELECT event_type AS metric, (et - (et % 21600)) AS win,
+        |    CAST(count(DISTINCT user_id) AS DOUBLE) AS estimate
+        |  FROM pts GROUP BY event_type, (et - (et % 21600))) t
+        |ORDER BY metric, win""".stripMargin,
     // nearest click per purchase: lexicographic [|Δt|, click-epoch] argmin
     // — the quadratic contract formulation of AsOfJoin.nearest
     "JOIN-ASOF-NEAREST" ->

@@ -378,6 +378,42 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("TS-CUSUM/DIM-SCD2: change-detection windows all series-partitioned, no joins") {
+    Seq("TS-CUSUM", "DIM-SCD2").foreach { id =>
+      val p = finalPlan(id)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$id is window-only — no join of any kind:\n$p")
+      val winLines = p.linesIterator.filter(_.contains("Window ")).toList
+      assert(winLines.nonEmpty, s"$id: expected the running/interval windows")
+      assert(winLines.forall(_.matches(""".*Window .*\], \[user_id#\d+.*""")),
+        s"$id: every window must partition by series key:\n${winLines.mkString("\n")}")
+    }
+  }
+
+  test("CDC-DIFF: one keyed full-outer join, codegen column compare, no pair blow-up") {
+    val p = finalPlan("CDC-DIFF")
+    assert(p.contains("FullOuter"), s"snapshot diff must be one full outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff must join on the key only:\n$p")
+    // exactly one join: the change-column compare is projection, not joins
+    // (AQE renders the plan twice — count within the final plan only)
+    val finalOnly = p.split("== Initial Plan ==").head
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(finalOnly).size <= 1,
+      s"expected a single keyed join:\n$p")
+  }
+
+  test("AGG-SKYLINE: local prune is partition-local; only the frontier reaches the global window") {
+    val p = finalPlan("AGG-SKYLINE")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"),
+      s"skyline must never dominance-self-join:\n$p")
+    // phase-1 prune windows per input partition (spark_partition_id is
+    // projected to a column before the window spec references it)
+    assert(p.toLowerCase.contains("spark_partition_id"),
+      s"phase-1 prune must window per input partition (no shuffle):\n$p")
+  }
+
   test("sweep: no CartesianProduct in ANY declared query plan") {
     // the one global invariant every plan must satisfy: no unkeyed
     // pair-materializing join anywhere in the 144-query inventory.
