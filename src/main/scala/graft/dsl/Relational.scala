@@ -1933,6 +1933,45 @@ object Relational {
         .orderBy("event_type", "db")
     },
 
+    // SRE multi-window multi-burn SLO alert: tumbling 1h/6h error-budget
+    // burn, alert only when BOTH windows exceed budget; the short row finds
+    // its long row by bucket arithmetic — key-equality join, no range join
+    "TS-BURN-RATE" -> { s =>
+      val pts = s.table("events").select(col("event_type"),
+        col("ts").cast("long").as("et"), col("value"))
+      def win(width: Int, n: String, e: String) =
+        pts.groupBy(col("event_type"), (col("et") - (col("et") % width)).as(
+            if (width == 3600) "hb" else "lb"))
+          .agg(count(lit(1)).as(n), count(when(col("value") > 400, 1)).as(e))
+      val h = win(3600, "n", "err")
+      val l = win(21600, "n6", "err6").withColumnRenamed("event_type", "l_et")
+      val bs = col("err") * 1.0 / col("n") / 0.02
+      val bl = col("err6") * 1.0 / col("n6") / 0.02
+      h.join(l, col("event_type") === col("l_et")
+          && (col("hb") - (col("hb") % 21600)) === col("lb"))
+        .select(col("event_type"), col("hb"),
+          round(bs, 4).as("burn_short"), round(bl, 4).as("burn_long"),
+          (bs > 1.0 && bl > 1.0).as("alert"))
+        .orderBy("event_type", "hb")
+    },
+
+    // pairwise Pearson correlation matrix across metric series: decimal-
+    // exact hourly sums, upper-triangle hour-equality self-join of BUCKET
+    // rows, corr() per pair
+    "TS-CORR-MATRIX" -> { s =>
+      val h = s.table("events")
+        .select(col("event_type"), col("ts").cast("long").as("et"), col("value"))
+        .groupBy(col("event_type"), (col("et") - (col("et") % 3600)).as("hb"))
+        .agg(sum(col("value").cast(dec(18, 2))).cast("double").as("y"))
+      val a = h.select(col("event_type").as("t1"), col("hb"), col("y").as("ya"))
+      val b = h.select(col("event_type").as("t2"), col("hb").as("hb2"), col("y").as("yb"))
+      a.join(b, col("hb") === col("hb2") && col("t1") < col("t2"))
+        .groupBy("t1", "t2")
+        .agg((round(corr(col("ya"), col("yb")), 4) + 0.0).as("r"),
+          count(lit(1)).as("n"))
+        .orderBy("t1", "t2")
+    },
+
     // per-column profiling via the one-pass Quality operator (the SQL twin
     // is the cols×-scans UNION contract)
     "DQ-PROFILE" -> { s =>

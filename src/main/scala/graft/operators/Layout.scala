@@ -227,6 +227,40 @@ object Layout {
     affected
   }
 
+  /** Incrementally maintain a sum/count/min/max rollup of a hive-partitioned
+    * raw table: re-aggregate ONLY the named partition values (the read is
+    * partition-pruned — cold history is never scanned) and dynamic-overwrite
+    * exactly those partitions of the rollup table.
+    *
+    * Because sum/count/min/max are mergeable and the rollup partitions on
+    * the same column as the raw table, recomputing an affected partition
+    * from its raw rows alone is exact — this is the maintenance loop behind
+    * the TS-ROLLUP-CASCADE contract: at 100 TB the daily delta touches one
+    * partition's rows, not the table.
+    *
+    * Returns the overwritten partition values. */
+  def incrementalRollup(spark: org.apache.spark.sql.SparkSession,
+                        rawPath: String, rollupPath: String,
+                        partitionCol: String, groupCols: Seq[String],
+                        valueCol: String, partitions: Seq[String]): Seq[String] = {
+    require(partitions.nonEmpty, "no partitions to roll up")
+    val raw = spark.read.parquet(rawPath)
+      .where(col(partitionCol).cast("string").isin(partitions: _*))
+    val agg = raw
+      .groupBy((groupCols :+ partitionCol).map(col): _*)
+      .agg(sum(col(valueCol)).as("sv"), count(lit(1)).as("c"),
+        min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    val staged = agg.localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try staged.write.mode("overwrite").partitionBy(partitionCol).parquet(rollupPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    partitions
+  }
+
   // ---------------------------------------------- bloom data-skipping index
 
   /** Sidecar location for a per-file bloom index on `keyCol`. */

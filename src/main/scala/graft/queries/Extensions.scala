@@ -600,6 +600,26 @@ object Extensions {
         .select(col("metric"), col("window").as("win"), col("estimate"))
         .orderBy("metric", "win")
     },
+    // the REAL streaming CUSUM change detector oracle-hashed: the prefix-min
+    // closed form makes the streaming state TWO doubles per key, and the
+    // per-batch (epoch, id) fold adds in the same order as the TS-CUSUM
+    // running-sum window — batch mode is bit-identical to the window plan,
+    // so the oracle is TS-CUSUM's own text (ref = the same per-series
+    // window mean)
+    "STREAM-CUSUM-NATIVE" -> { (s, d) =>
+      import s.implicits._
+      val ev = events(s, d)
+      val pts = ev.where(col("user_id") < 40)
+        .select(col("user_id").as("key"), col("ts").cast("long").as("epoch"),
+          col("event_id").as("id"), col("value"),
+          avg(col("value")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("user_id")).as("ref"))
+        .as[graft.streaming.CusumPoint]
+      graft.streaming.StreamingOps.cusum(pts).toDF()
+        .select(col("key").as("user_id"), col("id").as("event_id"),
+          (round(col("cusum"), 4) + 0.0).as("cusum"), col("alarm"))
+        .orderBy("user_id", "event_id").limit(400)
+    },
     // the NATIVE physical as-of join oracle-checked: same contract as
     // JOIN-ASOF (last click at-or-before each purchase), served by
     // `MergeAsOfJoinExec` — the custom LogicalPlan + Strategy + SparkPlan
@@ -1275,6 +1295,9 @@ object Extensions {
         |FROM purchases p LEFT JOIN clicks c
         |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |GROUP BY p.event_id ORDER BY p.event_id LIMIT 80""".stripMargin,
+    // the streaming CUSUM folds in the same order the TS-CUSUM window sums:
+    // one oracle text serves both engine paths
+    "STREAM-CUSUM-NATIVE" -> Inventory.byId("TS-CUSUM").duckSql,
     // exact replay of the streaming theta-sketch distinct counter: below
     // 2^lgK retained hashes the sketch estimate IS the exact distinct count
     "STREAM-APPROXDIST-NATIVE" ->

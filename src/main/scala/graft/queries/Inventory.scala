@@ -2295,6 +2295,64 @@ object Inventory {
       |FROM dh JOIN dr ON dh.event_type = dr.event_type AND dh.db = dr.db
       |ORDER BY dh.event_type, dh.db""".stripMargin)
 
+  // SRE multi-window multi-burn SLO alert (the Google SRE workbook alert
+  // shape): error-budget burn rate over a short (1 h) AND long (6 h)
+  // window, alert only when BOTH exceed 1× budget — the form that pages on
+  // real burn but ignores blips. Tumbling buckets; the 1 h row joins its
+  // enclosing 6 h row by key arithmetic (no range join). Integer counts →
+  // one double division each: deterministic cross-engine.
+  q("TS-BURN-RATE",
+    """WITH pts AS (SELECT event_type, CAST(ts AS BIGINT) AS et, value FROM events),
+      |h AS (SELECT event_type, (et - (et % 3600)) AS hb,
+      |        count(*) AS n, count(CASE WHEN value > 400 THEN 1 END) AS err
+      |      FROM pts GROUP BY event_type, (et - (et % 3600))),
+      |l AS (SELECT event_type, (et - (et % 21600)) AS lb,
+      |        count(*) AS n6, count(CASE WHEN value > 400 THEN 1 END) AS err6
+      |      FROM pts GROUP BY event_type, (et - (et % 21600)))
+      |SELECT h.event_type, h.hb,
+      |  round(err * 1.0 / n / 0.02, 4) AS burn_short,
+      |  round(err6 * 1.0 / n6 / 0.02, 4) AS burn_long,
+      |  ((err * 1.0 / n / 0.02) > 1.0 AND (err6 * 1.0 / n6 / 0.02) > 1.0) AS alert
+      |FROM h JOIN l ON h.event_type = l.event_type AND (h.hb - (h.hb % 21600)) = l.lb
+      |ORDER BY h.event_type, h.hb""".stripMargin,
+    s"""WITH pts AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS et, value FROM $EV e),
+      |h AS (SELECT event_type, (et - (et % 3600)) AS hb,
+      |        count(*) AS n, count(CASE WHEN value > 400 THEN 1 END) AS err
+      |      FROM pts GROUP BY event_type, (et - (et % 3600))),
+      |l AS (SELECT event_type, (et - (et % 21600)) AS lb,
+      |        count(*) AS n6, count(CASE WHEN value > 400 THEN 1 END) AS err6
+      |      FROM pts GROUP BY event_type, (et - (et % 21600)))
+      |SELECT h.event_type, h.hb,
+      |  round(err * 1.0 / n / 0.02, 4) AS burn_short,
+      |  round(err6 * 1.0 / n6 / 0.02, 4) AS burn_long,
+      |  ((err * 1.0 / n / 0.02) > 1.0 AND (err6 * 1.0 / n6 / 0.02) > 1.0) AS alert
+      |FROM h JOIN l ON h.event_type = l.event_type AND (h.hb - (h.hb % 21600)) = l.lb
+      |ORDER BY h.event_type, h.hb""".stripMargin)
+
+  // pairwise Pearson correlation matrix across metric series (which metrics
+  // move together): decimal-exact hourly sums per type, upper-triangle
+  // hour-equality self-join (series² pairs of BUCKET rows, never raw), one
+  // corr() per pair — corr is scale-invariant so engine factors cancel
+  q("TS-CORR-MATRIX",
+    """WITH pts AS (SELECT event_type, CAST(ts AS BIGINT) AS et, value FROM events),
+      |h AS (SELECT event_type, (et - (et % 3600)) AS hb,
+      |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+      |      FROM pts GROUP BY event_type, (et - (et % 3600)))
+      |SELECT a.event_type AS t1, b.event_type AS t2,
+      |  round(corr(a.y, b.y), 4) + 0.0 AS r, count(*) AS n
+      |FROM h a JOIN h b ON a.hb = b.hb AND a.event_type < b.event_type
+      |GROUP BY a.event_type, b.event_type
+      |ORDER BY t1, t2""".stripMargin,
+    s"""WITH pts AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS et, value FROM $EV e),
+      |h AS (SELECT event_type, (et - (et % 3600)) AS hb,
+      |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+      |      FROM pts GROUP BY event_type, (et - (et % 3600)))
+      |SELECT a.event_type AS t1, b.event_type AS t2,
+      |  round(corr(a.y, b.y), 4) + 0.0 AS r, count(*) AS n
+      |FROM h a JOIN h b ON a.hb = b.hb AND a.event_type < b.event_type
+      |GROUP BY a.event_type, b.event_type
+      |ORDER BY t1, t2""".stripMargin)
+
   // per-column profiling (null/nonnull/distinct/min/max). The UNION text is
   // the declarative contract; the DSL twin (operators.Quality.profile) folds
   // all columns into ONE aggregate pass — cols× fewer scans at 100 TB.

@@ -26,6 +26,14 @@ final case class ForecastOut(metric: String, epoch: Long, value: Double, forecas
 /** Per-metric Holt-Winters state: points absorbed + (level, trend,
   * rotating seasonals). */
 final case class HwState(n: Long, s: Seq[Double])
+/** Streaming CUSUM input: a keyed point with its reference level. */
+final case class CusumPoint(key: Long, epoch: Long, id: Long, value: Double, ref: Double)
+/** CUSUM score at the point's arrival (+ threshold alarm flag). */
+final case class CusumOut(key: Long, id: Long, cusum: Double, alarm: Boolean)
+/** Per-key CUSUM state: running deviation sum and its prefix minimum —
+  * the WHOLE change-detection state is two doubles, because
+  * max(0, S + x - ref - k) == C - min(0, min-prefix C). */
+final case class CusumState(c: Double, minc: Double)
 /** A funnel input event: (user, step name, epoch seconds). */
 final case class FunnelPoint(user: Long, step: String, epoch: Double)
 /** A funnel stage completion: user first completed `stage` (1-based) at
@@ -456,6 +464,37 @@ object StreamingOps {
     * equals the true count and batch-slicing parity is bit-exact; above,
     * the estimate is within the published theta bounds and REMAINS
     * slicing-independent (union is order-insensitive on fixed data). */
+  /** Streaming one-sided CUSUM change detection with O(1) state per key.
+    *
+    * The batch recurrence S_t = max(0, S_{t-1} + (x_t − ref − drift)) has
+    * the prefix-min closed form S_t = C_t − min(0, min_{i≤t} C_i) (the
+    * TS-CUSUM plan), so the streaming state is just (C, min-prefix C) —
+    * TWO doubles per key, never a window buffer. Points fold in
+    * (epoch, id) order within each batch; the fold's addition order equals
+    * the batch running-sum window's, so batch mode is bit-identical to the
+    * TS-CUSUM window plan given the same `ref`.
+    */
+  def cusum(points: Dataset[CusumPoint], drift: Double = 5.0,
+            threshold: Double = 500.0): Dataset[CusumOut] = {
+    val session = points.sparkSession
+    import session.implicits._
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[CusumPoint], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0.0, 0.0))
+          val out = Seq.newBuilder[CusumOut]
+          it.toSeq.sortBy(p => (p.epoch, p.id)).foreach { p =>
+            val c = st.c + (p.value - p.ref - drift)
+            val minc = math.min(st.minc, c)
+            st = CusumState(c, minc)
+            val s = c - math.min(0.0, minc)
+            out += CusumOut(key, p.id, s, s > threshold)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def approxDistinctByWindow(points: Dataset[DistinctPoint],
                              lgK: Int = 12): Dataset[DistinctOut] = {
     val session = points.sparkSession

@@ -634,4 +634,47 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(batch === exact)
   }
+
+  test("cusum: two doubles of state per key; two-batch == batch == window closed form") {
+    val sq = spark
+    import sq.implicits._
+    val pts = fixtureEvents().where(col("user_id") < 20)
+      .select(col("user_id").as("key"), col("ts").cast("long").as("epoch"),
+        col("event_id").as("id"), col("value"),
+        avg(col("value")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")).as("ref"))
+      .as[CusumPoint].collect().toSeq.sortBy(p => (p.epoch, p.id))
+    val mid = pts(pts.size / 2).epoch
+
+    val input = MemoryStream[CusumPoint](spark)
+    val query = StreamingOps.cusum(input.toDS())
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    input.addData(pts.filter(_.epoch <= mid))
+    query.processAllAvailable()
+    input.addData(pts.filter(_.epoch > mid))
+    query.processAllAvailable()
+    query.stop()
+
+    def canonOut(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key"), col("id"), round(col("cusum"), 6).as("s"), col("alarm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    val streamed = canonOut(spark.table("cusum_out"))
+    val batch = canonOut(StreamingOps.cusum(pts.toDS()).toDF())
+    assert(streamed === batch)
+
+    // the window closed form (the TS-CUSUM plan) on the same frame
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("epoch"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val c = pts.toDF().withColumn("cm", sum(col("value") - col("ref") - 5.0).over(run))
+    val score = col("cm") - least(lit(0.0), min(col("cm")).over(run))
+    val win = c.select(col("key"), col("id"), round(score, 6).as("s"),
+        (score > 500.0).as("alarm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(batch === win)
+  }
 }
