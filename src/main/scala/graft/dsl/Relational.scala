@@ -1972,6 +1972,39 @@ object Relational {
         .orderBy("t1", "t2")
     },
 
+    // BM25 ranking via the TextAnalysis operator (shared explode, broadcast
+    // df + corpus stats; rank on the rounded score)
+    "TEXT-BM25" -> { s =>
+      TextAnalysis.bm25(graft.core.Tables.spread(s.table("documents"), "doc_id"),
+          "doc_id", "text", Seq("join", "vector", "slow"))
+        .select(col("doc_id"), (round(col("bm25"), 4) + 0.0).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(15)
+    },
+
+    // hot-key diagnostics via Quality.skewReport (bounded-heap top-k —
+    // no global sort of the key counts)
+    "DQ-SKEW" -> (s =>
+      graft.operators.Quality.skewReport(s.table("lineitem"), "l_suppkey")),
+
+    // multi-touch linear attribution: user-key join with the 24 h band as
+    // residual, per-purchase click count from one pid-partitioned frame
+    "EVENT-ATTRIB-LINEAR" -> { s =>
+      val e = s.table("events").select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts").cast("long").as("et"),
+        (get_json_object(col("props"), "$.k").cast("long") % 4).as("ch"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("pu"), col("et").as("pt"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("et").as("ct"), col("ch"))
+      val j = p.join(c, col("pu") === col("cu")
+          && col("ct") > col("pt") - 86400 && col("ct") <= col("pt"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("pid")))
+      j.groupBy(col("ch").as("channel"))
+        .agg(round(sum(lit(1.0) / col("n")), 4).as("credit"),
+          count(lit(1)).as("touches"))
+        .orderBy("channel")
+    },
+
     // per-column profiling via the one-pass Quality operator (the SQL twin
     // is the cols×-scans UNION contract)
     "DQ-PROFILE" -> { s =>

@@ -15,6 +15,35 @@ object TextAnalysis {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** BM25 relevance scores (Robertson/Spärck Jones) for a fixed term set:
+    * `(idCol, bm25)` for every document matching ≥ 1 term.
+    *
+    * One shared token explode feeds document lengths, corpus stats, term
+    * frequencies and document frequencies; `terms` is query-sized, so the
+    * tf/df frames stay tiny and every join is key-equality (df and the
+    * 1-row corpus stats broadcast themselves). idf uses the +1 form, so
+    * scores stay positive at any df. At 100 TB the cost is the token
+    * explode — the same single pass TEXT-TFIDF pays — never a search-index
+    * build. */
+  def bm25(documents: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = documents.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val lens = toks.groupBy(idCol).agg(count(lit(1)).as("len"))
+    val st = lens.agg(count(lit(1)).as("n"), sum("len").as("tl"))
+    val hit = toks.where(col("tok").isin(terms: _*))
+    val tf = hit.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("f"))
+    val dfq = hit.groupBy("tok").agg(count_distinct(col(idCol)).as("d"))
+    val idf = log((col("n") - col("d") + 0.5) / (col("d") + 0.5) + 1.0)
+    val norm = col("f") +
+      (lit((1 - b)) + lit(b) * col("len") * col("n") / col("tl").cast("double")) * k1
+    tf.join(broadcast(dfq), "tok")
+      .join(lens, idCol)
+      .crossJoin(broadcast(st))
+      .groupBy(idCol)
+      .agg(sum(idf * col("f") * (k1 + 1) / norm).as("bm25"))
+  }
+
   private val stopwordsEn = Seq("the", "a", "of", "and", "is")
   private val stopwordsDe = Seq("der", "die", "das", "und", "ist")
   private val stopwordsEs = Seq("el", "la", "que", "los", "y")

@@ -46,4 +46,32 @@ object Quality {
         col("r.min_val").as("min_val"), col("r.max_val").as("max_val"))
       .orderBy("col")
   }
+
+  /** Hot-key diagnostics for join/shuffle planning: the top-`k` values of
+    * `keyCol` with count, rank, share of rows, and ratio-to-uniform
+    * (`skew` = cnt·n_keys/total; 1.0 = perfectly even). Keys are
+    * zero-padded to `pad` digits so the heap's string tie-break is numeric.
+    *
+    * The ranking is `graft_topk_by` — a bounded-heap aggregate shipping
+    * ≤ k candidates per map partition — so no global sort of the key
+    * counts happens even when distinct keys number in the billions; the
+    * count frame aggregates once and feeds both the heap and the 1-row
+    * totals broadcast. */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 5, pad: Int = 6): DataFrame = {
+    val counts = df.groupBy(lpad(col(keyCol).cast("string"), pad, "0").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").cast("long").as("total"),
+      count(lit(1)).as("nkeys"))
+    counts
+      .agg(call_function("graft_topk_by",
+        col("cnt").cast("double"), col("key"), lit(k)).as("arr"))
+      .select(posexplode(col("arr")))
+      .select(col("col.item").as("key"), col("col.ord").cast("long").as("cnt"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"), col("rnk"),
+        round(col("cnt") * 1.0 / col("total"), 4).as("share"),
+        round(col("cnt") * 1.0 * col("nkeys") / col("total"), 4).as("skew"))
+      .orderBy("rnk")
+  }
 }

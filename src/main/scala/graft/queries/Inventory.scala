@@ -2353,6 +2353,84 @@ object Inventory {
       |GROUP BY a.event_type, b.event_type
       |ORDER BY t1, t2""".stripMargin)
 
+  // BM25 relevance ranking (Robertson/Spärck Jones) for a fixed query term
+  // set: one shared token explode feeds lengths, corpus stats, tf and df;
+  // df + corpus stats are broadcast-sized, rank decided on the ROUNDED
+  // score (TEXT-TFIDF recipe). DSL twin: llm.TextAnalysis.bm25.
+  q("TEXT-BM25",
+    """WITH toks AS (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents),
+      |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+      |st AS (SELECT count(*) AS n, sum(len) AS tl FROM lens),
+      |tf AS (SELECT doc_id, tok, count(*) AS f FROM toks
+      |       WHERE tok IN ('join', 'vector', 'slow') GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, count(DISTINCT doc_id) AS d FROM toks
+      |        WHERE tok IN ('join', 'vector', 'slow') GROUP BY tok)
+      |SELECT tf.doc_id,
+      |  round(sum(ln((n - d + 0.5) / (d + 0.5) + 1.0)
+      |    * f * 2.2 / (f + 1.2 * (0.25 + 0.75 * len * n / CAST(tl AS DOUBLE)))), 4) + 0.0 AS bm25
+      |FROM tf JOIN dfq ON tf.tok = dfq.tok JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN st
+      |GROUP BY tf.doc_id
+      |ORDER BY bm25 DESC, tf.doc_id LIMIT 15""".stripMargin,
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+      |st AS (SELECT count(*) AS n, sum(len) AS tl FROM lens),
+      |tf AS (SELECT doc_id, tok, count(*) AS f FROM toks
+      |       WHERE tok IN ('join', 'vector', 'slow') GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, count(DISTINCT doc_id) AS d FROM toks
+      |        WHERE tok IN ('join', 'vector', 'slow') GROUP BY tok)
+      |SELECT tf.doc_id,
+      |  round(sum(ln((n - d + 0.5) / (d + 0.5) + 1.0)
+      |    * f * 2.2 / (f + 1.2 * (0.25 + 0.75 * len * n / CAST(tl AS DOUBLE)))), 4) + 0.0 AS bm25
+      |FROM tf JOIN dfq ON tf.tok = dfq.tok JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN st
+      |GROUP BY tf.doc_id
+      |ORDER BY bm25 DESC, tf.doc_id LIMIT 15""".stripMargin)
+
+  // hot-key diagnostics (join/shuffle planning): top-5 keys with count,
+  // share, and ratio-to-uniform. The row_number text is the contract; the
+  // DSL twin is Quality.skewReport over graft_topk_by — a bounded heap
+  // shipping ≤ k candidates per map partition, so billions of distinct
+  // keys never hit a global sort. Keys zero-padded so the heap's string
+  // tie-break (ord desc, item ASC) is numeric.
+  q("DQ-SKEW",
+    """WITH c AS (SELECT lpad(CAST(l_suppkey AS STRING), 6, '0') AS key, count(*) AS cnt
+      |    FROM lineitem GROUP BY lpad(CAST(l_suppkey AS STRING), 6, '0')),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nkeys FROM c),
+      |r AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rnk FROM c)
+      |SELECT key, cnt, CAST(rnk AS INT) AS rnk,
+      |  round(cnt * 1.0 / total, 4) AS share,
+      |  round(cnt * 1.0 * nkeys / total, 4) AS skew
+      |FROM r CROSS JOIN t WHERE rnk <= 5 ORDER BY rnk""".stripMargin,
+    """WITH c AS (SELECT lpad(CAST(l_suppkey AS VARCHAR), 6, '0') AS key, count(*) AS cnt
+      |    FROM lineitem GROUP BY lpad(CAST(l_suppkey AS VARCHAR), 6, '0')),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nkeys FROM c),
+      |r AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rnk FROM c)
+      |SELECT key, cnt, CAST(rnk AS INT) AS rnk,
+      |  round(cnt * 1.0 / total, 4) AS share,
+      |  round(cnt * 1.0 * nkeys / total, 4) AS skew
+      |FROM r CROSS JOIN t WHERE rnk <= 5 ORDER BY rnk""".stripMargin)
+
+  // multi-touch LINEAR attribution (the fractional complement to
+  // EVENT-ATTRIBUTION's last-touch): every click in the purchase's 24 h
+  // lookback shares credit 1/n; the join is USER-key equality with the
+  // time band as residual — bounded per-user fan-out, never a cartesian
+  q("EVENT-ATTRIB-LINEAR",
+    """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS BIGINT) AS et,
+      |    CAST(get_json_object(props, '$.k') AS BIGINT) % 4 AS ch FROM events),
+      |p AS (SELECT event_id AS pid, user_id, et AS pt FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, et AS ct, ch FROM e WHERE event_type = 'click'),
+      |j AS (SELECT pid, ch, count(*) OVER (PARTITION BY pid) AS n
+      |      FROM p JOIN c ON p.user_id = c.user_id AND c.ct > p.pt - 86400 AND c.ct <= p.pt)
+      |SELECT ch AS channel, round(sum(1.0 / n), 4) AS credit, count(*) AS touches
+      |FROM j GROUP BY ch ORDER BY ch""".stripMargin,
+    s"""WITH e AS (SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS et,
+      |    CAST(json_extract(props, '$$.k') AS BIGINT) % 4 AS ch FROM $EV ev),
+      |p AS (SELECT event_id AS pid, user_id, et AS pt FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, et AS ct, ch FROM e WHERE event_type = 'click'),
+      |j AS (SELECT pid, ch, count(*) OVER (PARTITION BY pid) AS n
+      |      FROM p JOIN c ON p.user_id = c.user_id AND c.ct > p.pt - 86400 AND c.ct <= p.pt)
+      |SELECT ch AS channel, round(sum(1.0 / n), 4) AS credit, count(*) AS touches
+      |FROM j GROUP BY ch ORDER BY ch""".stripMargin)
+
   // per-column profiling (null/nonnull/distinct/min/max). The UNION text is
   // the declarative contract; the DSL twin (operators.Quality.profile) folds
   // all columns into ONE aggregate pass — cols× fewer scans at 100 TB.
