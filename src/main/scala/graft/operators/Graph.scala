@@ -175,4 +175,49 @@ object Graph {
         "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core decomposition membership: the maximal subgraph in which every
+    * node has degree ≥ k (unique, so order-free and oracle-hashable).
+    * Input edges are normalized to undirected distinct pairs; returns
+    * `(node, dg)` — the surviving nodes with their within-core degree.
+    *
+    * Synchronous peeling: each round restricts edges to both-endpoints-
+    * active (two semi joins), recounts degrees (one aggregate), and drops
+    * nodes below k — all key-equality, the per-round cost is a shuffle of
+    * the LIVE edge set, which only shrinks. Rounds ≤ the peeling depth
+    * (typically ≪ n; the adversarial chain is Ω(n), which is why the loop
+    * is fingerprint-stopped and CheckpointChain-bounded like SSSP/CC, not
+    * fixed-count). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = edges.sparkSession
+    val und = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    val chain = new graft.core.CheckpointChain(spark)
+    var active = chain.next(
+      und.select(col("u").as("node")).union(und.select(col("v"))).distinct())
+    def degrees(act: DataFrame): DataFrame = {
+      val live = und
+        .join(act.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(act.select(col("node").as("v")), Seq("v"), "left_semi")
+      live.select(col("u").as("node")).union(live.select(col("v")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+    }
+    var converged = false
+    var rounds = 0
+    var prev = active.count()
+    while (rounds < maxRounds && !converged) {
+      val next = chain.next(degrees(active).where(col("dg") >= k).select("node"))
+      val n = next.count()
+      converged = n == prev // monotone shrink: equal size == fixpoint
+      prev = n
+      active = next
+      rounds += 1
+    }
+    degrees(active).where(col("dg") >= k)
+  }
 }

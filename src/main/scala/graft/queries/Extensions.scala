@@ -74,6 +74,13 @@ object Extensions {
       Graph.pageRank(tradeEdges(s, d, 3), "src", "dst",
           iterations = 10, d = 0.85, pinDecimals = 12)
         .orderBy("node")),
+    // k-core decomposition over the denser (top-6) trade graph: k=7 peels
+    // for 2–3 rounds at every SF and leaves a nonempty core — the unique
+    // maximal subgraph with min-degree ≥ 7; synchronous peeling, all
+    // key-equality (two semi joins + one degree aggregate per round), the
+    // oracle unrolls 5 rounds (fixpoint ⇒ extra rounds are no-ops)
+    "GRAPH-KCORE" -> ((s, d) =>
+      Graph.kCore(tradeEdges(s, d, 6), "src", "dst", k = 7).orderBy("node")),
     // hop-count SSSP from nation 0 over the trade graph: synchronous
     // Bellman-Ford relaxation (≤ 6 rounds, early fixpoint stop) — whole-
     // number doubles, exact either engine; the oracle unrolls the same
@@ -581,6 +588,40 @@ object Extensions {
           when(col("matched"), floor(col("lastLeft")).cast("long"))
             .as("last_click_epoch"))
         .orderBy("event_id").limit(80)
+    },
+    // the REAL streaming quantile operator under the bound-check contract:
+    // StreamingOps.quantilesByWindow (KLL sketch per (metric, window) in
+    // flatMapGroupsWithState — a few KB of state at ANY cardinality) on the
+    // batch frame; k=200 rank error ~1.65 % sits far inside the exact
+    // p40–p60 / p82–p98 bands, so the booleans are deterministically TRUE
+    "STREAM-QUANTILE-NATIVE" -> { (s, d) =>
+      import s.implicits._
+      val ev = events(s, d)
+      val secs = col("ts").cast("long")
+      val pts = ev.select(col("event_type").as("metric"),
+          (secs - (secs % 21600)).as("window"), col("value"))
+        .as[graft.streaming.QuantilePoint]
+      val est = graft.streaming.StreamingOps.quantilesByWindow(pts).toDF()
+      val exact = ev.groupBy(col("event_type").as("e_metric"),
+          (secs - (secs % 21600)).as("e_win"))
+        .agg(count(lit(1)).as("n"), min("value").as("mn"), max("value").as("mx"),
+          expr("percentile(value, 0.40)").as("p40"),
+          expr("percentile(value, 0.60)").as("p60"),
+          expr("percentile(value, 0.82)").as("p82"),
+          expr("percentile(value, 0.98)").as("p98"))
+      // tight rank bands once a window has real mass; the KLL estimate is
+      // always a retained data value, so [min, max] is the honest bound
+      // for sparse windows (small SFs) — both sides deterministic
+      def ok(e: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+             hi: org.apache.spark.sql.Column) =
+        when(col("n") >= 100, e >= lo && e <= hi)
+          .otherwise(e >= col("mn") && e <= col("mx"))
+      est.join(exact, col("metric") === col("e_metric")
+          && col("window") === col("e_win"))
+        .select(col("metric"), col("window").as("win"),
+          ok(col("p50"), col("p40"), col("p60")).as("p50_ok"),
+          ok(col("p90"), col("p82"), col("p98")).as("p90_ok"))
+        .orderBy("metric", "win")
     },
     // the REAL streaming approximate-distinct operator oracle-hashed:
     // StreamingOps.approxDistinctByWindow (theta sketch per key in
@@ -1150,6 +1191,27 @@ object Extensions {
     head + steps + "\nSELECT node, rank FROM r10 ORDER BY node"
   }
 
+  /** DuckDB replay of Graph.kCore(k=7) on the top-6 trade graph: peeling
+    * unrolled as MATERIALIZED CTEs (5 rounds covers every SF's depth;
+    * rounds past the fixpoint are no-ops). */
+  private def kCoreDuckSql: String = {
+    val head =
+      s"""WITH ${tradeDuckCtes(6)},
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+         |a0 AS MATERIALIZED (SELECT u AS node FROM und UNION SELECT v FROM und)""".stripMargin
+    val steps = (1 to 5).map { i =>
+      val p = i - 1
+      s""",
+         |g$i AS MATERIALIZED (SELECT node, count(*) AS dg FROM (
+         |  SELECT e2.u AS node FROM und e2 JOIN a$p x ON x.node = e2.u JOIN a$p y ON y.node = e2.v
+         |  UNION ALL
+         |  SELECT e2.v FROM und e2 JOIN a$p x ON x.node = e2.u JOIN a$p y ON y.node = e2.v) t
+         |  GROUP BY node),
+         |a$i AS MATERIALIZED (SELECT node FROM g$i WHERE dg >= 7)""".stripMargin
+    }.mkString
+    head + steps + "\nSELECT node, dg FROM g5 WHERE dg >= 7 ORDER BY node"
+  }
+
   /** DuckDB replay of Graph.shortestPaths(source=0, w=1.0, maxHops=6):
     * the Bellman-Ford relaxation unrolled as MATERIALIZED CTEs — a round
     * past the fixpoint is a no-op, so unconditional unrolling matches the
@@ -1298,6 +1360,18 @@ object Extensions {
     // the streaming CUSUM folds in the same order the TS-CUSUM window sums:
     // one oracle text serves both engine paths
     "STREAM-CUSUM-NATIVE" -> Inventory.byId("TS-CUSUM").duckSql,
+    // k-core peeling unrolled (the SSSP recipe): degree over both-ends-
+    // active edges, drop below k, 5 rounds — fixpoint makes extras no-ops
+    "GRAPH-KCORE" -> kCoreDuckSql,
+    // KLL rank error (~1.65 % at k=200) is far inside the p40–p60 /
+    // p82–p98 bands: the bound booleans are deterministically TRUE
+    "STREAM-QUANTILE-NATIVE" ->
+      """WITH pts AS (SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS et
+        |    FROM events)
+        |SELECT event_type AS metric, (et - (et % 21600)) AS win,
+        |  TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM pts GROUP BY event_type, (et - (et % 21600))
+        |ORDER BY metric, win""".stripMargin,
     // exact replay of the streaming theta-sketch distinct counter: below
     // 2^lgK retained hashes the sketch estimate IS the exact distinct count
     "STREAM-APPROXDIST-NATIVE" ->
