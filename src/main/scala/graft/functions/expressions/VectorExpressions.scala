@@ -224,5 +224,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // unpartitioned entire-frame aggregate windows → one-row aggregate
     // cross join (no-op until spark.graft.rewrite.globalWindow=true)
     ext.injectOptimizerRule(_ => graft.plans.GlobalWindowRewrite)
+    // aggregates over the raw fact table → the incrementalRollup table
+    // (no-op until spark.graft.rollup.route is set)
+    ext.injectOptimizerRule(_ => graft.plans.RollupRouteRewrite)
   }
 }

@@ -1,0 +1,159 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression, Remainder, Subtract}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Optimizer rule: MATERIALIZED-ROLLUP ROUTING — the seventh member of the
+  * rewrite family. Aggregates over the raw fact table are served from the
+  * sum/count/min/max rollup `Layout.incrementalRollup` maintains, when the
+  * requested grain is derivable from the rollup's grain.
+  *
+  * This is the capability OLAP stores (Druid, Pinot, BigQuery MVs) build
+  * whole subsystems for: dashboards keep issuing `GROUP BY bucket` SQL
+  * against raw events, and the engine transparently answers from a table
+  * thousands of times smaller. Correct because the rollup's aggregates are
+  * MERGEABLE (the TS-ROLLUP-CASCADE contract): sum-of-sums, sum-of-counts,
+  * min-of-mins, max-of-maxes at any coarser bucket equal the raw
+  * aggregates (double sums re-associate — the one deviation, inherent to
+  * every rollup store; counts/min/max are exact).
+  *
+  * Enabled by `spark.graft.rollup.route` =
+  * `rawPath;rollupPath;partitionCol;valueCol;group1,group2;grainSeconds`.
+  * Unset → no-op. Scope rules (conservative — anything else keeps its
+  * plan):
+  *  - the aggregate's child must be a plain scan (optionally beneath a
+  *    column-pruning Project) of `rawPath` — no filters (a residual filter
+  *    may reference pre-aggregation rows the rollup no longer has);
+  *  - every grouping expression is a rollup group column, the partition
+  *    column itself, or the bucket shape `pc - (pc % G)` with `G` a
+  *    multiple of the rollup grain;
+  *  - every aggregate is `sum(valueCol)`, `count(*)` / `count(1)`,
+  *    `min(valueCol)` or `max(valueCol)`;
+  *  - output names and exprIds are preserved, so parents and schemas are
+  *    unchanged.
+  */
+object RollupRouteRewrite extends Rule[LogicalPlan] {
+
+  private val Key = "spark.graft.rollup.route"
+
+  private final case class Route(rawPath: String, rollupPath: String,
+      partitionCol: String, valueCol: String, groupCols: Seq[String],
+      grain: Long)
+
+  private def parse(v: String): Route = {
+    val parts = v.split(";", -1)
+    require(parts.length == 6,
+      s"$Key must be rawPath;rollupPath;partitionCol;valueCol;groups;grain, got '$v'")
+    Route(parts(0), parts(1), parts(2), parts(3),
+      parts(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq, parts(5).toLong)
+  }
+
+  /** True if this plan is the raw-path relation itself. */
+  private def isScan(plan: LogicalPlan, path: String): Boolean = plan match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.exists(_.toString.stripSuffix("/")
+        .endsWith(path.stripSuffix("/").stripPrefix("file:")))
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val v = conf.getConfString(Key, "")
+    if (v.isEmpty) return plan
+    val route = parse(v)
+    val session = SparkSession.active
+
+    plan.transform {
+      case agg @ Aggregate(_, _, Project(projs, scan), _)
+          if isScan(scan, route.rawPath) =>
+        rewrite(agg, projs, scan, route, session).getOrElse(agg)
+      case agg @ Aggregate(_, _, scan, _) if isScan(scan, route.rawPath) =>
+        rewrite(agg, scan.output, scan, route, session).getOrElse(agg)
+    }
+  }
+
+  private def rewrite(agg: Aggregate, projs: Seq[NamedExpression],
+                      scan: LogicalPlan, route: Route,
+                      session: SparkSession): Option[LogicalPlan] = {
+    // by this phase complex grouping keys are already extracted into the
+    // child Project (PullOutGroupingExpressions) — require plain attrs
+    if (!agg.groupingExpressions.forall(_.isInstanceOf[Attribute])) return None
+
+    val rollup = session.read.parquet(route.rollupPath).queryExecution.analyzed
+    def rollupAttr(name: String): Option[Attribute] =
+      rollup.output.find(_.name.equalsIgnoreCase(name))
+    val (svA, cA, mnA, mxA) =
+      (rollupAttr("sv"), rollupAttr("c"), rollupAttr("mn"), rollupAttr("mx")) match {
+        case (Some(a), Some(b), Some(x), Some(y)) => (a, b, x, y)
+        case _ => return None // not an incrementalRollup layout
+      }
+    val pcRaw = scan.output.find(_.name.equalsIgnoreCase(route.partitionCol))
+      .getOrElse(return None)
+    val pcRoll = rollupAttr(route.partitionCol).getOrElse(return None)
+    if (pcRoll.dataType != pcRaw.dataType) return None
+    val valAttr = scan.output.find(_.name.equalsIgnoreCase(route.valueCol))
+      .getOrElse(return None)
+    val routable = (route.groupCols :+ route.partitionCol).map(_.toLowerCase).toSet
+
+    // the derivable bucket shape pc - (pc % G), G a grain multiple,
+    // re-expressed over the rollup partition column
+    def txBucket(e: Expression): Option[Expression] = e match {
+      case Subtract(a: Attribute, Remainder(b: Attribute, lit @ Literal(g, _), _), _)
+          if a.semanticEquals(pcRaw) && b.semanticEquals(pcRaw) =>
+        val width = g match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case _ => return None
+        }
+        if (width > 0 && width % route.grain == 0)
+          Some(Subtract(pcRoll, Remainder(pcRoll, lit)))
+        else None
+      case _ => None
+    }
+
+    // translate the pruning Project: group/partition attrs re-alias the
+    // rollup columns UNDER THEIR ORIGINAL exprIds (parents unchanged);
+    // extracted bucket aliases translate; the value column drops (the
+    // aggregate functions below swap to the rollup aggregate columns)
+    val newProjs: Seq[NamedExpression] = projs.flatMap {
+      case a: AttributeReference if routable(a.name.toLowerCase) =>
+        val r = rollupAttr(a.name).getOrElse(return None)
+        if (r.dataType != a.dataType) return None
+        Some(Alias(r, a.name)(exprId = a.exprId))
+      case a: AttributeReference if a.semanticEquals(valAttr) => None
+      case al @ Alias(e, name) =>
+        txBucket(e) match {
+          case Some(t) => Some(Alias(t, name)(exprId = al.exprId,
+            qualifier = al.qualifier, explicitMetadata = Some(al.metadata)))
+          case None => return None
+        }
+      case _ => return None
+    } ++ Seq(svA, cA, mnA, mxA)
+
+    // swap each aggregate function for its mergeable rollup twin
+    var ok = true
+    val newAggs = agg.aggregateExpressions.map { ne =>
+      ne.transform {
+        case ae @ AggregateExpression(f, _, false, None, _) =>
+          f match {
+            case Sum(v, _) if v.semanticEquals(valAttr) =>
+              ae.copy(aggregateFunction = Sum(svA))
+            case Count(Nil) => ae.copy(aggregateFunction = Sum(cA))
+            case Count(Seq(Literal(_, _))) => ae.copy(aggregateFunction = Sum(cA))
+            case Min(v) if v.semanticEquals(valAttr) =>
+              ae.copy(aggregateFunction = Min(mnA))
+            case Max(v) if v.semanticEquals(valAttr) =>
+              ae.copy(aggregateFunction = Max(mxA))
+            case _ => ok = false; ae
+          }
+      }.asInstanceOf[NamedExpression]
+    }
+    // any surviving raw-value reference means something we cannot serve
+    if (!ok || newAggs.exists(_.references.contains(valAttr))) return None
+    Some(Aggregate(agg.groupingExpressions, newAggs,
+      Project(newProjs, rollup), agg.hint))
+  }
+}
