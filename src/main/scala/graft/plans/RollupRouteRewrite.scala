@@ -1,9 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression, Remainder, Subtract}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression, Remainder, Subtract}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -25,14 +26,16 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * `rawPath;rollupPath;partitionCol;valueCol;group1,group2;grainSeconds`.
   * Unset → no-op. Scope rules (conservative — anything else keeps its
   * plan):
-  *  - the aggregate's child must be a plain scan (optionally beneath a
-  *    column-pruning Project) of `rawPath` — no filters (a residual filter
-  *    may reference pre-aggregation rows the rollup no longer has);
+  *  - the aggregate's child must be a scan of `rawPath`, optionally
+  *    beneath a column-pruning Project and/or a Filter that touches ONLY
+  *    dimension/partition columns (the dashboard time-range shape routes;
+  *    a value filter means pre-aggregation semantics and aborts);
   *  - every grouping expression is a rollup group column, the partition
   *    column itself, or the bucket shape `pc - (pc % G)` with `G` a
   *    multiple of the rollup grain;
   *  - every aggregate is `sum(valueCol)`, `count(*)` / `count(1)`,
-  *    `min(valueCol)` or `max(valueCol)`;
+  *    `min(valueCol)`, `max(valueCol)`, or `avg(valueCol)` — avg is
+  *    served as sum(sv)/sum(c), the mergeable decomposition;
   *  - output names and exprIds are preserved, so parents and schemas are
   *    unchanged.
   */
@@ -69,15 +72,21 @@ object RollupRouteRewrite extends Rule[LogicalPlan] {
     plan.transform {
       case agg @ Aggregate(_, _, Project(projs, scan), _)
           if isScan(scan, route.rawPath) =>
-        rewrite(agg, projs, scan, route, session).getOrElse(agg)
+        rewrite(agg, projs, None, scan, route, session).getOrElse(agg)
+      case agg @ Aggregate(_, _, Project(projs, Filter(cond, scan)), _)
+          if isScan(scan, route.rawPath) =>
+        rewrite(agg, projs, Some(cond), scan, route, session).getOrElse(agg)
+      case agg @ Aggregate(_, _, Filter(cond, scan), _)
+          if isScan(scan, route.rawPath) =>
+        rewrite(agg, scan.output, Some(cond), scan, route, session).getOrElse(agg)
       case agg @ Aggregate(_, _, scan, _) if isScan(scan, route.rawPath) =>
-        rewrite(agg, scan.output, scan, route, session).getOrElse(agg)
+        rewrite(agg, scan.output, None, scan, route, session).getOrElse(agg)
     }
   }
 
   private def rewrite(agg: Aggregate, projs: Seq[NamedExpression],
-                      scan: LogicalPlan, route: Route,
-                      session: SparkSession): Option[LogicalPlan] = {
+                      filterCond: Option[Expression], scan: LogicalPlan,
+                      route: Route, session: SparkSession): Option[LogicalPlan] = {
     // by this phase complex grouping keys are already extracted into the
     // child Project (PullOutGroupingExpressions) — require plain attrs
     if (!agg.groupingExpressions.forall(_.isInstanceOf[Attribute])) return None
@@ -133,10 +142,37 @@ object RollupRouteRewrite extends Rule[LogicalPlan] {
       case _ => return None
     } ++ Seq(svA, cA, mnA, mxA)
 
-    // swap each aggregate function for its mergeable rollup twin
+    // a filter routes iff it touches only dimension/partition columns —
+    // then it prunes rollup rows exactly as it pruned raw rows (any
+    // reference to the value column means pre-aggregation semantics the
+    // rollup no longer has)
+    val groupAttrMap: Map[String, Attribute] =
+      (route.groupCols :+ route.partitionCol).flatMap { g =>
+        rollupAttr(g).map(g.toLowerCase -> _)
+      }.toMap
+    val newFilter: Option[Expression] = filterCond match {
+      case None => None
+      case Some(cond) =>
+        if (!cond.references.forall(a => routable(a.name.toLowerCase)))
+          return None
+        Some(cond.transform {
+          case a: Attribute if routable(a.name.toLowerCase) =>
+            groupAttrMap(a.name.toLowerCase)
+        })
+    }
+
+    // swap each aggregate function for its mergeable rollup twin; avg is
+    // served as sum(sv)/sum(c) — the mergeable decomposition every rollup
+    // store uses
     var ok = true
     val newAggs = agg.aggregateExpressions.map { ne =>
       ne.transform {
+        case ae @ AggregateExpression(Average(v, _), _, false, None, _)
+            if v.semanticEquals(valAttr) =>
+          Divide(
+            ae.copy(aggregateFunction = Sum(svA)),
+            Cast(ae.copy(aggregateFunction = Sum(cA),
+              resultId = NamedExpression.newExprId), DoubleType))
         case ae @ AggregateExpression(f, _, false, None, _) =>
           f match {
             case Sum(v, _) if v.semanticEquals(valAttr) =>
@@ -147,13 +183,23 @@ object RollupRouteRewrite extends Rule[LogicalPlan] {
               ae.copy(aggregateFunction = Min(mnA))
             case Max(v) if v.semanticEquals(valAttr) =>
               ae.copy(aggregateFunction = Max(mxA))
-            case _ => ok = false; ae
+            case _ =>
+              // transformDown revisits the aggregates we just produced
+              // (e.g. inside avg's Divide) — those reference rollup
+              // columns and are already correct
+              val translated = Set(svA, cA, mnA, mxA).map(_.exprId)
+              if (!f.references.forall(r => translated(r.exprId))) ok = false
+              ae
           }
       }.asInstanceOf[NamedExpression]
     }
     // any surviving raw-value reference means something we cannot serve
     if (!ok || newAggs.exists(_.references.contains(valAttr))) return None
+    val routedChild = newFilter match {
+      case Some(c) => Filter(c, rollup)
+      case None => rollup
+    }
     Some(Aggregate(agg.groupingExpressions, newAggs,
-      Project(newProjs, rollup), agg.hint))
+      Project(newProjs, routedChild), agg.hint))
   }
 }

@@ -76,15 +76,45 @@ class RollupRouteRewriteSpec extends SparkSpec {
     }
   }
 
-  test("non-derivable shapes keep the raw scan: avg, filters, off-grain buckets") {
+  test("avg routes as sum(sv)/sum(c)") {
+    val (rawPath, _) = dirs
+    val q = () => spark.read.parquet(rawPath)
+      .groupBy("event_type").agg(avg("value").as("a"))
+    val expect = q().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    withRoute {
+      val routed = q()
+      assert(planOf(routed).contains("rollupfacts"), planOf(routed))
+      val got = routed.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got.keySet === expect.keySet)
+      got.foreach { case (k, a) => assert(math.abs(a - expect(k)) < 1e-9) }
+    }
+  }
+
+  test("dimension/time filters route; value filters do not") {
+    val (rawPath, _) = dirs
+    val cutoff = spark.read.parquet(rawPath).agg(max("day")).collect()(0).get(0).toString.toLong
+    val timeQ = () => spark.read.parquet(rawPath)
+      .where(col("day") >= cutoff - 3 * 86400 && col("event_type") =!= "view")
+      .groupBy("event_type").agg(count(lit(1)).as("c"), sum("value").as("s"))
+    val expect = canon(timeQ().orderBy("event_type"))
+    withRoute {
+      val routed = timeQ()
+      val p = planOf(routed)
+      assert(p.contains("rollupfacts") && !p.contains("rawfacts"),
+        s"the dashboard time-range shape must route:\n$p")
+      assert(canon(routed.orderBy("event_type")) === expect)
+      val valueFiltered = spark.read.parquet(rawPath).where(col("value") > 100)
+        .groupBy("event_type").agg(count(lit(1)).as("c"))
+      assert(planOf(valueFiltered).contains("rawfacts"), "row filters cannot route")
+    }
+  }
+
+  test("non-derivable shapes keep the raw scan: stddev, off-grain buckets") {
     val (rawPath, _) = dirs
     withRoute {
-      val avgQ = spark.read.parquet(rawPath)
-        .groupBy("event_type").agg(avg("value").as("a"))
-      assert(planOf(avgQ).contains("rawfacts"), "avg is not mergeable from sv/c here")
-      val filtered = spark.read.parquet(rawPath).where(col("value") > 100)
-        .groupBy("event_type").agg(count(lit(1)).as("c"))
-      assert(planOf(filtered).contains("rawfacts"), "row filters cannot route")
+      val sdQ = spark.read.parquet(rawPath)
+        .groupBy("event_type").agg(stddev("value").as("sd"))
+      assert(planOf(sdQ).contains("rawfacts"), "stddev is not mergeable from sv/c")
       val offGrain = spark.read.parquet(rawPath)
         .groupBy((col("day") - (col("day") % 4000)).as("b")).agg(count(lit(1)).as("c"))
       assert(planOf(offGrain).contains("rawfacts"), "4000s is not a day multiple")
