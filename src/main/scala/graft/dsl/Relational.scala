@@ -2005,6 +2005,56 @@ object Relational {
         .orderBy("channel")
     },
 
+    // PromQL increase(): per-series lag + DECIMAL-pinned positive deltas
+    // (resets contribute the new value), per-hour sums
+    "TS-INCREASE" -> { s =>
+      val w = Window.partitionBy("event_type").orderBy(col("et"), col("event_id"))
+      val d = s.table("events")
+        .select(col("event_type"), col("ts").cast("long").as("et"),
+          col("event_id"), col("value"))
+        .withColumn("pv", lag(col("value"), 1).over(w))
+        .where(col("pv").isNotNull)
+      d.select(col("event_type"), (col("et") - (col("et") % 3600)).as("hb"),
+          round(when(col("value") >= col("pv"), col("value") - col("pv"))
+            .otherwise(col("value")), 2).cast(dec(18, 2)).as("term"))
+        .groupBy("event_type", "hb")
+        .agg(round(sum("term").cast("double"), 2).as("increase"))
+        .orderBy("event_type", "hb").limit(600)
+    },
+
+    // time-weighted average for irregular gauges: lead for the hold
+    // duration, DECIMAL value×weight products, one double division
+    "TS-TWA" -> { s =>
+      val w = Window.partitionBy("event_type").orderBy(col("et"), col("event_id"))
+      val d = s.table("events")
+        .select(col("event_type"), col("ts").cast("long").as("et"),
+          col("event_id"), col("value"))
+        .withColumn("nxt", lead(col("et"), 1).over(w))
+        .where(col("nxt").isNotNull && col("nxt") > col("et"))
+      d.select(col("event_type"), (col("et") - (col("et") % 3600)).as("hb"),
+          (col("value").cast(dec(18, 2)) * (col("nxt") - col("et"))).as("wv"),
+          (col("nxt") - col("et")).as("dt"))
+        .groupBy("event_type", "hb")
+        .agg(round(sum("wv").cast("double") / sum("dt").cast("long"), 4).as("twa"))
+        .orderBy("event_type", "hb").limit(600)
+    },
+
+    // interval overlap via the grid operator: ≤2 cells per interval,
+    // canonical-cell exactly-once, key-equality join — never the theta
+    // pair blow-up of the contract SQL
+    "JOIN-INTERVAL-OVERLAP" -> { s =>
+      val e = s.table("events").select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts").cast("long").as("et"))
+      val a = e.where(col("event_type") === "purchase" && col("user_id") < 30)
+        .select(col("event_id").as("a_id"), col("et").as("al"),
+          (col("et") + 600).as("ah"))
+      val b = e.where(col("event_type") === "click" && col("user_id") < 30)
+        .select(col("et").as("bl"), (col("et") + 900).as("bh"))
+      graft.operators.RangeJoin.intervalOverlap(a, "al", "ah", b, "bl", "bh")
+        .groupBy("a_id").agg(count(lit(1)).as("n_overlap"))
+        .orderBy("a_id").limit(500)
+    },
+
     // per-column profiling via the one-pass Quality operator (the SQL twin
     // is the cols×-scans UNION contract)
     "DQ-PROFILE" -> { s =>

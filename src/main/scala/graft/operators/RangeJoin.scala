@@ -60,4 +60,41 @@ object RangeJoin {
       .where(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
       .drop(B)
   }
+
+  /** Join two INTERVAL sets on overlap (`aLo <= bHi AND bLo <= aHi`,
+    * inclusive) — the no-equi-key shape interval×interval analytics hit
+    * (sessions × incidents, presence × outages). Same grid idea as
+    * [[pointInInterval]] with one extra trick: overlapping intervals
+    * always share the cell of `greatest(aLo, bLo)` (the overlap's start),
+    * so the join keeps only that CANONICAL cell and every qualifying pair
+    * meets exactly once — no dedup pass. Width ≥ both sides' max span ⇒
+    * each interval explodes to ≤ 2 cells. Column names must be distinct
+    * across the two frames. */
+  def intervalOverlap(a: DataFrame, aLoCol: String, aHiCol: String,
+                      b: DataFrame, bLoCol: String, bHiCol: String,
+                      buckets: Int = 0): DataFrame = {
+    val overlap = a.columns.toSet.intersect(b.columns.toSet)
+    require(overlap.isEmpty,
+      "intervalOverlap requires column names distinct across the two " +
+        s"frames; overlapping: ${overlap.toSeq.sorted.mkString(", ")}")
+    val nb = if (buckets > 0) buckets
+             else a.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt * 4
+    def maxSpan(df: DataFrame, lo: String, hi: String): Double = {
+      val r = df.agg(max(col(hi).cast("double") - col(lo).cast("double"))).head()
+      if (r.isNullAt(0)) 0.0 else math.max(r.getDouble(0), 0.0)
+    }
+    val (dLo, dHi) = GlobalWindow.keyRange(a, col(aLoCol))
+    val width = math.max(math.max((dHi - dLo) / nb,
+      math.max(maxSpan(a, aLoCol, aHiCol), maxSpan(b, bLoCol, bHiCol))), 1e-9)
+    def cells(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn(B, explode(sequence(
+        floor(col(lo).cast("double") / width).cast("long"),
+        greatest(floor(col(hi).cast("double") / width).cast("long"),
+          floor(col(lo).cast("double") / width).cast("long")))))
+    cells(a, aLoCol, aHiCol).join(cells(b, bLoCol, bHiCol), Seq(B))
+      .where(col(aLoCol) <= col(bHiCol) && col(bLoCol) <= col(aHiCol)
+        && col(B) === floor(greatest(col(aLoCol), col(bLoCol)).cast("double") / width)
+          .cast("long"))
+      .drop(B)
+  }
 }

@@ -2431,6 +2431,76 @@ object Inventory {
       |SELECT ch AS channel, round(sum(1.0 / n), 4) AS credit, count(*) AS touches
       |FROM j GROUP BY ch ORDER BY ch""".stripMargin)
 
+  // PromQL-style counter increase() with reset handling: per-series
+  // consecutive deltas (a reset contributes the new value, the counter
+  // restart convention), per-hour sums — deltas pinned to DECIMAL so the
+  // unordered bucket sum is exact cross-engine. One series-partitioned
+  // lag + one aggregate; the monitoring rollup every TSDB serves.
+  q("TS-INCREASE",
+    """WITH pts AS (SELECT event_type, CAST(ts AS BIGINT) AS et, event_id, value FROM events),
+      |d AS (SELECT event_type, et, event_id, value,
+      |        lag(value) OVER (PARTITION BY event_type ORDER BY et, event_id) AS pv
+      |      FROM pts),
+      |t AS (SELECT event_type, (et - (et % 3600)) AS hb,
+      |        CAST(round(CASE WHEN value >= pv THEN value - pv ELSE value END, 2) AS DECIMAL(18,2)) AS term
+      |      FROM d WHERE pv IS NOT NULL)
+      |SELECT event_type, hb, round(CAST(sum(term) AS DOUBLE), 2) AS increase
+      |FROM t GROUP BY event_type, hb ORDER BY event_type, hb LIMIT 600""".stripMargin,
+    s"""WITH pts AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS et, event_id, value FROM $EV e),
+      |d AS (SELECT event_type, et, event_id, value,
+      |        lag(value) OVER (PARTITION BY event_type ORDER BY et, event_id) AS pv
+      |      FROM pts),
+      |t AS (SELECT event_type, (et - (et % 3600)) AS hb,
+      |        CAST(round(CASE WHEN value >= pv THEN value - pv ELSE value END, 2) AS DECIMAL(18,2)) AS term
+      |      FROM d WHERE pv IS NOT NULL)
+      |SELECT event_type, hb, round(CAST(sum(term) AS DOUBLE), 2) AS increase
+      |FROM t GROUP BY event_type, hb ORDER BY event_type, hb LIMIT 600""".stripMargin)
+
+  // time-weighted average (the right mean for irregularly-sampled gauges —
+  // a value holds until the next sample): weight = seconds to next sample,
+  // DECIMAL value×weight products so bucket sums are exact, one double
+  // division at the end. One series-partitioned lead + one aggregate.
+  q("TS-TWA",
+    """WITH pts AS (SELECT event_type, CAST(ts AS BIGINT) AS et, event_id, value FROM events),
+      |d AS (SELECT event_type, et, value,
+      |        lead(et) OVER (PARTITION BY event_type ORDER BY et, event_id) AS nxt
+      |      FROM pts),
+      |t AS (SELECT event_type, (et - (et % 3600)) AS hb,
+      |        CAST(value AS DECIMAL(18,2)) * (nxt - et) AS wv, (nxt - et) AS dt
+      |      FROM d WHERE nxt IS NOT NULL AND nxt > et)
+      |SELECT event_type, hb,
+      |  round(CAST(sum(wv) AS DOUBLE) / CAST(sum(dt) AS BIGINT), 4) AS twa
+      |FROM t GROUP BY event_type, hb ORDER BY event_type, hb LIMIT 600""".stripMargin,
+    s"""WITH pts AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS et, event_id, value FROM $EV e),
+      |d AS (SELECT event_type, et, value,
+      |        lead(et) OVER (PARTITION BY event_type ORDER BY et, event_id) AS nxt
+      |      FROM pts),
+      |t AS (SELECT event_type, (et - (et % 3600)) AS hb,
+      |        CAST(value AS DECIMAL(18,2)) * (nxt - et) AS wv, (nxt - et) AS dt
+      |      FROM d WHERE nxt IS NOT NULL AND nxt > et)
+      |SELECT event_type, hb,
+      |  round(CAST(sum(wv) AS DOUBLE) / CAST(sum(dt) AS BIGINT), 4) AS twa
+      |FROM t GROUP BY event_type, hb ORDER BY event_type, hb LIMIT 600""".stripMargin)
+
+  // interval × interval overlap join — NO equi key (sessions × outages):
+  // the contract SQL is the pure band theta join; the DSL twin is
+  // RangeJoin.intervalOverlap — grid cells wide enough that each interval
+  // explodes to ≤ 2, pairs meet ONLY in the canonical cell of the
+  // overlap's start (exactly-once, no dedup pass), key-equality join.
+  q("JOIN-INTERVAL-OVERLAP",
+    """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS BIGINT) AS et FROM events),
+      |a AS (SELECT event_id AS a_id, et AS al, et + 600 AS ah FROM e WHERE event_type = 'purchase' AND user_id < 30),
+      |b AS (SELECT et AS bl, et + 900 AS bh FROM e WHERE event_type = 'click' AND user_id < 30)
+      |SELECT a_id, count(*) AS n_overlap
+      |FROM a JOIN b ON al <= bh AND bl <= ah
+      |GROUP BY a_id ORDER BY a_id LIMIT 500""".stripMargin,
+    s"""WITH e AS (SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS et FROM $EV ev),
+      |a AS (SELECT event_id AS a_id, et AS al, et + 600 AS ah FROM e WHERE event_type = 'purchase' AND user_id < 30),
+      |b AS (SELECT et AS bl, et + 900 AS bh FROM e WHERE event_type = 'click' AND user_id < 30)
+      |SELECT a_id, count(*) AS n_overlap
+      |FROM a JOIN b ON al <= bh AND bl <= ah
+      |GROUP BY a_id ORDER BY a_id LIMIT 500""".stripMargin)
+
   // per-column profiling (null/nonnull/distinct/min/max). The UNION text is
   // the declarative contract; the DSL twin (operators.Quality.profile) folds
   // all columns into ONE aggregate pass — cols× fewer scans at 100 TB.

@@ -414,6 +414,14 @@ class PlanAuditSpec extends SparkSpec {
       s"phase-1 prune must window per input partition (no shuffle):\n$p")
   }
 
+  test("JOIN-INTERVAL-OVERLAP: grid cells make the pure band join key-equality") {
+    val p = finalPlan("JOIN-INTERVAL-OVERLAP")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval overlap must never pair-materialize:\n$p")
+    assert(p.contains("Generate explode") || p.contains("explode"),
+      s"expected the ≤2-cell interval explode:\n$p")
+  }
+
   test("sweep: no CartesianProduct in ANY declared query plan") {
     // the one global invariant every plan must satisfy: no unkeyed
     // pair-materializing join anywhere in the 144-query inventory.
