@@ -2055,6 +2055,48 @@ object Relational {
         .orderBy("a_id").limit(500)
     },
 
+    // fact-to-SCD2 point-in-time lookup: the Cdc.scd2 history joined on
+    // the dimension key with the validity band as residual
+    "JOIN-SCD2-LOOKUP" -> { s =>
+      val ev = s.table("events").select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts").cast("long").as("et"), col("value"))
+      val log = ev.where(col("user_id") < 30)
+        .select(col("user_id"), col("et"), col("event_id"),
+          floor(col("value") / 100).cast("int").as("state"))
+      val hist = graft.operators.Cdc.scd2(log, "user_id", "et", "event_id", Seq("state"))
+        .select(col("user_id").as("h_uid"), col("valid_from").as("vf"),
+          col("valid_to").as("vt"), col("state"))
+      val facts = ev.where(col("event_type") === "purchase" && col("user_id") < 30)
+        .select(col("event_id"), col("user_id"), col("et"))
+      facts.join(hist, col("h_uid") === col("user_id")
+          && col("vf") <= col("et") && (col("vt").isNull || col("et") < col("vt")))
+        .select(col("event_id"), col("user_id"), col("state"))
+        .orderBy("event_id").limit(400)
+    },
+
+    // missing-hour gap report: grid anti-join + gaps-and-islands merge —
+    // all windows series-partitioned, all-integer arithmetic
+    "TS-GAPS" -> { s =>
+      val secs = col("ts").cast("long")
+      val obs = s.table("events").where(col("user_id") < 40)
+        .select(col("event_type"), (secs - (secs % 3600)).as("hb")).distinct()
+      val span = obs.groupBy("event_type").agg(min("hb").as("mn"), max("hb").as("mx"))
+      val grid = span.select(col("event_type").as("g_et"),
+          explode(sequence(lit(0), lit(200))).as("h"), col("mn"), col("mx"))
+        .select(col("g_et"), (col("mn") + col("h") * 3600).as("g_hb"), col("mx"))
+        .where(col("g_hb") <= col("mx"))
+      val miss = grid.join(obs,
+          col("g_et") === col("event_type") && col("g_hb") === col("hb"), "left_anti")
+      val grp = col("g_hb") - lit(3600) *
+        row_number().over(Window.partitionBy("g_et").orderBy("g_hb"))
+      miss.withColumn("grp", grp)
+        .groupBy(col("g_et").as("event_type"), col("grp"))
+        .agg(min("g_hb").as("gap_start"), max("g_hb").as("gap_end"),
+          count(lit(1)).as("n_missing"))
+        .drop("grp")
+        .orderBy("event_type", "gap_start").limit(300)
+    },
+
     // per-column profiling via the one-pass Quality operator (the SQL twin
     // is the cols×-scans UNION contract)
     "DQ-PROFILE" -> { s =>

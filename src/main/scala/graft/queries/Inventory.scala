@@ -2501,6 +2501,87 @@ object Inventory {
       |FROM a JOIN b ON al <= bh AND bl <= ah
       |GROUP BY a_id ORDER BY a_id LIMIT 500""".stripMargin)
 
+  // fact-to-SCD2-dimension point-in-time lookup — THE warehouse join: each
+  // fact row picks the dimension version whose [valid_from, valid_to)
+  // interval covers its timestamp. Equi key on the dimension key + the
+  // validity band as residual — per-key version fan-out, never a theta
+  // blow-up. DSL twin composes Cdc.scd2 with the band join.
+  q("JOIN-SCD2-LOOKUP",
+    """WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS BIGINT) AS et, value FROM events),
+      |log AS (SELECT user_id, et, event_id, CAST(floor(value / 100) AS INT) AS state
+      |  FROM ev WHERE user_id < 30),
+      |lw AS (SELECT user_id, et, state FROM (
+      |    SELECT user_id, et, state,
+      |      row_number() OVER (PARTITION BY user_id, et ORDER BY event_id DESC) AS rn
+      |    FROM log) t WHERE rn = 1),
+      |d AS (SELECT user_id, et, state,
+      |        lag(state) OVER (PARTITION BY user_id ORDER BY et) AS ps
+      |      FROM lw),
+      |hist AS (SELECT user_id AS h_uid, et AS vf,
+      |        lead(et) OVER (PARTITION BY user_id ORDER BY et) AS vt, state
+      |      FROM d WHERE ps IS NULL OR ps <> state),
+      |facts AS (SELECT event_id, user_id, et FROM ev WHERE event_type = 'purchase' AND user_id < 30)
+      |SELECT f.event_id, f.user_id, h.state
+      |FROM facts f JOIN hist h ON h.h_uid = f.user_id
+      |  AND h.vf <= f.et AND (h.vt IS NULL OR f.et < h.vt)
+      |ORDER BY f.event_id LIMIT 400""".stripMargin,
+    s"""WITH ev AS (SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS et, value FROM $EV e),
+      |log AS (SELECT user_id, et, event_id, CAST(floor(value / 100) AS INT) AS state
+      |  FROM ev WHERE user_id < 30),
+      |lw AS (SELECT user_id, et, state FROM (
+      |    SELECT user_id, et, state,
+      |      row_number() OVER (PARTITION BY user_id, et ORDER BY event_id DESC) AS rn
+      |    FROM log) t WHERE rn = 1),
+      |d AS (SELECT user_id, et, state,
+      |        lag(state) OVER (PARTITION BY user_id ORDER BY et) AS ps
+      |      FROM lw),
+      |hist AS (SELECT user_id AS h_uid, et AS vf,
+      |        lead(et) OVER (PARTITION BY user_id ORDER BY et) AS vt, state
+      |      FROM d WHERE ps IS NULL OR ps <> state),
+      |facts AS (SELECT event_id, user_id, et FROM ev WHERE event_type = 'purchase' AND user_id < 30)
+      |SELECT f.event_id, f.user_id, h.state
+      |FROM facts f JOIN hist h ON h.h_uid = f.user_id
+      |  AND h.vf <= f.et AND (h.vt IS NULL OR f.et < h.vt)
+      |ORDER BY f.event_id LIMIT 400""".stripMargin)
+
+  // missing-data gap report: per-series hourly grid minus observations,
+  // consecutive missing hours merged to maximal ranges (gaps-and-islands:
+  // hb − 3600·rn is constant within a run) — the monitoring "data absent"
+  // alert shape; all-integer arithmetic, exact both engines
+  q("TS-GAPS",
+    """WITH obs AS (SELECT DISTINCT event_type,
+      |    (CAST(ts AS BIGINT) - (CAST(ts AS BIGINT) % 3600)) AS hb FROM events WHERE user_id < 40),
+      |gs AS (SELECT explode(sequence(0, 200)) AS h),
+      |s AS (SELECT event_type, min(hb) AS mn, max(hb) AS mx FROM obs GROUP BY event_type),
+      |grid AS (SELECT event_type, (mn + h * 3600) AS hb
+      |         FROM s, gs WHERE mn + h * 3600 <= mx),
+      |miss AS (SELECT g.event_type, g.hb FROM grid g
+      |         LEFT JOIN obs o ON o.event_type = g.event_type AND o.hb = g.hb
+      |         WHERE o.hb IS NULL),
+      |isl AS (SELECT event_type, hb,
+      |          hb - 3600 * row_number() OVER (PARTITION BY event_type ORDER BY hb) AS grp
+      |        FROM miss)
+      |SELECT event_type, min(hb) AS gap_start, max(hb) AS gap_end,
+      |  count(*) AS n_missing
+      |FROM isl GROUP BY event_type, grp
+      |ORDER BY event_type, gap_start LIMIT 300""".stripMargin,
+    s"""WITH obs AS (SELECT DISTINCT event_type,
+      |    (CAST(floor(epoch(ts)) AS BIGINT) - (CAST(floor(epoch(ts)) AS BIGINT) % 3600)) AS hb FROM $EV e WHERE user_id < 40),
+      |gs AS (SELECT unnest(generate_series(0, 200)) AS h),
+      |s AS (SELECT event_type, min(hb) AS mn, max(hb) AS mx FROM obs GROUP BY event_type),
+      |grid AS (SELECT event_type, (mn + h * 3600) AS hb
+      |         FROM s, gs WHERE mn + h * 3600 <= mx),
+      |miss AS (SELECT g.event_type, g.hb FROM grid g
+      |         LEFT JOIN obs o ON o.event_type = g.event_type AND o.hb = g.hb
+      |         WHERE o.hb IS NULL),
+      |isl AS (SELECT event_type, hb,
+      |          hb - 3600 * row_number() OVER (PARTITION BY event_type ORDER BY hb) AS grp
+      |        FROM miss)
+      |SELECT event_type, min(hb) AS gap_start, max(hb) AS gap_end,
+      |  count(*) AS n_missing
+      |FROM isl GROUP BY event_type, grp
+      |ORDER BY event_type, gap_start LIMIT 300""".stripMargin)
+
   // per-column profiling (null/nonnull/distinct/min/max). The UNION text is
   // the declarative contract; the DSL twin (operators.Quality.profile) folds
   // all columns into ONE aggregate pass — cols× fewer scans at 100 TB.
