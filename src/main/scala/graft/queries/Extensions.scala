@@ -661,6 +661,23 @@ object Extensions {
           (round(col("cusum"), 4) + 0.0).as("cusum"), col("alarm"))
         .orderBy("user_id", "event_id").limit(400)
     },
+    // the REAL streaming SCD2 change stream oracle-hashed: one
+    // (epoch, id, state) triple of state per key, ticks settled max-id-
+    // wins before comparing — batch mode reproduces exactly the `chg`
+    // stage of Cdc.scd2 / DIM-SCD2, so the oracle is that CTE's rows
+    "STREAM-SCD2-NATIVE" -> { (s, d) =>
+      import s.implicits._
+      val ev = events(s, d)
+      val pts = ev.where(col("user_id") < 30)
+        .select(col("user_id").as("key"), col("ts").cast("long").as("epoch"),
+          col("event_id").as("id"),
+          floor(col("value") / 100).cast("int").as("state"))
+        .as[graft.streaming.Scd2Point]
+      graft.streaming.StreamingOps.scd2Changes(pts).toDF()
+        .select(col("key").as("user_id"), col("validFrom").as("valid_from"),
+          col("state"))
+        .orderBy("user_id", "valid_from").limit(400)
+    },
     // the NATIVE physical as-of join oracle-checked: same contract as
     // JOIN-ASOF (last click at-or-before each purchase), served by
     // `MergeAsOfJoinExec` — the custom LogicalPlan + Strategy + SparkPlan
@@ -1360,6 +1377,22 @@ object Extensions {
     // the streaming CUSUM folds in the same order the TS-CUSUM window sums:
     // one oracle text serves both engine paths
     "STREAM-CUSUM-NATIVE" -> Inventory.byId("TS-CUSUM").duckSql,
+    // DIM-SCD2's chg stage without the valid_to lead — the change rows
+    // the streaming operator emits as versions open
+    "STREAM-SCD2-NATIVE" ->
+      """WITH log AS (SELECT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS et,
+        |    event_id, CAST(floor(value / 100) AS INT) AS state
+        |  FROM events WHERE user_id < 30),
+        |lw AS (SELECT user_id, et, state FROM (
+        |    SELECT user_id, et, state,
+        |      row_number() OVER (PARTITION BY user_id, et ORDER BY event_id DESC) AS rn
+        |    FROM log) t WHERE rn = 1),
+        |d AS (SELECT user_id, et, state,
+        |        lag(state) OVER (PARTITION BY user_id ORDER BY et) AS ps
+        |      FROM lw)
+        |SELECT user_id, et AS valid_from, state FROM d
+        |WHERE ps IS NULL OR ps <> state
+        |ORDER BY user_id, valid_from LIMIT 400""".stripMargin,
     // k-core peeling unrolled (the SSSP recipe): degree over both-ends-
     // active edges, drop below k, 5 rounds — fixpoint makes extras no-ops
     "GRAPH-KCORE" -> kCoreDuckSql,

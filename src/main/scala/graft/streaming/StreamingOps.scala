@@ -30,6 +30,12 @@ final case class HwState(n: Long, s: Seq[Double])
 final case class QuantilePoint(metric: String, window: Long, value: Double)
 /** Running quantile estimates for a (metric, window) key. */
 final case class QuantileOut(metric: String, window: Long, p50: Double, p90: Double)
+/** One keyed state observation for the streaming SCD2 change stream. */
+final case class Scd2Point(key: Long, epoch: Long, id: Long, state: Int)
+/** An opened dimension version: `key` entered `state` at `validFrom`. */
+final case class Scd2Change(key: Long, validFrom: Long, state: Int)
+/** Per-key SCD2 state: the last applied (epoch, id, state). */
+final case class Scd2State(epoch: Long, id: Long, state: Int)
 /** Streaming CUSUM input: a keyed point with its reference level. */
 final case class CusumPoint(key: Long, epoch: Long, id: Long, value: Double, ref: Double)
 /** CUSUM score at the point's arrival (+ threshold alarm flag). */
@@ -492,6 +498,43 @@ object StreamingOps {
           if (sk.isEmpty) Iterator.empty
           else Iterator.single(QuantileOut(key._1, key._2,
             sk.getQuantile(0.5), sk.getQuantile(0.9)))
+      }
+  }
+
+  /** Streaming SCD2 change stream: the dimension-history builder as a
+    * stateful operator — ONE (epoch, id, state) triple per key. Emits a
+    * version-open row whenever a key's state null-safely changes
+    * (no-op writes collapse, last-write-wins within a tick via the id
+    * tie-break); `Cdc.scd2`'s `chg` stage is exactly this stream, so
+    * batch mode reproduces the batch operator's change rows. Append-mode
+    * caveat shared with every streaming CDC feed: a tick's writes must
+    * arrive within one batch for in-tick LWW (already-emitted versions
+    * cannot retract); cross-batch ticks assume epoch-ordered arrival.
+    * `valid_to` is the NEXT change's `validFrom` — a consumer joins or
+    * windows it on read, the open version is what streams. */
+  def scd2Changes(points: Dataset[Scd2Point]): Dataset[Scd2Change] = {
+    val session = points.sparkSession
+    import session.implicits._
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[Scd2Point], state: GroupState[Scd2State]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[Scd2Change]
+          // settle each tick FIRST (max id wins), THEN compare to the
+          // running state — intermediate writes of a tick never emit
+          val settled = it.toSeq.groupBy(_.epoch).toSeq.sortBy(_._1)
+            .map { case (_, rows) => rows.maxBy(_.id) }
+          settled.foreach { p =>
+            val late = st != null &&
+              (p.epoch < st.epoch || (p.epoch == st.epoch && p.id <= st.id))
+            if (!late) {
+              if (st == null || p.state != st.state)
+                out += Scd2Change(key, p.epoch, p.state)
+              st = Scd2State(p.epoch, p.id, p.state)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
       }
   }
 

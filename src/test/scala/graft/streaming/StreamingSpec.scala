@@ -635,6 +635,51 @@ class StreamingSpec extends SparkSpec {
     assert(batch === exact)
   }
 
+  test("scd2Changes: ticks settle max-id-wins; two-batch == batch == Cdc.scd2 versions") {
+    val sq = spark
+    import sq.implicits._
+    val pts = fixtureEvents().where(col("user_id") < 30)
+      .select(col("user_id").as("key"), col("ts").cast("long").as("epoch"),
+        col("event_id").as("id"),
+        floor(col("value") / 100).cast("int").as("state"))
+      .as[Scd2Point].collect().toSeq.sortBy(p => (p.epoch, p.id))
+    val mid = pts(pts.size / 2).epoch
+
+    val input = MemoryStream[Scd2Point](spark)
+    val query = StreamingOps.scd2Changes(input.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    // split at a tick boundary (the documented in-tick atomicity contract)
+    input.addData(pts.filter(_.epoch <= mid))
+    query.processAllAvailable()
+    input.addData(pts.filter(_.epoch > mid))
+    query.processAllAvailable()
+    query.stop()
+
+    def canonChg(df: org.apache.spark.sql.DataFrame) = df
+      .select("key", "validFrom", "state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val streamed = canonChg(spark.table("scd2_out"))
+    val batch = canonChg(StreamingOps.scd2Changes(pts.toDS()).toDF())
+    assert(streamed === batch)
+
+    // and both equal the batch operator's version-open rows
+    val log = fixtureEvents().where(col("user_id") < 30)
+      .select(col("user_id"), col("ts").cast("long").as("et"), col("event_id"),
+        floor(col("value") / 100).cast("int").as("state"))
+    val hist = graft.operators.Cdc.scd2(log, "user_id", "et", "event_id", Seq("state"))
+      .select("user_id", "valid_from", "state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch === hist)
+
+    // a tick whose intermediate write differs must not leak a version
+    val tricky = Seq(Scd2Point(9L, 1L, 1L, 7), Scd2Point(9L, 5L, 2L, 9),
+      Scd2Point(9L, 5L, 3L, 7)).toDS()
+    val tOut = StreamingOps.scd2Changes(tricky).collect().toSeq
+    assert(tOut === Seq(Scd2Change(9L, 1L, 7)),
+      "the settled tick state equals the prior state — no version opens")
+  }
+
   test("cusum: two doubles of state per key; two-batch == batch == window closed form") {
     val sq = spark
     import sq.implicits._
