@@ -2104,28 +2104,19 @@ object Relational {
         Seq("o_custkey", "o_totalprice"), Seq("o_orderstatus", "o_orderpriority"))
     },
 
-    // constraint validation report: pk unique / fk orphan / range / null /
-    // enum — each one aggregate or anti join, unioned
+    // constraint validation report via the Quality checks API (Deequ-style
+    // rule constructors): pk unique / fk orphan / range / null / enum —
+    // each one aggregate or anti join, unioned
     "DQ-CHECK" -> { s =>
+      import graft.operators.Quality
       val o = s.table("orders")
-      val pk = o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
-        .where(col("c") > 1)
-        .agg(coalesce(sum(col("c") - 1), lit(0)).cast("long").as("violations"))
-        .select(lit("pk_unique_orders").as("chk"), col("violations"))
-      val fk = s.table("lineitem")
-        .join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
-        .agg(count(lit(1)).as("violations"))
-        .select(lit("fk_lineitem_orders").as("chk"), col("violations"))
-      val rng = o.where(col("o_totalprice") <= 0).agg(count(lit(1)).as("violations"))
-        .select(lit("range_totalprice_pos").as("chk"), col("violations"))
-      val nn = o.where(col("o_custkey").isNull).agg(count(lit(1)).as("violations"))
-        .select(lit("nonnull_custkey").as("chk"), col("violations"))
-      val en = o.where(!col("o_orderstatus").isin("F", "O", "P"))
-        .agg(count(lit(1)).as("violations"))
-        .select(lit("enum_orderstatus").as("chk"), col("violations"))
-      pk.unionAll(fk).unionAll(rng).unionAll(nn).unionAll(en)
-        .select(col("chk"), col("violations"), (col("violations") === 0).as("ok"))
-        .orderBy("chk")
+      Quality.report(Seq(
+        Quality.unique("pk_unique_orders", o, Seq("o_orderkey")),
+        Quality.fkExists("fk_lineitem_orders",
+          s.table("lineitem"), "l_orderkey", o, "o_orderkey"),
+        Quality.satisfies("range_totalprice_pos", o, col("o_totalprice") > 0),
+        Quality.notNull("nonnull_custkey", o, "o_custkey"),
+        Quality.inSet("enum_orderstatus", o, "o_orderstatus", Seq("F", "O", "P"))))
     },
 
     // sweep-line peak concurrency: ±1 interval deltas, one running sum

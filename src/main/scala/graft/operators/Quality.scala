@@ -47,6 +47,53 @@ object Quality {
       .orderBy("col")
   }
 
+  /** One named data-quality check: a 1-row `(chk, violations)` frame.
+    * Build with the constructors below, run with [[report]]. */
+  final case class Check(name: String, violations: DataFrame)
+
+  private def count1(name: String, df: DataFrame): Check =
+    Check(name, df.agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("chk"), col("violations")))
+
+  /** Rows where `c` is NULL. */
+  def notNull(name: String, df: DataFrame, c: String): Check =
+    count1(name, df.where(col(c).isNull))
+
+  /** Extra rows beyond one per key tuple (0 = the key is unique). */
+  def unique(name: String, df: DataFrame, keys: Seq[String]): Check =
+    Check(name, df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0)).cast("long").as("violations"))
+      .select(lit(name).as("chk"), col("violations")))
+
+  /** Rows that FAIL `pred` (NULL evaluations count as failures only if
+    * the negation is true — SQL three-valued logic, same as the WHERE a
+    * hand-written violation count would use). */
+  def satisfies(name: String, df: DataFrame, pred: Column): Check =
+    count1(name, df.where(!pred))
+
+  /** Rows whose `c` is outside the allowed value set. */
+  def inSet(name: String, df: DataFrame, c: String, values: Seq[Any]): Check =
+    count1(name, df.where(!col(c).isin(values: _*)))
+
+  /** Child rows with no matching parent (referential-integrity orphans) —
+    * one anti join, AQE/broadcast-eligible like any semi-family join. */
+  def fkExists(name: String, child: DataFrame, childKey: String,
+               parent: DataFrame, parentKey: String): Check =
+    count1(name, child.join(parent.select(col(parentKey).as("__pk")),
+      col(childKey) === col("__pk"), "left_anti"))
+
+  /** Run checks into one `(chk, violations, ok)` report, ordered by name.
+    * Each check is an independent aggregate; Spark runs them as one job
+    * per branch under a shared scan when the frames align. */
+  def report(checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks given")
+    checks.map(_.violations).reduce(_ unionAll _)
+      .select(col("chk"), col("violations"),
+        (col("violations") === 0).as("ok"))
+      .orderBy("chk")
+  }
+
   /** Hot-key diagnostics for join/shuffle planning: the top-`k` values of
     * `keyCol` with count, rank, share of rows, and ratio-to-uniform
     * (`skew` = cnt·n_keys/total; 1.0 = perfectly even). Keys are

@@ -32,6 +32,35 @@ class QualitySpec extends SparkSpec {
       s"expected at most one scan, got:\n$plan")
   }
 
+  test("checks API counts planted violations per rule") {
+    val child = Seq((1L, Option(5.0), "F"), (1L, Option(-2.0), "X"),
+      (2L, Option.empty[Double], "O"), (9L, Option(1.0), "F"))
+      .toDF("k", "v", "st")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val rows = Quality.report(Seq(
+        Quality.unique("u", child, Seq("k")),
+        Quality.fkExists("fk", child, "k", parent, "pk"),
+        Quality.satisfies("pos", child, col("v") > 0),
+        Quality.notNull("nn", child, "v"),
+        Quality.inSet("enum", child, "st", Seq("F", "O"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(rows === Seq(
+      ("enum", 1L, false), // 'X'
+      ("fk", 1L, false),   // k=9 has no parent
+      ("nn", 1L, false),   // one null v
+      ("pos", 1L, false),  // -2.0 (the null row is three-valued, not a failure)
+      ("u", 1L, false)))   // k=1 twice -> one extra row
+  }
+
+  test("checks report is all-ok on a clean frame") {
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val rows = Quality.report(Seq(
+        Quality.unique("u", df, Seq("k")),
+        Quality.satisfies("pos", df, col("v") > 0)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(rows === Seq(("pos", 0L, true), ("u", 0L, true)))
+  }
+
   test("profile rejects unknown columns") {
     tables()
     intercept[IllegalArgumentException] {
