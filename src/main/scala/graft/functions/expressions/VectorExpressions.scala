@@ -227,5 +227,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // aggregates over the raw fact table → the incrementalRollup table
     // (no-op until spark.graft.rollup.route is set)
     ext.injectOptimizerRule(_ => graft.plans.RollupRouteRewrite)
+    // interval-overlap theta joins → canonical-cell grid joins (shares
+    // spark.graft.rangeJoin.bucketWidth with RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.IntervalOverlapRewrite)
   }
 }

@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IntervalOverlapRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val WidthKey = "spark.graft.rangeJoin.bucketWidth"
+
+  private def ensureRule(): Unit =
+    if (!spark.experimental.extraOptimizations.contains(IntervalOverlapRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IntervalOverlapRewrite
+
+  private def withWidth[T](w: Double)(f: => T): T = {
+    ensureRule()
+    spark.conf.set(WidthKey, w.toString)
+    try f finally spark.conf.unset(WidthKey)
+  }
+
+  private def a: DataFrame = spark.range(300)
+    .select(col("id").as("a_id"), ((col("id") * 37L) % 5000L).as("al"))
+    .withColumn("ah", col("al") + 20L + (col("a_id") * 3L) % 80L)
+  private def b: DataFrame = spark.range(500)
+    .select(col("id").as("b_id"), ((col("id") * 91L) % 5000L).as("bl"))
+    .withColumn("bh", col("bl") + 10L + (col("b_id") * 7L) % 90L)
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("overlap theta join rewrites to a cell-equality join with identical pairs") {
+    val q = () => a.join(b, col("al") <= col("bh") && col("bl") <= col("ah"))
+    val expect = pairs(q())
+    withWidth(100.0) {
+      val d = q()
+      d.collect()
+      val p = d.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"overlap must plan as a grid equi-join under the rule:\n$p")
+      assert(pairs(d) === expect)
+    }
+  }
+
+  test("strict bounds and reversed operand order rewrite with identical pairs") {
+    val q = () => a.join(b, col("bh") >= col("al") && col("bl") < col("ah"))
+    val expect = pairs(q())
+    withWidth(64.0) {
+      val d = q()
+      d.collect()
+      assert(!d.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(pairs(d) === expect)
+    }
+  }
+
+  test("the point-sandwich shape is left to RangeJoinRewrite") {
+    val pts = spark.range(100).select((col("id") * 13L % 5000L).as("p"))
+    val q = () => pts.join(b, col("p") >= col("bl") && col("p") <= col("bh"))
+    // isolate THIS rule: RangeJoinRewrite may be registered on the shared
+    // session by its own spec — drop it for the assertion, restore after
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == RangeJoinRewrite)
+    try withWidth(100.0) {
+      val p = q().queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"sandwich shape must be skipped by the overlap rule:\n$p")
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("rule is inert without the width conf") {
+    ensureRule()
+    val p = a.join(b, col("al") <= col("bh") && col("bl") <= col("ah"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("a width far below the spans fails fast with the conf named") {
+    withWidth(0.001) {
+      val e = intercept[Exception] {
+        a.join(b, col("al") <= col("bh") && col("bl") <= col("ah")).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("bucketWidth") || m.contains("buckets")),
+        s"expected the cap guard, got: ${msgs(e).mkString(" | ")}")
+    }
+  }
+}
