@@ -17,8 +17,15 @@ object Quality {
   /** Per-column stats: `(col, n_rows, n_nonnull, n_distinct, min_val,
     * max_val)` — min/max surfaced as DOUBLE for numeric columns, NULL
     * otherwise (a profile row is type-homogeneous across columns).
-    * Output ordered by column name. */
-  def profile(df: DataFrame, numericCols: Seq[String], otherCols: Seq[String]): DataFrame = {
+    * Output ordered by column name.
+    *
+    * `approxDistinct=true` swaps the exact count-distincts for HLL++ —
+    * the 100 TB path: exact multi-column distinct shares one Expand that
+    * multiplies the scan by the column count, while the sketches are
+    * fixed-size buffers with map-side partials and NO Expand (the same
+    * trade [[graft.plans.ApproxDistinctRewrite]] applies plan-wide). */
+  def profile(df: DataFrame, numericCols: Seq[String], otherCols: Seq[String],
+              approxDistinct: Boolean = false): DataFrame = {
     val all = numericCols.map(_ -> true) ++ otherCols.map(_ -> false)
     require(all.nonEmpty, "profile needs at least one column")
     all.foreach { case (c, _) => require(df.columns.contains(c), s"no column $c") }
@@ -31,7 +38,8 @@ object Quality {
           else Seq(lit(null).cast("double").as(s"__min_$c"),
             lit(null).cast("double").as(s"__max_$c"))
         Seq(count(col(c)).as(s"__nn_$c"),
-          count_distinct(col(c)).as(s"__nd_$c")) ++ mm
+          (if (approxDistinct) approx_count_distinct(col(c))
+           else count_distinct(col(c))).as(s"__nd_$c")) ++ mm
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
 

@@ -32,6 +32,20 @@ class QualitySpec extends SparkSpec {
       s"expected at most one scan, got:\n$plan")
   }
 
+  test("approx profile drops the Expand and stays within HLL++ error") {
+    tables()
+    val exact = Quality.profile(spark.table("orders"),
+      Seq("o_custkey"), Nil).collect()(0)
+    val approxDf = Quality.profile(spark.table("orders"),
+      Seq("o_custkey"), Nil, approxDistinct = true)
+    assert(!approxDf.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx mode must not Expand the scan")
+    val approx = approxDf.collect()(0)
+    val (e, a) = (exact.getLong(3).toDouble, approx.getLong(3).toDouble)
+    assert(math.abs(a - e) / e < 0.1, s"approx distinct $a vs exact $e")
+    assert(approx.getLong(1) === exact.getLong(1))
+  }
+
   test("checks API counts planted violations per rule") {
     val child = Seq((1L, Option(5.0), "F"), (1L, Option(-2.0), "X"),
       (2L, Option.empty[Double], "O"), (9L, Option(1.0), "F"))
