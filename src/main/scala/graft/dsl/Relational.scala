@@ -2097,6 +2097,26 @@ object Relational {
         .orderBy("event_type", "gap_start").limit(300)
     },
 
+    // session-level rollup: gap breaks + running-sum session ids (two
+    // windows, one per-user sort) + one aggregate
+    "EVENT-SESSION-STATS" -> { s =>
+      val w = Window.partitionBy("user_id").orderBy(col("et"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val d = s.table("events").where(col("user_id") < 25)
+        .select(col("user_id"), col("ts").cast("long").as("et"),
+          col("event_id"), col("event_type"))
+        .withColumn("brk",
+          when(col("et") - lag(col("et"), 1).over(w) > 1800, 1).otherwise(0))
+        .withColumn("s", sum(col("brk")).over(run))
+      d.groupBy("user_id", "s")
+        .agg(count(lit(1)).as("n_events"),
+          (max("et") - min("et")).as("dur"),
+          count_distinct(col("event_type")).as("n_types"))
+        .select(col("user_id"), col("s").cast("long").as("sid"),
+          col("n_events"), col("dur"), col("n_types"))
+        .orderBy("user_id", "sid").limit(500)
+    },
+
     // per-column profiling via the one-pass Quality operator (the SQL twin
     // is the cols×-scans UNION contract)
     "DQ-PROFILE" -> { s =>

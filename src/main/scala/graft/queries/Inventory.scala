@@ -2582,6 +2582,43 @@ object Inventory {
       |FROM isl GROUP BY event_type, grp
       |ORDER BY event_type, gap_start LIMIT 300""".stripMargin)
 
+  // session-LEVEL rollup (WIN-SESSIONIZE tags rows; this emits one row
+  // per session): 30-min-gap breaks, running-sum session ids, then
+  // count/duration/distinct-types per session — the product-analytics
+  // session table; two stacked windows on ONE per-user sort + one
+  // aggregate, all integers
+  q("EVENT-SESSION-STATS",
+    """WITH pts AS (SELECT user_id, CAST(ts AS BIGINT) AS et, event_id, event_type FROM events WHERE user_id < 25),
+      |d AS (SELECT user_id, et, event_id, event_type,
+      |        CASE WHEN et - lag(et) OVER (PARTITION BY user_id ORDER BY et, event_id) > 1800
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM pts),
+      |sid AS (SELECT user_id, et, event_id, event_type,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY et, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |        FROM d),
+      |st AS (SELECT user_id, s, count(*) AS n_events,
+      |         max(et) - min(et) AS dur,
+      |         count(DISTINCT event_type) AS n_types
+      |       FROM sid GROUP BY user_id, s)
+      |SELECT user_id, CAST(s AS BIGINT) AS sid, n_events, dur, n_types
+      |FROM st ORDER BY user_id, sid LIMIT 500""".stripMargin,
+    s"""WITH pts AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS et, event_id, event_type FROM $EV e WHERE user_id < 25),
+      |d AS (SELECT user_id, et, event_id, event_type,
+      |        CASE WHEN et - lag(et) OVER (PARTITION BY user_id ORDER BY et, event_id) > 1800
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM pts),
+      |sid AS (SELECT user_id, et, event_id, event_type,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY et, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |        FROM d),
+      |st AS (SELECT user_id, s, count(*) AS n_events,
+      |         max(et) - min(et) AS dur,
+      |         count(DISTINCT event_type) AS n_types
+      |       FROM sid GROUP BY user_id, s)
+      |SELECT user_id, CAST(s AS BIGINT) AS sid, n_events, dur, n_types
+      |FROM st ORDER BY user_id, sid LIMIT 500""".stripMargin)
+
   // per-column profiling (null/nonnull/distinct/min/max). The UNION text is
   // the declarative contract; the DSL twin (operators.Quality.profile) folds
   // all columns into ONE aggregate pass — cols× fewer scans at 100 TB.
