@@ -164,4 +164,49 @@ class GraphSpec extends SparkSpec {
     val edges = hub ++ rest
     assert(runTri(edges) == refTriangles(edges))
   }
+
+  /** Reference k-core by sequential peeling. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    var active = (und.map(_._1) ++ und.map(_._2)).toSet
+    var done = false
+    var deg = Map.empty[Long, Long]
+    while (!done) {
+      val live = und.filter { case (a, b) => active(a) && active(b) }
+      deg = (live.map(_._1) ++ live.map(_._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val next = deg.filter(_._2 >= k).keySet
+      done = next == active
+      active = next
+    }
+    deg.filter { case (n, d) => active(n) && d >= k }
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val sq = spark; import sq.implicits._
+    Graph.kCore(edges.toDF("s", "t"), "s", "t", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCore: a triangle with a tail peels to the triangle at k=2") {
+    // 1-2-3 triangle, tail 3-4-5: the tail cascades away
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    assert(runKCore(edges, 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(runKCore(edges, 3) === Map.empty)
+    assert(runKCore(edges, 1) === refKCore(edges, 1))
+  }
+
+  test("kCore: a long chain cascades to empty (the many-round case)") {
+    val chain = (0L until 30L).map(i => (i, i + 1))
+    assert(runKCore(chain, 2) === Map.empty)
+  }
+
+  test("kCore: random graph matches the sequential peeling reference") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    for (k <- Seq(2, 4, 6))
+      assert(runKCore(edges, k) === refKCore(edges, k), s"diverged at k=$k")
+  }
 }
