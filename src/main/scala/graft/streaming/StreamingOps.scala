@@ -480,24 +480,31 @@ object StreamingOps {
     * Emits the running p50/p90 each batch; k=200 gives ~1.65 % rank error,
     * far inside the AGG-APPROX-QUANTILES band contract, so the estimates
     * land in the exact p40–p60 / p82–p98 bands deterministically. */
-  def quantilesByWindow(points: Dataset[QuantilePoint],
-                        k: Int = 200): Dataset[QuantileOut] = {
+  def quantilesByWindow(points: Dataset[QuantilePoint], k: Int = 200,
+                        idleTimeout: Option[String] = None): Dataset[QuantileOut] = {
     val session = points.sparkSession
     import session.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     points.groupByKey(p => (p.metric, p.window))
       .flatMapGroupsWithState[Array[Byte], QuantileOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (key: (String, Long), it: Iterator[QuantilePoint],
          state: GroupState[Array[Byte]]) =>
-          val sk = state.getOption
-            .map(b => org.apache.datasketches.kll.KllDoublesSketch.heapify(
-              org.apache.datasketches.memory.Memory.wrap(b)))
-            .getOrElse(org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k))
-          it.foreach(p => sk.update(p.value))
-          state.update(sk.toByteArray)
-          if (sk.isEmpty) Iterator.empty
-          else Iterator.single(QuantileOut(key._1, key._2,
-            sk.getQuantile(0.5), sk.getQuantile(0.9)))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sk = state.getOption
+              .map(b => org.apache.datasketches.kll.KllDoublesSketch.heapify(
+                org.apache.datasketches.memory.Memory.wrap(b)))
+              .getOrElse(org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k))
+            it.foreach(p => sk.update(p.value))
+            state.update(sk.toByteArray)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            if (sk.isEmpty) Iterator.empty
+            else Iterator.single(QuantileOut(key._1, key._2,
+              sk.getQuantile(0.5), sk.getQuantile(0.9)))
+          }
       }
   }
 
@@ -512,29 +519,37 @@ object StreamingOps {
     * cannot retract); cross-batch ticks assume epoch-ordered arrival.
     * `valid_to` is the NEXT change's `validFrom` — a consumer joins or
     * windows it on read, the open version is what streams. */
-  def scd2Changes(points: Dataset[Scd2Point]): Dataset[Scd2Change] = {
+  def scd2Changes(points: Dataset[Scd2Point],
+                  idleTimeout: Option[String] = None): Dataset[Scd2Change] = {
     val session = points.sparkSession
     import session.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     points.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (key: Long, it: Iterator[Scd2Point], state: GroupState[Scd2State]) =>
-          var st = state.getOption.orNull
-          val out = Seq.newBuilder[Scd2Change]
-          // settle each tick FIRST (max id wins), THEN compare to the
-          // running state — intermediate writes of a tick never emit
-          val settled = it.toSeq.groupBy(_.epoch).toSeq.sortBy(_._1)
-            .map { case (_, rows) => rows.maxBy(_.id) }
-          settled.foreach { p =>
-            val late = st != null &&
-              (p.epoch < st.epoch || (p.epoch == st.epoch && p.id <= st.id))
-            if (!late) {
-              if (st == null || p.state != st.state)
-                out += Scd2Change(key, p.epoch, p.state)
-              st = Scd2State(p.epoch, p.id, p.state)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[Scd2Change]
+            // settle each tick FIRST (max id wins), THEN compare to the
+            // running state — intermediate writes of a tick never emit
+            val settled = it.toSeq.groupBy(_.epoch).toSeq.sortBy(_._1)
+              .map { case (_, rows) => rows.maxBy(_.id) }
+            settled.foreach { p =>
+              val late = st != null &&
+                (p.epoch < st.epoch || (p.epoch == st.epoch && p.id <= st.id))
+              if (!late) {
+                if (st == null || p.state != st.state)
+                  out += Scd2Change(key, p.epoch, p.state)
+                st = Scd2State(p.epoch, p.id, p.state)
+              }
             }
+            if (st != null) state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          if (st != null) state.update(st)
-          out.result().iterator
       }
   }
 
@@ -549,46 +564,62 @@ object StreamingOps {
     * TS-CUSUM window plan given the same `ref`.
     */
   def cusum(points: Dataset[CusumPoint], drift: Double = 5.0,
-            threshold: Double = 500.0): Dataset[CusumOut] = {
+            threshold: Double = 500.0,
+            idleTimeout: Option[String] = None): Dataset[CusumOut] = {
     val session = points.sparkSession
     import session.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     points.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (key: Long, it: Iterator[CusumPoint], state: GroupState[CusumState]) =>
-          var st = state.getOption.getOrElse(CusumState(0.0, 0.0))
-          val out = Seq.newBuilder[CusumOut]
-          it.toSeq.sortBy(p => (p.epoch, p.id)).foreach { p =>
-            val c = st.c + (p.value - p.ref - drift)
-            val minc = math.min(st.minc, c)
-            st = CusumState(c, minc)
-            val s = c - math.min(0.0, minc)
-            out += CusumOut(key, p.id, s, s > threshold)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(CusumState(0.0, 0.0))
+            val out = Seq.newBuilder[CusumOut]
+            it.toSeq.sortBy(p => (p.epoch, p.id)).foreach { p =>
+              val c = st.c + (p.value - p.ref - drift)
+              val minc = math.min(st.minc, c)
+              st = CusumState(c, minc)
+              val s = c - math.min(0.0, minc)
+              out += CusumOut(key, p.id, s, s > threshold)
+            }
+            state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 
   def approxDistinctByWindow(points: Dataset[DistinctPoint],
-                             lgK: Int = 12): Dataset[DistinctOut] = {
+                             lgK: Int = 12,
+                             idleTimeout: Option[String] = None): Dataset[DistinctOut] = {
     val session = points.sparkSession
     import session.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     points.groupByKey(p => (p.metric, p.window))
       .flatMapGroupsWithState[Array[Byte], DistinctOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (key: (String, Long), it: Iterator[DistinctPoint],
          state: GroupState[Array[Byte]]) =>
-          val (metric, window) = key
-          val union = org.apache.datasketches.theta.SetOperation.builder()
-            .setLogNominalEntries(lgK).buildUnion()
-          state.getOption.foreach { bytes =>
-            union.union(org.apache.datasketches.theta.Sketches.wrapSketch(
-              org.apache.datasketches.memory.Memory.wrap(bytes)))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (metric, window) = key
+            val union = org.apache.datasketches.theta.SetOperation.builder()
+              .setLogNominalEntries(lgK).buildUnion()
+            state.getOption.foreach { bytes =>
+              union.union(org.apache.datasketches.theta.Sketches.wrapSketch(
+                org.apache.datasketches.memory.Memory.wrap(bytes)))
+            }
+            it.foreach(p => union.update(p.item))
+            val compact = union.getResult
+            state.update(compact.toByteArray)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.single(DistinctOut(metric, window, compact.getEstimate))
           }
-          it.foreach(p => union.update(p.item))
-          val compact = union.getResult
-          state.update(compact.toByteArray)
-          Iterator.single(DistinctOut(metric, window, compact.getEstimate))
       }
   }
 }
