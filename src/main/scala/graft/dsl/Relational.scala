@@ -2097,6 +2097,17 @@ object Relational {
         .orderBy("event_type", "gap_start").limit(300)
     },
 
+    // rank-family completion: percent_rank + dense_rank on one window
+    "WIN-PERCENT-RANK" -> { s =>
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+      s.table("orders").where(col("o_custkey") < 40)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(percent_rank().over(w), 4).as("pr"),
+          dense_rank().over(w).cast("long").as("dr"),
+          col("o_orderpriority"))
+        .orderBy("o_orderpriority", "pr", "o_orderkey").limit(300)
+    },
+
     // session-level rollup: gap breaks + running-sum session ids (two
     // windows, one per-user sort) + one aggregate
     "EVENT-SESSION-STATS" -> { s =>

@@ -2582,6 +2582,18 @@ object Inventory {
       |FROM isl GROUP BY event_type, grp
       |ORDER BY event_type, gap_start LIMIT 300""".stripMargin)
 
+  // rank-family completion: percent_rank (relative standing in [0,1]) +
+  // dense_rank (gapless tier ids) — the two ranking functions the WIN-*
+  // family did not yet declare; ties resolve identically on both engines
+  // (equal inputs ⇒ equal ranks), the final sort tie-breaks on the key
+  q("WIN-PERCENT-RANK",
+    """SELECT o_custkey, o_orderkey,
+      |  round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 4) AS pr,
+      |  CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS BIGINT) AS dr,
+      |  o_orderpriority
+      |FROM orders WHERE o_custkey < 40
+      |ORDER BY o_orderpriority, pr, o_orderkey LIMIT 300""".stripMargin)
+
   // session-LEVEL rollup (WIN-SESSIONIZE tags rows; this emits one row
   // per session): 30-min-gap breaks, running-sum session ids, then
   // count/duration/distinct-types per session — the product-analytics
