@@ -2097,6 +2097,13 @@ object Relational {
         .orderBy("event_type", "gap_start").limit(300)
     },
 
+    // distributed BPE merge training via the iterative operator (the SQL
+    // twin unrolls the same three rounds)
+    "LLM-BPE-TRAIN" -> (s =>
+      TextAnalysis.bpeMerges(
+        graft.core.Tables.spread(s.table("documents"), "doc_id"),
+        "text", rounds = 3).orderBy("r")),
+
     // rank-family completion: percent_rank + dense_rank on one window
     "WIN-PERCENT-RANK" -> { s =>
       val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")

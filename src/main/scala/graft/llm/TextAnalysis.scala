@@ -44,6 +44,44 @@ object TextAnalysis {
       .agg(sum(idf * col("f") * (k1 + 1) / norm).as("bm25"))
   }
 
+  /** Distributed BPE merge training (Sennrich et al. 2016, at the token
+    * level): each round counts adjacent-token pairs corpus-wide, picks the
+    * most frequent (ties to the lexicographically smallest — fully
+    * deterministic), and applies the merge greedily left-to-right
+    * (`replace` is leftmost non-overlapping — exactly BPE's application
+    * order). Returns `(r, pair, cnt)`, one row per merge rule learned.
+    *
+    * The distributed-trainer shape: per round ONE explode + groupBy over
+    * the corpus and a 1-row driver collect of the winning pair (metadata-
+    * scale, like a centroid fetch); the merge applies map-side. At 100 TB
+    * each round is a scan + shuffle of pair counts — never a corpus
+    * collect. Merged tokens join with '@' so later rounds can merge
+    * merged units without retokenizing. */
+  def bpeMerges(documents: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = documents.sparkSession
+    var d = documents.select(col(textCol).as("text"))
+    val learned = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val toks = split(col("text"), " ")
+      val pairs = d.where(size(toks) >= 2)
+        .select(explode(transform(sequence(lit(0), size(toks) - 2),
+          j => concat(element_at(toks, j + 1), lit(" "),
+            element_at(toks, j + 2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      if (top.nonEmpty) {
+        val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
+        learned += ((r, pair, cnt))
+        d = d.select(org.apache.spark.sql.functions.replace(col("text"),
+            lit(pair), lit(pair.replace(' ', '@'))).as("text"))
+          .localCheckpoint() // bound lineage across rounds
+      }
+    }
+    import spark.implicits._
+    learned.result().toDF("r", "pair", "cnt")
+  }
+
   private val stopwordsEn = Seq("the", "a", "of", "and", "is")
   private val stopwordsDe = Seq("der", "die", "das", "und", "ist")
   private val stopwordsEs = Seq("el", "la", "que", "los", "y")

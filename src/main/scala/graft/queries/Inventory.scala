@@ -2582,6 +2582,45 @@ object Inventory {
       |FROM isl GROUP BY event_type, grp
       |ORDER BY event_type, gap_start LIMIT 300""".stripMargin)
 
+  // distributed BPE merge training (Sennrich et al. 2016), three rounds
+  // unrolled: per round ONE corpus-wide adjacent-pair count, a 1-row top
+  // pick (ties to the smallest pair — deterministic), and a greedy
+  // leftmost-non-overlapping merge application (replace() — exactly BPE's
+  // application order, identical on both engines). The DSL twin is
+  // TextAnalysis.bpeMerges, the iterative operator this text unrolls.
+  private def bpeSparkRound(i: Int): String = {
+    val p = i - 1
+    s"""bg$i AS (SELECT pair, count(*) AS cnt FROM (
+       |  SELECT explode(transform(sequence(0, size(split(text, ' ')) - 2),
+       |    j -> concat(element_at(split(text, ' '), j + 1), ' ', element_at(split(text, ' '), j + 2)))) AS pair
+       |  FROM d$p WHERE size(split(text, ' ')) >= 2) t GROUP BY pair),
+       |p$i AS (SELECT pair, cnt FROM bg$i ORDER BY cnt DESC, pair LIMIT 1),
+       |d$i AS (SELECT doc_id, replace(text, (SELECT pair FROM p$i),
+       |  replace((SELECT pair FROM p$i), ' ', '@')) AS text FROM d$p)""".stripMargin
+  }
+  private def bpeDuckRound(i: Int): String = {
+    val p = i - 1
+    s"""bg$i AS (SELECT pair, count(*) AS cnt FROM (
+       |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+       |    j -> string_split(text, ' ')[j] || ' ' || string_split(text, ' ')[j + 1])) AS pair
+       |  FROM d$p WHERE len(string_split(text, ' ')) >= 2) t GROUP BY pair),
+       |p$i AS (SELECT pair, cnt FROM bg$i ORDER BY cnt DESC, pair LIMIT 1),
+       |d$i AS (SELECT doc_id, replace(text, (SELECT pair FROM p$i),
+       |  replace((SELECT pair FROM p$i), ' ', '@')) AS text FROM d$p)""".stripMargin
+  }
+  private val bpeTail =
+    """
+      |SELECT r, pair, cnt FROM (
+      |  SELECT 1 AS r, pair, cnt FROM p1
+      |  UNION ALL SELECT 2, pair, cnt FROM p2
+      |  UNION ALL SELECT 3, pair, cnt FROM p3) u
+      |ORDER BY r""".stripMargin
+  q("LLM-BPE-TRAIN",
+    "WITH d0 AS (SELECT doc_id, text FROM documents),\n" +
+      (1 to 3).map(bpeSparkRound).mkString(",\n") + bpeTail,
+    "WITH d0 AS (SELECT doc_id, text FROM documents),\n" +
+      (1 to 3).map(bpeDuckRound).mkString(",\n") + bpeTail)
+
   // rank-family completion: percent_rank (relative standing in [0,1]) +
   // dense_rank (gapless tier ids) — the two ranking functions the WIN-*
   // family did not yet declare; ties resolve identically on both engines

@@ -84,4 +84,21 @@ class TextAnalysisSpec extends SparkSpec {
     // total on the real corpus, no nulls
     assert(TextAnalysis.compressionRatio(docs).filter(col("deflate_ratio").isNull).count() === 0)
   }
+
+  test("bpeMerges learns deterministic rules and applies them greedily") {
+    val sq = spark; import sq.implicits._
+    // "b c" is the most frequent pair (3); after merging, "a b@c" leads
+    val docs = Seq("a b c d", "x b c y", "a b c").toDF("text")
+    val rules = TextAnalysis.bpeMerges(docs, "text", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rules.head === ((1, "b c", 3L)))
+    assert(rules(1) === ((2, "a b@c", 2L)))
+
+    // greedy leftmost non-overlap: "a b a b a" merges pairs 1 and 3 only
+    val tricky = Seq("a b a b a").toDF("text")
+    val r2 = TextAnalysis.bpeMerges(tricky, "text", rounds = 1)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    // pairs: "a b"x2, "b a"x2 -> tie broken to the smaller pair "a b"
+    assert(r2 === Seq(("a b", 2L)))
+  }
 }
