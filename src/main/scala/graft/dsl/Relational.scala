@@ -2104,6 +2104,50 @@ object Relational {
         graft.core.Tables.spread(s.table("documents"), "doc_id"),
         "text", rounds = 3).orderBy("r")),
 
+    // PMI collocations: one token-array frame feeds unigram and adjacent-
+    // bigram counts; totals broadcast as 1-row frames; DOUBLE-cast ratios
+    "TEXT-PMI" -> { s =>
+      val toks = graft.core.Tables.spread(s.table("documents"), "doc_id")
+        .select(split(col("text"), " ").as("t"))
+      val utok = toks.select(explode(col("t")).as("tok"))
+      val bg = toks
+        .select(explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+        .select(element_at(col("t"), col("i")).as("t1"),
+          element_at(col("t"), col("i") + 1).as("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("cb"))
+      val uni = utok.groupBy("tok").agg(count(lit(1)).as("c"))
+      val n1 = uni.agg(sum("c").cast("long").as("n"))
+      val n2 = bg.agg(sum("cb").cast("long").as("nb"))
+      bg.join(broadcast(uni.select(col("tok").as("k1"), col("c").as("c1"))),
+          col("t1") === col("k1"))
+        .join(broadcast(uni.select(col("tok").as("k2"), col("c").as("c2"))),
+          col("t2") === col("k2"))
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .where(col("cb") >= 20)
+        .select(col("t1"), col("t2"), col("cb"),
+          round(log((col("cb").cast("double") / col("nb"))
+            / ((col("c1").cast("double") / col("n"))
+              * (col("c2").cast("double") / col("n")))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("t1"), col("t2")).limit(40)
+    },
+
+    // DAU / trailing WAU / stickiness: day-distinct rows keep the band
+    // join's fan-out at 7× the DAY-user table, never raw events
+    "EVENT-STICKINESS" -> { s =>
+      val secs = col("ts").cast("long")
+      val pts = s.table("events")
+        .select(col("user_id"), (secs - (secs % 86400)).as("db"))
+      val dau = pts.groupBy("db").agg(count_distinct(col("user_id")).as("dau"))
+      val days = pts.select(col("db").as("d_db")).distinct()
+      val wau = days.join(pts,
+          col("db") > col("d_db") - 7 * 86400 && col("db") <= col("d_db"))
+        .groupBy("d_db").agg(count_distinct(col("user_id")).as("wau"))
+      dau.join(wau, col("db") === col("d_db"))
+        .select(col("db"), col("dau"), col("wau"),
+          round(col("dau") * 1.0 / col("wau"), 4).as("stickiness"))
+        .orderBy("db")
+    },
+
     // rank-family completion: percent_rank + dense_rank on one window
     "WIN-PERCENT-RANK" -> { s =>
       val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")

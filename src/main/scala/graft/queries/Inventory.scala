@@ -2621,6 +2621,67 @@ object Inventory {
     "WITH d0 AS (SELECT doc_id, text FROM documents),\n" +
       (1 to 3).map(bpeDuckRound).mkString(",\n") + bpeTail)
 
+  // collocation extraction by pointwise mutual information — the classic
+  // phrase-mining signal (ln p(ab)/(p(a)p(b))): unigram + adjacent-bigram
+  // counts from ONE token-array frame, PMI via explicit DOUBLE casts
+  // (Spark's `x * 1.0` is DECIMAL arithmetic whose clipped scale shifts
+  // the 4th decimal — doubles are bit-identical cross-engine), support
+  // floor cb >= 20, rank on the rounded score
+  q("TEXT-PMI",
+    """WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+      |utok AS (SELECT explode(t) AS tok FROM toks),
+      |bg AS (SELECT t[i-1] AS t1, t[i] AS t2, count(*) AS cb
+      |       FROM toks LATERAL VIEW explode(sequence(1, size(t) - 1)) s AS i
+      |       GROUP BY t[i-1], t[i]),
+      |uni AS (SELECT tok, count(*) AS c FROM utok GROUP BY tok),
+      |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+      |n2 AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM bg)
+      |SELECT t1, t2, cb,
+      |  round(ln((CAST(cb AS DOUBLE) / nb) / ((CAST(u1.c AS DOUBLE) / n) * (CAST(u2.c AS DOUBLE) / n))), 4) AS pmi
+      |FROM bg JOIN uni u1 ON bg.t1 = u1.tok JOIN uni u2 ON bg.t2 = u2.tok
+      |  CROSS JOIN n1 CROSS JOIN n2
+      |WHERE cb >= 20
+      |ORDER BY pmi DESC, t1, t2 LIMIT 40""".stripMargin,
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |utok AS (SELECT unnest(t) AS tok FROM toks),
+      |bg AS (SELECT t[i] AS t1, t[i+1] AS t2, count(*) AS cb
+      |       FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS g(i)
+      |       GROUP BY t[i], t[i+1]),
+      |uni AS (SELECT tok, count(*) AS c FROM utok GROUP BY tok),
+      |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+      |n2 AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM bg)
+      |SELECT t1, t2, cb,
+      |  round(ln((CAST(cb AS DOUBLE) / nb) / ((CAST(u1.c AS DOUBLE) / n) * (CAST(u2.c AS DOUBLE) / n))), 4) AS pmi
+      |FROM bg JOIN uni u1 ON bg.t1 = u1.tok JOIN uni u2 ON bg.t2 = u2.tok
+      |  CROSS JOIN n1 CROSS JOIN n2
+      |WHERE cb >= 20
+      |ORDER BY pmi DESC, t1, t2 LIMIT 40""".stripMargin)
+
+  // DAU / trailing-7-day WAU / stickiness per day — the product-health
+  // dashboard triple; WAU via a day-grid × day-band join of DAY-DISTINCT
+  // user rows (bounded 7× fan-out), all-integer counts + one division
+  q("EVENT-STICKINESS",
+    """WITH pts AS (SELECT user_id, (CAST(ts AS BIGINT) - (CAST(ts AS BIGINT) % 86400)) AS db FROM events),
+      |dau AS (SELECT db, count(DISTINCT user_id) AS dau FROM pts GROUP BY db),
+      |wau AS (SELECT d.db, count(DISTINCT p.user_id) AS wau
+      |        FROM (SELECT DISTINCT db FROM pts) d
+      |        JOIN pts p ON p.db > d.db - 7 * 86400 AND p.db <= d.db
+      |        GROUP BY d.db)
+      |SELECT dau.db, dau.dau, wau.wau,
+      |  round(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+      |FROM dau JOIN wau ON dau.db = wau.db
+      |ORDER BY dau.db""".stripMargin,
+    s"""WITH pts AS (SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) - (CAST(floor(epoch(ts)) AS BIGINT) % 86400)) AS db FROM $EV e),
+      |dau AS (SELECT db, count(DISTINCT user_id) AS dau FROM pts GROUP BY db),
+      |wau AS (SELECT d.db, count(DISTINCT p.user_id) AS wau
+      |        FROM (SELECT DISTINCT db FROM pts) d
+      |        JOIN pts p ON p.db > d.db - 7 * 86400 AND p.db <= d.db
+      |        GROUP BY d.db)
+      |SELECT dau.db, dau.dau, wau.wau,
+      |  round(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+      |FROM dau JOIN wau ON dau.db = wau.db
+      |ORDER BY dau.db""".stripMargin)
+
   // rank-family completion: percent_rank (relative standing in [0,1]) +
   // dense_rank (gapless tier ids) — the two ranking functions the WIN-*
   // family did not yet declare; ties resolve identically on both engines
