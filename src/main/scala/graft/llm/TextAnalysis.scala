@@ -82,6 +82,21 @@ object TextAnalysis {
     learned.result().toDF("r", "pair", "cnt")
   }
 
+  /** Apply a learned merge table (the [[bpeMerges]] output, in rule order)
+    * to a text column — BPE inference: each rule replaces greedily
+    * left-to-right, exactly as it did during training, so training-corpus
+    * text re-tokenizes identically. A pure codegen'd column expression
+    * (chained `replace`), no shuffle — the rules frame is collected once
+    * (vocabulary-sized metadata, like a broadcast dictionary). */
+  def applyBpe(rules: DataFrame, text: Column): Column = {
+    val ordered = rules.select("r", "pair").collect()
+      .sortBy(_.getInt(0)).map(_.getString(1))
+    ordered.foldLeft(text) { (c, pair) =>
+      org.apache.spark.sql.functions.replace(c, lit(pair),
+        lit(pair.replace(' ', '@')))
+    }
+  }
+
   private val stopwordsEn = Seq("the", "a", "of", "and", "is")
   private val stopwordsDe = Seq("der", "die", "das", "und", "ist")
   private val stopwordsEs = Seq("el", "la", "que", "los", "y")

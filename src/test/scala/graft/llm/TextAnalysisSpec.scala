@@ -101,4 +101,22 @@ class TextAnalysisSpec extends SparkSpec {
     // pairs: "a b"x2, "b a"x2 -> tie broken to the smaller pair "a b"
     assert(r2 === Seq(("a b", 2L)))
   }
+
+  test("applyBpe re-tokenizes training text exactly as training did") {
+    val sq = spark; import sq.implicits._
+    val docs = Seq("a b c d", "x b c y", "a b c", "a b a b a").toDF("text")
+    val rules = TextAnalysis.bpeMerges(docs, "text", rounds = 3)
+    val applied = docs.select(TextAnalysis.applyBpe(rules, col("text")).as("t"))
+      .collect().map(_.getString(0)).toSet
+    // replaying the merges on the training corpus must reproduce the
+    // final training state (same greedy application order)
+    var d = docs
+    rules.collect().sortBy(_.getInt(0)).map(_.getString(1)).foreach { pair =>
+      d = d.select(org.apache.spark.sql.functions.replace(col("text"),
+        lit(pair), lit(pair.replace(' ', '@'))).as("text"))
+    }
+    assert(applied === d.collect().map(_.getString(0)).toSet)
+    // merged units are single tokens now
+    assert(applied.exists(_.contains("@")))
+  }
 }
