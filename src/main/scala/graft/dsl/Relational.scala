@@ -2102,7 +2102,7 @@ object Relational {
     "LLM-BPE-TRAIN" -> (s =>
       TextAnalysis.bpeMerges(
         graft.core.Tables.spread(s.table("documents"), "doc_id"),
-        "text", rounds = 3).orderBy("r")),
+        "text", merges = 3).orderBy("r")),
 
     // PMI collocations: one token-array frame feeds unigram and adjacent-
     // bigram counts; totals broadcast as 1-row frames; DOUBLE-cast ratios

@@ -44,37 +44,87 @@ object TextAnalysis {
       .agg(sum(idf * col("f") * (k1 + 1) / norm).as("bm25"))
   }
 
+  /** Apply ONE learned merge rule to a space-joined token text, exactly as
+    * greedy leftmost non-overlapping BPE does, ANCHORED TO TOKEN
+    * BOUNDARIES. A plain substring replace of "A B" would also match
+    * inside unrelated tokens — ["XA", "B"] renders as "XA B" and would
+    * corrupt to "X" + "A@B". The anchor trick: double every separator
+    * (each token boundary owns TWO spaces, one per side), pad the ends,
+    * replace the doubled " A  B " with " A@B " — adjacent occurrences never
+    * compete for a shared boundary space, so ["A","B","A","B"] merges to
+    * ["A@B","A@B"] exactly as token-level greedy BPE does — then collapse
+    * space runs and trim. Pure codegen'd string expressions. */
+  private def applyMerge(c: Column, pair: String): Column = {
+    val fns = org.apache.spark.sql.functions
+    val doubled = concat(lit(" "), fns.replace(c, lit(" "), lit("  ")), lit(" "))
+    val applied = fns.replace(doubled,
+      lit(" " + pair.replace(" ", "  ") + " "),
+      lit(" " + pair.replace(' ', '@') + " "))
+    trim(regexp_replace(applied, " {2,}", " "))
+  }
+
+  /** The token symbols a merge rule touches — two rules with disjoint
+    * symbol sets commute (a merge only creates NEW '@'-joined symbols, so
+    * it can never create an adjacency of two other rules' raw symbols). */
+  private def pairSymbols(pair: String): Set[String] = pair.split(" ").toSet
+
   /** Distributed BPE merge training (Sennrich et al. 2016, at the token
-    * level): each round counts adjacent-token pairs corpus-wide, picks the
-    * most frequent (ties to the lexicographically smallest — fully
-    * deterministic), and applies the merge greedily left-to-right
-    * (`replace` is leftmost non-overlapping — exactly BPE's application
-    * order). Returns `(r, pair, cnt)`, one row per merge rule learned.
+    * level): count adjacent-token pairs corpus-wide, pick the most
+    * frequent (ties to the lexicographically smallest — fully
+    * deterministic), apply the merge greedily left-to-right anchored to
+    * token boundaries ([[applyMerge]]). Returns `(r, pair, cnt)`, one row
+    * per merge rule learned, `r` the 1-based merge index.
     *
-    * The distributed-trainer shape: per round ONE explode + groupBy over
-    * the corpus and a 1-row driver collect of the winning pair (metadata-
-    * scale, like a centroid fetch); the merge applies map-side. At 100 TB
-    * each round is a scan + shuffle of pair counts — never a corpus
-    * collect. Merged tokens join with '@' so later rounds can merge
-    * merged units without retokenizing. */
-  def bpeMerges(documents: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    * `merges` is the TOTAL number of merge rules to learn. `batch` scales
+    * training depth: each corpus scan learns up to `batch` rules at once —
+    * the top pairs by count whose symbol sets are mutually DISJOINT
+    * (disjointness makes the batch's applications commute, so each rule
+    * applies exactly as it would alone). batch=1 is classic sequential
+    * BPE; batch=m cuts scan rounds ~m× at the standard batched-trainer
+    * approximation (later rules in a batch are ranked by pre-batch
+    * counts). A 30k-merge vocab at batch=64 is ~470 scans instead of 30k.
+    *
+    * Scale shape per scan: ONE explode + groupBy over the corpus and a
+    * top-(4·batch) driver collect (metadata-scale, like a centroid
+    * fetch); merges apply map-side; `localCheckpoint` per ROUND bounds
+    * lineage. Never a corpus collect. Merged tokens join with '@' so
+    * later rounds merge merged units without retokenizing. */
+  def bpeMerges(documents: DataFrame, textCol: String, merges: Int,
+                batch: Int = 1): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     val spark = documents.sparkSession
     var d = documents.select(col(textCol).as("text"))
     val learned = Seq.newBuilder[(Int, String, Long)]
-    for (r <- 1 to rounds) {
+    var n = 0
+    var dry = false
+    while (n < merges && !dry) {
       val toks = split(col("text"), " ")
       val pairs = d.where(size(toks) >= 2)
         .select(explode(transform(sequence(lit(0), size(toks) - 2),
           j => concat(element_at(toks, j + 1), lit(" "),
             element_at(toks, j + 2)))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
-      val top = pairs.orderBy(col("cnt").desc, col("pair")).limit(1).collect()
-      if (top.nonEmpty) {
-        val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
-        learned += ((r, pair, cnt))
-        d = d.select(org.apache.spark.sql.functions.replace(col("text"),
-            lit(pair), lit(pair.replace(' ', '@'))).as("text"))
+      val want = math.min(batch, merges - n)
+      val top = pairs.orderBy(col("cnt").desc, col("pair"))
+        .limit(math.max(want * 4, 8)).collect()
+      if (top.isEmpty) dry = true
+      else {
+        // greedy prefix of the count-ordered candidates with mutually
+        // disjoint symbols — commuting, so one pass applies them all
+        var used = Set.empty[String]
+        val picked = top.iterator.map(r => (r.getString(0), r.getLong(1)))
+          .filter { case (p, _) =>
+            val s = pairSymbols(p)
+            if ((s & used).isEmpty) { used ++= s; true } else false
+          }.take(want).toSeq
+        var c: Column = col("text")
+        picked.foreach { case (p, cnt) =>
+          n += 1
+          learned += ((n, p, cnt))
+          c = applyMerge(c, p)
+        }
+        d = d.select(c.as("text"))
           .localCheckpoint() // bound lineage across rounds
       }
     }
@@ -84,17 +134,16 @@ object TextAnalysis {
 
   /** Apply a learned merge table (the [[bpeMerges]] output, in rule order)
     * to a text column — BPE inference: each rule replaces greedily
-    * left-to-right, exactly as it did during training, so training-corpus
-    * text re-tokenizes identically. A pure codegen'd column expression
-    * (chained `replace`), no shuffle — the rules frame is collected once
-    * (vocabulary-sized metadata, like a broadcast dictionary). */
+    * left-to-right with the same token-boundary anchoring as training
+    * ([[applyMerge]]), so training-corpus text re-tokenizes identically
+    * and a rule "A B" can never fire inside an unrelated token like "XA".
+    * A pure codegen'd column expression (chained replaces), no shuffle —
+    * the rules frame is collected once (vocabulary-sized metadata, like a
+    * broadcast dictionary). */
   def applyBpe(rules: DataFrame, text: Column): Column = {
     val ordered = rules.select("r", "pair").collect()
       .sortBy(_.getInt(0)).map(_.getString(1))
-    ordered.foldLeft(text) { (c, pair) =>
-      org.apache.spark.sql.functions.replace(c, lit(pair),
-        lit(pair.replace(' ', '@')))
-    }
+    ordered.foldLeft(text)(applyMerge)
   }
 
   private val stopwordsEn = Seq("the", "a", "of", "and", "is")

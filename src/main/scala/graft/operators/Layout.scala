@@ -246,9 +246,14 @@ object Layout {
     require(partitions.nonEmpty, "no partitions to roll up")
     val raw = spark.read.parquet(rawPath)
       .where(col(partitionCol).cast("string").isin(partitions: _*))
+    // `c` counts ROWS, `cnn` counts NON-NULL values: avg(value) divides by
+    // the latter, so the RollupRouteRewrite avg decomposition needs cnn to
+    // stay exact when valueCol contains nulls (sum/min/max already skip
+    // nulls, matching the raw aggregates).
     val agg = raw
       .groupBy((groupCols :+ partitionCol).map(col): _*)
       .agg(sum(col(valueCol)).as("sv"), count(lit(1)).as("c"),
+        count(col(valueCol)).as("cnn"),
         min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
     val staged = agg.localCheckpoint()
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

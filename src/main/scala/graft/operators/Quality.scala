@@ -113,7 +113,14 @@ object Quality {
     * count frame aggregates once and feeds both the heap and the 1-row
     * totals broadcast. */
   def skewReport(df: DataFrame, keyCol: String, k: Int = 5, pad: Int = 6): DataFrame = {
-    val counts = df.groupBy(lpad(col(keyCol).cast("string"), pad, "0").as("key"))
+    // lpad TRUNCATES strings longer than `pad` — padding must be
+    // conditional or distinct long keys silently merge into one bogus
+    // hot key. Keys at or beyond `pad` digits pass through unpadded
+    // (lexicographic order stays numeric for digit keys: any unpadded
+    // key is longer, and longer digit strings compare greater).
+    val k0 = col(keyCol).cast("string")
+    val counts = df.groupBy(
+        when(length(k0) >= pad, k0).otherwise(lpad(k0, pad, "0")).as("key"))
       .agg(count(lit(1)).as("cnt"))
     val tot = counts.agg(sum("cnt").cast("long").as("total"),
       count(lit(1)).as("nkeys"))

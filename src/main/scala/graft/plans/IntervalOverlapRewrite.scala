@@ -106,7 +106,13 @@ object IntervalOverlapRewrite extends Rule[LogicalPlan] {
         Literal(s" buckets at $WidthKey=$w, exceeding $CapKey=$cap; raise " +
           "the width (or use RangeJoin.intervalOverlap, which derives " +
           "width >= max span from the data)")))
-      val hiB = If(LessThanOrEqual(span, Literal(cap)),
+      // NULL-safe cap check: a null interval bound makes `span` null, and
+      // If treats a null predicate as FALSE — without the IsNull guard the
+      // RaiseError branch would fire and crash the query, where the
+      // original theta join simply drops null-bound rows. With the guard a
+      // null bound yields a null sequence, which Generate(outer=false)
+      // drops — matching the original join's semantics exactly.
+      val hiB = If(Or(IsNull(span), LessThanOrEqual(span, Literal(cap))),
         hiB0, Cast(new RaiseError(capMsg), LongType))
       val seq = new Sequence(loB, Greatest(Seq(hiB, loB)), Literal(1L))
         .withTimeZone(conf.sessionLocalTimeZone)

@@ -55,11 +55,17 @@ object RollupRouteRewrite extends Rule[LogicalPlan] {
       parts(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq, parts(5).toLong)
   }
 
-  /** True if this plan is the raw-path relation itself. */
+  /** True if this plan is the raw-path relation itself. The match is
+    * anchored at a path-separator boundary: a configured rawPath "events"
+    * must NOT match an unrelated ".../other_events" (an unanchored
+    * endsWith would route that table's aggregates to the wrong rollup). */
   private def isScan(plan: LogicalPlan, path: String): Boolean = plan match {
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      fs.location.rootPaths.exists(_.toString.stripSuffix("/")
-        .endsWith(path.stripSuffix("/").stripPrefix("file:")))
+      val want = path.stripSuffix("/").stripPrefix("file:")
+      fs.location.rootPaths.exists { rp =>
+        val p = rp.toString.stripSuffix("/").stripPrefix("file:")
+        p == want || p.endsWith("/" + want)
+      }
     case _ => false
   }
 
@@ -99,6 +105,9 @@ object RollupRouteRewrite extends Rule[LogicalPlan] {
         case (Some(a), Some(b), Some(x), Some(y)) => (a, b, x, y)
         case _ => return None // not an incrementalRollup layout
       }
+    // non-null value count (newer incrementalRollup layouts) — required to
+    // route avg/count(value) exactly when valueCol is nullable
+    val cnnA = rollupAttr("cnn")
     val pcRaw = scan.output.find(_.name.equalsIgnoreCase(route.partitionCol))
       .getOrElse(return None)
     val pcRoll = rollupAttr(route.partitionCol).getOrElse(return None)
@@ -140,7 +149,7 @@ object RollupRouteRewrite extends Rule[LogicalPlan] {
           case None => return None
         }
       case _ => return None
-    } ++ Seq(svA, cA, mnA, mxA)
+    } ++ Seq(svA, cA, mnA, mxA) ++ cnnA
 
     // a filter routes iff it touches only dimension/partition columns —
     // then it prunes rollup rows exactly as it pruned raw rows (any
@@ -167,11 +176,19 @@ object RollupRouteRewrite extends Rule[LogicalPlan] {
     var ok = true
     val newAggs = agg.aggregateExpressions.map { ne =>
       ne.transform {
+        // avg(value) divides by the count of NON-NULL values, so it routes
+        // as Sum(sv)/Sum(cnn) — falling back to the row count `c` only when
+        // the value column is provably non-nullable (then cnn == c). Both
+        // Divide operands are cast to double explicitly: the optimizer does
+        // not re-run type coercion, and Sum(sv) is LongType for integral
+        // value columns. Decimal-typed avg keeps its plan (output type would
+        // change).
         case ae @ AggregateExpression(Average(v, _), _, false, None, _)
-            if v.semanticEquals(valAttr) =>
+            if v.semanticEquals(valAttr) && ae.dataType == DoubleType &&
+               (cnnA.isDefined || !valAttr.nullable) =>
           Divide(
-            ae.copy(aggregateFunction = Sum(svA)),
-            Cast(ae.copy(aggregateFunction = Sum(cA),
+            Cast(ae.copy(aggregateFunction = Sum(svA)), DoubleType),
+            Cast(ae.copy(aggregateFunction = Sum(cnnA.getOrElse(cA)),
               resultId = NamedExpression.newExprId), DoubleType))
         case ae @ AggregateExpression(f, _, false, None, _) =>
           f match {
@@ -179,6 +196,10 @@ object RollupRouteRewrite extends Rule[LogicalPlan] {
               ae.copy(aggregateFunction = Sum(svA))
             case Count(Nil) => ae.copy(aggregateFunction = Sum(cA))
             case Count(Seq(Literal(_, _))) => ae.copy(aggregateFunction = Sum(cA))
+            case Count(Seq(v)) if v.semanticEquals(valAttr) &&
+                (cnnA.isDefined || !valAttr.nullable) =>
+              // count(value) skips nulls → the non-null rollup count
+              ae.copy(aggregateFunction = Sum(cnnA.getOrElse(cA)))
             case Min(v) if v.semanticEquals(valAttr) =>
               ae.copy(aggregateFunction = Min(mnA))
             case Max(v) if v.semanticEquals(valAttr) =>
@@ -187,7 +208,7 @@ object RollupRouteRewrite extends Rule[LogicalPlan] {
               // transformDown revisits the aggregates we just produced
               // (e.g. inside avg's Divide) — those reference rollup
               // columns and are already correct
-              val translated = Set(svA, cA, mnA, mxA).map(_.exprId)
+              val translated = (Set(svA, cA, mnA, mxA) ++ cnnA).map(_.exprId)
               if (!f.references.forall(r => translated(r.exprId))) ok = false
               ae
           }

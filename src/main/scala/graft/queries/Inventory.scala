@@ -2390,18 +2390,24 @@ object Inventory {
   // DSL twin is Quality.skewReport over graft_topk_by — a bounded heap
   // shipping ≤ k candidates per map partition, so billions of distinct
   // keys never hit a global sort. Keys zero-padded so the heap's string
-  // tie-break (ord desc, item ASC) is numeric.
+  // tie-break (ord desc, item ASC) is numeric — padding is CONDITIONAL
+  // because lpad TRUNCATES longer strings (a 7-digit key must pass
+  // through, not merge into a bogus 6-char hot key).
   q("DQ-SKEW",
-    """WITH c AS (SELECT lpad(CAST(l_suppkey AS STRING), 6, '0') AS key, count(*) AS cnt
-      |    FROM lineitem GROUP BY lpad(CAST(l_suppkey AS STRING), 6, '0')),
+    """WITH c AS (SELECT CASE WHEN length(CAST(l_suppkey AS STRING)) >= 6
+      |      THEN CAST(l_suppkey AS STRING)
+      |      ELSE lpad(CAST(l_suppkey AS STRING), 6, '0') END AS key, count(*) AS cnt
+      |    FROM lineitem GROUP BY 1),
       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nkeys FROM c),
       |r AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rnk FROM c)
       |SELECT key, cnt, CAST(rnk AS INT) AS rnk,
       |  round(cnt * 1.0 / total, 4) AS share,
       |  round(cnt * 1.0 * nkeys / total, 4) AS skew
       |FROM r CROSS JOIN t WHERE rnk <= 5 ORDER BY rnk""".stripMargin,
-    """WITH c AS (SELECT lpad(CAST(l_suppkey AS VARCHAR), 6, '0') AS key, count(*) AS cnt
-      |    FROM lineitem GROUP BY lpad(CAST(l_suppkey AS VARCHAR), 6, '0')),
+    """WITH c AS (SELECT CASE WHEN length(CAST(l_suppkey AS VARCHAR)) >= 6
+      |      THEN CAST(l_suppkey AS VARCHAR)
+      |      ELSE lpad(CAST(l_suppkey AS VARCHAR), 6, '0') END AS key, count(*) AS cnt
+      |    FROM lineitem GROUP BY 1),
       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nkeys FROM c),
       |r AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rnk FROM c)
       |SELECT key, cnt, CAST(rnk AS INT) AS rnk,
@@ -2585,9 +2591,13 @@ object Inventory {
   // distributed BPE merge training (Sennrich et al. 2016), three rounds
   // unrolled: per round ONE corpus-wide adjacent-pair count, a 1-row top
   // pick (ties to the smallest pair — deterministic), and a greedy
-  // leftmost-non-overlapping merge application (replace() — exactly BPE's
-  // application order, identical on both engines). The DSL twin is
-  // TextAnalysis.bpeMerges, the iterative operator this text unrolls.
+  // leftmost-non-overlapping merge application ANCHORED TO TOKEN
+  // BOUNDARIES — double every separator (each boundary owns two spaces),
+  // pad the ends, replace " A  B " → " A@B ", collapse space runs, trim.
+  // A plain replace would also fire inside unrelated tokens ("XA B") and
+  // under-merge adjacent runs; the anchored form is exact greedy BPE and
+  // identical on both engines. The DSL twin is TextAnalysis.bpeMerges,
+  // the iterative operator this text unrolls.
   private def bpeSparkRound(i: Int): String = {
     val p = i - 1
     s"""bg$i AS (SELECT pair, count(*) AS cnt FROM (
@@ -2595,8 +2605,11 @@ object Inventory {
        |    j -> concat(element_at(split(text, ' '), j + 1), ' ', element_at(split(text, ' '), j + 2)))) AS pair
        |  FROM d$p WHERE size(split(text, ' ')) >= 2) t GROUP BY pair),
        |p$i AS (SELECT pair, cnt FROM bg$i ORDER BY cnt DESC, pair LIMIT 1),
-       |d$i AS (SELECT doc_id, replace(text, (SELECT pair FROM p$i),
-       |  replace((SELECT pair FROM p$i), ' ', '@')) AS text FROM d$p)""".stripMargin
+       |d$i AS (SELECT doc_id, trim(regexp_replace(replace(
+       |  concat(' ', replace(text, ' ', '  '), ' '),
+       |  concat(' ', replace((SELECT pair FROM p$i), ' ', '  '), ' '),
+       |  concat(' ', replace((SELECT pair FROM p$i), ' ', '@'), ' ')),
+       |  ' {2,}', ' ')) AS text FROM d$p)""".stripMargin
   }
   private def bpeDuckRound(i: Int): String = {
     val p = i - 1
@@ -2605,8 +2618,11 @@ object Inventory {
        |    j -> string_split(text, ' ')[j] || ' ' || string_split(text, ' ')[j + 1])) AS pair
        |  FROM d$p WHERE len(string_split(text, ' ')) >= 2) t GROUP BY pair),
        |p$i AS (SELECT pair, cnt FROM bg$i ORDER BY cnt DESC, pair LIMIT 1),
-       |d$i AS (SELECT doc_id, replace(text, (SELECT pair FROM p$i),
-       |  replace((SELECT pair FROM p$i), ' ', '@')) AS text FROM d$p)""".stripMargin
+       |d$i AS (SELECT doc_id, trim(regexp_replace(replace(
+       |  ' ' || replace(text, ' ', '  ') || ' ',
+       |  ' ' || replace((SELECT pair FROM p$i), ' ', '  ') || ' ',
+       |  ' ' || replace((SELECT pair FROM p$i), ' ', '@') || ' '),
+       |  ' {2,}', ' ', 'g')) AS text FROM d$p)""".stripMargin
   }
   private val bpeTail =
     """

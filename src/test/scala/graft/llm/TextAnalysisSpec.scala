@@ -89,34 +89,70 @@ class TextAnalysisSpec extends SparkSpec {
     val sq = spark; import sq.implicits._
     // "b c" is the most frequent pair (3); after merging, "a b@c" leads
     val docs = Seq("a b c d", "x b c y", "a b c").toDF("text")
-    val rules = TextAnalysis.bpeMerges(docs, "text", rounds = 2)
+    val rules = TextAnalysis.bpeMerges(docs, "text", merges = 2)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(rules.head === ((1, "b c", 3L)))
     assert(rules(1) === ((2, "a b@c", 2L)))
 
-    // greedy leftmost non-overlap: "a b a b a" merges pairs 1 and 3 only
+    // greedy leftmost non-overlap: both "a b" occurrences merge (they
+    // don't overlap); "b a" loses the tie to the smaller pair "a b"
     val tricky = Seq("a b a b a").toDF("text")
-    val r2 = TextAnalysis.bpeMerges(tricky, "text", rounds = 1)
+    val r2 = TextAnalysis.bpeMerges(tricky, "text", merges = 1)
       .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
-    // pairs: "a b"x2, "b a"x2 -> tie broken to the smaller pair "a b"
     assert(r2 === Seq(("a b", 2L)))
+  }
+
+  test("bpe merge application is token-boundary anchored") {
+    val sq = spark; import sq.implicits._
+    // rule "a b" must NOT fire inside ["xa", "b"] (suffix collision) nor
+    // inside ["a", "bx"], and adjacent runs merge pairwise like true BPE
+    val train = Seq("a b", "a b").toDF("text")
+    val rules = TextAnalysis.bpeMerges(train, "text", merges = 1)
+    val applied = Seq("xa b", "a bx", "a b a b", "q a b q")
+      .toDF("text")
+      .select(TextAnalysis.applyBpe(rules, col("text")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(applied === Seq("xa b", "a bx", "a@b a@b", "q a@b q"))
   }
 
   test("applyBpe re-tokenizes training text exactly as training did") {
     val sq = spark; import sq.implicits._
     val docs = Seq("a b c d", "x b c y", "a b c", "a b a b a").toDF("text")
-    val rules = TextAnalysis.bpeMerges(docs, "text", rounds = 3)
-    val applied = docs.select(TextAnalysis.applyBpe(rules, col("text")).as("t"))
+    val rules = TextAnalysis.bpeMerges(docs, "text", merges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // round 1: "a b" (4: docs 1,3 + doc4 twice, beats "b c" 3);
+    // round 2: "a@b c" (2); round 3: all pairs count 1 -> smallest is
+    // "a@b a" ("a@b a" < "a@b a@b": a proper prefix sorts first)
+    assert(rules === Seq((1, "a b", 4L), (2, "a@b c", 2L), (3, "a@b a", 1L)))
+    val rulesDf = TextAnalysis.bpeMerges(docs, "text", merges = 3)
+    val applied = docs.select(TextAnalysis.applyBpe(rulesDf, col("text")).as("t"))
       .collect().map(_.getString(0)).toSet
-    // replaying the merges on the training corpus must reproduce the
-    // final training state (same greedy application order)
-    var d = docs
-    rules.collect().sortBy(_.getInt(0)).map(_.getString(1)).foreach { pair =>
-      d = d.select(org.apache.spark.sql.functions.replace(col("text"),
-        lit(pair), lit(pair.replace(' ', '@'))).as("text"))
-    }
-    assert(applied === d.collect().map(_.getString(0)).toSet)
+    // the exact final training state, by hand:
+    //   "a b c d"   -> "a@b c d" -> "a@b@c d"
+    //   "x b c y"   stays (b c never merged as a pair of raw tokens)
+    //   "a b c"     -> "a@b c"  -> "a@b@c"
+    //   "a b a b a" -> "a@b a@b a" -> (rule "a@b a", anchored: only the
+    //   [a@b, a] adjacency at the END matches) "a@b a@b@a"
+    assert(applied === Set("a@b@c d", "x b c y", "a@b@c", "a@b a@b@a"))
     // merged units are single tokens now
     assert(applied.exists(_.contains("@")))
+  }
+
+  test("bpeMerges batch mode learns disjoint merges per scan") {
+    val sq = spark; import sq.implicits._
+    // two independent hot pairs: batch=2 learns both in ONE scan round
+    val docs = Seq("a b a b", "c d c d", "a b c d").toDF("text")
+    val batched = TextAnalysis.bpeMerges(docs, "text", merges = 2, batch = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // pre-scan counts: "a b" x3 ... (doc1 has 2 + doc3 has 1), "c d" x3,
+    // "b a" 1, "d c" 1, "b c" 1 — picks "a b" then "c d" (disjoint)
+    assert(batched === Seq((1, "a b", 3L), (2, "c d", 3L)))
+    // overlapping runner-up is skipped within a batch: "b c" shares
+    // symbol b with the winner "a b", so round 1 learns only "a b" and a
+    // SECOND scan (post-merge counts) learns "a@b c"
+    val docs2 = Seq("a b c", "a b c", "a b").toDF("text")
+    val b2 = TextAnalysis.bpeMerges(docs2, "text", merges = 2, batch = 2)
+      .collect().map(_.getString(1)).toSeq
+    assert(b2 === Seq("a b", "a@b c"))
   }
 }

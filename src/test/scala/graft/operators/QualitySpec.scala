@@ -81,4 +81,15 @@ class QualitySpec extends SparkSpec {
       Quality.profile(spark.table("orders"), Seq("nope"), Nil)
     }
   }
+
+  test("skewReport never truncates keys longer than the pad width") {
+    // lpad truncates: distinct 7-digit keys must NOT merge into one
+    // 6-char bogus hot key
+    val df = Seq.fill(10)(1234567L).map(Tuple1(_)).toDF("k")
+      .union(Seq.fill(10)(1239999L).map(Tuple1(_)).toDF("k"))
+      .union(Seq.fill(3)(42L).map(Tuple1(_)).toDF("k"))
+    val rows = Quality.skewReport(df, "k", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("1234567", 10L), ("1239999", 10L), ("000042", 3L)))
+  }
 }

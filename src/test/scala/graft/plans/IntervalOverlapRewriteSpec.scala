@@ -54,6 +54,25 @@ class IntervalOverlapRewriteSpec extends SparkSpec {
     }
   }
 
+  test("null interval bounds drop the row instead of raising the cap error") {
+    // the original theta join drops null-bound rows (null predicate ≠
+    // true); the rewrite must match, NOT crash: a null bound makes the
+    // bucket span null, and If treats a null cap-check as false — without
+    // the IsNull guard RaiseError fires for a row the join would drop
+    val an = a.withColumn("al",
+      when(col("a_id") % 7 === 0, lit(null).cast("long")).otherwise(col("al")))
+      .withColumn("ah",
+        when(col("a_id") % 11 === 0, lit(null).cast("long")).otherwise(col("ah")))
+    val q = () => an.join(b, col("al") <= col("bh") && col("bl") <= col("ah"))
+    val expect = pairs(q())
+    withWidth(100.0) {
+      val d = q()
+      val got = pairs(d) // would throw on the unguarded RaiseError
+      assert(!d.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(got === expect)
+    }
+  }
+
   test("the point-sandwich shape is left to RangeJoinRewrite") {
     val pts = spark.range(100).select((col("id") * 13L % 5000L).as("p"))
     val q = () => pts.join(b, col("p") >= col("bl") && col("p") <= col("bh"))

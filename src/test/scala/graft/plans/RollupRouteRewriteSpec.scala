@@ -90,6 +90,51 @@ class RollupRouteRewriteSpec extends SparkSpec {
     }
   }
 
+  test("avg and count(value) stay exact when the value column has nulls") {
+    // avg divides by the NON-NULL count; the rollup's `c` counts rows, so
+    // routing must use the `cnn` column — with ~1/3 of values nulled, a
+    // c-based route would be visibly wrong
+    tables()
+    val tmp = Files.createTempDirectory("routenull").toString
+    val rawPath = s"$tmp/rawnull"
+    val rollPath = s"$tmp/rollnull"
+    val raw = spark.table("events").select(
+      col("event_type"),
+      when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value"))
+        .as("value"),
+      (col("ts").cast("long") - (col("ts").cast("long") % 86400)).as("day"))
+    raw.write.partitionBy("day").parquet(rawPath)
+    val days = raw.select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    Layout.incrementalRollup(spark, rawPath, rollPath,
+      "day", Seq("event_type"), "value", days)
+    val q = () => spark.read.parquet(rawPath)
+      .groupBy("event_type")
+      .agg(avg("value").as("a"), count(col("value")).as("cv"),
+        count(lit(1)).as("cr"))
+    val expect = q().collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    if (!spark.experimental.extraOptimizations.contains(RollupRouteRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RollupRouteRewrite
+    spark.conf.set(Key, s"$rawPath;$rollPath;day;value;event_type;86400")
+    try {
+      val routed = q()
+      val p = planOf(routed)
+      assert(p.contains("rollnull") && !p.contains("rawnull"),
+        s"nullable avg must still route (via cnn):\n$p")
+      val got = routed.collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got.keySet === expect.keySet)
+      got.foreach { case (k, (a, cv, cr)) =>
+        val (ea, ecv, ecr) = expect(k)
+        assert(cv === ecv, s"non-null count diverged at $k")
+        assert(cr === ecr, s"row count diverged at $k")
+        assert(math.abs(a - ea) < 1e-9, s"avg diverged at $k: $a vs $ea")
+      }
+    } finally spark.conf.unset(Key)
+  }
+
   test("dimension/time filters route; value filters do not") {
     val (rawPath, _) = dirs
     val cutoff = spark.read.parquet(rawPath).agg(max("day")).collect()(0).get(0).toString.toLong
