@@ -5,17 +5,21 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed metadata.
   *
-  * Decode comes in two tiers. UNCOMPRESSED container formats a JVM can
-  * parse without codec libraries get REAL decoders below — RIFF/WAV 16-bit
-  * PCM (magic validation, chunk walking, little-endian sample reads) and
-  * 24-bit BMP (data offset, bottom-up rows, 4-byte padding, BGR order) —
-  * oracle-checked end-to-end via MM-WAV-DECODE / MM-BMP-DECODE. Compressed
-  * formats (JPEG/MP3/H.264) remain a clearly-marked deterministic STUB:
-  * codec libraries are not available in this environment. Everything around
-  * the decode — schema, batching, partition-parallel execution via
-  * `mapPartitions`, typed `Dataset` encoders — is the real Spark plumbing:
-  * a narrow per-partition pass, no shuffle, partition sizing controlled by
-  * the upstream source split size.
+  * Decode comes in three tiers. UNCOMPRESSED container formats get
+  * hand-rolled REAL decoders below — RIFF/WAV 16-bit PCM (magic
+  * validation, chunk walking, little-endian sample reads) and 24-bit BMP
+  * (data offset, bottom-up rows, 4-byte padding, BGR order) —
+  * oracle-checked end-to-end via MM-WAV-DECODE / MM-BMP-DECODE.
+  * COMPRESSED image formats the JDK ships codecs for (PNG, JPEG, GIF,
+  * TIFF via `javax.imageio` — no external libraries) decode through
+  * [[decodeImage]], oracle-checked via MM-PNG-DECODE (PNG is lossless, so
+  * the per-channel means match the generative formula EXACTLY) and
+  * MM-JPEG-DECODE (lossy — dimensions exact, means tolerance-checked).
+  * Only codec-less formats (MP3/H.264) remain a clearly-marked
+  * deterministic STUB. Everything around the decode — schema, batching,
+  * partition-parallel execution via `mapPartitions`, typed `Dataset`
+  * encoders — is the real Spark plumbing: a narrow per-partition pass, no
+  * shuffle, partition sizing controlled by the upstream source split size.
   */
 object Multimodal {
 
@@ -36,22 +40,41 @@ object Multimodal {
       md5(col(payloadCol)).as("digest"),
       upper(hex(substring(col(payloadCol), 1, 8))).as("head_hex"))
 
-  /** STUB decoder: deterministic fake "decode" standing in for an image
-    * codec. Real implementation would parse the container header; the
-    * Spark-side contract (per-partition iterator→iterator, no driver
-    * collect) is what matters here. */
+  /** STUB decoder for the codec-less kinds ONLY (MP3/H.264 — no JVM codec
+    * exists in this environment): deterministic fake dimensions from an
+    * FNV checksum. Image kinds never reach this — [[decodeOne]] routes
+    * them through the real JDK codecs. */
   private def stubDecode(r: MediaRow): MediaFeatures = {
-    // ??? <- real codec call goes here; deterministic fake below
+    // ??? <- MP3/H.264 codec call would go here; deterministic fake below
     val checksum = r.payload.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
     MediaFeatures(r.media_id, r.kind, r.payload.length, checksum,
       width = math.abs(checksum % 1920).toInt + 1,
       height = math.abs(checksum % 1080).toInt + 1)
   }
 
+  private def fnv(payload: Array[Byte]): Long =
+    payload.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
+
+  /** Per-row decode dispatch: every format the JVM can actually decode is
+    * REAL — images (png/jpeg/jpg/gif/bmp/tiff) through [[decodeImage]],
+    * wav through [[decodeWav]] (width = sample count); only codec-less
+    * kinds (mp3, h264, opaque "text") fall back to the labeled stub. */
+  private def decodeOne(r: MediaRow): MediaFeatures = r.kind match {
+    case "png" | "jpeg" | "jpg" | "gif" | "bmp" | "tiff" =>
+      val i = decodeImage(r.payload)
+      MediaFeatures(r.media_id, r.kind, r.payload.length, fnv(r.payload),
+        i.width, i.height)
+    case "wav" =>
+      val w = decodeWav(r.payload)
+      MediaFeatures(r.media_id, r.kind, r.payload.length, fnv(r.payload),
+        width = w.nSamples, height = 1)
+    case _ => stubDecode(r)
+  }
+
   /** Partition-parallel feature extraction over opaque payloads. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(stubDecode))
+    media.mapPartitions(_.map(decodeOne))
   }
 
   /** Fixture adapter: treat document text bytes as an opaque payload so the
@@ -260,6 +283,92 @@ object Multimodal {
     * Pure pixel math — the real Spark-side work a thumbnailing pipeline
     * does per row, minus only the exotic-codec parsing this sandbox can't
     * host. */
+  // ----------------------------------------- JDK ImageIO codecs (PNG/JPEG)
+
+  /** Decoded image summary + the container format ImageIO sniffed. */
+  final case class ImageInfo(width: Int, height: Int,
+                             meanR: Double, meanG: Double, meanB: Double,
+                             format: String)
+
+  // ImageIO's default scratch-file cache would do disk I/O per decode on
+  // every executor; in-memory streams only.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  private def renderRgb(width: Int, height: Int,
+                        pixel: (Int, Int) => (Int, Int, Int)): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encodeImage(fmt: String, width: Int, height: Int,
+                          pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(renderRgb(width, height, pixel), fmt, baos)
+    require(ok, s"no JDK ImageIO writer for format '$fmt'")
+    baos.toByteArray
+  }
+
+  /** Encode deterministic pixels as a REAL PNG (deflate-compressed,
+    * lossless) via the JDK's built-in codec — no external libraries. */
+  def encodePng(width: Int, height: Int,
+                pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    encodeImage("png", width, height, pixel)
+
+  /** Encode deterministic pixels as a REAL JPEG (DCT-lossy, default
+    * quality) via the JDK's built-in codec. */
+  def encodeJpeg(width: Int, height: Int,
+                 pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    encodeImage("jpg", width, height, pixel)
+
+  /** Decode any image format the JDK ships a codec for (PNG, JPEG, GIF,
+    * BMP, TIFF, WBMP) and summarize: dimensions + per-channel means +
+    * sniffed format name. PNG round-trips losslessly, so means computed
+    * here match the generative formula EXACTLY (the MM-PNG-DECODE oracle
+    * contract); JPEG is lossy, so only dimensions are exact.
+    *
+    * Per-row executor-side work (called from `mapPartitions`) — decode
+    * never touches the driver, and the per-channel fold reads the raster
+    * in one bulk `getRGB` row sweep. */
+  def decodeImage(bytes: Array[Byte]): ImageInfo = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "no JDK ImageIO codec recognizes this payload")
+    val reader = readers.next()
+    val fmt = reader.getFormatName.toLowerCase
+    val img =
+      try { reader.setInput(iis); reader.read(0) }
+      finally { reader.dispose(); iis.close() }
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w > 0 && h > 0, "degenerate image")
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    ImageInfo(w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, fmt)
+  }
+
   def resizeBmpNearest(bytes: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
     require(dstW > 0 && dstH > 0, "target dimensions must be positive")
     require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")

@@ -35,6 +35,25 @@ object Extensions {
     Tables.register(spark, dir); Tables.spread(spark.table("events"), "event_id")
   }
 
+  /** MM-JPEG-DECODE's generative pixel field: SMOOTH clamped ramps (no mod
+    * wraparound — JPEG's DCT hates step edges, smooth fields keep the DC
+    * coefficients, and hence channel means, accurate to well under 8/255). */
+  private def jr(k: Long, x: Int, y: Int): Int =
+    math.min(255, ((k % 97) + x * 3 + y * 2).toInt)
+  private def jg(k: Long, x: Int, y: Int): Int =
+    math.min(255, ((k % 83) + x * 2 + y * 4).toInt)
+  private def jb(k: Long, x: Int, y: Int): Int =
+    math.min(255, ((k % 71) + x + y * 3).toInt)
+  private def blobsJpeg(ks: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ks.sparkSession
+    import s.implicits._
+    ks.map { k =>
+      val w = 20 + (k % 6).toInt
+      val h = 10 + (k % 5).toInt
+      (k, Multimodal.encodeJpeg(w, h, (x, y) => (jr(k, x, y), jg(k, x, y), jb(k, x, y))))
+    }.toDF("k", "payload")
+  }
+
   /** Nation trade graph derived from the star schema: directed edge
     * cust-nation → supp-nation for each nation's top-k trading partners
     * by lineitem count (ties broken by partner key — deterministic).
@@ -454,6 +473,69 @@ object Extensions {
           (floor(col("r") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_r"),
           (floor(col("g") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_g"),
           (floor(col("b") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_b"))
+        .orderBy("k")
+    },
+    // COMPRESSED image decode through the JDK's real PNG codec
+    // (javax.imageio — deflate inflate, scanline unfiltering): encode
+    // deterministic pixels as genuine PNG blobs, decode them back, emit
+    // per-channel means. PNG is LOSSLESS, so the means must match the
+    // generative formula EXACTLY — the analytic oracle replays the
+    // formula with no bytes involved; any codec-path bug hash-mismatches
+    "MM-PNG-DECODE" -> { (s, d) =>
+      import s.implicits._
+      Tables.register(s, d)
+      val ks = s.table("part").where(col("p_partkey") <= 100)
+        .select(col("p_partkey")).as[Long]
+      val blobs = ks.map { k =>
+        val w = 20 + (k % 6).toInt
+        val h = 10 + (k % 5).toInt
+        (k, Multimodal.encodePng(w, h, (x, y) => (
+          ((k * 5 + x * 2 + y * 7) % 256).toInt,
+          ((k + x * 11 + y * 3) % 256).toInt,
+          ((k * 7 + x * 5 + y) % 256).toInt)))
+      }.toDF("k", "payload")
+      blobs.as[(Long, Array[Byte])].map { case (k, p) =>
+          val i = Multimodal.decodeImage(p)
+          (k, i.format, i.width, i.height, i.meanR, i.meanG, i.meanB)
+        }.toDF("k", "fmt", "width", "height", "r", "g", "b")
+        .select(col("k"), col("fmt"), col("width"), col("height"),
+          (floor(col("r") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_r"),
+          (floor(col("g") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_g"),
+          (floor(col("b") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_b"))
+        .orderBy("k")
+    },
+    // JPEG through the JDK's real DCT codec: dimensions decode EXACTLY;
+    // pixel values are lossy, so the contract asserts each channel mean
+    // lands within a tolerance of the generative formula's mean (smooth
+    // gradients keep JPEG's DC coefficients accurate to well under 8/255)
+    // — the oracle predicts dims analytically and `ok` as true
+    "MM-JPEG-DECODE" -> { (s, d) =>
+      import s.implicits._
+      Tables.register(s, d)
+      val ks = s.table("part").where(col("p_partkey") <= 100)
+        .select(col("p_partkey")).as[Long]
+      blobsJpeg(ks).as[(Long, Array[Byte])].map { case (k, p) =>
+          val i = Multimodal.decodeImage(p)
+          val w = 20 + (k % 6).toInt
+          val h = 10 + (k % 5).toInt
+          // analytic means of the SMOOTH generative field (clamped ramps,
+          // no mod wraparound — JPEG hates step edges)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sr += jr(k, x, y); sg += jg(k, x, y); sb += jb(k, x, y); x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toDouble
+          val ok = i.format == "jpeg" &&
+            math.abs(i.meanR - sr / n) < 8 &&
+            math.abs(i.meanG - sg / n) < 8 &&
+            math.abs(i.meanB - sb / n) < 8
+          (k, i.width, i.height, ok)
+        }.toDF("k", "width", "height", "ok")
         .orderBy("k")
     },
     // deterministic train/val/test split (the assignment step every
@@ -1327,6 +1409,31 @@ object Extensions {
         |  floor(CAST(sg AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_g,
         |  floor(CAST(sb AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_b
         |FROM m ORDER BY k""".stripMargin,
+    // PNG is lossless: the decoded per-channel means must equal the
+    // generative formula's means exactly — the oracle never touches bytes
+    "MM-PNG-DECODE" ->
+      """WITH ks AS (SELECT p_partkey AS k FROM part WHERE p_partkey <= 100),
+        |dims AS (SELECT k, 20 + (k % 6) AS w, 10 + (k % 5) AS h FROM ks),
+        |m AS (SELECT k, w, h,
+        |  (SELECT sum((k*5 + x*2 + y*7) % 256) FROM generate_series(0, 24) tx(x),
+        |     generate_series(0, 13) ty(y) WHERE x < w AND y < h) AS sr,
+        |  (SELECT sum((k + x*11 + y*3) % 256) FROM generate_series(0, 24) tx(x),
+        |     generate_series(0, 13) ty(y) WHERE x < w AND y < h) AS sg,
+        |  (SELECT sum((k*7 + x*5 + y) % 256) FROM generate_series(0, 24) tx(x),
+        |     generate_series(0, 13) ty(y) WHERE x < w AND y < h) AS sb
+        |  FROM dims)
+        |SELECT k, 'png' AS fmt, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  floor(CAST(sr AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_r,
+        |  floor(CAST(sg AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_g,
+        |  floor(CAST(sb AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_b
+        |FROM m ORDER BY k""".stripMargin,
+    // JPEG is lossy: dimensions decode exactly; the tolerance check on the
+    // channel means is computed Spark-side, so the oracle predicts true
+    "MM-JPEG-DECODE" ->
+      """WITH ks AS (SELECT p_partkey AS k FROM part WHERE p_partkey <= 100)
+        |SELECT k, CAST(20 + (k % 6) AS INT) AS width,
+        |  CAST(10 + (k % 5) AS INT) AS height, true AS ok
+        |FROM ks ORDER BY k""".stripMargin,
     "SAMPLE-SPLIT" ->
       """WITH h AS (SELECT doc_id, lang,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),

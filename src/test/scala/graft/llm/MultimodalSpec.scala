@@ -100,4 +100,55 @@ class MultimodalSpec extends SparkSpec {
     val big = Multimodal.decodeBmp(Multimodal.resizeBmpNearest(blob, w * 2, h * 2))
     assert(big.width === w * 2 && big.meanR === orig.meanR && big.meanB === orig.meanB)
   }
+
+  test("PNG codec: lossless round-trip, exact per-pixel means, format sniffed") {
+    val rnd = new scala.util.Random(42)
+    val (w, h) = (23, 11)
+    val px = Array.fill(h, w)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    val blob = Multimodal.encodePng(w, h, (x, y) => px(y)(x))
+    // real PNG magic
+    assert((blob(0) & 0xff) === 0x89 && blob(1) === 'P' && blob(2) === 'N' && blob(3) === 'G')
+    val i = Multimodal.decodeImage(blob)
+    assert(i.format === "png" && i.width === w && i.height === h)
+    def mean(f: ((Int, Int, Int)) => Int) =
+      px.flatten.map(p => f(p).toLong).sum.toDouble / (w * h)
+    // lossless: EXACT equality, random (worst-case-entropy) pixels
+    assert(i.meanR === mean(_._1) && i.meanG === mean(_._2) && i.meanB === mean(_._3))
+  }
+
+  test("JPEG codec: dimensions exact, smooth-field means within tolerance") {
+    val (w, h) = (24, 12)
+    def pix(x: Int, y: Int) =
+      (math.min(255, 40 + x * 3 + y * 2), math.min(255, 30 + x * 2 + y * 4),
+        math.min(255, 20 + x + y * 3))
+    val blob = Multimodal.encodeJpeg(w, h, pix)
+    // real JFIF magic
+    assert((blob(0) & 0xff) === 0xff && (blob(1) & 0xff) === 0xd8)
+    val i = Multimodal.decodeImage(blob)
+    assert(i.format === "jpeg" && i.width === w && i.height === h)
+    val px = for (y <- 0 until h; x <- 0 until w) yield pix(x, y)
+    def mean(f: ((Int, Int, Int)) => Int) = px.map(p => f(p).toLong).sum.toDouble / (w * h)
+    assert(math.abs(i.meanR - mean(_._1)) < 8, s"${i.meanR} vs ${mean(_._1)}")
+    assert(math.abs(i.meanG - mean(_._2)) < 8)
+    assert(math.abs(i.meanB - mean(_._3)) < 8)
+  }
+
+  test("decodeImage rejects non-image payloads; decodeFeatures routes real codecs") {
+    val sq = spark; import sq.implicits._
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage("definitely not an image".getBytes)
+    }
+    // dispatch: png/wav rows decode REAL dims; unknown kinds hit the stub
+    val png = Multimodal.encodePng(9, 7, (x, y) => (x * 20 % 256, y * 30 % 256, 7))
+    val wav = Multimodal.encodeWav(8000, Array.tabulate(250)(i => (i * 13 % 500).toShort))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "png", png),
+      Multimodal.MediaRow(2L, "wav", wav),
+      Multimodal.MediaRow(3L, "mp3", Array[Byte](1, 2, 3)))
+    val out = Multimodal.decodeFeatures(rows.toDS())
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).width === 9 && out(1L).height === 7)
+    assert(out(2L).width === 250 && out(2L).height === 1)
+    assert(out(3L).width > 0) // stub fallback, deterministic fake
+  }
 }
