@@ -538,6 +538,72 @@ object Extensions {
         }.toDF("k", "width", "height", "ok")
         .orderBy("k")
     },
+    // ZERO-EXCHANGE bucketed fact-fact join: both sides are written
+    // bucketBy(join key) + sortBy first (Layout.bucketedWrite — the
+    // pre-shuffle-once-at-write-time layout), then joined — the scans'
+    // bucket metadata already satisfies the join's hash distribution, so
+    // at 100 TB the repeated join pays NO shuffle on either side.
+    // PlanAuditSpec asserts the join stage is Exchange-free; the oracle is
+    // the PLAIN join SQL (bucketing is a layout, never a semantics change)
+    "JOIN-BUCKETED" -> { (s, d) =>
+      Tables.register(s, d)
+      val sfx = java.lang.Long.toHexString(
+        org.apache.spark.unsafe.types.UTF8String.fromString(d).hashCode() & 0xffffffffL)
+      val liT = s"graft_bkt_li_$sfx"
+      val ordT = s"graft_bkt_ord_$sfx"
+      graft.operators.Layout.bucketedWrite(
+        s.table("lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "l_orderkey", 8, liT)
+      graft.operators.Layout.bucketedWrite(
+        s.table("orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderkey", 8, ordT)
+      val li = s.table(liT)
+      val ord = s.table(ordT)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("qty"),
+          round(sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("base"))
+        .orderBy("o_orderpriority")
+    },
+    // semi-join reduction: bloom-prune the big side BEFORE the shuffle
+    // with a sketch of the (selective) small side's keys — false
+    // positives only waste shuffle, false negatives cannot occur, so the
+    // result is EXACTLY the plain join's, which is the oracle
+    "JOIN-BLOOM" -> { (s, d) =>
+      Tables.register(s, d)
+      val li = Tables.spread(s.table("lineitem"), "l_orderkey")
+      val urgent = s.table("orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      graft.operators.Skew.bloomPrunedJoin(li, urgent,
+          "l_orderkey", "o_orderkey", expectedItems = 100000L, fpp = 0.01)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("base"))
+        .orderBy("l_returnflag")
+    },
+    // hot-key salting: the large side takes a deterministic per-row salt,
+    // the small side replicates once per salt value, the join key becomes
+    // (key, salt) — a hot key spreads over `salts` reducers. Exact for
+    // equi-joins (each large row still meets each match exactly once), so
+    // the oracle is the plain join
+    "JOIN-SALTED" -> { (s, d) =>
+      Tables.register(s, d)
+      val li = Tables.spread(s.table("lineitem"), "l_orderkey")
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+      val supp = s.table("supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.operators.Skew.saltedJoin(li, supp, "suppkey", salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("qty"))
+        .orderBy("s_nationkey")
+    },
     // deterministic train/val/test split (the assignment step every
     // training pipeline runs first): hash-bucket the STABLE doc id into
     // 80/10/10 — a pure per-row function, reproducible forever, immune to
@@ -1434,6 +1500,25 @@ object Extensions {
         |SELECT k, CAST(20 + (k % 6) AS INT) AS width,
         |  CAST(10 + (k % 5) AS INT) AS height, true AS ok
         |FROM ks ORDER BY k""".stripMargin,
+    // layout/skew techniques never change join semantics: each oracle is
+    // the PLAIN join the technique accelerates
+    "JOIN-BUCKETED" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS base
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "JOIN-BLOOM" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS base
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "JOIN-SALTED" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "SAMPLE-SPLIT" ->
       """WITH h AS (SELECT doc_id, lang,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),

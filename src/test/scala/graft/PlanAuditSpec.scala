@@ -467,4 +467,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_graft_topk_by"), "map-side partial heap missing")
     assert(!p.contains("Window"), "top-k must not fall back to a window sort")
   }
+
+  test("JOIN-BUCKETED: the bucketed fact-fact join stage is Exchange-free") {
+    tables()
+    // build the JOIN itself (pre-aggregation) on the bucketed tables the
+    // declared query writes; disable broadcast so the claim under test is
+    // the bucket layout satisfying the join distribution, not a broadcast
+    val sfx = java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(sfDir).hashCode() & 0xffffffffL)
+    graft.queries.Extensions.queries("JOIN-BUCKETED")(spark, sfDir).collect()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.table(s"graft_bkt_li_$sfx")
+      val ord = spark.table(s"graft_bkt_ord_$sfx")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge bucket join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join must shuffle NEITHER side (zero Exchange):\n$p")
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        s"scan must report bucketed read:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("JOIN-BLOOM: the bloom probe prunes the big side BEFORE its shuffle") {
+    tables()
+    val d = graft.queries.Extensions.queries("JOIN-BLOOM")(spark, sfDir)
+    d.collect()
+    val p = d.queryExecution.executedPlan.toString
+    assert(p.contains("graft_bloom_might_contain"),
+      s"bloom probe filter missing from the plan:\n$p")
+    // the probe must sit under the join (filter-then-shuffle), not above it
+    val probeIdx = p.indexOf("graft_bloom_might_contain")
+    val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("ShuffledHashJoin"))
+    if (joinIdx >= 0)
+      assert(probeIdx > joinIdx,
+        "probe filter must appear below the join node (pruning pre-shuffle)")
+  }
+
+  test("JOIN-SALTED: join key carries the salt; no BNLJ/cartesian") {
+    tables()
+    val d = graft.queries.Extensions.queries("JOIN-SALTED")(spark, sfDir)
+    d.collect()
+    val p = d.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), s"salt column missing from the join plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"salted join must stay a key-equality join:\n$p")
+  }
 }
