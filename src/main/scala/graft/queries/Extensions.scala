@@ -604,6 +604,34 @@ object Extensions {
             .as("qty"))
         .orderBy("s_nationkey")
     },
+    // MERGE INTO through the snapshot/manifest table format
+    // (storage.SnapshotTable): create v1 from an orders projection,
+    // last-write-wins merge a deterministic update set as v2 (atomic
+    // manifest commit), read the LATEST snapshot back. The oracle replays
+    // the merge semantics in plain SQL — every 5th key is replaced, the
+    // rest survive — so a broken commit/visibility/merge path
+    // hash-mismatches. Temp-dir per invocation: content is deterministic,
+    // the table location is scratch.
+    "UPSERT-MERGE" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_merge")
+        .toString + "/t"
+      val base = s.table("orders").where(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"), lit(1L).as("v"))
+      graft.storage.SnapshotTable.create(s, root, base)
+      val upd = s.table("orders")
+        .where(col("o_orderkey") <= 4000 && col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"), lit("MERGED").as("prio"),
+          (col("o_totalprice") + 1000.0).as("price"), lit(2L).as("v"))
+      graft.storage.SnapshotTable.merge(s, root, upd, Seq("k"), "v")
+      graft.storage.SnapshotTable.read(s, root)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("prio")
+    },
     // deterministic train/val/test split (the assignment step every
     // training pipeline runs first): hash-bucket the STABLE doc id into
     // 80/10/10 — a pure per-row function, reproducible forever, immune to
@@ -1519,6 +1547,17 @@ object Extensions {
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // last-write-wins MERGE replayed in plain SQL: every 5th key replaced
+    "UPSERT-MERGE" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    o_totalprice AS price FROM orders WHERE o_orderkey <= 4000),
+        |m AS (SELECT k,
+        |    CASE WHEN k % 5 = 0 THEN 'MERGED' ELSE prio END AS prio,
+        |    CASE WHEN k % 5 = 0 THEN price + 1000.0 ELSE price END AS price
+        |  FROM base)
+        |SELECT prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM m GROUP BY prio ORDER BY prio""".stripMargin,
     "SAMPLE-SPLIT" ->
       """WITH h AS (SELECT doc_id, lang,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),

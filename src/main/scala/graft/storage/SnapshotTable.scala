@@ -1,0 +1,212 @@
+package graft.storage
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal snapshot/manifest table format over plain parquet — the
+  * Delta/Iceberg-class capabilities a 100 TB metrics store actually needs,
+  * built from first principles on two primitives every HDFS-compatible
+  * filesystem gives us: immutable data files and atomic single-file
+  * rename.
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/<uuid>/part-*.parquet     // immutable, append-only
+  *   <root>/_snapshots/v<20-digit>.manifest // one line per data file
+  * }}}
+  *
+  * Guarantees:
+  *  - ATOMIC COMMIT: a snapshot becomes visible by renaming a staged
+  *    manifest into its versioned name. Readers either see the whole
+  *    snapshot or none of it — never a half-written file list.
+  *  - OPTIMISTIC CONCURRENCY: two writers committing the same next
+  *    version race on the rename; the filesystem lets exactly ONE win
+  *    (rename-to-existing fails), the loser gets
+  *    `ConcurrentModificationException` and its orphaned data files are
+  *    removed. No locks, no coordination service.
+  *  - SNAPSHOT ISOLATION / TIME TRAVEL: manifests and data files are
+  *    immutable; a reader that resolved version N keeps a consistent view
+  *    regardless of later commits, and [[readVersion]] reopens any
+  *    retained version.
+  *
+  * Scale shape: a manifest is metadata (one line per FILE, not row); a
+  * [[merge]] is one keyed shuffle over current∪updates plus a rewrite of
+  * the merged files — the copy-on-write MERGE INTO. For partition-scoped
+  * rewrites at 100 TB compose with `Layout.upsertPartitioned` (rewrite
+  * only touched partitions) and keep this layer for the atomic visibility
+  * flip; [[vacuum]] is the retention pass that unreferences old versions.
+  */
+object SnapshotTable {
+
+  /** A resolved snapshot: version + ABSOLUTE data-file paths. */
+  final case class Snapshot(version: Long, files: Seq[String])
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def snapDir(root: String) = new Path(root, "_snapshots")
+  private def manifestPath(root: String, v: Long) =
+    new Path(snapDir(root), f"v$v%020d.manifest")
+
+  private def listParquet(f: FileSystem, dir: Path): Seq[String] = {
+    val it = f.listFiles(dir, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) out += st.getPath.toString
+    }
+    out.result().sorted
+  }
+
+  /** Stage `df` as new immutable data files under `<root>/data/<uuid>`;
+    * returns their absolute paths. Nothing is visible until a commit. */
+  private def writeData(spark: SparkSession, root: String, df: DataFrame): Seq[String] = {
+    val dir = new Path(new Path(root, "data"), java.util.UUID.randomUUID().toString)
+    df.write.parquet(dir.toString)
+    listParquet(fs(spark, root), dir)
+  }
+
+  /** Atomically publish `files` as version `v`. The staged manifest is
+    * fully written and flushed FIRST; the rename is the commit point.
+    * Throws `ConcurrentModificationException` when `v` already exists —
+    * i.e. another writer won the race from the same base snapshot. */
+  private def commit(spark: SparkSession, root: String, v: Long,
+                     files: Seq[String]): Unit = {
+    val f = fs(spark, root)
+    f.mkdirs(snapDir(root))
+    val target = manifestPath(root, v)
+    if (f.exists(target)) throw new java.util.ConcurrentModificationException(
+      s"snapshot v$v already committed by another writer at $root")
+    val tmp = new Path(snapDir(root), s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(files.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // the atomic visibility flip: single-file rename; a concurrent
+    // committer of the same version makes this return false
+    val won = f.rename(tmp, target)
+    if (!won) {
+      f.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"lost the commit race for snapshot v$v at $root")
+    }
+  }
+
+  private def cleanupOrphans(spark: SparkSession, root: String,
+                             files: Seq[String]): Unit = {
+    val f = fs(spark, root)
+    val dirs = files.map(p => new Path(p).getParent).distinct
+    dirs.foreach(d => f.delete(d, true))
+  }
+
+  /** All committed versions, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val d = snapDir(root)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .sorted
+  }
+
+  def snapshot(spark: SparkSession, root: String, v: Long): Snapshot = {
+    val f = fs(spark, root)
+    val in = f.open(manifestPath(root, v))
+    val bytes = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      bos.toByteArray
+    } finally in.close()
+    Snapshot(v, new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+  }
+
+  /** The latest committed snapshot, if any. */
+  def latest(spark: SparkSession, root: String): Option[Snapshot] =
+    versions(spark, root).lastOption.map(snapshot(spark, root, _))
+
+  private def readFiles(spark: SparkSession, files: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "empty snapshot")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Read the latest snapshot (snapshot-isolated: the file list is pinned
+    * at resolution; later commits never affect this frame). */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val s = latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    readFiles(spark, s.files)
+  }
+
+  /** Time travel: read any retained version. */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
+    readFiles(spark, snapshot(spark, root, v).files)
+
+  /** Create the table: stage `df`, commit as v1. Fails if the table
+    * already has commits. */
+  def create(spark: SparkSession, root: String, df: DataFrame): Long = {
+    require(versions(spark, root).isEmpty, s"table already exists at $root")
+    val files = writeData(spark, root, df)
+    try { commit(spark, root, 1L, files); 1L }
+    catch { case e: java.util.ConcurrentModificationException =>
+      cleanupOrphans(spark, root, files); throw e }
+  }
+
+  /** MERGE INTO, last-write-wins: one row per `keyCols` survives, the
+    * highest `versionCol` wins, ties prefer the update side. Reads the
+    * latest snapshot, shuffles once on the key, stages the merged files,
+    * commits base+1. `expectedVersion` pins the base snapshot the caller
+    * decided against (compare-and-swap): if another writer committed
+    * since, the commit throws instead of silently clobbering. Returns the
+    * new version. */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+            keyCols: Seq[String], versionCol: String,
+            expectedVersion: Option[Long] = None): Long = {
+    require(keyCols.nonEmpty, "keyCols must not be empty")
+    val snap = latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no table at $root — create() first"))
+    expectedVersion.foreach { v =>
+      if (v != snap.version) throw new java.util.ConcurrentModificationException(
+        s"expected base v$v but latest is v${snap.version} at $root")
+    }
+    val cur = readFiles(spark, snap.files).withColumn("__src", lit(0))
+    val upd = updates.withColumn("__src", lit(1))
+    val merged = cur.unionByName(upd)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col(versionCol).desc, col("__src").desc)))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__src")
+    val files = writeData(spark, root, merged)
+    val next = snap.version + 1
+    try { commit(spark, root, next, files); next }
+    catch { case e: java.util.ConcurrentModificationException =>
+      cleanupOrphans(spark, root, files); throw e }
+  }
+
+  /** Retention: keep the newest `keepVersions` manifests, delete older
+    * manifests and every data file no kept manifest references. Returns
+    * the number of data files deleted. Metadata-scale driver work (file
+    * lists), like every table format's VACUUM. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Int = {
+    require(keepVersions >= 1, "must keep at least one version")
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return 0
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val referenced = keep.flatMap(v => snapshot(spark, root, v).files).toSet
+    val all = listParquet(f, new Path(root, "data"))
+    val dead = all.filterNot(referenced)
+    dead.foreach(p => f.delete(new Path(p), false))
+    // prune now-empty uuid dirs and the dropped manifests
+    f.listStatus(new Path(root, "data")).foreach { st =>
+      if (st.isDirectory && listParquet(f, st.getPath).isEmpty)
+        f.delete(st.getPath, true)
+    }
+    drop.foreach(v => f.delete(manifestPath(root, v), false))
+    dead.size
+  }
+}

@@ -1,0 +1,90 @@
+package graft.storage
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = Files.createTempDirectory("snaptbl").toString + "/t"
+
+  test("create → read round-trips; create refuses an existing table") {
+    val root = newRoot()
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("k", "s", "v")
+    assert(SnapshotTable.create(spark, root, base) === 1L)
+    assert(canon(SnapshotTable.read(spark, root).orderBy("k")) ===
+      canon(base.orderBy("k")))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.create(spark, root, base)
+    }
+  }
+
+  test("merge is last-write-wins with update-side tie break; time travel works") {
+    val root = newRoot()
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("k", "s", "v")
+    SnapshotTable.create(spark, root, base)
+    // k=2 newer version wins; k=3 SAME version — update side wins the tie;
+    // k=4 is a pure insert
+    val upd = Seq((2L, "B", 2L), (3L, "C", 1L), (4L, "d", 2L)).toDF("k", "s", "v")
+    assert(SnapshotTable.merge(spark, root, upd, Seq("k"), "v") === 2L)
+    val got = SnapshotTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, "a", 1L), (2L, "B", 2L), (3L, "C", 1L), (4L, "d", 2L)))
+    // an OLDER update version must NOT clobber
+    val stale = Seq((2L, "old", 1L)).toDF("k", "s", "v")
+    SnapshotTable.merge(spark, root, stale, Seq("k"), "v")
+    assert(SnapshotTable.read(spark, root).where(col("k") === 2)
+      .select("s").head.getString(0) === "B")
+    // time travel: v1 still shows the original row set
+    assert(SnapshotTable.readVersion(spark, root, 1L).count() === 3)
+    assert(SnapshotTable.versions(spark, root) === Seq(1L, 2L, 3L))
+  }
+
+  test("concurrent writers from the same base: exactly one commit wins") {
+    val root = newRoot()
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "s", "v")
+    SnapshotTable.create(spark, root, base)
+    // both writers resolved v1 and race for v2: the first commit wins,
+    // the second must REFUSE (not silently drop writer 1's rows)
+    val w1 = Seq((1L, "w1", 2L)).toDF("k", "s", "v")
+    val w2 = Seq((2L, "w2", 2L)).toDF("k", "s", "v")
+    assert(SnapshotTable.merge(spark, root, w1, Seq("k"), "v",
+      expectedVersion = Some(1L)) === 2L)
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.merge(spark, root, w2, Seq("k"), "v",
+        expectedVersion = Some(1L))
+    }
+    // the loser's rows are absent; the winner's landed; retry from the
+    // NEW base succeeds — the standard optimistic loop
+    assert(SnapshotTable.read(spark, root).where(col("s") === "w2").count() === 0)
+    assert(SnapshotTable.read(spark, root).where(col("s") === "w1").count() === 1)
+    SnapshotTable.merge(spark, root, w2, Seq("k"), "v")
+    assert(SnapshotTable.read(spark, root).where(col("s") === "w2").count() === 1)
+  }
+
+  test("snapshot isolation: a pinned reader survives a concurrent merge + vacuum") {
+    val root = newRoot()
+    val base = spark.range(100).select(col("id").as("k"),
+      lit("x").as("s"), lit(1L).as("v"))
+    SnapshotTable.create(spark, root, base)
+    val pinned = SnapshotTable.read(spark, root) // resolves v1's file list
+    val n1 = pinned.count()
+    SnapshotTable.merge(spark, root,
+      spark.range(50).select(col("id").as("k"), lit("y").as("s"), lit(2L).as("v")),
+      Seq("k"), "v")
+    // the pinned frame still reads v1's files — unchanged count and content
+    assert(pinned.count() === n1)
+    assert(pinned.where(col("s") === "y").count() === 0)
+    // vacuum keeping both versions deletes nothing referenced
+    assert(SnapshotTable.vacuum(spark, root, keepVersions = 2) === 0)
+    // dropping v1 deletes its unshared files and v1 becomes unreadable
+    val deleted = SnapshotTable.vacuum(spark, root, keepVersions = 1)
+    assert(deleted > 0)
+    assert(SnapshotTable.versions(spark, root) === Seq(2L))
+    intercept[Exception] { SnapshotTable.readVersion(spark, root, 1L).count() }
+    // latest still fully readable
+    assert(SnapshotTable.read(spark, root).count() === 100)
+  }
+}
