@@ -20,7 +20,7 @@ object Pipeline {
     * `DataPointUploadMessage` payloads (kind = "binary") — §2a rows 6–7b.
     * kind "partitioned" is the Kafka-shaped replay source (see
     * [[source]]). */
-  final case class ListenFrom(kind: String, // "file" | "socket" | "binary" | "partitioned" | "kafka"
+  final case class ListenFrom(kind: String, // "file" | "socket" | "binary" | "partitioned" | "kafka" | "http"
                               path: String = "", host: String = "localhost",
                               port: Int = 2003,
                               codec: String = "carbon",
@@ -180,6 +180,18 @@ object Pipeline {
         }
       raw.select(col("value").cast("string").as("line"),
         col("partition").as("src_partition"), col("offset").as("src_offset"))
+    case "http" =>
+      // the reference's listeners are HTTP POST endpoints [P,
+      // protocol/signalfx/signalfxlistener.go] — HttpIngest accepts the
+      // POSTs (gzip-aware) and spools each body as an immutable file in
+      // lf.path, which the file/binary sources then stream exactly like
+      // any other arrival. Line codecs expect newline-delimited bodies
+      // (one JSON body or carbon line per line); "sfxproto" takes the
+      // whole body as one binary payload. The bridge is idempotent per
+      // port (source() may be invoked more than once while planning).
+      graft.ingest.HttpIngest.ensure(lf.host, lf.port, lf.path)
+      if (lf.codec == "sfxproto") source(spark, lf.copy(kind = "binary"))
+      else source(spark, lf.copy(kind = "file"))
     case other => throw new IllegalArgumentException(s"unknown listener kind '$other'")
   }
 
