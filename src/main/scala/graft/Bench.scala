@@ -53,12 +53,14 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     runAll() // warm-up: JVM/codegen/parquet footers
-    // two warm timed passes, per-query MIN: same warm methodology as
-    // BASELINE.md, minus co-tenant noise spikes on a shared box
-    val r1 = runAll()
-    val r2 = runAll()
-    val results = r1.zip(r2).map { case ((n, t1, ok1), (_, t2, ok2)) =>
-      (n, math.min(t1, t2), ok1 && ok2)
+    // THREE warm timed passes, per-query MIN: same warm methodology as
+    // BASELINE.md, minus co-tenant noise spikes on a shared box. The
+    // per-pass headline totals are reported too (value_passes /
+    // value_spread), so a noisy round is visible as spread instead of
+    // masquerading as a plan regression.
+    val passes = Seq(runAll(), runAll(), runAll())
+    val results = passes.transpose.map { rs =>
+      (rs.head._1, rs.map(_._2).min, rs.forall(_._3))
     }
 
     val qs = results.map { case (k, v, ok) =>
@@ -68,7 +70,12 @@ object Bench {
       .mkString("[", ",", "]")
     val total39 = results.collect { case (k, v, true) if baselineIds(k) => v }.sum
     val totalAll = results.collect { case (_, v, true) => v }.sum
-    println(f"""{"metric":"total","value":$total39%.3f,"unit":"sec","queries":$qs,"failed":$failed,"value_all_queries":$totalAll%.3f,"n_queries":${results.size},"sf":"$sfDir"}""")
+    val passTotals = passes.map(_.collect {
+      case (k, v, true) if baselineIds(k) => v
+    }.sum)
+    val passesJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val spread = passTotals.max - passTotals.min
+    println(f"""{"metric":"total","value":$total39%.3f,"unit":"sec","queries":$qs,"failed":$failed,"value_all_queries":$totalAll%.3f,"value_passes":$passesJson,"value_spread":$spread%.3f,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
