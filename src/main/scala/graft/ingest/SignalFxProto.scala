@@ -34,6 +34,23 @@ import org.apache.spark.sql.functions._
   * fixed messages, unknown fields skipped (forward-compatible, as proto
   * requires), deterministic field-order encoding.
   *
+  * PRODUCTION SWAP-IN (the idiomatic route where the spark-protobuf
+  * module + a protoc toolchain exist): compile the schema above to a
+  * descriptor set once —
+  * `protoc --include_imports --descriptor_set_out=sfx.desc signalfx.proto`
+  * — then replace [[decodeUpload]] with the built-in codegen path:
+  * {{{
+  * import org.apache.spark.sql.protobuf.functions.from_protobuf
+  * payloads.select(from_protobuf($"payload", "DataPointUploadMessage",
+  *     "/path/sfx.desc").as("m"))
+  *   .select(explode($"m.datapoints").as("p")).select("p.*")
+  * }}}
+  * Column shapes match this codec's output, so everything downstream
+  * (Pipeline codec arm, forwarders, PARSE-SFXPROTO) is unchanged; keep
+  * [[encodeUpload]]'s `mapPartitions` batching or swap it for
+  * `to_protobuf` symmetrically. This hand codec remains the
+  * dependency-free fallback and the wire-format documentation.
+  *
   * Spark-side shape: decode is a typed narrow `flatMap` over a binary
   * payload column (one upload message → N datapoint rows, no shuffle —
   * the same per-partition opaque-codec pattern as

@@ -42,10 +42,21 @@ object Layout {
     * join forever). The in-bucket sort lets the merge join skip its
     * sort too when each bucket lands in one file. */
   def bucketedWrite(df: DataFrame, keyCol: String, numBuckets: Int,
-                    table: String): Unit =
+                    table: String): Unit = {
+    val spark = df.sparkSession
+    // a fresh in-memory catalog forgets the table but the managed
+    // warehouse DIRECTORY survives the JVM — saveAsTable then refuses
+    // (LOCATION_ALREADY_EXISTS), so drop both the entry and the location
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, keyCol).sortBy(keyCol)
       .saveAsTable(table)
+  }
 
   /** Rewrite `df` into `numFiles` z-order-clustered parquet files at
     * `path`. One metadata-scale min/max aggregate fixes the bucket
