@@ -331,6 +331,17 @@ object Multimodal {
                  pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] =
     encodeImage("jpg", width, height, pixel)
 
+  /** Encode as a REAL GIF (LZW — lossless, and palette-exact whenever the
+    * image has ≤256 distinct colors) via the JDK's built-in codec. */
+  def encodeGif(width: Int, height: Int,
+                pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    encodeImage("gif", width, height, pixel)
+
+  /** Encode as a REAL TIFF (lossless RGB) via the JDK's built-in codec. */
+  def encodeTiff(width: Int, height: Int,
+                 pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    encodeImage("tiff", width, height, pixel)
+
   /** Decode any image format the JDK ships a codec for (PNG, JPEG, GIF,
     * BMP, TIFF, WBMP) and summarize: dimensions + per-channel means +
     * sniffed format name. PNG round-trips losslessly, so means computed

@@ -504,6 +504,58 @@ object Extensions {
           (floor(col("b") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_b"))
         .orderBy("k")
     },
+    // GIF through the JDK codec: LZW is lossless and the writer keeps an
+    // exact palette when the image has ≤256 distinct colors — the 64-level
+    // gray field round-trips bit-exact, so the analytic oracle is exact
+    // (all three channel means equal the gray mean)
+    "MM-GIF-DECODE" -> { (s, d) =>
+      import s.implicits._
+      Tables.register(s, d)
+      val ks = s.table("part").where(col("p_partkey") <= 100)
+        .select(col("p_partkey")).as[Long]
+      val blobs = ks.map { k =>
+        val w = 18 + (k % 7).toInt
+        val h = 9 + (k % 6).toInt
+        (k, Multimodal.encodeGif(w, h, (x, y) => {
+          val v = (((k * 3 + x * 5 + y * 7) % 64) * 4).toInt
+          (v, v, v)
+        }))
+      }.toDF("k", "payload")
+      blobs.as[(Long, Array[Byte])].map { case (k, p) =>
+          val i = Multimodal.decodeImage(p)
+          (k, i.format, i.width, i.height, i.meanR, i.meanG, i.meanB)
+        }.toDF("k", "fmt", "width", "height", "r", "g", "b")
+        .select(col("k"), col("fmt"), col("width"), col("height"),
+          (floor(col("r") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_r"),
+          (floor(col("g") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_g"),
+          (floor(col("b") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_b"))
+        .orderBy("k")
+    },
+    // TIFF through the JDK codec: uncompressed/lossless RGB — the full
+    // wraparound pixel field round-trips bit-exact like PNG
+    "MM-TIFF-DECODE" -> { (s, d) =>
+      import s.implicits._
+      Tables.register(s, d)
+      val ks = s.table("part").where(col("p_partkey") <= 100)
+        .select(col("p_partkey")).as[Long]
+      val blobs = ks.map { k =>
+        val w = 21 + (k % 5).toInt
+        val h = 11 + (k % 4).toInt
+        (k, Multimodal.encodeTiff(w, h, (x, y) => (
+          ((k + x * 11 + y * 3) % 256).toInt,
+          ((k * 2 + x * 2 + y * 13) % 256).toInt,
+          ((k * 7 + x * 7 + y) % 256).toInt)))
+      }.toDF("k", "payload")
+      blobs.as[(Long, Array[Byte])].map { case (k, p) =>
+          val i = Multimodal.decodeImage(p)
+          (k, i.format, i.width, i.height, i.meanR, i.meanG, i.meanB)
+        }.toDF("k", "fmt", "width", "height", "r", "g", "b")
+        .select(col("k"), col("fmt"), col("width"), col("height"),
+          (floor(col("r") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_r"),
+          (floor(col("g") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_g"),
+          (floor(col("b") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mean_b"))
+        .orderBy("k")
+    },
     // JPEG through the JDK's real DCT codec: dimensions decode EXACTLY;
     // pixel values are lossy, so the contract asserts each channel mean
     // lands within a tolerance of the generative formula's mean (smooth
@@ -1517,6 +1569,37 @@ object Extensions {
         |     generate_series(0, 13) ty(y) WHERE x < w AND y < h) AS sb
         |  FROM dims)
         |SELECT k, 'png' AS fmt, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  floor(CAST(sr AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_r,
+        |  floor(CAST(sg AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_g,
+        |  floor(CAST(sb AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_b
+        |FROM m ORDER BY k""".stripMargin,
+    // GIF: lossless LZW + exact ≤256-color palette — the 64-gray field's
+    // analytic mean is exact for all three channels
+    "MM-GIF-DECODE" ->
+      """WITH ks AS (SELECT p_partkey AS k FROM part WHERE p_partkey <= 100),
+        |dims AS (SELECT k, 18 + (k % 7) AS w, 9 + (k % 6) AS h FROM ks),
+        |m AS (SELECT k, w, h,
+        |  (SELECT sum(((k*3 + x*5 + y*7) % 64) * 4) FROM generate_series(0, 23) tx(x),
+        |     generate_series(0, 13) ty(y) WHERE x < w AND y < h) AS sv
+        |  FROM dims)
+        |SELECT k, 'gif' AS fmt, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  floor(CAST(sv AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_r,
+        |  floor(CAST(sv AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_g,
+        |  floor(CAST(sv AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_b
+        |FROM m ORDER BY k""".stripMargin,
+    // TIFF: lossless RGB (ImageIO sniffs the format name as 'tif')
+    "MM-TIFF-DECODE" ->
+      """WITH ks AS (SELECT p_partkey AS k FROM part WHERE p_partkey <= 100),
+        |dims AS (SELECT k, 21 + (k % 5) AS w, 11 + (k % 4) AS h FROM ks),
+        |m AS (SELECT k, w, h,
+        |  (SELECT sum((k + x*11 + y*3) % 256) FROM generate_series(0, 24) tx(x),
+        |     generate_series(0, 13) ty(y) WHERE x < w AND y < h) AS sr,
+        |  (SELECT sum((k*2 + x*2 + y*13) % 256) FROM generate_series(0, 24) tx(x),
+        |     generate_series(0, 13) ty(y) WHERE x < w AND y < h) AS sg,
+        |  (SELECT sum((k*7 + x*7 + y) % 256) FROM generate_series(0, 24) tx(x),
+        |     generate_series(0, 13) ty(y) WHERE x < w AND y < h) AS sb
+        |  FROM dims)
+        |SELECT k, 'tif' AS fmt, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  floor(CAST(sr AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_r,
         |  floor(CAST(sg AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_g,
         |  floor(CAST(sb AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_b

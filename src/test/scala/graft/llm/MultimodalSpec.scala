@@ -151,4 +151,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).width === 250 && out(2L).height === 1)
     assert(out(3L).width > 0) // stub fallback, deterministic fake
   }
+
+  test("GIF/TIFF codecs: lossless round-trips under their constraints") {
+    // GIF: <=256 distinct colors keeps the palette exact — 64 grays
+    val (w, h) = (19, 13)
+    def gray(x: Int, y: Int) = { val v = ((x * 5 + y * 7) % 64) * 4; (v, v, v) }
+    val gif = Multimodal.decodeImage(Multimodal.encodeGif(w, h, gray))
+    assert(gif.format === "gif" && gif.width === w && gif.height === h)
+    val gm = (for (y <- 0 until h; x <- 0 until w) yield gray(x, y)._1.toLong)
+      .sum.toDouble / (w * h)
+    assert(gif.meanR === gm && gif.meanG === gm && gif.meanB === gm)
+    // TIFF: full-RGB lossless, arbitrary pixels
+    val rnd = new scala.util.Random(7)
+    val px = Array.fill(h, w)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    val tif = Multimodal.decodeImage(Multimodal.encodeTiff(w, h, (x, y) => px(y)(x)))
+    assert(tif.format === "tif" && tif.width === w && tif.height === h)
+    def mean(f: ((Int, Int, Int)) => Int) =
+      px.flatten.map(p => f(p).toLong).sum.toDouble / (w * h)
+    assert(tif.meanR === mean(_._1) && tif.meanG === mean(_._2) && tif.meanB === mean(_._3))
+  }
 }
