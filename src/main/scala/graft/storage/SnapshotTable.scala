@@ -48,6 +48,12 @@ object SnapshotTable {
   private def snapDir(root: String) = new Path(root, "_snapshots")
   private def manifestPath(root: String, v: Long) =
     new Path(snapDir(root), f"v$v%020d.manifest")
+  private def statsPath(root: String, v: Long) =
+    new Path(snapDir(root), f"v$v%020d.stats")
+
+  /** Scheme-free normal form so stats keys match manifest paths whatever
+    * prefix (`file:`, `file://`) each API layer used. */
+  private def norm(p: String): String = new Path(p).toUri.getPath
 
   private def listParquet(f: FileSystem, dir: Path): Seq[String] = {
     val it = f.listFiles(dir, true)
@@ -100,6 +106,93 @@ object SnapshotTable {
     dirs.foreach(d => f.delete(d, true))
   }
 
+  // -------------------------------------------- file-level min/max stats
+
+  /** Per-file min/max for numeric `statsCols` over freshly staged files —
+    * the Iceberg-manifest data-skipping metadata, one aggregate scan of
+    * ONLY the new files (a commit's delta, never the table). */
+  private def collectStats(spark: SparkSession, files: Seq[String],
+                           statsCols: Seq[String]): Seq[String] = {
+    if (statsCols.isEmpty) return Seq.empty
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.flatMap { r =>
+        val file = norm(r.getString(0))
+        statsCols.flatMap { c =>
+          val (mn, mx) = (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"))
+          if (mn == null || mx == null) Nil // all-null file: keep unpruned
+          else Seq(s"$file\t$c\t$mn\t$mx")
+        }
+      }
+  }
+
+  private def writeStats(spark: SparkSession, root: String, v: Long,
+                         lines: Seq[String]): Unit = {
+    if (lines.isEmpty) return
+    val f = fs(spark, root)
+    val out = f.create(statsPath(root, v), true)
+    try out.write(lines.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** (normalized file, col) → (min, max); empty when the version carries
+    * no stats sidecar. */
+  def stats(spark: SparkSession, root: String,
+            v: Long): Map[(String, String), (Double, Double)] = {
+    val f = fs(spark, root)
+    val p = statsPath(root, v)
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val bytes = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      bos.toByteArray
+    } finally in.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
+        val Array(file, c, mn, mx) = line.split("\t", 4)
+        (file, c) -> (mn.toDouble, mx.toDouble)
+      }.toMap
+  }
+
+  /** The latest snapshot's files that might hold `statCol` values in
+    * [lo, hi], plus the total file count. NO FALSE NEGATIVES: files
+    * without stats are kept. Driver-side over the stats sidecar
+    * (metadata-scale — one line per file per column). */
+  def pruneFiles(spark: SparkSession, root: String, statCol: String,
+                 lo: Double, hi: Double): (Seq[String], Int) = {
+    val snap = latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val st = stats(spark, root, snap.version)
+    val keep = snap.files.filter { f =>
+      st.get((norm(f), statCol)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    (keep, snap.files.size)
+  }
+
+  /** Range read through the stats sidecar: scans ONLY the candidate files
+    * then applies the exact predicate (stats false positives cost I/O,
+    * never correctness) — the snapshot layer's half of data skipping; the
+    * per-row-group half is parquet's own min/max pushdown inside each
+    * kept file. */
+  def readPruned(spark: SparkSession, root: String, statCol: String,
+                 lo: Double, hi: Double): DataFrame = {
+    val (keep, _) = pruneFiles(spark, root, statCol, lo, hi)
+    val base =
+      if (keep.isEmpty) read(spark, root).where(lit(false))
+      else spark.read.parquet(keep: _*)
+    base.where(col(statCol).cast("double") >= lo &&
+      col(statCol).cast("double") <= hi)
+  }
+
   /** All committed versions, ascending. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)
@@ -145,12 +238,18 @@ object SnapshotTable {
     readFiles(spark, snapshot(spark, root, v).files)
 
   /** Create the table: stage `df`, commit as v1. Fails if the table
-    * already has commits. */
-  def create(spark: SparkSession, root: String, df: DataFrame): Long = {
+    * already has commits. `statsCols` names numeric columns to carry
+    * file-level min/max data-skipping stats for ([[readPruned]]). */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+             statsCols: Seq[String] = Seq.empty): Long = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
     val files = writeData(spark, root, df)
-    try { commit(spark, root, 1L, files); 1L }
-    catch { case e: java.util.ConcurrentModificationException =>
+    val st = collectStats(spark, files, statsCols)
+    try {
+      commit(spark, root, 1L, files)
+      writeStats(spark, root, 1L, st)
+      1L
+    } catch { case e: java.util.ConcurrentModificationException =>
       cleanupOrphans(spark, root, files); throw e }
   }
 
@@ -161,9 +260,17 @@ object SnapshotTable {
     * decided against (compare-and-swap): if another writer committed
     * since, the commit throws instead of silently clobbering. Returns the
     * new version. */
+  /** `clusterBy` range-repartitions the merged output before writing, so
+    * each new file covers a tight value range and `statsCols` skipping
+    * stays effective ACROSS merges — without it the merge's hash shuffle
+    * leaves every file spanning the whole domain (the reason table
+    * formats re-cluster on write). */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             keyCols: Seq[String], versionCol: String,
-            expectedVersion: Option[Long] = None): Long = {
+            expectedVersion: Option[Long] = None,
+            statsCols: Seq[String] = Seq.empty,
+            clusterBy: Option[String] = None,
+            clusterFiles: Int = 0): Long = {
     require(keyCols.nonEmpty, "keyCols must not be empty")
     val snap = latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no table at $root — create() first"))
@@ -180,10 +287,20 @@ object SnapshotTable {
           .orderBy(col(versionCol).desc, col("__src").desc)))
       .where(col("__rn") === 1)
       .drop("__rn", "__src")
-    val files = writeData(spark, root, merged)
+    // explicit partition count (clusterFiles, defaulting to the current
+    // file count): keeps the file count stable across merges and stops
+    // AQE from coalescing the range shuffle into one domain-spanning file
+    val n = if (clusterFiles > 0) clusterFiles else math.max(snap.files.size, 1)
+    val out = clusterBy.map(c => merged.repartitionByRange(n, col(c)))
+      .getOrElse(merged)
+    val files = writeData(spark, root, out)
+    val st = collectStats(spark, files, statsCols)
     val next = snap.version + 1
-    try { commit(spark, root, next, files); next }
-    catch { case e: java.util.ConcurrentModificationException =>
+    try {
+      commit(spark, root, next, files)
+      writeStats(spark, root, next, st)
+      next
+    } catch { case e: java.util.ConcurrentModificationException =>
       cleanupOrphans(spark, root, files); throw e }
   }
 
@@ -206,7 +323,10 @@ object SnapshotTable {
       if (st.isDirectory && listParquet(f, st.getPath).isEmpty)
         f.delete(st.getPath, true)
     }
-    drop.foreach(v => f.delete(manifestPath(root, v), false))
+    drop.foreach { v =>
+      f.delete(manifestPath(root, v), false)
+      f.delete(statsPath(root, v), false)
+    }
     dead.size
   }
 }

@@ -87,4 +87,42 @@ class SnapshotTableSpec extends SparkSpec {
     // latest still fully readable
     assert(SnapshotTable.read(spark, root).count() === 100)
   }
+
+  test("min/max stats prune files on range reads with no false negatives") {
+    val root = newRoot()
+    // range-partition so each of the 8 files carries a tight k range
+    val base = spark.range(8000).select(col("id").as("k"),
+      (col("id") % 97).as("v"), lit(1L).as("ver"))
+      .repartitionByRange(8, col("k"))
+    SnapshotTable.create(spark, root, base, statsCols = Seq("k"))
+    val (keep, total) = SnapshotTable.pruneFiles(spark, root, "k", 1000, 1999)
+    assert(total === 8)
+    assert(keep.size < total, s"expected pruning, kept ${keep.size}/$total")
+    // exact same rows as the unpruned filter
+    val expect = SnapshotTable.read(spark, root)
+      .where(col("k").between(1000, 1999)).count()
+    val got = SnapshotTable.readPruned(spark, root, "k", 1000, 1999).count()
+    assert(got === expect && got === 1000L)
+    // out-of-domain range prunes everything yet returns an empty frame
+    val (none, _) = SnapshotTable.pruneFiles(spark, root, "k", 50000, 60000)
+    assert(none.isEmpty)
+    assert(SnapshotTable.readPruned(spark, root, "k", 50000, 60000).count() === 0)
+    // a merge WITHOUT statsCols drops to the unpruned (no-false-negative)
+    // path: every file kept, results still exact
+    SnapshotTable.merge(spark, root,
+      Seq((1L, 5L, 2L)).toDF("k", "v", "ver"), Seq("k"), "ver")
+    val (keep2, total2) = SnapshotTable.pruneFiles(spark, root, "k", 1000, 1999)
+    assert(keep2.size === total2, "stats-less snapshot must keep all files")
+    assert(SnapshotTable.readPruned(spark, root, "k", 1000, 1999).count() === expect)
+    // a merge WITH statsCols + clusterBy re-clusters the rewrite, so
+    // skipping is effective again (without clusterBy the merge's hash
+    // shuffle leaves every file spanning the whole k domain)
+    SnapshotTable.merge(spark, root,
+      Seq((2L, 6L, 2L)).toDF("k", "v", "ver"), Seq("k"), "ver",
+      statsCols = Seq("k"), clusterBy = Some("k"), clusterFiles = 8)
+    val (keep3, total3) = SnapshotTable.pruneFiles(spark, root, "k", 1000, 1999)
+    assert(total3 > 1 && keep3.size < total3,
+      s"re-clustered merge must prune: kept ${keep3.size}/$total3")
+    assert(SnapshotTable.readPruned(spark, root, "k", 1000, 1999).count() === expect)
+  }
 }
