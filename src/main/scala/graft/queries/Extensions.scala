@@ -230,6 +230,32 @@ object Extensions {
     "LLM-ANN-PROBES" -> ((s, d) =>
       Similarity.multiProbeTopK(embs(s, d), Seq(0L, 1L, 2L), k = 3)
         .orderBy(col("probe_id"), col("rank"))),
+    // the PERSISTED IVF+PQ index end-to-end (write cell-partitioned 8-byte
+    // codes + centroid/codebook sidecars, probe via partition-pruned ADC +
+    // exact rerank) under the bound-check contract the sketch queries use:
+    // everything is deterministic (seeded sample, first-k-distinct init),
+    // so per-probe recall vs the exact top-10 is a FIXED number and the
+    // oracle predicts the recall bound as a constant boolean
+    "LLM-ANN-INDEXED" -> { (s, d) =>
+      import s.implicits._
+      val e = embs(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+        .toString + "/idx"
+      graft.llm.Pq.writeIvfPqIndex(e, path, cells = 8, iters = 5)
+      val rows = Seq(0L, 1L, 2L).map { pid =>
+        val pvec = e.where(col("vec_id") === pid)
+          .select("embedding").head.getSeq[Float](0).toArray
+        val ann = graft.llm.Pq.ivfPqTopKIndexed(s, path, pvec, kTop = 10,
+            nprobe = 4, rerank = 64)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val exact = Similarity.cosineTopK(e, pid, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val recall = (ann & exact).size / 10.0
+        // measured 0.8-0.9 at oracle SFs; 0.5 is the contract bound
+        (pid, ann.size, recall >= 0.5)
+      }
+      rows.toDF("probe_id", "n", "recall_ok")
+    },
     "MM-BINARY-META" -> ((s, d) =>
       Multimodal.binaryMeta(Multimodal.documentsAsMedia(s, docs(s, d)).toDF())
         .orderBy(col("media_id")).limit(50)),
@@ -655,6 +681,27 @@ object Extensions {
           round(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double"), 2)
             .as("qty"))
         .orderBy("s_nationkey")
+    },
+    // Z-ORDER clustered rewrite end-to-end: write events z-ordered on
+    // (user_id, value) — the Morton interleave that lets BOTH bounds of a
+    // box predicate prune files/row-groups at 100 TB — then run the box
+    // query against the REWRITTEN layout. Layout never changes content,
+    // so the oracle is the plain SQL over the raw table; ZorderSpec
+    // separately measures the skipping itself.
+    "SCAN-ZORDER" -> { (s, d) =>
+      Tables.register(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft_zorder")
+        .toString + "/ev"
+      graft.operators.Layout.zorderWrite(
+        s.table("events").select("event_id", "user_id", "value", "event_type"),
+        "user_id", "value", path, numFiles = 8)
+      s.read.parquet(path)
+        .where(col("user_id").between(3, 9) && col("value").between(50, 150))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("sv"))
+        .orderBy("event_type")
     },
     // MERGE INTO through the snapshot/manifest table format
     // (storage.SnapshotTable): create v1 from an orders projection,
@@ -1630,6 +1677,13 @@ object Extensions {
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // a z-ordered rewrite returns exactly the raw table's rows
+    "SCAN-ZORDER" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 50 AND 150
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // last-write-wins MERGE replayed in plain SQL: every 5th key replaced
     "UPSERT-MERGE" ->
       """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
@@ -2208,6 +2262,11 @@ object Extensions {
         |FROM b e CROSS JOIN probe
         |WHERE e.cell = probe.pcell AND e.vec_id <> 0
         |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
+    // persisted IVF+PQ: n=10 results per probe and the recall bound hold
+    // deterministically (seeded training) — the oracle predicts them
+    "LLM-ANN-INDEXED" ->
+      """SELECT CAST(x AS BIGINT) AS probe_id, 10 AS n, true AS recall_ok
+        |FROM (VALUES (0), (1), (2)) t(x) ORDER BY probe_id""".stripMargin,
     "LLM-ANN-PROBES" ->
       """WITH probes AS (SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id IN (0,1,2)),
         |scored AS (SELECT probes.probe_id, e.vec_id,
