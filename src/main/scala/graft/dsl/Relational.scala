@@ -1397,6 +1397,64 @@ object Relational {
         .orderBy("user_id", "event_id")
     },
 
+    // PromQL resets/changes/irate/idelta: one series window, one aggregate;
+    // the last pair is ranked on the FILTERED pair set (zero-dt safe)
+    "TS-RESETS" -> { s =>
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ep"), col("event_id"))
+      val pairs = s.table("events").where(col("user_id") < 5)
+        .select(col("event_type"), col("event_id"),
+          col("ts").cast("double").as("ep"), col("value"))
+        .select(col("event_type"), col("event_id"), col("ep"), col("value"),
+          lag("value", 1).over(w).as("pv"), lag("ep", 1).over(w).as("pe"))
+        .where(col("pe").isNotNull && col("ep") > col("pe"))
+        .withColumn("rdesc", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("ep").desc, col("event_id").desc)))
+      val irate = when(col("value") >= col("pv"),
+          (col("value") - col("pv")) / (col("ep") - col("pe")))
+        .otherwise(col("value") / (col("ep") - col("pe")))
+      pairs.groupBy("event_type")
+        .agg(
+          sum(when(col("value") < col("pv"), 1).otherwise(0)).as("resets"),
+          sum(when(col("value") =!= col("pv"), 1).otherwise(0)).as("changes"),
+          (round(max(when(col("rdesc") === 1, irate)), 4) + 0.0).as("irate"),
+          (round(max(when(col("rdesc") === 1,
+            col("value") - col("pv"))), 4) + 0.0).as("idelta"))
+        .orderBy("event_type")
+    },
+
+    // PromQL histogram_quantile: bucket counters → window cumsum → per-q
+    // lowest covering bucket → in-bucket linear interpolation, +Inf clamps
+    "TS-HIST-QUANTILE" -> { s =>
+      val sq = s; import sq.implicits._
+      val le = when(col("value") <= 50, 50.0).when(col("value") <= 100, 100.0)
+        .when(col("value") <= 200, 200.0).when(col("value") <= 400, 400.0)
+        .otherwise(999999.0)
+      val b = s.table("events")
+        .select(col("event_type"), le.as("le"))
+        .groupBy("event_type", "le").agg(count(lit(1)).as("cnt"))
+      val c = b
+        .withColumn("cum", sum("cnt").over(
+          Window.partitionBy("event_type").orderBy("le")))
+        .withColumn("total", sum("cnt").over(Window.partitionBy("event_type")))
+      val qs = Seq(0.50, 0.90, 0.99).toDF("q")
+      val sel = c.crossJoin(qs)
+        .where(col("cum") >= col("q") * col("total"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type", "q").orderBy("le")))
+        .where(col("rn") === 1)
+      val lo = when(col("le") === 50.0, 0.0).when(col("le") === 100.0, 50.0)
+        .when(col("le") === 200.0, 100.0).when(col("le") === 400.0, 200.0)
+        .otherwise(400.0)
+      sel.select(col("event_type"), col("q"),
+          round(when(col("le") === 999999.0, 400.0)
+            .otherwise(lo + (col("le") - lo) *
+              (col("q") * col("total") - (col("cum") - col("cnt"))) / col("cnt")),
+            4).as("est"))
+        .orderBy("event_type", "q")
+    },
+
     "TS-GAPFILL" -> { s =>
       val b = s.table("events").where(col("event_type") === "click")
         .groupBy((floor(col("ts").cast("double") / 21600) * 21600).cast("bigint").as("bucket"))

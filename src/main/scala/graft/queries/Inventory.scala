@@ -890,6 +890,99 @@ object Inventory {
       |SELECT user_id, event_id, round((value - pv) / (et - pet), 4) + 0.0 AS rate
       |FROM x WHERE pv IS NOT NULL AND et > pet ORDER BY user_id, event_id""".stripMargin)
 
+  // PromQL's remaining counter/instant functions in one per-series pass:
+  // resets (value drops — counter restarts), changes (any value change),
+  // irate (rate of the LAST adjacent pair — the spiky-counter dashboard
+  // default), idelta (last pair's delta). One series window + one
+  // aggregate; the last pair is picked by a row_number over the FILTERED
+  // pair set so zero-dt ties can't select an excluded row.
+  q("TS-RESETS",
+    """WITH e AS (SELECT event_type, event_id, CAST(ts AS DOUBLE) AS ep, value
+      |           FROM events WHERE user_id < 5),
+      |l AS (SELECT event_type, event_id, ep, value,
+      |        lag(value) OVER w AS pv, lag(ep) OVER w AS pe
+      |      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ep, event_id)),
+      |f AS (SELECT *, row_number() OVER
+      |        (PARTITION BY event_type ORDER BY ep DESC, event_id DESC) AS rdesc
+      |      FROM l WHERE pe IS NOT NULL AND ep > pe)
+      |SELECT event_type,
+      |  sum(CASE WHEN value < pv THEN 1 ELSE 0 END) AS resets,
+      |  sum(CASE WHEN value <> pv THEN 1 ELSE 0 END) AS changes,
+      |  round(max(CASE WHEN rdesc = 1 THEN
+      |    CASE WHEN value >= pv THEN (value - pv) / (ep - pe)
+      |         ELSE value / (ep - pe) END END), 4) + 0.0 AS irate,
+      |  round(max(CASE WHEN rdesc = 1 THEN value - pv END), 4) + 0.0 AS idelta
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+    s"""WITH e AS (SELECT event_type, event_id, epoch(ts) AS ep, value
+      |           FROM $EV e WHERE user_id < 5),
+      |l AS (SELECT event_type, event_id, ep, value,
+      |        lag(value) OVER w AS pv, lag(ep) OVER w AS pe
+      |      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ep, event_id)),
+      |f AS (SELECT *, row_number() OVER
+      |        (PARTITION BY event_type ORDER BY ep DESC, event_id DESC) AS rdesc
+      |      FROM l WHERE pe IS NOT NULL AND ep > pe)
+      |SELECT event_type,
+      |  CAST(sum(CASE WHEN value < pv THEN 1 ELSE 0 END) AS BIGINT) AS resets,
+      |  CAST(sum(CASE WHEN value <> pv THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+      |  round(max(CASE WHEN rdesc = 1 THEN
+      |    CASE WHEN value >= pv THEN (value - pv) / (ep - pe)
+      |         ELSE value / (ep - pe) END END), 4) + 0.0 AS irate,
+      |  round(max(CASE WHEN rdesc = 1 THEN value - pv END), 4) + 0.0 AS idelta
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin)
+
+  // PromQL histogram_quantile over cumulative bucket counters — THE
+  // monitoring-histogram estimator: fixed le bounds, per-series window
+  // cumsum, then for each q the lowest bucket whose cumulative count
+  // reaches q·total, linearly interpolated inside the bucket; the +Inf
+  // bucket clamps to the highest finite bound (PromQL's rule).
+  q("TS-HIST-QUANTILE",
+    """WITH b AS (SELECT event_type,
+      |    CASE WHEN value <= 50 THEN 50.0 WHEN value <= 100 THEN 100.0
+      |         WHEN value <= 200 THEN 200.0 WHEN value <= 400 THEN 400.0
+      |         ELSE 999999.0 END AS le, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT event_type, le, cnt,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY le) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS total
+      |  FROM b),
+      |qs AS (SELECT CAST(0.50 AS DOUBLE) AS q UNION ALL
+      |       SELECT CAST(0.90 AS DOUBLE) UNION ALL SELECT CAST(0.99 AS DOUBLE)),
+      |sel AS (SELECT c.*, qs.q, row_number() OVER
+      |          (PARTITION BY event_type, q ORDER BY le) AS rn
+      |        FROM c CROSS JOIN qs WHERE cum >= q * total),
+      |p AS (SELECT event_type, q, le, cnt, cum, total,
+      |        CASE WHEN le = 50.0 THEN 0.0 WHEN le = 100.0 THEN 50.0
+      |             WHEN le = 200.0 THEN 100.0 WHEN le = 400.0 THEN 200.0
+      |             ELSE 400.0 END AS lo
+      |      FROM sel WHERE rn = 1)
+      |SELECT event_type, q,
+      |  round(CASE WHEN le = 999999.0 THEN 400.0
+      |        ELSE lo + (le - lo) * (q * total - (cum - cnt)) / cnt END, 4) AS est
+      |FROM p ORDER BY event_type, q""".stripMargin,
+    s"""WITH b AS (SELECT event_type,
+      |    CASE WHEN value <= 50 THEN 50.0 WHEN value <= 100 THEN 100.0
+      |         WHEN value <= 200 THEN 200.0 WHEN value <= 400 THEN 400.0
+      |         ELSE 999999.0 END AS le, count(*) AS cnt
+      |  FROM $EV e GROUP BY 1, 2),
+      |c AS (SELECT event_type, le, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY le) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      |  FROM b),
+      |qs AS (SELECT CAST(0.50 AS DOUBLE) AS q UNION ALL
+      |       SELECT CAST(0.90 AS DOUBLE) UNION ALL SELECT CAST(0.99 AS DOUBLE)),
+      |sel AS (SELECT c.*, qs.q, row_number() OVER
+      |          (PARTITION BY event_type, q ORDER BY le) AS rn
+      |        FROM c CROSS JOIN qs WHERE cum >= q * total),
+      |p AS (SELECT event_type, q, le, cnt, cum, total,
+      |        CASE WHEN le = 50.0 THEN 0.0 WHEN le = 100.0 THEN 50.0
+      |             WHEN le = 200.0 THEN 100.0 WHEN le = 400.0 THEN 200.0
+      |             ELSE 400.0 END AS lo
+      |      FROM sel WHERE rn = 1)
+      |SELECT event_type, q,
+      |  round(CASE WHEN le = 999999.0 THEN 400.0
+      |        ELSE lo + (le - lo) * (q * total - (cum - cnt)) / cnt END, 4) AS est
+      |FROM p ORDER BY event_type, q""".stripMargin)
+
   q("TS-GAPFILL",
     """WITH b AS (SELECT CAST(floor(CAST(ts AS DOUBLE) / 21600) * 21600 AS BIGINT) AS bucket, count(*) AS c
       |  FROM events WHERE event_type = 'click' GROUP BY 1),
