@@ -1424,6 +1424,27 @@ object Relational {
         .orderBy("event_type")
     },
 
+    // alert rule with FOR-duration: gaps-and-islands run detection over
+    // the flagged subset, per-run hold check
+    "TS-ALERT-FOR" -> { s =>
+      val wAll = Window.partitionBy("event_type").orderBy(col("ep"), col("event_id"))
+      val flagged = s.table("events").where(col("user_id") < 5)
+        .select(col("event_type"), col("event_id"),
+          col("ts").cast("long").as("ep"), col("value"))
+        .withColumn("rall", row_number().over(wAll))
+        .where(col("value") > 100)
+        .withColumn("grp", col("rall") - row_number().over(wAll))
+      flagged.groupBy("event_type", "grp")
+        .agg(min("ep").as("astart0"), max("ep").as("aend0"),
+          count(lit(1)).as("npts"))
+        .where(col("npts") >= 2 && col("aend0") - col("astart0") >= 600)
+        .select(col("event_type"),
+          col("astart0").as("astart"),
+          col("aend0").as("aend"), col("npts"),
+          (col("aend0") - col("astart0")).as("dur"))
+        .orderBy("event_type", "astart")
+    },
+
     // PromQL histogram_quantile: bucket counters → window cumsum → per-q
     // lowest covering bucket → in-bucket linear interpolation, +Inf clamps
     "TS-HIST-QUANTILE" -> { s =>

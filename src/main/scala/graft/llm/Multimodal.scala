@@ -277,6 +277,48 @@ object Multimodal {
     out
   }
 
+  /** Dominant DFT bin per complete `window` of samples — the basic
+    * frequency feature (pitch/tone detection, the first column of any
+    * audio-ML featurizer). Per window w and candidate bin b in
+    * [1, window/2): Goertzel-style magnitude
+    * `|Σ s[i]·e^(-2πi·b·i/window)|²`; returns the argmax bin (ties to the
+    * LOWER bin — deterministic). Direct per-bin evaluation (O(window²)
+    * per window) keeps the code obviously correct; windows are small and
+    * the work is per-row executor-side, so the 100 TB shape is the same
+    * narrow `mapPartitions` pass as every other decoder here. A pure tone
+    * at an exact bin frequency yields that bin for every window — the
+    * MM-WAV-SPECTRUM oracle contract. */
+  def wavDominantBin(bytes: Array[Byte], window: Int): Array[Int] = {
+    require(window >= 4, "window must be >= 4")
+    val s = decodeWavSamples(bytes).samples
+    val nw = s.length / window
+    val out = new Array[Int](nw)
+    var w = 0
+    while (w < nw) {
+      var best = 1
+      var bestMag = -1.0
+      var b = 1
+      while (b < window / 2) {
+        var re = 0.0
+        var im = 0.0
+        var i = 0
+        while (i < window) {
+          val ang = -2.0 * math.Pi * b * i / window
+          val v = s(w * window + i).toDouble
+          re += v * math.cos(ang)
+          im += v * math.sin(ang)
+          i += 1
+        }
+        val mag = re * re + im * im
+        if (mag > bestMag + 1e-9) { bestMag = mag; best = b }
+        b += 1
+      }
+      out(w) = best
+      w += 1
+    }
+    out
+  }
+
   /** Nearest-neighbor resize of a 24-bit BMP: dst pixel (x, y) samples src
     * (⌊x·srcW/dstW⌋, ⌊y·srcH/dstH⌋). Returns a genuine BMP blob again, so
     * resized thumbnails flow through the same decode/feature operators.

@@ -475,6 +475,31 @@ object Extensions {
           (floor(col("rms_raw") * lit(1e4) + lit(0.5)) / lit(1e4)).as("rms"))
         .orderBy("k", "w")
     },
+    // frequency analysis through the REAL wav pipeline: synthesize a pure
+    // tone at an EXACT bin frequency (bin = 3 + k%13 of a 64-sample
+    // window), encode as genuine RIFF/WAV, decode, and take each window's
+    // dominant DFT bin — which must equal the planted bin for EVERY
+    // window (a pure tone at an exact bin frequency has all its energy in
+    // that bin); the oracle replays the bin formula analytically
+    "MM-WAV-SPECTRUM" -> { (s, d) =>
+      import s.implicits._
+      Tables.register(s, d)
+      val ks = s.table("part").where(col("p_partkey") <= 100)
+        .select(col("p_partkey")).as[Long]
+      val blobs = ks.map { k =>
+        val bin = 3 + (k % 13).toInt
+        val n = 256 + (k % 3).toInt * 64
+        val samples = Array.tabulate(n)(i =>
+          math.round(8000.0 * math.sin(2.0 * math.Pi * bin * i / 64)).toShort)
+        (k, Multimodal.encodeWav(8000, samples))
+      }.toDF("k", "payload")
+      blobs.as[(Long, Array[Byte])].flatMap { case (k, p) =>
+          Multimodal.wavDominantBin(p, 64).zipWithIndex.map {
+            case (b, w) => (k, w, b)
+          }
+        }.toDF("k", "w", "bin")
+        .orderBy("k", "w")
+    },
     // nearest-neighbor thumbnailing through the REAL pixel path: encode a
     // genuine BMP, resize it (index math on the actual bytes), decode the
     // RESIZED blob; the oracle replays the sampled-index formula
@@ -1620,6 +1645,13 @@ object Extensions {
         |  floor(CAST(sg AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_g,
         |  floor(CAST(sb AS DOUBLE) / (w*h) * 1e4 + 0.5) / 1e4 AS mean_b
         |FROM m ORDER BY k""".stripMargin,
+    // every window of the pure tone reports the planted bin
+    "MM-WAV-SPECTRUM" ->
+      """WITH ks AS (SELECT p_partkey AS k FROM part WHERE p_partkey <= 100),
+        |d AS (SELECT k, 3 + (k % 13) AS bin, (256 + (k % 3) * 64) / 64 AS nw FROM ks)
+        |SELECT k, CAST(w AS INT) AS w, CAST(bin AS INT) AS bin
+        |FROM d CROSS JOIN generate_series(0, 5) tw(w)
+        |WHERE w < nw ORDER BY k, w""".stripMargin,
     // GIF: lossless LZW + exact ≤256-color palette — the 64-gray field's
     // analytic mean is exact for all three channels
     "MM-GIF-DECODE" ->

@@ -930,6 +930,47 @@ object Inventory {
       |  round(max(CASE WHEN rdesc = 1 THEN value - pv END), 4) + 0.0 AS idelta
       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin)
 
+  // Prometheus-style alert rule evaluation with a FOR clause — the
+  // condition (value > threshold) must hold over a RUN of consecutive
+  // points spanning >= the hold duration before the alert fires. Classic
+  // gaps-and-islands: run id = row_number over the series minus
+  // row_number over the flagged subset; per-run first/last timestamps
+  // give the hold check. Emits one row per firing run (the alert event a
+  // rule engine would publish), with start/end/points/duration.
+  q("TS-ALERT-FOR",
+    """WITH e AS (SELECT event_type, event_id, CAST(ts AS LONG) AS ep, value
+      |           FROM events WHERE user_id < 5),
+      |f AS (SELECT *, row_number() OVER
+      |        (PARTITION BY event_type ORDER BY ep, event_id) AS rall
+      |      FROM e),
+      |g AS (SELECT *, rall - row_number() OVER
+      |        (PARTITION BY event_type ORDER BY ep, event_id) AS grp
+      |      FROM f WHERE value > 100),
+      |runs AS (SELECT event_type, grp,
+      |    min(ep) AS astart, max(ep) AS aend, count(*) AS npts
+      |  FROM g GROUP BY event_type, grp)
+      |SELECT event_type, astart,
+      |  aend, npts,
+      |  aend - astart AS dur
+      |FROM runs WHERE npts >= 2 AND aend - astart >= 600
+      |ORDER BY event_type, astart""".stripMargin,
+    s"""WITH e AS (SELECT event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value
+      |           FROM $EV e WHERE user_id < 5),
+      |f AS (SELECT *, row_number() OVER
+      |        (PARTITION BY event_type ORDER BY ep, event_id) AS rall
+      |      FROM e),
+      |g AS (SELECT *, rall - row_number() OVER
+      |        (PARTITION BY event_type ORDER BY ep, event_id) AS grp
+      |      FROM f WHERE value > 100),
+      |runs AS (SELECT event_type, grp,
+      |    min(ep) AS astart, max(ep) AS aend, CAST(count(*) AS BIGINT) AS npts
+      |  FROM g GROUP BY event_type, grp)
+      |SELECT event_type, astart,
+      |  aend, npts,
+      |  aend - astart AS dur
+      |FROM runs WHERE npts >= 2 AND aend - astart >= 600
+      |ORDER BY event_type, astart""".stripMargin)
+
   // PromQL histogram_quantile over cumulative bucket counters — THE
   // monitoring-histogram estimator: fixed le bounds, per-series window
   // cumsum, then for each q the lowest bucket whose cumulative count
