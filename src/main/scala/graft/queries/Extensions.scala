@@ -230,6 +230,24 @@ object Extensions {
     "LLM-ANN-PROBES" -> ((s, d) =>
       Similarity.multiProbeTopK(embs(s, d), Seq(0L, 1L, 2L), k = 3)
         .orderBy(col("probe_id"), col("rank"))),
+    // distributed PCA end-to-end under the bound-check contract: one
+    // moment-partials pass (count/Σx/Σxxᵀ per partition — fixed-size
+    // metadata at any corpus size) → driver Jacobi eigensolve of the d×d
+    // covariance → per-row projection + long-way reconstruction. All
+    // deterministic, so the bounds are constants: ve(8) ≥ 0.15 on this
+    // near-isotropic fixture (measured 0.20), and reconstruction error
+    // must equal 1 − varianceExplained to 1e-6 (cross-validating the
+    // projection path against the eigenvalues)
+    "LLM-EMB-PCA" -> { (s, d) =>
+      import s.implicits._
+      val e = embs(s, d)
+      val m = graft.llm.Pca.fit(e, dims = 64, k = 8)
+      val ve = m.varianceExplained(8)
+      val re = graft.llm.Pca.reconstructionError(e, m)
+      val n = graft.llm.Pca.project(e, m).count()
+      Seq((n, 8, ve >= 0.15, math.abs(re - (1.0 - ve)) < 1e-6))
+        .toDF("n", "k", "ve_ok", "recon_ok")
+    },
     // the PERSISTED IVF+PQ index end-to-end (write cell-partitioned 8-byte
     // codes + centroid/codebook sidecars, probe via partition-pruned ADC +
     // exact rerank) under the bound-check contract the sketch queries use:
@@ -2294,6 +2312,12 @@ object Extensions {
         |FROM b e CROSS JOIN probe
         |WHERE e.cell = probe.pcell AND e.vec_id <> 0
         |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin,
+    // deterministic moments/eigensolve/projection: the oracle predicts
+    // the row count and both bound booleans
+    "LLM-EMB-PCA" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, 8 AS k,
+        |  true AS ve_ok, true AS recon_ok
+        |FROM embeddings""".stripMargin,
     // persisted IVF+PQ: n=10 results per probe and the recall bound hold
     // deterministically (seeded training) — the oracle predicts them
     "LLM-ANN-INDEXED" ->
