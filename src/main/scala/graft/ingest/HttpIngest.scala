@@ -59,6 +59,15 @@ object HttpIngest {
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
         try handleOne(ex, spool, tmp)
+        catch {
+          // a malformed/truncated body (bad gzip, client abort) must come
+          // back as a 400, not an abrupt connection close — the sender
+          // needs to distinguish poison-payload from server-down or it
+          // will retry the same bad body forever
+          case e: Exception =>
+            try respond(ex, 400, s"bad request: ${e.getMessage}")
+            catch { case _: java.io.IOException => () } // client gone
+        }
         finally ex.close()
     })
     server.setExecutor(null) // dispatcher thread; body writes are tiny

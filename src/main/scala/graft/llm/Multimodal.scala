@@ -44,16 +44,16 @@ object Multimodal {
     * exists in this environment): deterministic fake dimensions from an
     * FNV checksum. Image kinds never reach this — [[decodeOne]] routes
     * them through the real JDK codecs. */
+  private def fnv(payload: Array[Byte]): Long =
+    payload.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
+
   private def stubDecode(r: MediaRow): MediaFeatures = {
     // ??? <- MP3/H.264 codec call would go here; deterministic fake below
-    val checksum = r.payload.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
+    val checksum = fnv(r.payload)
     MediaFeatures(r.media_id, r.kind, r.payload.length, checksum,
       width = math.abs(checksum % 1920).toInt + 1,
       height = math.abs(checksum % 1080).toInt + 1)
   }
-
-  private def fnv(payload: Array[Byte]): Long =
-    payload.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
 
   /** Per-row decode dispatch: every format the JVM can actually decode is
     * REAL — images (png/jpeg/jpg/gif/bmp/tiff) through [[decodeImage]],

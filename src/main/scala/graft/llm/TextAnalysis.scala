@@ -60,7 +60,15 @@ object TextAnalysis {
     val applied = fns.replace(doubled,
       lit(" " + pair.replace(" ", "  ") + " "),
       lit(" " + pair.replace(' ', '@') + " "))
-    trim(regexp_replace(applied, " {2,}", " "))
+    // EXACT inverse of the doubling, not a blanket collapse: every space
+    // run is even (2n) after doubling — a match consumes one boundary
+    // space and its replacement restores one — so pairwise "  "→" "
+    // halves each run back to its original width, and stripping exactly
+    // the one padding space per end finishes the inverse. (trim +
+    // collapse-all-runs would MUTATE documents that already contained
+    // space runs or leading/trailing spaces even when no rule matched,
+    // making later training rounds see adjacencies the corpus never had.)
+    regexp_replace(fns.replace(applied, lit("  "), lit(" ")), "^ | $", "")
   }
 
   /** The token symbols a merge rule touches — two rules with disjoint

@@ -115,9 +115,11 @@ object Quality {
   def skewReport(df: DataFrame, keyCol: String, k: Int = 5, pad: Int = 6): DataFrame = {
     // lpad TRUNCATES strings longer than `pad` — padding must be
     // conditional or distinct long keys silently merge into one bogus
-    // hot key. Keys at or beyond `pad` digits pass through unpadded
-    // (lexicographic order stays numeric for digit keys: any unpadded
-    // key is longer, and longer digit strings compare greater).
+    // hot key. Keys at or beyond `pad` digits pass through unpadded;
+    // tie-break order is then plain LEXICOGRAPHIC across the boundary
+    // ("1000000" sorts before padded "999999") — deterministic and
+    // engine-consistent, numeric only within the padded range. Size
+    // `pad` above the key width when numeric tie order matters.
     val k0 = col(keyCol).cast("string")
     val counts = df.groupBy(
         when(length(k0) >= pad, k0).otherwise(lpad(k0, pad, "0")).as("key"))

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression, Remainder, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression, Remainder, Subtract}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.types.DoubleType
@@ -162,10 +162,16 @@ object RollupRouteRewrite extends Rule[LogicalPlan] {
     val newFilter: Option[Expression] = filterCond match {
       case None => None
       case Some(cond) =>
-        if (!cond.references.forall(a => routable(a.name.toLowerCase)))
+        // every referenced column must BOTH be a configured group column
+        // AND actually exist in the rollup table — a stale rollup layout
+        // missing a configured column must fall back to the raw plan,
+        // never crash the optimizer with an unguarded Map lookup
+        if (!cond.references.forall(a =>
+            routable(a.name.toLowerCase) &&
+              groupAttrMap.contains(a.name.toLowerCase)))
           return None
         Some(cond.transform {
-          case a: Attribute if routable(a.name.toLowerCase) =>
+          case a: Attribute if groupAttrMap.contains(a.name.toLowerCase) =>
             groupAttrMap(a.name.toLowerCase)
         })
     }
@@ -186,9 +192,16 @@ object RollupRouteRewrite extends Rule[LogicalPlan] {
         case ae @ AggregateExpression(Average(v, _), _, false, None, _)
             if v.semanticEquals(valAttr) && ae.dataType == DoubleType &&
                (cnnA.isDefined || !valAttr.nullable) =>
+          // coalesce(cnn, c): a rollup dir incrementally refreshed by
+          // newer code can hold MIXED partitions — new files with cnn,
+          // pre-cnn files reading cnn as NULL. A bare Sum(cnn) would skip
+          // those rows and inflate avg; falling back to the row count `c`
+          // per-row reproduces exactly what the pre-cnn layout could
+          // express (rebuild the rollup to get null-exact avg there).
           Divide(
             Cast(ae.copy(aggregateFunction = Sum(svA)), DoubleType),
-            Cast(ae.copy(aggregateFunction = Sum(cnnA.getOrElse(cA)),
+            Cast(ae.copy(aggregateFunction =
+              Sum(cnnA.map(cn => Coalesce(Seq(cn, cA))).getOrElse(cA)),
               resultId = NamedExpression.newExprId), DoubleType))
         case ae @ AggregateExpression(f, _, false, None, _) =>
           f match {
@@ -199,7 +212,9 @@ object RollupRouteRewrite extends Rule[LogicalPlan] {
             case Count(Seq(v)) if v.semanticEquals(valAttr) &&
                 (cnnA.isDefined || !valAttr.nullable) =>
               // count(value) skips nulls → the non-null rollup count
-              ae.copy(aggregateFunction = Sum(cnnA.getOrElse(cA)))
+              // (coalesced to c for pre-cnn partitions, as for avg)
+              ae.copy(aggregateFunction =
+                Sum(cnnA.map(cn => Coalesce(Seq(cn, cA))).getOrElse(cA)))
             case Min(v) if v.semanticEquals(valAttr) =>
               ae.copy(aggregateFunction = Min(mnA))
             case Max(v) if v.semanticEquals(valAttr) =>

@@ -2524,9 +2524,11 @@ object Inventory {
   // DSL twin is Quality.skewReport over graft_topk_by — a bounded heap
   // shipping ≤ k candidates per map partition, so billions of distinct
   // keys never hit a global sort. Keys zero-padded so the heap's string
-  // tie-break (ord desc, item ASC) is numeric — padding is CONDITIONAL
-  // because lpad TRUNCATES longer strings (a 7-digit key must pass
-  // through, not merge into a bogus 6-char hot key).
+  // tie-break (ord desc, item ASC) is numeric WITHIN the padded width —
+  // padding is CONDITIONAL because lpad TRUNCATES longer strings (a
+  // 7-digit key must pass through, not merge into a bogus 6-char hot
+  // key; past the boundary the tie order is plain lexicographic,
+  // identically on both engines).
   q("DQ-SKEW",
     """WITH c AS (SELECT CASE WHEN length(CAST(l_suppkey AS STRING)) >= 6
       |      THEN CAST(l_suppkey AS STRING)
@@ -2739,11 +2741,11 @@ object Inventory {
        |    j -> concat(element_at(split(text, ' '), j + 1), ' ', element_at(split(text, ' '), j + 2)))) AS pair
        |  FROM d$p WHERE size(split(text, ' ')) >= 2) t GROUP BY pair),
        |p$i AS (SELECT pair, cnt FROM bg$i ORDER BY cnt DESC, pair LIMIT 1),
-       |d$i AS (SELECT doc_id, trim(regexp_replace(replace(
+       |d$i AS (SELECT doc_id, regexp_replace(replace(replace(
        |  concat(' ', replace(text, ' ', '  '), ' '),
        |  concat(' ', replace((SELECT pair FROM p$i), ' ', '  '), ' '),
        |  concat(' ', replace((SELECT pair FROM p$i), ' ', '@'), ' ')),
-       |  ' {2,}', ' ')) AS text FROM d$p)""".stripMargin
+       |  '  ', ' '), '^ | $$', '') AS text FROM d$p)""".stripMargin
   }
   private def bpeDuckRound(i: Int): String = {
     val p = i - 1
@@ -2752,11 +2754,11 @@ object Inventory {
        |    j -> string_split(text, ' ')[j] || ' ' || string_split(text, ' ')[j + 1])) AS pair
        |  FROM d$p WHERE len(string_split(text, ' ')) >= 2) t GROUP BY pair),
        |p$i AS (SELECT pair, cnt FROM bg$i ORDER BY cnt DESC, pair LIMIT 1),
-       |d$i AS (SELECT doc_id, trim(regexp_replace(replace(
+       |d$i AS (SELECT doc_id, regexp_replace(replace(replace(
        |  ' ' || replace(text, ' ', '  ') || ' ',
        |  ' ' || replace((SELECT pair FROM p$i), ' ', '  ') || ' ',
        |  ' ' || replace((SELECT pair FROM p$i), ' ', '@') || ' '),
-       |  ' {2,}', ' ', 'g')) AS text FROM d$p)""".stripMargin
+       |  '  ', ' '), '^ | $$', '', 'g') AS text FROM d$p)""".stripMargin
   }
   private val bpeTail =
     """

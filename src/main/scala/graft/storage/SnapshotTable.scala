@@ -74,9 +74,20 @@ object SnapshotTable {
   }
 
   /** Atomically publish `files` as version `v`. The staged manifest is
-    * fully written and flushed FIRST; the rename is the commit point.
-    * Throws `ConcurrentModificationException` when `v` already exists —
-    * i.e. another writer won the race from the same base snapshot. */
+    * fully written and flushed FIRST; an atomic fail-if-exists
+    * publication is the commit point. Throws
+    * `ConcurrentModificationException` when `v` already exists — i.e.
+    * another writer won the race from the same base snapshot.
+    *
+    * The publication primitive is filesystem-specific because POSIX
+    * `rename(2)` atomically REPLACES an existing destination (a plain
+    * rename on the local filesystem would let BOTH racing committers
+    * "succeed", silently losing one commit): on `file:` schemes the flip
+    * is `Files.createLink` — a hard link is O_EXCL-atomic, exactly one
+    * linker wins; on HDFS-like stores `rename` is already
+    * atomic-no-overwrite (returns false when the destination exists).
+    * Object stores need a conditional-put LogStore, as every table
+    * format documents. */
   private def commit(spark: SparkSession, root: String, v: Long,
                      files: Seq[String]): Unit = {
     val f = fs(spark, root)
@@ -89,9 +100,20 @@ object SnapshotTable {
     try out.write(files.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // the atomic visibility flip: single-file rename; a concurrent
-    // committer of the same version makes this return false
-    val won = f.rename(tmp, target)
+    val local = Option(target.toUri.getScheme).forall(_ == "file")
+    val won =
+      if (local) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          f.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            f.delete(tmp, false); false
+        }
+      } else f.rename(tmp, target)
     if (!won) {
       f.delete(tmp, false)
       throw new java.util.ConcurrentModificationException(
@@ -124,7 +146,14 @@ object SnapshotTable {
         val file = norm(r.getString(0))
         statsCols.flatMap { c =>
           val (mn, mx) = (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"))
-          if (mn == null || mx == null) Nil // all-null file: keep unpruned
+          // all-null OR NaN-touched files carry no stats line → always
+          // kept. (Spark's max() ranks NaN above everything, and a NaN
+          // bound would compare false against any range in pruneFiles —
+          // a FALSE NEGATIVE, the one failure data skipping must never
+          // have.)
+          def bad(x: Any) = x == null ||
+            (x.isInstanceOf[Double] && x.asInstanceOf[Double].isNaN)
+          if (bad(mn) || bad(mx)) Nil
           else Seq(s"$file\t$c\t$mn\t$mx")
         }
       }
@@ -305,27 +334,52 @@ object SnapshotTable {
   }
 
   /** Retention: keep the newest `keepVersions` manifests, delete older
-    * manifests and every data file no kept manifest references. Returns
-    * the number of data files deleted. Metadata-scale driver work (file
-    * lists), like every table format's VACUUM. */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Int = {
+    * manifests and every data file no kept manifest references — EXCEPT
+    * files younger than `graceMs`. The grace window is what keeps vacuum
+    * safe against IN-FLIGHT writers: a concurrent merge has staged data
+    * files that no manifest references YET; deleting them would corrupt
+    * the table the moment that writer commits. Same retention-window
+    * defense every table format's VACUUM documents. Returns the number
+    * of data files deleted. Metadata-scale driver work (file lists). */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
+             graceMs: Long = 3600L * 1000): Int = {
     require(keepVersions >= 1, "must keep at least one version")
+    require(graceMs >= 0, "graceMs must be >= 0")
     val f = fs(spark, root)
     val vs = versions(spark, root)
     if (vs.isEmpty) return 0
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     val referenced = keep.flatMap(v => snapshot(spark, root, v).files).toSet
-    val all = listParquet(f, new Path(root, "data"))
-    val dead = all.filterNot(referenced)
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dataDir = new Path(root, "data")
+    val dead = {
+      val it = f.listFiles(dataDir, true)
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath.toString
+        if (st.getPath.getName.endsWith(".parquet") && !referenced(p) &&
+            st.getModificationTime < cutoff)
+          out += p
+      }
+      out.result()
+    }
     dead.foreach(p => f.delete(new Path(p), false))
-    // prune now-empty uuid dirs and the dropped manifests
-    f.listStatus(new Path(root, "data")).foreach { st =>
-      if (st.isDirectory && listParquet(f, st.getPath).isEmpty)
+    // prune now-empty uuid dirs (only those older than the grace window —
+    // an in-flight writer's dir may legitimately be empty mid-write)
+    f.listStatus(dataDir).foreach { st =>
+      if (st.isDirectory && st.getModificationTime < cutoff &&
+          listParquet(f, st.getPath).isEmpty)
         f.delete(st.getPath, true)
     }
+    // dropped versions' metadata honors the same window: a version whose
+    // data files are still grace-protected stays time-travel-readable
     drop.foreach { v =>
-      f.delete(manifestPath(root, v), false)
-      f.delete(statsPath(root, v), false)
+      val m = manifestPath(root, v)
+      if (f.exists(m) && f.getFileStatus(m).getModificationTime < cutoff) {
+        f.delete(m, false)
+        f.delete(statsPath(root, v), false)
+      }
     }
     dead.size
   }

@@ -78,9 +78,15 @@ class SnapshotTableSpec extends SparkSpec {
     assert(pinned.count() === n1)
     assert(pinned.where(col("s") === "y").count() === 0)
     // vacuum keeping both versions deletes nothing referenced
-    assert(SnapshotTable.vacuum(spark, root, keepVersions = 2) === 0)
-    // dropping v1 deletes its unshared files and v1 becomes unreadable
-    val deleted = SnapshotTable.vacuum(spark, root, keepVersions = 1)
+    // (graceMs = 0 in tests: files are seconds old and would otherwise
+    // all sit inside the in-flight-writer protection window)
+    assert(SnapshotTable.vacuum(spark, root, keepVersions = 2, graceMs = 0) === 0)
+    // the default grace window protects young unreferenced files: with
+    // v1 dropped but files fresh, nothing is deleted yet
+    assert(SnapshotTable.vacuum(spark, root, keepVersions = 1) === 0)
+    assert(SnapshotTable.readVersion(spark, root, 1L).count() === 100)
+    // dropping v1 past the window deletes its unshared files
+    val deleted = SnapshotTable.vacuum(spark, root, keepVersions = 1, graceMs = 0)
     assert(deleted > 0)
     assert(SnapshotTable.versions(spark, root) === Seq(2L))
     intercept[Exception] { SnapshotTable.readVersion(spark, root, 1L).count() }
@@ -124,5 +130,56 @@ class SnapshotTableSpec extends SparkSpec {
     assert(total3 > 1 && keep3.size < total3,
       s"re-clustered merge must prune: kept ${keep3.size}/$total3")
     assert(SnapshotTable.readPruned(spark, root, "k", 1000, 1999).count() === expect)
+  }
+
+  test("a TRUE concurrent commit race has exactly one winner (atomic flip)") {
+    // POSIX rename REPLACES an existing destination, so a rename-based
+    // commit would let both racing writers "succeed" and silently lose
+    // one; the local-FS flip is a hard link (O_EXCL-atomic). Two threads
+    // resolve the same base and race the v2 publication through a
+    // barrier; exactly one merge may return.
+    import java.util.concurrent.{CountDownLatch, ConcurrentLinkedQueue}
+    val root = newRoot()
+    SnapshotTable.create(spark,
+      root, Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "s", "v"))
+    val gate = new CountDownLatch(1)
+    val outcomes = new ConcurrentLinkedQueue[String]()
+    val threads = Seq("w1", "w2").map { w =>
+      new Thread(() => {
+        try {
+          val upd = Seq((if (w == "w1") 1L else 2L, w, 2L)).toDF("k", "s", "v")
+          gate.await()
+          SnapshotTable.merge(spark, root, upd, Seq("k"), "v",
+            expectedVersion = Some(1L))
+          outcomes.add(s"$w:won")
+        } catch {
+          case _: java.util.ConcurrentModificationException => outcomes.add(s"$w:lost")
+          case e: Throwable => outcomes.add(s"$w:ERR:${e.getClass.getSimpleName}")
+        }
+      })
+    }
+    threads.foreach(_.start())
+    gate.countDown()
+    threads.foreach(_.join(120000))
+    val res = outcomes.toArray.map(_.toString).sorted.toSeq
+    assert(res.count(_.endsWith(":won")) === 1, s"exactly one winner: $res")
+    assert(res.count(_.endsWith(":lost")) === 1, s"exactly one loser: $res")
+    // the committed v2 contains exactly the winner's row
+    val winner = res.find(_.endsWith(":won")).get.split(":")(0)
+    assert(SnapshotTable.read(spark, root).where(col("s") === winner).count() === 1)
+    assert(SnapshotTable.versions(spark, root) === Seq(1L, 2L))
+  }
+
+  test("NaN stat values never cause a false-negative prune") {
+    val root = newRoot()
+    val sq = spark; import sq.implicits._
+    // one file's max is NaN (Spark ranks NaN above everything): that file
+    // must carry NO stats line and always be kept
+    val base = Seq((1L, 10.0, 1L), (2L, Double.NaN, 1L), (3L, 500.0, 1L))
+      .toDF("k", "x", "ver").repartition(1)
+    SnapshotTable.create(spark, root, base, statsCols = Seq("x"))
+    val (keep, total) = SnapshotTable.pruneFiles(spark, root, "x", 5, 15)
+    assert(keep.size === total, "NaN-touched file must be kept unpruned")
+    assert(SnapshotTable.readPruned(spark, root, "x", 5, 15).count() === 1)
   }
 }
