@@ -1086,6 +1086,23 @@ object Extensions {
             .otherwise(col("value") / (col("ep") - col("pe"))), 4).as("rate"))
         .orderBy("event_type", "event_id")
     },
+    // the REAL streaming alert operator in batch mode (flatMapGroupsWith-
+    // State sees each series once): CLOSED above-threshold runs meeting
+    // the FOR clause — the trailing open run per series stays in state
+    // (it could still grow), so the oracle is TS-ALERT-FOR's SQL minus
+    // each series' open-ended final run
+    "STREAM-ALERT-NATIVE" -> { (s, d) =>
+      val sq = s; import sq.implicits._
+      val pts = events(s, d).where(col("user_id") < 5)
+        .select(col("event_type").as("key"), col("ts").cast("long").as("epoch"),
+          col("event_id").as("id"), col("value"))
+        .as[graft.streaming.AlertPoint]
+      graft.streaming.StreamingOps.alertFor(pts, threshold = 100.0,
+          minPts = 2L, holdSec = 600L).toDF()
+        .select(col("key").as("event_type"), col("astart"), col("aend"),
+          col("npts"), col("dur"))
+        .orderBy("event_type", "astart")
+    },
     "STREAM-TUMBLE-NATIVE" -> { (s, d) =>
       val ev = events(s, d)
       graft.streaming.StreamingOps.tumble(ev, "ts", "event_type", "6 hours")
@@ -1956,6 +1973,25 @@ object Extensions {
         |        ELSE value / (ep - pe) END, 4) AS rate
         |FROM l WHERE pe IS NOT NULL AND ep > pe
         |ORDER BY event_type, event_id""".stripMargin,
+    // TS-ALERT-FOR's run SQL minus each series' open-ended trailing run
+    "STREAM-ALERT-NATIVE" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep, value
+        |  FROM events WHERE user_id < 5),
+        |f AS (SELECT *, row_number() OVER
+        |        (PARTITION BY event_type ORDER BY ep, event_id) AS rall
+        |      FROM e),
+        |g AS (SELECT *, rall - row_number() OVER
+        |        (PARTITION BY event_type ORDER BY ep, event_id) AS grp
+        |      FROM f WHERE value > 100),
+        |runs AS (SELECT event_type, grp,
+        |    min(ep) AS astart, max(ep) AS aend, CAST(count(*) AS BIGINT) AS npts
+        |  FROM g GROUP BY event_type, grp),
+        |lastp AS (SELECT event_type AS let, max(ep) AS maxep FROM e GROUP BY event_type)
+        |SELECT r.event_type, astart, aend, npts, aend - astart AS dur
+        |FROM runs r JOIN lastp l ON r.event_type = l.let
+        |WHERE npts >= 2 AND aend - astart >= 600 AND aend < l.maxep
+        |ORDER BY event_type, astart""".stripMargin,
     "STREAM-TUMBLE-NATIVE" ->
       """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600 AS BIGINT) AS wstart,
         |  event_type, count(*) AS c

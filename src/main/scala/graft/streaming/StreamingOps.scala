@@ -61,6 +61,12 @@ final case class AsOfHit(id: Long, key: Long, epoch: Double,
 /** Per-key as-of state: one double. */
 final case class AsOfState(lastLeft: Double)
 
+final case class AlertPoint(key: String, epoch: Long, id: Long, value: Double)
+/** One OPEN above-threshold run per key — three longs of state. */
+final case class AlertRunState(astart: Long, aend: Long, npts: Long)
+final case class AlertOut(key: String, astart: Long, aend: Long, npts: Long,
+                          dur: Long)
+
 /** Streaming rollups and forwarder sinks — the Spark-native equivalent of
   * the reference's listener → demultiplexer → buffered forwarder spine
   * (SURVEY.md §2a rows 8–13: `protocol/demultiplexer/demultiplexer.go`,
@@ -587,6 +593,61 @@ object StreamingOps {
             }
             state.update(st)
             idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming alert-rule evaluation with a FOR clause — the stateful
+    * twin of TS-ALERT-FOR: per key, an alert fires for each CLOSED run of
+    * consecutive above-threshold points with ≥ `minPts` points spanning
+    * ≥ `holdSec` seconds. State is the one OPEN run (three longs per key,
+    * bounded at any cardinality); a run spanning micro-batches keeps
+    * growing in state and emits exactly once, when a sub-threshold point
+    * closes it (or the idle timeout fires — an idle stream's run is over,
+    * so the timeout flushes a qualifying open run instead of losing it).
+    * Emit-on-closure is the deterministic streaming contract: an open run
+    * cannot emit early because later points may still extend it. Points
+    * fold in (epoch, id) order within each batch, so batch-mode equals
+    * any batch slicing of the same data. */
+  def alertFor(points: Dataset[AlertPoint], threshold: Double,
+               minPts: Long, holdSec: Long,
+               idleTimeout: Option[String] = None): Dataset[AlertOut] = {
+    val session = points.sparkSession
+    import session.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    def qualifies(r: AlertRunState): Boolean =
+      r.npts >= minPts && r.aend - r.astart >= holdSec
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, it: Iterator[AlertPoint], state: GroupState[AlertRunState]) =>
+          if (state.hasTimedOut) {
+            val flushed = state.getOption.filter(qualifies)
+              .map(r => AlertOut(key, r.astart, r.aend, r.npts, r.aend - r.astart))
+            state.remove()
+            flushed.iterator
+          } else {
+            var open = state.getOption
+            val out = Seq.newBuilder[AlertOut]
+            it.toSeq.sortBy(p => (p.epoch, p.id)).foreach { p =>
+              if (p.value > threshold)
+                open = Some(open.map(r => AlertRunState(r.astart, p.epoch, r.npts + 1))
+                  .getOrElse(AlertRunState(p.epoch, p.epoch, 1L)))
+              else {
+                open.filter(qualifies).foreach(r =>
+                  out += AlertOut(key, r.astart, r.aend, r.npts, r.aend - r.astart))
+                open = None
+              }
+            }
+            open match {
+              case Some(r) =>
+                state.update(r)
+                // timeout only makes sense with an OPEN run to flush
+                idleTimeout.foreach(state.setTimeoutDuration)
+              case None => if (state.exists) state.remove()
+            }
             out.result().iterator
           }
       }

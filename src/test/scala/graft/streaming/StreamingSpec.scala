@@ -722,4 +722,43 @@ class StreamingSpec extends SparkSpec {
       .toMap
     assert(batch === win)
   }
+
+  test("alertFor: runs spanning batches emit exactly once, on closure") {
+    val sq = spark
+    import sq.implicits._
+    import graft.streaming.{AlertPoint, AlertOut}
+    // planted series: run A (closed, qualifies), run B spans the batch
+    // boundary (closed in batch 2), trailing run C stays OPEN (no emit)
+    val pts = Seq(
+      AlertPoint("m", 0L, 1, 150.0), AlertPoint("m", 700L, 2, 160.0),   // A
+      AlertPoint("m", 800L, 3, 50.0),                                   // closes A
+      AlertPoint("m", 900L, 4, 170.0),                                  // B opens
+      AlertPoint("m", 1700L, 5, 180.0),                                 // B grows (batch 2)
+      AlertPoint("m", 1800L, 6, 10.0),                                  // closes B
+      AlertPoint("m", 1900L, 7, 190.0), AlertPoint("m", 2600L, 8, 195.0)) // C open
+    val input = MemoryStream[AlertPoint](spark)
+    val query = StreamingOps.alertFor(input.toDS(), 100.0, 2L, 600L)
+      .writeStream.format("memory").queryName("alert_out")
+      .outputMode("append").start()
+    input.addData(pts.take(4))
+    query.processAllAvailable()
+    input.addData(pts.drop(4))
+    query.processAllAvailable()
+    query.stop()
+    def runsOf(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val streamed = runsOf(spark.table("alert_out"))
+    assert(streamed === Set(("m", 0L, 700L, 2L, 700L),
+      ("m", 900L, 1700L, 2L, 800L)),
+      s"A and the batch-spanning B fire once each, C stays open: $streamed")
+    // batch mode on the full data equals the two-batch stream
+    val batch = runsOf(StreamingOps.alertFor(pts.toDS(), 100.0, 2L, 600L).toDF())
+    assert(batch === streamed)
+    // sub-minimum and sub-hold runs never fire
+    val weak = Seq(AlertPoint("w", 0L, 1, 150.0), AlertPoint("w", 100L, 2, 160.0),
+      AlertPoint("w", 200L, 3, 10.0), AlertPoint("w", 300L, 4, 170.0),
+      AlertPoint("w", 400L, 5, 10.0))
+    assert(StreamingOps.alertFor(weak.toDS(), 100.0, 2L, 600L).count() === 0)
+  }
 }
