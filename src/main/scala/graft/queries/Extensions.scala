@@ -1086,6 +1086,22 @@ object Extensions {
             .otherwise(col("value") / (col("ep") - col("pe"))), 4).as("rate"))
         .orderBy("event_type", "event_id")
     },
+    // the REAL streaming heavy-hitters operator in batch mode: Misra-
+    // Gries counters per (metric, window) — at most m=64 counters per key
+    // at ANY cardinality; the fixture's 40 distinct items sit inside m,
+    // so the counts are EXACT and the oracle is the exact top-3 SQL
+    "STREAM-TOPK-NATIVE" -> { (s, d) =>
+      val sq = s; import sq.implicits._
+      val pts = events(s, d)
+        .select(col("event_type").as("metric"),
+          (floor(col("ts").cast("long") / 21600) * 21600).cast("long").as("window"),
+          (col("user_id") % 40).cast("string").as("item"))
+        .as[graft.streaming.TopkPoint]
+      graft.streaming.StreamingOps.topkByWindow(pts, k = 3, m = 64).toDF()
+        .select(col("metric"), col("window").as("win"), col("item"),
+          col("cnt"), col("rnk"))
+        .orderBy("metric", "win", "rnk")
+    },
     // the REAL streaming alert operator in batch mode (flatMapGroupsWith-
     // State sees each series once): CLOSED above-threshold runs meeting
     // the FOR clause — the trailing open run per series stays in state
@@ -1973,6 +1989,20 @@ object Extensions {
         |        ELSE value / (ep - pe) END, 4) AS rate
         |FROM l WHERE pe IS NOT NULL AND ep > pe
         |ORDER BY event_type, event_id""".stripMargin,
+    // exact top-3 (MG is exact under m distinct items), deterministic
+    // tie-break count desc then item asc
+    "STREAM-TOPK-NATIVE" ->
+      """WITH e AS (SELECT event_type AS metric,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600 AS BIGINT) AS win,
+        |    CAST(user_id % 40 AS VARCHAR) AS item
+        |  FROM events),
+        |c AS (SELECT metric, win, item, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM e GROUP BY metric, win, item),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY metric, win ORDER BY cnt DESC, item) AS rnk
+        |      FROM c)
+        |SELECT metric, win, item, cnt, CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY metric, win, rnk""".stripMargin,
     // TS-ALERT-FOR's run SQL minus each series' open-ended trailing run
     "STREAM-ALERT-NATIVE" ->
       """WITH e AS (SELECT event_type, event_id,

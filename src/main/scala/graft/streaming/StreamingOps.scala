@@ -61,6 +61,10 @@ final case class AsOfHit(id: Long, key: Long, epoch: Double,
 /** Per-key as-of state: one double. */
 final case class AsOfState(lastLeft: Double)
 
+final case class TopkPoint(metric: String, window: Long, item: String)
+final case class TopkOut(metric: String, window: Long, item: String,
+                         cnt: Long, rnk: Int)
+
 final case class AlertPoint(key: String, epoch: Long, id: Long, value: Double)
 /** One OPEN above-threshold run per key — three longs of state. */
 final case class AlertRunState(astart: Long, aend: Long, npts: Long)
@@ -594,6 +598,57 @@ object StreamingOps {
             state.update(st)
             idleTimeout.foreach(state.setTimeoutDuration)
             out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming heavy hitters per (metric, window) — the third member of
+    * the bounded-state sketch family (theta distinct, KLL quantiles, and
+    * now Misra-Gries frequent items): at most `m` (item, count) counters
+    * per key WHATEVER the item cardinality. The MG update: increment a
+    * present item, insert while under m, otherwise decrement ALL counters
+    * (dropping zeros) — the classic guarantee is count error ≤ N/(m+1),
+    * and with ≤ m distinct items per key the counts are EXACT, which is
+    * the STREAM-TOPK-NATIVE oracle contract (fixture cardinality sits
+    * inside m). Each batch that touches a key re-emits its CURRENT top-k
+    * (count desc, item asc — deterministic) in Append mode; downstream
+    * keeps the latest set per key, the running-aggregate contract
+    * [[approxDistinctByWindow]] documents. Decrement order is
+    * data-independent, so batch slicing never changes the surviving
+    * counters in the exact regime. */
+  def topkByWindow(points: Dataset[TopkPoint], k: Int = 3, m: Int = 64,
+                   idleTimeout: Option[String] = None): Dataset[TopkOut] = {
+    require(k >= 1 && m >= k, s"need m >= k >= 1, got k=$k m=$m")
+    val session = points.sparkSession
+    import session.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    points.groupByKey(p => (p.metric, p.window))
+      .flatMapGroupsWithState[Map[String, Long], TopkOut](
+        OutputMode.Append(), timeoutConf) {
+        (key: (String, Long), it: Iterator[TopkPoint],
+         state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var counters = state.getOption.getOrElse(Map.empty[String, Long])
+            it.foreach { p =>
+              counters.get(p.item) match {
+                case Some(c) => counters = counters.updated(p.item, c + 1)
+                case None if counters.size < m =>
+                  counters = counters.updated(p.item, 1L)
+                case None =>
+                  counters = counters.transform((_, c) => c - 1)
+                    .filter(_._2 > 0)
+              }
+            }
+            state.update(counters)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            val (metric, window) = key
+            counters.toSeq.sortBy { case (item, c) => (-c, item) }.take(k)
+              .zipWithIndex.map { case ((item, c), i) =>
+                TopkOut(metric, window, item, c, i + 1)
+              }.iterator
           }
       }
   }

@@ -761,4 +761,43 @@ class StreamingSpec extends SparkSpec {
       AlertPoint("w", 400L, 5, 10.0))
     assert(StreamingOps.alertFor(weak.toDS(), 100.0, 2L, 600L).count() === 0)
   }
+
+  test("topkByWindow: exact under m distinct; heavy hitter survives past m; slicing-stable") {
+    val sq = spark
+    import sq.implicits._
+    import graft.streaming.{TopkPoint, TopkOut}
+    // exact regime: 10 distinct items, skewed counts
+    val pts = (1 to 300).map { i =>
+      val item = if (i % 3 == 0) "hot" else s"u${i % 9}"
+      TopkPoint("m", 0L, item)
+    }
+    val input = MemoryStream[TopkPoint](spark)
+    val query = StreamingOps.topkByWindow(input.toDS(), k = 3, m = 64)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("append").start()
+    input.addData(pts.take(150))
+    query.processAllAvailable()
+    input.addData(pts.drop(150))
+    query.processAllAvailable()
+    query.stop()
+    // Append re-emits per batch: keep the FINAL set (max cnt per item rank)
+    val last = spark.table("topk_out")
+      .groupBy("item").agg(max("cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(last.head === ("hot", 100L), s"exact hot count expected: $last")
+    // batch mode equals the final streamed state in the exact regime
+    val batch = StreamingOps.topkByWindow(pts.toDS(), k = 3, m = 64)
+      .collect().map(o => (o.item, o.cnt, o.rnk)).toSeq
+    assert(batch.head === (("hot", 100L, 1)))
+    // past-m regime: 200 distinct items, m=16 — counts are estimates but
+    // the 5x heavy hitter must survive the decrements at rank 1
+    val skew = (1 to 2000).map { i =>
+      TopkPoint("s", 0L, if (i % 5 == 0) "dominant" else s"tail${i % 199}")
+    }
+    val sk = StreamingOps.topkByWindow(skew.toDS(), k = 1, m = 16)
+      .collect()
+    assert(sk.head.item === "dominant",
+      s"MG must keep the heavy hitter, got ${sk.head}")
+  }
 }
