@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.storage.SnapshotTable
+
+/** Scale probe for the snapshot/manifest table (test scope): a 4M-row
+  * clustered table, range-pruned point-band reads vs full-scan filters,
+  * and the copy-on-write merge cost for a small update set.
+  *
+  * Expected shape: the stats-pruned read touches ~1/16 of the FILES for a
+  * 1/32-wide band — the metric that matters at 100 TB, where every file
+  * is an object-store request + footer read (locally, parquet's own
+  * row-group min/max pruning makes the two paths' wall times comparable,
+  * so the probe asserts on files touched and prints times for the
+  * record). Results are IDENTICAL, and a 1 % merge costs roughly one
+  * table rewrite (the COW trade — printed so the number is on record;
+  * partition-scoped rewrites via Layout.upsertPartitioned are the escape
+  * hatch the docs point to).
+  * Run: sbt "Test/runMain graft.SnapshotScaleProbe [rows]" */
+object SnapshotScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(4000000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("snapscale").toString + "/t"
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val base = spark.range(rows).select(col("id").as("k"),
+        (col("id") % 9973).as("v"), sha2(col("id").cast("string"), 256).as("pad"),
+        lit(1L).as("ver"))
+      .repartitionByRange(32, col("k"))
+    val (_, tCreate) = time {
+      SnapshotTable.create(spark, root, base, statsCols = Seq("k"))
+    }
+
+    val lo = rows / 2
+    val hi = lo + rows / 32
+    val (keepInfo, _) = time(SnapshotTable.pruneFiles(spark, root, "k", lo, hi))
+    val (prunedCnt, tPruned) = time(
+      SnapshotTable.readPruned(spark, root, "k", lo, hi).count())
+    val (fullCnt, tFull) = time(
+      SnapshotTable.read(spark, root)
+        .where(col("k") >= lo && col("k") <= hi).count())
+    println(f"[snap-scale] rows=$rows%,d files=${keepInfo._2} " +
+      f"kept=${keepInfo._1.size} create=$tCreate%.1fs " +
+      f"pruned-read=$tPruned%.2fs full-filter=$tFull%.2fs rows=$prunedCnt%,d")
+    assert(prunedCnt == fullCnt && prunedCnt == rows / 32 + 1,
+      s"pruned read must be exact: $prunedCnt vs $fullCnt")
+    assert(keepInfo._1.size <= keepInfo._2 / 8,
+      s"a 1/32 band should keep <= 1/8 of ${keepInfo._2} clustered files")
+
+    // 1 % COW merge, re-clustered so skipping survives
+    val upd = spark.range(rows / 100).select((col("id") * 100).as("k"),
+      lit(-1L).as("v"), lit("upd").as("pad"), lit(2L).as("ver"))
+    val (_, tMerge) = time {
+      SnapshotTable.merge(spark, root, upd, Seq("k"), "ver",
+        statsCols = Seq("k"), clusterBy = Some("k"), clusterFiles = 32)
+    }
+    val merged = SnapshotTable.read(spark, root)
+    assert(merged.count() == rows)
+    assert(merged.where(col("v") === -1L).count() == rows / 100)
+    // skipping still effective after the re-clustered merge
+    val (keep2, total2) = SnapshotTable.pruneFiles(spark, root, "k", lo, hi)
+    assert(keep2.size <= total2 / 8, s"post-merge pruning lost: ${keep2.size}/$total2")
+    println(f"[snap-scale] 1%% cow-merge=$tMerge%.1fs (vs create $tCreate%.1fs) " +
+      f"post-merge kept=${keep2.size}/$total2")
+    spark.stop()
+  }
+}
