@@ -60,13 +60,21 @@ object HttpIngest {
       override def handle(ex: HttpExchange): Unit =
         try handleOne(ex, spool, tmp)
         catch {
-          // a malformed/truncated body (bad gzip, client abort) must come
-          // back as a 400, not an abrupt connection close — the sender
-          // needs to distinguish poison-payload from server-down or it
-          // will retry the same bad body forever
-          case e: Exception =>
+          // status classification matters: the sender's retry decision
+          // hinges on it. A malformed body (bad gzip, truncation) is a
+          // POISON PAYLOAD → 400, retrying is pointless; a server-side
+          // fault (disk full, spool dir gone) is TRANSIENT → 500, the
+          // sender must retry or good data is lost. An abrupt close
+          // (neither) would leave the sender guessing.
+          case e: java.util.zip.ZipException =>
             try respond(ex, 400, s"bad request: ${e.getMessage}")
             catch { case _: java.io.IOException => () } // client gone
+          case e: java.io.EOFException =>
+            try respond(ex, 400, s"bad request: truncated body (${e.getMessage})")
+            catch { case _: java.io.IOException => () }
+          case e: Exception =>
+            try respond(ex, 500, s"server error: ${e.getMessage}")
+            catch { case _: java.io.IOException => () }
         }
         finally ex.close()
     })

@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression, Remainder, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, If, IsNull, Literal, NamedExpression, RaiseError, Remainder, Subtract}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -89,6 +89,23 @@ object RollupRouteRewrite extends Rule[LogicalPlan] {
         rewrite(agg, scan.output, None, scan, route, session).getOrElse(agg)
     }
   }
+
+  /** cnn with a LOUD mixed-layout guard: a rollup dir incrementally
+    * refreshed by newer code can hold pre-cnn partitions whose rows read
+    * cnn as NULL — a bare Sum(cnn) would silently skip them (inflated
+    * avg, undercounted count(value)), and substituting the row count `c`
+    * would silently OVERCOUNT null values. Neither silent answer is
+    * acceptable for an optimizer that promises result-identical routing,
+    * so a null cnn fails fast naming the fix; the rollup table is tiny,
+    * so the per-row If costs nothing. */
+  private def guardedCnn(cnn: Attribute, route: Route): Expression =
+    If(IsNull(cnn),
+      Cast(new RaiseError(Literal(
+        s"graft rollup routing: the rollup at ${route.rollupPath} has " +
+          "pre-cnn partitions (cnn IS NULL), so avg/count(value) cannot " +
+          "be served exactly; rebuild it with Layout.incrementalRollup " +
+          s"or unset $Key")), LongType),
+      cnn)
 
   private def rewrite(agg: Aggregate, projs: Seq[NamedExpression],
                       filterCond: Option[Expression], scan: LogicalPlan,
@@ -192,16 +209,10 @@ object RollupRouteRewrite extends Rule[LogicalPlan] {
         case ae @ AggregateExpression(Average(v, _), _, false, None, _)
             if v.semanticEquals(valAttr) && ae.dataType == DoubleType &&
                (cnnA.isDefined || !valAttr.nullable) =>
-          // coalesce(cnn, c): a rollup dir incrementally refreshed by
-          // newer code can hold MIXED partitions — new files with cnn,
-          // pre-cnn files reading cnn as NULL. A bare Sum(cnn) would skip
-          // those rows and inflate avg; falling back to the row count `c`
-          // per-row reproduces exactly what the pre-cnn layout could
-          // express (rebuild the rollup to get null-exact avg there).
           Divide(
             Cast(ae.copy(aggregateFunction = Sum(svA)), DoubleType),
             Cast(ae.copy(aggregateFunction =
-              Sum(cnnA.map(cn => Coalesce(Seq(cn, cA))).getOrElse(cA)),
+              Sum(cnnA.map(guardedCnn(_, route)).getOrElse(cA)),
               resultId = NamedExpression.newExprId), DoubleType))
         case ae @ AggregateExpression(f, _, false, None, _) =>
           f match {
@@ -212,9 +223,9 @@ object RollupRouteRewrite extends Rule[LogicalPlan] {
             case Count(Seq(v)) if v.semanticEquals(valAttr) &&
                 (cnnA.isDefined || !valAttr.nullable) =>
               // count(value) skips nulls → the non-null rollup count
-              // (coalesced to c for pre-cnn partitions, as for avg)
+              // (null-guarded like avg's denominator)
               ae.copy(aggregateFunction =
-                Sum(cnnA.map(cn => Coalesce(Seq(cn, cA))).getOrElse(cA)))
+                Sum(cnnA.map(guardedCnn(_, route)).getOrElse(cA)))
             case Min(v) if v.semanticEquals(valAttr) =>
               ae.copy(aggregateFunction = Min(mnA))
             case Max(v) if v.semanticEquals(valAttr) =>

@@ -2003,7 +2003,12 @@ object Extensions {
         |      FROM c)
         |SELECT metric, win, item, cnt, CAST(rnk AS INT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY metric, win, rnk""".stripMargin,
-    // TS-ALERT-FOR's run SQL minus each series' open-ended trailing run
+    // TS-ALERT-FOR's run SQL minus each series' OPEN trailing run. "Open"
+    // is identified by run IDENTITY, not by epoch: the open run is the
+    // one containing the last FLAGGED point, and it is open iff that
+    // point is the series' overall last point in (ep, id) order — an
+    // epoch-only comparison would mis-exclude a run closed by a
+    // sub-threshold point at a TIED epoch
     "STREAM-ALERT-NATIVE" ->
       """WITH e AS (SELECT event_type, event_id,
         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep, value
@@ -2017,11 +2022,16 @@ object Extensions {
         |runs AS (SELECT event_type, grp,
         |    min(ep) AS astart, max(ep) AS aend, CAST(count(*) AS BIGINT) AS npts
         |  FROM g GROUP BY event_type, grp),
-        |lastp AS (SELECT event_type AS let, max(ep) AS maxep FROM e GROUP BY event_type)
+        |openr AS (SELECT event_type AS oet, max(rall) AS mfr,
+        |    max_by(grp, rall) AS ogrp FROM g GROUP BY event_type),
+        |alln AS (SELECT event_type AS aet, max(rall) AS mar FROM f GROUP BY event_type)
         |SELECT r.event_type, astart, aend, npts, aend - astart AS dur
-        |FROM runs r JOIN lastp l ON r.event_type = l.let
-        |WHERE npts >= 2 AND aend - astart >= 600 AND aend < l.maxep
-        |ORDER BY event_type, astart""".stripMargin,
+        |FROM runs r
+        |JOIN openr o ON r.event_type = o.oet
+        |JOIN alln a ON r.event_type = a.aet
+        |WHERE npts >= 2 AND aend - astart >= 600
+        |  AND NOT (o.mfr = a.mar AND r.grp = o.ogrp)
+        |ORDER BY r.event_type, astart""".stripMargin,
     "STREAM-TUMBLE-NATIVE" ->
       """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600 AS BIGINT) AS wstart,
         |  event_type, count(*) AS c

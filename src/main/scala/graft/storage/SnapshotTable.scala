@@ -55,15 +55,19 @@ object SnapshotTable {
     * prefix (`file:`, `file://`) each API layer used. */
   private def norm(p: String): String = new Path(p).toUri.getPath
 
-  private def listParquet(f: FileSystem, dir: Path): Seq[String] = {
+  private def listParquetStatuses(f: FileSystem,
+                                  dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     val it = f.listFiles(dir, true)
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
     while (it.hasNext) {
       val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet")) out += st.getPath.toString
+      if (st.getPath.getName.endsWith(".parquet")) out += st
     }
-    out.result().sorted
+    out.result().sortBy(_.getPath.toString)
   }
+
+  private def listParquet(f: FileSystem, dir: Path): Seq[String] =
+    listParquetStatuses(f, dir).map(_.getPath.toString)
 
   /** Stage `df` as new immutable data files under `<root>/data/<uuid>`;
     * returns their absolute paths. Nothing is visible until a commit. */
@@ -82,9 +86,13 @@ object SnapshotTable {
     * The publication primitive is filesystem-specific because POSIX
     * `rename(2)` atomically REPLACES an existing destination (a plain
     * rename on the local filesystem would let BOTH racing committers
-    * "succeed", silently losing one commit): on `file:` schemes the flip
-    * is `Files.createLink` — a hard link is O_EXCL-atomic, exactly one
-    * linker wins; on HDFS-like stores `rename` is already
+    * "succeed", silently losing one commit): on the LOCAL filesystem
+    * (detected from the RESOLVED FileSystem's scheme — a scheme-less
+    * path may resolve to HDFS via fs.defaultFS, so the raw URI must not
+    * decide) the flip is `Files.createLink` — a hard link is
+    * O_EXCL-atomic, exactly one linker wins — falling back to
+    * exists+rename on mounts without hard-link support (some NFS/FUSE;
+    * weaker, pre-checked). On HDFS-like stores `rename` is already
     * atomic-no-overwrite (returns false when the destination exists).
     * Object stores need a conditional-put LogStore, as every table
     * format documents. */
@@ -100,18 +108,24 @@ object SnapshotTable {
     try out.write(files.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val local = Option(target.toUri.getScheme).forall(_ == "file")
+    val local = f.getScheme == "file"
     val won =
       if (local) {
+        val targetQ = f.makeQualified(target)
+        val tmpQ = f.makeQualified(tmp)
         try {
           java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
+            java.nio.file.Paths.get(targetQ.toUri.getPath),
+            java.nio.file.Paths.get(tmpQ.toUri.getPath))
           f.delete(tmp, false)
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             f.delete(tmp, false); false
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            // no hard links on this mount: exists+rename fallback (the
+            // pre-check narrows but cannot fully close the race window)
+            !f.exists(target) && f.rename(tmp, target)
         }
       } else f.rename(tmp, target)
     if (!won) {
@@ -333,53 +347,55 @@ object SnapshotTable {
       cleanupOrphans(spark, root, files); throw e }
   }
 
-  /** Retention: keep the newest `keepVersions` manifests, delete older
-    * manifests and every data file no kept manifest references — EXCEPT
+  /** Retention: keep the newest `keepVersions` manifests; drop older
+    * versions and every data file nothing retained references — EXCEPT
     * files younger than `graceMs`. The grace window is what keeps vacuum
     * safe against IN-FLIGHT writers: a concurrent merge has staged data
-    * files that no manifest references YET; deleting them would corrupt
-    * the table the moment that writer commits. Same retention-window
-    * defense every table format's VACUUM documents. Returns the number
-    * of data files deleted. Metadata-scale driver work (file lists). */
+    * files that no manifest references YET, and deleting them would
+    * corrupt the table the moment that writer commits. The default is
+    * SEVEN DAYS (the table-format convention) — it must comfortably
+    * exceed the longest write a table ever sees, because the protection
+    * is keyed on file age; a 1-hour window would eat a 2-hour COW
+    * rewrite's staging. Dropped-version retirement is COUPLED: a dropped
+    * version's manifest, stats, and data files all retire on the
+    * MANIFEST's age, so a version is either fully time-travel-readable
+    * or fully gone — never a live manifest over deleted files. Returns
+    * the number of data files deleted. Metadata-scale driver work. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
-             graceMs: Long = 3600L * 1000): Int = {
+             graceMs: Long = 7L * 24 * 3600 * 1000): Int = {
     require(keepVersions >= 1, "must keep at least one version")
     require(graceMs >= 0, "graceMs must be >= 0")
     val f = fs(spark, root)
     val vs = versions(spark, root)
     if (vs.isEmpty) return 0
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    val referenced = keep.flatMap(v => snapshot(spark, root, v).files).toSet
     val cutoff = System.currentTimeMillis() - graceMs
-    val dataDir = new Path(root, "data")
-    val dead = {
-      val it = f.listFiles(dataDir, true)
-      val out = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val st = it.next()
-        val p = st.getPath.toString
-        if (st.getPath.getName.endsWith(".parquet") && !referenced(p) &&
-            st.getModificationTime < cutoff)
-          out += p
-      }
-      out.result()
-    }
-    dead.foreach(p => f.delete(new Path(p), false))
-    // prune now-empty uuid dirs (only those older than the grace window —
-    // an in-flight writer's dir may legitimately be empty mid-write)
-    f.listStatus(dataDir).foreach { st =>
-      if (st.isDirectory && st.getModificationTime < cutoff &&
-          listParquet(f, st.getPath).isEmpty)
-        f.delete(st.getPath, true)
-    }
-    // dropped versions' metadata honors the same window: a version whose
-    // data files are still grace-protected stays time-travel-readable
-    drop.foreach { v =>
+    val (dropAll, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    // a dropped version retires WHOLE, on its manifest's age
+    val (dropNow, dropLater) = dropAll.partition { v =>
       val m = manifestPath(root, v)
-      if (f.exists(m) && f.getFileStatus(m).getModificationTime < cutoff) {
-        f.delete(m, false)
-        f.delete(statsPath(root, v), false)
-      }
+      f.exists(m) && f.getFileStatus(m).getModificationTime < cutoff
+    }
+    val referenced = (keep ++ dropLater)
+      .flatMap(v => snapshot(spark, root, v).files).toSet
+    val dataDir = new Path(root, "data")
+    val statuses = listParquetStatuses(f, dataDir)
+    val dead = statuses.filter(st => !referenced(st.getPath.toString) &&
+      st.getModificationTime < cutoff).map(_.getPath)
+    // capture dir ages BEFORE deleting (deletions bump the parent mtime)
+    val dirAge = f.listStatus(dataDir).collect {
+      case st if st.isDirectory => st.getPath -> st.getModificationTime
+    }.toMap
+    dead.foreach(p => f.delete(p, false))
+    val touched = dead.map(_.getParent).toSet
+    // prune now-empty uuid dirs: ones THIS run emptied, plus ones already
+    // old and empty (an in-flight writer's fresh dir stays)
+    dirAge.foreach { case (dir, age) =>
+      if ((touched(dir) || age < cutoff) && listParquet(f, dir).isEmpty)
+        f.delete(dir, true)
+    }
+    dropNow.foreach { v =>
+      f.delete(manifestPath(root, v), false)
+      f.delete(statsPath(root, v), false)
     }
     dead.size
   }

@@ -663,8 +663,14 @@ object StreamingOps {
     * so the timeout flushes a qualifying open run instead of losing it).
     * Emit-on-closure is the deterministic streaming contract: an open run
     * cannot emit early because later points may still extend it. Points
-    * fold in (epoch, id) order within each batch, so batch-mode equals
-    * any batch slicing of the same data. */
+    * fold in (epoch, id) order within each batch; a CROSS-batch late
+    * arrival below an open run's frontier (`epoch < aend`) is DROPPED —
+    * moving the frontier backwards would shrink an already-grown run and
+    * make results slicing-dependent. With in-order (or single-batch)
+    * data nothing is late, so batch mode equals order-preserving batch
+    * slicings exactly; event-time-exact late handling needs a
+    * watermarked pre-sort upstream, as with every run-detection state
+    * machine. */
   def alertFor(points: Dataset[AlertPoint], threshold: Double,
                minPts: Long, holdSec: Long,
                idleTimeout: Option[String] = None): Dataset[AlertOut] = {
@@ -687,13 +693,19 @@ object StreamingOps {
             var open = state.getOption
             val out = Seq.newBuilder[AlertOut]
             it.toSeq.sortBy(p => (p.epoch, p.id)).foreach { p =>
-              if (p.value > threshold)
-                open = Some(open.map(r => AlertRunState(r.astart, p.epoch, r.npts + 1))
-                  .getOrElse(AlertRunState(p.epoch, p.epoch, 1L)))
-              else {
-                open.filter(qualifies).foreach(r =>
-                  out += AlertOut(key, r.astart, r.aend, r.npts, r.aend - r.astart))
-                open = None
+              // late arrival below the open run's frontier: dropped (see
+              // scaladoc) — it must not shrink the run or close it in
+              // the event-time past
+              val late = open.exists(r => p.epoch < r.aend)
+              if (!late) {
+                if (p.value > threshold)
+                  open = Some(open.map(r => AlertRunState(r.astart, p.epoch, r.npts + 1))
+                    .getOrElse(AlertRunState(p.epoch, p.epoch, 1L)))
+                else {
+                  open.filter(qualifies).foreach(r =>
+                    out += AlertOut(key, r.astart, r.aend, r.npts, r.aend - r.astart))
+                  open = None
+                }
               }
             }
             open match {
