@@ -78,7 +78,15 @@ object HttpIngest {
         }
         finally ex.close()
     })
-    server.setExecutor(null) // dispatcher thread; body writes are tiny
+    // bounded daemon worker pool: concurrent POSTs spool in parallel
+    // (each handler is a tiny write+rename); daemon so a forgotten
+    // bridge never pins the JVM
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-http-ingest")
+        t.setDaemon(true)
+        t
+      }))
     server.start()
     val b = new Bridge(server, server.getAddress.getPort, spoolDir)
     registry.synchronized { registry(b.port) = b }
