@@ -1,0 +1,116 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+
+/** Plan-hygiene introspection — the "would this survive 100×?" checklist
+  * as a library surface instead of tribal knowledge.
+  *
+  * `.explain` answers "what is the plan"; [[PlanReport.of]] answers "does
+  * the plan have the properties that matter at scale": how many shuffles,
+  * whether any join degenerated to a nested-loop/cartesian (the classic
+  * silent scale-killer), whether filters actually reached the parquet
+  * scan, whether the hot path stayed inside whole-stage codegen, and
+  * whether any sort/window runs unpartitioned on a single task. CI can
+  * assert on the struct (PlanAuditSpec does exactly this ad hoc with
+  * string matching — this is the typed form); operators can log
+  * `report.render` at deploy time.
+  *
+  * Walks the EXECUTED plan, descending into AQE's dynamically re-planned
+  * subtrees so post-reoptimization reality is counted, not the initial
+  * plan. */
+object PlanReport {
+
+  final case class Report(
+      shuffleExchanges: Int,
+      broadcastExchanges: Int,
+      nestedLoopJoins: Int,
+      cartesianProducts: Int,
+      sortMergeJoins: Int,
+      broadcastHashJoins: Int,
+      shuffledHashJoins: Int,
+      wholeStageCodegenSpans: Int,
+      unpartitionedWindows: Int,
+      globalSorts: Int,
+      fileScans: Int,
+      scansWithPushedFilters: Int,
+      pushedFilters: Seq[String]) {
+
+    /** The red flags, in one line (empty = clean). */
+    def flags: Seq[String] = {
+      val b = Seq.newBuilder[String]
+      if (nestedLoopJoins > 0) b += s"nested-loop joins: $nestedLoopJoins"
+      if (cartesianProducts > 0) b += s"cartesian products: $cartesianProducts"
+      if (unpartitionedWindows > 0)
+        b += s"unpartitioned windows (single-task): $unpartitionedWindows"
+      b.result()
+    }
+
+    def render: String =
+      s"shuffles=$shuffleExchanges broadcasts=$broadcastExchanges " +
+        s"joins[smj=$sortMergeJoins bhj=$broadcastHashJoins shj=$shuffledHashJoins " +
+        s"bnlj=$nestedLoopJoins cart=$cartesianProducts] " +
+        s"codegenSpans=$wholeStageCodegenSpans " +
+        s"unpartitionedWindows=$unpartitionedWindows globalSorts=$globalSorts " +
+        s"scans=$fileScans pushed=$scansWithPushedFilters" +
+        (if (flags.isEmpty) "" else flags.mkString(" | FLAGS: ", "; ", ""))
+  }
+
+  /** Every node of the executed plan, descending into AQE subtrees and
+    * reused subplans. */
+  private def walk(p: SparkPlan): Seq[SparkPlan] = {
+    val children = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      // AQE materializes stage boundaries as QueryStageExec leaves whose
+      // subtree hides behind `plan`, not `children`
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case other => other.children ++ other.subqueries
+    }
+    p +: children.flatMap(walk)
+  }
+
+  /** Analyze `df`'s executed plan. `execute = true` (default) runs the
+    * frame first so AQE's FINAL plan is reported — pass false to inspect
+    * the pre-execution plan without paying for the job. */
+  def of(df: DataFrame, execute: Boolean = true): Report = {
+    if (execute) df.collect()
+    val nodes = walk(df.queryExecution.executedPlan)
+    def cls(p: SparkPlan) = p.getClass.getSimpleName
+    // an unpartitioned window requires AllTuples (every row on ONE task) —
+    // the requiredChildDistribution is authoritative, unlike string
+    // matching on the plan header
+    val unpart = nodes.count { n =>
+      cls(n) == "WindowExec" &&
+        n.requiredChildDistribution.headOption.exists(
+          _ == org.apache.spark.sql.catalyst.plans.physical.AllTuples)
+    }
+    val scans = nodes.filter(n => cls(n) == "FileSourceScanExec" ||
+      cls(n) == "BatchScanExec")
+    val pushed = scans.map(_.toString).flatMap { s =>
+      val i = s.indexOf("PushedFilters: [")
+      if (i < 0) None
+      else Some(s.substring(i + "PushedFilters: [".length,
+        math.max(i, s.indexOf("]", i))))
+    }.filter(_.nonEmpty)
+    Report(
+      shuffleExchanges = nodes.count(_.isInstanceOf[ShuffleExchangeLike]),
+      broadcastExchanges = nodes.count(_.isInstanceOf[BroadcastExchangeLike]),
+      nestedLoopJoins = nodes.count(n => cls(n).contains("NestedLoopJoin")),
+      cartesianProducts = nodes.count(n => cls(n).contains("CartesianProduct")),
+      sortMergeJoins = nodes.count(n => cls(n) == "SortMergeJoinExec"),
+      broadcastHashJoins = nodes.count(n => cls(n) == "BroadcastHashJoinExec"),
+      shuffledHashJoins = nodes.count(n => cls(n) == "ShuffledHashJoinExec"),
+      wholeStageCodegenSpans = nodes.count(n => cls(n) == "WholeStageCodegenExec"),
+      unpartitionedWindows = unpart,
+      globalSorts = nodes.count {
+        case s: org.apache.spark.sql.execution.SortExec => s.global
+        case _ => false
+      },
+      fileScans = scans.size,
+      scansWithPushedFilters = pushed.size,
+      pushedFilters = pushed)
+  }
+}
