@@ -1424,6 +1424,32 @@ object Relational {
         .orderBy("event_type")
     },
 
+    // A/B readout: per-user conversion flag, per-variant totals, pooled
+    // two-proportion z — 1-row frames cross-joined (broadcast-trivial)
+    "EVENT-ABTEST" -> { s =>
+      val u = s.table("events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+        .withColumn("v", col("user_id") % 2)
+      val st = u.groupBy("v").agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      val a = st.where(col("v") === 0).select(col("n").as("n_a"), col("c").as("c_a"))
+      val b = st.where(col("v") === 1).select(col("n").as("n_b"), col("c").as("c_b"))
+      val (ca, cb) = (col("c_a").cast("double"), col("c_b").cast("double"))
+      val pPool = (ca + cb) / (col("n_a") + col("n_b"))
+      // degenerate pool (0%/100% conversion): variance term is 0 → z := 0
+      val z = when(
+        col("c_a") + col("c_b") === 0 ||
+          col("c_a") + col("c_b") === col("n_a") + col("n_b"), lit(0.0))
+        .otherwise((ca / col("n_a") - cb / col("n_b")) /
+          sqrt(pPool * (lit(1) - pPool) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      a.crossJoin(b).select(
+        col("n_a"), col("n_b"), col("c_a").as("conv_a"), col("c_b").as("conv_b"),
+        round(ca / col("n_a"), 4).as("rate_a"),
+        round(cb / col("n_b"), 4).as("rate_b"),
+        (round(z, 4) + 0.0).as("z"))
+    },
+
     // alert rule with FOR-duration: gaps-and-islands run detection over
     // the flagged subset, per-run hold check
     "TS-ALERT-FOR" -> { s =>

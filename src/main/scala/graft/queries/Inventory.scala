@@ -971,6 +971,51 @@ object Inventory {
       |FROM runs WHERE npts >= 2 AND aend - astart >= 600
       |ORDER BY event_type, astart""".stripMargin)
 
+  // A/B experiment readout — the analysis every product experiment runs:
+  // deterministic variant assignment (stable user hash; user_id % 2 here,
+  // the oracle-portable form), per-user conversion (>= 1 purchase), and
+  // the two-proportion pooled z-score. One distinct-user aggregate + one
+  // tiny per-variant aggregate; a degenerate pool (0% or 100% conversion) pins z to 0 — no detectable
+  // difference, and the variance term would be 0/0; the z arithmetic is
+  // plain doubles
+  // (p-values need erf, which neither engine ships as a builtin — the
+  // z-score IS the portable contract, and any |z| threshold is the
+  // significance test).
+  q("EVENT-ABTEST",
+    """WITH u AS (SELECT user_id, user_id % 2 AS v,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |s AS (SELECT v, count(*) AS n, sum(conv) AS c FROM u GROUP BY v),
+      |ab AS (SELECT
+      |    (SELECT n FROM s WHERE v = 0) AS n_a, (SELECT c FROM s WHERE v = 0) AS c_a,
+      |    (SELECT n FROM s WHERE v = 1) AS n_b, (SELECT c FROM s WHERE v = 1) AS c_b)
+      |SELECT n_a, n_b, c_a AS conv_a, c_b AS conv_b,
+      |  round(CAST(c_a AS DOUBLE) / n_a, 4) AS rate_a,
+      |  round(CAST(c_b AS DOUBLE) / n_b, 4) AS rate_b,
+      |  round(CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
+      |    ELSE (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) /
+      |      sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+      |           (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+      |           (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) END, 4) + 0.0 AS z
+      |FROM ab""".stripMargin,
+    s"""WITH u AS (SELECT user_id, user_id % 2 AS v,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM $EV e GROUP BY user_id),
+      |s AS (SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+      |      FROM u GROUP BY v),
+      |ab AS (SELECT
+      |    (SELECT n FROM s WHERE v = 0) AS n_a, (SELECT c FROM s WHERE v = 0) AS c_a,
+      |    (SELECT n FROM s WHERE v = 1) AS n_b, (SELECT c FROM s WHERE v = 1) AS c_b)
+      |SELECT n_a, n_b, c_a AS conv_a, c_b AS conv_b,
+      |  round(CAST(c_a AS DOUBLE) / n_a, 4) AS rate_a,
+      |  round(CAST(c_b AS DOUBLE) / n_b, 4) AS rate_b,
+      |  round(CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
+      |    ELSE (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) /
+      |      sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+      |           (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+      |           (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) END, 4) + 0.0 AS z
+      |FROM ab""".stripMargin)
+
   // PromQL histogram_quantile over cumulative bucket counters — THE
   // monitoring-histogram estimator: fixed le bounds, per-series window
   // cumsum, then for each q the lowest bucket whose cumulative count

@@ -54,6 +54,28 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("profile plans the interval-overlap shape onto the grid join too") {
+    val sq = spark; import sq.implicits._
+    val a = spark.range(300).select(col("id").as("aid"),
+        ((col("id") * 37L) % 5000L).as("al"))
+      .withColumn("ah", col("al") + 200L)
+    val b = spark.range(400).select(col("id").as("bid"),
+        ((col("id") * 91L) % 5000L).as("bl"))
+      .withColumn("bh", col("bl") + 150L)
+    a.createOrReplaceTempView("gc_ia"); b.createOrReplaceTempView("gc_ib")
+    val sql = """SELECT count(*) AS n FROM gc_ia JOIN gc_ib
+                |  ON al <= bh AND bl <= ah""".stripMargin
+    val exact = spark.sql(sql).head.getLong(0)
+    withProfile(GraftConf.ScaleProfile(rangeJoinBucketWidth = 250.0)) {
+      val d = spark.sql(sql)
+      d.collect()
+      val p = d.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"interval overlap must become the canonical-cell grid join:\n$p")
+      assert(d.head.getLong(0) === exact)
+    }
+  }
+
   test("profile plans the theta as-of shape onto the running-window plan") {
     val sq = spark; import sq.implicits._
     val l = (1 to 200).map(i => (i.toLong % 10, i.toLong * 3)).toDF("k", "lts")
