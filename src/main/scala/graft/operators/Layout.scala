@@ -255,18 +255,30 @@ object Layout {
                         partitionCol: String, groupCols: Seq[String],
                         valueCol: String, partitions: Seq[String]): Seq[String] = {
     require(partitions.nonEmpty, "no partitions to roll up")
-    val raw = spark.read.parquet(rawPath)
-      .where(col(partitionCol).cast("string").isin(partitions: _*))
-    // `c` counts ROWS, `cnn` counts NON-NULL values: avg(value) divides by
-    // the latter, so the RollupRouteRewrite avg decomposition needs cnn to
-    // stay exact when valueCol contains nulls (sum/min/max already skip
-    // nulls, matching the raw aggregates).
-    val agg = raw
-      .groupBy((groupCols :+ partitionCol).map(col): _*)
-      .agg(sum(col(valueCol)).as("sv"), count(lit(1)).as("c"),
-        count(col(valueCol)).as("cnn"),
-        min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
-    val staged = agg.localCheckpoint()
+    // SELF-REFERENTIAL ROUTING GUARD: this maintenance aggregate is
+    // exactly the shape RollupRouteRewrite routes (raw scan + group cols +
+    // sum/count/min/max of valueCol) — with the route conf set, the
+    // refresh would be served FROM THE ROLLUP ITSELF and never advance
+    // (the classic MV-maintenance exclusion every rewrite engine needs).
+    // Suspend routing until the aggregate MATERIALIZES (localCheckpoint),
+    // then restore; concurrent dashboard queries in other threads briefly
+    // plan unrouted, which is correct just slower.
+    val routeKey = "spark.graft.rollup.route"
+    val prevRoute = spark.conf.getOption(routeKey)
+    prevRoute.foreach(_ => spark.conf.unset(routeKey))
+    val staged = try {
+      val raw = spark.read.parquet(rawPath)
+        .where(col(partitionCol).cast("string").isin(partitions: _*))
+      // `c` counts ROWS, `cnn` counts NON-NULL values: avg(value) divides
+      // by the latter, so the RollupRouteRewrite avg decomposition needs
+      // cnn to stay exact when valueCol contains nulls (sum/min/max
+      // already skip nulls, matching the raw aggregates).
+      raw.groupBy((groupCols :+ partitionCol).map(col): _*)
+        .agg(sum(col(valueCol)).as("sv"), count(lit(1)).as("c"),
+          count(col(valueCol)).as("cnn"),
+          min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+        .localCheckpoint()
+    } finally prevRoute.foreach(spark.conf.set(routeKey, _))
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try staged.write.mode("overwrite").partitionBy(partitionCol).parquet(rollupPath)
