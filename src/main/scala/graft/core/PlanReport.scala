@@ -64,19 +64,25 @@ object PlanReport {
     val children = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       // AQE materializes stage boundaries as QueryStageExec leaves whose
-      // subtree hides behind `plan`, not `children`
+      // subtree hides behind `plan`, not `children`. ReusedExchangeExec is
+      // deliberately NOT descended: its subtree executes once under the
+      // original exchange — descending would double-count shuffles/scans.
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
       case other => other.children ++ other.subqueries
     }
     p +: children.flatMap(walk)
   }
 
   /** Analyze `df`'s executed plan. `execute = true` (default) runs the
-    * frame first so AQE's FINAL plan is reported — pass false to inspect
-    * the pre-execution plan without paying for the job. */
+    * frame first so AQE's FINAL plan (with codegen stages inserted) is
+    * reported — by running THIS df's own QueryExecution's RDD with a
+    * no-op action, rows consumed on the executors (a collect here would
+    * OOM the driver on exactly the big frames worth auditing; a
+    * write-to-noop-sink or `df.foreach` would each build and finalize a
+    * SEPARATE QueryExecution and leave this one unfinalized). Pass false
+    * to inspect the pre-execution plan without paying for the job. */
   def of(df: DataFrame, execute: Boolean = true): Report = {
-    if (execute) df.collect()
+    if (execute) df.queryExecution.toRdd.foreach(_ => ())
     val nodes = walk(df.queryExecution.executedPlan)
     def cls(p: SparkPlan) = p.getClass.getSimpleName
     // an unpartitioned window requires AllTuples (every row on ONE task) —
@@ -89,11 +95,17 @@ object PlanReport {
     }
     val scans = nodes.filter(n => cls(n) == "FileSourceScanExec" ||
       cls(n) == "BatchScanExec")
+    // scan metadata is ABBREVIATED (spark.sql.maxMetadataStringLength), so
+    // the closing ']' may be truncated away and nested brackets (In(...))
+    // close early — extract to the last ']' on the PushedFilters LINE,
+    // falling back to the line end, never out of bounds
     val pushed = scans.map(_.toString).flatMap { s =>
-      val i = s.indexOf("PushedFilters: [")
-      if (i < 0) None
-      else Some(s.substring(i + "PushedFilters: [".length,
-        math.max(i, s.indexOf("]", i))))
+      s.linesIterator.find(_.contains("PushedFilters: [")).map { line =>
+        val start = line.indexOf("PushedFilters: [") + "PushedFilters: [".length
+        val end = line.lastIndexOf("]")
+        if (end > start) line.substring(start, end)
+        else line.substring(start).stripSuffix("...")
+      }
     }.filter(_.nonEmpty)
     Report(
       shuffleExchanges = nodes.count(_.isInstanceOf[ShuffleExchangeLike]),

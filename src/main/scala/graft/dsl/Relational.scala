@@ -1432,8 +1432,13 @@ object Relational {
         .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
         .withColumn("v", col("user_id") % 2)
       val st = u.groupBy("v").agg(count(lit(1)).as("n"), sum("conv").as("c"))
-      val a = st.where(col("v") === 0).select(col("n").as("n_a"), col("c").as("c_a"))
-      val b = st.where(col("v") === 1).select(col("n").as("n_b"), col("c").as("c_b"))
+      // global agg over the filtered frame, NOT select: an empty variant
+      // must still yield ONE row of nulls — the SQL twin's scalar
+      // subqueries do, and a 0-row cross join would hash-diverge from it
+      val a = st.where(col("v") === 0)
+        .agg(max("n").as("n_a"), max("c").as("c_a"))
+      val b = st.where(col("v") === 1)
+        .agg(max("n").as("n_b"), max("c").as("c_b"))
       val (ca, cb) = (col("c_a").cast("double"), col("c_b").cast("double"))
       val pPool = (ca + cb) / (col("n_a") + col("n_b"))
       // degenerate pool (0%/100% conversion): variance term is 0 → z := 0

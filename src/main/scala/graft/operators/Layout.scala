@@ -32,6 +32,14 @@ object Layout {
     call_function("graft_zorder", ord(x, xMin, xMax), ord(y, yMin, yMax))
   }
 
+  /** Deterministic table-name suffix for a data directory — managed-table
+    * names derived from a path must be stable across sessions AND
+    * distinct across scale factors (a bucketed table built from sf0.001
+    * must never be read by an sf0.01 run). Shared by the JOIN-BUCKETED
+    * query and every test that reopens its tables. */
+  def dirSuffix(dir: String): String = java.lang.Long.toHexString(
+    org.apache.spark.unsafe.types.UTF8String.fromString(dir).hashCode() & 0xffffffffL)
+
   /** Write `df` as a managed parquet table bucketed AND sorted by
     * `keyCol` — the sort-merge-bucket layout. Two tables bucketed the
     * same way (same key semantics, same bucket count) join with NO

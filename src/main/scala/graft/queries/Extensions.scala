@@ -668,8 +668,7 @@ object Extensions {
     // the PLAIN join SQL (bucketing is a layout, never a semantics change)
     "JOIN-BUCKETED" -> { (s, d) =>
       Tables.register(s, d)
-      val sfx = java.lang.Long.toHexString(
-        org.apache.spark.unsafe.types.UTF8String.fromString(d).hashCode() & 0xffffffffL)
+      val sfx = graft.operators.Layout.dirSuffix(d)
       val liT = s"graft_bkt_li_$sfx"
       val ordT = s"graft_bkt_ord_$sfx"
       graft.operators.Layout.bucketedWrite(

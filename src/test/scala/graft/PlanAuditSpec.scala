@@ -473,8 +473,7 @@ class PlanAuditSpec extends SparkSpec {
     // build the JOIN itself (pre-aggregation) on the bucketed tables the
     // declared query writes; disable broadcast so the claim under test is
     // the bucket layout satisfying the join distribution, not a broadcast
-    val sfx = java.lang.Long.toHexString(
-      org.apache.spark.unsafe.types.UTF8String.fromString(sfDir).hashCode() & 0xffffffffL)
+    val sfx = graft.operators.Layout.dirSuffix(sfDir)
     graft.queries.Extensions.queries("JOIN-BUCKETED")(spark, sfDir).collect()
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -51,8 +51,7 @@ class PlanReportSpec extends SparkSpec {
     val r = PlanReport.of(q)
     assert(r.globalSorts >= 1, r.render)
     // the bucketed zero-Exchange join reports zero shuffles
-    val sfx = java.lang.Long.toHexString(
-      org.apache.spark.unsafe.types.UTF8String.fromString(sfDir).hashCode() & 0xffffffffL)
+    val sfx = graft.operators.Layout.dirSuffix(sfDir)
     graft.queries.Extensions.queries("JOIN-BUCKETED")(spark, sfDir).collect()
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
