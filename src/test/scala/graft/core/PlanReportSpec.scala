@@ -63,4 +63,62 @@ class PlanReportSpec extends SparkSpec {
       assert(jr.sortMergeJoins === 1, jr.render)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("sweep: every declared query is flag-free outside the known-benign allowlist") {
+    // The allowlist is NOT an excuse list — each entry is a SHAPE the
+    // engine chose deliberately:
+    //  - 1-ROW STAT BROADCASTS: crossJoin(broadcast(1-row aggregate))
+    //    plans as BroadcastNestedLoopJoin — the standard scalar-broadcast
+    //    pattern (corpus totals, probe vectors, grid bounds); "nested
+    //    loop" over one row is a map-side lookup, not a pair blow-up.
+    //  - CONTRACT SINGLE-PARTITION WINDOWS: WIN-LAG-LEAD/FRAME-RANGE/
+    //    NTILE are the contract shapes whose -SCALE twins exist precisely
+    //    because of this flag; the twins' own unpartitioned windows run
+    //    over METADATA-SCALE reduced input (PlanAuditSpec asserts that).
+    //  - JOIN-CROSS: a 25x1 cartesian by definition.
+    // Anything NEWLY flagged means a query degenerated — fail loudly.
+    tables()
+    val allow: Map[String, String] = Map(
+      "AGG-SKYLINE" -> "frontier-sized global window (post local prune)",
+      "AGG-THETA-SETOPS" -> "1-row sketch frames crossed",
+      "AGG-TPCH-Q11" -> "1-row scalar threshold broadcast",
+      "DQ-SKEW" -> "1-row totals broadcast",
+      "EVENT-ABTEST" -> "1-row per-variant frames crossed",
+      "EVENT-CONCURRENCY" -> "contract shape; -SCALE twin exists",
+      "EVENT-CONCURRENCY-SCALE" -> "block-offset window over bucket summaries",
+      "EVENT-FUNNEL" -> "1-row step-count broadcast",
+      "EVENT-RFM" -> "1-row reference-date broadcast",
+      "EVENT-STICKINESS" -> "7-day band join, day-grid sized",
+      "JOIN-CROSS" -> "cartesian by definition (25x1)",
+      "JOIN-TPCH-Q22" -> "1-row avg-balance scalar broadcast",
+      "LLM-ANN-PROBES" -> "probe-vector set broadcast",
+      "LLM-COSINE-TOPK" -> "1-row probe vector broadcast",
+      "LLM-EMB-PAIRS" -> "small-table self pairs with id band",
+      "STREAM-SLIDE" -> "2-row shift frame crossed",
+      "TEXT-BIGRAM-LM" -> "1-row vocab totals broadcast",
+      "TEXT-BM25" -> "1-row corpus stats broadcast",
+      "TEXT-PERPLEXITY" -> "1-row totals broadcast",
+      "TEXT-PMI" -> "1-row unigram/bigram totals broadcast",
+      "TEXT-TFIDF" -> "1-row doc-count broadcast",
+      "TS-HIST-QUANTILE" -> "3-row quantile frame crossed",
+      "TS-LOCF" -> "1-row bounds broadcast",
+      "TS-XCORR" -> "small lag-grid frame crossed",
+      "WIN-FRAME-RANGE" -> "contract shape; -SCALE twin exists",
+      "WIN-LAG-LEAD" -> "contract shape; -SCALE twin exists",
+      "WIN-LAG-LEAD-SCALE" -> "edge-row window over bucket summaries",
+      "WIN-NTILE" -> "contract shape; -SCALE twin exists",
+      "WIN-NTILE-SCALE" -> "tile-offset window over bucket summaries")
+    val flagged = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (id, fn) =>
+        val r = PlanReport.of(fn(spark, sfDir), execute = false)
+        if (r.flags.nonEmpty) Some(id -> r.flags.mkString("; ")) else None
+    }
+    val unexpected = flagged.filterNot { case (id, _) => allow.contains(id) }
+    assert(unexpected.isEmpty,
+      s"newly flagged queries (scale regression?):\n${unexpected.mkString("\n")}")
+    // and the allowlist must not rot: entries that no longer flag should
+    // be removed so the list stays meaningful
+    val gone = allow.keySet -- flagged.map(_._1).toSet
+    assert(gone.isEmpty, s"allowlist entries no longer flagged — prune: $gone")
+  }
 }
