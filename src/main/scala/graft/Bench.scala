@@ -70,8 +70,14 @@ object Bench {
       .mkString("[", ",", "]")
     val total39 = results.collect { case (k, v, true) if baselineIds(k) => v }.sum
     val totalAll = results.collect { case (_, v, true) => v }.sum
+    // per-pass totals over the SAME query set as `value` (ok in ALL
+    // passes): a query that fails in only one pass must not make
+    // value_spread reflect membership differences instead of timing noise
+    val headlineOk = results.collect {
+      case (k, _, true) if baselineIds(k) => k
+    }.toSet
     val passTotals = passes.map(_.collect {
-      case (k, v, true) if baselineIds(k) => v
+      case (k, v, _) if headlineOk(k) => v
     }.sum)
     val passesJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val spread = passTotals.max - passTotals.min

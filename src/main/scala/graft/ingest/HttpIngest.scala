@@ -37,6 +37,15 @@ object HttpIngest {
 
   private val seq = new AtomicLong(0L)
 
+  /** Per-JVM random component baked into every spool file name. The
+    * scaladoc blesses N bridges sharing one object-store prefix; a name
+    * built only from millis+sequence is unique per JVM, not per FLEET —
+    * two processes can draw the same pair and the later ATOMIC_MOVE would
+    * silently replace an already-acked body. 64 random bits fix the
+    * namespace, not the clock. */
+  private val jvmTag: String =
+    java.lang.Long.toHexString(new java.security.SecureRandom().nextLong() | (1L << 62))
+
   /** A running bridge; `stop()` releases the port (in-flight requests get
     * up to one second to drain). */
   final class Bridge private[HttpIngest] (server: HttpServer, val port: Int,
@@ -125,8 +134,8 @@ object HttpIngest {
         try in.readAllBytes() finally in.close()
       } else raw
     if (body.isEmpty) { respond(ex, 400, "empty body"); return }
-    // unique, monotonic-ish name; atomic rename = publication
-    val name = f"body-${System.currentTimeMillis()}%013d-${seq.incrementAndGet()}%08d.dat"
+    // globally unique, monotonic-ish name; atomic rename = publication
+    val name = f"body-${System.currentTimeMillis()}%013d-$jvmTag-${seq.incrementAndGet()}%08d.dat"
     val staged = tmp.resolve(name)
     Files.write(staged, body)
     Files.move(staged, spool.resolve(name), StandardCopyOption.ATOMIC_MOVE)

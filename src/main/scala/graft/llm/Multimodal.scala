@@ -92,8 +92,9 @@ object Multimodal {
   // without codec libraries: RIFF/WAV 16-bit PCM and 24-bit BMP. These
   // replace the stub for these formats — header validation, chunk
   // walking, little-endian sample reads, BMP row padding and bottom-up
-  // layout are the genuine article. Compressed formats (JPEG/MP3/H.264)
-  // remain environment-blocked: no codec libraries in this sandbox.
+  // layout are the genuine article. Compressed IMAGE formats go through
+  // the JDK's ImageIO codecs ([[decodeImage]]: PNG/JPEG/GIF/TIFF); only
+  // MP3/H.264 remain environment-blocked — no JVM codec exists.
 
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)

@@ -42,6 +42,10 @@ object SnapshotTable {
   /** A resolved snapshot: version + ABSOLUTE data-file paths. */
   final case class Snapshot(version: Long, files: Seq[String])
 
+  /** Age after which a fallback-path commit lock left by a crashed writer
+    * is taken over (the commit-point flip it guards is milliseconds). */
+  private val lockStaleMs = 60000L
+
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -123,9 +127,30 @@ object SnapshotTable {
           case _: java.nio.file.FileAlreadyExistsException =>
             f.delete(tmp, false); false
           case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-            // no hard links on this mount: exists+rename fallback (the
-            // pre-check narrows but cannot fully close the race window)
-            !f.exists(target) && f.rename(tmp, target)
+            // no hard links on this mount (some NFS/FUSE): narrow the
+            // exists+rename window with a best-effort O_EXCL lock file
+            // (java.nio createFile is atomic on POSIX-compliant mounts;
+            // on mounts where even THAT is emulated, concurrency is
+            // weaker than advertised — documented). A crashed holder's
+            // lock older than `lockStaleMs` is taken over.
+            val lock = java.nio.file.Paths.get(
+              f.makeQualified(new Path(snapDir(root), f".v$v%020d.lock")).toUri.getPath)
+            def acquire(): Boolean =
+              try { java.nio.file.Files.createFile(lock); true }
+              catch {
+                case _: java.nio.file.FileAlreadyExistsException =>
+                  try {
+                    val age = System.currentTimeMillis() -
+                      java.nio.file.Files.getLastModifiedTime(lock).toMillis
+                    age > lockStaleMs &&
+                      java.nio.file.Files.deleteIfExists(lock) &&
+                      { java.nio.file.Files.createFile(lock); true }
+                  } catch { case _: Exception => false }
+                case _: Exception => false
+              }
+            if (!acquire()) false
+            else try !f.exists(target) && f.rename(tmp, target)
+            finally java.nio.file.Files.deleteIfExists(lock)
         }
       } else f.rename(tmp, target)
     if (!won) {
@@ -173,14 +198,22 @@ object SnapshotTable {
       }
   }
 
+  /** Stats publish uses the SAME staged-write+rename primitive as the
+    * manifest: a reader resolving the just-committed version must never
+    * observe a torn sidecar (it runs AFTER the commit point, so a
+    * concurrent stats()/pruneFiles() is legal). A failed rename degrades
+    * to no sidecar — the documented no-false-negative fallback (all
+    * files kept). */
   private def writeStats(spark: SparkSession, root: String, v: Long,
                          lines: Seq[String]): Unit = {
     if (lines.isEmpty) return
     val f = fs(spark, root)
-    val out = f.create(statsPath(root, v), true)
+    val tmp = new Path(snapDir(root), s".tmp-stats-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
     try out.write(lines.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (!f.rename(tmp, statsPath(root, v))) f.delete(tmp, false)
   }
 
   /** (normalized file, col) → (min, max); empty when the version carries
@@ -196,10 +229,18 @@ object SnapshotTable {
       org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
       bos.toByteArray
     } finally in.close()
+    // tolerate malformed/truncated lines (a torn sidecar from a pre-fix
+    // writer, or a partial copy): a skipped line means that (file, col)
+    // carries no stats and is always KEPT — degradation is no pruning,
+    // never a wrong answer
     new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
-        val Array(file, c, mn, mx) = line.split("\t", 4)
-        (file, c) -> (mn.toDouble, mx.toDouble)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+        line.split("\t", 4) match {
+          case Array(file, c, mn, mx) =>
+            try Some((file, c) -> (mn.toDouble, mx.toDouble))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
       }.toMap
   }
 
@@ -308,28 +349,44 @@ object SnapshotTable {
     * stays effective ACROSS merges — without it the merge's hash shuffle
     * leaves every file spanning the whole domain (the reason table
     * formats re-cluster on write). */
+  /** `deleteCol` adds the MERGE delete arms: when set, `updates` carries
+    * a BOOLEAN column of that name and an update row with it true is a
+    * TOMBSTONE — if it wins last-write-wins for its key, the key is
+    * REMOVED from the new snapshot (`WHEN MATCHED THEN DELETE`; the
+    * caller's predicate building the tombstone set is the `AND cond`).
+    * A tombstone for an absent key is a no-op (`WHEN NOT MATCHED` has no
+    * delete arm, per SQL MERGE). Earlier versions still hold the row —
+    * delete-then-time-travel works like every snapshot format. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             keyCols: Seq[String], versionCol: String,
             expectedVersion: Option[Long] = None,
             statsCols: Seq[String] = Seq.empty,
             clusterBy: Option[String] = None,
-            clusterFiles: Int = 0): Long = {
+            clusterFiles: Int = 0,
+            deleteCol: Option[String] = None): Long = {
     require(keyCols.nonEmpty, "keyCols must not be empty")
+    deleteCol.foreach(c => require(updates.columns.contains(c),
+      s"deleteCol '$c' not in updates columns ${updates.columns.mkString(",")}"))
     val snap = latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no table at $root — create() first"))
     expectedVersion.foreach { v =>
       if (v != snap.version) throw new java.util.ConcurrentModificationException(
         s"expected base v$v but latest is v${snap.version} at $root")
     }
-    val cur = readFiles(spark, snap.files).withColumn("__src", lit(0))
+    val base = readFiles(spark, snap.files)
+    val cur = deleteCol.foldLeft(base.withColumn("__src", lit(0)))(
+      (d, c) => d.withColumn(c, lit(false)))
     val upd = updates.withColumn("__src", lit(1))
-    val merged = cur.unionByName(upd)
+    val survivors = cur.unionByName(upd)
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*)
           .orderBy(col(versionCol).desc, col("__src").desc)))
       .where(col("__rn") === 1)
       .drop("__rn", "__src")
+    // a winning tombstone deletes its key; the column never hits disk
+    val merged = deleteCol.foldLeft(survivors)(
+      (d, c) => d.where(!col(c)).drop(c))
     // explicit partition count (clusterFiles, defaulting to the current
     // file count): keeps the file count stable across merges and stops
     // AQE from coalescing the range shuffle into one domain-spanning file
@@ -345,6 +402,35 @@ object SnapshotTable {
       next
     } catch { case e: java.util.ConcurrentModificationException =>
       cleanupOrphans(spark, root, files); throw e }
+  }
+
+  /** The standard optimistic-concurrency loop every table format ships:
+    * on losing the commit race, re-read the NEW latest snapshot and
+    * re-apply the merge against it (last-write-wins keyed semantics make
+    * re-application correct — the loser's updates still win their keys
+    * by `versionCol`). Gives lock-free progress for N concurrent
+    * writers: someone always commits, losers pay one extra rewrite.
+    * Throws the final `ConcurrentModificationException` after
+    * `maxAttempts` consecutive losses. */
+  def mergeWithRetry(spark: SparkSession, root: String, updates: DataFrame,
+                     keyCols: Seq[String], versionCol: String,
+                     maxAttempts: Int = 5,
+                     statsCols: Seq[String] = Seq.empty,
+                     clusterBy: Option[String] = None,
+                     clusterFiles: Int = 0,
+                     deleteCol: Option[String] = None): Long = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    var attempt = 1
+    while (true) {
+      try return merge(spark, root, updates, keyCols, versionCol,
+        expectedVersion = None, statsCols = statsCols, clusterBy = clusterBy,
+        clusterFiles = clusterFiles, deleteCol = deleteCol)
+      catch { case e: java.util.ConcurrentModificationException =>
+        if (attempt >= maxAttempts) throw e
+        attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Retention: keep the newest `keepVersions` manifests; drop older
@@ -396,6 +482,9 @@ object SnapshotTable {
     dropNow.foreach { v =>
       f.delete(manifestPath(root, v), false)
       f.delete(statsPath(root, v), false)
+      // the streaming sink's txn ledger entry retires with its version;
+      // the high-water mark survives in the retained versions' sidecars
+      f.delete(new Path(snapDir(root), f"v$v%020d.txn"), false)
     }
     dead.size
   }

@@ -1,0 +1,61 @@
+package graft.storage
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+class SnapshotSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = Files.createTempDirectory("snapsink").toString + "/t"
+
+  test("replayed micro-batch commits exactly once (batch-id ledger)") {
+    val root = newRoot()
+    val b0 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "s", "v")
+    // batch 0 creates the table
+    assert(SnapshotSink.commitBatch(spark, root, 0L, b0, Seq("k"), "v") === 1L)
+    assert(SnapshotSink.lastCommittedBatch(spark, root) === 0L)
+    // REPLAY of batch 0 (the post-failure redelivery Spark guarantees):
+    // no new version, same content
+    assert(SnapshotSink.commitBatch(spark, root, 0L, b0, Seq("k"), "v") === 1L)
+    assert(SnapshotTable.versions(spark, root) === Seq(1L))
+    // batch 1 merges; its replay is again a no-op
+    val b1 = Seq((2L, "B", 2L), (3L, "c", 2L)).toDF("k", "s", "v")
+    assert(SnapshotSink.commitBatch(spark, root, 1L, b1, Seq("k"), "v") === 2L)
+    assert(SnapshotSink.commitBatch(spark, root, 1L, b1, Seq("k"), "v") === 2L)
+    assert(SnapshotTable.versions(spark, root) === Seq(1L, 2L))
+    val got = SnapshotTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // a LATE batch below the high-water mark (a re-run from an old
+    // checkpoint) is also refused
+    assert(SnapshotSink.commitBatch(spark, root, 0L, b0, Seq("k"), "v") === 2L)
+    assert(SnapshotTable.versions(spark, root) === Seq(1L, 2L))
+  }
+
+  test("end-to-end: readStream → foreachBatch → ACID snapshot table") {
+    implicit val sq = spark.sqlContext
+    val root = newRoot()
+    val in = MemoryStream[(Long, String, Long)]
+    val q = in.toDF().toDF("k", "s", "v")
+      .writeStream
+      .outputMode("update")
+      .foreachBatch(SnapshotSink.foreachBatchMerge(root, Seq("k"), "v"))
+      .start()
+    try {
+      in.addData((1L, "a", 1L), (2L, "b", 1L))
+      q.processAllAvailable()
+      in.addData((2L, "B", 2L), (3L, "c", 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = SnapshotTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(SnapshotTable.versions(spark, root) === Seq(1L, 2L))
+    assert(SnapshotSink.lastCommittedBatch(spark, root) === 1L)
+    // time travel into the stream's history still works
+    assert(SnapshotTable.readVersion(spark, root, 1L).count() === 2)
+  }
+}

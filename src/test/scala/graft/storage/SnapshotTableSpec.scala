@@ -170,6 +170,55 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root) === Seq(1L, 2L))
   }
 
+  test("delete arms: a winning tombstone removes the key; time travel keeps it") {
+    val root = newRoot()
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("k", "s", "v")
+    SnapshotTable.create(spark, root, base)
+    // k=2: WHEN MATCHED THEN DELETE; k=3: plain upsert in the SAME merge;
+    // k=9: tombstone for an absent key — WHEN NOT MATCHED has no delete
+    // arm, so it must be a no-op, not a resurrected phantom row
+    val upd = Seq((2L, "x", 2L, true), (3L, "C", 2L, false), (9L, "x", 2L, true))
+      .toDF("k", "s", "v", "del")
+    assert(SnapshotTable.merge(spark, root, upd, Seq("k"), "v",
+      deleteCol = Some("del")) === 2L)
+    val got = SnapshotTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (3L, "C")))
+    assert(!SnapshotTable.read(spark, root).columns.contains("del"))
+    // a STALE tombstone (older versionCol) must not delete the newer row
+    val stale = Seq((3L, "x", 1L, true)).toDF("k", "s", "v", "del")
+    SnapshotTable.merge(spark, root, stale, Seq("k"), "v", deleteCol = Some("del"))
+    assert(SnapshotTable.read(spark, root).where(col("k") === 3).count() === 1)
+    // delete-then-time-travel: v1 still has the deleted key
+    assert(SnapshotTable.readVersion(spark, root, 1L)
+      .where(col("k") === 2).count() === 1)
+  }
+
+  test("mergeWithRetry: both racing writers land (versions N+1, N+2)") {
+    import java.util.concurrent.{CountDownLatch, ConcurrentLinkedQueue}
+    val root = newRoot()
+    SnapshotTable.create(spark, root,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "s", "v"))
+    val gate = new CountDownLatch(1)
+    val versions = new ConcurrentLinkedQueue[java.lang.Long]()
+    val threads = Seq("w1", "w2").map { w =>
+      new Thread(() => {
+        val upd = Seq((if (w == "w1") 1L else 2L, w, 2L)).toDF("k", "s", "v")
+        gate.await()
+        versions.add(SnapshotTable.mergeWithRetry(spark, root, upd, Seq("k"), "v"))
+      })
+    }
+    threads.foreach(_.start())
+    gate.countDown()
+    threads.foreach(_.join(120000))
+    assert(versions.toArray.map(_.toString.toLong).sorted.toSeq === Seq(2L, 3L),
+      "the loser must retry onto the next version, not throw")
+    // BOTH writers' rows are in the final table — no lost update
+    val s3 = SnapshotTable.read(spark, root)
+    assert(s3.where(col("s") === "w1").count() === 1)
+    assert(s3.where(col("s") === "w2").count() === 1)
+  }
+
   test("NaN stat values never cause a false-negative prune") {
     val root = newRoot()
     val sq = spark; import sq.implicits._
