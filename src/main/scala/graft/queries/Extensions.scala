@@ -773,6 +773,88 @@ object Extensions {
             .as("total"))
         .orderBy("prio")
     },
+    // the DSv2 connector end-to-end: snapshot-table create (range-
+    // clustered with a stats sidecar) → ORDINARY spark.read.format read →
+    // plain .where() — the predicate pushes into the connector, prunes
+    // files through the sidecar AND row groups through the parquet
+    // footer stats, then Spark re-applies it exactly (residual). Content
+    // never changes, so the oracle is the plain SQL over raw orders;
+    // SnapshotDsv2Spec separately asserts the files=<kept>/<total> plan
+    // evidence.
+    "SCAN-SNAPSHOT-PRUNED" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_snapdsv2")
+        .toString + "/t"
+      val base = s.table("orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"), lit(1L).as("v"))
+        .repartitionByRange(8, col("k"))
+      graft.storage.SnapshotTable.create(s, root, base, statsCols = Seq("k"))
+      s.read.format("graft-snapshot").load(root)
+        .where(col("k") >= 1000 && col("k") <= 3000)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("prio")
+    },
+    // MERGE with BOTH arms in one commit: tombstones delete every 7th
+    // key (WHEN MATCHED THEN DELETE), disjoint upserts rewrite every
+    // remaining 5th key — disjoint so last-write-wins never has to break
+    // an upsert-vs-tombstone tie. The oracle replays both arms in plain
+    // SQL over raw orders.
+    "UPSERT-DELETE" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_merge_del")
+        .toString + "/t"
+      val base = s.table("orders").where(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"), lit(1L).as("v"))
+      graft.storage.SnapshotTable.create(s, root, base)
+      val dels = s.table("orders")
+        .where(col("o_orderkey") <= 4000 && col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"), lit("X").as("prio"),
+          lit(0.0).as("price"), lit(2L).as("v"), lit(true).as("del"))
+      val ups = s.table("orders")
+        .where(col("o_orderkey") <= 4000 && col("o_orderkey") % 5 === 0 &&
+          col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("k"), lit("MERGED").as("prio"),
+          (col("o_totalprice") + 1000.0).as("price"), lit(2L).as("v"),
+          lit(false).as("del"))
+      graft.storage.SnapshotTable.merge(s, root, dels.unionByName(ups),
+        Seq("k"), "v", deleteCol = Some("del"))
+      graft.storage.SnapshotTable.read(s, root)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("prio")
+    },
+    // time travel through the DSv2 option: the same table read at
+    // versionAsOf=1 and at latest in ONE result (tagged union), so a
+    // broken manifest pin would hash-mismatch on the v1 half
+    "SNAPSHOT-TIMETRAVEL" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_timetravel")
+        .toString + "/t"
+      val base = s.table("orders").where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          lit(1L).as("v"))
+      graft.storage.SnapshotTable.create(s, root, base)
+      val upd = s.table("orders")
+        .where(col("o_orderkey") <= 2000 && col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") + 500.0).as("price"), lit(2L).as("v"))
+      graft.storage.SnapshotTable.merge(s, root, upd, Seq("k"), "v")
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+          .select(lit(tag).as("ver"), col("n"), col("total"))
+      agg(s.read.format("graft-snapshot").option("versionAsOf", 1).load(root), "v1")
+        .unionByName(agg(s.read.format("graft-snapshot").load(root), "v2"))
+        .orderBy("ver")
+    },
     // deterministic train/val/test split (the assignment step every
     // training pipeline runs first): hash-bucket the STABLE doc id into
     // 80/10/10 — a pure per-row function, reproducible forever, immune to
@@ -1777,6 +1859,36 @@ object Extensions {
         |SELECT prio, count(*) AS n,
         |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM m GROUP BY prio ORDER BY prio""".stripMargin,
+    // DSv2 reads never change content: plain SQL over raw orders
+    "SCAN-SNAPSHOT-PRUNED" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY prio ORDER BY prio""".stripMargin,
+    // both MERGE arms replayed: every 7th key deleted, every remaining
+    // 5th rewritten
+    "UPSERT-DELETE" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    o_totalprice AS price FROM orders WHERE o_orderkey <= 4000),
+        |m AS (SELECT k,
+        |    CASE WHEN k % 5 = 0 AND k % 7 <> 0 THEN 'MERGED' ELSE prio END AS prio,
+        |    CASE WHEN k % 5 = 0 AND k % 7 <> 0 THEN price + 1000.0 ELSE price END AS price
+        |  FROM base WHERE k % 7 <> 0)
+        |SELECT prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM m GROUP BY prio ORDER BY prio""".stripMargin,
+    // v1 = the pre-merge base, v2 = every 4th key's price bumped
+    "SNAPSHOT-TIMETRAVEL" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price
+        |    FROM orders WHERE o_orderkey <= 2000),
+        |m AS (SELECT k, CASE WHEN k % 4 = 0 THEN price + 500.0 ELSE price END AS price
+        |  FROM base)
+        |SELECT 'v1' AS ver, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total FROM base
+        |UNION ALL
+        |SELECT 'v2' AS ver, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total FROM m
+        |ORDER BY ver""".stripMargin,
     "SAMPLE-SPLIT" ->
       """WITH h AS (SELECT doc_id, lang,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -57,7 +57,7 @@ object SnapshotTable {
 
   /** Scheme-free normal form so stats keys match manifest paths whatever
     * prefix (`file:`, `file://`) each API layer used. */
-  private def norm(p: String): String = new Path(p).toUri.getPath
+  private[storage] def norm(p: String): String = new Path(p).toUri.getPath
 
   private def listParquetStatuses(f: FileSystem,
                                   dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
