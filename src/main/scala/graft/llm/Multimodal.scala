@@ -385,6 +385,85 @@ object Multimodal {
                  pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] =
     encodeImage("tiff", width, height, pixel)
 
+  /** Encode a REAL multi-frame (animated) GIF via the JDK codec's
+    * sequence API (`prepareWriteSequence`/`writeToSequence`): each frame
+    * is written WHOLE (no inter-frame delta), so reading frame i back
+    * returns exactly frame i's raster. Frames with ≤256 distinct colors
+    * are palette-exact — the MM-GIF-FRAMES oracle contract.
+    * `pixel(frame, x, y)` → (r, g, b). */
+  def encodeAnimatedGif(width: Int, height: Int, nFrames: Int,
+                        pixel: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(nFrames >= 1, "need at least one frame")
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no JDK GIF writer")
+    val writer = writers.next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = renderRgb(width, height, (x, y) => pixel(f, x, y))
+        val md = writer.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img),
+          writer.getDefaultWriteParam)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose(); ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** Decode EVERY frame of a (possibly animated) GIF: per-frame
+    * dimensions + channel means, in frame order. Per-row executor-side
+    * work like every decoder here. */
+  def decodeGifFrames(bytes: Array[Byte]): Seq[ImageInfo] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "no JDK ImageIO codec recognizes this payload")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      require(reader.getFormatName.equalsIgnoreCase("gif"),
+        s"expected a GIF, ImageIO sniffed ${reader.getFormatName}")
+      val n = reader.getNumImages(true)
+      (0 until n).map { f =>
+        val img = reader.read(f)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = row(x)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val np = w.toLong * h
+        ImageInfo(w, h, sr.toDouble / np, sg.toDouble / np, sb.toDouble / np, "gif")
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Keyframe sampling over an animated GIF: every `step`-th frame
+    * (0, step, 2·step, …) with its decoded summary — the video-pipeline
+    * frame-sample shape, on the one motion format a bare JVM can decode. */
+  def gifFrameSample(bytes: Array[Byte], step: Int): Seq[(Int, ImageInfo)] = {
+    require(step >= 1, "step must be >= 1")
+    decodeGifFrames(bytes).zipWithIndex.collect {
+      case (info, idx) if idx % step == 0 => (idx, info)
+    }
+  }
+
   /** Decode any image format the JDK ships a codec for (PNG, JPEG, GIF,
     * BMP, TIFF, WBMP) and summarize: dimensions + per-channel means +
     * sniffed format name. PNG round-trips losslessly, so means computed

@@ -146,6 +146,7 @@ object Similarity {
     * Empty cells keep their previous centroid. Returns (cell, centroid). */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 8,
                       iters: Int = 5): Array[(Int, Array[Double])] = {
+    graft.functions.expressions.GraftFunctions.register(embeddings.sparkSession)
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
@@ -438,20 +439,37 @@ object Similarity {
     *
     * Returns the KEPT rows (input schema unchanged). */
   def semanticDedup(embeddings: DataFrame, threshold: Double,
-                    cells: Int = 8, iters: Int = 5): DataFrame = {
+                    cells: Int = 8, iters: Int = 5): DataFrame =
+    semanticDedupWithModel(embeddings, threshold,
+      kmeansCentroids(embeddings, cells, iters))
+
+  /** [[semanticDedup]] with a caller-supplied quantizer model — lets the
+    * caller share ONE trained model between the dedup and any
+    * post-condition verification (the LLM-SEMDEDUP oracle re-checks
+    * "no two kept docs in a cell are near-dups" against the exact
+    * centroids the dedup used). */
+  def semanticDedupWithModel(embeddings: DataFrame, threshold: Double,
+                             model: Array[(Int, Array[Double])]): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(embeddings.sparkSession)
-    val model = kmeansCentroids(embeddings, cells, iters)
-    val assigned = assignCells(graft.core.Tables.spread(embeddings, "vec_id"), model)
-    val a = assigned.select(col("cell"), col("vec_id").as("va"), col("embedding").as("ea"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vb"), col("embedding").as("eb"))
-    val pairs = a.join(b, Seq("cell"))
-      .filter(col("va") < col("vb"))
-      .filter(cosineNative(col("ea"), col("eb")) >= threshold)
-      .select(col("va"), col("vb"))
+    val pairs = cellNearDupPairs(embeddings, threshold, model)
     val cc = Dedup.connectedComponentsStar(pairs)
     val drop = cc.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("vec_id"))
     embeddings.join(drop, Seq("vec_id"), "left_anti")
+  }
+
+  /** The within-cell near-dup edge list (va < vb) SemDeDup components
+    * are built from — exposed so verification can reuse it. */
+  def cellNearDupPairs(embeddings: DataFrame, threshold: Double,
+                       model: Array[(Int, Array[Double])]): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(embeddings.sparkSession)
+    val assigned = assignCells(graft.core.Tables.spread(embeddings, "vec_id"), model)
+    val a = assigned.select(col("cell"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .filter(cosineNative(col("ea"), col("eb")) >= threshold)
+      .select(col("va"), col("vb"))
   }
 
   /** Top-n most similar corpus pairs (va < vb) by cosine: (va, vb, cos).

@@ -274,9 +274,65 @@ object Extensions {
       }
       rows.toDF("probe_id", "n", "recall_ok")
     },
+    // SemDeDup (Abbas et al. 2023) end-to-end under the bound-check
+    // contract: k-means cells → within-cell near-dup edges → connected
+    // components → keep min-id per component. The oracle predicts the
+    // exact corpus count plus three POST-CONDITIONS that are theorems of
+    // a correct implementation (so any bucketing/CC/anti-join bug flips
+    // one to false): (a) no two KEPT docs within a cell are near-dups,
+    // (b) every DROPPED doc touches at least one near-dup edge, (c) the
+    // kept fraction sits in a wide fixture band (SemDedupProbe measured
+    // 0.75 / 0.74 / 0.22 at sf0.001/0.01/0.1, θ=0.35; bound [0.05, 0.98]
+    // — also proves the dedup dropped something AND kept something).
+    "LLM-SEMDEDUP" -> { (s, d) =>
+      import s.implicits._
+      val e = embs(s, d)
+      val thr = 0.35
+      val model = Similarity.kmeansCentroids(e, k = 4, iters = 3)
+      val kept = Similarity.semanticDedupWithModel(e, thr, model)
+      val pairs = Similarity.cellNearDupPairs(e, thr, model)
+      val n = e.count()
+      val nk = kept.count()
+      val keptNearDups = Similarity.cellNearDupPairs(kept, thr, model).count()
+      val linked = pairs.select(col("va").as("vid"))
+        .union(pairs.select(col("vb").as("vid"))).distinct()
+      val unlinkedDropped = e.select("vec_id")
+        .join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
+        .join(linked, col("vec_id") === col("vid"), "left_anti").count()
+      val frac = nk.toDouble / n
+      Seq((n, keptNearDups == 0L, unlinkedDropped == 0L,
+          frac >= 0.05 && frac <= 0.98))
+        .toDF("n", "no_kept_neardups_ok", "dropped_linked_ok", "kept_frac_ok")
+    },
     "MM-BINARY-META" -> ((s, d) =>
       Multimodal.binaryMeta(Multimodal.documentsAsMedia(s, docs(s, d)).toDF())
         .orderBy(col("media_id")).limit(50)),
+    // REAL animated-GIF keyframe sampling end-to-end: encode k-keyed
+    // multi-frame GIFs (uniform color per frame — palette-exact, so the
+    // decoded channel means equal the generative formula EXACTLY), then
+    // sample every 2nd frame through the JDK codec. The whole encode/
+    // decode round-trip happens executor-side; DuckDB replays the frame
+    // grid + color formula analytically.
+    "MM-GIF-FRAMES" -> { (s, d) =>
+      import s.implicits._
+      val ks = docs(s, d).where(col("doc_id") < 12)
+        .select(col("doc_id")).as[Long]
+      val blobs = ks.map { k =>
+        val w = 16 + (k % 5).toInt
+        val h = 8 + (k % 3).toInt
+        val nf = 2 + (k % 4).toInt
+        (k, Multimodal.encodeAnimatedGif(w, h, nf, (f, _, _) =>
+          (((k * 7 + f * 11) % 256).toInt,
+           ((k * 5 + f * 13) % 256).toInt,
+           ((k * 3 + f * 17) % 256).toInt)))
+      }
+      blobs.flatMap { case (k, bytes) =>
+        Multimodal.gifFrameSample(bytes, step = 2).map { case (idx, i) =>
+          (k, idx, i.width, i.height, i.meanR, i.meanG, i.meanB)
+        }
+      }.toDF("k", "frame_idx", "width", "height", "mr", "mg", "mb")
+        .orderBy("k", "frame_idx")
+    },
     "PARSE-COMMAKEYS" -> { (s, d) =>
       val metric = concat(lit("svc."), col("event_type"), lit(".count[user="),
         col("user_id").cast("string"), lit(",ev="), col("event_id").cast("string"), lit("]"))
@@ -2510,6 +2566,12 @@ object Extensions {
     "LLM-ANN-INDEXED" ->
       """SELECT CAST(x AS BIGINT) AS probe_id, 10 AS n, true AS recall_ok
         |FROM (VALUES (0), (1), (2)) t(x) ORDER BY probe_id""".stripMargin,
+    // deterministic cells/edges/components: the oracle predicts the
+    // count and all three post-condition booleans
+    "LLM-SEMDEDUP" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, true AS no_kept_neardups_ok,
+        |  true AS dropped_linked_ok, true AS kept_frac_ok
+        |FROM embeddings""".stripMargin,
     "LLM-ANN-PROBES" ->
       """WITH probes AS (SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id IN (0,1,2)),
         |scored AS (SELECT probes.probe_id, e.vec_id,
@@ -2520,6 +2582,18 @@ object Extensions {
         |  FROM scored)
         |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= 3
         |ORDER BY probe_id, rank""".stripMargin,
+    // frames 0..(2 + k%4 - 1), every 2nd sampled; uniform-color frames
+    // decode to their generative formula exactly
+    "MM-GIF-FRAMES" ->
+      """WITH ks AS (SELECT doc_id AS k FROM documents WHERE doc_id < 12),
+        |fr AS (SELECT k, CAST(g.f AS INT) AS frame_idx FROM ks
+        |  CROSS JOIN unnest(generate_series(0, CAST(1 + k % 4 AS INT))) AS g(f))
+        |SELECT k, frame_idx,
+        |  CAST(16 + k % 5 AS INT) AS width, CAST(8 + k % 3 AS INT) AS height,
+        |  CAST((k*7 + frame_idx*11) % 256 AS DOUBLE) AS mr,
+        |  CAST((k*5 + frame_idx*13) % 256 AS DOUBLE) AS mg,
+        |  CAST((k*3 + frame_idx*17) % 256 AS DOUBLE) AS mb
+        |FROM fr WHERE frame_idx % 2 = 0 ORDER BY k, frame_idx""".stripMargin,
     "MM-BINARY-META" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS digest, upper(substr(hex(encode(text)), 1, 16)) AS head_hex
