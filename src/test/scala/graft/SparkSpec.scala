@@ -18,7 +18,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       case null => "NULL"
       case d: Double => f"$d%.4f"
       case f: Float => f"$f%.4f"
+      case b: Array[Byte] => b.map("%02x".format(_)).mkString
       case s: Seq[_] => s.mkString("[", ",", "]")
+      case m: scala.collection.Map[_, _] =>
+        m.toSeq.map { case (k, v) => s"$k=$v" }.sorted.mkString("{", ",", "}")
       case v => v.toString
     }.mkString("|"))
 }
