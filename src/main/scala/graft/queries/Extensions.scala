@@ -886,6 +886,53 @@ object Extensions {
             .as("total"))
         .orderBy("prio")
     },
+    // the DSv2 WRITE path + O(batch) append end-to-end: the first
+    // df.write CREATES the table through the connector's own parquet
+    // writer, the second APPENDS (metadata-only commit — no rewrite of
+    // existing files), the read goes back through the connector. Content
+    // equals the two halves' union, so the oracle is plain SQL over raw
+    // orders.
+    "SNAPSHOT-APPEND" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_snapappend")
+        .toString + "/t"
+      def half(pred: org.apache.spark.sql.Column) = s.table("orders")
+        .where(pred)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+      half(col("o_orderkey") <= 2000)
+        .write.format("graft-snapshot").mode("append").save(root)
+      half(col("o_orderkey") > 2000 && col("o_orderkey") <= 4000)
+        .write.format("graft-snapshot").mode("append").save(root)
+      s.read.format("graft-snapshot").load(root)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("prio")
+    },
+    // OPTIMIZE: compact a 16-file layout into 4 range-clustered files and
+    // read THROUGH the compacted version — compaction is pure layout
+    // work, so the oracle is the plain SQL; SnapshotTableSpec separately
+    // asserts the file counts and post-compact prunability
+    "OPTIMIZE-COMPACT" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_compact")
+        .toString + "/t"
+      val base = s.table("events")
+        .select(col("event_id").as("k"), col("event_type"), col("value"))
+        .repartition(16)
+      graft.storage.SnapshotTable.create(s, root, base)
+      graft.storage.SnapshotTable.compact(s, root, targetFiles = 4,
+        clusterBy = Some("k"), statsCols = Seq("k"))
+      s.read.format("graft-snapshot").load(root)
+        .where(col("k") % 3 === 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("sv"))
+        .orderBy("event_type")
+    },
     // time travel through the DSv2 option: the same table read at
     // versionAsOf=1 and at latest in ONE result (tagged union), so a
     // broken manifest pin would hash-mismatch on the v1 half
@@ -1933,6 +1980,18 @@ object Extensions {
         |SELECT prio, count(*) AS n,
         |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM m GROUP BY prio ORDER BY prio""".stripMargin,
+    // append never changes content: union of the two halves
+    "SNAPSHOT-APPEND" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders WHERE o_orderkey <= 4000
+        |GROUP BY prio ORDER BY prio""".stripMargin,
+    // compaction never changes content: plain SQL over raw events
+    "OPTIMIZE-COMPACT" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv
+        |FROM events WHERE event_id % 3 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // v1 = the pre-merge base, v2 = every 4th key's price bumped
     "SNAPSHOT-TIMETRAVEL" ->
       """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price

@@ -100,8 +100,8 @@ object SnapshotTable {
     * atomic-no-overwrite (returns false when the destination exists).
     * Object stores need a conditional-put LogStore, as every table
     * format documents. */
-  private def commit(spark: SparkSession, root: String, v: Long,
-                     files: Seq[String]): Unit = {
+  private[storage] def commit(spark: SparkSession, root: String, v: Long,
+                              files: Seq[String]): Unit = {
     val f = fs(spark, root)
     f.mkdirs(snapDir(root))
     val target = manifestPath(root, v)
@@ -172,8 +172,8 @@ object SnapshotTable {
   /** Per-file min/max for numeric `statsCols` over freshly staged files —
     * the Iceberg-manifest data-skipping metadata, one aggregate scan of
     * ONLY the new files (a commit's delta, never the table). */
-  private def collectStats(spark: SparkSession, files: Seq[String],
-                           statsCols: Seq[String]): Seq[String] = {
+  private[storage] def collectStats(spark: SparkSession, files: Seq[String],
+                                    statsCols: Seq[String]): Seq[String] = {
     if (statsCols.isEmpty) return Seq.empty
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__mn_$c"),
@@ -204,8 +204,8 @@ object SnapshotTable {
     * concurrent stats()/pruneFiles() is legal). A failed rename degrades
     * to no sidecar — the documented no-false-negative fallback (all
     * files kept). */
-  private def writeStats(spark: SparkSession, root: String, v: Long,
-                         lines: Seq[String]): Unit = {
+  private[storage] def writeStats(spark: SparkSession, root: String, v: Long,
+                                  lines: Seq[String]): Unit = {
     if (lines.isEmpty) return
     val f = fs(spark, root)
     val tmp = new Path(snapDir(root), s".tmp-stats-${java.util.UUID.randomUUID()}")
@@ -393,6 +393,72 @@ object SnapshotTable {
     val n = if (clusterFiles > 0) clusterFiles else math.max(snap.files.size, 1)
     val out = clusterBy.map(c => merged.repartitionByRange(n, col(c)))
       .getOrElse(merged)
+    val files = writeData(spark, root, out)
+    val st = collectStats(spark, files, statsCols)
+    val next = snap.version + 1
+    try {
+      commit(spark, root, next, files)
+      writeStats(spark, root, next, st)
+      next
+    } catch { case e: java.util.ConcurrentModificationException =>
+      cleanupOrphans(spark, root, files); throw e }
+  }
+
+  /** APPEND: stage `df` as new files and commit `base.files ++ new` as
+    * version+1 — NO rewrite of existing data (contrast [[merge]]'s
+    * copy-on-write). This is the 100 TB ingest shape: a micro-batch
+    * append costs O(batch), never O(table). The new version's stats
+    * sidecar carries the previous version's lines forward plus stats for
+    * the new files, so data skipping keeps working across appends.
+    * Key semantics are the caller's problem (append can introduce
+    * duplicate keys — exactly like every table format's INSERT INTO);
+    * use [[merge]] when upsert semantics are required. */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+             expectedVersion: Option[Long] = None,
+             statsCols: Seq[String] = Seq.empty): Long = {
+    val snap = latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no table at $root — create() first"))
+    expectedVersion.foreach { v =>
+      if (v != snap.version) throw new java.util.ConcurrentModificationException(
+        s"expected base v$v but latest is v${snap.version} at $root")
+    }
+    val files = writeData(spark, root, df)
+    val carried = stats(spark, root, snap.version).toSeq.map {
+      case ((file, c), (mn, mx)) => s"$file\t$c\t$mn\t$mx"
+    }.sorted
+    val st = carried ++ collectStats(spark, files, statsCols)
+    val next = snap.version + 1
+    try {
+      commit(spark, root, next, snap.files ++ files)
+      writeStats(spark, root, next, st)
+      next
+    } catch { case e: java.util.ConcurrentModificationException =>
+      cleanupOrphans(spark, root, files); throw e }
+  }
+
+  /** OPTIMIZE / compaction: rewrite the CURRENT content into
+    * `targetFiles` files (range-clustered on `clusterBy` when given, so
+    * stats skipping tightens instead of degrading) and commit it as a
+    * new version. Content is bit-identical — compaction is pure layout
+    * work, the answer to small-file accumulation from streaming appends.
+    * Old versions still time-travel to the uncompacted layout until
+    * [[vacuum]] retires them. */
+  def compact(spark: SparkSession, root: String, targetFiles: Int,
+              clusterBy: Option[String] = None,
+              statsCols: Seq[String] = Seq.empty,
+              expectedVersion: Option[Long] = None): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val snap = latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no table at $root — create() first"))
+    expectedVersion.foreach { v =>
+      if (v != snap.version) throw new java.util.ConcurrentModificationException(
+        s"expected base v$v but latest is v${snap.version} at $root")
+    }
+    val cur = readFiles(spark, snap.files)
+    val out = clusterBy match {
+      case Some(c) => cur.repartitionByRange(targetFiles, col(c))
+      case None => cur.repartition(targetFiles)
+    }
     val files = writeData(spark, root, out)
     val st = collectStats(spark, files, statsCols)
     val next = snap.version + 1

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources
@@ -88,22 +88,43 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
     SparkSession.active.read.parquet(snap.files.head).schema
   }
 
+  /** Writes hand us the frame's schema directly (that is how the first
+    * ever write can CREATE the table — there is nothing to infer yet). */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new SnapshotTableV2(root(options), resolve(options), schema)
+    // absent table ⇒ readable only after a first write commits
+    val snapOpt =
+      try Some(resolve(options))
+      catch { case _: IllegalStateException => None }
+    new SnapshotTableV2(root(options), snapOpt, schema)
   }
 }
 
-/** A pinned snapshot version exposed as a V2 table. */
-final class SnapshotTableV2(root: String, snap: SnapshotTable.Snapshot,
-                            schema: StructType) extends Table with SupportsRead {
-  override def name(): String = s"graft-snapshot:$root@v${snap.version}"
+/** A pinned snapshot version exposed as a V2 table (None until the first
+  * write commits — write-created tables start unreadable). */
+final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
+                            schema: StructType)
+  extends Table with SupportsRead with SupportsWrite {
+  override def name(): String =
+    s"graft-snapshot:$root@v${snap.map(_.version).getOrElse(0L)}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(root, snap, schema)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val s = snap.getOrElse(throw new IllegalStateException(
+      s"no committed snapshot at $root"))
+    new SnapshotScanBuilder(root, s, schema)
+  }
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SnapshotWriteBuilder(root, info.schema(),
+      Option(info.options.get("statsCols"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty))
 }
 
 /** Scan builder: collects pushed filters + required columns, prunes the
@@ -227,4 +248,124 @@ final class SnapshotReaderFactory(required: StructType,
     val file = partition.asInstanceOf[SnapshotFilePartition].file
     new SnapshotPartitionReader(file, required, intervals, conf.value)
   }
+}
+
+// ----------------------------------------------------------------- write
+
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+
+/** Write semantics:
+  *  - `mode("append")` — stage files executor-side, then commit
+  *    `latest.files ++ new` (or CREATE v1 on an empty root). Pure
+  *    O(batch) metadata append, the [[SnapshotTable.append]] shape.
+  *  - `mode("overwrite")` — same staging, commit ONLY the new files as
+  *    the next version (truncate-and-append; old versions remain
+  *    time-travel-readable until vacuum).
+  * Commit races resolve with the standard optimistic retry; aborted
+  * jobs delete their staged files (task attempts that never reach the
+  * driver stay orphaned until vacuum — the same contract as every
+  * manifest format's speculative-task story). Option `statsCols` keeps
+  * data-skipping sidecars flowing through DSv2 writes. */
+final class SnapshotWriteBuilder(root: String, schema: StructType,
+                                 statsCols: Seq[String])
+  extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new SnapshotBatchWrite(root, schema, overwrite, statsCols)
+  }
+}
+
+final case class SnapshotCommitMessage(files: Seq[String]) extends WriterCommitMessage
+
+final class SnapshotBatchWrite(root: String, schema: StructType,
+                               overwrite: Boolean, statsCols: Seq[String])
+  extends BatchWrite {
+
+  // one staging dir per write job, qualified driver-side so executors
+  // and the manifest agree on the path form
+  private val stagingDir: String = {
+    val spark = SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "data"),
+      java.util.UUID.randomUUID().toString)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(p)
+    f.makeQualified(p).toString
+  }
+
+  private val conf = new SerializableHadoopConf(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SnapshotWriterFactory(stagingDir, schema, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val files = messages.flatMap {
+      case SnapshotCommitMessage(fs) => fs
+      case other => throw new IllegalStateException(s"unexpected commit message $other")
+    }.sorted.toSeq
+    val fresh = SnapshotTable.collectStats(spark, files, statsCols)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val cur = SnapshotTable.latest(spark, root)
+      val (v, all, lines) = (cur, overwrite) match {
+        case (None, _) => (1L, files, fresh)
+        case (Some(s), true) => (s.version + 1, files, fresh)
+        case (Some(s), false) =>
+          val carried = SnapshotTable.stats(spark, root, s.version).toSeq.map {
+            case ((file, c), (mn, mx)) => s"$file\t$c\t$mn\t$mx"
+          }.sorted
+          (s.version + 1, s.files ++ files, carried ++ fresh)
+      }
+      try {
+        SnapshotTable.commit(spark, root, v, all)
+        SnapshotTable.writeStats(spark, root, v, lines)
+        done = true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 5) { abortFiles(); throw e }
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = abortFiles()
+
+  private def abortFiles(): Unit = {
+    val spark = SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(stagingDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+}
+
+final class SnapshotWriterFactory(stagingDir: String, schema: StructType,
+                                  conf: SerializableHadoopConf)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SnapshotDataWriter(
+      // taskId makes retried/speculative attempts write DISTINCT files;
+      // only the committing attempt's path reaches the driver
+      f"$stagingDir%s/part-$partitionId%05d-$taskId%d.parquet",
+      schema, conf.value)
+}
+
+final class SnapshotDataWriter(file: String, schema: StructType,
+                               conf: Configuration)
+  extends DataWriter[InternalRow] {
+  private val writer = SnapshotParquetWrite.open(file, schema, conf)
+  override def write(record: InternalRow): Unit = writer.write(record)
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    SnapshotCommitMessage(Seq(file))
+  }
+  override def abort(): Unit = {
+    writer.close()
+    val p = new org.apache.hadoop.fs.Path(file)
+    p.getFileSystem(conf).delete(p, false)
+  }
+  override def close(): Unit = ()
 }

@@ -104,6 +104,49 @@ class SnapshotDsv2Spec extends SparkSpec {
       (0L until 10L).map(i => (i, i * 2)))
   }
 
+  test("df.write.format(graft-snapshot) creates, appends, and overwrites") {
+    val root = newRoot()
+    val d1 = spark.range(100).select(col("id").as("k"),
+      concat(lit("s"), col("id")).as("s"), lit(1L).as("v"))
+    // first ever write CREATES the table (v1); DSv2 sources accept only
+    // Append/Overwrite modes, and an append to an empty root is a create
+    d1.write.format("graft-snapshot").mode("append").save(root)
+    assert(SnapshotTable.versions(spark, root) === Seq(1L))
+    assert(spark.read.format("graft-snapshot").load(root).count() === 100)
+    // append = O(batch) metadata commit (v2), old files untouched
+    val v1Files = SnapshotTable.latest(spark, root).get.files.toSet
+    spark.range(100, 150).select(col("id").as("k"),
+        concat(lit("s"), col("id")).as("s"), lit(2L).as("v"))
+      .write.format("graft-snapshot").mode("append").save(root)
+    val v2 = SnapshotTable.latest(spark, root).get
+    assert(v2.version === 2L && v1Files.subsetOf(v2.files.toSet))
+    val got = spark.read.format("graft-snapshot").load(root)
+    assert(got.count() === 150)
+    assert(got.agg(sum("k")).head.getLong(0) === (0L until 150L).sum)
+    // written files round-trip through SPARK'S OWN reader too (the
+    // writer emits standard parquet, not a private encoding)
+    assert(spark.read.parquet(v2.files.filterNot(v1Files): _*).count() === 50)
+    // overwrite = truncate-and-replace (v3); v2 still time-travels
+    spark.range(10).select(col("id").as("k"), lit("ow").as("s"), lit(3L).as("v"))
+      .write.format("graft-snapshot").mode("overwrite").save(root)
+    assert(spark.read.format("graft-snapshot").load(root).count() === 10)
+    assert(spark.read.format("graft-snapshot").option("versionAsOf", 2)
+      .load(root).count() === 150)
+  }
+
+  test("DSv2-write statsCols option keeps pushed-filter pruning alive") {
+    val root = newRoot()
+    spark.range(8000).select(col("id").as("k"), (col("id") % 97).as("x"), lit(1L).as("v"))
+      .repartitionByRange(8, col("k"))
+      .write.format("graft-snapshot").option("statsCols", "k")
+      .mode("append").save(root)
+    val df = spark.read.format("graft-snapshot").load(root)
+      .where(col("k").between(1000, 1999))
+    val scan = snapshotScan(df)
+    assert(scan.totalFileCount === 8 && scan.plannedFiles.size < 8)
+    assert(df.count() === 1000)
+  }
+
   test("snapshot isolation: a resolved DSv2 frame survives a concurrent merge") {
     val root = newRoot()
     SnapshotTable.create(spark, root,

@@ -219,6 +219,48 @@ class SnapshotTableSpec extends SparkSpec {
     assert(s3.where(col("s") === "w2").count() === 1)
   }
 
+  test("append is O(batch): old files untouched, stats carried forward") {
+    val root = newRoot()
+    val base = spark.range(4000).select(col("id").as("k"),
+      lit("a").as("s"), lit(1L).as("v")).repartitionByRange(4, col("k"))
+    SnapshotTable.create(spark, root, base, statsCols = Seq("k"))
+    val v1Files = SnapshotTable.latest(spark, root).get.files.toSet
+    val add = spark.range(4000, 5000).select(col("id").as("k"),
+      lit("b").as("s"), lit(2L).as("v")).repartitionByRange(1, col("k"))
+    assert(SnapshotTable.append(spark, root, add, statsCols = Seq("k")) === 2L)
+    val v2 = SnapshotTable.latest(spark, root).get
+    // every v1 file is still referenced — append rewrote NOTHING
+    assert(v1Files.subsetOf(v2.files.toSet))
+    assert(v2.files.size === v1Files.size + 1)
+    assert(SnapshotTable.read(spark, root).count() === 5000)
+    // stats survive the append on BOTH old and new files
+    val (keepOld, total) = SnapshotTable.pruneFiles(spark, root, "k", 0, 999)
+    assert(total === 5 && keepOld.size < total)
+    val (keepNew, _) = SnapshotTable.pruneFiles(spark, root, "k", 4200, 4300)
+    assert(keepNew.size === 1, s"new-file band should prune to 1, got ${keepNew.size}")
+  }
+
+  test("compact rewrites layout, never content; old layout time-travels") {
+    val root = newRoot()
+    val base = spark.range(2000).select(col("id").as("k"),
+      (col("id") % 7).as("x"), lit(1L).as("v")).repartition(16)
+    SnapshotTable.create(spark, root, base)
+    assert(SnapshotTable.latest(spark, root).get.files.size === 16)
+    val before = canon(SnapshotTable.read(spark, root).orderBy("k"))
+    assert(SnapshotTable.compact(spark, root, targetFiles = 4,
+      clusterBy = Some("k"), statsCols = Seq("k")) === 2L)
+    val v2 = SnapshotTable.latest(spark, root).get
+    assert(v2.files.size === 4)
+    assert(canon(SnapshotTable.read(spark, root).orderBy("k")) === before)
+    // clustering makes the compacted files prunable (range-partitioner
+    // boundaries are sample-approximate, so a quarter-domain band may
+    // straddle one boundary — but never most of the files)
+    val (keep, total) = SnapshotTable.pruneFiles(spark, root, "k", 0, 499)
+    assert(total === 4 && keep.size <= 2)
+    // v1's 16-file layout is still readable
+    assert(SnapshotTable.readVersion(spark, root, 1L).count() === 2000)
+  }
+
   test("NaN stat values never cause a false-negative prune") {
     val root = newRoot()
     val sq = spark; import sq.implicits._
