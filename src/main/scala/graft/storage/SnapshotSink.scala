@@ -73,7 +73,12 @@ object SnapshotSink {
     * high-water mark is a NO-OP (returns the current version); a fresh
     * batch creates the table (first ever batch) or merges through
     * [[SnapshotTable.mergeWithRetry]], then records its id. Returns the
-    * table version the batch's data is visible at. */
+    * table version the batch's data is visible at.
+    *
+    * Merge is copy-on-write — O(table) per batch. When the stream's rows
+    * are immutable facts (datapoints, events) rather than keyed upserts,
+    * use [[commitBatchAppend]]: O(batch) per commit, the shape that
+    * holds at 100 TB ingest rates. */
   def commitBatch(spark: SparkSession, root: String, batchId: Long,
                   df: DataFrame, keyCols: Seq[String], versionCol: String,
                   statsCols: Seq[String] = Seq.empty,
@@ -95,6 +100,35 @@ object SnapshotSink {
     v
   }
 
+  /** Append-only exactly-once commit: the batch's rows land as NEW files
+    * (no rewrite — [[SnapshotTable.append]]), replays are no-ops via the
+    * same ledger. Retries the commit race like merge does. */
+  def commitBatchAppend(spark: SparkSession, root: String, batchId: Long,
+                        df: DataFrame,
+                        statsCols: Seq[String] = Seq.empty,
+                        maxAttempts: Int = 5): Long = {
+    val last = lastCommittedBatch(spark, root)
+    val cur = SnapshotTable.latest(spark, root)
+    if (batchId <= last)
+      return cur.map(_.version).getOrElse(
+        throw new IllegalStateException(s"txn ledger without snapshots at $root"))
+    var attempt = 1
+    var v = -1L
+    while (v < 0) {
+      try {
+        v = cur match {
+          case None => SnapshotTable.create(spark, root, df, statsCols)
+          case Some(_) => SnapshotTable.append(spark, root, df, statsCols = statsCols)
+        }
+      } catch { case e: java.util.ConcurrentModificationException =>
+        if (attempt >= maxAttempts) throw e
+        attempt += 1
+      }
+    }
+    writeTxn(spark, root, v, batchId)
+    v
+  }
+
   /** The `foreachBatch` adapter:
     * {{{
     * stream.writeStream.foreachBatch(
@@ -106,4 +140,10 @@ object SnapshotSink {
     (df, batchId) =>
       commitBatch(df.sparkSession, root, batchId, df, keyCols, versionCol,
         statsCols, clusterBy): Unit
+
+  /** `foreachBatch` adapter for append-only fact streams. */
+  def foreachBatchAppend(root: String,
+                         statsCols: Seq[String] = Seq.empty): (DataFrame, Long) => Unit =
+    (df, batchId) =>
+      commitBatchAppend(df.sparkSession, root, batchId, df, statsCols): Unit
 }

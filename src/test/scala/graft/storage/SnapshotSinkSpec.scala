@@ -35,6 +35,21 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root) === Seq(1L, 2L))
   }
 
+  test("append-only sink: replay is a no-op, commits never rewrite old files") {
+    val root = newRoot()
+    val b0 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x")
+    assert(SnapshotSink.commitBatchAppend(spark, root, 0L, b0) === 1L)
+    val v1Files = SnapshotTable.latest(spark, root).get.files.toSet
+    val b1 = Seq((3L, 30.0)).toDF("k", "x")
+    assert(SnapshotSink.commitBatchAppend(spark, root, 1L, b1) === 2L)
+    // replay of batch 1: no new version
+    assert(SnapshotSink.commitBatchAppend(spark, root, 1L, b1) === 2L)
+    assert(SnapshotTable.versions(spark, root) === Seq(1L, 2L))
+    // append semantics: all rows present, v1 files untouched
+    assert(SnapshotTable.read(spark, root).count() === 3)
+    assert(v1Files.subsetOf(SnapshotTable.latest(spark, root).get.files.toSet))
+  }
+
   test("end-to-end: readStream → foreachBatch → ACID snapshot table") {
     implicit val sq = spark.sqlContext
     val root = newRoot()
