@@ -449,9 +449,16 @@ object Similarity {
     * "no two kept docs in a cell are near-dups" against the exact
     * centroids the dedup used). */
   def semanticDedupWithModel(embeddings: DataFrame, threshold: Double,
-                             model: Array[(Int, Array[Double])]): DataFrame = {
-    graft.functions.expressions.GraftFunctions.register(embeddings.sparkSession)
-    val pairs = cellNearDupPairs(embeddings, threshold, model)
+                             model: Array[(Int, Array[Double])]): DataFrame =
+    semanticDedupFromPairs(embeddings,
+      cellNearDupPairs(embeddings, threshold, model))
+
+  /** The component/keep half on a PRECOMPUTED (va, vb) edge list — lets
+    * a caller cache the pairs once and share them between the dedup and
+    * its verification (the LLM-SEMDEDUP oracle runs three checks over
+    * the same edges; recomputing the cell self-join per check tripled
+    * the query's cost). */
+  def semanticDedupFromPairs(embeddings: DataFrame, pairs: DataFrame): DataFrame = {
     val cc = Dedup.connectedComponentsStar(pairs)
     val drop = cc.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("vec_id"))

@@ -286,23 +286,36 @@ object Extensions {
     // — also proves the dedup dropped something AND kept something).
     "LLM-SEMDEDUP" -> { (s, d) =>
       import s.implicits._
-      val e = embs(s, d)
+      val e = embs(s, d).cache()
       val thr = 0.35
-      val model = Similarity.kmeansCentroids(e, k = 4, iters = 3)
-      val kept = Similarity.semanticDedupWithModel(e, thr, model)
-      val pairs = Similarity.cellNearDupPairs(e, thr, model)
-      val n = e.count()
-      val nk = kept.count()
-      val keptNearDups = Similarity.cellNearDupPairs(kept, thr, model).count()
-      val linked = pairs.select(col("va").as("vid"))
-        .union(pairs.select(col("vb").as("vid"))).distinct()
-      val unlinkedDropped = e.select("vec_id")
-        .join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
-        .join(linked, col("vec_id") === col("vid"), "left_anti").count()
-      val frac = nk.toDouble / n
-      Seq((n, keptNearDups == 0L, unlinkedDropped == 0L,
-          frac >= 0.05 && frac <= 0.98))
-        .toDF("n", "no_kept_neardups_ok", "dropped_linked_ok", "kept_frac_ok")
+      val caches = scala.collection.mutable.ListBuffer[DataFrame](e)
+      try {
+        val model = Similarity.kmeansCentroids(e, k = 4, iters = 3)
+        // ONE cached edge list feeds the dedup AND all three checks
+        val pairs = Similarity.cellNearDupPairs(e, thr, model).cache()
+        val kept = Similarity.semanticDedupFromPairs(e, pairs).cache()
+        caches += pairs += kept
+        val n = e.count()
+        val nk = kept.count()
+        // kept near-dup check rides the SAME edges: an edge with both
+        // endpoints kept is exactly a kept-pair near-dup
+        val keptIds = kept.select(col("vec_id")).cache()
+        caches += keptIds
+        val keptNearDups = pairs
+          .join(keptIds.withColumnRenamed("vec_id", "va"), Seq("va"))
+          .join(keptIds.withColumnRenamed("vec_id", "vb"), Seq("vb"))
+          .count()
+        val linked = pairs.select(col("va").as("vid"))
+          .union(pairs.select(col("vb").as("vid"))).distinct()
+        val unlinkedDropped = e.select("vec_id")
+          .join(keptIds, Seq("vec_id"), "left_anti")
+          .join(linked, col("vec_id") === col("vid"), "left_anti").count()
+        val frac = nk.toDouble / n
+        Seq((n, keptNearDups == 0L, unlinkedDropped == 0L,
+            frac >= 0.05 && frac <= 0.98))
+          .toDF("n", "no_kept_neardups_ok", "dropped_linked_ok", "kept_frac_ok")
+        // every check already collapsed to a scalar — caches can go
+      } finally caches.foreach(_.unpersist())
     },
     "MM-BINARY-META" -> ((s, d) =>
       Multimodal.binaryMeta(Multimodal.documentsAsMedia(s, docs(s, d)).toDF())

@@ -89,9 +89,17 @@ object SnapshotSink {
     if (batchId <= last)
       return cur.map(_.version).getOrElse(
         throw new IllegalStateException(s"txn ledger without snapshots at $root"))
-    val v = cur match {
+    val v = SnapshotTable.latest(spark, root) match {
       case None =>
-        SnapshotTable.create(spark, root, df, statsCols)
+        try SnapshotTable.create(spark, root, df, statsCols)
+        catch {
+          // lost the CREATE race to a concurrent writer: their table is
+          // the base now, fall through to the merge path
+          case _: IllegalArgumentException |
+               _: java.util.ConcurrentModificationException =>
+            SnapshotTable.mergeWithRetry(spark, root, df, keyCols, versionCol,
+              maxAttempts = maxAttempts, statsCols = statsCols, clusterBy = clusterBy)
+        }
       case Some(_) =>
         SnapshotTable.mergeWithRetry(spark, root, df, keyCols, versionCol,
           maxAttempts = maxAttempts, statsCols = statsCols, clusterBy = clusterBy)
@@ -116,13 +124,18 @@ object SnapshotSink {
     var v = -1L
     while (v < 0) {
       try {
-        v = cur match {
+        // re-resolve per attempt: a concurrent writer may have CREATED
+        // the table since the last look, flipping create into append
+        v = SnapshotTable.latest(spark, root) match {
           case None => SnapshotTable.create(spark, root, df, statsCols)
           case Some(_) => SnapshotTable.append(spark, root, df, statsCols = statsCols)
         }
-      } catch { case e: java.util.ConcurrentModificationException =>
-        if (attempt >= maxAttempts) throw e
-        attempt += 1
+      } catch {
+        case e @ (_: java.util.ConcurrentModificationException |
+                  _: IllegalArgumentException) =>
+          // CME = lost the version race; IAE = lost the CREATE race
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
       }
     }
     writeTxn(spark, root, v, batchId)

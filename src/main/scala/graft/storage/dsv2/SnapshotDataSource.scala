@@ -162,7 +162,16 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
         }
       }
     }
-    new SnapshotScan(root, snap.version, keep, snap.files.size, required,
+    // metadata-scale size probe (one getFileStatus per kept file) so the
+    // join planner sees a REAL sizeInBytes — without reported statistics
+    // a V2 table defaults to "huge" and never wins a broadcast
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = keep.map { f =>
+      try fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    new SnapshotScan(root, snap.version, keep, snap.files.size, bytes, required,
       accepted, spark.sessionState.newHadoopConf())
   }
 }
@@ -201,12 +210,22 @@ object SnapshotFilters {
   * executor-task-sized unit, the same granularity every manifest-format
   * reader schedules). */
 final class SnapshotScan(root: String, version: Long, files: Seq[String],
-                         totalFiles: Int, required: StructType,
+                         totalFiles: Int, sizeBytes: Long, required: StructType,
                          pushed: Array[Filter], conf: Configuration)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Pruned-file byte total: lets Catalyst broadcast a small snapshot
+    * table (or a well-pruned read of a big one) in joins. Row count is
+    * left unknown — parquet compression makes it a lie worth not
+    * telling. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(sizeBytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   /** Plan-visible skipping evidence: `files=<kept>/<total>`. */
   override def description(): String =
@@ -307,6 +326,10 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
       case SnapshotCommitMessage(fs) => fs
       case other => throw new IllegalStateException(s"unexpected commit message $other")
     }.sorted.toSeq
+    // an empty frame stages nothing: appending it is a no-op, and
+    // "creating" from it leaves the root absent rather than committing
+    // an unreadable zero-file manifest
+    if (files.isEmpty) { abortFiles(); return }
     val fresh = SnapshotTable.collectStats(spark, files, statsCols)
     var attempts = 0
     var done = false
