@@ -946,6 +946,61 @@ object Extensions {
             .as("sv"))
         .orderBy("event_type")
     },
+    // ADD-COLUMN schema evolution end-to-end: v1 has (k, price), the
+    // appended half carries a NEW prio column under mergeSchema — the
+    // evolved table reads v1 rows with prio = null (old files predate
+    // the column), which the aggregate folds as 'PRE'. Oracle replays
+    // the evolution analytically: rows ≤ 2000 never had a prio.
+    "SNAPSHOT-EVOLVE" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_evolve")
+        .toString + "/t"
+      graft.storage.SnapshotTable.create(s, root,
+        s.table("orders").where(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price")))
+      graft.storage.SnapshotTable.append(s, root,
+        s.table("orders")
+          .where(col("o_orderkey") > 2000 && col("o_orderkey") <= 4000)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+            col("o_orderpriority").as("prio")),
+        mergeSchema = true)
+      graft.storage.SnapshotTable.read(s, root)
+        .groupBy(coalesce(col("prio"), lit("PRE")).as("prio"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("prio")
+    },
+    // the full SQL surface through the session catalog: CREATE TABLE
+    // ... USING graft-snapshot (DDL), INSERT INTO ... SELECT (DML —
+    // routes through the connector's BatchWrite as an O(batch) append
+    // committing a new snapshot version), then a plain SQL aggregate
+    // over the table. Content equals base ∪ inserted, so the oracle is
+    // plain SQL over raw orders. Unique table name per invocation: the
+    // bench/verify session runs each query several times.
+    "SNAPSHOT-SQL" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_snapsql")
+        .toString + "/t"
+      val tbl = "snap_sql_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.table("orders").where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        .write.format("graft-snapshot").mode("append").save(root)
+      s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+      s.sql(s"""INSERT INTO $tbl
+        SELECT o_orderkey AS k, o_orderpriority AS prio, o_totalprice AS price
+        FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 4000""")
+      // materialize BEFORE dropping the catalog entry (frames are lazy)
+      import s.implicits._
+      val rows = s.sql(s"""SELECT prio, count(*) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM $tbl GROUP BY prio ORDER BY prio""").collect()
+        .toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      rows.toDF("prio", "n", "total")
+    },
     // time travel through the DSv2 option: the same table read at
     // versionAsOf=1 and at latest in ONE result (tagged union), so a
     // broken manifest pin would hash-mismatch on the v1 half
@@ -1995,6 +2050,19 @@ object Extensions {
         |FROM m GROUP BY prio ORDER BY prio""".stripMargin,
     // append never changes content: union of the two halves
     "SNAPSHOT-APPEND" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders WHERE o_orderkey <= 4000
+        |GROUP BY prio ORDER BY prio""".stripMargin,
+    // pre-evolution rows read null for the evolved column → 'PRE'
+    "SNAPSHOT-EVOLVE" ->
+      """SELECT CASE WHEN o_orderkey <= 2000 THEN 'PRE' ELSE o_orderpriority END AS prio,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders WHERE o_orderkey <= 4000
+        |GROUP BY prio ORDER BY prio""".stripMargin,
+    // DDL + INSERT INTO never change content: base ∪ inserted half
+    "SNAPSHOT-SQL" ->
       """SELECT o_orderpriority AS prio, count(*) AS n,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM orders WHERE o_orderkey <= 4000

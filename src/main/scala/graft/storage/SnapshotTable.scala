@@ -54,6 +54,8 @@ object SnapshotTable {
     new Path(snapDir(root), f"v$v%020d.manifest")
   private def statsPath(root: String, v: Long) =
     new Path(snapDir(root), f"v$v%020d.stats")
+  private def schemaPath(root: String, v: Long) =
+    new Path(snapDir(root), f"v$v%020d.schema")
 
   /** Scheme-free normal form so stats keys match manifest paths whatever
     * prefix (`file:`, `file://`) each API layer used. */
@@ -216,6 +218,82 @@ object SnapshotTable {
     if (!f.rename(tmp, statsPath(root, v))) f.delete(tmp, false)
   }
 
+  /** Per-version SCHEMA sidecar — what makes ADD-COLUMN evolution work:
+    * the version's logical schema can be WIDER than any individual data
+    * file's (old files simply lack the new columns and read as null).
+    * Published with the same staged-write+rename primitive; versions
+    * without a sidecar (pre-evolution tables) fall back to
+    * footer-inferred schemas, which is correct while all files agree. */
+  /** File-backed tables are ALWAYS nullable in Spark (the reader cannot
+    * prove non-nullness, and evolution makes old columns null in new
+    * files anyway) — normalize before storing/comparing so a frame's
+    * incidental nullable=false never causes spurious schema conflicts. */
+  private[storage] def nullable(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType =>
+        StructType(st.fields.map(f => f.copy(dataType = nullable(f.dataType), nullable = true)))
+      case at: ArrayType => ArrayType(nullable(at.elementType), containsNull = true)
+      case mt: MapType =>
+        MapType(nullable(mt.keyType), nullable(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+  private[storage] def nullableSchema(
+      st: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    nullable(st).asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private[storage] def writeSchema(spark: SparkSession, root: String, v: Long,
+                                   schema: org.apache.spark.sql.types.StructType): Unit = {
+    val f = fs(spark, root)
+    val tmp = new Path(snapDir(root), s".tmp-schema-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(nullableSchema(schema).json
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, schemaPath(root, v))) f.delete(tmp, false)
+  }
+
+  /** The version's logical schema, when a sidecar exists. */
+  def tableSchema(spark: SparkSession, root: String,
+                  v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val f = fs(spark, root)
+    val p = schemaPath(root, v)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val bytes = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      bos.toByteArray
+    } finally in.close()
+    try Some(org.apache.spark.sql.types.DataType
+      .fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+    catch { case _: Exception => None } // torn sidecar ⇒ footer fallback
+  }
+
+  /** ADD-COLUMN-only evolution: the union keeps `base`'s column order,
+    * appends genuinely new columns (as nullable), and REFUSES a type
+    * change on an existing name — rename/retype is not add-column. */
+  private[storage] def evolveSchema(
+      base0: org.apache.spark.sql.types.StructType,
+      incoming0: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val base = nullableSchema(base0)
+    val incoming = nullableSchema(incoming0)
+    val byName = incoming.fields.map(f => f.name -> f).toMap
+    base.fields.foreach { bf =>
+      byName.get(bf.name).foreach { inf =>
+        require(inf.dataType == bf.dataType,
+          s"schema evolution supports ADD COLUMN only: column '${bf.name}' " +
+            s"changes type ${bf.dataType} -> ${inf.dataType}")
+      }
+    }
+    val known = base.fieldNames.toSet
+    val added = incoming.fields.filterNot(f => known(f.name))
+    org.apache.spark.sql.types.StructType(base.fields ++ added)
+  }
+
   /** (normalized file, col) → (min, max); empty when the version carries
     * no stats sidecar. */
   def stats(spark: SparkSession, root: String,
@@ -269,10 +347,21 @@ object SnapshotTable {
     * kept file. */
   def readPruned(spark: SparkSession, root: String, statCol: String,
                  lo: Double, hi: Double): DataFrame = {
-    val (keep, _) = pruneFiles(spark, root, statCol, lo, hi)
+    // one snapshot resolution for files, stats AND schema — a commit
+    // landing mid-call cannot mix versions
+    val snap = latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val st = stats(spark, root, snap.version)
+    val keep = snap.files.filter { f =>
+      st.get((norm(f), statCol)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    val schema = tableSchema(spark, root, snap.version)
     val base =
-      if (keep.isEmpty) read(spark, root).where(lit(false))
-      else spark.read.parquet(keep: _*)
+      if (keep.isEmpty) readFiles(spark, snap.files, schema).where(lit(false))
+      else readFiles(spark, keep, schema)
     base.where(col(statCol).cast("double") >= lo &&
       col(statCol).cast("double") <= hi)
   }
@@ -304,9 +393,17 @@ object SnapshotTable {
   def latest(spark: SparkSession, root: String): Option[Snapshot] =
     versions(spark, root).lastOption.map(snapshot(spark, root, _))
 
-  private def readFiles(spark: SparkSession, files: Seq[String]): DataFrame = {
+  /** Schema-aware file read: with a version schema, old files missing
+    * evolved columns read as null (Spark's parquet reader fills absent
+    * columns when given an explicit schema). */
+  private def readFiles(spark: SparkSession, files: Seq[String],
+                        schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     require(files.nonEmpty, "empty snapshot")
-    spark.read.parquet(files: _*)
+    schema match {
+      case Some(sc) => spark.read.schema(sc).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 
   /** Read the latest snapshot (snapshot-isolated: the file list is pinned
@@ -314,12 +411,13 @@ object SnapshotTable {
   def read(spark: SparkSession, root: String): DataFrame = {
     val s = latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    readFiles(spark, s.files)
+    readFiles(spark, s.files, tableSchema(spark, root, s.version))
   }
 
-  /** Time travel: read any retained version. */
+  /** Time travel: read any retained version — with THAT version's
+    * schema, so a pre-evolution version shows its original columns. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
-    readFiles(spark, snapshot(spark, root, v).files)
+    readFiles(spark, snapshot(spark, root, v).files, tableSchema(spark, root, v))
 
   /** Create the table: stage `df`, commit as v1. Fails if the table
     * already has commits. `statsCols` names numeric columns to carry
@@ -332,6 +430,7 @@ object SnapshotTable {
     try {
       commit(spark, root, 1L, files)
       writeStats(spark, root, 1L, st)
+      writeSchema(spark, root, 1L, df.schema)
       1L
     } catch { case e: java.util.ConcurrentModificationException =>
       cleanupOrphans(spark, root, files); throw e }
@@ -357,13 +456,18 @@ object SnapshotTable {
     * A tombstone for an absent key is a no-op (`WHEN NOT MATCHED` has no
     * delete arm, per SQL MERGE). Earlier versions still hold the row —
     * delete-then-time-travel works like every snapshot format. */
+  /** `mergeSchema = true` allows ADD-COLUMN evolution: update columns
+    * absent from the table are appended (nullable) to the new version's
+    * schema, current rows read null for them; update rows may also OMIT
+    * table columns (null-filled). Type changes are refused. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             keyCols: Seq[String], versionCol: String,
             expectedVersion: Option[Long] = None,
             statsCols: Seq[String] = Seq.empty,
             clusterBy: Option[String] = None,
             clusterFiles: Int = 0,
-            deleteCol: Option[String] = None): Long = {
+            deleteCol: Option[String] = None,
+            mergeSchema: Boolean = false): Long = {
     require(keyCols.nonEmpty, "keyCols must not be empty")
     deleteCol.foreach(c => require(updates.columns.contains(c),
       s"deleteCol '$c' not in updates columns ${updates.columns.mkString(",")}"))
@@ -373,11 +477,13 @@ object SnapshotTable {
       if (v != snap.version) throw new java.util.ConcurrentModificationException(
         s"expected base v$v but latest is v${snap.version} at $root")
     }
-    val base = readFiles(spark, snap.files)
+    val base = readFiles(spark, snap.files, tableSchema(spark, root, snap.version))
+    if (mergeSchema) // fail fast on a type conflict, before any write
+      evolveSchema(base.schema, updates.drop(deleteCol.toSeq: _*).schema)
     val cur = deleteCol.foldLeft(base.withColumn("__src", lit(0)))(
       (d, c) => d.withColumn(c, lit(false)))
     val upd = updates.withColumn("__src", lit(1))
-    val survivors = cur.unionByName(upd)
+    val survivors = cur.unionByName(upd, allowMissingColumns = mergeSchema)
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*)
@@ -399,6 +505,7 @@ object SnapshotTable {
     try {
       commit(spark, root, next, files)
       writeStats(spark, root, next, st)
+      writeSchema(spark, root, next, out.schema)
       next
     } catch { case e: java.util.ConcurrentModificationException =>
       cleanupOrphans(spark, root, files); throw e }
@@ -413,15 +520,32 @@ object SnapshotTable {
     * Key semantics are the caller's problem (append can introduce
     * duplicate keys — exactly like every table format's INSERT INTO);
     * use [[merge]] when upsert semantics are required. */
+  /** `mergeSchema = true` allows ADD-COLUMN evolution on append: new
+    * columns in `df` widen the table schema (old files read null for
+    * them); `df` may also omit existing columns (its files read null).
+    * With it false (default) a differing column set is refused — a
+    * typo'd column name must not silently fork the schema. */
   def append(spark: SparkSession, root: String, df: DataFrame,
              expectedVersion: Option[Long] = None,
-             statsCols: Seq[String] = Seq.empty): Long = {
+             statsCols: Seq[String] = Seq.empty,
+             mergeSchema: Boolean = false): Long = {
     val snap = latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no table at $root — create() first"))
     expectedVersion.foreach { v =>
       if (v != snap.version) throw new java.util.ConcurrentModificationException(
         s"expected base v$v but latest is v${snap.version} at $root")
     }
+    val baseSchema = tableSchema(spark, root, snap.version)
+      .getOrElse(readFiles(spark, snap.files).schema)
+    val nextSchema =
+      if (mergeSchema) evolveSchema(baseSchema, df.schema)
+      else {
+        require(nullableSchema(df.schema).fields.map(f => (f.name, f.dataType)).toSeq ==
+          nullableSchema(baseSchema).fields.map(f => (f.name, f.dataType)).toSeq,
+          s"append schema ${df.schema.simpleString} != table schema " +
+            s"${baseSchema.simpleString}; pass mergeSchema=true for add-column evolution")
+        baseSchema
+      }
     val files = writeData(spark, root, df)
     val carried = stats(spark, root, snap.version).toSeq.map {
       case ((file, c), (mn, mx)) => s"$file\t$c\t$mn\t$mx"
@@ -431,6 +555,7 @@ object SnapshotTable {
     try {
       commit(spark, root, next, snap.files ++ files)
       writeStats(spark, root, next, st)
+      writeSchema(spark, root, next, nextSchema)
       next
     } catch { case e: java.util.ConcurrentModificationException =>
       cleanupOrphans(spark, root, files); throw e }
@@ -454,7 +579,8 @@ object SnapshotTable {
       if (v != snap.version) throw new java.util.ConcurrentModificationException(
         s"expected base v$v but latest is v${snap.version} at $root")
     }
-    val cur = readFiles(spark, snap.files)
+    val schema = tableSchema(spark, root, snap.version)
+    val cur = readFiles(spark, snap.files, schema)
     val out = clusterBy match {
       case Some(c) => cur.repartitionByRange(targetFiles, col(c))
       case None => cur.repartition(targetFiles)
@@ -465,6 +591,9 @@ object SnapshotTable {
     try {
       commit(spark, root, next, files)
       writeStats(spark, root, next, st)
+      // compaction materializes the evolved schema into every file, and
+      // the new version keeps carrying it
+      writeSchema(spark, root, next, out.schema)
       next
     } catch { case e: java.util.ConcurrentModificationException =>
       cleanupOrphans(spark, root, files); throw e }
@@ -548,6 +677,7 @@ object SnapshotTable {
     dropNow.foreach { v =>
       f.delete(manifestPath(root, v), false)
       f.delete(statsPath(root, v), false)
+      f.delete(schemaPath(root, v), false)
       // the streaming sink's txn ledger entry retires with its version;
       // the high-water mark survives in the retained versions' sidecars
       f.delete(new Path(snapDir(root), f"v$v%020d.txn"), false)

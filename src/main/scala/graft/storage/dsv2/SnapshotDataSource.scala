@@ -83,9 +83,11 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val snap = resolve(options)
-    // schema from the first data file's footer, via Spark's own
-    // parquet-to-Catalyst mapping (driver-side, one footer)
-    SparkSession.active.read.parquet(snap.files.head).schema
+    // the version's schema sidecar wins (it can be WIDER than any one
+    // file after add-column evolution); footer inference is the
+    // fallback for pre-evolution tables (one footer, driver-side)
+    SnapshotTable.tableSchema(SparkSession.active, root(options), snap.version)
+      .getOrElse(SparkSession.active.read.parquet(snap.files.head).schema)
   }
 
   /** Writes hand us the frame's schema directly (that is how the first
@@ -124,7 +126,8 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
     new SnapshotWriteBuilder(root, info.schema(),
       Option(info.options.get("statsCols"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      Option(info.options.get("mergeSchema")).exists(_.equalsIgnoreCase("true")))
 }
 
 /** Scan builder: collects pushed filters + required columns, prunes the
@@ -286,20 +289,21 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterF
   * manifest format's speculative-task story). Option `statsCols` keeps
   * data-skipping sidecars flowing through DSv2 writes. */
 final class SnapshotWriteBuilder(root: String, schema: StructType,
-                                 statsCols: Seq[String])
+                                 statsCols: Seq[String], mergeSchema: Boolean)
   extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new SnapshotBatchWrite(root, schema, overwrite, statsCols)
+      new SnapshotBatchWrite(root, schema, overwrite, statsCols, mergeSchema)
   }
 }
 
 final case class SnapshotCommitMessage(files: Seq[String]) extends WriterCommitMessage
 
 final class SnapshotBatchWrite(root: String, schema: StructType,
-                               overwrite: Boolean, statsCols: Seq[String])
+                               overwrite: Boolean, statsCols: Seq[String],
+                               mergeSchema: Boolean)
   extends BatchWrite {
 
   // one staging dir per write job, qualified driver-side so executors
@@ -335,18 +339,35 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
     var done = false
     while (!done) {
       val cur = SnapshotTable.latest(spark, root)
-      val (v, all, lines) = (cur, overwrite) match {
-        case (None, _) => (1L, files, fresh)
-        case (Some(s), true) => (s.version + 1, files, fresh)
+      val (v, all, lines, nextSchema) = (cur, overwrite) match {
+        case (None, _) => (1L, files, fresh, schema)
+        case (Some(s), true) => (s.version + 1, files, fresh, schema)
         case (Some(s), false) =>
           val carried = SnapshotTable.stats(spark, root, s.version).toSeq.map {
             case ((file, c), (mn, mx)) => s"$file\t$c\t$mn\t$mx"
           }.sorted
-          (s.version + 1, s.files ++ files, carried ++ fresh)
+          // append-side schema contract mirrors SnapshotTable.append:
+          // same columns, or option mergeSchema=true for add-column
+          val base = SnapshotTable.tableSchema(spark, root, s.version)
+            .getOrElse(spark.read.parquet(s.files.head).schema)
+          val ns =
+            if (mergeSchema) SnapshotTable.evolveSchema(base, schema)
+            else {
+              require(SnapshotTable.nullableSchema(schema).fields
+                .map(f => (f.name, f.dataType)).toSeq ==
+                SnapshotTable.nullableSchema(base).fields
+                  .map(f => (f.name, f.dataType)).toSeq,
+                s"write schema ${schema.simpleString} != table schema " +
+                  s"${base.simpleString}; set option mergeSchema=true " +
+                  "for add-column evolution")
+              base
+            }
+          (s.version + 1, s.files ++ files, carried ++ fresh, ns)
       }
       try {
         SnapshotTable.commit(spark, root, v, all)
         SnapshotTable.writeStats(spark, root, v, lines)
+        SnapshotTable.writeSchema(spark, root, v, nextSchema)
         done = true
       } catch {
         case e: java.util.ConcurrentModificationException =>

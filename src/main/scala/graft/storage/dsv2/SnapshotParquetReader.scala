@@ -48,10 +48,23 @@ final class SnapshotPartitionReader(file: String, required: StructType,
   extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[InternalRow] = {
+    // one footer pre-read: a pushed predicate may reference a column an
+    // OLDER file predates (add-column evolution) — parquet's filter
+    // validator rejects predicates on absent columns, so restrict the
+    // predicate to this file's own columns (the absent column is null
+    // here, and Spark's residual filter still applies exactly)
+    val path = new org.apache.hadoop.fs.Path(file)
+    val presentCols: Set[String] = {
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+      try fr.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+      finally fr.close()
+    }
+    val applicable = intervals.filter { case (c, _) => presentCols(c) }
     val base = ParquetReader
-      .builder(new RowReadSupport(required), new org.apache.hadoop.fs.Path(file))
+      .builder(new RowReadSupport(required), path)
       .withConf(conf)
-    SnapshotParquet.predicate(required, intervals) match {
+    SnapshotParquet.predicate(required, applicable) match {
       case Some(p) => base.withFilter(FilterCompat.get(p)).build()
       case None => base.build()
     }
@@ -123,16 +136,15 @@ final class RowReadSupport(required: StructType) extends ReadSupport[InternalRow
 
   override def init(context: InitContext): ReadContext = {
     val fileSchema = context.getFileSchema
+    // add-column evolution: a required column ABSENT from this (older)
+    // file is simply not requested — its slot stays null in every row
+    val present = required.fields.toSeq.filter(f => fileSchema.containsField(f.name))
     val projected =
-      if (required.isEmpty)
+      if (present.isEmpty)
         new MessageType(fileSchema.getName, fileSchema.getFields.get(0))
       else {
-        val fields: Seq[Type] = required.fields.toSeq.map { f =>
-          require(fileSchema.containsField(f.name),
-            s"column '${f.name}' not in parquet file schema " +
-              s"(graft-snapshot has no schema-evolution support yet)")
-          fileSchema.getType(fileSchema.getFieldIndex(f.name))
-        }
+        val fields: Seq[Type] = present.map(f =>
+          fileSchema.getType(fileSchema.getFieldIndex(f.name)))
         new MessageType(fileSchema.getName, fields.asJava)
       }
     new ReadContext(projected)
@@ -152,21 +164,31 @@ private final class RowMaterializer(requested: MessageType, required: StructType
   override def getRootConverter: GroupConverter = root
 }
 
-/** Root record converter: one slot per required column; empty projection
-  * (count-star) ignores all values and emits width-0 rows. */
+/** Root record converter: one slot per required column, bound to the
+  * REQUESTED parquet fields BY NAME — after add-column evolution the
+  * requested schema can be a subset of the required one (older file),
+  * and unbound slots stay null. Empty projections (count-star) and the
+  * placeholder column they request ignore all values and emit width-0
+  * rows. */
 private final class RootConverter(requested: MessageType, required: StructType)
   extends GroupConverter {
 
   private val values = new Array[Any](required.length)
 
+  private val slotByName: Map[String, Int] =
+    required.fieldNames.zipWithIndex.toMap
+
   private val converters: Array[Converter] =
-    if (required.isEmpty)
-      Array(NoopConverter.forType(requested.getType(0)))
-    else
-      required.fields.zipWithIndex.map { case (f, i) =>
-        CatalystConverters.make(requested.getType(i), f.dataType,
-          v => values(i) = v)
-      }.toArray
+    (0 until requested.getFieldCount).map { i =>
+      val pq = requested.getType(i)
+      slotByName.get(pq.getName) match {
+        case Some(slot) =>
+          CatalystConverters.make(pq, required.fields(slot).dataType,
+            v => values(slot) = v)
+        case None => // the count-star placeholder column
+          NoopConverter.forType(pq)
+      }
+    }.toArray
 
   var currentRow: InternalRow = _
 

@@ -147,6 +147,33 @@ class SnapshotDsv2Spec extends SparkSpec {
     assert(df.count() === 1000)
   }
 
+  test("DSv2 add-column evolution: option mergeSchema widens, reader null-fills") {
+    val root = newRoot()
+    spark.range(50).select(col("id").as("k"), lit("old").as("s"), lit(1L).as("v"))
+      .write.format("graft-snapshot").mode("append").save(root)
+    // differing columns without the option: refused
+    intercept[Exception] {
+      spark.range(50, 60).select(col("id").as("k"), lit("new").as("s"),
+          lit(2L).as("v"), (col("id") * 2.0).as("score"))
+        .write.format("graft-snapshot").mode("append").save(root)
+    }
+    spark.range(50, 60).select(col("id").as("k"), lit("new").as("s"),
+        lit(2L).as("v"), (col("id") * 2.0).as("score"))
+      .write.format("graft-snapshot").option("mergeSchema", "true")
+      .mode("append").save(root)
+    val got = spark.read.format("graft-snapshot").load(root)
+    assert(got.columns.toSeq === Seq("k", "s", "v", "score"))
+    assert(got.count() === 60)
+    // old files' rows read null for the evolved column
+    assert(got.where(col("score").isNull).count() === 50)
+    assert(got.where(col("score") === 110.0).count() === 1)
+    // pushed predicate on the EVOLVED column: older files predate it —
+    // the reader must not hand parquet a predicate on a missing column
+    assert(got.where(col("score") >= 110.0).count() === 5)
+    // count(*) and pruning still fine on the shared column
+    assert(got.where(col("k") < 10).count() === 10)
+  }
+
   test("snapshot isolation: a resolved DSv2 frame survives a concurrent merge") {
     val root = newRoot()
     SnapshotTable.create(spark, root,

@@ -261,6 +261,57 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.readVersion(spark, root, 1L).count() === 2000)
   }
 
+  test("add-column evolution: appends widen the schema, old files read null") {
+    val root = newRoot()
+    SnapshotTable.create(spark, root,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "s", "v"))
+    // a differing column set WITHOUT mergeSchema must be refused (a
+    // typo'd column must not silently fork the schema)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root,
+        Seq((3L, "c", 1L, "x")).toDF("k", "s", "v", "extra"))
+    }
+    // with mergeSchema: the table gains `extra` (nullable)
+    SnapshotTable.append(spark, root,
+      Seq((3L, "c", 2L, "x3")).toDF("k", "s", "v", "extra"),
+      mergeSchema = true)
+    val got = SnapshotTable.read(spark, root)
+    assert(got.columns.toSeq === Seq("k", "s", "v", "extra"))
+    val rows = got.orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+    assert(rows === Seq((1L, None), (2L, None), (3L, Some("x3"))))
+    // time travel shows v1's ORIGINAL schema
+    assert(SnapshotTable.readVersion(spark, root, 1L).columns.toSeq ===
+      Seq("k", "s", "v"))
+    // a type CHANGE is refused even with mergeSchema
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root,
+        Seq((4L, "d", 3L, 42)).toDF("k", "s", "v", "extra"),
+        mergeSchema = true)
+    }
+    // a narrower append (missing `extra`) is fine under mergeSchema
+    SnapshotTable.append(spark, root,
+      Seq((5L, "e", 3L)).toDF("k", "s", "v"), mergeSchema = true)
+    assert(SnapshotTable.read(spark, root)
+      .where(col("k") === 5 && col("extra").isNull).count() === 1)
+  }
+
+  test("add-column evolution through merge; compaction materializes it") {
+    val root = newRoot()
+    SnapshotTable.create(spark, root,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "s", "v"))
+    SnapshotTable.merge(spark, root,
+      Seq((2L, "B", 2L, 9.5), (3L, "c", 2L, 1.5)).toDF("k", "s", "v", "score"),
+      Seq("k"), "v", mergeSchema = true)
+    val got = SnapshotTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(3)))).toSeq
+    assert(got === Seq((1L, "a", None), (2L, "B", Some(9.5)), (3L, "c", Some(1.5))))
+    // compact keeps the evolved schema and content
+    SnapshotTable.compact(spark, root, targetFiles = 1)
+    assert(SnapshotTable.read(spark, root).columns.toSeq === Seq("k", "s", "v", "score"))
+    assert(SnapshotTable.read(spark, root).count() === 3)
+  }
+
   test("NaN stat values never cause a false-negative prune") {
     val root = newRoot()
     val sq = spark; import sq.implicits._
