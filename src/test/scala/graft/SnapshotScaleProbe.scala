@@ -74,6 +74,39 @@ object SnapshotScaleProbe {
     assert(keep2.size <= total2 / 8, s"post-merge pruning lost: ${keep2.size}/$total2")
     println(f"[snap-scale] 1%% cow-merge=$tMerge%.1fs (vs create $tCreate%.1fs) " +
       f"post-merge kept=${keep2.size}/$total2")
+
+    // 1 % APPEND vs the COW merge: the append stages only its own batch
+    // and commits metadata — at 100 TB this is the difference between
+    // O(batch) and O(table) per micro-batch
+    val add = spark.range(rows, rows + rows / 100).select(col("id").as("k"),
+      lit(7L).as("v"), lit("app").as("pad"), lit(3L).as("ver"))
+    val (_, tAppend) = time {
+      SnapshotTable.append(spark, root, add, statsCols = Seq("k"))
+    }
+    assert(SnapshotTable.read(spark, root).count() == rows + rows / 100)
+    println(f"[snap-scale] 1%% append=$tAppend%.2fs vs cow-merge=$tMerge%.1fs " +
+      f"(${tMerge / tAppend}%.0fx) — append is O(batch)")
+    assert(tAppend < tMerge / 2,
+      s"append ($tAppend s) should be far cheaper than COW merge ($tMerge s)")
+
+    // DSv2 read path: the SAME band read through
+    // spark.read.format("graft-snapshot") with an ORDINARY .where —
+    // pruning evidence from the connector's own scan
+    val (dsvCnt, tDsv) = time {
+      spark.read.format("graft-snapshot").load(root)
+        .where(col("k") >= lo && col("k") <= hi).count()
+    }
+    assert(dsvCnt == prunedCnt, s"DSv2 band read exact: $dsvCnt vs $prunedCnt")
+    val df = spark.read.format("graft-snapshot").load(root)
+      .where(col("k") >= lo && col("k") <= hi)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.collectFirst { case s: graft.storage.dsv2.SnapshotScan => s }.get
+    println(f"[snap-scale] dsv2 band read=$tDsv%.2fs " +
+      f"planned=${scan.plannedFiles.size}/${scan.totalFileCount} files")
+    assert(scan.plannedFiles.size <= scan.totalFileCount / 4,
+      s"DSv2 pruning weak: ${scan.plannedFiles.size}/${scan.totalFileCount}")
     spark.stop()
   }
 }
