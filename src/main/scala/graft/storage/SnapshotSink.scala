@@ -1,6 +1,5 @@
 package graft.storage
 
-import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Exactly-once streaming upsert into a [[SnapshotTable]] — the missing
@@ -11,69 +10,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * every table format documents for `foreachBatch`: Spark guarantees
   * batch REPLAY (same `batchId` ⇒ same data) after failure, never batch
   * loss, so a sink that makes re-delivery a NO-OP is end-to-end
-  * exactly-once. This sink records the committed `batchId` in a
-  * `v<NN>.txn` sidecar next to each manifest it commits (published with
-  * the same staged-write + rename primitive, so readers never see a torn
-  * sidecar) and skips any batch at-or-below the high-water mark.
+  * exactly-once. The committed `batchId` rides INSIDE the version's
+  * manifest (a `#txn <id>` metadata line), so the ledger entry and the
+  * data commit are ONE atomic rename — there is no crash window between
+  * them, and append mode is exactly-once too, not merely
+  * content-idempotent. Every commit path (merge, append, compact, DSv2
+  * writes) carries the latest entry forward into its successor manifest,
+  * so maintenance commits never lower the high-water mark and vacuum
+  * can retire any old version without losing it.
   *
-  * Crash window honesty: a failure BETWEEN the manifest commit and the
-  * txn publish makes the replayed batch re-merge — one redundant version
-  * whose CONTENT is identical (last-write-wins keyed merge of the same
-  * rows is idempotent), so the guarantee degrades to exactly-once
-  * CONTENT / at-least-once versions in that window, same as Delta's
-  * txn-version recovery note. Version numbers therefore need not equal
-  * batch ids; the sidecar is the dedup ledger, not the version counter.
-  *
-  * Scale shape: the ledger is one tiny file per commit (vacuumed with
-  * its version); the high-water-mark read is a driver-side directory
-  * listing — metadata-scale, like every other snapshot operation.
+  * Scale shape: the ledger is one line inside a manifest already being
+  * written; the high-water-mark read is normally ONE manifest read (the
+  * latest version carries the propagated entry) — metadata-scale, like
+  * every other snapshot operation.
   */
 object SnapshotSink {
 
-  private def fs(spark: SparkSession, root: String): FileSystem =
-    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def snapDir(root: String) = new Path(root, "_snapshots")
-  private def txnPath(root: String, v: Long) =
-    new Path(snapDir(root), f"v$v%020d.txn")
-
-  /** Highest batch id recorded by any committed version's txn sidecar,
-    * or -1 when none exists (fresh table / non-streaming table). */
-  def lastCommittedBatch(spark: SparkSession, root: String): Long = {
-    val f = fs(spark, root)
-    val d = snapDir(root)
-    if (!f.exists(d)) return -1L
-    val ids = f.listStatus(d).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".txn"))
-      .flatMap { p =>
-        val in = f.open(p)
-        val s = try {
-          val bos = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
-          new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim
-        } finally in.close()
-        // tolerate a torn sidecar: an unreadable ledger entry means the
-        // batch MAY replay — the content-idempotent path, never data loss
-        try Some(s.toLong) catch { case _: NumberFormatException => None }
-      }
-    if (ids.isEmpty) -1L else ids.max
-  }
-
-  private def writeTxn(spark: SparkSession, root: String, v: Long,
-                       batchId: Long): Unit = {
-    val f = fs(spark, root)
-    val tmp = new Path(snapDir(root), s".tmp-txn-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(s"$batchId\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!f.rename(tmp, txnPath(root, v))) f.delete(tmp, false)
-  }
+  /** Highest batch id recorded in the version manifests, or -1 when none
+    * exists (fresh table / non-streaming table). Normally resolved from
+    * the LATEST manifest alone (every commit path propagates the entry);
+    * the descending scan is the belt-and-braces fallback for manifests
+    * written by external tools that dropped it. */
+  def lastCommittedBatch(spark: SparkSession, root: String): Long =
+    SnapshotTable.versions(spark, root).reverseIterator
+      .map(v => SnapshotTable.snapshot(spark, root, v).txn)
+      .collectFirst { case Some(id) => id }
+      .getOrElse(-1L)
 
   /** Commit one micro-batch exactly once: a batch at-or-below the ledger
     * high-water mark is a NO-OP (returns the current version); a fresh
     * batch creates the table (first ever batch) or merges through
-    * [[SnapshotTable.mergeWithRetry]], then records its id. Returns the
-    * table version the batch's data is visible at.
+    * [[SnapshotTable.mergeWithRetry]], recording its id atomically with
+    * the commit. Returns the table version the batch's data is visible
+    * at.
     *
     * Merge is copy-on-write — O(table) per batch. When the stream's rows
     * are immutable facts (datapoints, events) rather than keyed upserts,
@@ -84,41 +53,39 @@ object SnapshotSink {
                   statsCols: Seq[String] = Seq.empty,
                   clusterBy: Option[String] = None,
                   maxAttempts: Int = 5): Long = {
-    val last = lastCommittedBatch(spark, root)
     val cur = SnapshotTable.latest(spark, root)
-    if (batchId <= last)
+    if (batchId <= lastCommittedBatch(spark, root))
       return cur.map(_.version).getOrElse(
         throw new IllegalStateException(s"txn ledger without snapshots at $root"))
-    val v = SnapshotTable.latest(spark, root) match {
+    cur match {
       case None =>
-        try SnapshotTable.create(spark, root, df, statsCols)
+        try SnapshotTable.create(spark, root, df, statsCols, txn = Some(batchId))
         catch {
           // lost the CREATE race to a concurrent writer: their table is
           // the base now, fall through to the merge path
           case _: IllegalArgumentException |
                _: java.util.ConcurrentModificationException =>
             SnapshotTable.mergeWithRetry(spark, root, df, keyCols, versionCol,
-              maxAttempts = maxAttempts, statsCols = statsCols, clusterBy = clusterBy)
+              maxAttempts = maxAttempts, statsCols = statsCols,
+              clusterBy = clusterBy, txn = Some(batchId))
         }
       case Some(_) =>
         SnapshotTable.mergeWithRetry(spark, root, df, keyCols, versionCol,
-          maxAttempts = maxAttempts, statsCols = statsCols, clusterBy = clusterBy)
+          maxAttempts = maxAttempts, statsCols = statsCols,
+          clusterBy = clusterBy, txn = Some(batchId))
     }
-    writeTxn(spark, root, v, batchId)
-    v
   }
 
   /** Append-only exactly-once commit: the batch's rows land as NEW files
-    * (no rewrite — [[SnapshotTable.append]]), replays are no-ops via the
-    * same ledger. Retries the commit race like merge does. */
+    * (no rewrite — [[SnapshotTable.append]]); the batch id commits
+    * atomically with the manifest, so a replay after ANY crash point is
+    * a no-op. Retries the commit race like merge does. */
   def commitBatchAppend(spark: SparkSession, root: String, batchId: Long,
                         df: DataFrame,
                         statsCols: Seq[String] = Seq.empty,
                         maxAttempts: Int = 5): Long = {
-    val last = lastCommittedBatch(spark, root)
-    val cur = SnapshotTable.latest(spark, root)
-    if (batchId <= last)
-      return cur.map(_.version).getOrElse(
+    if (batchId <= lastCommittedBatch(spark, root))
+      return SnapshotTable.latest(spark, root).map(_.version).getOrElse(
         throw new IllegalStateException(s"txn ledger without snapshots at $root"))
     var attempt = 1
     var v = -1L
@@ -127,8 +94,11 @@ object SnapshotSink {
         // re-resolve per attempt: a concurrent writer may have CREATED
         // the table since the last look, flipping create into append
         v = SnapshotTable.latest(spark, root) match {
-          case None => SnapshotTable.create(spark, root, df, statsCols)
-          case Some(_) => SnapshotTable.append(spark, root, df, statsCols = statsCols)
+          case None =>
+            SnapshotTable.create(spark, root, df, statsCols, txn = Some(batchId))
+          case Some(_) =>
+            SnapshotTable.append(spark, root, df, statsCols = statsCols,
+              txn = Some(batchId))
         }
       } catch {
         case e @ (_: java.util.ConcurrentModificationException |
@@ -138,7 +108,6 @@ object SnapshotSink {
           attempt += 1
       }
     }
-    writeTxn(spark, root, v, batchId)
     v
   }
 

@@ -39,8 +39,19 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotTable {
 
-  /** A resolved snapshot: version + ABSOLUTE data-file paths. */
-  final case class Snapshot(version: Long, files: Seq[String])
+  /** A resolved snapshot: version + ABSOLUTE data-file paths + metadata
+    * lines ("#"-prefixed in the manifest — e.g. the streaming sink's
+    * `#txn <batchId>` ledger entry, ATOMIC with the commit because it
+    * rides the same manifest rename). */
+  final case class Snapshot(version: Long, files: Seq[String],
+                            meta: Seq[String] = Seq.empty) {
+    /** The batch-id ledger entry carried by this version, if any. */
+    def txn: Option[Long] = meta.collectFirst {
+      case l if l.startsWith("#txn ") =>
+        try Some(l.stripPrefix("#txn ").trim.toLong)
+        catch { case _: NumberFormatException => None }
+    }.flatten
+  }
 
   /** Age after which a fallback-path commit lock left by a crashed writer
     * is taken over (the commit-point flip it guards is milliseconds). */
@@ -103,7 +114,10 @@ object SnapshotTable {
     * Object stores need a conditional-put LogStore, as every table
     * format documents. */
   private[storage] def commit(spark: SparkSession, root: String, v: Long,
-                              files: Seq[String]): Unit = {
+                              files: Seq[String],
+                              meta: Seq[String] = Seq.empty): Unit = {
+    require(meta.forall(_.startsWith("#")),
+      s"manifest metadata lines must be #-prefixed: $meta")
     val f = fs(spark, root)
     f.mkdirs(snapDir(root))
     val target = manifestPath(root, v)
@@ -111,7 +125,7 @@ object SnapshotTable {
       s"snapshot v$v already committed by another writer at $root")
     val tmp = new Path(snapDir(root), s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(files.mkString("", "\n", "\n")
+    try out.write((meta ++ files).mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val local = f.getScheme == "file"
@@ -161,6 +175,15 @@ object SnapshotTable {
         s"lost the commit race for snapshot v$v at $root")
     }
   }
+
+  /** Manifest metadata for a new commit: an explicit new txn entry, or
+    * the base snapshot's entry CARRIED FORWARD — so non-stream commits
+    * (compact, plain merges, DSv2 writes) never lower the streaming
+    * sink's batch-id high-water mark, and vacuum can retire any old
+    * version without losing it. */
+  private[storage] def nextMeta(base: Option[Snapshot],
+                                txn: Option[Long]): Seq[String] =
+    txn.orElse(base.flatMap(_.txn)).map(id => s"#txn $id").toSeq
 
   private def cleanupOrphans(spark: SparkSession, root: String,
                              files: Seq[String]): Unit = {
@@ -322,6 +345,30 @@ object SnapshotTable {
       }.toMap
   }
 
+  /** The version's stats sidecar re-serialized as lines (for carrying
+    * into a successor version's sidecar). */
+  private[storage] def statsLines(spark: SparkSession, root: String,
+                                  v: Long): Seq[String] =
+    stats(spark, root, v).toSeq.map {
+      case ((file, c), (mn, mx)) => s"$file\t$c\t$mn\t$mx"
+    }.sorted
+
+  /** THE one keep-rule for file-level skipping — every pruning surface
+    * (library pruneFiles/readPruned, the DSv2 scan) goes through it: a
+    * file survives unless its stats PROVE no value can land in every
+    * requested band. NO FALSE NEGATIVES: missing stats keep the file. */
+  private[storage] def keepByStats(files: Seq[String],
+                                   st: Map[(String, String), (Double, Double)],
+                                   bounds: Map[String, (Double, Double)]): Seq[String] =
+    files.filter { f =>
+      bounds.forall { case (c, (lo, hi)) =>
+        st.get((norm(f), c)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
+
   /** The latest snapshot's files that might hold `statCol` values in
     * [lo, hi], plus the total file count. NO FALSE NEGATIVES: files
     * without stats are kept. Driver-side over the stats sidecar
@@ -331,13 +378,7 @@ object SnapshotTable {
     val snap = latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     val st = stats(spark, root, snap.version)
-    val keep = snap.files.filter { f =>
-      st.get((norm(f), statCol)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
-      }
-    }
-    (keep, snap.files.size)
+    (keepByStats(snap.files, st, Map(statCol -> (lo, hi))), snap.files.size)
   }
 
   /** Range read through the stats sidecar: scans ONLY the candidate files
@@ -352,12 +393,7 @@ object SnapshotTable {
     val snap = latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     val st = stats(spark, root, snap.version)
-    val keep = snap.files.filter { f =>
-      st.get((norm(f), statCol)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
-      }
-    }
+    val keep = keepByStats(snap.files, st, Map(statCol -> (lo, hi)))
     val schema = tableSchema(spark, root, snap.version)
     val base =
       if (keep.isEmpty) readFiles(spark, snap.files, schema).where(lit(false))
@@ -385,8 +421,10 @@ object SnapshotTable {
       org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
       bos.toByteArray
     } finally in.close()
-    Snapshot(v, new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+    val lines = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    val (meta, files) = lines.partition(_.startsWith("#"))
+    Snapshot(v, files, meta)
   }
 
   /** The latest committed snapshot, if any. */
@@ -399,7 +437,14 @@ object SnapshotTable {
   private def readFiles(spark: SparkSession, files: Seq[String],
                         schema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
-    require(files.nonEmpty, "empty snapshot")
+    if (files.isEmpty) {
+      // a legal state: TRUNCATE/overwrite-with-empty commits a zero-file
+      // manifest; the schema sidecar keeps the table well-typed
+      val sc = schema.getOrElse(throw new IllegalStateException(
+        "empty snapshot with no schema sidecar"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+    }
     schema match {
       case Some(sc) => spark.read.schema(sc).parquet(files: _*)
       case None => spark.read.parquet(files: _*)
@@ -423,12 +468,13 @@ object SnapshotTable {
     * already has commits. `statsCols` names numeric columns to carry
     * file-level min/max data-skipping stats for ([[readPruned]]). */
   def create(spark: SparkSession, root: String, df: DataFrame,
-             statsCols: Seq[String] = Seq.empty): Long = {
+             statsCols: Seq[String] = Seq.empty,
+             txn: Option[Long] = None): Long = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
     val files = writeData(spark, root, df)
     val st = collectStats(spark, files, statsCols)
     try {
-      commit(spark, root, 1L, files)
+      commit(spark, root, 1L, files, nextMeta(None, txn))
       writeStats(spark, root, 1L, st)
       writeSchema(spark, root, 1L, df.schema)
       1L
@@ -467,7 +513,8 @@ object SnapshotTable {
             clusterBy: Option[String] = None,
             clusterFiles: Int = 0,
             deleteCol: Option[String] = None,
-            mergeSchema: Boolean = false): Long = {
+            mergeSchema: Boolean = false,
+            txn: Option[Long] = None): Long = {
     require(keyCols.nonEmpty, "keyCols must not be empty")
     deleteCol.foreach(c => require(updates.columns.contains(c),
       s"deleteCol '$c' not in updates columns ${updates.columns.mkString(",")}"))
@@ -478,6 +525,11 @@ object SnapshotTable {
         s"expected base v$v but latest is v${snap.version} at $root")
     }
     val base = readFiles(spark, snap.files, tableSchema(spark, root, snap.version))
+    // a REAL table column with the tombstone marker's name would be
+    // silently clobbered and then dropped — refuse loudly instead
+    deleteCol.foreach(c => require(!base.columns.contains(c),
+      s"deleteCol '$c' collides with an existing table column; pick a marker " +
+        "name the schema does not use"))
     if (mergeSchema) // fail fast on a type conflict, before any write
       evolveSchema(base.schema, updates.drop(deleteCol.toSeq: _*).schema)
     val cur = deleteCol.foldLeft(base.withColumn("__src", lit(0)))(
@@ -503,7 +555,7 @@ object SnapshotTable {
     val st = collectStats(spark, files, statsCols)
     val next = snap.version + 1
     try {
-      commit(spark, root, next, files)
+      commit(spark, root, next, files, nextMeta(Some(snap), txn))
       writeStats(spark, root, next, st)
       writeSchema(spark, root, next, out.schema)
       next
@@ -528,7 +580,8 @@ object SnapshotTable {
   def append(spark: SparkSession, root: String, df: DataFrame,
              expectedVersion: Option[Long] = None,
              statsCols: Seq[String] = Seq.empty,
-             mergeSchema: Boolean = false): Long = {
+             mergeSchema: Boolean = false,
+             txn: Option[Long] = None): Long = {
     val snap = latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no table at $root — create() first"))
     expectedVersion.foreach { v =>
@@ -547,13 +600,11 @@ object SnapshotTable {
         baseSchema
       }
     val files = writeData(spark, root, df)
-    val carried = stats(spark, root, snap.version).toSeq.map {
-      case ((file, c), (mn, mx)) => s"$file\t$c\t$mn\t$mx"
-    }.sorted
-    val st = carried ++ collectStats(spark, files, statsCols)
+    val st = statsLines(spark, root, snap.version) ++
+      collectStats(spark, files, statsCols)
     val next = snap.version + 1
     try {
-      commit(spark, root, next, snap.files ++ files)
+      commit(spark, root, next, snap.files ++ files, nextMeta(Some(snap), txn))
       writeStats(spark, root, next, st)
       writeSchema(spark, root, next, nextSchema)
       next
@@ -571,7 +622,8 @@ object SnapshotTable {
   def compact(spark: SparkSession, root: String, targetFiles: Int,
               clusterBy: Option[String] = None,
               statsCols: Seq[String] = Seq.empty,
-              expectedVersion: Option[Long] = None): Long = {
+              expectedVersion: Option[Long] = None,
+              txn: Option[Long] = None): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val snap = latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no table at $root — create() first"))
@@ -589,7 +641,7 @@ object SnapshotTable {
     val st = collectStats(spark, files, statsCols)
     val next = snap.version + 1
     try {
-      commit(spark, root, next, files)
+      commit(spark, root, next, files, nextMeta(Some(snap), txn))
       writeStats(spark, root, next, st)
       // compaction materializes the evolved schema into every file, and
       // the new version keeps carrying it
@@ -613,13 +665,14 @@ object SnapshotTable {
                      statsCols: Seq[String] = Seq.empty,
                      clusterBy: Option[String] = None,
                      clusterFiles: Int = 0,
-                     deleteCol: Option[String] = None): Long = {
+                     deleteCol: Option[String] = None,
+                     txn: Option[Long] = None): Long = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     var attempt = 1
     while (true) {
       try return merge(spark, root, updates, keyCols, versionCol,
         expectedVersion = None, statsCols = statsCols, clusterBy = clusterBy,
-        clusterFiles = clusterFiles, deleteCol = deleteCol)
+        clusterFiles = clusterFiles, deleteCol = deleteCol, txn = txn)
       catch { case e: java.util.ConcurrentModificationException =>
         if (attempt >= maxAttempts) throw e
         attempt += 1

@@ -71,24 +71,57 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
+  /** Spark's load path calls [[inferSchema]] then [[getTable]] as TWO
+    * separate provider calls on the same thread; a commit landing
+    * between them would pin version N's schema over version N+1's
+    * files. This thread-local pins ONE resolution across the pair:
+    * inferSchema deposits it, getTable consumes it (and falls back to a
+    * fresh resolve for direct getTable calls — the write path). */
+  private val pinned =
+    new ThreadLocal[Option[(String, Option[String], SnapshotTable.Snapshot)]] {
+      override def initialValue(): Option[(String, Option[String], SnapshotTable.Snapshot)] = None
+    }
+
+  private def versionOpt(options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("versionAsOf"))
+
   private def resolve(options: CaseInsensitiveStringMap): SnapshotTable.Snapshot = {
     val spark = SparkSession.active
     val r = root(options)
-    Option(options.get("versionAsOf")) match {
+    versionOpt(options) match {
       case Some(v) => SnapshotTable.snapshot(spark, r, v.toLong)
       case None => SnapshotTable.latest(spark, r).getOrElse(
         throw new IllegalStateException(s"no committed snapshot at $r"))
     }
   }
 
+  private def resolvePinned(options: CaseInsensitiveStringMap): SnapshotTable.Snapshot =
+    pinned.get() match {
+      case Some((r, v, snap))
+          if r == root(options) && v == versionOpt(options) =>
+        pinned.remove()
+        snap
+      case _ =>
+        pinned.remove()
+        resolve(options)
+    }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val snap = resolve(options)
+    pinned.set(Some((root(options), versionOpt(options), snap)))
     // the version's schema sidecar wins (it can be WIDER than any one
     // file after add-column evolution); footer inference is the
     // fallback for pre-evolution tables (one footer, driver-side)
-    SnapshotTable.tableSchema(SparkSession.active, root(options), snap.version)
-      .getOrElse(SparkSession.active.read.parquet(snap.files.head).schema)
+    schemaOf(options, snap)
+      .getOrElse(throw new IllegalStateException(
+        s"empty snapshot with no schema sidecar at ${root(options)}"))
   }
+
+  private def schemaOf(options: CaseInsensitiveStringMap,
+                       snap: SnapshotTable.Snapshot): Option[StructType] =
+    SnapshotTable.tableSchema(SparkSession.active, root(options), snap.version)
+      .orElse(snap.files.headOption.map(f =>
+        SparkSession.active.read.parquet(f).schema))
 
   /** Writes hand us the frame's schema directly (that is how the first
     * ever write can CREATE the table — there is nothing to infer yet). */
@@ -97,9 +130,14 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    // absent table ⇒ readable only after a first write commits
+    // absent table ⇒ readable only after a first write commits. The
+    // pinned resolution (from the inferSchema call that produced
+    // `schema`) keeps both calls on ONE version; the passed-in schema is
+    // kept verbatim — on the read path it IS this snapshot's schema, on
+    // the write path it is the frame's schema and the write contract
+    // validates it against the table at commit time.
     val snapOpt =
-      try Some(resolve(options))
+      try Some(resolvePinned(options))
       catch { case _: IllegalStateException => None }
     new SnapshotTableV2(root(options), snapOpt, schema)
   }
@@ -157,23 +195,23 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     val spark = SparkSession.active
     val bounds = SnapshotFilters.intervals(accepted)
     val st = SnapshotTable.stats(spark, root, snap.version)
-    val keep = snap.files.filter { f =>
-      bounds.forall { case (c, (lo, hi)) =>
-        st.get((SnapshotTable.norm(f), c)) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None => true // no stats ⇒ keep — never a false negative
-        }
-      }
-    }
-    // metadata-scale size probe (one getFileStatus per kept file) so the
-    // join planner sees a REAL sizeInBytes — without reported statistics
-    // a V2 table defaults to "huge" and never wins a broadcast
+    val keep = SnapshotTable.keepByStats(snap.files, st, bounds)
+    // size probe so the join planner sees a REAL sizeInBytes — without
+    // reported statistics a V2 table defaults to "huge" and never wins a
+    // broadcast. Batched: ONE listStatus per staging directory (a table
+    // has few of them), not one getFileStatus RPC per file — the
+    // difference between O(dirs) and O(files) driver round-trips on an
+    // object store.
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = keep.map { f =>
-      try fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
-      catch { case _: java.io.IOException => 0L }
-    }.sum
+    val keepSet = keep.map(SnapshotTable.norm).toSet
+    val bytes = keep.map(f => new org.apache.hadoop.fs.Path(f).getParent)
+      .distinct.flatMap { dir =>
+        try fs.listStatus(dir).toSeq
+        catch { case _: java.io.IOException => Seq.empty }
+      }
+      .filter(s => keepSet(SnapshotTable.norm(s.getPath.toString)))
+      .map(_.getLen).sum
     new SnapshotScan(root, snap.version, keep, snap.files.size, bytes, required,
       accepted, spark.sessionState.newHadoopConf())
   }
@@ -330,10 +368,13 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
       case SnapshotCommitMessage(fs) => fs
       case other => throw new IllegalStateException(s"unexpected commit message $other")
     }.sorted.toSeq
-    // an empty frame stages nothing: appending it is a no-op, and
-    // "creating" from it leaves the root absent rather than committing
-    // an unreadable zero-file manifest
-    if (files.isEmpty) { abortFiles(); return }
+    // an empty frame stages nothing: APPENDING it is a no-op (and an
+    // empty create leaves the root absent) — but an empty OVERWRITE of
+    // an existing table is a TRUNCATE and must commit a zero-file
+    // manifest, not silently keep the old rows
+    if (files.isEmpty && !(overwrite && SnapshotTable.latest(spark, root).isDefined)) {
+      abortFiles(); return
+    }
     val fresh = SnapshotTable.collectStats(spark, files, statsCols)
     var attempts = 0
     var done = false
@@ -343,9 +384,6 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
         case (None, _) => (1L, files, fresh, schema)
         case (Some(s), true) => (s.version + 1, files, fresh, schema)
         case (Some(s), false) =>
-          val carried = SnapshotTable.stats(spark, root, s.version).toSeq.map {
-            case ((file, c), (mn, mx)) => s"$file\t$c\t$mn\t$mx"
-          }.sorted
           // append-side schema contract mirrors SnapshotTable.append:
           // same columns, or option mergeSchema=true for add-column
           val base = SnapshotTable.tableSchema(spark, root, s.version)
@@ -362,10 +400,12 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
                   "for add-column evolution")
               base
             }
-          (s.version + 1, s.files ++ files, carried ++ fresh, ns)
+          (s.version + 1, s.files ++ files,
+            SnapshotTable.statsLines(spark, root, s.version) ++ fresh, ns)
       }
       try {
-        SnapshotTable.commit(spark, root, v, all)
+        // maintenance commits carry the streaming sink's ledger forward
+        SnapshotTable.commit(spark, root, v, all, SnapshotTable.nextMeta(cur, None))
         SnapshotTable.writeStats(spark, root, v, lines)
         SnapshotTable.writeSchema(spark, root, v, nextSchema)
         done = true
@@ -400,13 +440,21 @@ final class SnapshotWriterFactory(stagingDir: String, schema: StructType,
 final class SnapshotDataWriter(file: String, schema: StructType,
                                conf: Configuration)
   extends DataWriter[InternalRow] {
-  private val writer = SnapshotParquetWrite.open(file, schema, conf)
-  override def write(record: InternalRow): Unit = writer.write(record)
+  // LAZY open: a zero-row task (empty frame, filtered-out partition)
+  // must contribute NO file — otherwise empty appends mint junk
+  // versions full of empty parquet shells
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  override def write(record: InternalRow): Unit = {
+    if (writer == null) writer = SnapshotParquetWrite.open(file, schema, conf)
+    writer.write(record)
+  }
   override def commit(): WriterCommitMessage = {
+    if (writer == null) return SnapshotCommitMessage(Seq.empty)
     writer.close()
     SnapshotCommitMessage(Seq(file))
   }
   override def abort(): Unit = {
+    if (writer == null) return
     writer.close()
     val p = new org.apache.hadoop.fs.Path(file)
     p.getFileSystem(conf).delete(p, false)

@@ -48,19 +48,24 @@ final class SnapshotPartitionReader(file: String, required: StructType,
   extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[InternalRow] = {
-    // one footer pre-read: a pushed predicate may reference a column an
-    // OLDER file predates (add-column evolution) — parquet's filter
-    // validator rejects predicates on absent columns, so restrict the
-    // predicate to this file's own columns (the absent column is null
-    // here, and Spark's residual filter still applies exactly)
     val path = new org.apache.hadoop.fs.Path(file)
-    val presentCols: Set[String] = {
-      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
-      try fr.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
-      finally fr.close()
-    }
-    val applicable = intervals.filter { case (c, _) => presentCols(c) }
+    // footer pre-read ONLY when filters were pushed: a pushed predicate
+    // may reference a column an OLDER file predates (add-column
+    // evolution) — parquet's filter validator rejects predicates on
+    // absent columns, so restrict the predicate to this file's own
+    // columns (the absent column is null here, and Spark's residual
+    // filter still applies exactly). An unfiltered scan skips the extra
+    // footer read entirely.
+    val applicable =
+      if (intervals.isEmpty) intervals
+      else {
+        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+        val presentCols =
+          try fr.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+          finally fr.close()
+        intervals.filter { case (c, _) => presentCols(c) }
+      }
     val base = ParquetReader
       .builder(new RowReadSupport(required), path)
       .withConf(conf)
@@ -81,8 +86,18 @@ object SnapshotParquet {
   /** Rebuild the pushed intervals as a parquet `FilterPredicate` (typed
     * by the SPARK column type — the physical type parquet requires must
     * agree, which holds because the table schema was inferred from these
-    * same files). Integer bounds tighten to ⌈lo⌉/⌊hi⌋ — exact, not just
-    * conservative. Unsupported column types simply contribute nothing. */
+    * same files).
+    *
+    * Every bound is CONSERVATIVE, never tight: the interval came through
+    * a double (`Filter` values fold via `doubleValue()`), which is LOSSY
+    * for longs ≥ 2^53 — a ⌈lo⌉-style "exact" long bound built from the
+    * rounded double could exclude the genuinely matching row, and a
+    * record-level parquet filter that drops a row is unrecoverable
+    * (Spark's residual never sees it). So integer bounds widen to
+    * ⌊lo⌋/⌈hi⌉ and float bounds step one ulp outward; the residual
+    * filter discards the at-most-one extra boundary value. I/O-only
+    * pruning, correctness untouched — the same contract as the stats
+    * sidecar. Unsupported column types simply contribute nothing. */
   def predicate(schema: StructType,
                 intervals: Map[String, (Double, Double)]): Option[FilterPredicate] = {
     val leaves = intervals.toSeq.sortBy(_._1).flatMap { case (name, (lo, hi)) =>
@@ -91,19 +106,26 @@ object SnapshotParquet {
           case IntegerType | DateType =>
             val c = FilterApi.intColumn(name)
             opt(lo != Double.NegativeInfinity,
-              FilterApi.gtEq(c, Int.box(math.ceil(lo).toInt))) ++
+              FilterApi.gtEq(c, Int.box(math.floor(lo).toInt))) ++
               opt(hi != Double.PositiveInfinity,
-                FilterApi.ltEq(c, Int.box(math.floor(hi).toInt)))
+                FilterApi.ltEq(c, Int.box(math.ceil(hi).toInt)))
           case LongType =>
             val c = FilterApi.longColumn(name)
+            // the original long bound was rounded to the nearest double,
+            // an error of up to ulp/2 (512 at 2^62 — snowflake-id
+            // territory); widen by a FULL ulp so the true bound is
+            // always inside. Scala's Double.toLong saturates at the
+            // long range, so ±overflow degrades to a vacuous bound.
             opt(lo != Double.NegativeInfinity,
-              FilterApi.gtEq(c, Long.box(math.ceil(lo).toLong))) ++
+              FilterApi.gtEq(c, Long.box(math.floor(lo - Math.ulp(lo)).toLong))) ++
               opt(hi != Double.PositiveInfinity,
-                FilterApi.ltEq(c, Long.box(math.floor(hi).toLong)))
+                FilterApi.ltEq(c, Long.box(math.ceil(hi + Math.ulp(hi)).toLong)))
           case FloatType =>
             val c = FilterApi.floatColumn(name)
-            opt(lo != Double.NegativeInfinity, FilterApi.gtEq(c, Float.box(lo.toFloat))) ++
-              opt(hi != Double.PositiveInfinity, FilterApi.ltEq(c, Float.box(hi.toFloat)))
+            opt(lo != Double.NegativeInfinity,
+              FilterApi.gtEq(c, Float.box(math.nextDown(lo.toFloat)))) ++
+              opt(hi != Double.PositiveInfinity,
+                FilterApi.ltEq(c, Float.box(math.nextUp(hi.toFloat))))
           case DoubleType =>
             val c = FilterApi.doubleColumn(name)
             opt(lo != Double.NegativeInfinity, FilterApi.gtEq(c, Double.box(lo))) ++
@@ -114,6 +136,7 @@ object SnapshotParquet {
     }
     leaves.reduceOption(FilterApi.and)
   }
+
 
   private def opt(cond: Boolean, p: => FilterPredicate): Seq[FilterPredicate] =
     if (cond) Seq(p) else Seq.empty

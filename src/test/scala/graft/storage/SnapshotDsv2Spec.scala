@@ -174,6 +174,43 @@ class SnapshotDsv2Spec extends SparkSpec {
     assert(got.where(col("k") < 10).count() === 10)
   }
 
+  test("pushed equality on a non-double-representable long is exact (2^53+1)") {
+    val root = newRoot()
+    val big = 9007199254740993L // 2^53 + 1: doubleValue() rounds to 2^53
+    Seq((big, "hit"), (big - 1, "edge"), (1L, "small"))
+      .toDF("k", "s")
+      .write.format("graft-snapshot").mode("append").save(root)
+    val got = spark.read.format("graft-snapshot").load(root)
+    // the record-level parquet filter must NOT drop the true row: its
+    // bounds are ulp-widened, Spark's residual does the exact cut
+    assert(got.where(col("k") === big).collect().map(_.getString(1)).toSeq ===
+      Seq("hit"))
+    assert(got.where(col("k") >= big).count() === 1)
+    assert(got.where(col("k") <= big - 1 && col("k") > 1000).count() === 1)
+  }
+
+  test("overwrite with an empty frame is TRUNCATE, not a silent no-op") {
+    val root = newRoot()
+    spark.range(10).select(col("id").as("k"), lit("x").as("s"))
+      .write.format("graft-snapshot").mode("append").save(root)
+    spark.range(0).select(col("id").as("k"), lit("x").as("s"))
+      .write.format("graft-snapshot").mode("overwrite").save(root)
+    val got = spark.read.format("graft-snapshot").load(root)
+    assert(got.count() === 0)
+    assert(got.columns.toSeq === Seq("k", "s")) // schema survives truncation
+    // the pre-truncate version still time-travels
+    assert(spark.read.format("graft-snapshot").option("versionAsOf", 1)
+      .load(root).count() === 10)
+    // an empty APPEND stays a no-op (no pointless version)
+    spark.range(0).select(col("id").as("k"), lit("x").as("s"))
+      .write.format("graft-snapshot").mode("append").save(root)
+    assert(SnapshotTable.versions(spark, root) === Seq(1L, 2L))
+    // and the truncated table accepts new appends
+    spark.range(3).select(col("id").as("k"), lit("y").as("s"))
+      .write.format("graft-snapshot").mode("append").save(root)
+    assert(spark.read.format("graft-snapshot").load(root).count() === 3)
+  }
+
   test("snapshot isolation: a resolved DSv2 frame survives a concurrent merge") {
     val root = newRoot()
     SnapshotTable.create(spark, root,

@@ -50,6 +50,42 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(v1Files.subsetOf(SnapshotTable.latest(spark, root).get.files.toSet))
   }
 
+  test("ledger rides the manifest: HWM survives maintenance commits AND vacuum") {
+    val root = newRoot()
+    SnapshotSink.commitBatchAppend(spark, root, 0L,
+      Seq((1L, 1.0)).toDF("k", "x"))
+    SnapshotSink.commitBatchAppend(spark, root, 1L,
+      Seq((2L, 2.0)).toDF("k", "x"))
+    assert(SnapshotSink.lastCommittedBatch(spark, root) === 1L)
+    // maintenance commits that write no txn of their own CARRY the HWM
+    SnapshotTable.compact(spark, root, targetFiles = 1)
+    SnapshotTable.append(spark, root, Seq((3L, 3.0)).toDF("k", "x"))
+    assert(SnapshotSink.lastCommittedBatch(spark, root) === 1L)
+    // vacuum away every version that committed a batch directly: the
+    // retained compact/append versions still carry the ledger entry, so
+    // a replayed old batch stays a no-op (no duplicate rows)
+    SnapshotTable.vacuum(spark, root, keepVersions = 2, graceMs = 0)
+    assert(SnapshotTable.versions(spark, root) === Seq(3L, 4L))
+    assert(SnapshotSink.lastCommittedBatch(spark, root) === 1L)
+    val before = SnapshotTable.read(spark, root).count()
+    SnapshotSink.commitBatchAppend(spark, root, 1L, Seq((2L, 2.0)).toDF("k", "x"))
+    assert(SnapshotTable.read(spark, root).count() === before)
+    // and the ledger entry is atomic with its commit: the manifest of
+    // the version batch 1 created carried `#txn 1` in the SAME rename
+    assert(SnapshotTable.latest(spark, root).get.txn === Some(1L))
+  }
+
+  test("merge with a deleteCol name colliding with a table column is refused") {
+    val root = newRoot()
+    SnapshotTable.create(spark, root,
+      Seq((1L, "a", true, 1L)).toDF("k", "s", "del", "v"))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, root,
+        Seq((1L, "x", true, 2L)).toDF("k", "s", "del", "v"),
+        Seq("k"), "v", deleteCol = Some("del"))
+    }
+  }
+
   test("end-to-end: readStream → foreachBatch → ACID snapshot table") {
     implicit val sq = spark.sqlContext
     val root = newRoot()
