@@ -211,6 +211,34 @@ class SnapshotDsv2Spec extends SparkSpec {
     assert(spark.read.format("graft-snapshot").load(root).count() === 3)
   }
 
+  test("bare count(*) answers from footers only; filtered counts stay exact") {
+    val root = newRoot()
+    spark.range(12345).select(col("id").as("k"), lit("x").as("s"))
+      .repartition(4)
+      .write.format("graft-snapshot").mode("append").save(root)
+    val df = spark.read.format("graft-snapshot").load(root)
+    assert(df.count() === 12345)
+    // the plan must carry the metadata-count scan, not a row scan
+    val counted = df.groupBy().count()
+    counted.collect()
+    val scans = (counted.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    } ++ counted.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect { case b: BatchScanExec => b.scan }
+    }.flatten)
+    val meta = scans.collectFirst { case s: graft.storage.dsv2.SnapshotCountScan => s }
+    assert(meta.isDefined, s"expected metadata-count scan in:\n${counted.queryExecution}")
+    assert(meta.get.count === 12345)
+    // any FILTER disables the shortcut and stays exact
+    assert(df.where(col("k") < 100).count() === 100)
+    // after a delete-arm merge the footers reflect the rewrite
+    SnapshotTable.merge(spark, root,
+      Seq((0L, "x", true)).toDF("k", "s", "del"),
+      Seq("k"), "k", deleteCol = Some("del"))
+    assert(spark.read.format("graft-snapshot").load(root).count() === 12344)
+  }
+
   test("snapshot isolation: a resolved DSv2 frame survives a concurrent merge") {
     val root = newRoot()
     SnapshotTable.create(spark, root,
