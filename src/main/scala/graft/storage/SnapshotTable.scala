@@ -402,6 +402,36 @@ object SnapshotTable {
       col(statCol).cast("double") <= hi)
   }
 
+  /** DESCRIBE HISTORY: one row per retained version — version, commit
+    * time (the manifest's mtime), file count, total bytes (batched:
+    * one listing per staging dir), the streaming sink's batch id if the
+    * version carries one, and whether a schema sidecar exists.
+    * Driver-side metadata only. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val f = fs(spark, root)
+    val sq = spark
+    import sq.implicits._
+    val sizes: Map[String, Long] = {
+      val dirs = versions(spark, root)
+        .flatMap(v => snapshot(spark, root, v).files)
+        .map(p => new Path(p).getParent).distinct
+      dirs.flatMap { d =>
+        try f.listStatus(d).toSeq.map(s => norm(s.getPath.toString) -> s.getLen)
+        catch { case _: java.io.IOException => Seq.empty }
+      }.toMap
+    }
+    versions(spark, root).map { v =>
+      val snap = snapshot(spark, root, v)
+      (v, new java.sql.Timestamp(
+          f.getFileStatus(manifestPath(root, v)).getModificationTime),
+        snap.files.size.toLong,
+        snap.files.map(p => sizes.getOrElse(norm(p), 0L)).sum,
+        snap.txn,
+        f.exists(schemaPath(root, v)))
+    }.toDF("version", "committed_at", "n_files", "total_bytes",
+      "txn_batch", "has_schema")
+  }
+
   /** All committed versions, ascending. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)

@@ -312,6 +312,24 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() === 3)
   }
 
+  test("history reports versions, sizes, ledger entries, and schemas") {
+    val root = newRoot()
+    SnapshotTable.create(spark, root,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "s", "v"), txn = Some(0L))
+    SnapshotTable.append(spark, root, Seq((3L, "c", 2L)).toDF("k", "s", "v"))
+    SnapshotTable.compact(spark, root, targetFiles = 1)
+    val h = SnapshotTable.history(spark, root).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // v2 appended one file batch onto v1's files; v3 compacted to 1
+    assert(h(1).getLong(2) > h(0).getLong(2))
+    assert(h(2).getLong(2) === 1L)
+    assert(h.forall(_.getLong(3) > 0L), "total_bytes must be real")
+    // the create's txn entry is carried through append and compact
+    assert(h.map(r => Option(r.get(4)).map(_.toString.toLong)).toSeq ===
+      Seq(Some(0L), Some(0L), Some(0L)))
+    assert(h.forall(_.getBoolean(5)), "every round-10 version carries a schema")
+  }
+
   test("NaN stat values never cause a false-negative prune") {
     val root = newRoot()
     val sq = spark; import sq.implicits._
