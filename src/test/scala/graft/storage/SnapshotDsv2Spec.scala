@@ -54,6 +54,32 @@ class SnapshotDsv2Spec extends SparkSpec {
     assert(got.count() === 100)
   }
 
+  test("nulls and extreme values round-trip; connector read == Spark's own reader") {
+    val root = newRoot()
+    val sq = spark; import sq.implicits._
+    val base = Seq(
+      (0L, Some("s"), Some(1.5), Some(2.5f), Some(true), Some(7),
+        Some(Seq(1L, 2L)), Some(Map("a" -> "b"))),
+      (1L, None, Some(Double.NaN), Some(Float.NegativeInfinity), Some(false), None,
+        Some(Seq.empty[Long]), Some(Map.empty[String, String])),
+      (2L, Some(""), Some(Double.MaxValue), None, None, Some(Int.MinValue),
+        None, None),
+      (3L, Some("√ünicode✓"), Some(Double.MinPositiveValue),
+        Some(Float.PositiveInfinity), Some(true), Some(Int.MaxValue),
+        Some(Seq(Long.MinValue, Long.MaxValue)), Some(Map("" -> ""))))
+      .toDF("k", "s", "d", "f", "b", "i", "arr", "m")
+    base.repartition(2).write.format("graft-snapshot").mode("append").save(root)
+    val files = SnapshotTable.latest(spark, root).get.files
+    val viaConnector = canon(
+      spark.read.format("graft-snapshot").load(root).orderBy("k"))
+    val viaSpark = canon(
+      spark.read.parquet(files: _*).select("k", "s", "d", "f", "b", "i", "arr", "m")
+        .orderBy("k"))
+    assert(viaConnector === viaSpark)
+    // and both match the source frame
+    assert(viaConnector === canon(base.orderBy("k")))
+  }
+
   test("versionAsOf time travel reads a pinned older snapshot") {
     val root = newRoot()
     SnapshotTable.create(spark, root,
