@@ -107,6 +107,15 @@ object SnapshotScaleProbe {
       f"planned=${scan.plannedFiles.size}/${scan.totalFileCount} files")
     assert(scan.plannedFiles.size <= scan.totalFileCount / 4,
       s"DSv2 pruning weak: ${scan.plannedFiles.size}/${scan.totalFileCount}")
+
+    // metadata count(*): footers only, zero data I/O — at 100 TB this is
+    // the difference between a second and an hour
+    val (cnt, tCount) = time {
+      spark.read.format("graft-snapshot").load(root).count()
+    }
+    assert(cnt == rows + rows / 100)
+    println(f"[snap-scale] dsv2 metadata count(*)=$tCount%.2fs " +
+      f"rows=$cnt%,d (footers only)")
     spark.stop()
   }
 }
