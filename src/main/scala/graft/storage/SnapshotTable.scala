@@ -39,12 +39,27 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotTable {
 
-  /** A resolved snapshot: version + ABSOLUTE data-file paths + metadata
-    * lines ("#"-prefixed in the manifest — e.g. the streaming sink's
+  /** One manifest data-file entry: absolute path plus the file's row and
+    * byte counts, recorded AT COMMIT TIME (the writer just produced the
+    * file — its footer is hot) so `count(*)` and size statistics become
+    * O(1) manifest reads instead of O(files) footer/listing RPCs at
+    * query time. −1 = unknown (legacy path-only manifest lines). */
+  final case class FileEntry(path: String, rows: Long = -1L, bytes: Long = -1L)
+
+  /** A resolved snapshot: version + data-file entries + metadata lines
+    * ("#"-prefixed in the manifest — e.g. the streaming sink's
     * `#txn <batchId>` ledger entry, ATOMIC with the commit because it
     * rides the same manifest rename). */
-  final case class Snapshot(version: Long, files: Seq[String],
+  final case class Snapshot(version: Long, entries: Seq[FileEntry],
                             meta: Seq[String] = Seq.empty) {
+    /** ABSOLUTE data-file paths. */
+    def files: Seq[String] = entries.map(_.path)
+    /** Total rows when EVERY entry carries a count; None otherwise. */
+    def rowCount: Option[Long] =
+      if (entries.nonEmpty && entries.forall(_.rows >= 0L))
+        Some(entries.map(_.rows).sum)
+      else if (entries.isEmpty) Some(0L)
+      else None
     /** The batch-id ledger entry carried by this version, if any. */
     def txn: Option[Long] = meta.collectFirst {
       case l if l.startsWith("#txn ") =>
@@ -87,11 +102,23 @@ object SnapshotTable {
     listParquetStatuses(f, dir).map(_.getPath.toString)
 
   /** Stage `df` as new immutable data files under `<root>/data/<uuid>`;
-    * returns their absolute paths. Nothing is visible until a commit. */
-  private def writeData(spark: SparkSession, root: String, df: DataFrame): Seq[String] = {
+    * returns their manifest entries (path + row/byte counts — bytes from
+    * the listing, rows from one hot footer read per just-written file).
+    * Nothing is visible until a commit. */
+  private def writeData(spark: SparkSession, root: String,
+                        df: DataFrame): Seq[FileEntry] = {
     val dir = new Path(new Path(root, "data"), java.util.UUID.randomUUID().toString)
     df.write.parquet(dir.toString)
-    listParquet(fs(spark, root), dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    listParquetStatuses(fs(spark, root), dir).map { st =>
+      val rows =
+        try {
+          val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+          try fr.getRecordCount finally fr.close()
+        } catch { case _: Exception => -1L } // unknown, never wrong
+      FileEntry(st.getPath.toString, rows, st.getLen)
+    }
   }
 
   /** Atomically publish `files` as version `v`. The staged manifest is
@@ -114,10 +141,13 @@ object SnapshotTable {
     * Object stores need a conditional-put LogStore, as every table
     * format documents. */
   private[storage] def commit(spark: SparkSession, root: String, v: Long,
-                              files: Seq[String],
+                              entries: Seq[FileEntry],
                               meta: Seq[String] = Seq.empty): Unit = {
     require(meta.forall(_.startsWith("#")),
       s"manifest metadata lines must be #-prefixed: $meta")
+    // data lines: `path<TAB>rows<TAB>bytes` (−1 = unknown); a legacy
+    // path-only line parses back with unknown counts
+    val files = entries.map(e => s"${e.path}\t${e.rows}\t${e.bytes}")
     val f = fs(spark, root)
     f.mkdirs(snapDir(root))
     val target = manifestPath(root, v)
@@ -422,14 +452,18 @@ object SnapshotTable {
     }
     versions(spark, root).map { v =>
       val snap = snapshot(spark, root, v)
+      val bytes = snap.entries.map { e =>
+        if (e.bytes >= 0L) e.bytes else sizes.getOrElse(norm(e.path), 0L)
+      }.sum
       (v, new java.sql.Timestamp(
           f.getFileStatus(manifestPath(root, v)).getModificationTime),
         snap.files.size.toLong,
-        snap.files.map(p => sizes.getOrElse(norm(p), 0L)).sum,
+        bytes,
         snap.txn,
-        f.exists(schemaPath(root, v)))
+        f.exists(schemaPath(root, v)),
+        snap.rowCount)
     }.toDF("version", "committed_at", "n_files", "total_bytes",
-      "txn_batch", "has_schema")
+      "txn_batch", "has_schema", "total_rows")
   }
 
   /** All committed versions, ascending. */
@@ -453,8 +487,16 @@ object SnapshotTable {
     } finally in.close()
     val lines = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-    val (meta, files) = lines.partition(_.startsWith("#"))
-    Snapshot(v, files, meta)
+    val (meta, dataLines) = lines.partition(_.startsWith("#"))
+    val entries = dataLines.map { l =>
+      l.split("\t") match {
+        case Array(p, r, b) =>
+          try FileEntry(p, r.toLong, b.toLong)
+          catch { case _: NumberFormatException => FileEntry(p) }
+        case _ => FileEntry(l) // legacy path-only line
+      }
+    }
+    Snapshot(v, entries, meta)
   }
 
   /** The latest committed snapshot, if any. */
@@ -502,14 +544,14 @@ object SnapshotTable {
              txn: Option[Long] = None): Long = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
     val files = writeData(spark, root, df)
-    val st = collectStats(spark, files, statsCols)
+    val st = collectStats(spark, files.map(_.path), statsCols)
     try {
       commit(spark, root, 1L, files, nextMeta(None, txn))
       writeStats(spark, root, 1L, st)
       writeSchema(spark, root, 1L, df.schema)
       1L
     } catch { case e: java.util.ConcurrentModificationException =>
-      cleanupOrphans(spark, root, files); throw e }
+      cleanupOrphans(spark, root, files.map(_.path)); throw e }
   }
 
   /** MERGE INTO, last-write-wins: one row per `keyCols` survives, the
@@ -582,7 +624,7 @@ object SnapshotTable {
     val out = clusterBy.map(c => merged.repartitionByRange(n, col(c)))
       .getOrElse(merged)
     val files = writeData(spark, root, out)
-    val st = collectStats(spark, files, statsCols)
+    val st = collectStats(spark, files.map(_.path), statsCols)
     val next = snap.version + 1
     try {
       commit(spark, root, next, files, nextMeta(Some(snap), txn))
@@ -590,7 +632,7 @@ object SnapshotTable {
       writeSchema(spark, root, next, out.schema)
       next
     } catch { case e: java.util.ConcurrentModificationException =>
-      cleanupOrphans(spark, root, files); throw e }
+      cleanupOrphans(spark, root, files.map(_.path)); throw e }
   }
 
   /** APPEND: stage `df` as new files and commit `base.files ++ new` as
@@ -631,15 +673,15 @@ object SnapshotTable {
       }
     val files = writeData(spark, root, df)
     val st = statsLines(spark, root, snap.version) ++
-      collectStats(spark, files, statsCols)
+      collectStats(spark, files.map(_.path), statsCols)
     val next = snap.version + 1
     try {
-      commit(spark, root, next, snap.files ++ files, nextMeta(Some(snap), txn))
+      commit(spark, root, next, snap.entries ++ files, nextMeta(Some(snap), txn))
       writeStats(spark, root, next, st)
       writeSchema(spark, root, next, nextSchema)
       next
     } catch { case e: java.util.ConcurrentModificationException =>
-      cleanupOrphans(spark, root, files); throw e }
+      cleanupOrphans(spark, root, files.map(_.path)); throw e }
   }
 
   /** OPTIMIZE / compaction: rewrite the CURRENT content into
@@ -668,7 +710,7 @@ object SnapshotTable {
       case None => cur.repartition(targetFiles)
     }
     val files = writeData(spark, root, out)
-    val st = collectStats(spark, files, statsCols)
+    val st = collectStats(spark, files.map(_.path), statsCols)
     val next = snap.version + 1
     try {
       commit(spark, root, next, files, nextMeta(Some(snap), txn))
@@ -678,7 +720,7 @@ object SnapshotTable {
       writeSchema(spark, root, next, out.schema)
       next
     } catch { case e: java.util.ConcurrentModificationException =>
-      cleanupOrphans(spark, root, files); throw e }
+      cleanupOrphans(spark, root, files.map(_.path)); throw e }
   }
 
   /** The standard optimistic-concurrency loop every table format ships:

@@ -218,15 +218,18 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
 
   override def build(): Scan = {
     if (countStar) {
-      // parquet footers are exact for immutable files: one footer read
-      // per file, DRIVER-side, zero data I/O
-      val conf = SparkSession.active.sessionState.newHadoopConf()
-      val total = snap.files.map { f =>
-        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f), conf))
-        try fr.getRecordCount finally fr.close()
-      }.sum
+      // the manifest recorded each file's row count at commit time —
+      // count(*) is ONE manifest read. Footers are the fallback for
+      // legacy path-only manifests (still exact: immutable files).
+      val total = snap.rowCount.getOrElse {
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        snap.files.map { f =>
+          val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f), conf))
+          try fr.getRecordCount finally fr.close()
+        }.sum
+      }
       return new SnapshotCountScan(root, snap.version, snap.files.size, total)
     }
     buildRowScan()
@@ -237,22 +240,29 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     val bounds = SnapshotFilters.intervals(accepted)
     val st = SnapshotTable.stats(spark, root, snap.version)
     val keep = SnapshotTable.keepByStats(snap.files, st, bounds)
-    // size probe so the join planner sees a REAL sizeInBytes — without
-    // reported statistics a V2 table defaults to "huge" and never wins a
-    // broadcast. Batched: ONE listStatus per staging directory (a table
-    // has few of them), not one getFileStatus RPC per file — the
-    // difference between O(dirs) and O(files) driver round-trips on an
-    // object store.
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // size statistics so the join planner sees a REAL sizeInBytes —
+    // without reported statistics a V2 table defaults to "huge" and
+    // never wins a broadcast. The manifest recorded byte sizes at
+    // commit time (zero RPCs); legacy path-only manifests fall back to
+    // ONE listStatus per staging directory (O(dirs), not O(files)).
+    val bytesByNorm = snap.entries.collect {
+      case e if e.bytes >= 0L => SnapshotTable.norm(e.path) -> e.bytes
+    }.toMap
     val keepSet = keep.map(SnapshotTable.norm).toSet
-    val bytes = keep.map(f => new org.apache.hadoop.fs.Path(f).getParent)
-      .distinct.flatMap { dir =>
-        try fs.listStatus(dir).toSeq
-        catch { case _: java.io.IOException => Seq.empty }
+    val bytes =
+      if (keepSet.forall(bytesByNorm.contains))
+        keepSet.toSeq.map(bytesByNorm).sum
+      else {
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        keep.map(f => new org.apache.hadoop.fs.Path(f).getParent)
+          .distinct.flatMap { dir =>
+            try fs.listStatus(dir).toSeq
+            catch { case _: java.io.IOException => Seq.empty }
+          }
+          .filter(s => keepSet(SnapshotTable.norm(s.getPath.toString)))
+          .map(_.getLen).sum
       }
-      .filter(s => keepSet(SnapshotTable.norm(s.getPath.toString)))
-      .map(_.getLen).sum
     new SnapshotScan(root, snap.version, keep, snap.files.size, bytes, required,
       accepted, spark.sessionState.newHadoopConf())
   }
@@ -408,7 +418,8 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
   }
 }
 
-final case class SnapshotCommitMessage(files: Seq[String]) extends WriterCommitMessage
+final case class SnapshotCommitMessage(
+    files: Seq[SnapshotTable.FileEntry]) extends WriterCommitMessage
 
 final class SnapshotBatchWrite(root: String, schema: StructType,
                                overwrite: Boolean, statsCols: Seq[String],
@@ -438,7 +449,7 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
     val files = messages.flatMap {
       case SnapshotCommitMessage(fs) => fs
       case other => throw new IllegalStateException(s"unexpected commit message $other")
-    }.sorted.toSeq
+    }.sortBy(_.path).toSeq
     // an empty frame stages nothing: APPENDING it is a no-op (and an
     // empty create leaves the root absent) — but an empty OVERWRITE of
     // an existing table is a TRUNCATE and must commit a zero-file
@@ -446,7 +457,7 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
     if (files.isEmpty && !(overwrite && SnapshotTable.latest(spark, root).isDefined)) {
       abortFiles(); return
     }
-    val fresh = SnapshotTable.collectStats(spark, files, statsCols)
+    val fresh = SnapshotTable.collectStats(spark, files.map(_.path), statsCols)
     var attempts = 0
     var done = false
     while (!done) {
@@ -471,7 +482,7 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
                   "for add-column evolution")
               base
             }
-          (s.version + 1, s.files ++ files,
+          (s.version + 1, s.entries ++ files,
             SnapshotTable.statsLines(spark, root, s.version) ++ fresh, ns)
       }
       try {
@@ -515,14 +526,20 @@ final class SnapshotDataWriter(file: String, schema: StructType,
   // must contribute NO file — otherwise empty appends mint junk
   // versions full of empty parquet shells
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private var rows = 0L
   override def write(record: InternalRow): Unit = {
     if (writer == null) writer = SnapshotParquetWrite.open(file, schema, conf)
     writer.write(record)
+    rows += 1
   }
   override def commit(): WriterCommitMessage = {
     if (writer == null) return SnapshotCommitMessage(Seq.empty)
     writer.close()
-    SnapshotCommitMessage(Seq(file))
+    val p = new org.apache.hadoop.fs.Path(file)
+    val bytes =
+      try p.getFileSystem(conf).getFileStatus(p).getLen
+      catch { case _: java.io.IOException => -1L }
+    SnapshotCommitMessage(Seq(SnapshotTable.FileEntry(file, rows, bytes)))
   }
   override def abort(): Unit = {
     if (writer == null) return

@@ -244,6 +244,8 @@ class SnapshotDsv2Spec extends SparkSpec {
       .write.format("graft-snapshot").mode("append").save(root)
     val df = spark.read.format("graft-snapshot").load(root)
     assert(df.count() === 12345)
+    // the manifest itself carries the per-file counts (O(1) count(*))
+    assert(SnapshotTable.latest(spark, root).get.rowCount === Some(12345L))
     // the plan must carry the metadata-count scan, not a row scan
     val counted = df.groupBy().count()
     counted.collect()
