@@ -48,8 +48,8 @@ object SnapshotTable {
 
   /** A resolved snapshot: version + data-file entries + metadata lines
     * ("#"-prefixed in the manifest — e.g. the streaming sink's
-    * `#txn <batchId>` ledger entry, ATOMIC with the commit because it
-    * rides the same manifest rename). */
+    * `#txn [<appId>] <batchId>` ledger entries, ATOMIC with the commit
+    * because they ride the same manifest rename). */
   final case class Snapshot(version: Long, entries: Seq[FileEntry],
                             meta: Seq[String] = Seq.empty) {
     /** ABSOLUTE data-file paths. */
@@ -60,12 +60,23 @@ object SnapshotTable {
         Some(entries.map(_.rows).sum)
       else if (entries.isEmpty) Some(0L)
       else None
-    /** The batch-id ledger entry carried by this version, if any. */
-    def txn: Option[Long] = meta.collectFirst {
+    /** The batch-id ledger, keyed by app/query id: `#txn <id>` is the
+      * default app's entry (appId = ""), `#txn <appId> <id>` is a named
+      * stream's. Per-app keys are what let TWO streaming queries write
+      * one table without one query's high-water mark silently no-op'ing
+      * the other's batches (their batchIds are unrelated counters). */
+    def txns: Map[String, Long] = meta.collect {
       case l if l.startsWith("#txn ") =>
-        try Some(l.stripPrefix("#txn ").trim.toLong)
-        catch { case _: NumberFormatException => None }
-    }.flatten
+        l.stripPrefix("#txn ").trim.split("\\s+") match {
+          case Array(id) =>
+            try Some("" -> id.toLong) catch { case _: NumberFormatException => None }
+          case Array(app, id) =>
+            try Some(app -> id.toLong) catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+    }.flatten.toMap
+    /** The DEFAULT app's ledger entry, if any (compat surface). */
+    def txn: Option[Long] = txns.get("")
   }
 
   /** Age after which a fallback-path commit lock left by a crashed writer
@@ -206,14 +217,40 @@ object SnapshotTable {
     }
   }
 
-  /** Manifest metadata for a new commit: an explicit new txn entry, or
-    * the base snapshot's entry CARRIED FORWARD — so non-stream commits
-    * (compact, plain merges, DSv2 writes) never lower the streaming
-    * sink's batch-id high-water mark, and vacuum can retire any old
-    * version without losing it. */
-  private[storage] def nextMeta(base: Option[Snapshot],
-                                txn: Option[Long]): Seq[String] =
-    txn.orElse(base.flatMap(_.txn)).map(id => s"#txn $id").toSeq
+  /** Manifest metadata for a new commit: the base snapshot's per-app txn
+    * ledger CARRIED FORWARD, with this commit's entry (if any) merged in
+    * under its app id — so non-stream commits (compact, plain merges,
+    * DSv2 writes) never lower any stream's batch-id high-water mark, and
+    * vacuum can retire any old version without losing the ledger. */
+  private[storage] def nextMeta(base: Option[Snapshot], txn: Option[Long],
+                                txnApp: String = ""): Seq[String] = {
+    val m = base.map(_.txns).getOrElse(Map.empty) ++ txn.map(txnApp -> _)
+    m.toSeq.sortBy(_._1).map {
+      case ("", id) => s"#txn $id"
+      case (app, id) => s"#txn $app $id"
+    }
+  }
+
+  /** The exactly-once gate, ATOMIC with the commit: a writer that
+    * resolved `base` and carries a batch id at-or-below base's ledger
+    * entry for its app is REPLAYING an already-committed batch — refuse
+    * before any data is staged. Atomicity holds because the subsequent
+    * commit succeeds only if `base` is still the latest version (the
+    * version rename is the CAS); a racer that slipped a commit in between
+    * forces this writer back through a fresh resolve, where the gate
+    * re-fires against the NEW ledger. Closes the check-then-act window a
+    * sink-side pre-check alone would leave open (zombie driver + restarted
+    * driver double-committing one batch). */
+  private def txnGate(base: Snapshot, txn: Option[Long], txnApp: String): Unit = {
+    require(!txnApp.exists(_.isWhitespace),
+      s"txnApp must not contain whitespace: '$txnApp'")
+    txn.foreach { id =>
+      base.txns.get(txnApp).foreach { hw =>
+        if (id <= hw) throw new java.util.ConcurrentModificationException(
+          s"batch $id already committed for app '$txnApp' (high-water mark $hw)")
+      }
+    }
+  }
 
   private def cleanupOrphans(spark: SparkSession, root: String,
                              files: Seq[String]): Unit = {
@@ -229,7 +266,7 @@ object SnapshotTable {
     * ONLY the new files (a commit's delta, never the table). */
   private[storage] def collectStats(spark: SparkSession, files: Seq[String],
                                     statsCols: Seq[String]): Seq[String] = {
-    if (statsCols.isEmpty) return Seq.empty
+    if (statsCols.isEmpty || files.isEmpty) return Seq.empty
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__mn_$c"),
       max(col(c).cast("double")).as(s"__mx_$c")))
@@ -541,12 +578,13 @@ object SnapshotTable {
     * file-level min/max data-skipping stats for ([[readPruned]]). */
   def create(spark: SparkSession, root: String, df: DataFrame,
              statsCols: Seq[String] = Seq.empty,
-             txn: Option[Long] = None): Long = {
+             txn: Option[Long] = None,
+             txnApp: String = ""): Long = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
     val files = writeData(spark, root, df)
     val st = collectStats(spark, files.map(_.path), statsCols)
     try {
-      commit(spark, root, 1L, files, nextMeta(None, txn))
+      commit(spark, root, 1L, files, nextMeta(None, txn, txnApp))
       writeStats(spark, root, 1L, st)
       writeSchema(spark, root, 1L, df.schema)
       1L
@@ -586,7 +624,8 @@ object SnapshotTable {
             clusterFiles: Int = 0,
             deleteCol: Option[String] = None,
             mergeSchema: Boolean = false,
-            txn: Option[Long] = None): Long = {
+            txn: Option[Long] = None,
+            txnApp: String = ""): Long = {
     require(keyCols.nonEmpty, "keyCols must not be empty")
     deleteCol.foreach(c => require(updates.columns.contains(c),
       s"deleteCol '$c' not in updates columns ${updates.columns.mkString(",")}"))
@@ -596,6 +635,7 @@ object SnapshotTable {
       if (v != snap.version) throw new java.util.ConcurrentModificationException(
         s"expected base v$v but latest is v${snap.version} at $root")
     }
+    txnGate(snap, txn, txnApp)
     val base = readFiles(spark, snap.files, tableSchema(spark, root, snap.version))
     // a REAL table column with the tombstone marker's name would be
     // silently clobbered and then dropped — refuse loudly instead
@@ -627,7 +667,7 @@ object SnapshotTable {
     val st = collectStats(spark, files.map(_.path), statsCols)
     val next = snap.version + 1
     try {
-      commit(spark, root, next, files, nextMeta(Some(snap), txn))
+      commit(spark, root, next, files, nextMeta(Some(snap), txn, txnApp))
       writeStats(spark, root, next, st)
       writeSchema(spark, root, next, out.schema)
       next
@@ -653,13 +693,15 @@ object SnapshotTable {
              expectedVersion: Option[Long] = None,
              statsCols: Seq[String] = Seq.empty,
              mergeSchema: Boolean = false,
-             txn: Option[Long] = None): Long = {
+             txn: Option[Long] = None,
+             txnApp: String = ""): Long = {
     val snap = latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no table at $root — create() first"))
     expectedVersion.foreach { v =>
       if (v != snap.version) throw new java.util.ConcurrentModificationException(
         s"expected base v$v but latest is v${snap.version} at $root")
     }
+    txnGate(snap, txn, txnApp)
     val baseSchema = tableSchema(spark, root, snap.version)
       .getOrElse(readFiles(spark, snap.files).schema)
     val nextSchema =
@@ -676,7 +718,8 @@ object SnapshotTable {
       collectStats(spark, files.map(_.path), statsCols)
     val next = snap.version + 1
     try {
-      commit(spark, root, next, snap.entries ++ files, nextMeta(Some(snap), txn))
+      commit(spark, root, next, snap.entries ++ files,
+        nextMeta(Some(snap), txn, txnApp))
       writeStats(spark, root, next, st)
       writeSchema(spark, root, next, nextSchema)
       next
@@ -695,7 +738,8 @@ object SnapshotTable {
               clusterBy: Option[String] = None,
               statsCols: Seq[String] = Seq.empty,
               expectedVersion: Option[Long] = None,
-              txn: Option[Long] = None): Long = {
+              txn: Option[Long] = None,
+              txnApp: String = ""): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val snap = latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no table at $root — create() first"))
@@ -703,6 +747,7 @@ object SnapshotTable {
       if (v != snap.version) throw new java.util.ConcurrentModificationException(
         s"expected base v$v but latest is v${snap.version} at $root")
     }
+    txnGate(snap, txn, txnApp)
     val schema = tableSchema(spark, root, snap.version)
     val cur = readFiles(spark, snap.files, schema)
     val out = clusterBy match {
@@ -713,7 +758,7 @@ object SnapshotTable {
     val st = collectStats(spark, files.map(_.path), statsCols)
     val next = snap.version + 1
     try {
-      commit(spark, root, next, files, nextMeta(Some(snap), txn))
+      commit(spark, root, next, files, nextMeta(Some(snap), txn, txnApp))
       writeStats(spark, root, next, st)
       // compaction materializes the evolved schema into every file, and
       // the new version keeps carrying it
@@ -738,13 +783,15 @@ object SnapshotTable {
                      clusterBy: Option[String] = None,
                      clusterFiles: Int = 0,
                      deleteCol: Option[String] = None,
-                     txn: Option[Long] = None): Long = {
+                     txn: Option[Long] = None,
+                     txnApp: String = ""): Long = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     var attempt = 1
     while (true) {
       try return merge(spark, root, updates, keyCols, versionCol,
         expectedVersion = None, statsCols = statsCols, clusterBy = clusterBy,
-        clusterFiles = clusterFiles, deleteCol = deleteCol, txn = txn)
+        clusterFiles = clusterFiles, deleteCol = deleteCol, txn = txn,
+        txnApp = txnApp)
       catch { case e: java.util.ConcurrentModificationException =>
         if (attempt >= maxAttempts) throw e
         attempt += 1
@@ -800,12 +847,12 @@ object SnapshotTable {
         f.delete(dir, true)
     }
     dropNow.foreach { v =>
+      // the streaming sink's txn ledger rides INSIDE the manifest and the
+      // high-water marks are carried forward by every commit, so retiring
+      // an old version never loses them
       f.delete(manifestPath(root, v), false)
       f.delete(statsPath(root, v), false)
       f.delete(schemaPath(root, v), false)
-      // the streaming sink's txn ledger entry retires with its version;
-      // the high-water mark survives in the retained versions' sidecars
-      f.delete(new Path(snapDir(root), f"v$v%020d.txn"), false)
     }
     dead.size
   }

@@ -95,17 +95,6 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
     }
   }
 
-  private def resolvePinned(options: CaseInsensitiveStringMap): SnapshotTable.Snapshot =
-    pinned.get() match {
-      case Some((r, v, snap))
-          if r == root(options) && v == versionOpt(options) =>
-        pinned.remove()
-        snap
-      case _ =>
-        pinned.remove()
-        resolve(options)
-    }
-
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val snap = resolve(options)
     pinned.set(Some((root(options), versionOpt(options), snap)))
@@ -127,6 +116,10 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
     * ever write can CREATE the table — there is nothing to infer yet). */
   override def supportsExternalMetadata(): Boolean = true
 
+  private def sameShape(a: StructType, b: StructType): Boolean =
+    SnapshotTable.nullableSchema(a).fields.map(f => (f.name, f.dataType)).toSeq ==
+      SnapshotTable.nullableSchema(b).fields.map(f => (f.name, f.dataType)).toSeq
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
@@ -136,9 +129,40 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
     // kept verbatim — on the read path it IS this snapshot's schema, on
     // the write path it is the frame's schema and the write contract
     // validates it against the table at commit time.
+    val hit = pinned.get() match {
+      case Some((r, v, snap)) if r == root(options) && v == versionOpt(options) =>
+        pinned.remove(); Some(snap)
+      case _ => pinned.remove(); None
+    }
     val snapOpt =
-      try Some(resolvePinned(options))
-      catch { case _: IllegalStateException => None }
+      try {
+        hit match {
+          case Some(snap) => Some(snap)
+          case None =>
+            val snap = resolve(options)
+            // PIN-MISS HARDENING: if Spark ever splits the inferSchema/
+            // getTable pair across threads, this fresh resolve could land
+            // on a version committed AFTER `schema` was inferred — pairing
+            // version N's schema with version N+1's files. Detect the
+            // drift (the passed schema differs from the resolved
+            // version's) and re-pin to the newest version whose sidecar
+            // MATCHES the passed schema, so the pair stays internally
+            // consistent. No match ⇒ this is the WRITE path (the frame's
+            // schema is arbitrary) and the resolved latest is correct.
+            // versionAsOf reads are exact by construction.
+            if (versionOpt(options).isDefined) Some(snap)
+            else {
+              val spark = SparkSession.active
+              val r = root(options)
+              if (schemaOf(options, snap).forall(sameShape(_, schema))) Some(snap)
+              else SnapshotTable.versions(spark, r).reverse.iterator
+                .map(v => (v, SnapshotTable.tableSchema(spark, r, v)))
+                .collectFirst { case (v, Some(s)) if sameShape(s, schema) =>
+                  SnapshotTable.snapshot(spark, r, v) }
+                .orElse(Some(snap))
+            }
+        }
+      } catch { case _: IllegalStateException => None }
     new SnapshotTableV2(root(options), snapOpt, schema)
   }
 }
@@ -450,11 +474,13 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
       case SnapshotCommitMessage(fs) => fs
       case other => throw new IllegalStateException(s"unexpected commit message $other")
     }.sortBy(_.path).toSeq
-    // an empty frame stages nothing: APPENDING it is a no-op (and an
-    // empty create leaves the root absent) — but an empty OVERWRITE of
-    // an existing table is a TRUNCATE and must commit a zero-file
-    // manifest, not silently keep the old rows
-    if (files.isEmpty && !(overwrite && SnapshotTable.latest(spark, root).isDefined)) {
+    // an empty frame stages nothing: APPENDING it to an EXISTING table is
+    // a no-op. Everything else commits: an empty overwrite of an existing
+    // table is a TRUNCATE (zero-file manifest, old rows gone), and an
+    // empty write to an ABSENT root CREATES an empty, typed v1 (zero-file
+    // manifest + schema sidecar) — matching Spark's native writer, which
+    // leaves an empty, readable table rather than nothing
+    if (files.isEmpty && !overwrite && SnapshotTable.latest(spark, root).isDefined) {
       abortFiles(); return
     }
     val fresh = SnapshotTable.collectStats(spark, files.map(_.path), statsCols)

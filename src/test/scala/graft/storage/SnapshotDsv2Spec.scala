@@ -267,6 +267,49 @@ class SnapshotDsv2Spec extends SparkSpec {
     assert(spark.read.format("graft-snapshot").load(root).count() === 12344)
   }
 
+  test("empty write to an absent root CREATES an empty, typed table") {
+    val root = newRoot()
+    // native-writer semantics: writing an empty frame creates a readable,
+    // well-typed empty table, not nothing
+    spark.range(0).select(col("id").as("k"), lit("x").as("s"))
+      .write.format("graft-snapshot").mode("append").save(root)
+    assert(SnapshotTable.versions(spark, root) === Seq(1L))
+    val got = spark.read.format("graft-snapshot").load(root)
+    assert(got.count() === 0)
+    assert(got.schema.fieldNames.toSeq === Seq("k", "s"))
+    // and the empty table accepts appends
+    spark.range(3).select(col("id").as("k"), lit("y").as("s"))
+      .write.format("graft-snapshot").mode("append").save(root)
+    assert(spark.read.format("graft-snapshot").load(root).count() === 3)
+  }
+
+  test("pin-miss hardening: getTable re-pins the version matching the inferred schema") {
+    val root = newRoot()
+    spark.range(5).select(col("id").as("k"))
+      .write.format("graft-snapshot").mode("append").save(root)
+    val provider = new graft.storage.dsv2.SnapshotDataSource
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", root))
+    // inferSchema resolves v1 and pins it for THIS thread
+    val inferred = provider.inferSchema(opts)
+    // a commit lands between the calls AND getTable runs on a DIFFERENT
+    // thread (pin invisible) — the split-pair scenario
+    spark.range(5, 8).select(col("id").as("k"), lit("new").as("s"))
+      .write.format("graft-snapshot").option("mergeSchema", "true")
+      .mode("append").save(root)
+    var tbl: org.apache.spark.sql.connector.catalog.Table = null
+    val t = new Thread(() => {
+      tbl = provider.getTable(inferred,
+        Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+        java.util.Map.of("path", root))
+    })
+    t.start(); t.join()
+    // the table must pair v1's schema with v1's FILES — not v2's
+    val v2tbl = tbl.asInstanceOf[graft.storage.dsv2.SnapshotTableV2]
+    assert(v2tbl.name().endsWith("@v1"), s"paired wrong version: ${v2tbl.name()}")
+    assert(tbl.schema().fieldNames.toSeq === Seq("k"))
+  }
+
   test("snapshot isolation: a resolved DSv2 frame survives a concurrent merge") {
     val root = newRoot()
     SnapshotTable.create(spark, root,

@@ -75,6 +75,65 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(SnapshotTable.latest(spark, root).get.txn === Some(1L))
   }
 
+  test("per-app ledger: two streams share one table without eating each other's batches") {
+    val root = newRoot()
+    // stream A (appId "a") commits batches 0 and 1
+    assert(SnapshotSink.commitBatchAppend(spark, root, 0L,
+      Seq((1L, 1.0)).toDF("k", "x"), appId = "a") === 1L)
+    assert(SnapshotSink.commitBatchAppend(spark, root, 1L,
+      Seq((2L, 2.0)).toDF("k", "x"), appId = "a") === 2L)
+    // stream B's batchIds RESTART at 0 (fresh query, fresh checkpoint) —
+    // with a global ledger these would silently no-op; per-app they commit
+    assert(SnapshotSink.commitBatchAppend(spark, root, 0L,
+      Seq((3L, 3.0)).toDF("k", "x"), appId = "b") === 3L)
+    assert(SnapshotSink.commitBatchAppend(spark, root, 1L,
+      Seq((4L, 4.0)).toDF("k", "x"), appId = "b") === 4L)
+    assert(SnapshotTable.read(spark, root).count() === 4)
+    // replays stay no-ops PER APP
+    assert(SnapshotSink.commitBatchAppend(spark, root, 1L,
+      Seq((2L, 2.0)).toDF("k", "x"), appId = "a") === 4L)
+    assert(SnapshotSink.commitBatchAppend(spark, root, 1L,
+      Seq((4L, 4.0)).toDF("k", "x"), appId = "b") === 4L)
+    assert(SnapshotTable.versions(spark, root) === Seq(1L, 2L, 3L, 4L))
+    // both high-water marks ride the latest manifest
+    assert(SnapshotSink.lastCommittedBatch(spark, root, "a") === 1L)
+    assert(SnapshotSink.lastCommittedBatch(spark, root, "b") === 1L)
+    assert(SnapshotSink.lastCommittedBatch(spark, root) === -1L)
+  }
+
+  test("commit-time txn gate: a replayed batch id is refused atomically with the commit") {
+    val root = newRoot()
+    SnapshotTable.create(spark, root, Seq((1L, 1.0)).toDF("k", "x"),
+      txn = Some(5L))
+    // a direct append claiming batch 5 again (the zombie-writer shape,
+    // bypassing the sink's pre-check) hits the gate against the base
+    // snapshot's ledger — atomic with the version CAS
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.append(spark, root, Seq((2L, 2.0)).toDF("k", "x"),
+        txn = Some(5L))
+    }
+    assert(SnapshotTable.versions(spark, root) === Seq(1L))
+    // batch 6 passes
+    SnapshotTable.append(spark, root, Seq((2L, 2.0)).toDF("k", "x"),
+      txn = Some(6L))
+    assert(SnapshotSink.lastCommittedBatch(spark, root) === 6L)
+  }
+
+  test("schema-mismatch append through the sink fails fast, not after maxAttempts") {
+    val root = newRoot()
+    SnapshotSink.commitBatchAppend(spark, root, 0L,
+      Seq((1L, 1.0)).toDF("k", "x"))
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException] {
+      SnapshotSink.commitBatchAppend(spark, root, 1L,
+        Seq((2L, "oops")).toDF("k", "wrong"))
+    }
+    assert(e.getMessage.contains("append schema"))
+    // fail-fast: one attempt, not five staged-and-refused appends
+    assert((System.nanoTime() - t0) / 1e9 < 30.0)
+    assert(SnapshotTable.versions(spark, root) === Seq(1L))
+  }
+
   test("merge with a deleteCol name colliding with a table column is refused") {
     val root = newRoot()
     SnapshotTable.create(spark, root,
