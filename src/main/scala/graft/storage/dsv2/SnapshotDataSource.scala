@@ -57,8 +57,14 @@ import graft.storage.SnapshotTable
   * use — BOOLEAN/INT/LONG/FLOAT/DOUBLE/DATE/TIMESTAMP (INT96 and
   * INT64-annotated)/STRING/BINARY/DECIMAL plus one-level ARRAY of
   * primitives and MAP<STRING,STRING> (the Datapoint dimensions shape).
-  * Deeper nesting fails fast with a clear message; the upgrade path is
-  * the vectorized columnar reader, not silent wrong answers.
+  * Deeper nesting fails fast with a clear message, never silent wrong
+  * answers.
+  *
+  * DECODE PATH: flat-primitive scans are VECTORIZED
+  * ([[SnapshotColumnarReader]] → `ColumnarBatch` → codegen'd
+  * `ColumnarToRow`, ~2× the row materializer, on par with Spark's native
+  * parquet scan — measured in SnapshotScaleProbe); nested/decimal scans
+  * and `option("columnar","false")` use the row reader.
   */
 class SnapshotDataSource extends TableProvider with DataSourceRegister {
 
@@ -181,7 +187,8 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val s = snap.getOrElse(throw new IllegalStateException(
       s"no committed snapshot at $root"))
-    new SnapshotScanBuilder(root, s, schema)
+    new SnapshotScanBuilder(root, s, schema,
+      columnar = options.getBoolean("columnar", true))
   }
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -198,7 +205,8 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
   * record counts — the metadata-only answer every manifest format gives,
   * and the difference between a second and an hour on a 100 TB table. */
 final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
-                                fullSchema: StructType)
+                                fullSchema: StructType,
+                                columnar: Boolean = true)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -288,7 +296,7 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
           .map(_.getLen).sum
       }
     new SnapshotScan(root, snap.version, keep, snap.files.size, bytes, required,
-      accepted, spark.sessionState.newHadoopConf())
+      accepted, spark.sessionState.newHadoopConf(), columnar)
   }
 }
 
@@ -327,7 +335,8 @@ object SnapshotFilters {
   * reader schedules). */
 final class SnapshotScan(root: String, version: Long, files: Seq[String],
                          totalFiles: Int, sizeBytes: Long, required: StructType,
-                         pushed: Array[Filter], conf: Configuration)
+                         pushed: Array[Filter], conf: Configuration,
+                         columnar: Boolean = true)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -343,11 +352,17 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
-  /** Plan-visible skipping evidence: `files=<kept>/<total>`. */
+  /** Plan-visible skipping evidence (`files=<kept>/<total>`) and decode
+    * mode (`mode=columnar|row`). */
   override def description(): String =
     s"graft-snapshot root=$root version=$version " +
       s"files=${files.size}/$totalFiles " +
+      s"mode=${if (columnarMode) "columnar" else "row"} " +
       s"pushed=[${pushed.mkString(", ")}] columns=${required.fieldNames.mkString(",")}"
+
+  /** Columnar when enabled and the projected schema is the flat surface
+    * the vectorized reader covers; nested/decimal scans stay row-based. */
+  def columnarMode: Boolean = columnar && SnapshotColumnar.supported(required)
 
   /** Exposed for tests/tools asserting file-level skipping. */
   def plannedFiles: Seq[String] = files
@@ -358,7 +373,7 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapshotReaderFactory(required, SnapshotFilters.intervals(pushed),
-      new SerializableHadoopConf(conf))
+      new SerializableHadoopConf(conf), columnarMode)
 }
 
 final case class SnapshotFilePartition(file: String) extends InputPartition
@@ -407,11 +422,18 @@ final class SerializableHadoopConf(@transient var value: Configuration)
 
 final class SnapshotReaderFactory(required: StructType,
                                   intervals: Map[String, (Double, Double)],
-                                  conf: SerializableHadoopConf)
+                                  conf: SerializableHadoopConf,
+                                  columnar: Boolean = false)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[SnapshotFilePartition].file
     new SnapshotPartitionReader(file, required, intervals, conf.value)
+  }
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val file = partition.asInstanceOf[SnapshotFilePartition].file
+    new SnapshotColumnarReader(file, required, intervals, conf.value)
   }
 }
 

@@ -38,9 +38,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * and a too-narrow read is impossible by construction (non-strict
   * interval bounds only).
   *
-  * At 100 TB the upgrade path is a vectorized/columnar batch reader —
-  * this row materializer trades peak decode speed for exactness over the
-  * full flat-analytic type surface with zero internal-API dependence.
+  * This row materializer serves the shapes the vectorized path
+  * ([[SnapshotColumnarReader]]) does not cover (nested arrays/maps,
+  * decimals, empty projections) and the explicit `columnar=false`
+  * escape hatch — flat analytic scans take the columnar path by
+  * default. It trades peak decode speed for exactness over the full
+  * type surface with zero internal-API dependence.
   */
 final class SnapshotPartitionReader(file: String, required: StructType,
                                     intervals: Map[String, (Double, Double)],
@@ -224,8 +227,10 @@ private final class RootConverter(requested: MessageType, required: StructType)
 }
 
 /** Discards values — used for the placeholder column of an empty
-  * projection. Must still match the parquet shape (group vs primitive). */
-private object NoopConverter {
+  * projection, and as the dummy converter tree the columnar reader's
+  * `ColumnReadStoreImpl` requires (its typed getters never touch it).
+  * Must still match the parquet shape (group vs primitive). */
+private[dsv2] object NoopConverter {
   def forType(t: Type): Converter =
     if (t.isPrimitive) new PrimitiveConverter {
       override def addBinary(value: Binary): Unit = ()

@@ -116,6 +116,43 @@ object SnapshotScaleProbe {
     assert(cnt == rows + rows / 100)
     println(f"[snap-scale] dsv2 metadata count(*)=$tCount%.2fs " +
       f"rows=$cnt%,d (footers only)")
+
+    // VECTORIZED DECODE: a dedicated decode-bound table — rows*4 records
+    // in 8 files (task-sized units, so task overhead is noise, decode is
+    // the signal), 4 numeric columns + 2 strings, aggregated end-to-end
+    // through (a) the columnar ColumnarBatch reader, (b) the row
+    // materializer (option columnar=false), (c) Spark's native vectorized
+    // parquet scan over the same files as the reference point.
+    val dRoot = java.nio.file.Files.createTempDirectory("snapdecode").toString + "/t"
+    val dRows = rows * 4
+    SnapshotTable.create(spark, dRoot,
+      spark.range(dRows).select(col("id").as("k"),
+          (col("id") * 3 % 1000003).as("a"),
+          (col("id") % 9973).cast("double").as("x"),
+          (col("id") % 997).cast("double").as("y"),
+          concat(lit("user_"), col("id") % 100000).as("u"),
+          concat(lit("t"), col("id") % 17).as("tag"))
+        .repartition(8))
+    val dFiles = SnapshotTable.latest(spark, dRoot).get.files
+    def decodeAgg(df: org.apache.spark.sql.DataFrame): String =
+      df.agg(sum(col("k")), sum(col("a")), sum(col("x")), sum(col("y")),
+        sum(length(col("u"))), sum(length(col("tag")))).collect().head.toString
+    def bestOf(n: Int)(f: => Unit): Double =
+      (1 to n).map(_ => time(f)._2).min
+    def viaConnector(columnar: Boolean) = spark.read.format("graft-snapshot")
+      .option("columnar", columnar.toString).load(dRoot)
+    // warm all paths (JIT + page cache), asserting content identity
+    val warm = Seq(decodeAgg(viaConnector(true)), decodeAgg(viaConnector(false)),
+      decodeAgg(spark.read.parquet(dFiles: _*)))
+    assert(warm.distinct.size == 1, s"decode paths disagree: $warm")
+    val tCol = bestOf(3)(decodeAgg(viaConnector(true)): Unit)
+    val tRow = bestOf(3)(decodeAgg(viaConnector(false)): Unit)
+    val tNative = bestOf(3)(decodeAgg(spark.read.parquet(dFiles: _*)): Unit)
+    println(f"[snap-scale] decode ${dRows / 1000000}%dM-row 6-col aggregate: " +
+      f"columnar=$tCol%.2fs row=$tRow%.2fs native-spark=$tNative%.2fs " +
+      f"speedup=${tRow / tCol}%.1fx vs-native=${tCol / tNative}%.2fx")
+    assert(tRow / tCol >= 1.8,
+      f"columnar decode should beat the row materializer ~2x: ${tRow / tCol}%.2fx")
     spark.stop()
   }
 }
