@@ -1026,6 +1026,80 @@ object Extensions {
         .unionByName(agg(s.read.format("graft-snapshot").load(root), "v2"))
         .orderBy("ver")
     },
+    // row-level SQL end-to-end: literal MERGE INTO with UPDATE + DELETE +
+    // INSERT arms against a catalog-registered snapshot table — the
+    // statement routes through SupportsRowLevelOperations into the
+    // group-based copy-on-write ReplaceData rewrite and commits a new
+    // ACID version. The oracle replays the three arms in plain SQL.
+    "UPSERT-MERGE-SQL" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_mergesql")
+        .toString + "/t"
+      val tbl = "merge_sql_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.table("orders").where(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        .write.format("graft-snapshot").mode("append").save(root)
+      s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+      s.table("orders")
+        .where(col("o_orderkey") <= 5000 &&
+          (col("o_orderkey") % 5 === 0 || col("o_orderkey") % 7 === 0))
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 7 === 0, "DEL").otherwise("MERGED").as("prio"),
+          (col("o_totalprice") + 1000.0).as("price"))
+        .createOrReplaceTempView(s"${tbl}_src")
+      s.sql(
+        s"""MERGE INTO $tbl t USING ${tbl}_src u ON t.k = u.k
+           |WHEN MATCHED AND u.prio = 'DEL' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED AND u.prio <> 'DEL' THEN INSERT *""".stripMargin)
+      s.sql(s"REFRESH TABLE $tbl")
+      import s.implicits._
+      val rows = s.sql(s"""SELECT prio, count(*) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM $tbl GROUP BY prio ORDER BY prio""").collect()
+        .toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.catalog.dropTempView(s"${tbl}_src")
+      rows.toDF("prio", "n", "total")
+    },
+    // literal DELETE FROM SQL: the group-based rewrite scans only files
+    // the predicate can touch (stats-pruned groups), retains the rest
+    // verbatim, and commits a new version; the pre-delete version stays
+    // time-travel-readable (both halves checked in one tagged union)
+    "UPSERT-DELETE-SQL" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_delsql")
+        .toString + "/t"
+      val tbl = "del_sql_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.table("orders").where(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        .repartitionByRange(8, col("k"))
+        .write.format("graft-snapshot").option("statsCols", "k")
+        .mode("append").save(root)
+      s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+      s.sql(s"DELETE FROM $tbl WHERE k % 3 = 0 AND k <= 2000")
+      s.sql(s"REFRESH TABLE $tbl")
+      import s.implicits._
+      val rows = s.sql(s"""SELECT prio, count(*) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM $tbl GROUP BY prio ORDER BY prio""").collect()
+        .toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val afterDelete = rows.toDF("prio", "n", "total")
+        .select(lit("post").as("ver"), col("prio"), col("n"), col("total"))
+      val preDelete = s.read.format("graft-snapshot").option("versionAsOf", 1)
+        .load(root)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .select(lit("pre").as("ver"), col("prio"), col("n"), col("total"))
+      afterDelete.unionByName(preDelete).orderBy("ver", "prio")
+    },
     // deterministic train/val/test split (the assignment step every
     // training pipeline runs first): hash-bucket the STABLE doc id into
     // 80/10/10 — a pure per-row function, reproducible forever, immune to
@@ -2085,6 +2159,41 @@ object Extensions {
         |SELECT 'v2' AS ver, count(*) AS n,
         |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total FROM m
         |ORDER BY ver""".stripMargin,
+    // MERGE arms replayed in plain SQL: matched %7 keys deleted, other
+    // matched %5 keys rewritten, unmatched non-DEL source keys inserted
+    "UPSERT-MERGE-SQL" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    o_totalprice AS price FROM orders WHERE o_orderkey <= 4000),
+        |src AS (SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'DEL' ELSE 'MERGED' END AS prio,
+        |    o_totalprice + 1000.0 AS price
+        |  FROM orders WHERE o_orderkey <= 5000
+        |    AND (o_orderkey % 5 = 0 OR o_orderkey % 7 = 0)),
+        |merged AS (
+        |  SELECT b.k,
+        |    CASE WHEN s.k IS NOT NULL THEN s.prio ELSE b.prio END AS prio,
+        |    CASE WHEN s.k IS NOT NULL THEN s.price ELSE b.price END AS price
+        |  FROM base b LEFT JOIN src s ON b.k = s.k
+        |  WHERE s.k IS NULL OR s.prio <> 'DEL'
+        |  UNION ALL
+        |  SELECT s.k, s.prio, s.price FROM src s LEFT JOIN base b ON s.k = b.k
+        |  WHERE b.k IS NULL AND s.prio <> 'DEL')
+        |SELECT prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
+    // post-delete content ∪ the time-traveled pre-delete base
+    "UPSERT-DELETE-SQL" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    o_totalprice AS price FROM orders WHERE o_orderkey <= 4000),
+        |post AS (SELECT * FROM base WHERE NOT (k % 3 = 0 AND k <= 2000))
+        |SELECT 'post' AS ver, prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM post GROUP BY prio
+        |UNION ALL
+        |SELECT 'pre' AS ver, prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM base GROUP BY prio
+        |ORDER BY ver, prio""".stripMargin,
     "SAMPLE-SPLIT" ->
       """WITH h AS (SELECT doc_id, lang,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),

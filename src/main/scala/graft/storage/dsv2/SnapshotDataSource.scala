@@ -174,10 +174,22 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
 }
 
 /** A pinned snapshot version exposed as a V2 table (None until the first
-  * write commits — write-created tables start unreadable). */
+  * write commits — write-created tables start unreadable).
+  * `SupportsRowLevelOperations` is what routes `DELETE FROM` / `UPDATE` /
+  * `MERGE INTO` SQL into [[SnapshotRowLevelOperation]]'s group-based
+  * copy-on-write rewrite. */
 final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
                             schema: StructType)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val s = snap.getOrElse(throw new IllegalStateException(
+      s"no committed snapshot at $root — nothing to ${info.command} yet"))
+    () => new SnapshotRowLevelOperation(root, s, schema, info.command)
+  }
   override def name(): String =
     s"graft-snapshot:$root@v${snap.map(_.version).getOrElse(0L)}"
   override def schema(): StructType = schema

@@ -54,4 +54,115 @@ class SnapshotSqlSpec extends SparkSpec {
         _.toString.contains("graft-snapshot")), s"no connector scan in:\n$scans")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("DELETE FROM: group-based copy-on-write, old version time-travels") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(1000).select(col("id").as("k"), (col("id") % 10).as("g"))
+      .write.format("graft-snapshot").mode("append").save(root)
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE g = 3")
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 900)
+      assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE g = 3")
+        .head.getLong(0) === 0)
+      // DELETE committed a NEW version; the pre-delete rows time-travel
+      assert(SnapshotTable.versions(spark, root) === Seq(1L, 2L))
+      assert(spark.read.format("graft-snapshot").option("versionAsOf", 1)
+        .load(root).count() === 1000)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("DELETE FROM rewrites ONLY files the condition can touch (stats-pruned groups)") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(8000).select(col("id").as("k"), (col("id") % 7).as("x"))
+      .repartitionByRange(8, col("k"))
+      .write.format("graft-snapshot").option("statsCols", "k")
+      .mode("append").save(root)
+    val before = SnapshotTable.latest(spark, root).get.files
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      // touches one 1000-row range file out of 8
+      spark.sql(s"DELETE FROM $tbl WHERE k >= 2000 AND k < 2100")
+      val after = SnapshotTable.latest(spark, root).get.files
+      val retained = before.toSet.intersect(after.toSet)
+      assert(retained.size >= 6,
+        s"untouched files must be retained verbatim: ${retained.size}/8 kept")
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 7900)
+      // stats skipping survives the SQL delete (fresh stats on rewrites)
+      val st = SnapshotTable.stats(spark, root,
+        SnapshotTable.latest(spark, root).get.version)
+      assert(after.forall(f => st.contains((SnapshotTable.norm(f), "k"))),
+        "every post-delete file must carry k stats")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("UPDATE: SQL row rewrite through the same group-based machinery") {
+    val root = newRoot()
+    val tbl = newTable()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+      .write.format("graft-snapshot").mode("append").save(root)
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      spark.sql(s"UPDATE $tbl SET s = 'X' WHERE k = 2")
+      spark.sql(s"REFRESH TABLE $tbl")
+      val got = spark.sql(s"SELECT k, s FROM $tbl ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === Seq((1L, "a"), (2L, "X"), (3L, "c")))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("MERGE INTO: literal SQL with UPDATE/DELETE/INSERT arms hits the ACID layer") {
+    val root = newRoot()
+    val tbl = newTable()
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "s", "x")
+      .write.format("graft-snapshot").mode("append").save(root)
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    Seq((2L, "B", 200.0), (4L, "DEL", 0.0), (9L, "i", 90.0)).toDF("k", "s", "x")
+      .createOrReplaceTempView("merge_src")
+    try {
+      spark.sql(
+        s"""MERGE INTO $tbl t USING merge_src u ON t.k = u.k
+           |WHEN MATCHED AND u.s = 'DEL' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.sql(s"REFRESH TABLE $tbl")
+      val got = spark.sql(s"SELECT k, s, x FROM $tbl ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(got === Seq((1L, "a", 10.0), (2L, "B", 200.0), (3L, "c", 30.0),
+        (9L, "i", 90.0)))
+      // one MERGE = one new snapshot version; the base still time-travels
+      assert(SnapshotTable.versions(spark, root) === Seq(1L, 2L))
+      assert(spark.read.format("graft-snapshot").option("versionAsOf", 1)
+        .load(root).count() === 4)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.catalog.dropTempView("merge_src")
+    }
+  }
+
+  test("row-level conflicts: a commit landing mid-operation fails the CAS loudly") {
+    val root = newRoot()
+    spark.range(100).select(col("id").as("k"), lit("v").as("s"))
+      .write.format("graft-snapshot").mode("append").save(root)
+    val base = SnapshotTable.latest(spark, root).get // the operation's pin: v1
+    // a concurrent writer commits v2 between the operation's resolution
+    // and its ReplaceData commit (the race a statement-level re-resolve
+    // cannot see)
+    SnapshotTable.append(spark, root,
+      spark.range(100, 200).select(col("id").as("k"), lit("w").as("s")))
+    val write = new graft.storage.dsv2.GroupReplaceDataWrite(
+      root, base, spark.read.format("graft-snapshot").load(root).schema,
+      () => base.files)
+    // the rename CAS on v2 must throw, never clobber the appended rows
+    intercept[java.util.ConcurrentModificationException] {
+      write.commit(Array.empty)
+    }
+    assert(spark.read.format("graft-snapshot").load(root).count() === 200)
+    assert(SnapshotTable.versions(spark, root) === Seq(1L, 2L))
+  }
 }
