@@ -1026,6 +1026,32 @@ object Extensions {
         .unionByName(agg(s.read.format("graft-snapshot").load(root), "v2"))
         .orderBy("ver")
     },
+    // snapshot CHANGE FEED: three appended versions, then an ORDINARY
+    // read with option changesFrom=1 — exactly the rows versions 2..3
+    // appended, never v1's (the metrics-store incremental-consumer
+    // shape; offsets = snapshot versions, same walk the MicroBatchStream
+    // source uses). Oracle replays the append split analytically.
+    "CDC-SNAPSHOT" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_cdcsnap")
+        .toString + "/t"
+      def slice(pred: org.apache.spark.sql.Column) = s.table("orders")
+        .where(pred)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+      slice(col("o_orderkey") <= 2000)
+        .write.format("graft-snapshot").mode("append").save(root)
+      slice(col("o_orderkey") > 2000 && col("o_orderkey") <= 3000)
+        .write.format("graft-snapshot").mode("append").save(root)
+      slice(col("o_orderkey") > 3000 && col("o_orderkey") <= 4000)
+        .write.format("graft-snapshot").mode("append").save(root)
+      s.read.format("graft-snapshot").option("changesFrom", 1).load(root)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("prio")
+    },
     // row-level SQL end-to-end: literal MERGE INTO with UPDATE + DELETE +
     // INSERT arms against a catalog-registered snapshot table — the
     // statement routes through SupportsRowLevelOperations into the
@@ -2159,6 +2185,12 @@ object Extensions {
         |SELECT 'v2' AS ver, count(*) AS n,
         |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total FROM m
         |ORDER BY ver""".stripMargin,
+    // the change feed after v1 is exactly the 2000 < k <= 4000 appends
+    "CDC-SNAPSHOT" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 4000
+        |GROUP BY prio ORDER BY prio""".stripMargin,
     // MERGE arms replayed in plain SQL: matched %7 keys deleted, other
     // matched %5 keys rewritten, unmatched non-DEL source keys inserted
     "UPSERT-MERGE-SQL" ->

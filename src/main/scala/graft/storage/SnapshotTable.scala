@@ -503,6 +503,66 @@ object SnapshotTable {
       "txn_batch", "has_schema", "total_rows")
   }
 
+  /** CHANGE FEED (file granularity): the data files ADDED by versions in
+    * `(fromV, toV]` — the append-only change stream between two
+    * snapshots. A version that REMOVED files (merge / compact / SQL
+    * row-level rewrite / truncate) cannot be represented as appended
+    * rows and throws, pointing at [[graft.operators.Cdc.snapshotDiff]]
+    * for the row-level diff — unless `ignoreRewrites` is set, which
+    * emits rewrite versions' ADDED files too (rewritten rows appear as
+    * fresh inserts; the caller accepts duplicates, exactly the upstream
+    * formats' ignoreChanges contract).
+    *
+    * `fromV = 0` means "from the beginning" (v1's files are the first
+    * change). `fromV` must be 0 or a retained version — the diff is
+    * anchored on its file set. Gaps from vacuumed intermediate versions
+    * telescope correctly (net adds across the gap). Metadata-scale:
+    * manifest reads only. */
+  def changedEntries(spark: SparkSession, root: String, fromV: Long, toV: Long,
+                     ignoreRewrites: Boolean = false): Seq[FileEntry] = {
+    require(fromV >= 0 && toV >= fromV,
+      s"need 0 <= fromV <= toV, got fromV=$fromV toV=$toV")
+    val vs = versions(spark, root)
+    require(fromV == 0 || vs.contains(fromV),
+      s"change-feed base v$fromV is not a retained version at $root " +
+        s"(retained: ${vs.mkString(",")})")
+    var prev: Set[String] =
+      if (fromV == 0) Set.empty
+      else snapshot(spark, root, fromV).files.map(norm).toSet
+    vs.filter(v => v > fromV && v <= toV).flatMap { v =>
+      val cur = snapshot(spark, root, v).entries
+      val curNorm = cur.map(e => norm(e.path)).toSet
+      val removed = prev -- curNorm
+      val added = cur.filterNot(e => prev(norm(e.path)))
+      prev = curNorm
+      if (removed.nonEmpty && !ignoreRewrites)
+        throw new UnsupportedOperationException(
+          s"version $v at $root removed/rewrote ${removed.size} file(s); an " +
+            "append-only change feed cannot represent a rewrite — diff the " +
+            "versions row-level with Cdc.snapshotDiff(readVersion(prev), " +
+            "readVersion(v), keys), or pass ignoreRewrites=true to stream " +
+            "rewrite versions' added files (re-delivers rewritten rows)")
+      added
+    }
+  }
+
+  /** The change feed as a DataFrame: rows appended in `(fromV, toV]`,
+    * read with `toV`'s schema (`toV` defaults to latest). */
+  def changes(spark: SparkSession, root: String, fromV: Long,
+              toV: Option[Long] = None,
+              ignoreRewrites: Boolean = false): DataFrame = {
+    val to = toV.orElse(latest(spark, root).map(_.version)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val entries = changedEntries(spark, root, fromV, to, ignoreRewrites)
+    val schema = tableSchema(spark, root, to)
+    if (entries.isEmpty) {
+      val sc = schema.getOrElse(throw new IllegalStateException(
+        s"empty change feed with no schema sidecar at $root"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+    } else readFiles(spark, entries.map(_.path), schema)
+  }
+
   /** All committed versions, ascending. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)

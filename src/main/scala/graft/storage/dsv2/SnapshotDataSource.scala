@@ -84,26 +84,44 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
     * inferSchema deposits it, getTable consumes it (and falls back to a
     * fresh resolve for direct getTable calls — the write path). */
   private val pinned =
-    new ThreadLocal[Option[(String, Option[String], SnapshotTable.Snapshot)]] {
-      override def initialValue(): Option[(String, Option[String], SnapshotTable.Snapshot)] = None
+    new ThreadLocal[Option[(String, String, SnapshotTable.Snapshot)]] {
+      override def initialValue(): Option[(String, String, SnapshotTable.Snapshot)] = None
     }
 
   private def versionOpt(options: CaseInsensitiveStringMap): Option[String] =
     Option(options.get("versionAsOf"))
 
+  /** Every option that changes WHICH snapshot/file-set a read resolves
+    * to — the pin must key on all of them. */
+  private def resolutionKey(options: CaseInsensitiveStringMap): String =
+    Seq("versionAsOf", "changesFrom", "changesTo", "ignoreRewrites")
+      .map(k => Option(options.get(k)).getOrElse("")).mkString("/")
+
   private def resolve(options: CaseInsensitiveStringMap): SnapshotTable.Snapshot = {
     val spark = SparkSession.active
     val r = root(options)
-    versionOpt(options) match {
-      case Some(v) => SnapshotTable.snapshot(spark, r, v.toLong)
-      case None => SnapshotTable.latest(spark, r).getOrElse(
-        throw new IllegalStateException(s"no committed snapshot at $r"))
+    Option(options.get("changesFrom")).map(_.toLong) match {
+      case Some(from) =>
+        // CHANGE-FEED read: the "snapshot" is the files ADDED in
+        // (changesFrom, changesTo|latest] — an append-only CDC view
+        val to = Option(options.get("changesTo")).map(_.toLong)
+          .orElse(SnapshotTable.latest(spark, r).map(_.version))
+          .getOrElse(throw new IllegalStateException(
+            s"no committed snapshot at $r"))
+        SnapshotTable.Snapshot(to,
+          SnapshotTable.changedEntries(spark, r, from, to,
+            options.getBoolean("ignoreRewrites", false)))
+      case None => versionOpt(options) match {
+        case Some(v) => SnapshotTable.snapshot(spark, r, v.toLong)
+        case None => SnapshotTable.latest(spark, r).getOrElse(
+          throw new IllegalStateException(s"no committed snapshot at $r"))
+      }
     }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val snap = resolve(options)
-    pinned.set(Some((root(options), versionOpt(options), snap)))
+    pinned.set(Some((root(options), resolutionKey(options), snap)))
     // the version's schema sidecar wins (it can be WIDER than any one
     // file after add-column evolution); footer inference is the
     // fallback for pre-evolution tables (one footer, driver-side)
@@ -136,7 +154,7 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
     // the write path it is the frame's schema and the write contract
     // validates it against the table at commit time.
     val hit = pinned.get() match {
-      case Some((r, v, snap)) if r == root(options) && v == versionOpt(options) =>
+      case Some((r, k, snap)) if r == root(options) && k == resolutionKey(options) =>
         pinned.remove(); Some(snap)
       case _ => pinned.remove(); None
     }
@@ -155,8 +173,9 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
             // MATCHES the passed schema, so the pair stays internally
             // consistent. No match ⇒ this is the WRITE path (the frame's
             // schema is arbitrary) and the resolved latest is correct.
-            // versionAsOf reads are exact by construction.
-            if (versionOpt(options).isDefined) Some(snap)
+            // versionAsOf and change-feed reads are exact by construction.
+            if (versionOpt(options).isDefined ||
+                options.containsKey("changesFrom")) Some(snap)
             else {
               val spark = SparkSession.active
               val r = root(options)
@@ -195,12 +214,14 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val s = snap.getOrElse(throw new IllegalStateException(
       s"no committed snapshot at $root"))
     new SnapshotScanBuilder(root, s, schema,
-      columnar = options.getBoolean("columnar", true))
+      columnar = options.getBoolean("columnar", true),
+      startingVersion = Option(options.get("startingVersion")).map(_.toLong),
+      ignoreRewrites = options.getBoolean("ignoreRewrites", false))
   }
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -218,7 +239,9 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
   * and the difference between a second and an hour on a 100 TB table. */
 final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
                                 fullSchema: StructType,
-                                columnar: Boolean = true)
+                                columnar: Boolean = true,
+                                startingVersion: Option[Long] = None,
+                                ignoreRewrites: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -308,7 +331,8 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
           .map(_.getLen).sum
       }
     new SnapshotScan(root, snap.version, keep, snap.files.size, bytes, required,
-      accepted, spark.sessionState.newHadoopConf(), columnar)
+      accepted, spark.sessionState.newHadoopConf(), columnar,
+      startingVersion, ignoreRewrites)
   }
 }
 
@@ -348,11 +372,32 @@ object SnapshotFilters {
 final class SnapshotScan(root: String, version: Long, files: Seq[String],
                          totalFiles: Int, sizeBytes: Long, required: StructType,
                          pushed: Array[Filter], conf: Configuration,
-                         columnar: Boolean = true)
+                         columnar: Boolean = true,
+                         startingVersion: Option[Long] = None,
+                         ignoreRewrites: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** STREAMING read: the table as a stream of committed versions —
+    * each micro-batch is the files APPENDED by the versions between two
+    * offsets (offset = snapshot version). `startingVersion` 0 replays
+    * the whole table first (the default); N starts after version N;
+    * the special value -1 starts at the CURRENT latest (new commits
+    * only). Rewrite versions mid-stream fail loudly unless
+    * `ignoreRewrites` (see [[SnapshotTable.changedEntries]]). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val start = startingVersion match {
+      case Some(-1L) => version // the pinned latest at stream start
+      case Some(v) => v
+      case None => 0L
+    }
+    new SnapshotMicroBatchStream(root, start, required,
+      new SerializableHadoopConf(conf),
+      columnar && SnapshotColumnar.supported(required), ignoreRewrites)
+  }
 
   /** Pruned-file byte total: lets Catalyst broadcast a small snapshot
     * table (or a well-pruned read of a big one) in joins. Row count is
@@ -389,6 +434,57 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
 }
 
 final case class SnapshotFilePartition(file: String) extends InputPartition
+
+/** Stream offset = committed snapshot version (monotone, exactly the
+  * unit the manifest log already totally orders). */
+final case class SnapshotOffset(version: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** The snapshot table as a Structured Streaming source: offsets are
+  * snapshot versions, a micro-batch reads the files APPENDED in
+  * `(start, end]` (the same change-feed walk as
+  * [[SnapshotTable.changedEntries]], so replays are deterministic: a
+  * version range always names the same files). Exactly-once falls out
+  * of immutable files + checkpointed offsets. Metadata work per batch
+  * is a handful of manifest reads. */
+final class SnapshotMicroBatchStream(root: String, startVersion: Long,
+                                     required: StructType,
+                                     conf: SerializableHadoopConf,
+                                     columnar: Boolean,
+                                     ignoreRewrites: Boolean)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = SnapshotOffset(startVersion)
+
+  override def latestOffset(): Offset = SnapshotOffset(
+    SnapshotTable.latest(spark, root).map(_.version).getOrElse(startVersion))
+
+  override def deserializeOffset(json: String): Offset =
+    SnapshotOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapshotOffset].version
+    val e = end.asInstanceOf[SnapshotOffset].version
+    if (e <= s) Array.empty
+    else SnapshotTable.changedEntries(spark, root, s, e, ignoreRewrites)
+      .map(en => SnapshotFilePartition(en.path): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(required, Map.empty, conf, columnar)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"graft-snapshot-stream root=$root from=v$startVersion"
+}
 
 /** The metadata-only `count(*)` scan: one partition, one row, the
   * footer-summed record count — no data file is ever opened. */

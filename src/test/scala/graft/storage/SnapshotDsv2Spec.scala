@@ -380,6 +380,76 @@ class SnapshotDsv2Spec extends SparkSpec {
     assert(tbl.schema().fieldNames.toSeq === Seq("k"))
   }
 
+  test("change feed: option changesFrom reads exactly the appended rows") {
+    val root = newRoot()
+    def half(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") % 5).as("g"))
+    half(0, 100).write.format("graft-snapshot").mode("append").save(root)   // v1
+    half(100, 250).write.format("graft-snapshot").mode("append").save(root) // v2
+    half(250, 300).write.format("graft-snapshot").mode("append").save(root) // v3
+    // (v1, latest] = v2+v3 appends
+    val feed = spark.read.format("graft-snapshot")
+      .option("changesFrom", 1).load(root)
+    assert(feed.count() === 200)
+    assert(feed.agg(min("k"), max("k")).collect().head.toString === "[100,299]")
+    // bounded range (v1, v2]
+    assert(spark.read.format("graft-snapshot")
+      .option("changesFrom", 1).option("changesTo", 2).load(root)
+      .count() === 150)
+    // from the beginning: everything
+    assert(spark.read.format("graft-snapshot")
+      .option("changesFrom", 0).load(root).count() === 300)
+    // the library surface agrees
+    assert(SnapshotTable.changes(spark, root, 1L).count() === 200)
+    // a rewrite version cannot masquerade as appends
+    SnapshotTable.merge(spark, root,
+      Seq((0L, 99L)).toDF("k", "g"), Seq("k"), "g")                         // v4
+    val e = intercept[Exception] {
+      spark.read.format("graft-snapshot").option("changesFrom", 1)
+        .load(root).count()
+    }
+    assert(e.getMessage.contains("rewrote") || e.getMessage.contains("removed"),
+      s"expected rewrite refusal, got: ${e.getMessage}")
+    // ...unless the caller opts into re-delivery
+    assert(spark.read.format("graft-snapshot")
+      .option("changesFrom", 1).option("ignoreRewrites", "true")
+      .load(root).count() >= 200)
+  }
+
+  test("streaming read: the table is a MicroBatchStream of committed versions") {
+    val root = newRoot()
+    spark.range(10).select(col("id").as("k"))
+      .write.format("graft-snapshot").mode("append").save(root)            // v1
+    val q = spark.readStream.format("graft-snapshot").load(root)
+      .groupBy().count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("snap_stream_counts").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_stream_counts").head.getLong(0) === 10)
+      // two more commits arrive while the stream runs
+      spark.range(10, 25).select(col("id").as("k"))
+        .write.format("graft-snapshot").mode("append").save(root)          // v2
+      q.processAllAvailable()
+      assert(spark.table("snap_stream_counts").head.getLong(0) === 25)
+      spark.range(25, 30).select(col("id").as("k"))
+        .write.format("graft-snapshot").mode("append").save(root)          // v3
+      q.processAllAvailable()
+      // exactly-once: every appended row once, none twice
+      assert(spark.table("snap_stream_counts").head.getLong(0) === 30)
+    } finally q.stop()
+    // startingVersion: only commits AFTER the given version
+    val q2 = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", 2).load(root)
+      .writeStream.format("memory").queryName("snap_stream_tail").start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("snap_stream_tail").select("k")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === (25L until 30L).toSeq)
+    } finally q2.stop()
+  }
+
   test("snapshot isolation: a resolved DSv2 frame survives a concurrent merge") {
     val root = newRoot()
     SnapshotTable.create(spark, root,
