@@ -1026,6 +1026,71 @@ object Extensions {
         .unionByName(agg(s.read.format("graft-snapshot").load(root), "v2"))
         .orderBy("ver")
     },
+    // DESCRIBE HISTORY as a declared query: three commits (create,
+    // append, copy-on-write merge) then the connector's history read —
+    // version numbers, per-version row totals, and schema-sidecar
+    // presence are all deterministic; file counts are pinned by explicit
+    // repartition before each write. Oracle computes the expected ledger
+    // analytically from raw orders.
+    "SNAPSHOT-HISTORY" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_history")
+        .toString + "/t"
+      graft.storage.SnapshotTable.create(s, root,
+        s.table("orders").where(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+            lit(1L).as("v"))
+          .repartition(4))
+      graft.storage.SnapshotTable.append(s, root,
+        s.table("orders")
+          .where(col("o_orderkey") > 2000 && col("o_orderkey") <= 4000)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+            lit(1L).as("v"))
+          .repartition(2))
+      graft.storage.SnapshotTable.merge(s, root,
+        s.table("orders")
+          .where(col("o_orderkey") <= 4000 && col("o_orderkey") % 9 === 0)
+          .select(col("o_orderkey").as("k"), lit(0.0).as("price"),
+            lit(2L).as("v"), lit(true).as("del")),
+        Seq("k"), "v", deleteCol = Some("del"), clusterBy = Some("k"),
+        clusterFiles = 3)
+      s.read.format("graft-snapshot").option("history", true).load(root)
+        .select(col("version"), col("n_files"), col("total_rows"),
+          col("has_schema"))
+        .orderBy("version")
+    },
+    // TYPE-WIDENING evolution end-to-end: v1 is written NARROW (int key,
+    // float price), the second append carries long/double and widens the
+    // table under mergeSchema — old files read through an upcast (both
+    // halves aggregate as long/double). The oracle replays the widening
+    // analytically: the first half's prices go through a FLOAT cast
+    // (identical IEEE bits in both engines), the second half stays
+    // double.
+    "SNAPSHOT-EVOLVE-WIDEN" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_widen")
+        .toString + "/t"
+      // price = quarters (k % 997 / 4): exactly representable in FLOAT,
+      // so the float-era files and the oracle's replay agree bit-for-bit
+      // (a float-cast of arbitrary decimals would round differently into
+      // DECIMAL across engines — shortest-repr vs exact-binary)
+      graft.storage.SnapshotTable.create(s, root,
+        s.table("orders").where(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey").cast("int").as("k"),
+            ((col("o_orderkey") % 997) / 4.0).cast("float").as("price")))
+      graft.storage.SnapshotTable.append(s, root,
+        s.table("orders")
+          .where(col("o_orderkey") > 2000 && col("o_orderkey") <= 4000)
+          .select(col("o_orderkey").as("k"),
+            ((col("o_orderkey") % 997) / 4.0).as("price")),
+        mergeSchema = true)
+      graft.storage.SnapshotTable.read(s, root)
+        .groupBy((col("k") % 5).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("g")
+    },
     // snapshot CHANGE FEED: three appended versions, then an ORDINARY
     // read with option changesFrom=1 — exactly the rows versions 2..3
     // appended, never v1's (the metrics-store incremental-consumer
@@ -2185,6 +2250,33 @@ object Extensions {
         |SELECT 'v2' AS ver, count(*) AS n,
         |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total FROM m
         |ORDER BY ver""".stripMargin,
+    // the expected version ledger, computed analytically: v1 = first
+    // half (4 files), v2 = + second half (4+2 files), v3 = the
+    // delete-merge rewrite into 3 clustered files (every 9th key gone)
+    "SNAPSHOT-HISTORY" ->
+      """WITH c1 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey <= 2000),
+        |c2 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey <= 4000),
+        |c3 AS (SELECT count(*) AS n FROM orders
+        |  WHERE o_orderkey <= 4000 AND o_orderkey % 9 <> 0)
+        |SELECT 1 AS version, CAST(4 AS BIGINT) AS n_files,
+        |  CAST((SELECT n FROM c1) AS BIGINT) AS total_rows, true AS has_schema
+        |UNION ALL
+        |SELECT 2, 6, CAST((SELECT n FROM c2) AS BIGINT), true
+        |UNION ALL
+        |SELECT 3, 3, CAST((SELECT n FROM c3) AS BIGINT), true
+        |ORDER BY version""".stripMargin,
+    // widened table = float-cast quarters first half ∪ double second half
+    "SNAPSHOT-EVOLVE-WIDEN" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST((o_orderkey % 997) / 4.0 AS FLOAT) AS DOUBLE) AS price
+        |  FROM orders WHERE o_orderkey <= 2000
+        |  UNION ALL
+        |  SELECT o_orderkey AS k, (o_orderkey % 997) / 4.0 AS price
+        |  FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 4000)
+        |SELECT k % 5 AS g, count(*) AS n, CAST(sum(k) AS BIGINT) AS sk,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM t GROUP BY g ORDER BY g""".stripMargin,
     // the change feed after v1 is exactly the 2000 < k <= 4000 appends
     "CDC-SNAPSHOT" ->
       """SELECT o_orderpriority AS prio, count(*) AS n,

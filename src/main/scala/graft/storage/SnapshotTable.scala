@@ -363,25 +363,53 @@ object SnapshotTable {
     catch { case _: Exception => None } // torn sidecar ⇒ footer fallback
   }
 
-  /** ADD-COLUMN-only evolution: the union keeps `base`'s column order,
-    * appends genuinely new columns (as nullable), and REFUSES a type
-    * change on an existing name — rename/retype is not add-column. */
+  /** Lossless numeric WIDENING lattice — the type changes evolution may
+    * apply to an existing column. Older files keep their narrow physical
+    * type and read through an upcast (Spark's parquet readers and both
+    * connector readers decode INT32→long/double and FLOAT→double
+    * natively); narrowing is always refused. */
+  private[storage] def widens(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType | FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** ADD-COLUMN + TYPE-WIDENING evolution: the union keeps `base`'s
+    * column order, appends genuinely new columns (as nullable), widens a
+    * matched column to the WIDER of the two types when the change is in
+    * the lossless lattice ([[widens]] — either side may be the narrow
+    * one: a widened table keeps accepting old narrow writers), and
+    * REFUSES everything else — rename/retype is not evolution. */
   private[storage] def evolveSchema(
       base0: org.apache.spark.sql.types.StructType,
       incoming0: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
     val base = nullableSchema(base0)
     val incoming = nullableSchema(incoming0)
     val byName = incoming.fields.map(f => f.name -> f).toMap
-    base.fields.foreach { bf =>
-      byName.get(bf.name).foreach { inf =>
-        require(inf.dataType == bf.dataType,
-          s"schema evolution supports ADD COLUMN only: column '${bf.name}' " +
-            s"changes type ${bf.dataType} -> ${inf.dataType}")
+    val merged = base.fields.map { bf =>
+      byName.get(bf.name) match {
+        case Some(inf) if inf.dataType == bf.dataType => bf
+        case Some(inf) if widens(bf.dataType, inf.dataType) =>
+          bf.copy(dataType = inf.dataType)
+        case Some(inf) if widens(inf.dataType, bf.dataType) => bf
+        case Some(inf) =>
+          throw new IllegalArgumentException(
+            s"schema evolution supports ADD COLUMN and lossless numeric " +
+              s"widening only: column '${bf.name}' changes type " +
+              s"${bf.dataType} -> ${inf.dataType}")
+        case None => bf
       }
     }
     val known = base.fieldNames.toSet
     val added = incoming.fields.filterNot(f => known(f.name))
-    org.apache.spark.sql.types.StructType(base.fields ++ added)
+    org.apache.spark.sql.types.StructType(merged ++ added)
   }
 
   /** (normalized file, col) → (min, max); empty when the version carries
@@ -469,15 +497,14 @@ object SnapshotTable {
       col(statCol).cast("double") <= hi)
   }
 
-  /** DESCRIBE HISTORY: one row per retained version — version, commit
-    * time (the manifest's mtime), file count, total bytes (batched:
-    * one listing per staging dir), the streaming sink's batch id if the
-    * version carries one, and whether a schema sidecar exists.
-    * Driver-side metadata only. */
-  def history(spark: SparkSession, root: String): DataFrame = {
+  /** One history row per retained version: (version, commit time = the
+    * manifest's mtime, file count, total bytes, the streaming sink's
+    * default-app batch id if carried, schema-sidecar presence, total
+    * rows). Pure driver-side metadata — shared by [[history]] and the
+    * connector's `option("history", true)` read. */
+  private[storage] def historyRows(spark: SparkSession, root: String)
+      : Seq[(Long, java.sql.Timestamp, Long, Long, Option[Long], Boolean, Option[Long])] = {
     val f = fs(spark, root)
-    val sq = spark
-    import sq.implicits._
     val sizes: Map[String, Long] = {
       val dirs = versions(spark, root)
         .flatMap(v => snapshot(spark, root, v).files)
@@ -499,8 +526,19 @@ object SnapshotTable {
         snap.txn,
         f.exists(schemaPath(root, v)),
         snap.rowCount)
-    }.toDF("version", "committed_at", "n_files", "total_bytes",
-      "txn_batch", "has_schema", "total_rows")
+    }
+  }
+
+  /** DESCRIBE HISTORY: one row per retained version. Driver-side
+    * metadata only. Also reachable as plain SQL through the connector:
+    * `spark.read.format("graft-snapshot").option("history", true)
+    * .load(root)`. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val sq = spark
+    import sq.implicits._
+    historyRows(spark, root)
+      .toDF("version", "committed_at", "n_files", "total_bytes",
+        "txn_batch", "has_schema", "total_rows")
   }
 
   /** CHANGE FEED (file granularity): the data files ADDED by versions in

@@ -119,7 +119,11 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
     }
   }
 
+  private def historyRead(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("history", false)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    if (historyRead(options)) return SnapshotHistoryTable.SCHEMA
     val snap = resolve(options)
     pinned.set(Some((root(options), resolutionKey(options), snap)))
     // the version's schema sidecar wins (it can be WIDER than any one
@@ -147,6 +151,7 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
+    if (historyRead(options)) return new SnapshotHistoryTable(root(options))
     // absent table ⇒ readable only after a first write commits. The
     // pinned resolution (from the inferSchema call that produced
     // `schema`) keeps both calls on ONE version; the passed-in schema is
@@ -434,6 +439,46 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
 }
 
 final case class SnapshotFilePartition(file: String) extends InputPartition
+
+/** DESCRIBE HISTORY through the connector:
+  * `spark.read.format("graft-snapshot").option("history", true)
+  * .load(root)` — one row per retained version, computed driver-side
+  * from the manifests (a `LocalScan`: no executor work for metadata). */
+object SnapshotHistoryTable {
+  import org.apache.spark.sql.types._
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false),
+    StructField("txn_batch", LongType, nullable = true),
+    StructField("has_schema", BooleanType, nullable = false),
+    StructField("total_rows", LongType, nullable = true)))
+}
+
+final class SnapshotHistoryTable(root: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-snapshot-history:$root"
+  override def schema(): StructType = SnapshotHistoryTable.SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new Scan with org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = SnapshotHistoryTable.SCHEMA
+          override def description(): String =
+            s"graft-snapshot history root=$root (driver-side metadata)"
+          override def rows(): Array[InternalRow] =
+            SnapshotTable.historyRows(SparkSession.active, root).map {
+              case (v, ts, nFiles, bytes, txn, hasSchema, rowsOpt) =>
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](v, ts.getTime * 1000L, nFiles, bytes,
+                    txn.map(Long.box).orNull, hasSchema,
+                    rowsOpt.map(Long.box).orNull))
+            }.toArray
+        }
+    }
+}
 
 /** Stream offset = committed snapshot version (monotone, exactly the
   * unit the manifest log already totally orders). */

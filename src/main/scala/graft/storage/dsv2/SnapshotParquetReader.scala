@@ -280,6 +280,17 @@ private object CatalystConverters {
           case _ => update(v)
         }
       }
+      // type-widening evolution: an INT32 file column read as the
+      // table's widened long/double, a FLOAT file column as double
+      case (PrimitiveTypeName.INT32, LongType) => new PrimitiveConverter {
+        override def addInt(v: Int): Unit = update(v.toLong)
+      }
+      case (PrimitiveTypeName.INT32, DoubleType) => new PrimitiveConverter {
+        override def addInt(v: Int): Unit = update(v.toDouble)
+      }
+      case (PrimitiveTypeName.FLOAT, DoubleType) => new PrimitiveConverter {
+        override def addFloat(v: Float): Unit = update(v.toDouble)
+      }
       case (PrimitiveTypeName.INT64, TimestampType | TimestampNTZType) =>
         val toMicros: Long => Long = p.getLogicalTypeAnnotation match {
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>

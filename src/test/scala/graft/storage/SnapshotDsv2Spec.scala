@@ -450,6 +450,29 @@ class SnapshotDsv2Spec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("option history=true: DESCRIBE HISTORY as an ordinary read (LocalScan)") {
+    val root = newRoot()
+    spark.range(10).select(col("id").as("k")).repartition(2)
+      .write.format("graft-snapshot").mode("append").save(root)
+    spark.range(10, 15).select(col("id").as("k")).repartition(1)
+      .write.format("graft-snapshot").mode("append").save(root)
+    val h = spark.read.format("graft-snapshot").option("history", true)
+      .load(root).orderBy("version")
+    val got = h.select("version", "n_files", "total_rows", "has_schema")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(got === Seq((1L, 2L, 10L, true), (2L, 3L, 15L, true)))
+    // agrees with the library surface
+    val lib = SnapshotTable.history(spark, root).orderBy("version")
+      .select("version", "n_files", "total_rows").collect().map(_.toString)
+    assert(lib.toSeq === h.select("version", "n_files", "total_rows")
+      .collect().map(_.toString).toSeq)
+    // plain SQL over the history via a temp view
+    h.createOrReplaceTempView("snap_hist")
+    assert(spark.sql("SELECT max(version) FROM snap_hist").head.getLong(0) === 2L)
+    spark.catalog.dropTempView("snap_hist")
+  }
+
   test("snapshot isolation: a resolved DSv2 frame survives a concurrent merge") {
     val root = newRoot()
     SnapshotTable.create(spark, root,

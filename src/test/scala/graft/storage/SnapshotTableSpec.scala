@@ -261,6 +261,51 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.readVersion(spark, root, 1L).count() === 2000)
   }
 
+  test("type-widening evolution: int->long and float->double across appends") {
+    val root = newRoot()
+    // v1: narrow types (int k, float x)
+    SnapshotTable.create(spark, root,
+      spark.range(100).select(col("id").cast("int").as("k"),
+        (col("id") % 7).cast("float").as("x")))
+    // widened append: long k, double x — the table widens, old files
+    // read through an upcast
+    SnapshotTable.append(spark, root,
+      spark.range(100, 200).select(col("id").as("k"),
+        (col("id") % 7).cast("double").as("x")),
+      mergeSchema = true)
+    val t = SnapshotTable.read(spark, root)
+    assert(t.schema("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(t.schema("x").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(t.count() === 200)
+    assert(t.agg(sum("k")).collect().head.getLong(0) === (0L until 200L).sum)
+    // a NARROW writer keeps working against the widened table (widens
+    // the other way: incoming int fits the long column)
+    SnapshotTable.append(spark, root,
+      spark.range(200, 210).select(col("id").cast("int").as("k"),
+        lit(1.5f).as("x")),
+      mergeSchema = true)
+    assert(SnapshotTable.read(spark, root).count() === 210)
+    assert(SnapshotTable.read(spark, root).schema("k").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // time travel shows v1's ORIGINAL narrow schema
+    val v1 = SnapshotTable.readVersion(spark, root, 1L)
+    assert(v1.schema("k").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(v1.schema("x").dataType === org.apache.spark.sql.types.FloatType)
+    assert(v1.count() === 100)
+    // both connector decode modes read the mixed-width files identically
+    def viaConnector(columnar: Boolean) = spark.read.format("graft-snapshot")
+      .option("columnar", columnar.toString).load(root)
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(viaConnector(true) === viaConnector(false))
+    assert(viaConnector(true).size === 210)
+    // narrowing is refused loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root,
+        spark.range(5).select(col("id").as("k"), lit("no").as("x")),
+        mergeSchema = true)
+    }
+  }
+
   test("add-column evolution: appends widen the schema, old files read null") {
     val root = newRoot()
     SnapshotTable.create(spark, root,
