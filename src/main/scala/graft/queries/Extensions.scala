@@ -1037,19 +1037,17 @@ object Extensions {
       val root = java.nio.file.Files.createTempDirectory("graft_history")
         .toString + "/t"
       graft.storage.SnapshotTable.create(s, root,
-        s.table("orders").where(col("o_orderkey") <= 2000)
+        s.table("orders").where(col("o_orderkey") % 2 === 0)
           .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
             lit(1L).as("v"))
           .repartition(4))
       graft.storage.SnapshotTable.append(s, root,
-        s.table("orders")
-          .where(col("o_orderkey") > 2000 && col("o_orderkey") <= 4000)
+        s.table("orders").where(col("o_orderkey") % 2 === 1)
           .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
             lit(1L).as("v"))
           .repartition(2))
       graft.storage.SnapshotTable.merge(s, root,
-        s.table("orders")
-          .where(col("o_orderkey") <= 4000 && col("o_orderkey") % 9 === 0)
+        s.table("orders").where(col("o_orderkey") % 9 === 0)
           .select(col("o_orderkey").as("k"), lit(0.0).as("price"),
             lit(2L).as("v"), lit(true).as("del")),
         Seq("k"), "v", deleteCol = Some("del"), clusterBy = Some("k"),
@@ -1075,12 +1073,11 @@ object Extensions {
       // (a float-cast of arbitrary decimals would round differently into
       // DECIMAL across engines — shortest-repr vs exact-binary)
       graft.storage.SnapshotTable.create(s, root,
-        s.table("orders").where(col("o_orderkey") <= 2000)
+        s.table("orders").where(col("o_orderkey") % 2 === 0)
           .select(col("o_orderkey").cast("int").as("k"),
             ((col("o_orderkey") % 997) / 4.0).cast("float").as("price")))
       graft.storage.SnapshotTable.append(s, root,
-        s.table("orders")
-          .where(col("o_orderkey") > 2000 && col("o_orderkey") <= 4000)
+        s.table("orders").where(col("o_orderkey") % 2 === 1)
           .select(col("o_orderkey").as("k"),
             ((col("o_orderkey") % 997) / 4.0).as("price")),
         mergeSchema = true)
@@ -1104,11 +1101,13 @@ object Extensions {
         .where(pred)
         .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
           col("o_totalprice").as("price"))
-      slice(col("o_orderkey") <= 2000)
+      // modulo slices: non-empty at EVERY scale factor (absolute key
+      // bands are empty at sf0.001, where orderkeys stop at 1499)
+      slice(col("o_orderkey") % 4 <= 1)
         .write.format("graft-snapshot").mode("append").save(root)
-      slice(col("o_orderkey") > 2000 && col("o_orderkey") <= 3000)
+      slice(col("o_orderkey") % 4 === 2)
         .write.format("graft-snapshot").mode("append").save(root)
-      slice(col("o_orderkey") > 3000 && col("o_orderkey") <= 4000)
+      slice(col("o_orderkey") % 4 === 3)
         .write.format("graft-snapshot").mode("append").save(root)
       s.read.format("graft-snapshot").option("changesFrom", 1).load(root)
         .groupBy("prio")
@@ -2254,10 +2253,9 @@ object Extensions {
     // half (4 files), v2 = + second half (4+2 files), v3 = the
     // delete-merge rewrite into 3 clustered files (every 9th key gone)
     "SNAPSHOT-HISTORY" ->
-      """WITH c1 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey <= 2000),
-        |c2 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey <= 4000),
-        |c3 AS (SELECT count(*) AS n FROM orders
-        |  WHERE o_orderkey <= 4000 AND o_orderkey % 9 <> 0)
+      """WITH c1 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 2 = 0),
+        |c2 AS (SELECT count(*) AS n FROM orders),
+        |c3 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 9 <> 0)
         |SELECT 1 AS version, CAST(4 AS BIGINT) AS n_files,
         |  CAST((SELECT n FROM c1) AS BIGINT) AS total_rows, true AS has_schema
         |UNION ALL
@@ -2265,23 +2263,23 @@ object Extensions {
         |UNION ALL
         |SELECT 3, 3, CAST((SELECT n FROM c3) AS BIGINT), true
         |ORDER BY version""".stripMargin,
-    // widened table = float-cast quarters first half ∪ double second half
+    // widened table = float-cast quarters even half ∪ double odd half
     "SNAPSHOT-EVOLVE-WIDEN" ->
       """WITH t AS (
         |  SELECT o_orderkey AS k,
         |    CAST(CAST((o_orderkey % 997) / 4.0 AS FLOAT) AS DOUBLE) AS price
-        |  FROM orders WHERE o_orderkey <= 2000
+        |  FROM orders WHERE o_orderkey % 2 = 0
         |  UNION ALL
         |  SELECT o_orderkey AS k, (o_orderkey % 997) / 4.0 AS price
-        |  FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 4000)
+        |  FROM orders WHERE o_orderkey % 2 = 1)
         |SELECT k % 5 AS g, count(*) AS n, CAST(sum(k) AS BIGINT) AS sk,
         |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM t GROUP BY g ORDER BY g""".stripMargin,
-    // the change feed after v1 is exactly the 2000 < k <= 4000 appends
+    // the change feed after v1 is exactly the k%4 in (2,3) appends
     "CDC-SNAPSHOT" ->
       """SELECT o_orderpriority AS prio, count(*) AS n,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
-        |FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 4000
+        |FROM orders WHERE o_orderkey % 4 IN (2, 3)
         |GROUP BY prio ORDER BY prio""".stripMargin,
     // MERGE arms replayed in plain SQL: matched %7 keys deleted, other
     // matched %5 keys rewritten, unmatched non-DEL source keys inserted
