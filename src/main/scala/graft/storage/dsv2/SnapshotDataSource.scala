@@ -219,7 +219,8 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val s = snap.getOrElse(throw new IllegalStateException(
       s"no committed snapshot at $root"))
@@ -234,7 +235,8 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
       Option(info.options.get("statsCols"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty),
-      Option(info.options.get("mergeSchema")).exists(_.equalsIgnoreCase("true")))
+      Option(info.options.get("mergeSchema")).exists(_.equalsIgnoreCase("true")),
+      queryId = info.queryId())
 }
 
 /** Scan builder: collects pushed filters + required columns, prunes the
@@ -607,13 +609,25 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterF
   * manifest format's speculative-task story). Option `statsCols` keeps
   * data-skipping sidecars flowing through DSv2 writes. */
 final class SnapshotWriteBuilder(root: String, schema: StructType,
-                                 statsCols: Seq[String], mergeSchema: Boolean)
+                                 statsCols: Seq[String], mergeSchema: Boolean,
+                                 queryId: String = "")
   extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new SnapshotBatchWrite(root, schema, overwrite, statsCols, mergeSchema)
+    /** `stream.writeStream.format("graft-snapshot").start(root)` — the
+      * NATIVE exactly-once streaming sink (no foreachBatch adapter
+      * needed): each epoch appends staged files with its epoch id in the
+      * per-app `#txn` ledger, keyed by the STREAMING QUERY id (stable
+      * across restarts of one checkpoint, fresh for a new checkpoint —
+      * exactly the identity the ledger wants). Replayed epochs are
+      * no-ops; the commit-time gate makes the check atomic with the
+      * version CAS. Complete/overwrite output mode truncates per epoch. */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new SnapshotStreamingWrite(root, schema, overwrite, statsCols,
+        mergeSchema, appId = s"stream-$queryId")
   }
 }
 
@@ -707,6 +721,120 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
     val p = new org.apache.hadoop.fs.Path(stagingDir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
+}
+
+/** The native exactly-once streaming sink. One staging dir per query
+  * run; epoch ids are embedded in staged file names so concurrent /
+  * retried epochs never collide. Commit per epoch:
+  *  - replay pre-check against the per-app ledger (epoch ≤ high-water
+  *    mark ⇒ delete the staged files, no-op) — re-run at the top of
+  *    every retry iteration, so losing a version race to a racer that
+  *    committed THIS epoch degrades to a no-op, never a duplicate;
+  *  - first ever epoch CREATES the table, later epochs APPEND (O(batch)
+  *    metadata commit), truncate/complete mode replaces content;
+  *  - the epoch id rides the manifest (`#txn <appId> <epoch>`) — ledger
+  *    entry and data commit are ONE atomic rename. */
+final class SnapshotStreamingWrite(root: String, schema: StructType,
+                                   overwrite: Boolean, statsCols: Seq[String],
+                                   mergeSchema: Boolean, appId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val stagingDir: String = {
+    val spark = SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "data"),
+      java.util.UUID.randomUUID().toString)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(p)
+    f.makeQualified(p).toString
+  }
+
+  private val conf = new SerializableHadoopConf(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new SnapshotStreamingWriterFactory(stagingDir, schema, conf)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val files = messages.flatMap {
+      case SnapshotCommitMessage(fs) => fs
+      case other => throw new IllegalStateException(s"unexpected commit message $other")
+    }.sortBy(_.path).toSeq
+    def dropStaged(): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(stagingDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      files.foreach(e => fs.delete(new org.apache.hadoop.fs.Path(e.path), false))
+    }
+    var attempt = 1
+    while (true) {
+      if (epochId <= graft.storage.SnapshotSink.lastCommittedBatch(spark, root, appId)) {
+        dropStaged(); return
+      }
+      val cur = SnapshotTable.latest(spark, root)
+      // an empty epoch against an existing table is a no-op (no junk
+      // versions); against an absent root there is nothing to type yet
+      if (files.isEmpty && !(overwrite && cur.isDefined)) return
+      val fresh = SnapshotTable.collectStats(spark, files.map(_.path), statsCols)
+      try {
+        val (v, all, lines, nextSchema) = (cur, overwrite) match {
+          case (None, _) => (1L, files, fresh, schema)
+          case (Some(s), true) => (s.version + 1, files, fresh, schema)
+          case (Some(s), false) =>
+            val base = SnapshotTable.tableSchema(spark, root, s.version)
+              .getOrElse(spark.read.parquet(s.files.head).schema)
+            val ns =
+              if (mergeSchema) SnapshotTable.evolveSchema(base, schema)
+              else {
+                require(SnapshotTable.nullableSchema(schema).fields
+                  .map(f => (f.name, f.dataType)).toSeq ==
+                  SnapshotTable.nullableSchema(base).fields
+                    .map(f => (f.name, f.dataType)).toSeq,
+                  s"stream schema ${schema.simpleString} != table schema " +
+                    s"${base.simpleString}; set option mergeSchema=true " +
+                    "for add-column/widening evolution")
+                base
+              }
+            (s.version + 1, s.entries ++ files,
+              SnapshotTable.statsLines(spark, root, s.version) ++ fresh, ns)
+        }
+        SnapshotTable.commit(spark, root, v, all,
+          SnapshotTable.nextMeta(cur, Some(epochId), appId))
+        SnapshotTable.writeStats(spark, root, v, lines)
+        SnapshotTable.writeSchema(spark, root, v, nextSchema)
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // lost the version race; the ledger re-check at the loop top
+          // decides replay-no-op vs retry
+          if (attempt >= 5) throw e
+          attempt += 1
+      }
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case SnapshotCommitMessage(fsgs) => fsgs.foreach(e =>
+        fs.delete(new org.apache.hadoop.fs.Path(e.path), false))
+      case _ => ()
+    }
+  }
+}
+
+final class SnapshotStreamingWriterFactory(stagingDir: String,
+                                           schema: StructType,
+                                           conf: SerializableHadoopConf)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new SnapshotDataWriter(
+      f"$stagingDir%s/e$epochId%d-part-$partitionId%05d-$taskId%d.parquet",
+      schema, conf.value)
 }
 
 final class SnapshotWriterFactory(stagingDir: String, schema: StructType,

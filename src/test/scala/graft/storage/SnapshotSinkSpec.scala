@@ -145,6 +145,70 @@ class SnapshotSinkSpec extends SparkSpec {
     }
   }
 
+  test("NATIVE streaming sink: writeStream.format(graft-snapshot) is exactly-once") {
+    implicit val sq = spark.sqlContext
+    val root = newRoot()
+    val ckpt = Files.createTempDirectory("snapsink_ckpt").toString
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("k", "x")
+      .writeStream
+      .format("graft-snapshot")
+      .option("checkpointLocation", ckpt)
+      .option("statsCols", "k")
+      .start(root)
+    try {
+      in.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      assert(SnapshotTable.read(spark, root).count() === 2)
+      in.addData((3L, 3.0))
+      q.processAllAvailable()
+      assert(SnapshotTable.read(spark, root).count() === 3)
+      // epoch ids ride the per-app ledger, keyed by the QUERY id
+      val txns = SnapshotTable.latest(spark, root).get.txns
+      assert(txns.keys.exists(_.startsWith("stream-")), s"ledger keys: $txns")
+    } finally q.stop()
+    // RESTART from the same checkpoint: the query id (ledger key) is
+    // stable, so already-committed epochs replay as no-ops
+    val vsBefore = SnapshotTable.versions(spark, root)
+    val q2 = in.toDF().toDF("k", "x")
+      .writeStream.format("graft-snapshot")
+      .option("checkpointLocation", ckpt).start(root)
+    try {
+      in.addData((4L, 4.0))
+      q2.processAllAvailable()
+      assert(SnapshotTable.read(spark, root).count() === 4)
+      assert(SnapshotTable.versions(spark, root).size === vsBefore.size + 1)
+    } finally q2.stop()
+    // stats sidecars flowed through the streaming writes
+    val latest = SnapshotTable.latest(spark, root).get
+    assert(SnapshotTable.stats(spark, root, latest.version).nonEmpty)
+  }
+
+  test("snapshot-to-snapshot streaming: source table → native sink table") {
+    val src = newRoot()
+    val dst = newRoot()
+    val ckpt = Files.createTempDirectory("snap2snap_ckpt").toString
+    spark.range(20).select(col("id").as("k"))
+      .write.format("graft-snapshot").mode("append").save(src)
+    val q = spark.readStream.format("graft-snapshot").load(src)
+      .withColumn("k2", col("k") * 2)
+      .writeStream.format("graft-snapshot")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    try {
+      q.processAllAvailable()
+      assert(SnapshotTable.read(spark, dst).count() === 20)
+      // a new commit on the source flows through exactly once
+      spark.range(20, 30).select(col("id").as("k"))
+        .write.format("graft-snapshot").mode("append").save(src)
+      q.processAllAvailable()
+      val got = SnapshotTable.read(spark, dst)
+      assert(got.count() === 30)
+      assert(got.agg(sum("k2")).collect().head.getLong(0) ===
+        (0L until 30L).map(_ * 2).sum)
+    } finally q.stop()
+  }
+
   test("end-to-end: readStream → foreachBatch → ACID snapshot table") {
     implicit val sq = spark.sqlContext
     val root = newRoot()
