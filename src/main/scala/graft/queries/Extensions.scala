@@ -1026,6 +1026,33 @@ object Extensions {
         .unionByName(agg(s.read.format("graft-snapshot").load(root), "v2"))
         .orderBy("ver")
     },
+    // the NAMESPACE-MANAGED catalog end-to-end: a V2 TableCatalog over a
+    // warehouse (path-free DDL), INSERT INTO routed through the
+    // connector's BatchWrite, CALL graft.system.compact (SQL OPTIMIZE
+    // procedure — content-identical rewrite), then a plain aggregate.
+    // Content never changes, so the oracle is plain SQL over raw orders.
+    "SNAPSHOT-CATALOG" -> { (s, d) =>
+      Tables.register(s, d)
+      val wh = java.nio.file.Files.createTempDirectory("graft_cat").toString
+      val cat = "graftcat_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.storage.dsv2.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.m")
+      s.sql(s"CREATE TABLE $cat.m.orders_t (k BIGINT, prio STRING, price DOUBLE)")
+      s.sql(s"""INSERT INTO $cat.m.orders_t
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0""")
+      s.sql(s"CALL $cat.system.compact('m.orders_t', 4, 'k')")
+      import s.implicits._
+      val rows = s.sql(s"""SELECT prio, count(*) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM $cat.m.orders_t GROUP BY prio ORDER BY prio""").collect()
+        .toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      s.sql(s"DROP TABLE $cat.m.orders_t")
+      rows.toDF("prio", "n", "total")
+    },
     // DESCRIBE HISTORY as a declared query: three commits (create,
     // append, copy-on-write merge) then the connector's history read —
     // version numbers, per-version row totals, and schema-sidecar
@@ -2249,6 +2276,12 @@ object Extensions {
         |SELECT 'v2' AS ver, count(*) AS n,
         |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total FROM m
         |ORDER BY ver""".stripMargin,
+    // catalog DDL + INSERT + compact never change content
+    "SNAPSHOT-CATALOG" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY prio ORDER BY prio""".stripMargin,
     // the expected version ledger, computed analytically: v1 = first
     // half (4 files), v2 = + second half (4+2 files), v3 = the
     // delete-merge rewrite into 3 clustered files (every 9th key gone)

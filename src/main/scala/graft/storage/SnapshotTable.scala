@@ -601,6 +601,46 @@ object SnapshotTable {
     } else readFiles(spark, entries.map(_.path), schema)
   }
 
+  /** Rewrite every retained version's manifest and stats sidecar onto a
+    * NEW table root — the metadata half of a table RENAME/move (the data
+    * directory was already moved wholesale; manifests carry ABSOLUTE
+    * paths, so each `<oldRoot>/data/...` entry is re-anchored under the
+    * new root). Per-version rewrites are staged-then-swapped; a rename
+    * is not expected to race live writers (standard DDL contract). */
+  private[storage] def rebaseMetadata(spark: SparkSession, newRoot: String): Unit = {
+    val f = fs(spark, newRoot)
+    def reanchor(p: String): String = {
+      val i = p.indexOf("/data/")
+      if (i < 0) p
+      else f.makeQualified(new Path(newRoot, "data" + p.substring(i + 5))).toString
+    }
+    versions(spark, newRoot).foreach { v =>
+      val snap = snapshot(spark, newRoot, v)
+      val entries = snap.entries.map(e => e.copy(path = reanchor(e.path)))
+      val tmp = new Path(snapDir(newRoot), s".tmp-rb-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write((snap.meta ++
+        entries.map(e => s"${e.path}\t${e.rows}\t${e.bytes}"))
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      f.delete(manifestPath(newRoot, v), false)
+      require(f.rename(tmp, manifestPath(newRoot, v)),
+        s"manifest rebase failed for v$v at $newRoot")
+      val lines = statsLines(spark, newRoot, v)
+      if (lines.nonEmpty) {
+        val rebased = lines.map { l =>
+          l.split("\t", 2) match {
+            case Array(file, rest) => s"${norm(reanchor(file))}\t$rest"
+            case _ => l
+          }
+        }
+        f.delete(statsPath(newRoot, v), false)
+        writeStats(spark, newRoot, v, rebased)
+      }
+    }
+  }
+
   /** All committed versions, ascending. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)

@@ -1,0 +1,296 @@
+package graft.storage.dsv2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.storage.SnapshotTable
+
+/** A V2 catalog over a warehouse of snapshot tables — the NAMESPACE-
+  * MANAGED (path-free) front door:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.storage.dsv2.SnapshotCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft
+  *
+  *   CREATE NAMESPACE graft.metrics;
+  *   CREATE TABLE graft.metrics.cpu (ts TIMESTAMP, host STRING, v DOUBLE);
+  *   INSERT INTO graft.metrics.cpu SELECT ...;
+  *   MERGE INTO graft.metrics.cpu ...;         -- row-level SQL works
+  *   CALL graft.system.compact('metrics.cpu', 4, 'ts');
+  *   CALL graft.system.vacuum('metrics.cpu', 2);
+  * }}}
+  *
+  * Layout: `<warehouse>/<namespace…>/<table>` — each table directory is
+  * a full [[SnapshotTable]] root (manifests + sidecars + data), so every
+  * ACID/time-travel/stats capability and the row-level SQL surface come
+  * along for free: `loadTable` returns the same [[SnapshotTableV2]] the
+  * path-based provider builds, pinned to the latest version at load.
+  *
+  * `CREATE TABLE` commits a zero-file v1 manifest plus the schema
+  * sidecar (an empty, typed, immediately-readable table — a real
+  * version, so even "create" is an atomic rename). `ALTER TABLE ADD
+  * COLUMNS` and lossless type widening commit a metadata-only next
+  * version through [[SnapshotTable.evolveSchema]]. DROP deletes the
+  * table directory; RENAME is one filesystem rename inside the
+  * warehouse. Everything is metadata-scale except the data itself.
+  *
+  * The catalog is also a [[ProcedureCatalog]]: `graft.system.compact`
+  * (OPTIMIZE — returns the new version and file count) and
+  * `graft.system.vacuum` (retention — returns files deleted), each a
+  * thin SQL wrapper over the library calls with a one-row LocalScan
+  * result. */
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.warehouse")
+    warehouse = new Path(w)
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, n) => new Path(p, n))
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), ident.name)
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "_snapshots"))
+
+  // ------------------------------------------------------------- tables
+
+  override def tableExists(ident: Identifier): Boolean =
+    SnapshotTable.versions(spark, tablePath(ident).toString).nonEmpty
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = tablePath(ident).toString
+    val snap = SnapshotTable.latest(spark, root)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val schema = SnapshotTable.tableSchema(spark, root, snap.version)
+      .orElse(snap.files.headOption.map(f => spark.read.parquet(f).schema))
+      .getOrElse(throw new IllegalStateException(
+        s"table $ident has no schema sidecar and no data files"))
+    new SnapshotTableV2(root, Some(snap), schema)
+  }
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    require(info.partitions().isEmpty,
+      "graft-snapshot tables manage layout via clusterBy/compact, not " +
+        "PARTITIONED BY — create unpartitioned and use " +
+        "CALL <catalog>.system.compact(..., cluster_by)")
+    if (ident.namespace.nonEmpty && !fs.exists(nsPath(ident.namespace)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val root = tablePath(ident).toString
+    // an empty, TYPED v1: zero-file manifest + schema sidecar, atomic
+    SnapshotTable.commit(spark, root, 1L, Seq.empty)
+    SnapshotTable.writeSchema(spark, root, 1L, info.schema())
+    new SnapshotTableV2(root, Some(SnapshotTable.Snapshot(1L, Seq.empty)),
+      SnapshotTable.nullableSchema(info.schema()))
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    isTableDir(p) && fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (newIdent.namespace.nonEmpty && !fs.exists(nsPath(newIdent.namespace)))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    require(fs.rename(tablePath(oldIdent), tablePath(newIdent)),
+      s"rename $oldIdent -> $newIdent failed")
+    // manifests carry ABSOLUTE data-file paths: re-anchor them
+    SnapshotTable.rebaseMetadata(spark, tablePath(newIdent).toString)
+  }
+
+  /** ALTER TABLE: ADD COLUMNS and lossless type widening, committed as a
+    * metadata-only next version (same files, evolved schema sidecar) —
+    * the manifest rename keeps even DDL atomic. Everything else is
+    * refused loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = tablePath(ident).toString
+    val snap = SnapshotTable.latest(spark, root)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val base = SnapshotTable.tableSchema(spark, root, snap.version)
+      .getOrElse(throw new IllegalStateException(
+        s"table $ident has no schema sidecar"))
+    val next = changes.foldLeft(base) { (sc, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            "nested ADD COLUMN is not supported")
+          StructType(sc.fields :+
+            StructField(add.fieldNames()(0), add.dataType(), nullable = true))
+        case upd: TableChange.UpdateColumnType =>
+          require(upd.fieldNames.length == 1,
+            "nested column type changes are not supported")
+          val name = upd.fieldNames()(0)
+          val i = sc.fieldIndex(name)
+          val cur = sc.fields(i).dataType
+          require(SnapshotTable.widens(cur, upd.newDataType()),
+            s"only lossless numeric widening is supported: " +
+              s"$name $cur -> ${upd.newDataType()}")
+          StructType(sc.fields.updated(i,
+            sc.fields(i).copy(dataType = upd.newDataType())))
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog supports ADD COLUMNS and type widening; got $other")
+      }
+    }
+    val v = snap.version + 1
+    SnapshotTable.commit(spark, root, v, snap.entries,
+      SnapshotTable.nextMeta(Some(snap), None))
+    SnapshotTable.writeStats(spark, root, v,
+      SnapshotTable.statsLines(spark, root, snap.version))
+    SnapshotTable.writeSchema(spark, root, v, next)
+    loadTable(ident)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && isTableDir(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(warehouse)) Array.empty
+    else fs.listStatus(warehouse).toSeq
+      .filter(st => st.isDirectory && !isTableDir(st.getPath))
+      .map(st => Array(st.getPath.getName)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      if (!fs.exists(nsPath(namespace))) throw new NoSuchNamespaceException(namespace)
+      Array.empty // single-level namespaces
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!fs.exists(nsPath(namespace))) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (fs.exists(nsPath(namespace)))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsPath(namespace)): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) return false
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw NonEmptyNamespaceException(namespace, "namespace holds tables", None)
+    fs.delete(p, true)
+  }
+
+  // --------------------------------------------------------- procedures
+
+  private def identOf(table: String): Identifier = {
+    val parts = table.split("\\.")
+    Identifier.of(parts.dropRight(1), parts.last)
+  }
+
+  private def oneRowScan(schema: StructType, values: Array[Any]): Scan =
+    new Scan with LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(values))
+      override def description(): String = "graft procedure result"
+    }
+
+  private abstract class GraftProcedure(procName: String,
+                                        params: Seq[ProcedureParameter])
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+  }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace: $catalogName.system.<name>")
+    ident.name match {
+      case "compact" => new GraftProcedure("compact", Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("target_files", IntegerType).build(),
+        ProcedureParameter.in("cluster_by", StringType)
+          .defaultValue("''").build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val root = tablePath(identOf(input.getUTF8String(0).toString)).toString
+          val clusterBy = Option(input.getUTF8String(2)).map(_.toString)
+            .filter(_.nonEmpty)
+          // keep skipping alive across the rewrite: re-collect stats on
+          // the columns the current version tracks
+          val statsCols = SnapshotTable.stats(spark, root,
+            SnapshotTable.latest(spark, root).map(_.version).getOrElse(0L))
+            .keySet.map(_._2).toSeq.sorted
+          val v = SnapshotTable.compact(spark, root, input.getInt(1),
+            clusterBy = clusterBy, statsCols = statsCols)
+          val n = SnapshotTable.latest(spark, root).get.files.size
+          util.List.of(oneRowScan(
+            StructType(Seq(StructField("new_version", LongType, false),
+              StructField("n_files", IntegerType, false))),
+            Array[Any](v, n))).iterator()
+        }
+      }
+      case "vacuum" => new GraftProcedure("vacuum", Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("keep_versions", IntegerType).build(),
+        ProcedureParameter.in("grace_ms", LongType)
+          .defaultValue("604800000").build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val root = tablePath(identOf(input.getUTF8String(0).toString)).toString
+          val deleted = SnapshotTable.vacuum(spark, root,
+            keepVersions = input.getInt(1), graceMs = input.getLong(2))
+          util.List.of(oneRowScan(
+            StructType(Seq(StructField("files_deleted", IntegerType, false))),
+            Array[Any](deleted))).iterator()
+        }
+      }
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure $catalogName.system.$other " +
+          "(available: compact, vacuum)")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array("system"), "compact"),
+      Identifier.of(Array("system"), "vacuum"))
+}

@@ -1,0 +1,111 @@
+package graft.storage
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The namespace-managed (path-free) catalog: `spark.sql.catalog.graft`
+  * over a warehouse of snapshot tables — DDL, DML (incl. row-level SQL),
+  * ALTER evolution, and the `CALL graft.system.*` procedures. */
+class SnapshotCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse = Files.createTempDirectory("graft_wh").toString
+  spark.conf.set("spark.sql.catalog.graft",
+    "graft.storage.dsv2.SnapshotCatalog")
+  spark.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+
+  test("DDL + DML lifecycle: namespace, create, insert, select, drop") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.metrics")
+    spark.sql("CREATE TABLE graft.metrics.cpu (k BIGINT, host STRING, v DOUBLE)")
+    // an empty, typed, immediately-readable v1
+    assert(spark.sql("SELECT * FROM graft.metrics.cpu").count() === 0)
+    assert(SnapshotTable.versions(spark, s"$warehouse/metrics/cpu") === Seq(1L))
+    spark.sql(
+      "INSERT INTO graft.metrics.cpu VALUES (1, 'a', 0.5), (2, 'b', 0.7)")
+    assert(spark.sql("SELECT sum(k) FROM graft.metrics.cpu")
+      .head.getLong(0) === 3L)
+    // SHOW TABLES sees it
+    val listed = spark.sql("SHOW TABLES IN graft.metrics")
+      .collect().map(_.getString(1)).toSet
+    assert(listed.contains("cpu"))
+    // the table dir is a full snapshot root: library API interoperates
+    assert(SnapshotTable.read(spark, s"$warehouse/metrics/cpu").count() === 2)
+    spark.sql("DROP TABLE graft.metrics.cpu")
+    intercept[Exception] { spark.sql("SELECT * FROM graft.metrics.cpu").collect() }
+  }
+
+  test("row-level SQL works on catalog-managed tables") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+    spark.sql("CREATE TABLE graft.rl.t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.rl.t SELECT id, concat('v', id) FROM range(10)")
+    spark.sql("DELETE FROM graft.rl.t WHERE k >= 8")
+    spark.sql("UPDATE graft.rl.t SET s = 'X' WHERE k = 0")
+    Seq((1L, "m1"), (20L, "m20")).toDF("k", "s")
+      .createOrReplaceTempView("rl_src")
+    spark.sql(
+      """MERGE INTO graft.rl.t t USING rl_src u ON t.k = u.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT k, s FROM graft.rl.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((0L, "X"), (1L, "m1"), (2L, "v2"), (3L, "v3"),
+      (4L, "v4"), (5L, "v5"), (6L, "v6"), (7L, "v7"), (20L, "m20")))
+    spark.catalog.dropTempView("rl_src")
+    spark.sql("DROP TABLE graft.rl.t")
+  }
+
+  test("ALTER TABLE: add columns and lossless widening as atomic metadata versions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+    spark.sql("CREATE TABLE graft.ddl.t (k INT, s STRING)")
+    spark.sql("INSERT INTO graft.ddl.t VALUES (1, 'a')")
+    spark.sql("ALTER TABLE graft.ddl.t ADD COLUMNS (x DOUBLE)")
+    spark.sql("INSERT INTO graft.ddl.t VALUES (2, 'b', 1.5)")
+    spark.sql("ALTER TABLE graft.ddl.t ALTER COLUMN k TYPE BIGINT")
+    val got = spark.sql("SELECT k, s, x FROM graft.ddl.t ORDER BY k")
+    assert(got.schema("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(got.collect().map(_.toString).toSeq ===
+      Seq("[1,a,null]", "[2,b,1.5]"))
+    // narrowing refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ddl.t ALTER COLUMN k TYPE INT")
+    }
+    spark.sql("DROP TABLE graft.ddl.t")
+  }
+
+  test("CALL graft.system.compact and vacuum") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.t (k BIGINT, v DOUBLE)")
+    spark.range(4000).select(col("id").as("k"), (col("id") % 97).cast("double").as("v"))
+      .repartition(16)
+      .writeTo("graft.maint.t").append()
+    val root = s"$warehouse/maint/t"
+    assert(SnapshotTable.latest(spark, root).get.files.size === 16)
+    val res = spark.sql(
+      "CALL graft.system.compact('maint.t', 4, 'k')").collect().head
+    assert(res.getLong(0) === 3L) // create + append + compact = v3
+    assert(res.getInt(1) === 4)
+    assert(SnapshotTable.latest(spark, root).get.files.size === 4)
+    // compact re-collected stats on the tracked columns? (none tracked
+    // here — the call is still a no-op-safe pass) and content survives
+    assert(spark.sql("SELECT count(*), sum(k) FROM graft.maint.t")
+      .head.toString === s"[4000,${(0L until 4000L).sum}]")
+    // vacuum with grace 0 retires the pre-compact layout
+    val deleted = spark.sql(
+      "CALL graft.system.vacuum('maint.t', 1, 0L)").collect().head.getInt(0)
+    assert(deleted >= 16, s"expected the 16 pre-compact files gone, got $deleted")
+    assert(spark.sql("SELECT count(*) FROM graft.maint.t").head.getLong(0) === 4000)
+    spark.sql("DROP TABLE graft.maint.t")
+  }
+
+  test("rename moves the table inside the warehouse") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rn")
+    spark.sql("CREATE TABLE graft.rn.a (k BIGINT)")
+    spark.sql("INSERT INTO graft.rn.a VALUES (7)")
+    spark.sql("ALTER TABLE graft.rn.a RENAME TO rn.b")
+    assert(spark.sql("SELECT k FROM graft.rn.b").head.getLong(0) === 7L)
+    intercept[Exception] { spark.sql("SELECT * FROM graft.rn.a").collect() }
+    spark.sql("DROP TABLE graft.rn.b")
+  }
+}
