@@ -269,7 +269,10 @@ object SnapshotTable {
     if (statsCols.isEmpty || files.isEmpty) return Seq.empty
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__mn_$c"),
-      max(col(c).cast("double")).as(s"__mx_$c")))
+      max(col(c).cast("double")).as(s"__mx_$c"),
+      // null count per (file, column): what lets METADATA DELETE prove a
+      // file holds no null (= predicate-immune) rows — see deleteWhere
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nu_$c")))
     spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -277,6 +280,8 @@ object SnapshotTable {
         val file = norm(r.getString(0))
         statsCols.flatMap { c =>
           val (mn, mx) = (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"))
+          val nulls = Option(r.getAs[Any](s"__nu_$c"))
+            .collect { case n: Long => n }
           // all-null OR NaN-touched files carry no stats line → always
           // kept. (Spark's max() ranks NaN above everything, and a NaN
           // bound would compare false against any range in pruneFiles —
@@ -285,7 +290,7 @@ object SnapshotTable {
           def bad(x: Any) = x == null ||
             (x.isInstanceOf[Double] && x.asInstanceOf[Double].isNaN)
           if (bad(mn) || bad(mx)) Nil
-          else Seq(s"$file\t$c\t$mn\t$mx")
+          else Seq(s"$file\t$c\t$mn\t$mx\t${nulls.getOrElse(-1L)}")
         }
       }
   }
@@ -412,10 +417,11 @@ object SnapshotTable {
     org.apache.spark.sql.types.StructType(merged ++ added)
   }
 
-  /** (normalized file, col) → (min, max); empty when the version carries
-    * no stats sidecar. */
-  def stats(spark: SparkSession, root: String,
-            v: Long): Map[(String, String), (Double, Double)] = {
+  /** (normalized file, col) → (min, max, null count; -1 = unknown —
+    * legacy 4-field lines); empty when the version carries no stats
+    * sidecar. */
+  private[storage] def statsFull(spark: SparkSession, root: String,
+                                 v: Long): Map[(String, String), (Double, Double, Long)] = {
     val f = fs(spark, root)
     val p = statsPath(root, v)
     if (!f.exists(p)) return Map.empty
@@ -431,21 +437,30 @@ object SnapshotTable {
     // never a wrong answer
     new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { line =>
-        line.split("\t", 4) match {
+        line.split("\t") match {
           case Array(file, c, mn, mx) =>
-            try Some((file, c) -> (mn.toDouble, mx.toDouble))
+            try Some((file, c) -> (mn.toDouble, mx.toDouble, -1L))
+            catch { case _: NumberFormatException => None }
+          case Array(file, c, mn, mx, nu) =>
+            try Some((file, c) -> (mn.toDouble, mx.toDouble, nu.toLong))
             catch { case _: NumberFormatException => None }
           case _ => None
         }
       }.toMap
   }
 
+  /** (normalized file, col) → (min, max); empty when the version carries
+    * no stats sidecar. */
+  def stats(spark: SparkSession, root: String,
+            v: Long): Map[(String, String), (Double, Double)] =
+    statsFull(spark, root, v).view.mapValues(t => (t._1, t._2)).toMap
+
   /** The version's stats sidecar re-serialized as lines (for carrying
-    * into a successor version's sidecar). */
+    * into a successor version's sidecar) — null counts preserved. */
   private[storage] def statsLines(spark: SparkSession, root: String,
                                   v: Long): Seq[String] =
-    stats(spark, root, v).toSeq.map {
-      case ((file, c), (mn, mx)) => s"$file\t$c\t$mn\t$mx"
+    statsFull(spark, root, v).toSeq.map {
+      case ((file, c), (mn, mx, nu)) => s"$file\t$c\t$mn\t$mx\t$nu"
     }.sorted
 
   /** THE one keep-rule for file-level skipping — every pruning surface

@@ -205,7 +205,8 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
 final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
                             schema: StructType)
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
@@ -213,6 +214,36 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
     val s = snap.getOrElse(throw new IllegalStateException(
       s"no committed snapshot at $root — nothing to ${info.command} yet"))
     () => new SnapshotRowLevelOperation(root, s, schema, info.command)
+  }
+
+  /** METADATA-ONLY DELETE: eligible when the stats sidecar proves every
+    * file fully in or fully out of the delete region (see
+    * [[SnapshotMetadataDelete]]) — then the delete is one manifest
+    * commit with fewer entries. Ineligible deletes fall back to the
+    * group-based copy-on-write rewrite above. */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    snap.exists(s => SnapshotMetadataDelete
+      .plan(SparkSession.active, root, s, predicates).isDefined)
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val spark = SparkSession.active
+    val s = snap.getOrElse(throw new IllegalStateException(
+      s"no committed snapshot at $root"))
+    val kept = SnapshotMetadataDelete.plan(spark, root, s, predicates)
+      .getOrElse(throw new IllegalStateException(
+        "deleteWhere called for an unprovable predicate — canDeleteWhere " +
+          "should have refused it"))
+    SnapshotMetadataDelete.commit(spark, root, s, kept)
+  }
+
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    val s = snap.getOrElse(throw new IllegalStateException(
+      s"no committed snapshot at $root"))
+    SnapshotMetadataDelete.commit(spark, root, s, Seq.empty)
+    true
   }
   override def name(): String =
     s"graft-snapshot:$root@v${snap.map(_.version).getOrElse(0L)}"

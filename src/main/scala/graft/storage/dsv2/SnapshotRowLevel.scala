@@ -158,12 +158,12 @@ final class GroupReplaceDataWrite(root: String, snap: SnapshotTable.Snapshot,
     }.sortBy(_.path).toSeq
     val scannedSet = scanned().map(SnapshotTable.norm).toSet
     val retained = snap.entries.filterNot(e => scannedSet(SnapshotTable.norm(e.path)))
-    // stats: retained files keep their lines; rewritten files get fresh
-    // stats on the columns the base version tracked
-    val baseStats = SnapshotTable.stats(spark, root, snap.version)
+    // stats: retained files keep their lines (null counts preserved);
+    // rewritten files get fresh stats on the columns the base tracked
+    val baseStats = SnapshotTable.statsFull(spark, root, snap.version)
     val retainedNorm = retained.map(e => SnapshotTable.norm(e.path)).toSet
     val keptLines = baseStats.toSeq.collect {
-      case ((f, c), (mn, mx)) if retainedNorm(f) => s"$f\t$c\t$mn\t$mx"
+      case ((f, c), (mn, mx, nu)) if retainedNorm(f) => s"$f\t$c\t$mn\t$mx\t$nu"
     }.sorted
     val statsCols = baseStats.keySet.map(_._2).toSeq.sorted
     val freshLines =

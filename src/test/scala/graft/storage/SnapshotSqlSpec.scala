@@ -145,6 +145,56 @@ class SnapshotSqlSpec extends SparkSpec {
     }
   }
 
+  test("METADATA-ONLY DELETE: an aligned predicate drops files without any rewrite") {
+    val root = newRoot()
+    val tbl = newTable()
+    // two appends = two provably-disjoint file sets on k
+    spark.range(1000).select(col("id").as("k"), (col("id") % 7).as("x"))
+      .write.format("graft-snapshot").option("statsCols", "k")
+      .mode("append").save(root)
+    spark.range(1000, 2000).select(col("id").as("k"), (col("id") % 7).as("x"))
+      .write.format("graft-snapshot").option("statsCols", "k")
+      .mode("append").save(root)
+    val before = SnapshotTable.latest(spark, root).get
+    val oldFiles = before.files.toSet
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      // k < 1000 is exactly the first append's files: metadata delete
+      spark.sql(s"DELETE FROM $tbl WHERE k < 1000")
+      val after = SnapshotTable.latest(spark, root).get
+      assert(after.version === before.version + 1)
+      // every surviving file is an ORIGINAL file — nothing was rewritten
+      assert(after.files.toSet.subsetOf(oldFiles),
+        s"metadata delete must not rewrite: ${after.files.toSet -- oldFiles}")
+      assert(after.files.size < before.files.size)
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.sql(s"SELECT count(*), min(k) FROM $tbl").head.toString
+        === "[1000,1000]")
+      // stats sidecar carried for the kept files (skipping still works)
+      assert(SnapshotTable.stats(spark, root, after.version).nonEmpty)
+      // a MISALIGNED predicate falls back to the copy-on-write rewrite —
+      // still exact, just not metadata-only
+      spark.sql(s"DELETE FROM $tbl WHERE k >= 1500 AND k < 1510")
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 990)
+      // a file with NULLS in the predicate column is never dropped whole
+      val root2 = newRoot()
+      val tbl2 = newTable()
+      spark.range(100).select(
+          when(col("id") === 7, lit(null)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+        .write.format("graft-snapshot").option("statsCols", "k")
+        .mode("append").save(root2)
+      spark.sql(s"CREATE TABLE $tbl2 USING `graft-snapshot` OPTIONS (path '$root2')")
+      try {
+        spark.sql(s"DELETE FROM $tbl2 WHERE k < 200") // covers [min,max] but NOT the null
+        spark.sql(s"REFRESH TABLE $tbl2")
+        val left = spark.sql(s"SELECT v FROM $tbl2").collect().map(_.getLong(0)).toSeq
+        assert(left === Seq(7L), s"null-k row must survive, got $left")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tbl2")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("row-level conflicts: a commit landing mid-operation fails the CAS loudly") {
     val root = newRoot()
     spark.range(100).select(col("id").as("k"), lit("v").as("s"))
