@@ -1026,6 +1026,38 @@ object Extensions {
         .unionByName(agg(s.read.format("graft-snapshot").load(root), "v2"))
         .orderBy("ver")
     },
+    // the snapshot table as BOTH ends of a Structured Streaming pipeline,
+    // oracle-checked: a source table with two committed versions is read
+    // as a MicroBatchStream (offsets = snapshot versions), flows through
+    // the NATIVE exactly-once sink (per-app #txn ledger keyed by query
+    // id) into a second table, and the DESTINATION is what the oracle
+    // hashes — any duplicate/lost batch, broken offset walk, or sink
+    // replay bug lands in the result.
+    "STREAM-SNAPSHOT-NATIVE" -> { (s, d) =>
+      Tables.register(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft_snapstream")
+      val (src, dst, ckpt) =
+        (base.toString + "/src", base.toString + "/dst", base.toString + "/ckpt")
+      def slice(pred: org.apache.spark.sql.Column) = s.table("orders")
+        .where(pred)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+      slice(col("o_orderkey") % 2 === 0)
+        .write.format("graft-snapshot").mode("append").save(src)
+      slice(col("o_orderkey") % 2 === 1)
+        .write.format("graft-snapshot").mode("append").save(src)
+      val q = s.readStream.format("graft-snapshot").load(src)
+        .writeStream.format("graft-snapshot")
+        .option("checkpointLocation", ckpt)
+        .start(dst)
+      try q.processAllAvailable() finally q.stop()
+      graft.storage.SnapshotTable.read(s, dst)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("prio")
+    },
     // the NAMESPACE-MANAGED catalog end-to-end: a V2 TableCatalog over a
     // warehouse (path-free DDL), INSERT INTO routed through the
     // connector's BatchWrite, CALL graft.system.compact (SQL OPTIMIZE
@@ -2276,6 +2308,11 @@ object Extensions {
         |SELECT 'v2' AS ver, count(*) AS n,
         |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total FROM m
         |ORDER BY ver""".stripMargin,
+    // exactly-once source→sink: the destination holds every row once
+    "STREAM-SNAPSHOT-NATIVE" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
     // catalog DDL + INSERT + compact never change content
     "SNAPSHOT-CATALOG" ->
       """SELECT o_orderpriority AS prio, count(*) AS n,

@@ -693,6 +693,17 @@ object SnapshotTable {
   def latest(spark: SparkSession, root: String): Option[Snapshot] =
     versions(spark, root).lastOption.map(snapshot(spark, root, _))
 
+  /** TIMESTAMP time travel: the newest version committed at or before
+    * `tsMillis` (commit time = the manifest's mtime, the same clock
+    * [[history]] reports). None ⇒ the timestamp predates the earliest
+    * retained version. */
+  def versionAt(spark: SparkSession, root: String, tsMillis: Long): Option[Long] = {
+    val f = fs(spark, root)
+    versions(spark, root).reverseIterator.find { v =>
+      f.getFileStatus(manifestPath(root, v)).getModificationTime <= tsMillis
+    }
+  }
+
   /** Schema-aware file read: with a version schema, old files missing
     * evolved columns read as null (Spark's parquet reader fills absent
     * columns when given an explicit schema). */

@@ -94,8 +94,19 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
   /** Every option that changes WHICH snapshot/file-set a read resolves
     * to — the pin must key on all of them. */
   private def resolutionKey(options: CaseInsensitiveStringMap): String =
-    Seq("versionAsOf", "changesFrom", "changesTo", "ignoreRewrites")
+    Seq("versionAsOf", "timestampAsOf", "changesFrom", "changesTo",
+      "ignoreRewrites")
       .map(k => Option(options.get(k)).getOrElse("")).mkString("/")
+
+  /** `timestampAsOf` accepts epoch millis, `yyyy-MM-dd HH:mm:ss[.f]`,
+    * or ISO-8601 instants. */
+  private def parseTs(s: String): Long =
+    try s.toLong
+    catch { case _: NumberFormatException =>
+      try java.sql.Timestamp.valueOf(s).getTime
+      catch { case _: IllegalArgumentException =>
+        java.time.Instant.parse(s).toEpochMilli }
+    }
 
   private def resolve(options: CaseInsensitiveStringMap): SnapshotTable.Snapshot = {
     val spark = SparkSession.active
@@ -111,9 +122,17 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
         SnapshotTable.Snapshot(to,
           SnapshotTable.changedEntries(spark, r, from, to,
             options.getBoolean("ignoreRewrites", false)))
-      case None => versionOpt(options) match {
-        case Some(v) => SnapshotTable.snapshot(spark, r, v.toLong)
-        case None => SnapshotTable.latest(spark, r).getOrElse(
+      case None => (versionOpt(options), Option(options.get("timestampAsOf"))) match {
+        case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          "versionAsOf and timestampAsOf are mutually exclusive")
+        case (Some(v), None) => SnapshotTable.snapshot(spark, r, v.toLong)
+        case (None, Some(ts)) =>
+          val cutoff = parseTs(ts)
+          val v = SnapshotTable.versionAt(spark, r, cutoff).getOrElse(
+            throw new IllegalArgumentException(
+              s"timestampAsOf $ts predates the earliest retained version at $r"))
+          SnapshotTable.snapshot(spark, r, v)
+        case (None, None) => SnapshotTable.latest(spark, r).getOrElse(
           throw new IllegalStateException(s"no committed snapshot at $r"))
       }
     }
@@ -180,6 +199,7 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
             // schema is arbitrary) and the resolved latest is correct.
             // versionAsOf and change-feed reads are exact by construction.
             if (versionOpt(options).isDefined ||
+                options.containsKey("timestampAsOf") ||
                 options.containsKey("changesFrom")) Some(snap)
             else {
               val spark = SparkSession.active

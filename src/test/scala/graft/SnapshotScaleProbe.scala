@@ -153,6 +153,43 @@ object SnapshotScaleProbe {
       f"speedup=${tRow / tCol}%.1fx vs-native=${tCol / tNative}%.2fx")
     assert(tRow / tCol >= 1.8,
       f"columnar decode should beat the row materializer ~2x: ${tRow / tCol}%.2fx")
+
+    // RETENTION DELETE: two same-size appends (old half / new half, both
+    // with k stats), then `DELETE FROM ... WHERE k < cutoff` aligned to
+    // the append boundary — provably whole-file, so the delete is ONE
+    // manifest commit (no scan, no rewrite). Compare against the
+    // copy-on-write rewrite a misaligned predicate costs.
+    val rRoot = java.nio.file.Files.createTempDirectory("snapretain").toString + "/t"
+    def half(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") % 9973).cast("double").as("v"),
+        sha2(col("id").cast("string"), 256).as("pad"))
+      .repartitionByRange(16, col("k"))
+    half(0, rows).write.format("graft-snapshot")
+      .option("statsCols", "k").mode("append").save(rRoot)
+    half(rows, 2 * rows).write.format("graft-snapshot")
+      .option("statsCols", "k").mode("append").save(rRoot)
+    val beforeDel = SnapshotTable.latest(spark, rRoot).get
+    spark.sql(s"CREATE TABLE snap_retention USING `graft-snapshot` " +
+      s"OPTIONS (path '$rRoot')")
+    val (_, tMetaDel) = time {
+      spark.sql(s"DELETE FROM snap_retention WHERE k < $rows")
+    }
+    val afterDel = SnapshotTable.latest(spark, rRoot).get
+    assert(afterDel.files.toSet.subsetOf(beforeDel.files.toSet),
+      "aligned retention delete must not rewrite any file")
+    assert(spark.read.format("graft-snapshot").load(rRoot).count() == rows)
+    // misaligned: same row count removed, but through the COW rewrite
+    val (_, tRewriteDel) = time {
+      spark.sql(s"DELETE FROM snap_retention WHERE k >= ${rows + rows / 2} " +
+        s"AND k < ${rows + rows / 2 + 1000}")
+    }
+    spark.sql("DROP TABLE snap_retention")
+    println(f"[snap-scale] retention delete of $rows%,d rows: " +
+      f"metadata-only=$tMetaDel%.2fs vs misaligned cow-rewrite=$tRewriteDel%.2fs " +
+      f"(${tRewriteDel / tMetaDel}%.0fx) — aligned deletes are manifest-only")
+    assert(tMetaDel < tRewriteDel / 3,
+      s"metadata delete ($tMetaDel s) should be far cheaper than the " +
+        s"rewrite ($tRewriteDel s)")
     spark.stop()
   }
 }

@@ -380,6 +380,39 @@ class SnapshotDsv2Spec extends SparkSpec {
     assert(tbl.schema().fieldNames.toSeq === Seq("k"))
   }
 
+  test("timestampAsOf time travel resolves the version committed at-or-before") {
+    val root = newRoot()
+    spark.range(5).select(col("id").as("k"))
+      .write.format("graft-snapshot").mode("append").save(root)        // v1
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(1100) // local-FS mtimes are second-granular
+    spark.range(5, 12).select(col("id").as("k"))
+      .write.format("graft-snapshot").mode("append").save(root)        // v2
+    // epoch-millis form: between the commits ⇒ v1
+    assert(spark.read.format("graft-snapshot")
+      .option("timestampAsOf", t1.toString).load(root).count() === 5)
+    // after the latest commit ⇒ v2
+    assert(spark.read.format("graft-snapshot")
+      .option("timestampAsOf", System.currentTimeMillis().toString)
+      .load(root).count() === 12)
+    // SQL-timestamp form
+    val ts = new java.sql.Timestamp(t1).toString
+    assert(spark.read.format("graft-snapshot")
+      .option("timestampAsOf", ts).load(root).count() === 5)
+    // predating the earliest version is refused loudly
+    val e = intercept[Exception] {
+      spark.read.format("graft-snapshot")
+        .option("timestampAsOf", "0").load(root).count()
+    }
+    assert(e.getMessage.contains("predates"))
+    // mutually exclusive with versionAsOf
+    intercept[Exception] {
+      spark.read.format("graft-snapshot")
+        .option("versionAsOf", 1).option("timestampAsOf", t1.toString)
+        .load(root).count()
+    }
+  }
+
   test("change feed: option changesFrom reads exactly the appended rows") {
     val root = newRoot()
     def half(lo: Long, hi: Long) = spark.range(lo, hi)
