@@ -898,13 +898,24 @@ object SnapshotTable {
     * work, the answer to small-file accumulation from streaming appends.
     * Old versions still time-travel to the uncompacted layout until
     * [[vacuum]] retires them. */
+  /** `zorderBy = Seq(x, y)` interleaves TWO dimensions (the codegen
+    * `graft_zorder` key: per-column rank-space normalization → bit
+    * interleave) so files stay tight in BOTH columns and 2-D predicates
+    * keep pruning after compaction — range-cluster (`clusterBy`) only
+    * serves one dimension. Pass both columns in `statsCols` to record
+    * the post-compact bounds. */
   def compact(spark: SparkSession, root: String, targetFiles: Int,
               clusterBy: Option[String] = None,
               statsCols: Seq[String] = Seq.empty,
               expectedVersion: Option[Long] = None,
               txn: Option[Long] = None,
-              txnApp: String = ""): Long = {
+              txnApp: String = "",
+              zorderBy: Seq[String] = Seq.empty): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "clusterBy and zorderBy are mutually exclusive")
+    require(zorderBy.isEmpty || zorderBy.length == 2,
+      s"zorderBy interleaves exactly 2 columns, got $zorderBy")
     val snap = latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no table at $root — create() first"))
     expectedVersion.foreach { v =>
@@ -914,9 +925,26 @@ object SnapshotTable {
     txnGate(snap, txn, txnApp)
     val schema = tableSchema(spark, root, snap.version)
     val cur = readFiles(spark, snap.files, schema)
-    val out = clusterBy match {
-      case Some(c) => cur.repartitionByRange(targetFiles, col(c))
-      case None => cur.repartition(targetFiles)
+    val out = (clusterBy, zorderBy) match {
+      case (Some(c), _) => cur.repartitionByRange(targetFiles, col(c))
+      case (None, Seq(x, y)) =>
+        graft.functions.expressions.GraftFunctions.register(spark)
+        val r = cur.agg(min(col(x).cast("double")), max(col(x).cast("double")),
+          min(col(y).cast("double")), max(col(y).cast("double"))).head()
+        if (r.isNullAt(0) || r.isNullAt(2)) cur.repartition(targetFiles)
+        else {
+          def dom(lo: Double, hi: Double): (Double, Double) =
+            if (hi > lo) (lo, hi) else (lo, lo + 1.0)
+          val (xMin, xMax) = dom(r.getDouble(0), r.getDouble(1))
+          val (yMin, yMax) = dom(r.getDouble(2), r.getDouble(3))
+          val z = graft.operators.Layout.zorderKey(
+            col(x), xMin, xMax, col(y), yMin, yMax)
+          cur.withColumn("__z", z)
+            .repartitionByRange(targetFiles, col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        }
+      case _ => cur.repartition(targetFiles)
     }
     val files = writeData(spark, root, out)
     val st = collectStats(spark, files.map(_.path), statsCols)

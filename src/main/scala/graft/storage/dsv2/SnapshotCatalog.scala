@@ -254,15 +254,20 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           .defaultValue("''").build())) {
         override def call(input: InternalRow): util.Iterator[Scan] = {
           val root = tablePath(identOf(input.getUTF8String(0).toString)).toString
-          val clusterBy = Option(input.getUTF8String(2)).map(_.toString)
-            .filter(_.nonEmpty)
+          // 'k' range-clusters one dimension; 'x,y' Z-ORDERS two (files
+          // stay tight in both columns, 2-D predicates keep pruning)
+          val cols = Option(input.getUTF8String(2)).map(_.toString)
+            .filter(_.nonEmpty).toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
           // keep skipping alive across the rewrite: re-collect stats on
-          // the columns the current version tracks
-          val statsCols = SnapshotTable.stats(spark, root,
+          // the columns the current version tracks PLUS the layout cols
+          val statsCols = (SnapshotTable.stats(spark, root,
             SnapshotTable.latest(spark, root).map(_.version).getOrElse(0L))
-            .keySet.map(_._2).toSeq.sorted
+            .keySet.map(_._2).toSeq ++ cols).distinct.sorted
           val v = SnapshotTable.compact(spark, root, input.getInt(1),
-            clusterBy = clusterBy, statsCols = statsCols)
+            clusterBy = if (cols.length == 1) Some(cols.head) else None,
+            zorderBy = if (cols.length == 2) cols else Seq.empty,
+            statsCols = statsCols)
           val n = SnapshotTable.latest(spark, root).get.files.size
           util.List.of(oneRowScan(
             StructType(Seq(StructField("new_version", LongType, false),

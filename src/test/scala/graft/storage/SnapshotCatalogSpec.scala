@@ -99,6 +99,33 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.maint.t")
   }
 
+  test("CALL compact with two columns Z-ORDERS: both dimensions stay prunable") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.z")
+    spark.sql("CREATE TABLE graft.z.t (x BIGINT, y BIGINT, v DOUBLE)")
+    // x and y vary independently — after a 1-D cluster on x, y-files
+    // span the whole domain; after z-order BOTH prune
+    spark.range(16000).select((col("id") % 128).as("x"),
+        ((col("id") * 7919) % 128).as("y"),
+        col("id").cast("double").as("v"))
+      .repartition(8)
+      .writeTo("graft.z.t").append()
+    val root = s"$warehouse/z/t"
+    spark.sql("CALL graft.system.compact('z.t', 16, 'x,y')")
+    val v = SnapshotTable.latest(spark, root).get.version
+    val st = SnapshotTable.stats(spark, root, v)
+    assert(st.nonEmpty)
+    // both dimensions recorded, and a corner query touches FEW files
+    val (keepX, totX) = SnapshotTable.pruneFiles(spark, root, "x", 0, 15)
+    val (keepY, totY) = SnapshotTable.pruneFiles(spark, root, "y", 0, 15)
+    assert(totX === 16 && totY === 16)
+    assert(keepX.size <= 8, s"x-band should prune z-ordered files: ${keepX.size}/16")
+    assert(keepY.size <= 8, s"y-band should prune z-ordered files: ${keepY.size}/16")
+    // content identical
+    assert(spark.sql("SELECT count(*), sum(v) FROM graft.z.t").head.toString
+      === s"[16000,${(0 until 16000).map(_.toDouble).sum}]")
+    spark.sql("DROP TABLE graft.z.t")
+  }
+
   test("rename moves the table inside the warehouse") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rn")
     spark.sql("CREATE TABLE graft.rn.a (k BIGINT)")
