@@ -43,8 +43,15 @@ object SnapshotTable {
     * byte counts, recorded AT COMMIT TIME (the writer just produced the
     * file — its footer is hot) so `count(*)` and size statistics become
     * O(1) manifest reads instead of O(files) footer/listing RPCs at
-    * query time. −1 = unknown (legacy path-only manifest lines). */
-  final case class FileEntry(path: String, rows: Long = -1L, bytes: Long = -1L)
+    * query time. −1 = unknown (legacy path-only manifest lines).
+    *
+    * `tuple` is the file's EXACT partition tuple (Iceberg shape — see
+    * [[SnapshotPartition]]): `""` means the file is not partition-scoped
+    * (unpartitioned table, or a rewrite that did not re-derive tuples) —
+    * such a file is never pruned by partition predicates, the usual
+    * no-false-negative degradation. */
+  final case class FileEntry(path: String, rows: Long = -1L, bytes: Long = -1L,
+                             tuple: String = "")
 
   /** A resolved snapshot: version + data-file entries + metadata lines
     * ("#"-prefixed in the manifest — e.g. the streaming sink's
@@ -77,7 +84,19 @@ object SnapshotTable {
     }.flatten.toMap
     /** The DEFAULT app's ledger entry, if any (compat surface). */
     def txn: Option[Long] = txns.get("")
+    /** The table's identity-partition columns, from the `#partition
+      * c1,c2` metadata line every commit carries forward. Empty ⇒
+      * unpartitioned. */
+    def partitionCols: Seq[String] = meta.collectFirst {
+      case l if l.startsWith("#partition ") =>
+        l.stripPrefix("#partition ").trim.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+    }.getOrElse(Seq.empty)
   }
+
+  /** The `#partition` manifest metadata line for `cols` (empty ⇒ none). */
+  private[storage] def partitionMeta(cols: Seq[String]): Seq[String] =
+    if (cols.isEmpty) Seq.empty else Seq(s"#partition ${cols.mkString(",")}")
 
   /** Age after which a fallback-path commit lock left by a crashed writer
     * is taken over (the commit-point flip it guards is milliseconds). */
@@ -156,9 +175,7 @@ object SnapshotTable {
                               meta: Seq[String] = Seq.empty): Unit = {
     require(meta.forall(_.startsWith("#")),
       s"manifest metadata lines must be #-prefixed: $meta")
-    // data lines: `path<TAB>rows<TAB>bytes` (−1 = unknown); a legacy
-    // path-only line parses back with unknown counts
-    val files = entries.map(e => s"${e.path}\t${e.rows}\t${e.bytes}")
+    val files = entries.map(entryLine)
     val f = fs(spark, root)
     f.mkdirs(snapDir(root))
     val target = manifestPath(root, v)
@@ -217,18 +234,28 @@ object SnapshotTable {
     }
   }
 
+  /** Data line: `path<TAB>rows<TAB>bytes[<TAB>tuple]` (−1 = unknown
+    * count; tuple field present only for partition-scoped files — the
+    * tuple encoding escapes TAB, so the field never splits). A legacy
+    * path-only line parses back with unknown counts and no tuple. */
+  private def entryLine(e: FileEntry): String =
+    if (e.tuple.isEmpty) s"${e.path}\t${e.rows}\t${e.bytes}"
+    else s"${e.path}\t${e.rows}\t${e.bytes}\t${e.tuple}"
+
   /** Manifest metadata for a new commit: the base snapshot's per-app txn
-    * ledger CARRIED FORWARD, with this commit's entry (if any) merged in
-    * under its app id — so non-stream commits (compact, plain merges,
-    * DSv2 writes) never lower any stream's batch-id high-water mark, and
-    * vacuum can retire any old version without losing the ledger. */
+    * ledger AND partition spec CARRIED FORWARD, with this commit's txn
+    * entry (if any) merged in under its app id — so non-stream commits
+    * (compact, plain merges, DSv2 writes) never lower any stream's
+    * batch-id high-water mark or drop the table's partitioning, and
+    * vacuum can retire any old version without losing either. */
   private[storage] def nextMeta(base: Option[Snapshot], txn: Option[Long],
                                 txnApp: String = ""): Seq[String] = {
     val m = base.map(_.txns).getOrElse(Map.empty) ++ txn.map(txnApp -> _)
-    m.toSeq.sortBy(_._1).map {
-      case ("", id) => s"#txn $id"
-      case (app, id) => s"#txn $app $id"
-    }
+    partitionMeta(base.map(_.partitionCols).getOrElse(Seq.empty)) ++
+      m.toSeq.sortBy(_._1).map {
+        case ("", id) => s"#txn $id"
+        case (app, id) => s"#txn $app $id"
+      }
   }
 
   /** The exactly-once gate, ATOMIC with the commit: a writer that
@@ -634,8 +661,7 @@ object SnapshotTable {
       val entries = snap.entries.map(e => e.copy(path = reanchor(e.path)))
       val tmp = new Path(snapDir(newRoot), s".tmp-rb-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, false)
-      try out.write((snap.meta ++
-        entries.map(e => s"${e.path}\t${e.rows}\t${e.bytes}"))
+      try out.write((snap.meta ++ entries.map(entryLine))
         .mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
@@ -682,6 +708,9 @@ object SnapshotTable {
       l.split("\t") match {
         case Array(p, r, b) =>
           try FileEntry(p, r.toLong, b.toLong)
+          catch { case _: NumberFormatException => FileEntry(p) }
+        case Array(p, r, b, t) =>
+          try FileEntry(p, r.toLong, b.toLong, t)
           catch { case _: NumberFormatException => FileEntry(p) }
         case _ => FileEntry(l) // legacy path-only line
       }

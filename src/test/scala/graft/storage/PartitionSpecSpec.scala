@@ -1,0 +1,129 @@
+package graft.storage
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import SnapshotPartition._
+
+class PartitionSpecSpec extends AnyFunSuite {
+
+  // ------------------------------------------------------------- encoding
+
+  test("tuple encode/decode round-trips values, escapes and NULL") {
+    val cols = Seq("host", "day", "note")
+    val values = Seq(Some("a=b/c%d\te"), None, Some("%00"))
+    val enc = encodeTuple(cols, values)
+    assert(!enc.contains("\t"))
+    val dec = decodeTuple(enc)
+    assert(dec === Map("host" -> Some("a=b/c%d\te"), "day" -> None,
+      "note" -> Some("%00")))
+  }
+
+  test("a literal %00 string is distinguishable from SQL NULL") {
+    val enc = encodeTuple(Seq("a", "b"), Seq(Some("%00"), None))
+    val dec = decodeTuple(enc)
+    assert(dec("a") === Some("%00"))
+    assert(dec("b") === None)
+  }
+
+  test("malformed tuples decode to empty (file kept, never mis-pruned)") {
+    assert(decodeTuple("notatuple").isEmpty)
+  }
+
+  test("canonicalOf formats each supported type canonically") {
+    val row = new GenericInternalRow(Array[Any](
+      true, 42, 42L, 1.5f, 2.5, UTF8String.fromString("x"),
+      19000, 1700000000000000L, null))
+    assert(canonicalOf(BooleanType, row, 0) === Some("true"))
+    assert(canonicalOf(IntegerType, row, 1) === Some("42"))
+    assert(canonicalOf(LongType, row, 2) === Some("42"))
+    assert(canonicalOf(FloatType, row, 3) === Some("1.5"))
+    assert(canonicalOf(DoubleType, row, 4) === Some("2.5"))
+    assert(canonicalOf(StringType, row, 5) === Some("x"))
+    assert(canonicalOf(DateType, row, 6) === Some("2022-01-08"))
+    assert(canonicalOf(TimestampType, row, 7) === Some("1700000000000000"))
+    assert(canonicalOf(LongType, row, 8) === None)
+  }
+
+  // ---------------------------------------------------- filter evaluation
+
+  private val types: Map[String, DataType] =
+    Map("k" -> LongType, "s" -> StringType, "d" -> DateType, "x" -> DoubleType)
+
+  private def tup(kv: (String, Option[String])*): Map[String, Option[String]] =
+    kv.toMap
+
+  test("equality and ranges over long partitions are definite") {
+    val t = tup("k" -> Some("7"))
+    assert(evalFilter(sources.EqualTo("k", 7L), types, t) === Some(TTrue))
+    assert(evalFilter(sources.EqualTo("k", 8), types, t) === Some(TFalse))
+    assert(evalFilter(sources.GreaterThan("k", 6), types, t) === Some(TTrue))
+    assert(evalFilter(sources.LessThanOrEqual("k", 6L), types, t) === Some(TFalse))
+    assert(evalFilter(sources.In("k", Array(1, 7, 9)), types, t) === Some(TTrue))
+    assert(evalFilter(sources.In("k", Array(1, 2)), types, t) === Some(TFalse))
+  }
+
+  test("NULL partition values follow SQL three-valued logic") {
+    val t = tup("k" -> None)
+    assert(evalFilter(sources.EqualTo("k", 7L), types, t) === Some(TNull))
+    assert(evalFilter(sources.IsNull("k"), types, t) === Some(TTrue))
+    assert(evalFilter(sources.IsNotNull("k"), types, t) === Some(TFalse))
+    assert(evalFilter(sources.EqualNullSafe("k", null), types, t) === Some(TTrue))
+    assert(evalFilter(sources.EqualNullSafe("k", 7L), types, t) === Some(TFalse))
+    // NOT(NULL) is NULL — still excludes the file's rows
+    assert(evalFilter(sources.Not(sources.EqualTo("k", 7L)), types, t) === Some(TNull))
+    // x IN (..., NULL) with no match is NULL, not FALSE
+    assert(evalFilter(sources.In("k", Array(1, null)), types,
+      tup("k" -> Some("7"))) === Some(TNull))
+  }
+
+  test("string predicates compare in UTF8 binary order and support prefixes") {
+    val t = tup("s" -> Some("host-09"))
+    assert(evalFilter(sources.GreaterThan("s", "host-08"), types, t) === Some(TTrue))
+    assert(evalFilter(sources.StringStartsWith("s", "host-"), types, t) === Some(TTrue))
+    assert(evalFilter(sources.StringStartsWith("s", "x"), types, t) === Some(TFalse))
+    assert(evalFilter(sources.StringContains("s", "t-0"), types, t) === Some(TTrue))
+  }
+
+  test("date partitions compare against external java.sql/java.time literals") {
+    val t = tup("d" -> Some("2024-03-01"))
+    assert(evalFilter(sources.GreaterThanOrEqual("d",
+      java.sql.Date.valueOf("2024-03-01")), types, t) === Some(TTrue))
+    assert(evalFilter(sources.LessThan("d",
+      java.time.LocalDate.parse("2024-02-01")), types, t) === Some(TFalse))
+  }
+
+  test("And/Or short-circuit across an undecidable branch") {
+    val t = tup("k" -> Some("7"))
+    val undecidable = sources.EqualTo("other", 1) // not a partition column
+    assert(evalFilter(sources.And(sources.EqualTo("k", 8), undecidable),
+      types, t) === Some(TFalse))
+    assert(evalFilter(sources.Or(sources.EqualTo("k", 7), undecidable),
+      types, t) === Some(TTrue))
+    assert(evalFilter(sources.And(sources.EqualTo("k", 7), undecidable),
+      types, t) === None)
+    assert(evalFilter(undecidable, types, t) === None)
+  }
+
+  test("a file without a tuple entry for the column is undecidable") {
+    assert(evalFilter(sources.EqualTo("k", 7L), types, tup()) === None)
+  }
+
+  // --------------------------------------------------- manifest round-trip
+
+  test("FileEntry tuples ride the manifest line format") {
+    val e = SnapshotTable.FileEntry("/data/f.parquet", 10L, 100L,
+      encodeTuple(Seq("k", "s"), Seq(Some("7"), Some("a/b"))))
+    // simulate the manifest line round-trip through the parser shape
+    val line = s"${e.path}\t${e.rows}\t${e.bytes}\t${e.tuple}"
+    val parts = line.split("\t")
+    assert(parts.length === 4)
+    val back = SnapshotTable.FileEntry(parts(0), parts(1).toLong,
+      parts(2).toLong, parts(3))
+    assert(back === e)
+    assert(decodeTuple(back.tuple) === Map("k" -> Some("7"), "s" -> Some("a/b")))
+  }
+}
