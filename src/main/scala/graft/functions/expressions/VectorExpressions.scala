@@ -117,6 +117,8 @@ object GraftFunctions {
       FreqItemsAgg(exprs(0), k).toAggregateExpression()
     },
     "graft_zorder" -> (exprs => ZOrderInterleave(exprs(0), exprs(1))),
+    "graft_part_canonical" -> (exprs =>
+      graft.storage.PartitionCanonical(exprs.head)),
     "graft_kll_agg" -> { exprs =>
       val k = exprs(1).eval(InternalRow.empty) match {
         case i: Int => i

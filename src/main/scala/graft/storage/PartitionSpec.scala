@@ -97,20 +97,35 @@ object SnapshotPartition {
     * timestamps as epoch micros (timezone-free). */
   def canonicalOf(dt: DataType, row: SpecializedGetters, i: Int): Option[String] =
     if (row.isNullAt(i)) None
-    else Some(dt match {
-      case BooleanType => row.getBoolean(i).toString
-      case ByteType => row.getByte(i).toString
-      case ShortType => row.getShort(i).toString
-      case IntegerType => row.getInt(i).toString
-      case LongType => row.getLong(i).toString
-      case FloatType => row.getFloat(i).toString
-      case DoubleType => row.getDouble(i).toString
-      case StringType => row.getUTF8String(i).toString
-      case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
-      case TimestampType | TimestampNTZType => row.getLong(i).toString
+    else Some(canonicalOfValue(dt, dt match {
+      case BooleanType => row.getBoolean(i)
+      case ByteType => row.getByte(i)
+      case ShortType => row.getShort(i)
+      case IntegerType => row.getInt(i)
+      case LongType => row.getLong(i)
+      case FloatType => row.getFloat(i)
+      case DoubleType => row.getDouble(i)
+      case StringType => row.getUTF8String(i)
+      case DateType => row.getInt(i)
+      case TimestampType | TimestampNTZType => row.getLong(i)
       case other => throw new UnsupportedOperationException(
         s"unsupported partition column type $other")
-    })
+    }))
+
+  /** Same canonicalization from a non-null INTERNAL value (what
+    * `Expression.eval` yields: `UTF8String`, days-Int, micros-Long).
+    * [[canonicalOf]] delegates here so the row-side and expression-side
+    * writers can never diverge. */
+  def canonicalOfValue(dt: DataType, v: Any): String = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType => v.toString
+    case StringType => v.toString
+    case DateType =>
+      java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+    case TimestampType | TimestampNTZType => v.toString
+    case other => throw new UnsupportedOperationException(
+      s"unsupported partition column type $other")
+  }
 
   /** A pushed-filter LITERAL in canonical comparable form, or None for a
     * class this evaluator does not understand (→ the filter stays
@@ -304,6 +319,29 @@ object SnapshotPartition {
   def referencesOnlyPartitionCols(f: Filter, types: Map[String, DataType]): Boolean =
     f.references.forall(types.contains)
 
+  /** Partition-prune a file set under one pushed filter: drops every
+    * entry whose EXACT tuple makes `f` definitely non-True (False and
+    * Null both exclude every row of the file), keeps the rest. The
+    * returned Boolean is "decidable for ALL entries" — when true the
+    * caller may CONSUME `f` (every row of every kept file is known to
+    * satisfy it, no residual evaluation needed); when false (a tuple-less
+    * legacy file, an uncovered column, an unsupported literal) the kept
+    * set is still sound but `f` must stay residual. */
+  def pruneEntries[A](entries: Seq[A], tupleOf: A => String, f: Filter,
+                      types: Map[String, DataType]): (Seq[A], Boolean) = {
+    var decidableAll = true
+    val kept = entries.filter { e =>
+      val ts = tupleOf(e)
+      if (ts.isEmpty) { decidableAll = false; true }
+      else evalFilter(f, types, decodeTuple(ts)) match {
+        case Some(TTrue) => true
+        case Some(_) => false
+        case None => decidableAll = false; true
+      }
+    }
+    (kept, decidableAll)
+  }
+
   // ----------------------------------- V2 Predicate → v1 Filter bridge
 
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Literal, NamedReference}
@@ -317,6 +355,15 @@ object SnapshotPartition {
     case l: V2Literal[_] => Some(l.value)
     case _ => None
   }
+
+  /** The partition-tuple field for one row of a write, derived from the
+    * partition columns' ordinals in the write schema — the DSv2 writer's
+    * per-row keying function. */
+  def tupleOfRow(cols: Seq[String], types: Seq[DataType], ordinals: Seq[Int],
+                 row: SpecializedGetters): String =
+    encodeTuple(cols, types.zip(ordinals).map { case (dt, i) =>
+      canonicalOf(dt, row, i)
+    })
 
   /** The DSv2 `Predicate` shapes (DELETE WHERE, row-level conditions)
     * translated onto the v1 `Filter` evaluator above. None ⇒ shape not
@@ -360,4 +407,38 @@ object SnapshotPartition {
         case _ => None
       }
   }
+}
+
+/** `graft_part_canonical(c)` — [[SnapshotPartition.canonicalOfValue]] as
+  * a Catalyst expression, so the library write path can `partitionBy` on
+  * shadow canonical-string columns and read each file's tuple back off
+  * its directory name EXACTLY (expression-side and manifest-side
+  * canonicalization share one code path by construction). Write-staging
+  * only — never on a read hot path, so `CodegenFallback` costs nothing
+  * that matters; NULL in, NULL out (Spark's writer then uses its default
+  * null-partition directory name, decoded back to the tuple's NULL
+  * token). */
+case class PartitionCanonical(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SnapshotPartition.supportedType(child.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_part_canonical: unsupported partition column type ${child.dataType}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      SnapshotPartition.canonicalOfValue(child.dataType, v))
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): PartitionCanonical =
+    copy(child = newChild)
 }

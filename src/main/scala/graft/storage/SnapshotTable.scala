@@ -134,11 +134,33 @@ object SnapshotTable {
   /** Stage `df` as new immutable data files under `<root>/data/<uuid>`;
     * returns their manifest entries (path + row/byte counts — bytes from
     * the listing, rows from one hot footer read per just-written file).
-    * Nothing is visible until a commit. */
-  private def writeData(spark: SparkSession, root: String,
-                        df: DataFrame): Seq[FileEntry] = {
+    * Nothing is visible until a commit.
+    *
+    * With `partitionCols` set the staging write goes through Spark's own
+    * dynamic-partition writer on SHADOW canonical-string columns
+    * (`graft_part_canonical` — the Iceberg shape, not the Hive one: the
+    * REAL columns stay in every data file, only the shadows become
+    * directories), which guarantees each file covers exactly ONE
+    * partition tuple; the tuple is decoded back off the directory
+    * segments into the manifest entry. */
+  private def writeData(spark: SparkSession, root: String, df: DataFrame,
+                        partitionCols: Seq[String] = Seq.empty): Seq[FileEntry] = {
     val dir = new Path(new Path(root, "data"), java.util.UUID.randomUUID().toString)
-    df.write.parquet(dir.toString)
+    if (partitionCols.isEmpty) df.write.parquet(dir.toString)
+    else {
+      graft.functions.expressions.GraftFunctions.register(df.sparkSession)
+      // the 'v' prefix keeps every non-null value out of the writer's
+      // null-directory namespace: a DATA value equal to Spark's default
+      // partition token (or the empty string, which Spark also writes as
+      // that token) must not decode back as SQL NULL — that would be a
+      // false-NEGATIVE prune, i.e. wrong results, not just a slow scan
+      val staged = partitionCols.foldLeft(df) { (d, c) =>
+        d.withColumn(shadowName(c),
+          org.apache.spark.sql.functions.expr(s"concat('v', graft_part_canonical(`$c`))"))
+      }
+      staged.write.partitionBy(partitionCols.map(shadowName): _*)
+        .parquet(dir.toString)
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     listParquetStatuses(fs(spark, root), dir).map { st =>
       val rows =
@@ -147,8 +169,43 @@ object SnapshotTable {
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
           try fr.getRecordCount finally fr.close()
         } catch { case _: Exception => -1L } // unknown, never wrong
-      FileEntry(st.getPath.toString, rows, st.getLen)
+      FileEntry(st.getPath.toString, rows, st.getLen,
+        tuple = if (partitionCols.isEmpty) ""
+                else tupleFromPath(st.getPath, partitionCols))
     }
+  }
+
+  private def shadowName(c: String): String = s"__gp_$c"
+
+  /** Decode a staged file's partition tuple from its directory segments
+    * (`.../__gp_c=<hive-escaped canonical>/part-*.parquet`). Spark's
+    * writer Hive-escapes directory values and spells SQL NULL as its
+    * default-partition token; both are undone here and re-encoded in the
+    * manifest's own tuple format. A file missing a shadow segment (never
+    * produced by the write above) gets an empty tuple — kept forever,
+    * the no-false-negative degradation. */
+  private[storage] def tupleFromPath(file: Path, cols: Seq[String]): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val found = scala.collection.mutable.Map.empty[String, Option[String]]
+    var p = file.getParent
+    while (p != null && p.getName.startsWith("__gp_") && p.getName.contains('=')) {
+      val seg = p.getName
+      val i = seg.indexOf('=')
+      val raw = seg.substring(i + 1)
+      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+        found(seg.substring("__gp_".length, i)) = None
+      else {
+        val un = ExternalCatalogUtils.unescapePathName(raw)
+        // every non-null shadow value carries the 'v' sentinel (see the
+        // staging write); anything else is malformed → no tuple
+        if (!un.startsWith("v")) return ""
+        found(seg.substring("__gp_".length, i)) = Some(un.substring(1))
+      }
+      p = p.getParent
+    }
+    if (cols.forall(found.contains))
+      SnapshotPartition.encodeTuple(cols, cols.map(found))
+    else ""
   }
 
   /** Atomically publish `files` as version `v`. The staged manifest is
@@ -768,16 +825,28 @@ object SnapshotTable {
 
   /** Create the table: stage `df`, commit as v1. Fails if the table
     * already has commits. `statsCols` names numeric columns to carry
-    * file-level min/max data-skipping stats for ([[readPruned]]). */
+    * file-level min/max data-skipping stats for ([[readPruned]]).
+    * `partitionBy` declares identity partition columns (the Iceberg
+    * shape — see [[SnapshotPartition]]): every later append/merge/compact
+    * keeps files tuple-pure and partition predicates prune exactly. */
   def create(spark: SparkSession, root: String, df: DataFrame,
              statsCols: Seq[String] = Seq.empty,
              txn: Option[Long] = None,
-             txnApp: String = ""): Long = {
+             txnApp: String = "",
+             partitionBy: Seq[String] = Seq.empty): Long = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
-    val files = writeData(spark, root, df)
+    partitionBy.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '$c' not in ${df.columns.mkString(",")}"))
+      require(SnapshotPartition.supportedType(f.dataType),
+        s"partition column '$c' has unsupported type ${f.dataType}")
+    }
+    val files = writeData(spark, root, df, partitionBy)
     val st = collectStats(spark, files.map(_.path), statsCols)
     try {
-      commit(spark, root, 1L, files, nextMeta(None, txn, txnApp))
+      commit(spark, root, 1L, files,
+        partitionMeta(partitionBy) ++ nextMeta(None, txn, txnApp))
       writeStats(spark, root, 1L, st)
       writeSchema(spark, root, 1L, df.schema)
       1L
@@ -856,7 +925,9 @@ object SnapshotTable {
     val n = if (clusterFiles > 0) clusterFiles else math.max(snap.files.size, 1)
     val out = clusterBy.map(c => merged.repartitionByRange(n, col(c)))
       .getOrElse(merged)
-    val files = writeData(spark, root, out)
+    // a partitioned table's copy-on-write stays tuple-pure: the
+    // partitioned staging write re-derives every file's tuple
+    val files = writeData(spark, root, out, snap.partitionCols)
     val st = collectStats(spark, files.map(_.path), statsCols)
     val next = snap.version + 1
     try {
@@ -906,7 +977,7 @@ object SnapshotTable {
             s"${baseSchema.simpleString}; pass mergeSchema=true for add-column evolution")
         baseSchema
       }
-    val files = writeData(spark, root, df)
+    val files = writeData(spark, root, df, snap.partitionCols)
     val st = statsLines(spark, root, snap.version) ++
       collectStats(spark, files.map(_.path), statsCols)
     val next = snap.version + 1
@@ -954,6 +1025,29 @@ object SnapshotTable {
     txnGate(snap, txn, txnApp)
     val schema = tableSchema(spark, root, snap.version)
     val cur = readFiles(spark, snap.files, schema)
+    val pcols = snap.partitionCols
+    if (pcols.nonEmpty) {
+      // a partitioned table's compaction bin-packs WITHIN partitions:
+      // hash-cluster whole tuples over targetFiles tasks, then the
+      // partitioned staging write emits one tuple-pure file per
+      // (task, tuple) — small per-tuple file sets collapse to one file
+      // each, and re-clustering on other columns (clusterBy / zorderBy)
+      // is refused loudly rather than silently fragmenting tuples
+      require(clusterBy.isEmpty && zorderBy.isEmpty,
+        "clusterBy/zorderBy compaction is not supported on a partitioned " +
+          s"table (partitioned by ${pcols.mkString(",")})")
+      val out = cur.repartition(targetFiles, pcols.map(col): _*)
+      val files = writeData(spark, root, out, pcols)
+      val st = collectStats(spark, files.map(_.path), statsCols)
+      val next = snap.version + 1
+      try {
+        commit(spark, root, next, files, nextMeta(Some(snap), txn, txnApp))
+        writeStats(spark, root, next, st)
+        writeSchema(spark, root, next, out.schema)
+        return next
+      } catch { case e: java.util.ConcurrentModificationException =>
+        cleanupOrphans(spark, root, files.map(_.path)); throw e }
+    }
     val out = (clusterBy, zorderBy) match {
       case (Some(c), _) => cur.repartitionByRange(targetFiles, col(c))
       case (None, Seq(x, y)) =>
