@@ -867,6 +867,44 @@ object Extensions {
             .as("total"))
         .orderBy("prio")
     },
+    // identity-PARTITIONED snapshot table end-to-end: the DSv2 fanout
+    // write stages one tuple-pure file per priority, the read's
+    // partition predicate prunes files off EXACT manifest tuples and is
+    // CONSUMED (no post-scan filter — SnapshotPartitionedDsv2Spec
+    // asserts the plan shape). Reads never change content, so the
+    // oracle is plain SQL over raw orders.
+    "SNAPSHOT-PARTITION" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_snappart")
+        .toString + "/t"
+      s.table("orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        .write.format("graft-snapshot").option("partitionBy", "prio")
+        .mode("append").save(root)
+      s.read.format("graft-snapshot").load(root)
+        .where(col("prio").isin("1-URGENT", "3-MEDIUM"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("prio")
+    },
+    // partition-filtered count(*) answered from the MANIFEST alone (the
+    // pruned entries' recorded row counts — zero data I/O; the spec
+    // asserts the SnapshotCountScan plan shape)
+    "SNAPSHOT-PARTITION-COUNT" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_snappartc")
+        .toString + "/t"
+      s.table("orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
+        .write.format("graft-snapshot").option("partitionBy", "prio")
+        .mode("append").save(root)
+      s.read.format("graft-snapshot").load(root)
+        .where(col("prio") === "5-LOW")
+        .groupBy().count().select(col("count").as("n"))
+    },
     // MERGE with BOTH arms in one commit: tombstones delete every 7th
     // key (WHEN MATCHED THEN DELETE), disjoint upserts rewrite every
     // remaining 5th key — disjoint so last-write-wins never has to break
@@ -2259,6 +2297,14 @@ object Extensions {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
         |GROUP BY prio ORDER BY prio""".stripMargin,
+    // partitioned reads never change content: plain SQL over raw orders
+    "SNAPSHOT-PARTITION" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |GROUP BY prio ORDER BY prio""".stripMargin,
+    "SNAPSHOT-PARTITION-COUNT" ->
+      "SELECT count(*) AS n FROM orders WHERE o_orderpriority = '5-LOW'",
     // both MERGE arms replayed: every 7th key deleted, every remaining
     // 5th rewritten
     "UPSERT-DELETE" ->

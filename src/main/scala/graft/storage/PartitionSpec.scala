@@ -182,7 +182,11 @@ object SnapshotPartition {
       case StringType => Some(s)
       case BooleanType => Some(s.toBoolean)
       case ByteType | ShortType | IntegerType | LongType => Some(s.toLong)
-      case FloatType | DoubleType => Some(s.toDouble)
+      // float canonical strings re-parse as FLOAT first: "1.1".toDouble
+      // ≠ 1.1f widened to double, and the literal side arrives widened —
+      // parsing to double directly would false-negative-prune
+      case FloatType => Some(s.toFloat.toDouble)
+      case DoubleType => Some(s.toDouble)
       case DateType => Some(java.time.LocalDate.parse(s).toEpochDay)
       case TimestampType | TimestampNTZType => Some(s.toLong)
       case _ => None

@@ -96,18 +96,32 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
-    require(info.partitions().isEmpty,
-      "graft-snapshot tables manage layout via clusterBy/compact, not " +
-        "PARTITIONED BY — create unpartitioned and use " +
-        "CALL <catalog>.system.compact(..., cluster_by)")
+    // PARTITIONED BY (c1, c2) — identity transforms only (the manifest
+    // records EXACT per-file tuples; bucketing/date transforms would
+    // need a transform evaluator the format does not define)
+    val pcols = info.partitions().toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+        t.references()(0).fieldNames.length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new UnsupportedOperationException(
+        s"graft-snapshot supports only identity PARTITIONED BY columns, got $other")
+    }
+    pcols.foreach { c =>
+      val f = info.schema().fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '$c' not in ${info.schema().simpleString}"))
+      require(graft.storage.SnapshotPartition.supportedType(f.dataType),
+        s"partition column '$c' has unsupported type ${f.dataType}")
+    }
     if (ident.namespace.nonEmpty && !fs.exists(nsPath(ident.namespace)))
       throw new NoSuchNamespaceException(ident.namespace)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val root = tablePath(ident).toString
     // an empty, TYPED v1: zero-file manifest + schema sidecar, atomic
-    SnapshotTable.commit(spark, root, 1L, Seq.empty)
+    val meta = SnapshotTable.partitionMeta(pcols)
+    SnapshotTable.commit(spark, root, 1L, Seq.empty, meta)
     SnapshotTable.writeSchema(spark, root, 1L, info.schema())
-    new SnapshotTableV2(root, Some(SnapshotTable.Snapshot(1L, Seq.empty)),
+    new SnapshotTableV2(root, Some(SnapshotTable.Snapshot(1L, Seq.empty, meta)),
       SnapshotTable.nullableSchema(info.schema()))
   }
 

@@ -15,7 +15,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.storage.SnapshotTable
+import graft.storage.{SnapshotPartition, SnapshotTable}
 
 /** DataSource V2 surface for [[graft.storage.SnapshotTable]] — the
   * integration that makes the snapshot/manifest ACID layer reachable from
@@ -268,6 +268,10 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
   override def name(): String =
     s"graft-snapshot:$root@v${snap.map(_.version).getOrElse(0L)}"
   override def schema(): StructType = schema
+  override def partitioning(): Array[Transform] =
+    snap.map(_.partitionCols).getOrElse(Seq.empty)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
@@ -287,7 +291,12 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty),
       Option(info.options.get("mergeSchema")).exists(_.equalsIgnoreCase("true")),
-      queryId = info.queryId())
+      queryId = info.queryId(),
+      // partitioning is a TABLE property: an existing table's spec always
+      // wins; this option only shapes a table the first write CREATES
+      createPartitionBy = Option(info.options.get("partitionBy"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty))
 }
 
 /** Scan builder: collects pushed filters + required columns, prunes the
@@ -306,27 +315,70 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
 
   private var required: StructType = fullSchema
   private var accepted: Array[Filter] = Array.empty
+  private var consumedPart: Array[Filter] = Array.empty
   private var sawFilters = false
+  private var allConsumed = false
   private var countStar = false
+
+  /** The table's partition-column types, when every declared partition
+    * column is present in this read's schema (a pre-partitioning
+    * time-travel version reads as unpartitioned). */
+  private val partTypes: Map[String, org.apache.spark.sql.types.DataType] = {
+    val cols = snap.partitionCols
+    val byName = fullSchema.fields.map(f => f.name -> f.dataType).toMap
+    if (cols.nonEmpty && cols.forall(byName.contains))
+      cols.map(c => c -> byName(c)).toMap
+    else Map.empty
+  }
+
+  /** Entries surviving exact partition pruning (all of them when the
+    * table is unpartitioned or no partition predicate was pushed). */
+  private var partKept: Seq[SnapshotTable.FileEntry] = snap.entries
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Accept the numeric comparison shapes the stats sidecar can use;
-    * EVERYTHING is returned as residual — pushdown here only prunes I/O,
-    * Spark keeps exact post-scan evaluation (stats false positives cost
-    * reads, never wrong rows). */
+  /** Two pushdown tiers. (1) Partition predicates over the manifest's
+    * EXACT tuples: files whose tuple makes the predicate definitely
+    * non-True are dropped, and a predicate decidable for EVERY file is
+    * CONSUMED (not returned as residual — every surviving row satisfies
+    * it by construction). (2) The numeric comparison shapes the stats
+    * sidecar can use stay residual — stats pruning only cuts I/O, Spark
+    * keeps exact post-scan evaluation (stats false positives cost reads,
+    * never wrong rows). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     sawFilters = filters.nonEmpty
     accepted = filters.filter(f => SnapshotFilters.bound(f).isDefined)
-    filters
+    if (partTypes.isEmpty) return filters
+    val residual = Array.newBuilder[Filter]
+    val consumed = Array.newBuilder[Filter]
+    var entries = snap.entries
+    filters.foreach { f =>
+      if (SnapshotPartition.referencesOnlyPartitionCols(f, partTypes)) {
+        val (kept, decidableAll) =
+          SnapshotPartition.pruneEntries[SnapshotTable.FileEntry](
+            entries, _.tuple, f, partTypes)
+        entries = kept
+        if (decidableAll) consumed += f else residual += f
+      } else residual += f
+    }
+    partKept = entries
+    consumedPart = consumed.result()
+    val res = residual.result()
+    allConsumed = res.isEmpty
+    res
   }
 
-  override def pushedFilters(): Array[Filter] = accepted
+  override def pushedFilters(): Array[Filter] = accepted ++ consumedPart
 
+  /** Bare `count(*)`: no grouping, one CountStar, and no filter Spark
+    * still needs evaluated — either none were pushed, or every one was a
+    * consumed partition predicate (then the count is the PRUNED file
+    * set's manifest row sum: a partition-filtered count(*) is still one
+    * manifest read). */
   private def isBareCountStar(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    !sawFilters && agg.groupByExpressions.isEmpty &&
+    (!sawFilters || allConsumed) && agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions()(0)
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
@@ -344,18 +396,21 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
   override def build(): Scan = {
     if (countStar) {
       // the manifest recorded each file's row count at commit time —
-      // count(*) is ONE manifest read. Footers are the fallback for
-      // legacy path-only manifests (still exact: immutable files).
-      val total = snap.rowCount.getOrElse {
-        val conf = SparkSession.active.sessionState.newHadoopConf()
-        snap.files.map { f =>
-          val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(f), conf))
-          try fr.getRecordCount finally fr.close()
-        }.sum
-      }
-      return new SnapshotCountScan(root, snap.version, snap.files.size, total)
+      // count(*) is ONE manifest read over the (partition-pruned) entry
+      // set. Footers are the fallback for legacy path-only manifests
+      // (still exact: immutable files).
+      val total =
+        if (partKept.forall(_.rows >= 0L)) partKept.map(_.rows).sum
+        else {
+          val conf = SparkSession.active.sessionState.newHadoopConf()
+          partKept.map { e =>
+            val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(e.path), conf))
+            try fr.getRecordCount finally fr.close()
+          }.sum
+        }
+      return new SnapshotCountScan(root, snap.version, partKept.size, total)
     }
     buildRowScan()
   }
@@ -364,7 +419,7 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     val spark = SparkSession.active
     val bounds = SnapshotFilters.intervals(accepted)
     val st = SnapshotTable.stats(spark, root, snap.version)
-    val keep = SnapshotTable.keepByStats(snap.files, st, bounds)
+    val keep = SnapshotTable.keepByStats(partKept.map(_.path), st, bounds)
     // size statistics so the join planner sees a REAL sizeInBytes —
     // without reported statistics a V2 table defaults to "huge" and
     // never wins a broadcast. The manifest recorded byte sizes at
@@ -661,13 +716,52 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterF
   * data-skipping sidecars flowing through DSv2 writes. */
 final class SnapshotWriteBuilder(root: String, schema: StructType,
                                  statsCols: Seq[String], mergeSchema: Boolean,
-                                 queryId: String = "")
+                                 queryId: String = "",
+                                 createPartitionBy: Seq[String] = Seq.empty)
   extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+    /** The table's partition columns: an existing table's committed spec
+      * (immutable after create), else the create option shaping a table
+      * this write mints. Resolved once at plan time; validated against
+      * the WRITE schema — a partitioned table's writes must carry their
+      * partition columns. */
+    private val pcols: Seq[String] = {
+      val cols = SnapshotTable.latest(SparkSession.active, root)
+        .map(_.partitionCols).getOrElse(createPartitionBy)
+      cols.foreach { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column '$c' not in write schema ${schema.simpleString}"))
+        require(SnapshotPartition.supportedType(f.dataType),
+          s"partition column '$c' has unsupported type ${f.dataType}")
+      }
+      cols
+    }
+
+    /** Hash-cluster rows by partition tuple before the write (Iceberg's
+      * hash distribution mode): each tuple lands in ONE task, so the
+      * fanout writer emits exactly one file per tuple per write — the
+      * shuffle is the price of tuple-purity, and only partitioned
+      * tables pay it. */
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      if (pcols.isEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        pcols.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+            .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression])
+          .toArray)
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+
     override def toBatch: BatchWrite =
-      new SnapshotBatchWrite(root, schema, overwrite, statsCols, mergeSchema)
+      new SnapshotBatchWrite(root, schema, overwrite, statsCols, mergeSchema,
+        PartitionWriteSpec.of(schema, pcols))
     /** `stream.writeStream.format("graft-snapshot").start(root)` — the
       * NATIVE exactly-once streaming sink (no foreachBatch adapter
       * needed): each epoch appends staged files with its epoch id in the
@@ -678,8 +772,28 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
       * version CAS. Complete/overwrite output mode truncates per epoch. */
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new SnapshotStreamingWrite(root, schema, overwrite, statsCols,
-        mergeSchema, appId = s"stream-$queryId")
+        mergeSchema, appId = s"stream-$queryId",
+        part = PartitionWriteSpec.of(schema, pcols))
   }
+}
+
+/** Executor-shippable partition-write spec: column names, types, and
+  * their ordinals in the write schema — everything
+  * [[SnapshotPartition.tupleOfRow]] needs per row. */
+final case class PartitionWriteSpec(cols: Seq[String],
+                                    types: Seq[org.apache.spark.sql.types.DataType],
+                                    ordinals: Seq[Int]) extends Serializable {
+  def tupleOf(row: InternalRow): String =
+    SnapshotPartition.tupleOfRow(cols, types, ordinals, row)
+}
+
+object PartitionWriteSpec {
+  /** None when unpartitioned (the writer then skips per-row keying). */
+  def of(schema: StructType, cols: Seq[String]): Option[PartitionWriteSpec] =
+    if (cols.isEmpty) None
+    else Some(PartitionWriteSpec(cols,
+      cols.map(c => schema.fields(schema.fieldIndex(c)).dataType),
+      cols.map(schema.fieldIndex)))
 }
 
 final case class SnapshotCommitMessage(
@@ -687,7 +801,8 @@ final case class SnapshotCommitMessage(
 
 final class SnapshotBatchWrite(root: String, schema: StructType,
                                overwrite: Boolean, statsCols: Seq[String],
-                               mergeSchema: Boolean)
+                               mergeSchema: Boolean,
+                               part: Option[PartitionWriteSpec] = None)
   extends BatchWrite {
 
   // one staging dir per write job, qualified driver-side so executors
@@ -706,7 +821,7 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
     SparkSession.active.sessionState.newHadoopConf())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new SnapshotWriterFactory(stagingDir, schema, conf)
+    new SnapshotWriterFactory(stagingDir, schema, conf, part)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -714,6 +829,10 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
       case SnapshotCommitMessage(fs) => fs
       case other => throw new IllegalStateException(s"unexpected commit message $other")
     }.sortBy(_.path).toSeq
+    // a write that CREATES the table mints its partition spec; on an
+    // existing table nextMeta carries the committed spec forward
+    val createMeta =
+      SnapshotTable.partitionMeta(part.map(_.cols).getOrElse(Seq.empty))
     // an empty frame stages nothing: APPENDING it to an EXISTING table is
     // a no-op. Everything else commits: an empty overwrite of an existing
     // table is a TRUNCATE (zero-file manifest, old rows gone), and an
@@ -753,7 +872,9 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
       }
       try {
         // maintenance commits carry the streaming sink's ledger forward
-        SnapshotTable.commit(spark, root, v, all, SnapshotTable.nextMeta(cur, None))
+        SnapshotTable.commit(spark, root, v, all,
+          (if (cur.isEmpty) createMeta else Seq.empty) ++
+            SnapshotTable.nextMeta(cur, None))
         SnapshotTable.writeStats(spark, root, v, lines)
         SnapshotTable.writeSchema(spark, root, v, nextSchema)
         done = true
@@ -787,7 +908,8 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
   *    entry and data commit are ONE atomic rename. */
 final class SnapshotStreamingWrite(root: String, schema: StructType,
                                    overwrite: Boolean, statsCols: Seq[String],
-                                   mergeSchema: Boolean, appId: String)
+                                   mergeSchema: Boolean, appId: String,
+                                   part: Option[PartitionWriteSpec] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val stagingDir: String = {
@@ -805,7 +927,7 @@ final class SnapshotStreamingWrite(root: String, schema: StructType,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new SnapshotStreamingWriterFactory(stagingDir, schema, conf)
+    new SnapshotStreamingWriterFactory(stagingDir, schema, conf, part)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -851,7 +973,10 @@ final class SnapshotStreamingWrite(root: String, schema: StructType,
               SnapshotTable.statsLines(spark, root, s.version) ++ fresh, ns)
         }
         SnapshotTable.commit(spark, root, v, all,
-          SnapshotTable.nextMeta(cur, Some(epochId), appId))
+          (if (cur.isEmpty)
+            SnapshotTable.partitionMeta(part.map(_.cols).getOrElse(Seq.empty))
+          else Seq.empty) ++
+            SnapshotTable.nextMeta(cur, Some(epochId), appId))
         SnapshotTable.writeStats(spark, root, v, lines)
         SnapshotTable.writeSchema(spark, root, v, nextSchema)
         return
@@ -879,24 +1004,81 @@ final class SnapshotStreamingWrite(root: String, schema: StructType,
 
 final class SnapshotStreamingWriterFactory(stagingDir: String,
                                            schema: StructType,
-                                           conf: SerializableHadoopConf)
+                                           conf: SerializableHadoopConf,
+                                           part: Option[PartitionWriteSpec] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-                            epochId: Long): DataWriter[InternalRow] =
-    new SnapshotDataWriter(
-      f"$stagingDir%s/e$epochId%d-part-$partitionId%05d-$taskId%d.parquet",
-      schema, conf.value)
+                            epochId: Long): DataWriter[InternalRow] = {
+    val prefix = f"$stagingDir%s/e$epochId%d-part-$partitionId%05d-$taskId%d"
+    part match {
+      case Some(spec) => new SnapshotFanoutDataWriter(prefix, schema, conf.value, spec)
+      case None => new SnapshotDataWriter(s"$prefix.parquet", schema, conf.value)
+    }
+  }
 }
 
 final class SnapshotWriterFactory(stagingDir: String, schema: StructType,
-                                  conf: SerializableHadoopConf)
+                                  conf: SerializableHadoopConf,
+                                  part: Option[PartitionWriteSpec] = None)
   extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SnapshotDataWriter(
-      // taskId makes retried/speculative attempts write DISTINCT files;
-      // only the committing attempt's path reaches the driver
-      f"$stagingDir%s/part-$partitionId%05d-$taskId%d.parquet",
-      schema, conf.value)
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    // taskId makes retried/speculative attempts write DISTINCT files;
+    // only the committing attempt's path reaches the driver
+    val prefix = f"$stagingDir%s/part-$partitionId%05d-$taskId%d"
+    part match {
+      case Some(spec) => new SnapshotFanoutDataWriter(prefix, schema, conf.value, spec)
+      case None => new SnapshotDataWriter(s"$prefix.parquet", schema, conf.value)
+    }
+  }
+}
+
+/** The partitioned-table task writer: keys each row by its EXACT
+  * partition tuple and fans out one parquet file per tuple seen
+  * (Iceberg's fanout shape). Under the write's clustered distribution a
+  * tuple reaches exactly one task, so a write emits one file per tuple;
+  * without it (e.g. a row-level rewrite whose planner chose another
+  * distribution) the output is merely more fragmented — never
+  * tuple-impure. Files open lazily per tuple and close in commit();
+  * tasks hold one open writer per DISTINCT tuple they see, which the
+  * clustering keeps small. */
+final class SnapshotFanoutDataWriter(prefix: String, schema: StructType,
+                                     conf: Configuration,
+                                     spec: PartitionWriteSpec)
+  extends DataWriter[InternalRow] {
+
+  private final class Slot(val file: String) {
+    val writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
+      SnapshotParquetWrite.open(file, schema, conf)
+    var rows = 0L
+  }
+  private val slots =
+    scala.collection.mutable.LinkedHashMap.empty[String, Slot]
+
+  override def write(record: InternalRow): Unit = {
+    val tuple = spec.tupleOf(record)
+    val slot = slots.getOrElseUpdate(tuple,
+      new Slot(s"$prefix-t${slots.size}.parquet"))
+    slot.writer.write(record)
+    slot.rows += 1
+  }
+
+  override def commit(): WriterCommitMessage =
+    SnapshotCommitMessage(slots.toSeq.map { case (tuple, slot) =>
+      slot.writer.close()
+      val p = new org.apache.hadoop.fs.Path(slot.file)
+      val bytes =
+        try p.getFileSystem(conf).getFileStatus(p).getLen
+        catch { case _: java.io.IOException => -1L }
+      SnapshotTable.FileEntry(slot.file, slot.rows, bytes, tuple)
+    })
+
+  override def abort(): Unit = slots.values.foreach { slot =>
+    slot.writer.close()
+    val p = new org.apache.hadoop.fs.Path(slot.file)
+    p.getFileSystem(conf).delete(p, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 final class SnapshotDataWriter(file: String, schema: StructType,

@@ -82,7 +82,11 @@ final class SnapshotRowLevelOperation(root: String,
           new GroupReplaceDataWrite(root, snap, info.schema(),
             () => planned.getOrElse(throw new IllegalStateException(
               "ReplaceData write committed before its rewrite scan planned " +
-                s"(graft-snapshot $cmd at $root)")))
+                s"(graft-snapshot $cmd at $root)")),
+            // a partitioned table's rewrite fans out per tuple, so SQL
+            // row-level ops keep files tuple-pure (partition pruning
+            // keeps working after an UPDATE/MERGE)
+            PartitionWriteSpec.of(info.schema(), snap.partitionCols))
         override def description(): String =
           s"graft-snapshot replace-data $cmd root=$root base=v${snap.version}"
       }
@@ -101,11 +105,13 @@ final class GroupRewriteScanBuilder(root: String, snap: SnapshotTable.Snapshot,
 
   private var required: StructType = fullSchema
   private var accepted: Array[Filter] = Array.empty
+  private var allPushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    allPushed = filters
     accepted = filters.filter(f => SnapshotFilters.bound(f).isDefined)
     filters // everything stays residual — pruning is I/O-only
   }
@@ -114,9 +120,28 @@ final class GroupRewriteScanBuilder(root: String, snap: SnapshotTable.Snapshot,
 
   override def build(): Scan = {
     val spark = SparkSession.active
+    // exact partition pruning first: a file whose tuple PROVES no row
+    // matches the condition is never scanned — and therefore retained
+    // verbatim by the rewrite commit, bounding a partition-aligned
+    // DELETE/UPDATE to the matching partitions
+    val partTypes = {
+      val cols = snap.partitionCols
+      val byName = fullSchema.fields.map(f => f.name -> f.dataType).toMap
+      if (cols.nonEmpty && cols.forall(byName.contains))
+        cols.map(c => c -> byName(c)).toMap
+      else Map.empty[String, org.apache.spark.sql.types.DataType]
+    }
+    val partKept =
+      if (partTypes.isEmpty) snap.entries
+      else allPushed.filter(f =>
+        graft.storage.SnapshotPartition.referencesOnlyPartitionCols(f, partTypes))
+        .foldLeft(snap.entries) { (entries, f) =>
+          graft.storage.SnapshotPartition
+            .pruneEntries[SnapshotTable.FileEntry](entries, _.tuple, f, partTypes)._1
+        }
     val bounds = SnapshotFilters.intervals(accepted)
     val st = SnapshotTable.stats(spark, root, snap.version)
-    val keep = SnapshotTable.keepByStats(snap.files, st, bounds)
+    val keep = SnapshotTable.keepByStats(partKept.map(_.path), st, bounds)
     onPlanned(keep)
     // pushed = empty: every row of every kept file must reach the rewrite
     new SnapshotScan(root, snap.version, keep, snap.files.size,
@@ -130,7 +155,8 @@ final class GroupRewriteScanBuilder(root: String, snap: SnapshotTable.Snapshot,
   * commits `base − scanned + new` with a CAS on the base version. */
 final class GroupReplaceDataWrite(root: String, snap: SnapshotTable.Snapshot,
                                   schema: StructType,
-                                  scanned: () => Seq[String])
+                                  scanned: () => Seq[String],
+                                  part: Option[PartitionWriteSpec] = None)
   extends BatchWrite {
 
   private val stagingDir: String = {
@@ -148,7 +174,7 @@ final class GroupReplaceDataWrite(root: String, snap: SnapshotTable.Snapshot,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ReplaceDataWriterFactory(
-      new SnapshotWriterFactory(stagingDir, schema, conf), schema.length)
+      new SnapshotWriterFactory(stagingDir, schema, conf, part), schema.length)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active

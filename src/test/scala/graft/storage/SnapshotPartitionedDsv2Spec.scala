@@ -1,0 +1,166 @@
+package graft.storage
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FilterExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.storage.dsv2.{SnapshotCountScan, SnapshotScan}
+
+/** Partitioned snapshot tables through the DSv2 connector: fanout
+  * writes produce tuple-pure files, partition predicates prune files
+  * exactly AND are consumed (no post-scan re-evaluation), and a
+  * partition-filtered `count(*)` is answered from the manifest alone. */
+class SnapshotPartitionedDsv2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = Files.createTempDirectory("snappdsv2").toString + "/t"
+
+  spark.conf.set("spark.sql.catalog.graftp", "graft.storage.dsv2.SnapshotCatalog")
+  spark.conf.set("spark.sql.catalog.graftp.warehouse",
+    Files.createTempDirectory("snappwh").toString)
+
+  private def allScans(df: DataFrame) = {
+    df.collect()
+    (df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    } ++ df.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect { case b: BatchScanExec => b.scan }
+    }.flatten)
+  }
+
+  private def filterNodes(df: DataFrame) =
+    df.queryExecution.executedPlan.collect { case f: FilterExec => f } ++
+      df.queryExecution.executedPlan.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.collect { case f: FilterExec => f }
+      }.flatten
+
+  private def writePartitioned(root: String): Unit =
+    spark.range(9000).select(col("id").as("k"),
+      (col("id") % 3).cast("string").as("g"), (col("id") % 97).as("x"))
+      .write.format("graft-snapshot").option("partitionBy", "g")
+      .mode("append").save(root)
+
+  test("DSv2 create with option partitionBy: fanout writes one tuple-pure file per partition") {
+    val root = newRoot()
+    writePartitioned(root)
+    val snap = SnapshotTable.latest(spark, root).get
+    assert(snap.partitionCols === Seq("g"))
+    // clustered distribution: each tuple in ONE task → one file per tuple
+    assert(snap.entries.size === 3)
+    snap.entries.foreach { e =>
+      assert(e.tuple.nonEmpty)
+      assert(SnapshotPartition.decodeTuple(e.tuple).keySet === Set("g"))
+    }
+    assert(snap.entries.map(e =>
+      SnapshotPartition.decodeTuple(e.tuple)("g")).toSet ===
+      Set(Some("0"), Some("1"), Some("2")))
+    // read-back equality incl. the partition column
+    val back = spark.read.format("graft-snapshot").load(root)
+    assert(back.count() === 9000)
+    assert(back.agg(sum("k")).head.getLong(0) === (0L until 9000L).sum)
+  }
+
+  test("a partition predicate prunes files exactly AND is consumed (no post-scan filter)") {
+    val root = newRoot()
+    writePartitioned(root)
+    val df = spark.read.format("graft-snapshot").load(root).where(col("g") === "1")
+    val scan = allScans(df).collectFirst { case s: SnapshotScan => s }.get
+    assert(scan.totalFileCount === 3)
+    assert(scan.plannedFiles.size === 1, s"expected 1/3 files, got ${scan.plannedFiles}")
+    // consumed: Spark planned NO FilterExec — the manifest proof replaced it
+    assert(filterNodes(df).isEmpty,
+      s"partition filter not consumed:\n${df.queryExecution.executedPlan}")
+    assert(df.count() === 3000)
+    assert(df.select(countDistinct("g")).head.getLong(0) === 1)
+    // IN over two partitions
+    val two = spark.read.format("graft-snapshot").load(root)
+      .where(col("g").isin("0", "2"))
+    val scan2 = allScans(two).collectFirst { case s: SnapshotScan => s }.get
+    assert(scan2.plannedFiles.size === 2)
+    assert(filterNodes(two).isEmpty)
+    assert(two.count() === 6000)
+  }
+
+  test("a MIXED predicate prunes partitions but keeps the other conjunct residual") {
+    val root = newRoot()
+    writePartitioned(root)
+    val df = spark.read.format("graft-snapshot").load(root)
+      .where(col("g") === "1" && col("x") < 10)
+    val scan = allScans(df).collectFirst { case s: SnapshotScan => s }.get
+    assert(scan.plannedFiles.size === 1)
+    // the x-conjunct still needs exact row evaluation
+    assert(filterNodes(df).nonEmpty)
+    val expect = (0L until 9000L).count(i => i % 3 == 1 && i % 97 < 10)
+    assert(df.count() === expect.toLong)
+  }
+
+  test("partition-filtered count(*) is answered from the manifest") {
+    val root = newRoot()
+    writePartitioned(root)
+    val counted = spark.read.format("graft-snapshot").load(root)
+      .where(col("g") === "2").groupBy().count()
+    val meta = allScans(counted).collectFirst { case s: SnapshotCountScan => s }
+    assert(meta.isDefined,
+      s"expected metadata-count scan in:\n${counted.queryExecution}")
+    assert(meta.get.count === 3000L)
+  }
+
+  test("IS NULL partitions prune and consume; null tuples round-trip the connector") {
+    val root = newRoot()
+    Seq((1L, Some("a")), (2L, None: Option[String]), (3L, Some("b")), (4L, None))
+      .toDF("k", "g")
+      .write.format("graft-snapshot").option("partitionBy", "g")
+      .mode("append").save(root)
+    val df = spark.read.format("graft-snapshot").load(root).where(col("g").isNull)
+    val scan = allScans(df).collectFirst { case s: SnapshotScan => s }.get
+    assert(scan.plannedFiles.size === 1)
+    assert(filterNodes(df).isEmpty)
+    assert(df.select("k").as[Long].collect().sorted.toSeq === Seq(2L, 4L))
+    val nn = spark.read.format("graft-snapshot").load(root).where(col("g") === "a")
+    assert(allScans(nn).collectFirst { case s: SnapshotScan => s }.get
+      .plannedFiles.size === 1)
+    assert(nn.select("k").as[Long].head === 1L)
+  }
+
+  test("SQL: CREATE TABLE PARTITIONED BY + INSERT + row-level ops keep tuple purity") {
+    spark.sql("CREATE TABLE graftp.pt (k BIGINT, g STRING, v BIGINT) " +
+      "USING `graft-snapshot` PARTITIONED BY (g)")
+    try {
+      spark.sql("INSERT INTO graftp.pt VALUES (1, 'a', 1), (2, 'b', 1), (3, 'a', 1)")
+      val wh = spark.conf.get("spark.sql.catalog.graftp.warehouse")
+      val root = s"$wh/pt"
+      assert(SnapshotTable.latest(spark, root).get.partitionCols === Seq("g"))
+      def tuplesOk(): Unit =
+        SnapshotTable.latest(spark, root).get.entries.foreach(e =>
+          assert(e.tuple.nonEmpty, s"tuple-less ${e.path}"))
+      tuplesOk()
+      // partition-aligned DELETE only touches matching partitions
+      spark.sql("DELETE FROM graftp.pt WHERE g = 'b'")
+      tuplesOk()
+      assert(spark.sql("SELECT count(*) FROM graftp.pt").head.getLong(0) === 2)
+      // UPDATE through the group rewrite keeps files tuple-pure
+      spark.sql("UPDATE graftp.pt SET v = 9 WHERE k = 1")
+      tuplesOk()
+      assert(spark.sql("SELECT sum(v) FROM graftp.pt").head.getLong(0) === 10)
+      // pruning still works after the rewrites
+      val df = spark.sql("SELECT k FROM graftp.pt WHERE g = 'a'")
+      assert(df.as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    } finally spark.sql("DROP TABLE IF EXISTS graftp.pt")
+  }
+
+  test("PARTITIONED BY refuses non-identity transforms and bad columns") {
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graftp.badpt (k BIGINT, t TIMESTAMP) " +
+        "USING `graft-snapshot` PARTITIONED BY (days(t))")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graftp.badpt2 (k BIGINT, a ARRAY<DOUBLE>) " +
+        "USING `graft-snapshot` PARTITIONED BY (a)")
+    }
+  }
+}
