@@ -72,16 +72,56 @@ object SnapshotMetadataDelete {
   }
 
   /** The surviving entries after a provably-exact metadata delete, or
-    * None when any file's membership cannot be proven. */
+    * None when any file's membership cannot be proven. Two proof tiers,
+    * tried per file:
+    *  1. EXACT partition tuples (partitioned tables): the predicate
+    *     conjunction evaluated in tri-state logic against the file's
+    *     tuple — all conjuncts True ⇒ every row matches (drop whole
+    *     file); any conjunct definitely non-True ⇒ no row matches
+    *     (retain verbatim). This tier handles every shape the tuple
+    *     evaluator does (strings, IN, IS NULL, OR, NOT), so a
+    *     partition-aligned `DELETE FROM t WHERE day = '...'` is one
+    *     manifest commit regardless of stats.
+    *  2. The numeric stats proof above, for files tier 1 left open. */
   def plan(spark: SparkSession, root: String, snap: SnapshotTable.Snapshot,
            predicates: Array[Predicate]): Option[Seq[SnapshotTable.FileEntry]] = {
     if (predicates.isEmpty) return None // DELETE FROM t (no WHERE) is TRUNCATE
-    val conj = predicates.toSeq.map(leaves)
-    if (conj.exists(_.isEmpty)) return None
-    val ls = conj.flatten.flatten
-    if (ls.isEmpty) return None
-    if (ls.exists(l => math.abs(l.value) > ExactAbs)) return None
-    val st = SnapshotTable.statsFull(spark, root, snap.version)
+
+    // ---- tier 1 machinery: tuple tri-state over the predicate conjunction
+    val partTypes: Map[String, org.apache.spark.sql.types.DataType] = {
+      val cols = snap.partitionCols
+      if (cols.isEmpty) Map.empty
+      else SnapshotTable.tableSchema(spark, root, snap.version) match {
+        case Some(sch) =>
+          val byName = sch.fields.map(f => f.name -> f.dataType).toMap
+          if (cols.forall(byName.contains)) cols.map(c => c -> byName(c)).toMap
+          else Map.empty
+        case None => Map.empty
+      }
+    }
+    val v1 = predicates.toSeq.map(graft.storage.SnapshotPartition.v2ToV1)
+
+    /** Some(true)=drop whole file, Some(false)=retain verbatim, None=open. */
+    def tupleVerdict(e: SnapshotTable.FileEntry): Option[Boolean] =
+      if (partTypes.isEmpty || e.tuple.isEmpty) None
+      else {
+        val t = graft.storage.SnapshotPartition.decodeTuple(e.tuple)
+        val evals = v1.map(_.flatMap(f =>
+          graft.storage.SnapshotPartition.evalFilter(f, partTypes, t)))
+        import graft.storage.SnapshotPartition.TTrue
+        if (evals.exists(_.exists(_ != TTrue))) Some(false)
+        else if (evals.forall(_.contains(TTrue))) Some(true)
+        else None
+      }
+
+    // ---- tier 2 machinery: the numeric [min,max] stats proof
+    val lsOpt: Option[Seq[Leaf]] = {
+      val conj = predicates.toSeq.map(leaves)
+      if (conj.exists(_.isEmpty)) None
+      else Some(conj.flatten.flatten)
+        .filter(ls => ls.nonEmpty && !ls.exists(l => math.abs(l.value) > ExactAbs))
+    }
+    lazy val st = SnapshotTable.statsFull(spark, root, snap.version)
 
     def stat(e: SnapshotTable.FileEntry, c: String): Option[(Double, Double, Long)] =
       st.get((SnapshotTable.norm(e.path), c))
@@ -102,19 +142,28 @@ object SnapshotMetadataDelete {
       case "=" => l.value < mn || l.value > mx
     }
 
+    def statsVerdict(e: SnapshotTable.FileEntry): Option[Boolean] =
+      lsOpt.flatMap { ls =>
+        val droppable = ls.forall { l =>
+          stat(e, l.col).exists { case (mn, mx, nulls) =>
+            nulls == 0L && fullIn(l, mn, mx)
+          }
+        }
+        val keepable = ls.exists { l =>
+          stat(e, l.col).exists { case (mn, mx, _) => fullOut(l, mn, mx) }
+        }
+        if (droppable) Some(true)
+        else if (keepable) Some(false)
+        else None
+      }
+
     val kept = Seq.newBuilder[SnapshotTable.FileEntry]
     for (e <- snap.entries) {
-      val droppable = ls.forall { l =>
-        stat(e, l.col).exists { case (mn, mx, nulls) =>
-          nulls == 0L && fullIn(l, mn, mx)
-        }
+      tupleVerdict(e).orElse(statsVerdict(e)) match {
+        case Some(true) => () // dropped from the manifest
+        case Some(false) => kept += e
+        case None => return None // unprovable ⇒ fall back to the rewrite
       }
-      val keepable = ls.exists { l =>
-        stat(e, l.col).exists { case (mn, mx, _) => fullOut(l, mn, mx) }
-      }
-      if (droppable) () // dropped from the manifest
-      else if (keepable) kept += e
-      else return None // unprovable membership ⇒ fall back to the rewrite
     }
     Some(kept.result())
   }

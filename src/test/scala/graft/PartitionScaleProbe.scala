@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.storage.SnapshotTable
+
+/** Scale probe for PARTITIONED snapshot tables (test scope): a 4M-row
+  * table identity-partitioned 32 ways, read through the DSv2 connector.
+  *
+  * What the numbers must show (the 100 TB contract in miniature):
+  *  - a one-partition read plans 1/32 of the FILES (exact manifest
+  *    pruning — at scale each skipped file is an object-store request
+  *    that never happens) and its wall time beats the full scan;
+  *  - a partition-filtered count(*) is answered from the MANIFEST
+  *    (milliseconds, zero data I/O, independent of table size);
+  *  - a partition-aligned DELETE is METADATA-ONLY: no file rewritten,
+  *    wall time is one manifest commit — O(1) in the table size.
+  * Run: sbt "Test/runMain graft.PartitionScaleProbe [rows]" */
+object PartitionScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(4000000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = java.nio.file.Files.createTempDirectory("partscale").toString + "/t"
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val parts = 32
+    val (_, tCreate) = time {
+      spark.range(rows).select(col("id").as("k"),
+          concat(lit("d"), lpad((col("id") % parts).cast("string"), 2, "0")).as("day"),
+          sha2(col("id").cast("string"), 256).as("pad"))
+        .write.format("graft-snapshot").option("partitionBy", "day")
+        .mode("append").save(root)
+    }
+    val snap = SnapshotTable.latest(spark, root).get
+    println(f"create: $rows%d rows, ${snap.entries.size}%d files " +
+      f"(partitioned by day, $parts values), $tCreate%.2f s")
+    assert(snap.entries.size == parts,
+      s"expected one tuple-pure file per partition, got ${snap.entries.size}")
+
+    // one-partition read: plans 1/32 of the files. Warm both paths once
+    // (codegen/JIT), then take second-run timings — the probe's contract
+    // is steady-state I/O shape, not first-query compilation cost
+    val one = spark.read.format("graft-snapshot").load(root)
+      .where(col("day") === "d07")
+    val all = spark.read.format("graft-snapshot").load(root)
+    one.agg(sum("k")).head; all.agg(sum("k")).head
+    val (cnt1, tOne) = time(one.agg(sum("k")).head.getLong(0))
+    val (cntAll, tAll) = time(all.agg(sum("k")).head.getLong(0))
+    println(f"one-partition agg: $tOne%.3f s (sum=$cnt1%d)  " +
+      f"full-scan agg: $tAll%.3f s (sum=$cntAll%d)  speedup=${tAll / tOne}%.1fx")
+    val expected = (0L until rows).iterator.filter(_ % parts == 7).sum
+    assert(cnt1 == expected, s"pruned agg wrong: $cnt1 != $expected")
+    assert(tOne < tAll, "pruned read should beat the full scan")
+
+    // partition-filtered count(*): manifest-only, O(1) in table size
+    val (c, tCount) = time(
+      spark.read.format("graft-snapshot").load(root)
+        .where(col("day") === "d07").count())
+    println(f"partition-filtered count(*): $tCount%.3f s ($c%d rows, manifest-only)")
+    assert(c == rows / parts)
+    assert(tCount < tOne, "metadata count should beat even the pruned scan")
+
+    // partition-aligned DELETE: metadata-only, zero rewrite
+    val before = SnapshotTable.latest(spark, root).get.files.toSet
+    spark.sql(s"CREATE TABLE part_probe USING `graft-snapshot` OPTIONS (path '$root')")
+    val (_, tDel) = time(spark.sql("DELETE FROM part_probe WHERE day = 'd31'"))
+    val after = SnapshotTable.latest(spark, root).get
+    println(f"partition-aligned DELETE: $tDel%.3f s " +
+      f"(${before.size}%d -> ${after.entries.size}%d files, metadata-only)")
+    assert(after.files.toSet.subsetOf(before), "DELETE rewrote files")
+    assert(after.entries.size == parts - 1)
+    val (c2, _) = time(spark.sql("SELECT count(*) FROM part_probe").head.getLong(0))
+    assert(c2 == rows - rows / parts)
+    spark.sql("DROP TABLE IF EXISTS part_probe")
+    println("PartitionScaleProbe OK")
+    spark.stop()
+  }
+}

@@ -153,6 +153,30 @@ class SnapshotPartitionedDsv2Spec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graftp.pt")
   }
 
+  test("partition-aligned DELETE is METADATA-ONLY: surviving files untouched") {
+    val root = newRoot()
+    writePartitioned(root) // 3 partitions g ∈ {0,1,2}, no statsCols at all
+    val before = SnapshotTable.latest(spark, root).get.files.toSet
+    spark.sql("CREATE TABLE del_pt USING `graft-snapshot` " +
+      s"OPTIONS (path '$root')")
+    try {
+      // a STRING partition predicate: the stats tier can't prove it,
+      // the tuple tier must — and the kept files must be the ORIGINALS
+      spark.sql("DELETE FROM del_pt WHERE g = '1'")
+      val after = SnapshotTable.latest(spark, root).get
+      assert(after.files.toSet.subsetOf(before),
+        s"metadata delete rewrote files: ${after.files.toSet -- before}")
+      assert(after.entries.size === 2)
+      assert(spark.sql("SELECT count(*) FROM del_pt").head.getLong(0) === 6000)
+      // IN — another shape only the tuple tier proves
+      spark.sql("DELETE FROM del_pt WHERE g IN ('0')")
+      val after2 = SnapshotTable.latest(spark, root).get
+      assert(after2.files.toSet.subsetOf(before))
+      assert(after2.entries.size === 1)
+      assert(spark.sql("SELECT count(*) FROM del_pt").head.getLong(0) === 3000)
+    } finally spark.sql("DROP TABLE IF EXISTS del_pt")
+  }
+
   test("PARTITIONED BY refuses non-identity transforms and bad columns") {
     intercept[Exception] {
       spark.sql("CREATE TABLE graftp.badpt (k BIGINT, t TIMESTAMP) " +
