@@ -117,8 +117,20 @@ object GraftFunctions {
       FreqItemsAgg(exprs(0), k).toAggregateExpression()
     },
     "graft_zorder" -> (exprs => ZOrderInterleave(exprs(0), exprs(1))),
-    "graft_part_canonical" -> (exprs =>
-      graft.storage.PartitionCanonical(exprs.head)),
+    "graft_part_field" -> { exprs =>
+      val t = exprs(0).eval(InternalRow.empty) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_part_field transform must be a string literal, got $other")
+      }
+      val n = exprs(1).eval(InternalRow.empty) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_part_field n must be an integer literal, got $other")
+      }
+      graft.storage.PartitionFieldExpr(t, n, exprs(2))
+    },
     "graft_kll_agg" -> { exprs =>
       val k = exprs(1).eval(InternalRow.empty) match {
         case i: Int => i

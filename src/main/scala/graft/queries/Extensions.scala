@@ -890,6 +890,30 @@ object Extensions {
             .as("total"))
         .orderBy("prio")
     },
+    // TIME-TRANSFORM partitioning (the metrics-store shape): the table
+    // is partitioned months(o_orderdate) — tuples store month ordinals,
+    // and the month-ALIGNED date range below is decidable for every
+    // file, so it prunes to 12 months AND is consumed
+    // (SnapshotTransformPartitionSpec asserts the plan shapes). Reads
+    // never change content: the oracle is plain SQL over raw orders.
+    "SNAPSHOT-PARTITION-TIME" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_snapptime")
+        .toString + "/t"
+      s.table("orders")
+        .select(col("o_orderkey").as("k"), col("o_orderdate").as("od"),
+          col("o_totalprice").as("price"))
+        .write.format("graft-snapshot").option("partitionBy", "months(od)")
+        .mode("append").save(root)
+      s.read.format("graft-snapshot").load(root)
+        .where(col("od") >= lit("1996-01-01").cast("timestamp") &&
+          col("od") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(date_format(col("od"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("month")
+    },
     // partition-filtered count(*) answered from the MANIFEST alone (the
     // pruned entries' recorded row counts — zero data I/O; the spec
     // asserts the SnapshotCountScan plan shape)
@@ -2305,6 +2329,12 @@ object Extensions {
         |GROUP BY prio ORDER BY prio""".stripMargin,
     "SNAPSHOT-PARTITION-COUNT" ->
       "SELECT count(*) AS n FROM orders WHERE o_orderpriority = '5-LOW'",
+    "SNAPSHOT-PARTITION-TIME" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY month ORDER BY month""".stripMargin,
     // both MERGE arms replayed: every 7th key deleted, every remaining
     // 5th rewritten
     "UPSERT-DELETE" ->

@@ -6,38 +6,98 @@ import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Identity partitioning for the snapshot table format — the Iceberg
-  * shape, not the Hive one: data files keep EVERY column (a constant
-  * column RLE-compresses to nothing), and the partition tuple each file
-  * covers is recorded in the MANIFEST (`path\trows\tbytes\t<tuple>`),
-  * with the column list on a `#partition c1,c2` metadata line carried by
+/** Partitioning for the snapshot table format — the Iceberg shape, not
+  * the Hive one: data files keep EVERY column (a constant column
+  * RLE-compresses to nothing), and the partition tuple each file covers
+  * is recorded in the MANIFEST (`path\trows\tbytes\t<tuple>`), with the
+  * field list on a `#partition spec1,spec2` metadata line carried by
   * every commit. Because membership is manifest metadata, partition
   * pruning is an exact driver-side decision over one manifest read — no
   * directory listings, no stats heuristics — and because the files are
   * self-contained, every existing reader (library, DSv2 row/columnar,
   * change feed, time travel) works on partitioned tables unchanged.
   *
-  * The pruning contract is stronger than stats skipping: a file's tuple
-  * is EXACT (every row of the file holds precisely these values), so a
-  * supported predicate over partition columns evaluates to a definite
-  * SQL tri-state per file. That exactness is what lets the scan CONSUME
-  * such predicates (no residual re-evaluation) and answer
-  * partition-filtered `count(*)` from the manifest alone.
+  * FIELDS are `col` (identity), `days(col)` / `months(col)` (date or
+  * timestamp source), `hours(col)` (timestamp source), or
+  * `bucket[N](col)` — the Iceberg transform set a metrics store needs.
+  * A file's tuple stores each field's TRANSFORMED value (identity: the
+  * canonical value; days/months/hours: the ordinal integer; bucket: the
+  * bucket id), which the evaluator maps back to a per-file DOMAIN of
+  * the SOURCE column: an exact point (identity), a half-open interval
+  * (time transforms), or a hash bucket. Predicates over source columns
+  * evaluate per file in SQL tri-state logic against that domain:
+  *  - identity domains are exact, so a decidable predicate can be
+  *    CONSUMED by the scan (no residual re-evaluation) and feed
+  *    partition-filtered `count(*)` from the manifest alone;
+  *  - interval domains prove all-rows-satisfy / no-row-satisfies for
+  *    comparison shapes (an ALIGNED `ts < cutoff` retention delete is
+  *    provable file-by-file), undecidable otherwise — the filter then
+  *    stays residual and only the pruning is kept;
+  *  - bucket domains refute equality/IN membership, never affirm it.
   *
-  * Tuple wire format: `c1=<enc>/c2=<enc>` where `<enc>` percent-encodes
-  * `% = / TAB LF CR` and a SQL NULL value is the bare token `%00`
-  * (unambiguous: a real "%00" string encodes as `%2500`). Values are
-  * stored in a canonical per-type string form (see [[canonicalOf]]) so
-  * equality of encoded tuples is equality of values. */
+  * Tuple wire format: `key1=<enc>/key2=<enc>` where `key` is the field
+  * spec, `<enc>` percent-encodes `% = / TAB LF CR`, and a SQL NULL value
+  * is the bare token `%00` (unambiguous: a real "%00" string encodes as
+  * `%2500`; every transform of NULL is NULL). Values are canonical
+  * per-type strings (see [[canonicalOfValue]]) so equality of encoded
+  * tuples is equality of values. */
 object SnapshotPartition {
 
-  /** The partition-column types supported — the flat analytic surface
+  private val MicrosPerDay = 86400000000L
+  private val MicrosPerHour = 3600000000L
+
+  // ------------------------------------------------------------- fields
+
+  /** One partition field: a transform over a source column. `n` is the
+    * bucket count (0 otherwise). */
+  final case class PartitionField(transform: String, col: String, n: Int = 0) {
+    /** The spec string — the manifest `#partition` entry AND the tuple
+      * key: `col`, `days(col)`, `bucket[16](col)`. */
+    def key: String = transform match {
+      case "identity" => col
+      case "bucket" => s"bucket[$n]($col)"
+      case t => s"$t($col)"
+    }
+  }
+
+  private val BucketRe = """bucket\[(\d+)\]\(([^()]+)\)""".r
+  private val FnRe = """(days|months|hours)\(([^()]+)\)""".r
+
+  /** Parse a field spec string (a bare name is identity). */
+  def parseField(s: String): PartitionField = s.trim match {
+    case BucketRe(n, c) => PartitionField("bucket", c.trim, n.toInt)
+    case FnRe(t, c) => PartitionField(t, c.trim)
+    case c => PartitionField("identity", c)
+  }
+
+  /** The identity-supported source types — the flat analytic surface
     * partition keys actually use. Anything else is refused at write
     * time, never silently mis-encoded. */
   def supportedType(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType | StringType | DateType |
          TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Transform/source-type compatibility (refused loudly at create). */
+  def supportedField(f: PartitionField, dt: DataType): Boolean = f.transform match {
+    case "identity" => supportedType(dt)
+    case "days" | "months" => dt match {
+      case DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    case "hours" => dt match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    case "bucket" => f.n >= 1 && (dt match {
+      // no float/double buckets: a pushed literal arrives widened to
+      // double and could not be re-canonicalized to the stored form
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           StringType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    })
     case _ => false
   }
 
@@ -67,16 +127,16 @@ object SnapshotPartition {
     sb.toString
   }
 
-  /** `cols` zipped with canonical values (None = SQL NULL) → the tuple
+  /** `keys` zipped with canonical values (None = SQL NULL) → the tuple
     * string stored in the manifest entry. */
-  def encodeTuple(cols: Seq[String], values: Seq[Option[String]]): String = {
-    require(cols.length == values.length, "cols/values arity mismatch")
-    cols.zip(values).map { case (c, v) =>
-      s"$c=${v.map(encodeValue).getOrElse(NullToken)}"
+  def encodeTuple(keys: Seq[String], values: Seq[Option[String]]): String = {
+    require(keys.length == values.length, "keys/values arity mismatch")
+    keys.zip(values).map { case (k, v) =>
+      s"$k=${v.map(encodeValue).getOrElse(NullToken)}"
     }.mkString("/")
   }
 
-  /** Tuple string → column → canonical value (None = SQL NULL). A
+  /** Tuple string → field key → canonical value (None = SQL NULL). A
     * malformed tuple decodes to empty (the file is then never pruned —
     * the usual no-false-negative degradation). */
   def decodeTuple(s: String): Map[String, Option[String]] =
@@ -91,13 +151,10 @@ object SnapshotPartition {
 
   // ------------------------------------- canonical per-type value forms
 
-  /** Canonical string for the partition value at ordinal `i` (None =
-    * SQL NULL) — integral types as decimal, floats via their own
-    * `toString` (round-trips exactly), dates as ISO local dates,
-    * timestamps as epoch micros (timezone-free). */
-  def canonicalOf(dt: DataType, row: SpecializedGetters, i: Int): Option[String] =
-    if (row.isNullAt(i)) None
-    else Some(canonicalOfValue(dt, dt match {
+  /** The non-null INTERNAL value at ordinal `i` (what `Expression.eval`
+    * would yield: `UTF8String`, days-Int, micros-Long). */
+  private def internalAt(dt: DataType, row: SpecializedGetters, i: Int): Any =
+    dt match {
       case BooleanType => row.getBoolean(i)
       case ByteType => row.getByte(i)
       case ShortType => row.getShort(i)
@@ -110,12 +167,19 @@ object SnapshotPartition {
       case TimestampType | TimestampNTZType => row.getLong(i)
       case other => throw new UnsupportedOperationException(
         s"unsupported partition column type $other")
-    }))
+    }
 
-  /** Same canonicalization from a non-null INTERNAL value (what
-    * `Expression.eval` yields: `UTF8String`, days-Int, micros-Long).
-    * [[canonicalOf]] delegates here so the row-side and expression-side
-    * writers can never diverge. */
+  /** Canonical string for the IDENTITY value at ordinal `i` (None = SQL
+    * NULL) — integral types as decimal, floats via their own `toString`
+    * (round-trips exactly), dates as ISO local dates, timestamps as
+    * epoch micros (timezone-free). */
+  def canonicalOf(dt: DataType, row: SpecializedGetters, i: Int): Option[String] =
+    if (row.isNullAt(i)) None
+    else Some(canonicalOfValue(dt, internalAt(dt, row, i)))
+
+  /** Same canonicalization from a non-null INTERNAL value. All
+    * canonicalizing code paths (expression-side, row-side, literal-side)
+    * share this so they can never diverge. */
   def canonicalOfValue(dt: DataType, v: Any): String = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType => v.toString
@@ -126,6 +190,116 @@ object SnapshotPartition {
     case other => throw new UnsupportedOperationException(
       s"unsupported partition column type $other")
   }
+
+  /** A field's STORED tuple value from a non-null internal source value:
+    * identity → the canonical string; days/months/hours → the ordinal
+    * integer (UTC-day / months-since-1970 / UTC-hour — timezone-free by
+    * construction, micros and epoch days are already zone-less); bucket
+    * → the bucket id of the canonical string. */
+  def transformValue(f: PartitionField, dt: DataType, v: Any): String =
+    f.transform match {
+      case "identity" => canonicalOfValue(dt, v)
+      case "days" => dayOrdinal(dt, v).toString
+      case "months" =>
+        val ld = java.time.LocalDate.ofEpochDay(dayOrdinal(dt, v))
+        ((ld.getYear - 1970) * 12L + ld.getMonthValue - 1).toString
+      case "hours" =>
+        Math.floorDiv(v.asInstanceOf[Long], MicrosPerHour).toString
+      case "bucket" => bucketOf(canonicalOfValue(dt, v), f.n).toString
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform $other")
+    }
+
+  private def dayOrdinal(dt: DataType, v: Any): Long = dt match {
+    case DateType => v.asInstanceOf[Int].toLong
+    case TimestampType | TimestampNTZType =>
+      Math.floorDiv(v.asInstanceOf[Long], MicrosPerDay)
+    case other => throw new UnsupportedOperationException(
+      s"days/months over $other")
+  }
+
+  /** Deterministic bucket of a canonical value string — write side and
+    * prune side share it; it does not need to (and does not) match any
+    * engine's hash, only itself. */
+  def bucketOf(canonical: String, n: Int): Int =
+    Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(canonical, 0x5bd1e995), n)
+
+  /** The partition-tuple field for one row of a write — the writer's
+    * per-row keying function (`ordinals` index the fields' source
+    * columns in the write schema). */
+  def tupleOfRow(fields: Seq[PartitionField], types: Seq[DataType],
+                 ordinals: Seq[Int], row: SpecializedGetters): String =
+    encodeTuple(fields.map(_.key),
+      fields.lazyZip(types).lazyZip(ordinals).map { (f, dt, i) =>
+        if (row.isNullAt(i)) None
+        else Some(transformValue(f, dt, internalAt(dt, row, i)))
+      })
+
+  // --------------------------------------------------- per-file domains
+
+  /** What a file's tuple says about one SOURCE column, for every row of
+    * the file. */
+  sealed trait ColDomain
+  /** All rows are SQL NULL (every transform of NULL is NULL). */
+  case object DomNull extends ColDomain
+  /** Every row holds exactly this canonical value (identity fields). */
+  final case class DomPoint(dt: DataType, value: String) extends ColDomain
+  /** Every row's value lies in `[lo, hi)` in the source's integral
+    * internal units — epoch days for dates, epoch micros for
+    * timestamps (time transforms). */
+  final case class DomRange(dt: DataType, lo: Long, hi: Long) extends ColDomain
+  /** Every row's value hashes into this bucket (refutation-only). */
+  final case class DomBucket(dt: DataType, n: Int, bucket: Int) extends ColDomain
+
+  /** Resolve a table's partition fields against the read schema; fields
+    * whose source column is missing resolve to nothing (a
+    * pre-partitioning time-travel version reads as unpartitioned). */
+  def fieldsOf(specs: Seq[String], schema: StructType): Seq[(PartitionField, DataType)] = {
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val fs = specs.map(parseField)
+    if (fs.nonEmpty && fs.forall(f => byName.contains(f.col)))
+      fs.map(f => (f, byName(f.col)))
+    else Seq.empty
+  }
+
+  /** One file's decoded tuple → source-column domains. A field whose key
+    * is absent (or whose stored value is malformed) contributes nothing —
+    * predicates on that column are then undecidable for this file. */
+  def fileDomains(fields: Seq[(PartitionField, DataType)],
+                  tuple: Map[String, Option[String]]): Map[String, ColDomain] =
+    fields.flatMap { case (f, dt) =>
+      tuple.get(f.key).flatMap {
+        case None => Some(f.col -> DomNull)
+        case Some(s) => domainOf(f, dt, s).map(f.col -> (_: ColDomain))
+      }
+    }.toMap
+
+  private def domainOf(f: PartitionField, dt: DataType,
+                       stored: String): Option[ColDomain] = f.transform match {
+    case "identity" => Some(DomPoint(dt, stored))
+    case "days" => stored.toLongOption.map { d =>
+      dt match {
+        case DateType => DomRange(dt, d, d + 1)
+        case _ => DomRange(dt, d * MicrosPerDay, (d + 1) * MicrosPerDay)
+      }
+    }
+    case "months" => stored.toLongOption.map { m =>
+      val y = Math.floorDiv(m, 12).toInt + 1970
+      val mo = Math.floorMod(m, 12).toInt + 1
+      val lo = java.time.LocalDate.of(y, mo, 1)
+      val (d0, d1) = (lo.toEpochDay, lo.plusMonths(1).toEpochDay)
+      dt match {
+        case DateType => DomRange(dt, d0, d1)
+        case _ => DomRange(dt, d0 * MicrosPerDay, d1 * MicrosPerDay)
+      }
+    }
+    case "hours" => stored.toLongOption.map(h =>
+      DomRange(dt, h * MicrosPerHour, (h + 1) * MicrosPerHour))
+    case "bucket" => stored.toIntOption.map(b => DomBucket(dt, f.n, b))
+    case _ => None
+  }
+
+  // --------------------------------------------- literal normalization
 
   /** A pushed-filter LITERAL in canonical comparable form, or None for a
     * class this evaluator does not understand (→ the filter stays
@@ -176,6 +350,20 @@ object SnapshotPartition {
     case _ => None
   }
 
+  /** A literal re-canonicalized to the STORED string form (bucket
+    * hashing) — only for types whose canonical form survives the v1
+    * Filter round-trip exactly. */
+  private def litCanonical(dt: DataType, v: Any): Option[String] =
+    litComparable(dt, v).flatMap {
+      case s: String => Some(s)
+      case b: Boolean => Some(b.toString)
+      case l: Long => dt match {
+        case DateType => Some(java.time.LocalDate.ofEpochDay(l).toString)
+        case _ => Some(l.toString)
+      }
+      case _ => None
+    }
+
   /** Stored canonical value in the same comparable domain. */
   private def storedComparable(dt: DataType, s: String): Option[Any] =
     try dt match {
@@ -210,11 +398,12 @@ object SnapshotPartition {
 
   // --------------------------------------- SQL tri-state filter evaluator
 
-  /** SQL three-valued logic: a predicate over a file's exact tuple is
-    * True, False, or Null — all three DEFINITE outcomes (False and Null
-    * both exclude the row). The evaluator's outer Option is a fourth
-    * state: None = "cannot decide" (unsupported shape, non-partition
-    * column) — the file must be kept and the filter must stay residual. */
+  /** SQL three-valued logic: a predicate over a file's domain is True,
+    * False, or Null — all three DEFINITE outcomes FOR EVERY ROW of the
+    * file (False and Null both exclude the row). The evaluator's outer
+    * Option is a fourth state: None = "cannot decide for all rows"
+    * (unsupported shape, non-partition column, an interval the literal
+    * splits) — the file must be kept and the filter must stay residual. */
   sealed trait T3
   case object TTrue extends T3
   case object TFalse extends T3
@@ -230,114 +419,145 @@ object SnapshotPartition {
     if (a == TTrue || b == TTrue) TTrue
     else if (a == TFalse && b == TFalse) TFalse else TNull
 
-  /** Evaluate a pushed v1 [[Filter]] against one file's partition tuple.
-    * `types` maps each partition column to its table type; `tuple` is
-    * the file's decoded tuple. Kleene logic composes And/Or/Not so a
-    * decidable branch can short-circuit an undecidable one. */
-  def evalFilter(f: Filter, types: Map[String, DataType],
-                 tuple: Map[String, Option[String]]): Option[T3] = {
-    def stored(c: String): Option[Option[String]] =
-      if (types.contains(c)) tuple.get(c) else None
-    def compare(c: String, v: Any)(test: Int => Boolean): Option[T3] =
-      stored(c).flatMap {
-        case None => Some(TNull) // NULL compared to anything is NULL
-        case Some(s) =>
-          if (v == null) Some(TNull)
-          else cmp(types(c), s, v).map(r => if (test(r)) TTrue else TFalse)
+  /** One comparison op against a domain. `op` ∈ {=, <, <=, >, >=}. */
+  private def evalCmp(dom: ColDomain, op: String, v: Any): Option[T3] = dom match {
+    case DomNull => Some(TNull) // NULL compared to anything is NULL
+    case _ if v == null => Some(TNull)
+    case DomPoint(dt, s) =>
+      cmp(dt, s, v).map { r =>
+        val ok = op match {
+          case "=" => r == 0
+          case "<" => r < 0; case "<=" => r <= 0
+          case ">" => r > 0; case ">=" => r >= 0
+        }
+        if (ok) TTrue else TFalse
       }
+    case DomRange(dt, lo, hi) =>
+      litComparable(dt, v) match {
+        case Some(l: Long) =>
+          // rows x ∈ [lo, hi) in integral units: prove ∀x or ∄x
+          val (all, none) = op match {
+            case "=" => (lo == l && hi == l + 1, l < lo || l >= hi)
+            case "<" => (hi - 1 < l, lo >= l)
+            case "<=" => (hi - 1 <= l, lo > l)
+            case ">" => (lo > l, hi - 1 <= l)
+            case ">=" => (lo >= l, hi - 1 < l)
+          }
+          if (all) Some(TTrue) else if (none) Some(TFalse) else None
+        case _ => None
+      }
+    case DomBucket(dt, n, b) =>
+      if (op != "=") None
+      else litCanonical(dt, v) match {
+        // a mismatched bucket REFUTES equality; a matching one proves
+        // nothing (other values share the bucket)
+        case Some(s) if bucketOf(s, n) != b => Some(TFalse)
+        case _ => None
+      }
+  }
+
+  /** Evaluate a pushed v1 [[Filter]] against one file's source-column
+    * domains. Kleene logic composes And/Or/Not so a decidable branch can
+    * short-circuit an undecidable one. */
+  def evalFilter(f: Filter, domains: Map[String, ColDomain]): Option[T3] = {
+    def dom(c: String): Option[ColDomain] = domains.get(c)
     f match {
       case sources.AlwaysTrue() => Some(TTrue)
       case sources.AlwaysFalse() => Some(TFalse)
-      case sources.IsNull(c) =>
-        stored(c).map(s => if (s.isEmpty) TTrue else TFalse)
-      case sources.IsNotNull(c) =>
-        stored(c).map(s => if (s.isDefined) TTrue else TFalse)
-      case sources.EqualTo(c, v) => compare(c, v)(_ == 0)
-      case sources.EqualNullSafe(c, v) =>
-        stored(c).flatMap {
-          case None => Some(if (v == null) TTrue else TFalse)
-          case Some(s) =>
-            if (v == null) Some(TFalse)
-            else cmp(types(c), s, v).map(r => if (r == 0) TTrue else TFalse)
-        }
-      case sources.GreaterThan(c, v) => compare(c, v)(_ > 0)
-      case sources.GreaterThanOrEqual(c, v) => compare(c, v)(_ >= 0)
-      case sources.LessThan(c, v) => compare(c, v)(_ < 0)
-      case sources.LessThanOrEqual(c, v) => compare(c, v)(_ <= 0)
-      case sources.In(c, vs) =>
-        stored(c).flatMap {
-          case None => Some(TNull)
-          case Some(s) =>
-            val hasNull = vs.contains(null)
-            val results = vs.filter(_ != null)
-              .map(v => cmp(types(c), s, v).map(_ == 0))
-            if (results.exists(_.isEmpty)) None // some element incomparable
-            else if (results.exists(_.contains(true))) Some(TTrue)
-            else if (hasNull) Some(TNull) // x IN (..., NULL) with no match
-            else Some(TFalse)
-        }
-      case sources.StringStartsWith(c, p) =>
-        if (types.get(c).contains(StringType))
-          stored(c).map {
-            case None => TNull
-            case Some(s) => if (s.startsWith(p)) TTrue else TFalse
-          }
-        else None
-      case sources.StringEndsWith(c, p) =>
-        if (types.get(c).contains(StringType))
-          stored(c).map {
-            case None => TNull
-            case Some(s) => if (s.endsWith(p)) TTrue else TFalse
-          }
-        else None
-      case sources.StringContains(c, p) =>
-        if (types.get(c).contains(StringType))
-          stored(c).map {
-            case None => TNull
-            case Some(s) => if (s.contains(p)) TTrue else TFalse
-          }
-        else None
+      case sources.IsNull(c) => dom(c).map {
+        case DomNull => TTrue
+        case _ => TFalse // a non-null domain implies non-null rows
+      }
+      case sources.IsNotNull(c) => dom(c).map {
+        case DomNull => TFalse
+        case _ => TTrue
+      }
+      case sources.EqualTo(c, v) => dom(c).flatMap(evalCmp(_, "=", v))
+      case sources.EqualNullSafe(c, v) => dom(c).flatMap {
+        case DomNull => Some(if (v == null) TTrue else TFalse)
+        case d =>
+          if (v == null) Some(TFalse)
+          else evalCmp(d, "=", v)
+      }
+      case sources.GreaterThan(c, v) => dom(c).flatMap(evalCmp(_, ">", v))
+      case sources.GreaterThanOrEqual(c, v) => dom(c).flatMap(evalCmp(_, ">=", v))
+      case sources.LessThan(c, v) => dom(c).flatMap(evalCmp(_, "<", v))
+      case sources.LessThanOrEqual(c, v) => dom(c).flatMap(evalCmp(_, "<=", v))
+      case sources.In(c, vs) => dom(c).flatMap {
+        case DomNull => Some(TNull)
+        case d =>
+          val hasNull = vs.contains(null)
+          val results = vs.filter(_ != null).map(v => evalCmp(d, "=", v))
+          if (results.exists(_.contains(TTrue))) Some(TTrue)
+          else if (results.exists(_.isEmpty)) None // some element undecidable
+          else if (hasNull) Some(TNull) // x IN (..., NULL) with no match
+          else Some(TFalse)
+      }
+      case sources.StringStartsWith(c, p) => evalStringOp(dom(c), _.startsWith(p))
+      case sources.StringEndsWith(c, p) => evalStringOp(dom(c), _.endsWith(p))
+      case sources.StringContains(c, p) => evalStringOp(dom(c), _.contains(p))
       case sources.And(l, r) =>
-        (evalFilter(l, types, tuple), evalFilter(r, types, tuple)) match {
+        (evalFilter(l, domains), evalFilter(r, domains)) match {
           // FALSE dominates even an undecidable sibling
           case (Some(TFalse), _) | (_, Some(TFalse)) => Some(TFalse)
           case (Some(a), Some(b)) => Some(and3(a, b))
           case _ => None
         }
       case sources.Or(l, r) =>
-        (evalFilter(l, types, tuple), evalFilter(r, types, tuple)) match {
+        (evalFilter(l, domains), evalFilter(r, domains)) match {
           // TRUE dominates even an undecidable sibling
           case (Some(TTrue), _) | (_, Some(TTrue)) => Some(TTrue)
           case (Some(a), Some(b)) => Some(or3(a, b))
           case _ => None
         }
-      case sources.Not(inner) => evalFilter(inner, types, tuple).map(not3)
+      case sources.Not(inner) => evalFilter(inner, domains).map(not3)
       case _ => None
     }
   }
 
-  /** True when `f` is DEFINITELY decidable for every tuple a partitioned
-    * table can present — i.e. it references only partition columns in
-    * supported shapes. Per-file decidability still requires the file to
-    * CARRY a tuple covering those columns; callers check both. */
-  def referencesOnlyPartitionCols(f: Filter, types: Map[String, DataType]): Boolean =
-    f.references.forall(types.contains)
+  private def evalStringOp(d: Option[ColDomain],
+                           test: String => Boolean): Option[T3] = d.flatMap {
+    case DomNull => Some(TNull)
+    case DomPoint(StringType, s) => Some(if (test(s)) TTrue else TFalse)
+    case _ => None
+  }
+
+  /** Compatibility shape for IDENTITY-only callers: evaluate against a
+    * raw column→value tuple (every column an exact point). */
+  def evalFilter(f: Filter, types: Map[String, DataType],
+                 tuple: Map[String, Option[String]]): Option[T3] =
+    evalFilter(f, types.flatMap { case (c, dt) =>
+      tuple.get(c).map {
+        case None => c -> (DomNull: ColDomain)
+        case Some(s) => c -> (DomPoint(dt, s): ColDomain)
+      }
+    })
+
+  /** True when `f` references only partition SOURCE columns — the
+    * precondition for the evaluator to possibly decide it. Per-file
+    * decidability still requires the file to CARRY a tuple covering
+    * those fields in decidable shapes; callers check both. */
+  def referencesOnlyPartitionCols(f: Filter,
+                                  fields: Seq[(PartitionField, DataType)]): Boolean = {
+    val cols = fields.map(_._1.col).toSet
+    f.references.forall(cols.contains)
+  }
 
   /** Partition-prune a file set under one pushed filter: drops every
-    * entry whose EXACT tuple makes `f` definitely non-True (False and
-    * Null both exclude every row of the file), keeps the rest. The
-    * returned Boolean is "decidable for ALL entries" — when true the
-    * caller may CONSUME `f` (every row of every kept file is known to
-    * satisfy it, no residual evaluation needed); when false (a tuple-less
-    * legacy file, an uncovered column, an unsupported literal) the kept
-    * set is still sound but `f` must stay residual. */
+    * entry whose domains make `f` definitely non-True (False and Null
+    * both exclude every row of the file), keeps the rest. The returned
+    * Boolean is "decidable for ALL entries" — when true the caller may
+    * CONSUME `f` (every row of every kept file is known to satisfy it,
+    * no residual evaluation needed); when false (a tuple-less legacy
+    * file, an uncovered column, an interval the literal splits) the
+    * kept set is still sound but `f` must stay residual. */
   def pruneEntries[A](entries: Seq[A], tupleOf: A => String, f: Filter,
-                      types: Map[String, DataType]): (Seq[A], Boolean) = {
+                      fields: Seq[(PartitionField, DataType)]): (Seq[A], Boolean) = {
     var decidableAll = true
     val kept = entries.filter { e =>
       val ts = tupleOf(e)
       if (ts.isEmpty) { decidableAll = false; true }
-      else evalFilter(f, types, decodeTuple(ts)) match {
+      else evalFilter(f, fileDomains(fields, decodeTuple(ts))) match {
         case Some(TTrue) => true
         case Some(_) => false
         case None => decidableAll = false; true
@@ -359,15 +579,6 @@ object SnapshotPartition {
     case l: V2Literal[_] => Some(l.value)
     case _ => None
   }
-
-  /** The partition-tuple field for one row of a write, derived from the
-    * partition columns' ordinals in the write schema — the DSv2 writer's
-    * per-row keying function. */
-  def tupleOfRow(cols: Seq[String], types: Seq[DataType], ordinals: Seq[Int],
-                 row: SpecializedGetters): String =
-    encodeTuple(cols, types.zip(ordinals).map { case (dt, i) =>
-      canonicalOf(dt, row, i)
-    })
 
   /** The DSv2 `Predicate` shapes (DELETE WHERE, row-level conditions)
     * translated onto the v1 `Filter` evaluator above. None ⇒ shape not
@@ -413,36 +624,38 @@ object SnapshotPartition {
   }
 }
 
-/** `graft_part_canonical(c)` — [[SnapshotPartition.canonicalOfValue]] as
-  * a Catalyst expression, so the library write path can `partitionBy` on
-  * shadow canonical-string columns and read each file's tuple back off
-  * its directory name EXACTLY (expression-side and manifest-side
-  * canonicalization share one code path by construction). Write-staging
-  * only — never on a read hot path, so `CodegenFallback` costs nothing
-  * that matters; NULL in, NULL out (Spark's writer then uses its default
-  * null-partition directory name, decoded back to the tuple's NULL
-  * token). */
-case class PartitionCanonical(
+/** `graft_part_field('days', 0, c)` — [[SnapshotPartition.transformValue]]
+  * as a Catalyst expression, so the library write path can `partitionBy`
+  * on shadow canonical-string columns and read each file's tuple back
+  * off its directory name EXACTLY (expression-side and row-side writers
+  * share one code path by construction). Write-staging only — never on a
+  * read hot path, so `CodegenFallback` costs nothing that matters; NULL
+  * in, NULL out (Spark's writer then uses its default null-partition
+  * directory name, decoded back to the tuple's NULL token). */
+case class PartitionFieldExpr(
+    transform: String, n: Int,
     child: org.apache.spark.sql.catalyst.expressions.Expression)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 
+  private def field = SnapshotPartition.PartitionField(transform, "c", n)
+
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (SnapshotPartition.supportedType(child.dataType))
+    if (SnapshotPartition.supportedField(field, child.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_part_canonical: unsupported partition column type ${child.dataType}")
+      s"graft_part_field: unsupported $transform over ${child.dataType}")
 
   override protected def nullSafeEval(v: Any): Any =
     UTF8String.fromString(
-      SnapshotPartition.canonicalOfValue(child.dataType, v))
+      SnapshotPartition.transformValue(field, child.dataType, v))
 
   override protected def withNewChildInternal(
-      newChild: org.apache.spark.sql.catalyst.expressions.Expression): PartitionCanonical =
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): PartitionFieldExpr =
     copy(child = newChild)
 }

@@ -84,19 +84,44 @@ object SnapshotTable {
     }.flatten.toMap
     /** The DEFAULT app's ledger entry, if any (compat surface). */
     def txn: Option[Long] = txns.get("")
-    /** The table's identity-partition columns, from the `#partition
-      * c1,c2` metadata line every commit carries forward. Empty ⇒
-      * unpartitioned. */
-    def partitionCols: Seq[String] = meta.collectFirst {
+    /** The table's partition field SPECS (`col`, `days(col)`,
+      * `bucket[16](col)`), from the `#partition spec1,spec2` metadata
+      * line every commit carries forward. Empty ⇒ unpartitioned. */
+    def partitionSpecs: Seq[String] = meta.collectFirst {
       case l if l.startsWith("#partition ") =>
         l.stripPrefix("#partition ").trim.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
     }.getOrElse(Seq.empty)
+    /** Parsed partition fields. */
+    def partitionFields: Seq[SnapshotPartition.PartitionField] =
+      partitionSpecs.map(SnapshotPartition.parseField)
+    /** The fields' SOURCE columns (what writes must carry and the DSv2
+      * write clusters on for identity specs). */
+    def partitionCols: Seq[String] = partitionFields.map(_.col)
   }
 
-  /** The `#partition` manifest metadata line for `cols` (empty ⇒ none). */
-  private[storage] def partitionMeta(cols: Seq[String]): Seq[String] =
-    if (cols.isEmpty) Seq.empty else Seq(s"#partition ${cols.mkString(",")}")
+  /** The `#partition` manifest metadata line for field `specs` (empty ⇒
+    * none). */
+  private[storage] def partitionMeta(specs: Seq[String]): Seq[String] =
+    if (specs.isEmpty) Seq.empty else Seq(s"#partition ${specs.mkString(",")}")
+
+  /** Refuse a bad partition spec loudly at create time: unknown source
+    * column, transform/type mismatch, or two fields over one source
+    * column (the pruner maps each source column to ONE domain). */
+  private[storage] def validatePartitionSpecs(
+      specs: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val fields = specs.map(SnapshotPartition.parseField)
+    require(fields.map(_.col).distinct.length == fields.length,
+      s"at most one partition field per source column: $specs")
+    fields.foreach { f =>
+      val sf = schema.fields.find(_.name == f.col).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '${f.col}' not in ${schema.fieldNames.mkString(",")}"))
+      require(SnapshotPartition.supportedField(f, sf.dataType),
+        s"partition field '${f.key}' unsupported over type ${sf.dataType}")
+    }
+  }
 
   /** Age after which a fallback-path commit lock left by a crashed writer
     * is taken over (the commit-point flip it guards is milliseconds). */
@@ -144,9 +169,10 @@ object SnapshotTable {
     * partition tuple; the tuple is decoded back off the directory
     * segments into the manifest entry. */
   private def writeData(spark: SparkSession, root: String, df: DataFrame,
-                        partitionCols: Seq[String] = Seq.empty): Seq[FileEntry] = {
+                        partitionSpecs: Seq[String] = Seq.empty): Seq[FileEntry] = {
     val dir = new Path(new Path(root, "data"), java.util.UUID.randomUUID().toString)
-    if (partitionCols.isEmpty) df.write.parquet(dir.toString)
+    val keys = partitionSpecs.map(s => SnapshotPartition.parseField(s).key)
+    if (partitionSpecs.isEmpty) df.write.parquet(dir.toString)
     else {
       graft.functions.expressions.GraftFunctions.register(df.sparkSession)
       // the 'v' prefix keeps every non-null value out of the writer's
@@ -154,11 +180,13 @@ object SnapshotTable {
       // partition token (or the empty string, which Spark also writes as
       // that token) must not decode back as SQL NULL — that would be a
       // false-NEGATIVE prune, i.e. wrong results, not just a slow scan
-      val staged = partitionCols.foldLeft(df) { (d, c) =>
-        d.withColumn(shadowName(c),
-          org.apache.spark.sql.functions.expr(s"concat('v', graft_part_canonical(`$c`))"))
+      val staged = partitionSpecs.foldLeft(df) { (d, spec) =>
+        val f = SnapshotPartition.parseField(spec)
+        d.withColumn(shadowName(f.key),
+          org.apache.spark.sql.functions.expr(
+            s"concat('v', graft_part_field('${f.transform}', ${f.n}, `${f.col}`))"))
       }
-      staged.write.partitionBy(partitionCols.map(shadowName): _*)
+      staged.write.partitionBy(keys.map(shadowName): _*)
         .parquet(dir.toString)
     }
     val conf = spark.sparkContext.hadoopConfiguration
@@ -170,12 +198,12 @@ object SnapshotTable {
           try fr.getRecordCount finally fr.close()
         } catch { case _: Exception => -1L } // unknown, never wrong
       FileEntry(st.getPath.toString, rows, st.getLen,
-        tuple = if (partitionCols.isEmpty) ""
-                else tupleFromPath(st.getPath, partitionCols))
+        tuple = if (partitionSpecs.isEmpty) ""
+                else tupleFromPath(st.getPath, keys))
     }
   }
 
-  private def shadowName(c: String): String = s"__gp_$c"
+  private def shadowName(key: String): String = s"__gp_$key"
 
   /** Decode a staged file's partition tuple from its directory segments
     * (`.../__gp_c=<hive-escaped canonical>/part-*.parquet`). Spark's
@@ -184,7 +212,7 @@ object SnapshotTable {
     * manifest's own tuple format. A file missing a shadow segment (never
     * produced by the write above) gets an empty tuple — kept forever,
     * the no-false-negative degradation. */
-  private[storage] def tupleFromPath(file: Path, cols: Seq[String]): String = {
+  private[storage] def tupleFromPath(file: Path, keys: Seq[String]): String = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val found = scala.collection.mutable.Map.empty[String, Option[String]]
     var p = file.getParent
@@ -192,19 +220,22 @@ object SnapshotTable {
       val seg = p.getName
       val i = seg.indexOf('=')
       val raw = seg.substring(i + 1)
+      // the key side is Hive-escaped too (transform specs carry parens)
+      val key = ExternalCatalogUtils.unescapePathName(seg.substring(0, i))
+        .stripPrefix("__gp_")
       if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-        found(seg.substring("__gp_".length, i)) = None
+        found(key) = None
       else {
         val un = ExternalCatalogUtils.unescapePathName(raw)
         // every non-null shadow value carries the 'v' sentinel (see the
         // staging write); anything else is malformed → no tuple
         if (!un.startsWith("v")) return ""
-        found(seg.substring("__gp_".length, i)) = Some(un.substring(1))
+        found(key) = Some(un.substring(1))
       }
       p = p.getParent
     }
-    if (cols.forall(found.contains))
-      SnapshotPartition.encodeTuple(cols, cols.map(found))
+    if (keys.forall(found.contains))
+      SnapshotPartition.encodeTuple(keys, keys.map(found))
     else ""
   }
 
@@ -308,7 +339,7 @@ object SnapshotTable {
   private[storage] def nextMeta(base: Option[Snapshot], txn: Option[Long],
                                 txnApp: String = ""): Seq[String] = {
     val m = base.map(_.txns).getOrElse(Map.empty) ++ txn.map(txnApp -> _)
-    partitionMeta(base.map(_.partitionCols).getOrElse(Seq.empty)) ++
+    partitionMeta(base.map(_.partitionSpecs).getOrElse(Seq.empty)) ++
       m.toSeq.sortBy(_._1).map {
         case ("", id) => s"#txn $id"
         case (app, id) => s"#txn $app $id"
@@ -835,13 +866,7 @@ object SnapshotTable {
              txnApp: String = "",
              partitionBy: Seq[String] = Seq.empty): Long = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
-    partitionBy.foreach { c =>
-      val f = df.schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"partition column '$c' not in ${df.columns.mkString(",")}"))
-      require(SnapshotPartition.supportedType(f.dataType),
-        s"partition column '$c' has unsupported type ${f.dataType}")
-    }
+    validatePartitionSpecs(partitionBy, df.schema)
     val files = writeData(spark, root, df, partitionBy)
     val st = collectStats(spark, files.map(_.path), statsCols)
     try {
@@ -927,7 +952,7 @@ object SnapshotTable {
       .getOrElse(merged)
     // a partitioned table's copy-on-write stays tuple-pure: the
     // partitioned staging write re-derives every file's tuple
-    val files = writeData(spark, root, out, snap.partitionCols)
+    val files = writeData(spark, root, out, snap.partitionSpecs)
     val st = collectStats(spark, files.map(_.path), statsCols)
     val next = snap.version + 1
     try {
@@ -977,7 +1002,7 @@ object SnapshotTable {
             s"${baseSchema.simpleString}; pass mergeSchema=true for add-column evolution")
         baseSchema
       }
-    val files = writeData(spark, root, df, snap.partitionCols)
+    val files = writeData(spark, root, df, snap.partitionSpecs)
     val st = statsLines(spark, root, snap.version) ++
       collectStats(spark, files.map(_.path), statsCols)
     val next = snap.version + 1
@@ -1025,19 +1050,25 @@ object SnapshotTable {
     txnGate(snap, txn, txnApp)
     val schema = tableSchema(spark, root, snap.version)
     val cur = readFiles(spark, snap.files, schema)
-    val pcols = snap.partitionCols
-    if (pcols.nonEmpty) {
+    val pspecs = snap.partitionSpecs
+    if (pspecs.nonEmpty) {
       // a partitioned table's compaction bin-packs WITHIN partitions:
-      // hash-cluster whole tuples over targetFiles tasks, then the
-      // partitioned staging write emits one tuple-pure file per
-      // (task, tuple) — small per-tuple file sets collapse to one file
-      // each, and re-clustering on other columns (clusterBy / zorderBy)
-      // is refused loudly rather than silently fragmenting tuples
+      // hash-cluster whole tuples (the TRANSFORMED field values, so a
+      // day's rows stay together under days(ts)) over targetFiles
+      // tasks, then the partitioned staging write emits one tuple-pure
+      // file per (task, tuple) — small per-tuple file sets collapse to
+      // one file each, and re-clustering on other columns (clusterBy /
+      // zorderBy) is refused loudly rather than silently fragmenting
+      // tuples
       require(clusterBy.isEmpty && zorderBy.isEmpty,
         "clusterBy/zorderBy compaction is not supported on a partitioned " +
-          s"table (partitioned by ${pcols.mkString(",")})")
-      val out = cur.repartition(targetFiles, pcols.map(col): _*)
-      val files = writeData(spark, root, out, pcols)
+          s"table (partitioned by ${pspecs.mkString(",")})")
+      graft.functions.expressions.GraftFunctions.register(spark)
+      val keyExprs = snap.partitionFields.map(f =>
+        org.apache.spark.sql.functions.expr(
+          s"graft_part_field('${f.transform}', ${f.n}, `${f.col}`)"))
+      val out = cur.repartition(targetFiles, keyExprs: _*)
+      val files = writeData(spark, root, out, pspecs)
       val st = collectStats(spark, files.map(_.path), statsCols)
       val next = snap.version + 1
       try {

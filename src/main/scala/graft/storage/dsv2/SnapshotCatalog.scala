@@ -96,29 +96,37 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
-    // PARTITIONED BY (c1, c2) — identity transforms only (the manifest
-    // records EXACT per-file tuples; bucketing/date transforms would
-    // need a transform evaluator the format does not define)
-    val pcols = info.partitions().toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 &&
-        t.references()(0).fieldNames.length == 1 =>
+    // PARTITIONED BY (c, days(ts), months(d), hours(ts), bucket(16, k))
+    // — the transform set the manifest's tuple evaluator defines
+    val pspecs = info.partitions().toSeq.map { t =>
+      def ref: String = {
+        require(t.references.length == 1 && t.references()(0).fieldNames.length == 1,
+          s"single-column transform expected, got $t")
         t.references()(0).fieldNames()(0)
-      case other => throw new UnsupportedOperationException(
-        s"graft-snapshot supports only identity PARTITIONED BY columns, got $other")
+      }
+      t.name match {
+        case "identity" => ref
+        case "days" => s"days($ref)"
+        case "months" => s"months($ref)"
+        case "hours" => s"hours($ref)"
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value.isInstanceOf[Int] => l.value.asInstanceOf[Int]
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform needs an INT bucket count: $t"))
+          s"bucket[$n]($ref)"
+        case other => throw new UnsupportedOperationException(
+          s"graft-snapshot does not support PARTITIONED BY transform '$other'")
+      }
     }
-    pcols.foreach { c =>
-      val f = info.schema().fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"partition column '$c' not in ${info.schema().simpleString}"))
-      require(graft.storage.SnapshotPartition.supportedType(f.dataType),
-        s"partition column '$c' has unsupported type ${f.dataType}")
-    }
+    SnapshotTable.validatePartitionSpecs(pspecs, info.schema())
     if (ident.namespace.nonEmpty && !fs.exists(nsPath(ident.namespace)))
       throw new NoSuchNamespaceException(ident.namespace)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val root = tablePath(ident).toString
     // an empty, TYPED v1: zero-file manifest + schema sidecar, atomic
-    val meta = SnapshotTable.partitionMeta(pcols)
+    val meta = SnapshotTable.partitionMeta(pspecs)
     SnapshotTable.commit(spark, root, 1L, Seq.empty, meta)
     SnapshotTable.writeSchema(spark, root, 1L, info.schema())
     new SnapshotTableV2(root, Some(SnapshotTable.Snapshot(1L, Seq.empty, meta)),

@@ -268,10 +268,19 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
   override def name(): String =
     s"graft-snapshot:$root@v${snap.map(_.version).getOrElse(0L)}"
   override def schema(): StructType = schema
-  override def partitioning(): Array[Transform] =
-    snap.map(_.partitionCols).getOrElse(Seq.empty)
-      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
-      .toArray
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    snap.map(_.partitionFields).getOrElse(Seq.empty).map { f =>
+      f.transform match {
+        case "identity" => Expressions.identity(f.col)
+        case "days" => Expressions.days(f.col)
+        case "months" => Expressions.months(f.col)
+        case "hours" => Expressions.hours(f.col)
+        case "bucket" => Expressions.bucket(f.n, f.col)
+        case other => throw new IllegalStateException(s"unknown transform $other")
+      }
+    }.toArray
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
@@ -320,16 +329,12 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
   private var allConsumed = false
   private var countStar = false
 
-  /** The table's partition-column types, when every declared partition
-    * column is present in this read's schema (a pre-partitioning
-    * time-travel version reads as unpartitioned). */
-  private val partTypes: Map[String, org.apache.spark.sql.types.DataType] = {
-    val cols = snap.partitionCols
-    val byName = fullSchema.fields.map(f => f.name -> f.dataType).toMap
-    if (cols.nonEmpty && cols.forall(byName.contains))
-      cols.map(c => c -> byName(c)).toMap
-    else Map.empty
-  }
+  /** The table's partition fields resolved against this read's schema
+    * (empty when unpartitioned, or when a source column is missing — a
+    * pre-partitioning time-travel version reads as unpartitioned). */
+  private val partFields
+      : Seq[(SnapshotPartition.PartitionField, org.apache.spark.sql.types.DataType)] =
+    SnapshotPartition.fieldsOf(snap.partitionSpecs, fullSchema)
 
   /** Entries surviving exact partition pruning (all of them when the
     * table is unpartitioned or no partition predicate was pushed). */
@@ -349,15 +354,15 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     sawFilters = filters.nonEmpty
     accepted = filters.filter(f => SnapshotFilters.bound(f).isDefined)
-    if (partTypes.isEmpty) return filters
+    if (partFields.isEmpty) return filters
     val residual = Array.newBuilder[Filter]
     val consumed = Array.newBuilder[Filter]
     var entries = snap.entries
     filters.foreach { f =>
-      if (SnapshotPartition.referencesOnlyPartitionCols(f, partTypes)) {
+      if (SnapshotPartition.referencesOnlyPartitionCols(f, partFields)) {
         val (kept, decidableAll) =
           SnapshotPartition.pruneEntries[SnapshotTable.FileEntry](
-            entries, _.tuple, f, partTypes)
+            entries, _.tuple, f, partFields)
         entries = kept
         if (decidableAll) consumed += f else residual += f
       } else residual += f
@@ -724,36 +729,36 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
   override def build(): Write = new Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
-    /** The table's partition columns: an existing table's committed spec
-      * (immutable after create), else the create option shaping a table
-      * this write mints. Resolved once at plan time; validated against
-      * the WRITE schema — a partitioned table's writes must carry their
-      * partition columns. */
-    private val pcols: Seq[String] = {
-      val cols = SnapshotTable.latest(SparkSession.active, root)
-        .map(_.partitionCols).getOrElse(createPartitionBy)
-      cols.foreach { c =>
-        val f = schema.fields.find(_.name == c).getOrElse(
-          throw new IllegalArgumentException(
-            s"partition column '$c' not in write schema ${schema.simpleString}"))
-        require(SnapshotPartition.supportedType(f.dataType),
-          s"partition column '$c' has unsupported type ${f.dataType}")
-      }
-      cols
+    /** The table's partition field specs: an existing table's committed
+      * spec (immutable after create), else the create option shaping a
+      * table this write mints. Resolved once at plan time; validated
+      * against the WRITE schema — a partitioned table's writes must
+      * carry their partition source columns. */
+    private val pspecs: Seq[String] = {
+      val specs = SnapshotTable.latest(SparkSession.active, root)
+        .map(_.partitionSpecs).getOrElse(createPartitionBy)
+      SnapshotTable.validatePartitionSpecs(specs, schema)
+      specs
     }
+    private val pfields = pspecs.map(SnapshotPartition.parseField)
 
-    /** Hash-cluster rows by partition tuple before the write (Iceberg's
-      * hash distribution mode): each tuple lands in ONE task, so the
-      * fanout writer emits exactly one file per tuple per write — the
-      * shuffle is the price of tuple-purity, and only partitioned
-      * tables pay it. */
+    /** Hash-cluster rows by partition source columns before the write
+      * (Iceberg's hash distribution mode): for IDENTITY specs each
+      * tuple lands in ONE task, so the fanout writer emits exactly one
+      * file per tuple per write — the shuffle is the price of
+      * tuple-purity, and only partitioned tables pay it. Vanilla Spark
+      * cannot resolve transform expressions (days/bucket/...) in a
+      * connector's required distribution without a FunctionCatalog, so
+      * transformed specs take no distribution — the fanout writer stays
+      * tuple-pure, merely more fragmented (compaction bin-packs, and
+      * callers can pre-repartition by the transform). */
     override def requiredDistribution()
         : org.apache.spark.sql.connector.distributions.Distribution =
-      if (pcols.isEmpty)
+      if (pfields.isEmpty || pfields.exists(_.transform != "identity"))
         org.apache.spark.sql.connector.distributions.Distributions.unspecified()
       else org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        pcols.map(c =>
-          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+        pfields.map(f =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(f.col)
             .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression])
           .toArray)
     override def requiredOrdering()
@@ -761,7 +766,7 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
 
     override def toBatch: BatchWrite =
       new SnapshotBatchWrite(root, schema, overwrite, statsCols, mergeSchema,
-        PartitionWriteSpec.of(schema, pcols))
+        PartitionWriteSpec.of(schema, pspecs))
     /** `stream.writeStream.format("graft-snapshot").start(root)` — the
       * NATIVE exactly-once streaming sink (no foreachBatch adapter
       * needed): each epoch appends staged files with its epoch id in the
@@ -773,27 +778,31 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new SnapshotStreamingWrite(root, schema, overwrite, statsCols,
         mergeSchema, appId = s"stream-$queryId",
-        part = PartitionWriteSpec.of(schema, pcols))
+        part = PartitionWriteSpec.of(schema, pspecs))
   }
 }
 
-/** Executor-shippable partition-write spec: column names, types, and
-  * their ordinals in the write schema — everything
-  * [[SnapshotPartition.tupleOfRow]] needs per row. */
-final case class PartitionWriteSpec(cols: Seq[String],
+/** Executor-shippable partition-write spec: the parsed fields, their
+  * source types, and the sources' ordinals in the write schema —
+  * everything [[SnapshotPartition.tupleOfRow]] needs per row. */
+final case class PartitionWriteSpec(specs: Seq[String],
+                                    fields: Seq[SnapshotPartition.PartitionField],
                                     types: Seq[org.apache.spark.sql.types.DataType],
                                     ordinals: Seq[Int]) extends Serializable {
   def tupleOf(row: InternalRow): String =
-    SnapshotPartition.tupleOfRow(cols, types, ordinals, row)
+    SnapshotPartition.tupleOfRow(fields, types, ordinals, row)
 }
 
 object PartitionWriteSpec {
   /** None when unpartitioned (the writer then skips per-row keying). */
-  def of(schema: StructType, cols: Seq[String]): Option[PartitionWriteSpec] =
-    if (cols.isEmpty) None
-    else Some(PartitionWriteSpec(cols,
-      cols.map(c => schema.fields(schema.fieldIndex(c)).dataType),
-      cols.map(schema.fieldIndex)))
+  def of(schema: StructType, specs: Seq[String]): Option[PartitionWriteSpec] =
+    if (specs.isEmpty) None
+    else {
+      val fields = specs.map(SnapshotPartition.parseField)
+      Some(PartitionWriteSpec(specs, fields,
+        fields.map(f => schema.fields(schema.fieldIndex(f.col)).dataType),
+        fields.map(f => schema.fieldIndex(f.col))))
+    }
 }
 
 final case class SnapshotCommitMessage(
@@ -832,7 +841,7 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
     // a write that CREATES the table mints its partition spec; on an
     // existing table nextMeta carries the committed spec forward
     val createMeta =
-      SnapshotTable.partitionMeta(part.map(_.cols).getOrElse(Seq.empty))
+      SnapshotTable.partitionMeta(part.map(_.specs).getOrElse(Seq.empty))
     // an empty frame stages nothing: APPENDING it to an EXISTING table is
     // a no-op. Everything else commits: an empty overwrite of an existing
     // table is a TRUNCATE (zero-file manifest, old rows gone), and an
@@ -974,7 +983,7 @@ final class SnapshotStreamingWrite(root: String, schema: StructType,
         }
         SnapshotTable.commit(spark, root, v, all,
           (if (cur.isEmpty)
-            SnapshotTable.partitionMeta(part.map(_.cols).getOrElse(Seq.empty))
+            SnapshotTable.partitionMeta(part.map(_.specs).getOrElse(Seq.empty))
           else Seq.empty) ++
             SnapshotTable.nextMeta(cur, Some(epochId), appId))
         SnapshotTable.writeStats(spark, root, v, lines)

@@ -88,26 +88,19 @@ object SnapshotMetadataDelete {
     if (predicates.isEmpty) return None // DELETE FROM t (no WHERE) is TRUNCATE
 
     // ---- tier 1 machinery: tuple tri-state over the predicate conjunction
-    val partTypes: Map[String, org.apache.spark.sql.types.DataType] = {
-      val cols = snap.partitionCols
-      if (cols.isEmpty) Map.empty
-      else SnapshotTable.tableSchema(spark, root, snap.version) match {
-        case Some(sch) =>
-          val byName = sch.fields.map(f => f.name -> f.dataType).toMap
-          if (cols.forall(byName.contains)) cols.map(c => c -> byName(c)).toMap
-          else Map.empty
-        case None => Map.empty
-      }
-    }
+    val partFields = SnapshotTable.tableSchema(spark, root, snap.version)
+      .map(sch => graft.storage.SnapshotPartition.fieldsOf(snap.partitionSpecs, sch))
+      .getOrElse(Seq.empty)
     val v1 = predicates.toSeq.map(graft.storage.SnapshotPartition.v2ToV1)
 
     /** Some(true)=drop whole file, Some(false)=retain verbatim, None=open. */
     def tupleVerdict(e: SnapshotTable.FileEntry): Option[Boolean] =
-      if (partTypes.isEmpty || e.tuple.isEmpty) None
+      if (partFields.isEmpty || e.tuple.isEmpty) None
       else {
-        val t = graft.storage.SnapshotPartition.decodeTuple(e.tuple)
+        val domains = graft.storage.SnapshotPartition.fileDomains(partFields,
+          graft.storage.SnapshotPartition.decodeTuple(e.tuple))
         val evals = v1.map(_.flatMap(f =>
-          graft.storage.SnapshotPartition.evalFilter(f, partTypes, t)))
+          graft.storage.SnapshotPartition.evalFilter(f, domains)))
         import graft.storage.SnapshotPartition.TTrue
         if (evals.exists(_.exists(_ != TTrue))) Some(false)
         else if (evals.forall(_.contains(TTrue))) Some(true)

@@ -86,7 +86,7 @@ final class SnapshotRowLevelOperation(root: String,
             // a partitioned table's rewrite fans out per tuple, so SQL
             // row-level ops keep files tuple-pure (partition pruning
             // keeps working after an UPDATE/MERGE)
-            PartitionWriteSpec.of(info.schema(), snap.partitionCols))
+            PartitionWriteSpec.of(info.schema(), snap.partitionSpecs))
         override def description(): String =
           s"graft-snapshot replace-data $cmd root=$root base=v${snap.version}"
       }
@@ -124,20 +124,15 @@ final class GroupRewriteScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     // matches the condition is never scanned — and therefore retained
     // verbatim by the rewrite commit, bounding a partition-aligned
     // DELETE/UPDATE to the matching partitions
-    val partTypes = {
-      val cols = snap.partitionCols
-      val byName = fullSchema.fields.map(f => f.name -> f.dataType).toMap
-      if (cols.nonEmpty && cols.forall(byName.contains))
-        cols.map(c => c -> byName(c)).toMap
-      else Map.empty[String, org.apache.spark.sql.types.DataType]
-    }
+    val partFields =
+      graft.storage.SnapshotPartition.fieldsOf(snap.partitionSpecs, fullSchema)
     val partKept =
-      if (partTypes.isEmpty) snap.entries
+      if (partFields.isEmpty) snap.entries
       else allPushed.filter(f =>
-        graft.storage.SnapshotPartition.referencesOnlyPartitionCols(f, partTypes))
+        graft.storage.SnapshotPartition.referencesOnlyPartitionCols(f, partFields))
         .foldLeft(snap.entries) { (entries, f) =>
           graft.storage.SnapshotPartition
-            .pruneEntries[SnapshotTable.FileEntry](entries, _.tuple, f, partTypes)._1
+            .pruneEntries[SnapshotTable.FileEntry](entries, _.tuple, f, partFields)._1
         }
     val bounds = SnapshotFilters.intervals(accepted)
     val st = SnapshotTable.stats(spark, root, snap.version)

@@ -177,14 +177,18 @@ class SnapshotPartitionedDsv2Spec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS del_pt")
   }
 
-  test("PARTITIONED BY refuses non-identity transforms and bad columns") {
-    intercept[Exception] {
+  test("PARTITIONED BY refuses unknown transforms and bad columns") {
+    intercept[Exception] { // years() is not in the evaluator's transform set
       spark.sql("CREATE TABLE graftp.badpt (k BIGINT, t TIMESTAMP) " +
-        "USING `graft-snapshot` PARTITIONED BY (days(t))")
+        "USING `graft-snapshot` PARTITIONED BY (years(t))")
     }
-    intercept[Exception] {
+    intercept[Exception] { // identity over a non-scalar type
       spark.sql("CREATE TABLE graftp.badpt2 (k BIGINT, a ARRAY<DOUBLE>) " +
         "USING `graft-snapshot` PARTITIONED BY (a)")
+    }
+    intercept[Exception] { // hours() needs a timestamp source
+      spark.sql("CREATE TABLE graftp.badpt3 (k BIGINT, d DATE) " +
+        "USING `graft-snapshot` PARTITIONED BY (hours(d))")
     }
   }
 }
