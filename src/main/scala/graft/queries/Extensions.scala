@@ -929,6 +929,22 @@ object Extensions {
         .where(col("prio") === "5-LOW")
         .groupBy().count().select(col("count").as("n"))
     },
+    // SHOW PARTITIONS as a metadata read: one row per tuple with file
+    // and row totals, answered from ONE manifest read (LocalScan, zero
+    // data I/O — the spec asserts the plan). n_files is 1 per tuple by
+    // the clustered fanout write; rows replay as a plain GROUP BY.
+    "SNAPSHOT-PARTITIONS" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_snapplist")
+        .toString + "/t"
+      s.table("orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
+        .write.format("graft-snapshot").option("partitionBy", "prio")
+        .mode("append").save(root)
+      s.read.format("graft-snapshot").option("partitions", "true").load(root)
+        .select(col("partition"), col("n_files"), col("total_rows"))
+        .orderBy("partition")
+    },
     // MERGE with BOTH arms in one commit: tombstones delete every 7th
     // key (WHEN MATCHED THEN DELETE), disjoint upserts rewrite every
     // remaining 5th key — disjoint so last-write-wins never has to break
@@ -2335,6 +2351,10 @@ object Extensions {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY month ORDER BY month""".stripMargin,
+    "SNAPSHOT-PARTITIONS" ->
+      """SELECT 'prio=' || o_orderpriority AS partition,
+        |  CAST(1 AS BIGINT) AS n_files, count(*) AS total_rows
+        |FROM orders GROUP BY partition ORDER BY partition""".stripMargin,
     // both MERGE arms replayed: every 7th key deleted, every remaining
     // 5th rewritten
     "UPSERT-DELETE" ->

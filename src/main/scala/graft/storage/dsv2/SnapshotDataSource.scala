@@ -141,8 +141,12 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
   private def historyRead(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("history", false)
 
+  private def partitionsRead(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("partitions", false)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     if (historyRead(options)) return SnapshotHistoryTable.SCHEMA
+    if (partitionsRead(options)) return SnapshotPartitionsTable.SCHEMA
     val snap = resolve(options)
     pinned.set(Some((root(options), resolutionKey(options), snap)))
     // the version's schema sidecar wins (it can be WIDER than any one
@@ -171,6 +175,8 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     if (historyRead(options)) return new SnapshotHistoryTable(root(options))
+    if (partitionsRead(options))
+      return new SnapshotPartitionsTable(root(options), resolve(options))
     // absent table ⇒ readable only after a first write commits. The
     // pinned resolution (from the inferSchema call that produced
     // `schema`) keeps both calls on ONE version; the passed-in schema is
@@ -567,6 +573,66 @@ object SnapshotHistoryTable {
     StructField("txn_batch", LongType, nullable = true),
     StructField("has_schema", BooleanType, nullable = false),
     StructField("total_rows", LongType, nullable = true)))
+}
+
+/** SHOW PARTITIONS through the connector:
+  * `spark.read.format("graft-snapshot").option("partitions", true)
+  * .load(root)` — one row per distinct partition tuple with its file
+  * count and manifest-recorded row/byte totals, computed driver-side
+  * from ONE manifest read (a `LocalScan`: zero executor work, zero data
+  * I/O — the observability face of exact-tuple partitioning). Respects
+  * versionAsOf/timestampAsOf like any other read; files without a tuple
+  * (an unpartitioned table, pre-partitioning legacy files) group under
+  * the empty partition string. */
+object SnapshotPartitionsTable {
+  import org.apache.spark.sql.types._
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("total_rows", LongType, nullable = true),
+    StructField("total_bytes", LongType, nullable = true)))
+
+  /** Human form of a stored tuple: `key=value/...` in spec order,
+    * NULL spelled `null`. */
+  def humanTuple(specs: Seq[String], tuple: String): String = {
+    val decoded = SnapshotPartition.decodeTuple(tuple)
+    val keys = specs.map(s => SnapshotPartition.parseField(s).key)
+    keys.flatMap(k => decoded.get(k).map(v => s"$k=${v.getOrElse("null")}"))
+      .mkString("/")
+  }
+}
+
+final class SnapshotPartitionsTable(root: String, snap: SnapshotTable.Snapshot)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-snapshot-partitions:$root@v${snap.version}"
+  override def schema(): StructType = SnapshotPartitionsTable.SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new Scan with org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = SnapshotPartitionsTable.SCHEMA
+          override def description(): String =
+            s"graft-snapshot partitions root=$root v${snap.version} (driver-side metadata)"
+          override def rows(): Array[InternalRow] = {
+            val specs = snap.partitionSpecs
+            snap.entries.groupBy(e =>
+              SnapshotPartitionsTable.humanTuple(specs, e.tuple))
+              .toSeq.sortBy(_._1)
+              .map { case (part, es) =>
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](
+                    org.apache.spark.unsafe.types.UTF8String.fromString(part),
+                    es.size.toLong,
+                    if (es.forall(_.rows >= 0L)) Long.box(es.map(_.rows).sum)
+                    else null,
+                    if (es.forall(_.bytes >= 0L)) Long.box(es.map(_.bytes).sum)
+                    else null))
+              }.toArray
+          }
+        }
+    }
 }
 
 final class SnapshotHistoryTable(root: String) extends Table with SupportsRead {

@@ -81,6 +81,32 @@ object PartitionScaleProbe {
     val (c2, _) = time(spark.sql("SELECT count(*) FROM part_probe").head.getLong(0))
     assert(c2 == rows - rows / parts)
     spark.sql("DROP TABLE IF EXISTS part_probe")
+
+    // the metrics-store shape: days(ts) partitioning + aligned retention
+    // DELETE — whole days drop in one manifest commit, zero rewrite
+    val troot = java.nio.file.Files.createTempDirectory("partscale_t").toString + "/t"
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    val days = 32L
+    spark.range(rows).select(col("id").as("k"),
+        org.apache.spark.sql.functions.timestamp_micros(
+          fexpr(s"id % $days") * 86400000000L +
+            fexpr(s"id div $days") % 86400L * 1000000L).as("ts"),
+        sha2(col("id").cast("string"), 256).as("pad"))
+      .write.format("graft-snapshot").option("partitionBy", "days(ts)")
+      .mode("append").save(troot)
+    val tsnap = graft.storage.SnapshotTable.latest(spark, troot).get
+    println(s"days(ts) table: ${tsnap.entries.size} files over $days days")
+    val beforeT = tsnap.files.toSet
+    spark.sql(s"CREATE TABLE ts_probe USING `graft-snapshot` OPTIONS (path '$troot')")
+    val (_, tRet) = time(spark.sql(
+      "DELETE FROM ts_probe WHERE ts < timestamp_micros(" + 8 * 86400000000L + ")"))
+    val afterT = graft.storage.SnapshotTable.latest(spark, troot).get
+    println(f"aligned retention DELETE (8 of $days%d days): $tRet%.3f s " +
+      f"(${beforeT.size}%d -> ${afterT.entries.size}%d files, metadata-only)")
+    assert(afterT.files.toSet.subsetOf(beforeT), "retention DELETE rewrote files")
+    val (cT, _) = time(spark.sql("SELECT count(*) FROM ts_probe").head.getLong(0))
+    assert(cT == rows - rows * 8 / days, s"retention count $cT")
+    spark.sql("DROP TABLE IF EXISTS ts_probe")
     println("PartitionScaleProbe OK")
     spark.stop()
   }

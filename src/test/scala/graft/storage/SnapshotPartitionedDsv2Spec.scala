@@ -177,6 +177,26 @@ class SnapshotPartitionedDsv2Spec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS del_pt")
   }
 
+  test("option partitions=true lists tuples with file/row/byte totals, zero data I/O") {
+    val root = newRoot()
+    writePartitioned(root) // 3 partitions × 3000 rows
+    val parts = spark.read.format("graft-snapshot")
+      .option("partitions", "true").load(root)
+      .orderBy("partition")
+      .collect()
+    assert(parts.map(_.getString(0)).toSeq === Seq("g=0", "g=1", "g=2"))
+    assert(parts.map(_.getLong(1)).toSeq === Seq(1L, 1L, 1L))
+    assert(parts.map(_.getLong(2)).toSeq === Seq(3000L, 3000L, 3000L))
+    parts.foreach(r => assert(r.getLong(3) > 0L))
+    // the plan is a driver-side LocalScan — no executor scan of data
+    val df = spark.read.format("graft-snapshot")
+      .option("partitions", "true").load(root)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan") ||
+      df.queryExecution.executedPlan.toString.contains("driver-side"),
+      s"expected a LocalScan:\n${df.queryExecution.executedPlan}")
+  }
+
   test("PARTITIONED BY refuses unknown transforms and bad columns") {
     intercept[Exception] { // years() is not in the evaluator's transform set
       spark.sql("CREATE TABLE graftp.badpt (k BIGINT, t TIMESTAMP) " +
