@@ -218,6 +218,24 @@ object SnapshotPartition {
       s"days/months over $other")
   }
 
+  /** A stored canonical value back in Spark's INTERNAL form (UTF8String,
+    * days-Int, micros-Long) — what a `HasPartitionKey` row must carry
+    * for storage-partitioned joins. Inverse of [[canonicalOfValue]]. */
+  def internalOfCanonical(dt: DataType, s: String): Any = dt match {
+    case BooleanType => s.toBoolean
+    case ByteType => s.toByte
+    case ShortType => s.toShort
+    case IntegerType => s.toInt
+    case LongType => s.toLong
+    case FloatType => s.toFloat
+    case DoubleType => s.toDouble
+    case StringType => UTF8String.fromString(s)
+    case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
+    case TimestampType | TimestampNTZType => s.toLong
+    case other => throw new UnsupportedOperationException(
+      s"unsupported partition column type $other")
+  }
+
   /** Deterministic bucket of a canonical value string — write side and
     * prune side share it; it does not need to (and does not) match any
     * engine's hash, only itself. */

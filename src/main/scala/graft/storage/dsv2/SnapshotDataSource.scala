@@ -426,6 +426,43 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     buildRowScan()
   }
 
+  /** STORAGE-PARTITIONED JOIN grouping: when the session opted into V2
+    * bucketing, the spec is identity-only, and every planned file
+    * carries a full tuple, group the planned files by tuple and report
+    * `KeyGroupedPartitioning` — two snapshot tables partitioned alike
+    * then join on their partition columns with NO shuffle on either
+    * side. Gated on the conf (Iceberg's rule too) because grouping
+    * collapses read parallelism to one task per partition — a cost only
+    * worth paying when the planner can actually elide a shuffle. */
+  private def spjGroups(keep: Seq[String])
+      : Option[(Array[org.apache.spark.sql.connector.expressions.Expression],
+                Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[String])])] = {
+    val spark = SparkSession.active
+    if (!spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+        .equalsIgnoreCase("true")) return None
+    if (partFields.isEmpty || partFields.exists(_._1.transform != "identity"))
+      return None
+    val keepSet = keep.map(SnapshotTable.norm).toSet
+    val entries = partKept.filter(e => keepSet(SnapshotTable.norm(e.path)))
+    val keys = partFields.map(_._1.key)
+    val decoded = entries.map(e => e -> SnapshotPartition.decodeTuple(e.tuple))
+    if (decoded.exists { case (_, t) => !keys.forall(t.contains) }) return None
+    val groups = decoded.groupBy { case (_, t) => keys.map(t(_)) }.toSeq
+      .sortBy(_._1.map(_.getOrElse(" ")).mkString(""))
+      .map { case (vals, es) =>
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          partFields.zip(vals).map { case ((_, dt), v) =>
+            v.map(SnapshotPartition.internalOfCanonical(dt, _)).orNull
+          }.toArray[Any])
+        (row: org.apache.spark.sql.catalyst.InternalRow, es.map(_._1.path))
+      }
+    val exprs = partFields.map { case (f, _) =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(f.col)
+        .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]
+    }.toArray
+    Some((exprs, groups))
+  }
+
   private def buildRowScan(): Scan = {
     val spark = SparkSession.active
     val bounds = SnapshotFilters.intervals(accepted)
@@ -456,7 +493,7 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
       }
     new SnapshotScan(root, snap.version, keep, snap.files.size, bytes, required,
       accepted, spark.sessionState.newHadoopConf(), columnar,
-      startingVersion, ignoreRewrites)
+      startingVersion, ignoreRewrites, spj = spjGroups(keep))
   }
 }
 
@@ -498,11 +535,28 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
                          pushed: Array[Filter], conf: Configuration,
                          columnar: Boolean = true,
                          startingVersion: Option[Long] = None,
-                         ignoreRewrites: Boolean = false)
-  extends Scan with Batch with SupportsReportStatistics {
+                         ignoreRewrites: Boolean = false,
+                         spj: Option[(Array[org.apache.spark.sql.connector.expressions.Expression],
+                           Seq[(InternalRow, Seq[String])])] = None)
+  extends Scan with Batch with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Key-grouped when SPJ-eligible (see `spjGroups`), else unknown —
+    * reporting the grouping is what lets Catalyst plan a co-located
+    * join with no exchange on this side. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spj match {
+      case Some((exprs, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(exprs, groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(files.size)
+    }
 
   /** STREAMING read: the table as a stream of committed versions —
     * each micro-batch is the files APPENDED by the versions between two
@@ -549,8 +603,13 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
   def plannedFiles: Seq[String] = files
   def totalFileCount: Int = totalFiles
 
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => SnapshotFilePartition(f): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = spj match {
+    case Some((_, groups)) =>
+      groups.map { case (key, fs) =>
+        SnapshotTupleGroupPartition(fs, key): InputPartition
+      }.toArray
+    case None => files.map(f => SnapshotFilePartition(f): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapshotReaderFactory(required, SnapshotFilters.intervals(pushed),
@@ -558,6 +617,14 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
 }
 
 final case class SnapshotFilePartition(file: String) extends InputPartition
+
+/** One partition VALUE's whole file set as a single input partition —
+  * the unit a storage-partitioned join aligns on. */
+final case class SnapshotTupleGroupPartition(files: Seq[String],
+                                             key: InternalRow)
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 /** DESCRIBE HISTORY through the connector:
   * `spark.read.format("graft-snapshot").option("history", true)
@@ -757,16 +824,46 @@ final class SnapshotReaderFactory(required: StructType,
                                   conf: SerializableHadoopConf,
                                   columnar: Boolean = false)
   extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[SnapshotFilePartition].file
-    new SnapshotPartitionReader(file, required, intervals, conf.value)
+
+  private def filesOf(partition: InputPartition): Seq[String] = partition match {
+    case SnapshotFilePartition(f) => Seq(f)
+    case SnapshotTupleGroupPartition(fs, _) => fs
+    case other => throw new IllegalStateException(s"unexpected partition $other")
   }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    ConcatReader(filesOf(partition))(
+      f => new SnapshotPartitionReader(f, required, intervals, conf.value))
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val file = partition.asInstanceOf[SnapshotFilePartition].file
-    new SnapshotColumnarReader(file, required, intervals, conf.value)
-  }
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    ConcatReader(filesOf(partition))(
+      f => new SnapshotColumnarReader(f, required, intervals, conf.value))
+}
+
+/** Sequential concatenation of per-file readers — what a tuple-grouped
+  * (SPJ) partition needs; opens one file at a time. */
+object ConcatReader {
+  def apply[A](files: Seq[String])(open: String => PartitionReader[A])
+      : PartitionReader[A] =
+    if (files.size == 1) open(files.head)
+    else new PartitionReader[A] {
+      private val it = files.iterator
+      private var cur: PartitionReader[A] = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (!it.hasNext) return false
+            cur = open(it.next())
+          }
+          if (cur.next()) return true
+          cur.close(); cur = null
+        }
+        false // unreachable
+      }
+      override def get(): A = cur.get()
+      override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+    }
 }
 
 // ----------------------------------------------------------------- write
