@@ -98,12 +98,27 @@ object SnapshotTable {
     /** The fields' SOURCE columns (what writes must carry and the DSv2
       * write clusters on for identity specs). */
     def partitionCols: Seq[String] = partitionFields.map(_.col)
+    /** The table's SORT ORDER columns (`#sort c1,c2` metadata line,
+      * carried forward like the partition spec): every write path sorts
+      * rows by these within each task/partition before staging, so each
+      * data file covers a tight [min,max] range and `statsCols`
+      * skipping keeps working across appends WITHOUT re-clustering
+      * compaction — Iceberg's sortedBy, ascending. */
+    def sortCols: Seq[String] = meta.collectFirst {
+      case l if l.startsWith("#sort ") =>
+        l.stripPrefix("#sort ").trim.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+    }.getOrElse(Seq.empty)
   }
 
   /** The `#partition` manifest metadata line for field `specs` (empty ⇒
     * none). */
   private[storage] def partitionMeta(specs: Seq[String]): Seq[String] =
     if (specs.isEmpty) Seq.empty else Seq(s"#partition ${specs.mkString(",")}")
+
+  /** The `#sort` manifest metadata line (empty ⇒ no declared order). */
+  private[storage] def sortMeta(cols: Seq[String]): Seq[String] =
+    if (cols.isEmpty) Seq.empty else Seq(s"#sort ${cols.mkString(",")}")
 
   /** Refuse a bad partition spec loudly at create time: unknown source
     * column, transform/type mismatch, or two fields over one source
@@ -169,11 +184,17 @@ object SnapshotTable {
     * partition tuple; the tuple is decoded back off the directory
     * segments into the manifest entry. */
   private def writeData(spark: SparkSession, root: String, df: DataFrame,
-                        partitionSpecs: Seq[String] = Seq.empty): Seq[FileEntry] = {
+                        partitionSpecs: Seq[String] = Seq.empty,
+                        sortCols: Seq[String] = Seq.empty): Seq[FileEntry] = {
     val dir = new Path(new Path(root, "data"), java.util.UUID.randomUUID().toString)
     val keys = partitionSpecs.map(s => SnapshotPartition.parseField(s).key)
-    if (partitionSpecs.isEmpty) df.write.parquet(dir.toString)
-    else {
+    if (partitionSpecs.isEmpty) {
+      // declared sort order: each task's rows sorted before staging, so
+      // every file covers a tight range of the sort columns
+      val out = if (sortCols.isEmpty) df
+        else df.sortWithinPartitions(sortCols.map(col): _*)
+      out.write.parquet(dir.toString)
+    } else {
       graft.functions.expressions.GraftFunctions.register(df.sparkSession)
       // the 'v' prefix keeps every non-null value out of the writer's
       // null-directory namespace: a DATA value equal to Spark's default
@@ -186,7 +207,13 @@ object SnapshotTable {
           org.apache.spark.sql.functions.expr(
             s"concat('v', graft_part_field('${f.transform}', ${f.n}, `${f.col}`))"))
       }
-      staged.write.partitionBy(keys.map(shadowName): _*)
+      // sorting by (shadows, sortCols) satisfies the dynamic-partition
+      // writer's required ordering as a PREFIX, so it skips its own
+      // sort and the secondary order reaches the files
+      val sorted = if (sortCols.isEmpty) staged
+        else staged.sortWithinPartitions(
+          (keys.map(shadowName) ++ sortCols).map(col): _*)
+      sorted.write.partitionBy(keys.map(shadowName): _*)
         .parquet(dir.toString)
     }
     val conf = spark.sparkContext.hadoopConfiguration
@@ -340,6 +367,7 @@ object SnapshotTable {
                                 txnApp: String = ""): Seq[String] = {
     val m = base.map(_.txns).getOrElse(Map.empty) ++ txn.map(txnApp -> _)
     partitionMeta(base.map(_.partitionSpecs).getOrElse(Seq.empty)) ++
+      sortMeta(base.map(_.sortCols).getOrElse(Seq.empty)) ++
       m.toSeq.sortBy(_._1).map {
         case ("", id) => s"#txn $id"
         case (app, id) => s"#txn $app $id"
@@ -864,14 +892,18 @@ object SnapshotTable {
              statsCols: Seq[String] = Seq.empty,
              txn: Option[Long] = None,
              txnApp: String = "",
-             partitionBy: Seq[String] = Seq.empty): Long = {
+             partitionBy: Seq[String] = Seq.empty,
+             sortBy: Seq[String] = Seq.empty): Long = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
     validatePartitionSpecs(partitionBy, df.schema)
-    val files = writeData(spark, root, df, partitionBy)
+    sortBy.foreach(c => require(df.columns.contains(c),
+      s"sortBy column '$c' not in ${df.columns.mkString(",")}"))
+    val files = writeData(spark, root, df, partitionBy, sortBy)
     val st = collectStats(spark, files.map(_.path), statsCols)
     try {
       commit(spark, root, 1L, files,
-        partitionMeta(partitionBy) ++ nextMeta(None, txn, txnApp))
+        partitionMeta(partitionBy) ++ sortMeta(sortBy) ++
+          nextMeta(None, txn, txnApp))
       writeStats(spark, root, 1L, st)
       writeSchema(spark, root, 1L, df.schema)
       1L
@@ -952,7 +984,7 @@ object SnapshotTable {
       .getOrElse(merged)
     // a partitioned table's copy-on-write stays tuple-pure: the
     // partitioned staging write re-derives every file's tuple
-    val files = writeData(spark, root, out, snap.partitionSpecs)
+    val files = writeData(spark, root, out, snap.partitionSpecs, snap.sortCols)
     val st = collectStats(spark, files.map(_.path), statsCols)
     val next = snap.version + 1
     try {
@@ -1002,7 +1034,7 @@ object SnapshotTable {
             s"${baseSchema.simpleString}; pass mergeSchema=true for add-column evolution")
         baseSchema
       }
-    val files = writeData(spark, root, df, snap.partitionSpecs)
+    val files = writeData(spark, root, df, snap.partitionSpecs, snap.sortCols)
     val st = statsLines(spark, root, snap.version) ++
       collectStats(spark, files.map(_.path), statsCols)
     val next = snap.version + 1
@@ -1068,7 +1100,7 @@ object SnapshotTable {
         org.apache.spark.sql.functions.expr(
           s"graft_part_field('${f.transform}', ${f.n}, `${f.col}`)"))
       val out = cur.repartition(targetFiles, keyExprs: _*)
-      val files = writeData(spark, root, out, pspecs)
+      val files = writeData(spark, root, out, pspecs, snap.sortCols)
       val st = collectStats(spark, files.map(_.path), statsCols)
       val next = snap.version + 1
       try {
@@ -1100,7 +1132,9 @@ object SnapshotTable {
         }
       case _ => cur.repartition(targetFiles)
     }
-    val files = writeData(spark, root, out)
+    val files = writeData(spark, root, out,
+      sortCols = if (clusterBy.isEmpty && zorderBy.isEmpty) snap.sortCols
+                 else Seq.empty) // explicit re-clustering wins over sort order
     val st = collectStats(spark, files.map(_.path), statsCols)
     val next = snap.version + 1
     try {

@@ -307,9 +307,13 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
         .getOrElse(Seq.empty),
       Option(info.options.get("mergeSchema")).exists(_.equalsIgnoreCase("true")),
       queryId = info.queryId(),
-      // partitioning is a TABLE property: an existing table's spec always
-      // wins; this option only shapes a table the first write CREATES
+      // partitioning/sort order are TABLE properties: an existing
+      // table's spec always wins; these options only shape a table the
+      // first write CREATES
       createPartitionBy = Option(info.options.get("partitionBy"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty),
+      createSortBy = Option(info.options.get("sortBy"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty))
 }
@@ -885,7 +889,8 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterF
 final class SnapshotWriteBuilder(root: String, schema: StructType,
                                  statsCols: Seq[String], mergeSchema: Boolean,
                                  queryId: String = "",
-                                 createPartitionBy: Seq[String] = Seq.empty)
+                                 createPartitionBy: Seq[String] = Seq.empty,
+                                 createSortBy: Seq[String] = Seq.empty)
   extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -904,6 +909,17 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
       specs
     }
     private val pfields = pspecs.map(SnapshotPartition.parseField)
+
+    /** The table's declared sort order (existing table wins, else the
+      * create option) — requested from Spark as a per-task ordering so
+      * every staged file covers a tight range of these columns. */
+    private val sortCols: Seq[String] = {
+      val cols = SnapshotTable.latest(SparkSession.active, root)
+        .map(_.sortCols).getOrElse(createSortBy)
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"sortBy column '$c' not in write schema ${schema.simpleString}"))
+      cols
+    }
 
     /** Hash-cluster rows by partition source columns before the write
       * (Iceberg's hash distribution mode): for IDENTITY specs each
@@ -925,11 +941,21 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
             .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression])
           .toArray)
     override def requiredOrdering()
-        : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+      import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+      // only a DECLARED sort order asks Spark for a task sort (the
+      // fanout writer needs no contiguity — an unsorted partitioned
+      // write must not pay one); partition sources lead so each tuple's
+      // file is itself sort-ordered
+      if (sortCols.isEmpty) Array.empty
+      else (pfields.map(_.col) ++ sortCols).distinct.map(c =>
+        Expressions.sort(Expressions.column(c),
+          SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
+    }
 
     override def toBatch: BatchWrite =
       new SnapshotBatchWrite(root, schema, overwrite, statsCols, mergeSchema,
-        PartitionWriteSpec.of(schema, pspecs))
+        PartitionWriteSpec.of(schema, pspecs), sortCols)
     /** `stream.writeStream.format("graft-snapshot").start(root)` — the
       * NATIVE exactly-once streaming sink (no foreachBatch adapter
       * needed): each epoch appends staged files with its epoch id in the
@@ -974,7 +1000,8 @@ final case class SnapshotCommitMessage(
 final class SnapshotBatchWrite(root: String, schema: StructType,
                                overwrite: Boolean, statsCols: Seq[String],
                                mergeSchema: Boolean,
-                               part: Option[PartitionWriteSpec] = None)
+                               part: Option[PartitionWriteSpec] = None,
+                               sortCols: Seq[String] = Seq.empty)
   extends BatchWrite {
 
   // one staging dir per write job, qualified driver-side so executors
@@ -1001,10 +1028,11 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
       case SnapshotCommitMessage(fs) => fs
       case other => throw new IllegalStateException(s"unexpected commit message $other")
     }.sortBy(_.path).toSeq
-    // a write that CREATES the table mints its partition spec; on an
-    // existing table nextMeta carries the committed spec forward
+    // a write that CREATES the table mints its partition spec and sort
+    // order; on an existing table nextMeta carries both forward
     val createMeta =
-      SnapshotTable.partitionMeta(part.map(_.specs).getOrElse(Seq.empty))
+      SnapshotTable.partitionMeta(part.map(_.specs).getOrElse(Seq.empty)) ++
+        SnapshotTable.sortMeta(sortCols)
     // an empty frame stages nothing: APPENDING it to an EXISTING table is
     // a no-op. Everything else commits: an empty overwrite of an existing
     // table is a TRUNCATE (zero-file manifest, old rows gone), and an
