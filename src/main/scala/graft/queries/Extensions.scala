@@ -929,6 +929,32 @@ object Extensions {
         .where(col("prio") === "5-LOW")
         .groupBy().count().select(col("count").as("n"))
     },
+    // declared SORT ORDER end-to-end: the DSv2 write sorts each task's
+    // rows by the order key (range-clustered first), so every staged
+    // file is a tight disjoint [min,max] band and the band predicate
+    // below prunes through the stats sidecar even though the INPUT
+    // arrived shuffled (SnapshotSortOrderSpec asserts disjointness and
+    // the <=2-file plan). Reads never change content: plain SQL oracle.
+    "SNAPSHOT-SORTED" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_snapsorted")
+        .toString + "/t"
+      s.table("orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        .orderBy(org.apache.spark.sql.functions.hash(col("k"))) // shuffled arrival
+        .repartitionByRange(8, col("k"))
+        .write.format("graft-snapshot")
+        .option("sortBy", "k").option("statsCols", "k")
+        .mode("append").save(root)
+      s.read.format("graft-snapshot").load(root)
+        .where(col("k") >= 500 && col("k") <= 1500)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("prio")
+    },
     // SHOW PARTITIONS as a metadata read: one row per tuple with file
     // and row totals, answered from ONE manifest read (LocalScan, zero
     // data I/O — the spec asserts the plan). n_files is 1 per tuple by
@@ -2355,6 +2381,12 @@ object Extensions {
       """SELECT 'prio=' || o_orderpriority AS partition,
         |  CAST(1 AS BIGINT) AS n_files, count(*) AS total_rows
         |FROM orders GROUP BY partition ORDER BY partition""".stripMargin,
+    // sorted reads never change content: plain SQL over raw orders
+    "SNAPSHOT-SORTED" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders WHERE o_orderkey BETWEEN 500 AND 1500
+        |GROUP BY prio ORDER BY prio""".stripMargin,
     // both MERGE arms replayed: every 7th key deleted, every remaining
     // 5th rewritten
     "UPSERT-DELETE" ->

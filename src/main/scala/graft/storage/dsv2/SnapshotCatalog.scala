@@ -121,12 +121,19 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     SnapshotTable.validatePartitionSpecs(pspecs, info.schema())
+    // TBLPROPERTIES('sortBy'='c1,c2') declares the table sort order
+    val sortBy = Option(info.properties().get("sortBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    sortBy.foreach(c => require(info.schema().fieldNames.contains(c),
+      s"sortBy column '$c' not in ${info.schema().fieldNames.mkString(",")}"))
     if (ident.namespace.nonEmpty && !fs.exists(nsPath(ident.namespace)))
       throw new NoSuchNamespaceException(ident.namespace)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val root = tablePath(ident).toString
     // an empty, TYPED v1: zero-file manifest + schema sidecar, atomic
-    val meta = SnapshotTable.partitionMeta(pspecs)
+    val meta = SnapshotTable.partitionMeta(pspecs) ++
+      SnapshotTable.sortMeta(sortBy)
     SnapshotTable.commit(spark, root, 1L, Seq.empty, meta)
     SnapshotTable.writeSchema(spark, root, 1L, info.schema())
     new SnapshotTableV2(root, Some(SnapshotTable.Snapshot(1L, Seq.empty, meta)),

@@ -109,6 +109,22 @@ class SnapshotSortOrderSpec extends SparkSpec {
     assert(one.toSeq === one.sorted.toSeq, "file content not sorted by k")
   }
 
+  test("catalog TBLPROPERTIES sortBy declares the order; INSERT INTO inherits it") {
+    spark.conf.set("spark.sql.catalog.graftso", "graft.storage.dsv2.SnapshotCatalog")
+    val wh = Files.createTempDirectory("snapsowh").toString
+    spark.conf.set("spark.sql.catalog.graftso.warehouse", wh)
+    spark.sql("CREATE TABLE graftso.st (k BIGINT, v BIGINT) " +
+      "USING `graft-snapshot` TBLPROPERTIES('sortBy'='k')")
+    try {
+      assert(SnapshotTable.latest(spark, s"$wh/st").get.sortCols === Seq("k"))
+      spark.sql("INSERT INTO graftso.st SELECT (id * 48271) % 1000 AS k, id AS v " +
+        "FROM range(1000)")
+      val snap = SnapshotTable.latest(spark, s"$wh/st").get
+      val one = spark.read.parquet(snap.files.head).select("k").as[Long].collect()
+      assert(one.toSeq === one.sorted.toSeq, "INSERT INTO did not honor sortBy")
+    } finally spark.sql("DROP TABLE IF EXISTS graftso.st")
+  }
+
   test("bad sortBy columns are refused loudly") {
     val root = newRoot()
     intercept[IllegalArgumentException] {
