@@ -185,7 +185,8 @@ object SnapshotTable {
     * segments into the manifest entry. */
   private def writeData(spark: SparkSession, root: String, df: DataFrame,
                         partitionSpecs: Seq[String] = Seq.empty,
-                        sortCols: Seq[String] = Seq.empty): Seq[FileEntry] = {
+                        sortCols: Seq[String] = Seq.empty,
+                        clusterToTuples: Boolean = true): Seq[FileEntry] = {
     val dir = new Path(new Path(root, "data"), java.util.UUID.randomUUID().toString)
     val keys = partitionSpecs.map(s => SnapshotPartition.parseField(s).key)
     if (partitionSpecs.isEmpty) {
@@ -207,11 +208,20 @@ object SnapshotTable {
           org.apache.spark.sql.functions.expr(
             s"concat('v', graft_part_field('${f.transform}', ${f.n}, `${f.col}`))"))
       }
+      // hash-cluster whole tuples over the shuffle width (Iceberg's
+      // hash distribution, same as the DSv2 write) so each partition
+      // value lands in ONE task → one file per tuple per write, not
+      // one per (task, tuple); callers that already clustered
+      // (compaction's explicit repartition) skip the extra shuffle
+      val clustered =
+        if (clusterToTuples)
+          staged.repartition(keys.map(k => col(shadowName(k))): _*)
+        else staged
       // sorting by (shadows, sortCols) satisfies the dynamic-partition
       // writer's required ordering as a PREFIX, so it skips its own
       // sort and the secondary order reaches the files
-      val sorted = if (sortCols.isEmpty) staged
-        else staged.sortWithinPartitions(
+      val sorted = if (sortCols.isEmpty) clustered
+        else clustered.sortWithinPartitions(
           (keys.map(shadowName) ++ sortCols).map(col): _*)
       sorted.write.partitionBy(keys.map(shadowName): _*)
         .parquet(dir.toString)
@@ -955,7 +965,38 @@ object SnapshotTable {
         s"expected base v$v but latest is v${snap.version} at $root")
     }
     txnGate(snap, txn, txnApp)
-    val base = readFiles(spark, snap.files, tableSchema(spark, root, snap.version))
+
+    // PARTITION-SCOPED copy-on-write: when every partition SOURCE column
+    // is part of the merge KEY, a key's partition is a function of the
+    // key — no update can MOVE a row across partitions — so only the
+    // partitions the update set touches need rewriting; every other
+    // file is retained VERBATIM. This turns the COW cost from O(table)
+    // into O(affected partitions): the 100 TB upsert shape. Eligibility
+    // is checked per merge (a tuple-less legacy file is conservatively
+    // treated as affected; partition cols outside the key fall back to
+    // the always-correct full rewrite).
+    val pfields = snap.partitionFields
+    val scoped = pfields.nonEmpty && pfields.map(_.col).forall(keyCols.contains)
+    val (affected, retained) =
+      if (!scoped) (snap.entries, Seq.empty[FileEntry])
+      else {
+        graft.functions.expressions.GraftFunctions.register(spark)
+        val tupleCols = pfields.map(f =>
+          org.apache.spark.sql.functions.expr(
+            s"graft_part_field('${f.transform}', ${f.n}, `${f.col}`)"))
+        // distinct tuples of the UPDATE set — bounded by the number of
+        // partitions the updates touch, a metadata-scale collect
+        val touched = updates.select(tupleCols: _*).distinct().collect()
+          .map(r => SnapshotPartition.encodeTuple(pfields.map(_.key),
+            pfields.indices.map(i => Option(r.getString(i)))))
+          .toSet
+        snap.entries.partition(e => e.tuple.isEmpty || touched.contains(e.tuple))
+      }
+    val schema = tableSchema(spark, root, snap.version)
+    val base =
+      if (affected.nonEmpty) readFiles(spark, affected.map(_.path), schema)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.getOrElse(readFiles(spark, snap.files).schema))
     // a REAL table column with the tombstone marker's name would be
     // silently clobbered and then dropped — refuse loudly instead
     deleteCol.foreach(c => require(!base.columns.contains(c),
@@ -976,19 +1017,25 @@ object SnapshotTable {
     // a winning tombstone deletes its key; the column never hits disk
     val merged = deleteCol.foldLeft(survivors)(
       (d, c) => d.where(!col(c)).drop(c))
-    // explicit partition count (clusterFiles, defaulting to the current
-    // file count): keeps the file count stable across merges and stops
-    // AQE from coalescing the range shuffle into one domain-spanning file
-    val n = if (clusterFiles > 0) clusterFiles else math.max(snap.files.size, 1)
+    // explicit partition count (clusterFiles, defaulting to the REWRITE
+    // SCOPE's file count): keeps the file count stable across merges and
+    // stops AQE from coalescing the range shuffle into one
+    // domain-spanning file
+    val n = if (clusterFiles > 0) clusterFiles else math.max(affected.size, 1)
     val out = clusterBy.map(c => merged.repartitionByRange(n, col(c)))
       .getOrElse(merged)
     // a partitioned table's copy-on-write stays tuple-pure: the
     // partitioned staging write re-derives every file's tuple
     val files = writeData(spark, root, out, snap.partitionSpecs, snap.sortCols)
-    val st = collectStats(spark, files.map(_.path), statsCols)
+    // retained files keep their stats lines; the rewrite scope gets fresh
+    val retainedNorm = retained.map(e => norm(e.path)).toSet
+    val st = statsLines(spark, root, snap.version)
+      .filter(l => retainedNorm(l.split("\t", 3)(0))) ++
+      collectStats(spark, files.map(_.path), statsCols)
     val next = snap.version + 1
     try {
-      commit(spark, root, next, files, nextMeta(Some(snap), txn, txnApp))
+      commit(spark, root, next, retained ++ files,
+        nextMeta(Some(snap), txn, txnApp))
       writeStats(spark, root, next, st)
       writeSchema(spark, root, next, out.schema)
       next
@@ -1100,7 +1147,8 @@ object SnapshotTable {
         org.apache.spark.sql.functions.expr(
           s"graft_part_field('${f.transform}', ${f.n}, `${f.col}`)"))
       val out = cur.repartition(targetFiles, keyExprs: _*)
-      val files = writeData(spark, root, out, pspecs, snap.sortCols)
+      val files = writeData(spark, root, out, pspecs, snap.sortCols,
+        clusterToTuples = false) // already clustered, keep targetFiles tasks
       val st = collectStats(spark, files.map(_.path), statsCols)
       val next = snap.version + 1
       try {

@@ -110,6 +110,54 @@ class SnapshotPartitionedSpec extends SparkSpec {
       (1L to 80L).sum)
   }
 
+  test("merge with partition sources in the key is PARTITION-SCOPED: untouched files retained") {
+    val root = newRoot()
+    val base = (1L to 80L).map(i => (i, (i % 8).toString, 1L)).toDF("k", "g", "v")
+    SnapshotTable.create(spark, root, base, partitionBy = Seq("g"))
+    val before = entries(root).map(e => e.tuple -> e.path).toMap
+    assert(before.size === 8)
+    // the key is (k, g) ⊇ partition source g — updates touch ONLY g=3
+    val upd = Seq((3L, "3", 2L), (203L, "3", 2L)).toDF("k", "g", "v")
+    SnapshotTable.merge(spark, root, upd, Seq("k", "g"), "v")
+    val after = entries(root).map(e => e.tuple -> e.path).toMap
+    // 7 of 8 files are the ORIGINALS; only g=3 was rewritten
+    val gKey = (t: String) => SnapshotPartition.decodeTuple(t)("g").get
+    after.foreach { case (t, p) =>
+      if (gKey(t) != "3") assert(before(t) === p, s"retained file rewritten: $t")
+      else assert(before(t) !== p, "affected partition not rewritten")
+    }
+    val got = SnapshotTable.read(spark, root)
+    assert(got.count() === 81)
+    assert(got.where(col("k") === 3).select("v").head.getLong(0) === 2L)
+    assert(got.where(col("k") === 203).count() === 1)
+    // tombstones stay scoped too
+    SnapshotTable.merge(spark, root,
+      Seq((203L, "3", 3L, true)).toDF("k", "g", "v", "del"),
+      Seq("k", "g"), "v", deleteCol = Some("del"))
+    assert(SnapshotTable.read(spark, root).count() === 80)
+    assert(entries(root).count(e => gKey(e.tuple) != "3") === 7)
+    // time travel still shows the pre-merge content
+    assert(SnapshotTable.readVersion(spark, root, 1L).count() === 80)
+  }
+
+  test("merge WITHOUT partition sources in the key falls back to the full rewrite") {
+    val root = newRoot()
+    val base = (1L to 40L).map(i => (i, (i % 4).toString, 1L)).toDF("k", "g", "v")
+    SnapshotTable.create(spark, root, base, partitionBy = Seq("g"))
+    val before = entries(root).map(_.path).toSet
+    // key (k) does NOT determine g: a key could move partitions — the
+    // scoped path must refuse and rewrite everything
+    SnapshotTable.merge(spark, root,
+      Seq((3L, "0", 2L)).toDF("k", "g", "v"), Seq("k"), "v")
+    val after = entries(root).map(_.path).toSet
+    assert(after.intersect(before).isEmpty, "full rewrite expected")
+    val got = SnapshotTable.read(spark, root)
+    assert(got.count() === 40)
+    // the moved row landed in its NEW partition's tuple-pure file
+    assert(got.where(col("k") === 3).select("g").head.getString(0) === "0")
+    assertTuplePure(root, Seq("g"))
+  }
+
   test("unsupported partition column types and absent columns are refused") {
     val root = newRoot()
     val df = Seq((1L, Array(1.0, 2.0))).toDF("k", "emb")
