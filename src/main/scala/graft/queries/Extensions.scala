@@ -971,6 +971,32 @@ object Extensions {
         .select(col("partition"), col("n_files"), col("total_rows"))
         .orderBy("partition")
     },
+    // PARTITION-SCOPED merge: the table is partitioned by priority and
+    // priority is part of the merge key, so the upsert rewrites ONLY
+    // the 1-URGENT partition — every other file is retained verbatim
+    // (SnapshotPartitionedSpec asserts the file identities; the probe
+    // records the cost gap). The oracle replays the upsert in SQL.
+    "UPSERT-PARTITION-SCOPED" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_scopedmerge")
+        .toString + "/t"
+      val base = s.table("orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"), lit(1L).as("v"))
+      graft.storage.SnapshotTable.create(s, root, base,
+        partitionBy = Seq("prio"))
+      val ups = s.table("orders")
+        .where(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          (col("o_totalprice") + 500.0).as("price"), lit(2L).as("v"))
+      graft.storage.SnapshotTable.merge(s, root, ups, Seq("k", "prio"), "v")
+      graft.storage.SnapshotTable.read(s, root)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("prio")
+    },
     // MERGE with BOTH arms in one commit: tombstones delete every 7th
     // key (WHEN MATCHED THEN DELETE), disjoint upserts rewrite every
     // remaining 5th key — disjoint so last-write-wins never has to break
@@ -2387,6 +2413,15 @@ object Extensions {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM orders WHERE o_orderkey BETWEEN 500 AND 1500
         |GROUP BY prio ORDER BY prio""".stripMargin,
+    // the scoped upsert replayed in plain SQL over raw orders
+    "UPSERT-PARTITION-SCOPED" ->
+      """WITH m AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0
+        |         THEN o_totalprice + 500.0 ELSE o_totalprice END AS price
+        |  FROM orders)
+        |SELECT prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM m GROUP BY prio ORDER BY prio""".stripMargin,
     // both MERGE arms replayed: every 7th key deleted, every remaining
     // 5th rewritten
     "UPSERT-DELETE" ->

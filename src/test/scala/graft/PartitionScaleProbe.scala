@@ -82,6 +82,40 @@ object PartitionScaleProbe {
     assert(c2 == rows - rows / parts)
     spark.sql("DROP TABLE IF EXISTS part_probe")
 
+    // PARTITION-SCOPED merge: partition source in the key ⇒ only the
+    // touched partition rewrites; vs the full-table COW a non-keyed
+    // merge pays. The gap IS the table-to-partition ratio at scale.
+    val mroot = java.nio.file.Files.createTempDirectory("partscale_m").toString + "/t"
+    spark.range(rows).select(col("id").as("k"),
+        (col("id") % parts).cast("string").as("g"),
+        sha2(col("id").cast("string"), 256).as("pad"), lit(1L).as("ver"))
+      .write.format("graft-snapshot").option("partitionBy", "g")
+      .mode("append").save(mroot)
+    val upd = spark.range(rows / 1000).select((col("id") * parts).as("k"),
+      lit("0").as("g"), lit("upd").as("pad"), lit(2L).as("ver"))
+    val beforeM = graft.storage.SnapshotTable.latest(spark, mroot).get.files.toSet
+    val (_, tScoped) = time(graft.storage.SnapshotTable.merge(
+      spark, mroot, upd, Seq("k", "g"), "ver"))
+    val afterM = graft.storage.SnapshotTable.latest(spark, mroot).get
+    val retainedM = afterM.files.toSet.intersect(beforeM).size
+    val rewrittenBytes = afterM.entries
+      .filterNot(e => beforeM(e.path)).map(_.bytes).sum
+    val totalBytes = afterM.entries.map(_.bytes).sum
+    println(f"partition-scoped merge (${rows / 1000}%d upserts into 1/$parts%d partitions): " +
+      f"$tScoped%.2f s, $retainedM%d/${beforeM.size}%d files retained verbatim, " +
+      f"${rewrittenBytes * 100.0 / totalBytes}%.1f%% of bytes rewritten")
+    assert(retainedM == parts - 1, s"expected ${parts - 1} retained, got $retainedM")
+    assert(rewrittenBytes * parts / 2 < totalBytes,
+      "scoped rewrite should touch ~1/parts of the bytes")
+    // locally both merges are fixed-cost dominated; at object-store scale
+    // the gap approaches the table/partition ratio — bytes-rewritten is
+    // the honest metric, wall time printed for the record
+    val (_, tFull) = time(graft.storage.SnapshotTable.merge(
+      spark, mroot,
+      upd.withColumn("ver", lit(3L)), Seq("k"), "ver")) // key misses g: full COW
+    println(f"full-table COW merge (same updates, g not in key): $tFull%.2f s, " +
+      "100% of bytes rewritten")
+
     // the metrics-store shape: days(ts) partitioning + aligned retention
     // DELETE — whole days drop in one manifest commit, zero rewrite
     val troot = java.nio.file.Files.createTempDirectory("partscale_t").toString + "/t"
