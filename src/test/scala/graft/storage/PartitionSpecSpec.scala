@@ -48,6 +48,105 @@ class PartitionSpecSpec extends AnyFunSuite {
     assert(canonicalOf(LongType, row, 8) === None)
   }
 
+  // ------------------------------------------- transform interval domains
+
+  private val MicrosPerDay = 86400000000L
+
+  test("days interval evaluation: boundary-exact all/none/split tri-state") {
+    val fields = fieldsOf(Seq("days(ts)"),
+      StructType(Seq(StructField("ts", TimestampType))))
+    // day 5 = [5d, 6d) micros
+    val doms = fileDomains(fields, Map("days(ts)" -> Some("5")))
+    def ev(f: sources.Filter) = evalFilter(f, doms)
+    val d5 = 5 * MicrosPerDay; val d6 = 6 * MicrosPerDay
+    // aligned cuts decide definitely
+    assert(ev(sources.GreaterThanOrEqual("ts", d5)) === Some(TTrue))
+    assert(ev(sources.LessThan("ts", d6)) === Some(TTrue))
+    assert(ev(sources.GreaterThanOrEqual("ts", d6)) === Some(TFalse))
+    assert(ev(sources.LessThan("ts", d5)) === Some(TFalse))
+    // boundary micro-values: last row of the day is d6-1
+    assert(ev(sources.LessThanOrEqual("ts", d6 - 1)) === Some(TTrue))
+    assert(ev(sources.GreaterThan("ts", d6 - 1)) === Some(TFalse))
+    assert(ev(sources.GreaterThan("ts", d5 - 1)) === Some(TTrue))
+    // a cut INSIDE the day is undecidable → residual
+    assert(ev(sources.GreaterThan("ts", d5 + 1)) === None)
+    assert(ev(sources.EqualTo("ts", d5 + 7)) === None)
+    // equality outside the day refutes definitely
+    assert(ev(sources.EqualTo("ts", d6)) === Some(TFalse))
+    // NULL domain: comparisons are NULL, IS NULL is true
+    val nullDoms = fileDomains(fields, Map("days(ts)" -> None))
+    assert(evalFilter(sources.GreaterThan("ts", d5), nullDoms) === Some(TNull))
+    assert(evalFilter(sources.IsNull("ts"), nullDoms) === Some(TTrue))
+    assert(evalFilter(sources.IsNull("ts"), doms) === Some(TFalse))
+  }
+
+  test("months domains map ordinals to calendar intervals (leap month included)") {
+    val fields = fieldsOf(Seq("months(d)"),
+      StructType(Seq(StructField("d", DateType))))
+    // Feb 2024 (leap): ordinal (2024-1970)*12 + 1 = 649, days 19754..19783
+    val doms = fileDomains(fields, Map("months(d)" -> Some("649")))
+    val feb1 = java.time.LocalDate.of(2024, 2, 1).toEpochDay
+    val mar1 = java.time.LocalDate.of(2024, 3, 1).toEpochDay
+    assert(mar1 - feb1 === 29)
+    assert(evalFilter(sources.GreaterThanOrEqual("d", java.sql.Date.valueOf("2024-02-01")),
+      doms) === Some(TTrue))
+    assert(evalFilter(sources.LessThan("d", java.sql.Date.valueOf("2024-03-01")),
+      doms) === Some(TTrue))
+    assert(evalFilter(sources.LessThanOrEqual("d", java.sql.Date.valueOf("2024-02-29")),
+      doms) === Some(TTrue))
+    assert(evalFilter(sources.GreaterThan("d", java.sql.Date.valueOf("2024-02-29")),
+      doms) === Some(TFalse))
+    assert(evalFilter(sources.LessThan("d", java.sql.Date.valueOf("2024-02-15")),
+      doms) === None)
+  }
+
+  test("bucket domains refute equality and IN, never affirm") {
+    val fields = fieldsOf(Seq("bucket[8](u)"),
+      StructType(Seq(StructField("u", StringType))))
+    val b = bucketOf("hit", 8)
+    val doms = fileDomains(fields, Map(s"bucket[8](u)" -> Some(b.toString)))
+    // a value hashing into THIS bucket proves nothing → residual
+    assert(evalFilter(sources.EqualTo("u", "hit"), doms) === None)
+    // find a value in another bucket; it must be refuted definitely
+    val miss = (0 to 100).map(i => s"m$i").find(s => bucketOf(s, 8) != b).get
+    assert(evalFilter(sources.EqualTo("u", miss), doms) === Some(TFalse))
+    assert(evalFilter(sources.In("u", Array(miss)), doms) === Some(TFalse))
+    assert(evalFilter(sources.In("u", Array(miss, "hit")), doms) === None)
+    // range ops are never decidable on a bucket
+    assert(evalFilter(sources.GreaterThan("u", "a"), doms) === None)
+  }
+
+  test("transformValue and domainOf agree: a row's value always lands in its own domain") {
+    val micros = 1700000123456789L
+    val fDays = SnapshotPartition.PartitionField("days", "ts")
+    val ord = transformValue(fDays, TimestampType, micros)
+    val doms = fileDomains(Seq((fDays, TimestampType)),
+      Map("days(ts)" -> Some(ord)))
+    assert(evalFilter(sources.EqualTo("ts", micros), doms) === None) // inside
+    assert(evalFilter(sources.GreaterThan("ts", micros), doms) === None)
+    assert(evalFilter(sources.LessThan("ts", micros - MicrosPerDay), doms) ===
+      Some(TFalse))
+    // hours
+    val fH = SnapshotPartition.PartitionField("hours", "ts")
+    val hOrd = transformValue(fH, TimestampType, micros).toLong
+    assert(micros / 3600000000L === hOrd)
+    // months round-trips through the calendar
+    val fM = SnapshotPartition.PartitionField("months", "ts")
+    val mOrd = transformValue(fM, TimestampType, micros).toLong
+    val ld = java.time.LocalDate.ofEpochDay(micros / MicrosPerDay)
+    assert(mOrd === (ld.getYear - 1970) * 12L + ld.getMonthValue - 1)
+  }
+
+  test("pre-epoch timestamps: floorDiv keeps negative days exact") {
+    val fDays = SnapshotPartition.PartitionField("days", "ts")
+    val micros = -1L // one micro before epoch → day -1
+    assert(transformValue(fDays, TimestampType, micros) === "-1")
+    val doms = fileDomains(Seq((fDays, TimestampType)),
+      Map("days(ts)" -> Some("-1")))
+    assert(evalFilter(sources.LessThan("ts", 0L), doms) === Some(TTrue))
+    assert(evalFilter(sources.GreaterThanOrEqual("ts", 0L), doms) === Some(TFalse))
+  }
+
   // ---------------------------------------------------- filter evaluation
 
   private val types: Map[String, DataType] =
