@@ -290,7 +290,7 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.OVERWRITE_DYNAMIC)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val s = snap.getOrElse(throw new IllegalStateException(
       s"no committed snapshot at $root"))
@@ -891,9 +891,17 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
                                  queryId: String = "",
                                  createPartitionBy: Seq[String] = Seq.empty,
                                  createSortBy: Seq[String] = Seq.empty)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var overwrite = false
+  private var dynamic = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
+  /** INSERT OVERWRITE in dynamic mode: replace ONLY the partitions the
+    * incoming data touches (decided at commit time from the staged
+    * files' exact tuples), keep every other file verbatim — the
+    * partition-backfill shape. Refused on unpartitioned tables (there
+    * is no partition to scope the overwrite to). */
+  override def overwriteDynamicPartitions(): WriteBuilder = { dynamic = true; this }
   override def build(): Write = new Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -953,9 +961,12 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
           SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
     }
 
-    override def toBatch: BatchWrite =
+    override def toBatch: BatchWrite = {
+      if (dynamic) require(pspecs.nonEmpty,
+        s"dynamic partition overwrite needs a PARTITIONED table ($root is not)")
       new SnapshotBatchWrite(root, schema, overwrite, statsCols, mergeSchema,
-        PartitionWriteSpec.of(schema, pspecs), sortCols)
+        PartitionWriteSpec.of(schema, pspecs), sortCols, dynamic)
+    }
     /** `stream.writeStream.format("graft-snapshot").start(root)` — the
       * NATIVE exactly-once streaming sink (no foreachBatch adapter
       * needed): each epoch appends staged files with its epoch id in the
@@ -1001,7 +1012,8 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
                                overwrite: Boolean, statsCols: Seq[String],
                                mergeSchema: Boolean,
                                part: Option[PartitionWriteSpec] = None,
-                               sortCols: Seq[String] = Seq.empty)
+                               sortCols: Seq[String] = Seq.empty,
+                               dynamic: Boolean = false)
   extends BatchWrite {
 
   // one staging dir per write job, qualified driver-side so executors
@@ -1050,6 +1062,28 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
       val (v, all, lines, nextSchema) = (cur, overwrite) match {
         case (None, _) => (1L, files, fresh, schema)
         case (Some(s), true) => (s.version + 1, files, fresh, schema)
+        case (Some(s), false) if dynamic =>
+          // DYNAMIC partition overwrite: the staged files' exact tuples
+          // name the partitions being replaced; every other file is
+          // retained verbatim with its stats lines — INSERT OVERWRITE
+          // costs O(touched partitions), never O(table)
+          val touched = files.map(_.tuple).toSet
+          require(!touched.contains(""),
+            "dynamic overwrite staged a tuple-less file — partitioned " +
+              "writes must derive tuples")
+          val retained = s.entries.filterNot(e => touched.contains(e.tuple))
+          val retainedNorm = retained.map(e => SnapshotTable.norm(e.path)).toSet
+          val keptLines = SnapshotTable.statsLines(spark, root, s.version)
+            .filter(l => retainedNorm(l.split("\t", 3)(0)))
+          val base = SnapshotTable.tableSchema(spark, root, s.version)
+            .getOrElse(schema)
+          require(SnapshotTable.nullableSchema(schema).fields
+            .map(f => (f.name, f.dataType)).toSeq ==
+            SnapshotTable.nullableSchema(base).fields
+              .map(f => (f.name, f.dataType)).toSeq,
+            s"dynamic overwrite schema ${schema.simpleString} != table " +
+              s"schema ${base.simpleString}")
+          (s.version + 1, retained ++ files, keptLines ++ fresh, base)
         case (Some(s), false) =>
           // append-side schema contract mirrors SnapshotTable.append:
           // same columns, or option mergeSchema=true for add-column

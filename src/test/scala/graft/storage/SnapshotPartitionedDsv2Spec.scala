@@ -197,6 +197,48 @@ class SnapshotPartitionedDsv2Spec extends SparkSpec {
       s"expected a LocalScan:\n${df.queryExecution.executedPlan}")
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    spark.sql("CREATE TABLE graftp.dyn (k BIGINT, g STRING) " +
+      "USING `graft-snapshot` PARTITIONED BY (g)")
+    try {
+      spark.sql("INSERT INTO graftp.dyn VALUES (1,'a'),(2,'b'),(3,'c'),(4,'a')")
+      val wh = spark.conf.get("spark.sql.catalog.graftp.warehouse")
+      val root = s"$wh/dyn"
+      val before = SnapshotTable.latest(spark, root).get.entries
+        .map(e => e.tuple -> e.path).toMap
+      // overwritePartitions: only g=a is in the incoming frame → only
+      // g=a is replaced; b and c files stay VERBATIM
+      Seq((10L, "a"), (11L, "a")).toDF("k", "g")
+        .writeTo("graftp.dyn").overwritePartitions()
+      val after = SnapshotTable.latest(spark, root).get.entries
+        .map(e => e.tuple -> e.path).toMap
+      assert(after.keySet === before.keySet)
+      assert(after.filterNot(_._1.contains("g=a")) ===
+        before.filterNot(_._1.contains("g=a")), "untouched partitions rewritten")
+      assert(after("g=a") !== before("g=a"))
+      val got = spark.sql("SELECT k FROM graftp.dyn ORDER BY k")
+        .as[Long].collect().toSeq
+      assert(got === Seq(2L, 3L, 10L, 11L))
+      // old content still time-travels
+      assert(spark.read.format("graft-snapshot").option("versionAsOf", 2)
+        .load(root).count() === 4)
+      // empty incoming frame touches nothing: a no-op, not a truncate
+      spark.emptyDataset[(Long, String)].toDF("k", "g")
+        .writeTo("graftp.dyn").overwritePartitions()
+      assert(spark.sql("SELECT count(*) FROM graftp.dyn").head.getLong(0) === 4)
+    } finally spark.sql("DROP TABLE IF EXISTS graftp.dyn")
+  }
+
+  test("dynamic overwrite refuses unpartitioned tables") {
+    spark.sql("CREATE TABLE graftp.dyn2 (k BIGINT, g STRING) USING `graft-snapshot`")
+    try {
+      spark.sql("INSERT INTO graftp.dyn2 VALUES (1,'a')")
+      intercept[Exception] {
+        Seq((2L, "b")).toDF("k", "g").writeTo("graftp.dyn2").overwritePartitions()
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graftp.dyn2")
+  }
+
   test("PARTITIONED BY refuses unknown transforms and bad columns") {
     intercept[Exception] { // years() is not in the evaluator's transform set
       spark.sql("CREATE TABLE graftp.badpt (k BIGINT, t TIMESTAMP) " +
