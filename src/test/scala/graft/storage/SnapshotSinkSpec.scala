@@ -145,6 +145,47 @@ class SnapshotSinkSpec extends SparkSpec {
     }
   }
 
+  test("NATIVE streaming sink to a PARTITIONED table fans out tuple-pure files") {
+    implicit val sq = spark.sqlContext
+    val root = newRoot()
+    val ckpt = Files.createTempDirectory("snapsink_pckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("k", "g")
+      .writeStream
+      .format("graft-snapshot")
+      .option("checkpointLocation", ckpt)
+      .option("partitionBy", "g") // first epoch CREATES the partitioned table
+      .start(root)
+    try {
+      in.addData((1L, "a"), (2L, "b"), (3L, "a"))
+      q.processAllAvailable()
+      val snap = SnapshotTable.latest(spark, root).get
+      assert(snap.partitionSpecs === Seq("g"))
+      snap.entries.foreach(e => assert(e.tuple.nonEmpty, s"tuple-less ${e.path}"))
+      assert(snap.entries.map(e =>
+        SnapshotPartition.decodeTuple(e.tuple)("g")).toSet ===
+        Set(Some("a"), Some("b")))
+      in.addData((4L, "c"))
+      q.processAllAvailable()
+      // the streamed partitioned table prunes like any other
+      val df = spark.read.format("graft-snapshot").load(root)
+        .where(org.apache.spark.sql.functions.col("g") === "a")
+      assert(df.count() === 2)
+      val scan = {
+        df.collect()
+        (df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+        } ++ df.queryExecution.executedPlan.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.collect {
+              case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan }
+        }.flatten).collectFirst { case s: graft.storage.dsv2.SnapshotScan => s }.get
+      }
+      assert(scan.plannedFiles.size < scan.totalFileCount,
+        s"partition pruning inactive: ${scan.plannedFiles.size}/${scan.totalFileCount}")
+    } finally q.stop()
+  }
+
   test("NATIVE streaming sink: writeStream.format(graft-snapshot) is exactly-once") {
     implicit val sq = spark.sqlContext
     val root = newRoot()
