@@ -290,7 +290,8 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE, TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.STREAMING_WRITE, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val s = snap.getOrElse(throw new IllegalStateException(
       s"no committed snapshot at $root"))
@@ -452,7 +453,7 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     val decoded = entries.map(e => e -> SnapshotPartition.decodeTuple(e.tuple))
     if (decoded.exists { case (_, t) => !keys.forall(t.contains) }) return None
     val groups = decoded.groupBy { case (_, t) => keys.map(t(_)) }.toSeq
-      .sortBy(_._1.map(_.getOrElse(" ")).mkString(""))
+      .sortBy(_._1.map(_.getOrElse("\u0000")).mkString("\u0001"))
       .map { case (vals, es) =>
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           partFields.zip(vals).map { case ((_, dt), v) =>
@@ -892,10 +893,25 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
                                  createPartitionBy: Seq[String] = Seq.empty,
                                  createSortBy: Seq[String] = Seq.empty)
   extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsOverwrite
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var overwrite = false
   private var dynamic = false
+  private var byFilter: Option[Array[Filter]] = None
   override def truncate(): WriteBuilder = { overwrite = true; this }
+  /** Filter-scoped overwrite (`writeTo(t).overwrite(cond)` / static
+    * INSERT OVERWRITE): the condition must be DECIDABLE for every file
+    * from its exact partition tuple — all-True files drop, all-False
+    * files stay verbatim, anything else (an unpartitioned table, an
+    * unaligned cut) is refused with guidance toward row-level DELETE +
+    * append, which are always correct. AlwaysTrue degrades to
+    * truncate. */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      overwrite = true
+    else byFilter = Some(filters)
+    this
+  }
   /** INSERT OVERWRITE in dynamic mode: replace ONLY the partitions the
     * incoming data touches (decided at commit time from the staged
     * files' exact tuples), keep every other file verbatim — the
@@ -964,8 +980,11 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
     override def toBatch: BatchWrite = {
       if (dynamic) require(pspecs.nonEmpty,
         s"dynamic partition overwrite needs a PARTITIONED table ($root is not)")
+      if (byFilter.isDefined) require(pspecs.nonEmpty,
+        s"filter-scoped overwrite needs a PARTITIONED table ($root is not); " +
+          "use DELETE FROM + INSERT INTO instead")
       new SnapshotBatchWrite(root, schema, overwrite, statsCols, mergeSchema,
-        PartitionWriteSpec.of(schema, pspecs), sortCols, dynamic)
+        PartitionWriteSpec.of(schema, pspecs), sortCols, dynamic, byFilter)
     }
     /** `stream.writeStream.format("graft-snapshot").start(root)` — the
       * NATIVE exactly-once streaming sink (no foreachBatch adapter
@@ -1013,7 +1032,8 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
                                mergeSchema: Boolean,
                                part: Option[PartitionWriteSpec] = None,
                                sortCols: Seq[String] = Seq.empty,
-                               dynamic: Boolean = false)
+                               dynamic: Boolean = false,
+                               byFilter: Option[Array[Filter]] = None)
   extends BatchWrite {
 
   // one staging dir per write job, qualified driver-side so executors
@@ -1051,7 +1071,10 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
     // empty write to an ABSENT root CREATES an empty, typed v1 (zero-file
     // manifest + schema sidecar) — matching Spark's native writer, which
     // leaves an empty, readable table rather than nothing
-    if (files.isEmpty && !overwrite && SnapshotTable.latest(spark, root).isDefined) {
+    // (a FILTER-scoped overwrite with empty data is NOT a no-op: it
+    // replaces the matching partitions with nothing — a partition drop)
+    if (files.isEmpty && !overwrite && byFilter.isEmpty &&
+        SnapshotTable.latest(spark, root).isDefined) {
       abortFiles(); return
     }
     val fresh = SnapshotTable.collectStats(spark, files.map(_.path), statsCols)
@@ -1062,6 +1085,44 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
       val (v, all, lines, nextSchema) = (cur, overwrite) match {
         case (None, _) => (1L, files, fresh, schema)
         case (Some(s), true) => (s.version + 1, files, fresh, schema)
+        case (Some(s), false) if byFilter.isDefined =>
+          // FILTER-scoped overwrite: each base file's membership must be
+          // PROVEN from its exact tuple — all conjuncts tri-state True
+          // drops the file (replaced), any conjunct definitely non-True
+          // retains it verbatim; anything unprovable refuses the whole
+          // statement (DELETE + INSERT are the always-correct fallback)
+          val pf = SnapshotTable.tableSchema(spark, root, s.version)
+            .map(sch => SnapshotPartition.fieldsOf(s.partitionSpecs, sch))
+            .getOrElse(Seq.empty)
+          val retained = s.entries.map { e =>
+            val verdicts =
+              if (pf.isEmpty || e.tuple.isEmpty) Seq(None)
+              else {
+                val doms = SnapshotPartition.fileDomains(pf,
+                  SnapshotPartition.decodeTuple(e.tuple))
+                byFilter.get.toSeq.map(f => SnapshotPartition.evalFilter(f, doms))
+              }
+            if (verdicts.exists(_.exists(_ != SnapshotPartition.TTrue)))
+              Some(e) // definitely outside the overwrite region: keep
+            else if (verdicts.forall(_.contains(SnapshotPartition.TTrue)))
+              None // definitely inside: replaced
+            else throw new IllegalArgumentException(
+              s"overwrite condition ${byFilter.get.mkString(" AND ")} is not " +
+                s"decidable from ${e.path}'s partition tuple '${e.tuple}' — " +
+                "use DELETE FROM + INSERT INTO for row-level overwrites")
+          }.flatten
+          val retainedNorm = retained.map(e => SnapshotTable.norm(e.path)).toSet
+          val keptLines = SnapshotTable.statsLines(spark, root, s.version)
+            .filter(l => retainedNorm(l.split("\t", 3)(0)))
+          val base = SnapshotTable.tableSchema(spark, root, s.version)
+            .getOrElse(schema)
+          require(SnapshotTable.nullableSchema(schema).fields
+            .map(f => (f.name, f.dataType)).toSeq ==
+            SnapshotTable.nullableSchema(base).fields
+              .map(f => (f.name, f.dataType)).toSeq,
+            s"overwrite schema ${schema.simpleString} != table schema " +
+              base.simpleString)
+          (s.version + 1, retained ++ files, keptLines ++ fresh, base)
         case (Some(s), false) if dynamic =>
           // DYNAMIC partition overwrite: the staged files' exact tuples
           // name the partitions being replaced; every other file is

@@ -229,6 +229,38 @@ class SnapshotPartitionedDsv2Spec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graftp.dyn")
   }
 
+  test("filter-scoped overwrite replaces provably-matching partitions, refuses unprovable cuts") {
+    spark.sql("CREATE TABLE graftp.fow (k BIGINT, g STRING) " +
+      "USING `graft-snapshot` PARTITIONED BY (g)")
+    try {
+      spark.sql("INSERT INTO graftp.fow VALUES (1,'a'),(2,'b'),(3,'c')")
+      val wh = spark.conf.get("spark.sql.catalog.graftp.warehouse")
+      val root = s"$wh/fow"
+      val before = SnapshotTable.latest(spark, root).get.entries
+        .map(e => e.tuple -> e.path).toMap
+      // overwrite(g = 'b'): the b partition is replaced, a/c verbatim
+      Seq((20L, "b"), (21L, "b")).toDF("k", "g")
+        .writeTo("graftp.fow").overwrite(col("g") === "b")
+      val after = SnapshotTable.latest(spark, root).get.entries
+        .map(e => e.tuple -> e.path).toMap
+      assert(after("g=a") === before("g=a") && after("g=c") === before("g=c"))
+      assert(after("g=b") !== before("g=b"))
+      assert(spark.sql("SELECT k FROM graftp.fow ORDER BY k")
+        .as[Long].collect().toSeq === Seq(1L, 3L, 20L, 21L))
+      // empty data + filter = partition DROP, not a no-op
+      spark.emptyDataset[(Long, String)].toDF("k", "g")
+        .writeTo("graftp.fow").overwrite(col("g") === "c")
+      assert(spark.sql("SELECT count(*) FROM graftp.fow").head.getLong(0) === 3)
+      // a NON-partition condition is not provable per file → refused
+      val e = intercept[Exception] {
+        Seq((9L, "a")).toDF("k", "g")
+          .writeTo("graftp.fow").overwrite(col("k") === 1L)
+      }
+      assert(e.getMessage != null)
+      assert(spark.sql("SELECT count(*) FROM graftp.fow").head.getLong(0) === 3)
+    } finally spark.sql("DROP TABLE IF EXISTS graftp.fow")
+  }
+
   test("dynamic overwrite refuses unpartitioned tables") {
     spark.sql("CREATE TABLE graftp.dyn2 (k BIGINT, g STRING) USING `graft-snapshot`")
     try {
