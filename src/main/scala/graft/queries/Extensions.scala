@@ -971,6 +971,38 @@ object Extensions {
         .select(col("partition"), col("n_files"), col("total_rows"))
         .orderBy("partition")
     },
+    // DYNAMIC partition overwrite end-to-end: writeTo(t)
+    // .overwritePartitions() replaces ONLY the partition present in the
+    // incoming frame (1-URGENT, prices doubled) — every other partition
+    // keeps its original content (the spec asserts the untouched FILES
+    // are identical; here the CONTENT proves it against the oracle's
+    // CASE replay).
+    "SNAPSHOT-OVERWRITE-DYNAMIC" -> { (s, d) =>
+      Tables.register(s, d)
+      val wh = java.nio.file.Files.createTempDirectory("graft_dynow").toString
+      val cat = "graftdyn_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.storage.dsv2.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT, prio STRING, price DOUBLE) " +
+        "USING `graft-snapshot` PARTITIONED BY (prio)")
+      s.table("orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        .writeTo(s"$cat.t").append()
+      s.table("orders").where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          (col("o_totalprice") * 2).as("price"))
+        .writeTo(s"$cat.t").overwritePartitions()
+      import s.implicits._
+      val rows = s.sql(s"""SELECT prio, count(*) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM $cat.t GROUP BY prio ORDER BY prio""").collect()
+        .toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      s.sql(s"DROP TABLE $cat.t")
+      rows.toDF("prio", "n", "total")
+    },
     // PARTITION-SCOPED merge: the table is partitioned by priority and
     // priority is part of the merge key, so the upsert rewrites ONLY
     // the 1-URGENT partition — every other file is retained verbatim
@@ -2413,6 +2445,13 @@ object Extensions {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM orders WHERE o_orderkey BETWEEN 500 AND 1500
         |GROUP BY prio ORDER BY prio""".stripMargin,
+    // the dynamic overwrite replayed: 1-URGENT prices doubled
+    "SNAPSHOT-OVERWRITE-DYNAMIC" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2)))
+        |    AS DOUBLE), 2) AS total
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
     // the scoped upsert replayed in plain SQL over raw orders
     "UPSERT-PARTITION-SCOPED" ->
       """WITH m AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
