@@ -356,7 +356,13 @@ object SnapshotPartition {
     }
     case TimestampType | TimestampNTZType => v match {
       case t: java.sql.Timestamp =>
-        Some(t.getTime / 1000L * 1000000L + t.getNanos.toLong / 1000L)
+        // getTime already carries the integral millis (floor semantics for
+        // pre-1970 values); only the sub-milli micros come from getNanos.
+        // A truncating getTime/1000 round-trip is off by +1s for negative
+        // fractional timestamps — and decided partition filters are
+        // CONSUMED, so that returns wrong rows, not just bad pruning.
+        // Matches Spark's DateTimeUtils.fromJavaTimestamp.
+        Some(t.getTime * 1000L + (t.getNanos.toLong / 1000L) % 1000L)
       case t: java.time.Instant =>
         Some(t.getEpochSecond * 1000000L + t.getNano.toLong / 1000L)
       case t: java.time.LocalDateTime =>

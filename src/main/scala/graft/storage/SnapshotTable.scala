@@ -775,12 +775,19 @@ object SnapshotTable {
     * paths, so each `<oldRoot>/data/...` entry is re-anchored under the
     * new root). Per-version rewrites are staged-then-swapped; a rename
     * is not expected to race live writers (standard DDL contract). */
-  private[storage] def rebaseMetadata(spark: SparkSession, newRoot: String): Unit = {
+  private[storage] def rebaseMetadata(spark: SparkSession, oldRoot: String,
+                                      newRoot: String): Unit = {
     val f = fs(spark, newRoot)
+    // re-anchor by stripping the EXACT old-root prefix — matching "the
+    // first /data/ in the path" breaks any warehouse whose own path
+    // contains /data/ (e.g. warehouse=/data/graft would rewrite every
+    // entry to <new>/data/graft/.../data/..., an unresolvable manifest)
+    val oldPrefix = norm(oldRoot).stripSuffix("/") + "/data/"
     def reanchor(p: String): String = {
-      val i = p.indexOf("/data/")
-      if (i < 0) p
-      else f.makeQualified(new Path(newRoot, "data" + p.substring(i + 5))).toString
+      val n = norm(p)
+      if (!n.startsWith(oldPrefix)) p
+      else f.makeQualified(new Path(new Path(newRoot, "data"),
+        n.substring(oldPrefix.length))).toString
     }
     versions(spark, newRoot).foreach { v =>
       val snap = snapshot(spark, newRoot, v)

@@ -153,7 +153,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     require(fs.rename(tablePath(oldIdent), tablePath(newIdent)),
       s"rename $oldIdent -> $newIdent failed")
     // manifests carry ABSOLUTE data-file paths: re-anchor them
-    SnapshotTable.rebaseMetadata(spark, tablePath(newIdent).toString)
+    SnapshotTable.rebaseMetadata(spark, tablePath(oldIdent).toString,
+      tablePath(newIdent).toString)
   }
 
   /** ALTER TABLE: ADD COLUMNS and lossless type widening, committed as a

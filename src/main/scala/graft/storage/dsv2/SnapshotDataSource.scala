@@ -1132,6 +1132,17 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
           require(!touched.contains(""),
             "dynamic overwrite staged a tuple-less file — partitioned " +
               "writes must derive tuples")
+          // a base file WITHOUT a tuple can hold rows of any partition —
+          // retaining it verbatim would leave stale rows of overwritten
+          // partitions alive. Refuse loudly (like the filter-scoped path)
+          // rather than commit a silently-wrong table.
+          s.entries.find(_.tuple.isEmpty).foreach { e =>
+            throw new IllegalArgumentException(
+              s"dynamic overwrite cannot prove partition membership of " +
+                s"${e.path} (no partition tuple recorded) — compact the " +
+                "table to re-derive tuples, or use overwrite(condition) / " +
+                "DELETE FROM + INSERT INTO")
+          }
           val retained = s.entries.filterNot(e => touched.contains(e.tuple))
           val retainedNorm = retained.map(e => SnapshotTable.norm(e.path)).toSet
           val keptLines = SnapshotTable.statsLines(spark, root, s.version)
@@ -1241,6 +1252,14 @@ final class SnapshotStreamingWrite(root: String, schema: StructType,
         dropStaged(); return
       }
       val cur = SnapshotTable.latest(spark, root)
+      // replay gate on the exact CAS base: `cur`'s ledger and the version
+      // CAS see the same snapshot, so a racer that committed THIS epoch
+      // between the high-water pre-check and `latest` is caught here; a
+      // racer landing after `latest` fails our CAS and we re-loop. The
+      // pre-check alone leaves that window open (duplicate delivery).
+      if (cur.exists(_.txns.get(appId).exists(epochId <= _))) {
+        dropStaged(); return
+      }
       // an empty epoch against an existing table is a no-op (no junk
       // versions); against an absent root there is nothing to type yet
       if (files.isEmpty && !(overwrite && cur.isDefined)) return

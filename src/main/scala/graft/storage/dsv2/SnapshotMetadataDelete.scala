@@ -45,9 +45,29 @@ object SnapshotMetadataDelete {
     case _ => None
   }
 
+  /** A literal comparable against the stats sidecar. Stats record
+    * `cast(col as double)`: plain numerics verbatim, timestamps as epoch
+    * SECONDS — but a V2 TimestampType literal carries epoch MICROS (a
+    * java.lang.Long), so it MUST be rescaled before any stats
+    * comparison, or a retention `DELETE ... WHERE ts < TIMESTAMP'...'`
+    * would compare micros against seconds and "prove" every file
+    * droppable. Only types whose cast-to-double stats semantics are
+    * known are accepted; anything else makes the leaf unsupported
+    * (⇒ copy-on-write fallback, never wrong). */
   private def literal(e: Expression): Option[Double] = e match {
-    case l: Literal[_] => l.value match {
-      case n: Number => Some(n.doubleValue())
+    case l: Literal[_] => (l.dataType(), l.value) match {
+      case (org.apache.spark.sql.types.ByteType
+            | org.apache.spark.sql.types.ShortType
+            | org.apache.spark.sql.types.IntegerType
+            | org.apache.spark.sql.types.LongType
+            | org.apache.spark.sql.types.FloatType
+            | org.apache.spark.sql.types.DoubleType, n: Number) =>
+        Some(n.doubleValue())
+      case (org.apache.spark.sql.types.TimestampType, n: Number) =>
+        // micros → seconds, the same x/1e6 map cast-to-double stats use;
+        // the pre-rescale 2^51 guard keeps distinct micros distinct
+        // (ulp(2^51/1e6 seconds) < 1 micro), so '=' proofs stay exact
+        Some(n.doubleValue()).filter(m => math.abs(m) <= ExactAbs).map(_ / 1e6)
       case _ => None
     }
     case _ => None

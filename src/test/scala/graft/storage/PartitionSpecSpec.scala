@@ -225,4 +225,23 @@ class PartitionSpecSpec extends AnyFunSuite {
     assert(back === e)
     assert(decodeTuple(back.tuple) === Map("k" -> Some("7"), "s" -> Some("a/b")))
   }
+
+  test("pre-1970 fractional java.sql.Timestamp literals convert with floor semantics") {
+    // -1.5 s = -1500000 micros; a truncating getTime/1000 round-trip
+    // yields -500000 (off by +1 s) — and decided partition filters are
+    // CONSUMED, so the miss returns wrong rows, not just bad pruning
+    val fields = fieldsOf(Seq("ts"),
+      StructType(Seq(StructField("ts", TimestampType))))
+    val doms = fileDomains(fields, Map("ts" -> Some("-1500000")))
+    assert(evalFilter(
+      sources.EqualTo("ts", new java.sql.Timestamp(-1500L)), doms) === Some(TTrue))
+    assert(evalFilter(
+      sources.LessThan("ts", new java.sql.Timestamp(-1000L)), doms) === Some(TTrue))
+    assert(evalFilter(
+      sources.GreaterThan("ts", new java.sql.Timestamp(-1500L)), doms) === Some(TFalse))
+    // positive fractional values keep working
+    val doms2 = fileDomains(fields, Map("ts" -> Some("1500000")))
+    assert(evalFilter(
+      sources.EqualTo("ts", new java.sql.Timestamp(1500L)), doms2) === Some(TTrue))
+  }
 }

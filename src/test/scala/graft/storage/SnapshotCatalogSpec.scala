@@ -135,4 +135,26 @@ class SnapshotCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT * FROM graft.rn.a").collect() }
     spark.sql("DROP TABLE graft.rn.b")
   }
+
+  test("rename survives a warehouse path that itself contains /data/") {
+    // re-anchoring must strip the EXACT old-root prefix; matching "the
+    // first /data/ in the path" would rewrite every manifest entry to
+    // <new>/data/graft/.../data/... and break the table after RENAME
+    val wh = Files.createTempDirectory("graft_dwh").toString + "/data/graft"
+    spark.conf.set("spark.sql.catalog.graftd", "graft.storage.dsv2.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.graftd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftd.rn")
+    spark.sql("CREATE TABLE graftd.rn.a (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO graftd.rn.a VALUES (1, 'x'), (2, 'y')")
+    spark.sql("ALTER TABLE graftd.rn.a RENAME TO rn.b")
+    try {
+      assert(spark.sql("SELECT sum(k) FROM graftd.rn.b").head.getLong(0) === 3L)
+      // every re-anchored manifest entry must resolve to a real file
+      val snap = SnapshotTable.latest(spark, s"$wh/rn/b").get
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      snap.files.foreach(p => assert(
+        fs.exists(new org.apache.hadoop.fs.Path(p)), s"unresolvable entry $p"))
+    } finally spark.sql("DROP TABLE IF EXISTS graftd.rn.b")
+  }
 }

@@ -285,4 +285,33 @@ class SnapshotPartitionedDsv2Spec extends SparkSpec {
         "USING `graft-snapshot` PARTITIONED BY (hours(d))")
     }
   }
+
+  test("dynamic overwrite refuses base files without partition tuples") {
+    spark.sql("CREATE TABLE graftp.dynx (k BIGINT, g STRING) " +
+      "USING `graft-snapshot` PARTITIONED BY (g)")
+    try {
+      spark.sql("INSERT INTO graftp.dynx VALUES (1, 'a'), (2, 'b')")
+      val wh = spark.conf.get("spark.sql.catalog.graftp.warehouse")
+      val root = s"$wh/dynx"
+      val s = SnapshotTable.latest(spark, root).get
+      // doctor a next version where one entry lost its tuple — the
+      // latitude FileEntry documents for external rewrites; such a file
+      // can hold rows of ANY partition, so retaining it verbatim would
+      // leave stale rows of overwritten partitions alive
+      SnapshotTable.commit(spark, root, s.version + 1,
+        s.entries.head.copy(tuple = "") +: s.entries.tail, s.meta)
+      SnapshotTable.tableSchema(spark, root, s.version)
+        .foreach(SnapshotTable.writeSchema(spark, root, s.version + 1, _))
+      spark.sql("REFRESH TABLE graftp.dynx")
+      val e = intercept[Exception] {
+        Seq((10L, "a")).toDF("k", "g").writeTo("graftp.dynx").overwritePartitions()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+      assert(chain(e).exists(m => m != null && m.contains("partition membership")),
+        s"expected a loud refusal, got: ${chain(e)}")
+      // the table is untouched — stale-row retention did NOT commit
+      assert(spark.sql("SELECT count(*) FROM graftp.dynx").head.getLong(0) === 2)
+    } finally spark.sql("DROP TABLE IF EXISTS graftp.dynx")
+  }
 }

@@ -215,4 +215,43 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(spark.read.format("graft-snapshot").load(root).count() === 200)
     assert(SnapshotTable.versions(spark, root) === Seq(1L, 2L))
   }
+
+  test("METADATA-ONLY DELETE on a TIMESTAMP column: literal micros are rescaled to the stats' seconds") {
+    val root = newRoot()
+    val tbl = newTable()
+    // two appends = disjoint ts ranges; stats record cast(ts as double)
+    // = epoch SECONDS, while the pushed V2 literal carries epoch MICROS
+    spark.range(100).select(
+        timestamp_seconds(lit(1000000L) + col("id")).as("ts"),
+        col("id").as("v"))
+      .write.format("graft-snapshot").option("statsCols", "ts")
+      .mode("append").save(root)
+    spark.range(100).select(
+        timestamp_seconds(lit(2000000L) + col("id")).as("ts"),
+        (col("id") + 100L).as("v"))
+      .write.format("graft-snapshot").option("statsCols", "ts")
+      .mode("append").save(root)
+    val before = SnapshotTable.latest(spark, root).get
+    val oldFiles = before.files.toSet
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      // retention cutoff BETWEEN the two appends: a micros-vs-seconds
+      // comparison would "prove" EVERY file fully inside (max-seconds ≪
+      // cutoff-micros) and drop the whole table — silent mass data loss
+      spark.sql(s"DELETE FROM $tbl WHERE ts < timestamp_seconds(1500000)")
+      val after = SnapshotTable.latest(spark, root).get
+      assert(after.files.nonEmpty, "timestamp retention delete dropped the whole table")
+      // ...and the aligned cutoff still takes the METADATA-ONLY path
+      assert(after.files.toSet.subsetOf(oldFiles),
+        s"metadata delete must not rewrite: ${after.files.toSet -- oldFiles}")
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.sql(s"SELECT count(*), min(v) FROM $tbl").head.toString
+        === "[100,100]")
+      // equality inside a file's [min,max] must fall back to the rewrite
+      // and actually delete (the micros bug made it a silent no-op)
+      spark.sql(s"DELETE FROM $tbl WHERE ts = timestamp_seconds(2000050)")
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 99)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
