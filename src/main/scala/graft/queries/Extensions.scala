@@ -1411,6 +1411,52 @@ object Extensions {
         .select(lit("pre").as("ver"), col("prio"), col("n"), col("total"))
       afterDelete.unionByName(preDelete).orderBy("ver", "prio")
     },
+    // MERGE-ON-READ delete: same statement shape as UPSERT-DELETE-SQL,
+    // but the table opted into deletion vectors (deleteMode
+    // 'merge-on-read') — the delete commits per-file position sidecars
+    // instead of rewriting any data file. The query structurally ASSERTS
+    // the merge-on-read contract (file identities unchanged, vectors
+    // present) before producing the pre/post aggregate the oracle
+    // replays; readers subtract positions, time travel sees them all.
+    "UPSERT-DELETE-MOR" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_delmor")
+        .toString + "/t"
+      val tbl = "del_mor_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.table("orders").where(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        .repartitionByRange(8, col("k"))
+        .write.format("graft-snapshot").option("statsCols", "k")
+        .option("deleteMode", "merge-on-read")
+        .mode("append").save(root)
+      val base = graft.storage.SnapshotTable.latest(s, root).get
+      s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+      s.sql(s"DELETE FROM $tbl WHERE k % 3 = 0 AND k <= 2000")
+      val after = graft.storage.SnapshotTable.latest(s, root).get
+      require(after.files.toSet == base.files.toSet,
+        "merge-on-read delete must not rewrite data files")
+      require(after.entries.exists(_.dv.nonEmpty),
+        "merge-on-read delete must attach deletion vectors")
+      s.sql(s"REFRESH TABLE $tbl")
+      import s.implicits._
+      val rows = s.sql(s"""SELECT prio, count(*) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM $tbl GROUP BY prio ORDER BY prio""").collect()
+        .toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val afterDelete = rows.toDF("prio", "n", "total")
+        .select(lit("post").as("ver"), col("prio"), col("n"), col("total"))
+      val preDelete = s.read.format("graft-snapshot")
+        .option("versionAsOf", base.version).load(root)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .select(lit("pre").as("ver"), col("prio"), col("n"), col("total"))
+      afterDelete.unionByName(preDelete).orderBy("ver", "prio")
+    },
     // deterministic train/val/test split (the assignment step every
     // training pipeline runs first): hash-bucket the STABLE doc id into
     // 80/10/10 — a pure per-row function, reproducible forever, immune to
@@ -2577,6 +2623,18 @@ object Extensions {
         |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
     // post-delete content ∪ the time-traveled pre-delete base
     "UPSERT-DELETE-SQL" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    o_totalprice AS price FROM orders WHERE o_orderkey <= 4000),
+        |post AS (SELECT * FROM base WHERE NOT (k % 3 = 0 AND k <= 2000))
+        |SELECT 'post' AS ver, prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM post GROUP BY prio
+        |UNION ALL
+        |SELECT 'pre' AS ver, prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM base GROUP BY prio
+        |ORDER BY ver, prio""".stripMargin,
+    "UPSERT-DELETE-MOR" ->
       """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
         |    o_totalprice AS price FROM orders WHERE o_orderkey <= 4000),
         |post AS (SELECT * FROM base WHERE NOT (k % 3 = 0 AND k <= 2000))

@@ -50,8 +50,18 @@ object SnapshotTable {
     * (unpartitioned table, or a rewrite that did not re-derive tuples) —
     * such a file is never pruned by partition predicates, the usual
     * no-false-negative degradation. */
+  /** `dv`/`dvRows` reference the file's DELETION VECTOR sidecar
+    * ([[DeletionVectors]]) when merge-on-read deletes hit it: `dv` is
+    * the sidecar's absolute path, `dvRows` its (exact) deleted-row
+    * count. Empty/0 = no deletes. Readers subtract the positions; any
+    * rewrite of the file drops the reference. */
   final case class FileEntry(path: String, rows: Long = -1L, bytes: Long = -1L,
-                             tuple: String = "")
+                             tuple: String = "", dv: String = "",
+                             dvRows: Long = 0L) {
+    /** Live rows = recorded rows minus merge-on-read deletes; -1 when
+      * the file's row count was never recorded. */
+    def liveRows: Long = if (rows < 0L) -1L else rows - dvRows
+  }
 
   /** A resolved snapshot: version + data-file entries + metadata lines
     * ("#"-prefixed in the manifest — e.g. the streaming sink's
@@ -61,10 +71,11 @@ object SnapshotTable {
                             meta: Seq[String] = Seq.empty) {
     /** ABSOLUTE data-file paths. */
     def files: Seq[String] = entries.map(_.path)
-    /** Total rows when EVERY entry carries a count; None otherwise. */
+    /** Total LIVE rows (merge-on-read deletes subtracted) when EVERY
+      * entry carries a count; None otherwise. */
     def rowCount: Option[Long] =
       if (entries.nonEmpty && entries.forall(_.rows >= 0L))
-        Some(entries.map(_.rows).sum)
+        Some(entries.map(_.liveRows).sum)
       else if (entries.isEmpty) Some(0L)
       else None
     /** The batch-id ledger, keyed by app/query id: `#txn <id>` is the
@@ -104,6 +115,17 @@ object SnapshotTable {
       * data file covers a tight [min,max] range and `statsCols`
       * skipping keeps working across appends WITHOUT re-clustering
       * compaction — Iceberg's sortedBy, ascending. */
+    /** Row-level SQL write modes (`#rowlevel delete=merge-on-read,...`
+      * metadata line, carried forward like the partition spec): maps
+      * `delete`/`update`/`merge` to `copy-on-write` (default) or
+      * `merge-on-read` (deletion vectors). */
+    def rowLevelModes: Map[String, String] = meta.collectFirst {
+      case l if l.startsWith("#rowlevel ") =>
+        l.stripPrefix("#rowlevel ").trim.split(",").toSeq
+          .map(_.trim.split("=", 2)).collect {
+            case Array(k, v) if k.nonEmpty && v.nonEmpty => k -> v
+          }.toMap
+    }.getOrElse(Map.empty)
     def sortCols: Seq[String] = meta.collectFirst {
       case l if l.startsWith("#sort ") =>
         l.stripPrefix("#sort ").trim.split(",").map(_.trim)
@@ -119,6 +141,19 @@ object SnapshotTable {
   /** The `#sort` manifest metadata line (empty ⇒ no declared order). */
   private[storage] def sortMeta(cols: Seq[String]): Seq[String] =
     if (cols.isEmpty) Seq.empty else Seq(s"#sort ${cols.mkString(",")}")
+
+  /** The `#rowlevel` manifest metadata line (empty ⇒ all defaults). */
+  private[storage] def rowLevelMeta(modes: Map[String, String]): Seq[String] = {
+    modes.foreach { case (k, v) =>
+      require(Set("delete", "update", "merge")(k) &&
+        Set("copy-on-write", "merge-on-read")(v),
+        s"unsupported row-level mode $k=$v (delete/update/merge = " +
+          "copy-on-write|merge-on-read)")
+    }
+    if (modes.isEmpty) Seq.empty
+    else Seq(s"#rowlevel ${modes.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString(",")}")
+  }
 
   /** Refuse a bad partition spec loudly at create time: unknown source
     * column, transform/type mismatch, or two fields over one source
@@ -364,7 +399,9 @@ object SnapshotTable {
     * tuple encoding escapes TAB, so the field never splits). A legacy
     * path-only line parses back with unknown counts and no tuple. */
   private def entryLine(e: FileEntry): String =
-    if (e.tuple.isEmpty) s"${e.path}\t${e.rows}\t${e.bytes}"
+    if (e.dv.nonEmpty) // 6-field form; tuple kept even when empty
+      s"${e.path}\t${e.rows}\t${e.bytes}\t${e.tuple}\t${e.dv}\t${e.dvRows}"
+    else if (e.tuple.isEmpty) s"${e.path}\t${e.rows}\t${e.bytes}"
     else s"${e.path}\t${e.rows}\t${e.bytes}\t${e.tuple}"
 
   /** Manifest metadata for a new commit: the base snapshot's per-app txn
@@ -378,6 +415,7 @@ object SnapshotTable {
     val m = base.map(_.txns).getOrElse(Map.empty) ++ txn.map(txnApp -> _)
     partitionMeta(base.map(_.partitionSpecs).getOrElse(Seq.empty)) ++
       sortMeta(base.map(_.sortCols).getOrElse(Seq.empty)) ++
+      rowLevelMeta(base.map(_.rowLevelModes).getOrElse(Map.empty)) ++
       m.toSeq.sortBy(_._1).map {
         case ("", id) => s"#txn $id"
         case (app, id) => s"#txn $app $id"
@@ -659,8 +697,11 @@ object SnapshotTable {
     val keep = keepByStats(snap.files, st, Map(statCol -> (lo, hi)))
     val schema = tableSchema(spark, root, snap.version)
     val base =
-      if (keep.isEmpty) readFiles(spark, snap.files, schema).where(lit(false))
-      else readFiles(spark, keep, schema)
+      if (keep.isEmpty) readEntries(spark, snap.entries, schema).where(lit(false))
+      else {
+        val keepSet = keep.map(norm).toSet
+        readEntries(spark, snap.entries.filter(e => keepSet(norm(e.path))), schema)
+      }
     base.where(col(statCol).cast("double") >= lo &&
       col(statCol).cast("double") <= hi)
   }
@@ -732,22 +773,28 @@ object SnapshotTable {
     require(fromV == 0 || vs.contains(fromV),
       s"change-feed base v$fromV is not a retained version at $root " +
         s"(retained: ${vs.mkString(",")})")
-    var prev: Set[String] =
-      if (fromV == 0) Set.empty
-      else snapshot(spark, root, fromV).files.map(norm).toSet
+    var prev: Map[String, String] =
+      if (fromV == 0) Map.empty
+      else snapshot(spark, root, fromV).entries
+        .map(e => norm(e.path) -> e.dv).toMap
     vs.filter(v => v > fromV && v <= toV).flatMap { v =>
       val cur = snapshot(spark, root, v).entries
-      val curNorm = cur.map(e => norm(e.path)).toSet
-      val removed = prev -- curNorm
-      val added = cur.filterNot(e => prev(norm(e.path)))
-      prev = curNorm
-      if (removed.nonEmpty && !ignoreRewrites)
+      val curMap = cur.map(e => norm(e.path) -> e.dv).toMap
+      val removed = prev.keySet -- curMap.keySet
+      // a retained file whose DELETION VECTOR changed is a delete in
+      // disguise — silently emitting nothing would hide it from the
+      // feed, so it refuses exactly like a copy-on-write rewrite
+      val dvDrift = curMap.count { case (p, dv) => prev.get(p).exists(_ != dv) }
+      val added = cur.filterNot(e => prev.contains(norm(e.path)))
+      prev = curMap
+      if ((removed.nonEmpty || dvDrift > 0) && !ignoreRewrites)
         throw new UnsupportedOperationException(
-          s"version $v at $root removed/rewrote ${removed.size} file(s); an " +
-            "append-only change feed cannot represent a rewrite — diff the " +
-            "versions row-level with Cdc.snapshotDiff(readVersion(prev), " +
-            "readVersion(v), keys), or pass ignoreRewrites=true to stream " +
-            "rewrite versions' added files (re-delivers rewritten rows)")
+          s"version $v at $root removed/rewrote ${removed.size} file(s) and " +
+            s"merge-on-read-deleted from $dvDrift; an append-only change " +
+            "feed cannot represent a delete — diff the versions row-level " +
+            "with Cdc.snapshotDiff(readVersion(prev), readVersion(v), keys), " +
+            "or pass ignoreRewrites=true to stream rewrite versions' added " +
+            "files (re-delivers rewritten rows, skips deletes)")
       added
     }
   }
@@ -766,7 +813,7 @@ object SnapshotTable {
         s"empty change feed with no schema sidecar at $root"))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
-    } else readFiles(spark, entries.map(_.path), schema)
+    } else readEntries(spark, entries, schema)
   }
 
   /** Rewrite every retained version's manifest and stats sidecar onto a
@@ -782,16 +829,20 @@ object SnapshotTable {
     // first /data/ in the path" breaks any warehouse whose own path
     // contains /data/ (e.g. warehouse=/data/graft would rewrite every
     // entry to <new>/data/graft/.../data/..., an unresolvable manifest)
-    val oldPrefix = norm(oldRoot).stripSuffix("/") + "/data/"
-    def reanchor(p: String): String = {
+    val oldBase = norm(oldRoot).stripSuffix("/")
+    def reanchorUnder(p: String, sub: String): Option[String] = {
+      val prefix = s"$oldBase/$sub/"
       val n = norm(p)
-      if (!n.startsWith(oldPrefix)) p
-      else f.makeQualified(new Path(new Path(newRoot, "data"),
-        n.substring(oldPrefix.length))).toString
+      if (!n.startsWith(prefix)) None
+      else Some(f.makeQualified(new Path(new Path(newRoot, sub),
+        n.substring(prefix.length))).toString)
     }
+    def reanchor(p: String): String =
+      reanchorUnder(p, "data").orElse(reanchorUnder(p, "_deletes")).getOrElse(p)
     versions(spark, newRoot).foreach { v =>
       val snap = snapshot(spark, newRoot, v)
-      val entries = snap.entries.map(e => e.copy(path = reanchor(e.path)))
+      val entries = snap.entries.map(e => e.copy(path = reanchor(e.path),
+        dv = if (e.dv.isEmpty) "" else reanchor(e.dv)))
       val tmp = new Path(snapDir(newRoot), s".tmp-rb-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try out.write((snap.meta ++ entries.map(entryLine))
@@ -845,6 +896,9 @@ object SnapshotTable {
         case Array(p, r, b, t) =>
           try FileEntry(p, r.toLong, b.toLong, t)
           catch { case _: NumberFormatException => FileEntry(p) }
+        case Array(p, r, b, t, dv, dvr) =>
+          try FileEntry(p, r.toLong, b.toLong, t, dv, dvr.toLong)
+          catch { case _: NumberFormatException => FileEntry(p) }
         case _ => FileEntry(l) // legacy path-only line
       }
     }
@@ -886,18 +940,47 @@ object SnapshotTable {
     }
   }
 
+  /** Entry-aware read: like [[readFiles]], but entries carrying a
+    * DELETION VECTOR get their deleted positions subtracted — via
+    * Spark's own parquet `_metadata.file_path`/`row_index` coordinates
+    * anti-joined against the (broadcast-small) sidecar positions. Files
+    * without a vector pay NOTHING (the anti-join only materializes when
+    * a vector exists, and vectors are small by the merge-on-read
+    * contract: big deletes take copy-on-write or the metadata path). */
+  private[storage] def readEntries(spark: SparkSession, entries: Seq[FileEntry],
+                                   schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val base = readFiles(spark, entries.map(_.path), schema)
+    val withDv = entries.filter(_.dv.nonEmpty)
+    if (withDv.isEmpty) return base
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dropped: Seq[(String, Long)] = withDv.flatMap(e =>
+      DeletionVectors.read(conf, e.dv).map(p => (norm(e.path), p)))
+    val sq = spark
+    import sq.implicits._
+    val drop = dropped.toDF("__gf_file", "__gf_pos")
+    val normPath = udf((s: String) => norm(s))
+    val cols = base.columns.toSeq
+    base
+      .withColumn("__gf_file", normPath(col("_metadata.file_path")))
+      .withColumn("__gf_pos", col("_metadata.row_index"))
+      .join(broadcast(drop), Seq("__gf_file", "__gf_pos"), "left_anti")
+      .select(cols.map(col): _*)
+  }
+
   /** Read the latest snapshot (snapshot-isolated: the file list is pinned
     * at resolution; later commits never affect this frame). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val s = latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    readFiles(spark, s.files, tableSchema(spark, root, s.version))
+    readEntries(spark, s.entries, tableSchema(spark, root, s.version))
   }
 
   /** Time travel: read any retained version — with THAT version's
     * schema, so a pre-evolution version shows its original columns. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
-    readFiles(spark, snapshot(spark, root, v).files, tableSchema(spark, root, v))
+    readEntries(spark, snapshot(spark, root, v).entries,
+      tableSchema(spark, root, v))
 
   /** Create the table: stage `df`, commit as v1. Fails if the table
     * already has commits. `statsCols` names numeric columns to carry
@@ -1001,7 +1084,7 @@ object SnapshotTable {
       }
     val schema = tableSchema(spark, root, snap.version)
     val base =
-      if (affected.nonEmpty) readFiles(spark, affected.map(_.path), schema)
+      if (affected.nonEmpty) readEntries(spark, affected, schema)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.getOrElse(readFiles(spark, snap.files).schema))
     // a REAL table column with the tombstone marker's name would be
@@ -1135,7 +1218,10 @@ object SnapshotTable {
     }
     txnGate(snap, txn, txnApp)
     val schema = tableSchema(spark, root, snap.version)
-    val cur = readFiles(spark, snap.files, schema)
+    // DV-aware: compaction reads only LIVE rows, so merge-on-read
+    // deletes MATERIALIZE away here — the rewritten files carry no
+    // vectors and the columnar fast path is restored
+    val cur = readEntries(spark, snap.entries, schema)
     val pspecs = snap.partitionSpecs
     if (pspecs.nonEmpty) {
       // a partitioned table's compaction bin-packs WITHIN partitions:
@@ -1263,8 +1349,26 @@ object SnapshotTable {
       val m = manifestPath(root, v)
       f.exists(m) && f.getFileStatus(m).getModificationTime < cutoff
     }
-    val referenced = (keep ++ dropLater)
-      .flatMap(v => snapshot(spark, root, v).files).toSet
+    val retainedSnaps = (keep ++ dropLater).map(v => snapshot(spark, root, v))
+    val referenced = retainedSnaps.flatMap(_.files).toSet
+    // deletion-vector sidecars retire exactly like data files: keep the
+    // ones any retained manifest references, drop old unreferenced ones
+    // (the grace window protects an in-flight merge-on-read commit)
+    val referencedDv = retainedSnaps.flatMap(_.entries)
+      .collect { case e if e.dv.nonEmpty => norm(e.dv) }.toSet
+    val dvDir = DeletionVectors.dir(root)
+    if (f.exists(dvDir)) {
+      f.listStatus(dvDir).foreach { st =>
+        // partial-* dirs are a delta write's staging area (normally
+        // dropped at commit); an old one is a crashed writer's orphan
+        if (st.isDirectory && st.getPath.getName.startsWith("partial-") &&
+            st.getModificationTime < cutoff)
+          f.delete(st.getPath, true)
+        else if (!st.isDirectory && !referencedDv(norm(st.getPath.toString)) &&
+            st.getModificationTime < cutoff)
+          f.delete(st.getPath, false)
+      }
+    }
     val dataDir = new Path(root, "data")
     val statuses = listParquetStatuses(f, dataDir)
     val dead = statuses.filter(st => !referenced(st.getPath.toString) &&

@@ -127,13 +127,22 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(Seq.empty)
     sortBy.foreach(c => require(info.schema().fieldNames.contains(c),
       s"sortBy column '$c' not in ${info.schema().fieldNames.mkString(",")}"))
+    // TBLPROPERTIES('deleteMode'='merge-on-read', ...) pins the
+    // row-level write modes in the manifest (`#rowlevel` line, carried
+    // forward by every commit) — deletion vectors instead of
+    // copy-on-write for the named commands
+    val rlModes = Seq("delete" -> "deleteMode", "update" -> "updateMode",
+        "merge" -> "mergeMode").flatMap { case (cmd, key) =>
+      Option(info.properties().get(key)).map(cmd -> _)
+    }.toMap
     if (ident.namespace.nonEmpty && !fs.exists(nsPath(ident.namespace)))
       throw new NoSuchNamespaceException(ident.namespace)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val root = tablePath(ident).toString
     // an empty, TYPED v1: zero-file manifest + schema sidecar, atomic
     val meta = SnapshotTable.partitionMeta(pspecs) ++
-      SnapshotTable.sortMeta(sortBy)
+      SnapshotTable.sortMeta(sortBy) ++
+      SnapshotTable.rowLevelMeta(rlModes)
     SnapshotTable.commit(spark, root, 1L, Seq.empty, meta)
     SnapshotTable.writeSchema(spark, root, 1L, info.schema())
     new SnapshotTableV2(root, Some(SnapshotTable.Snapshot(1L, Seq.empty, meta)),

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.RowLevelOperation
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
@@ -219,8 +220,20 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
             }
         }
       } catch { case _: IllegalStateException => None }
-    new SnapshotTableV2(root(options), snapOpt, schema)
+    new SnapshotTableV2(root(options), snapOpt, schema,
+      modes = SnapshotTableV2.modesOf(options))
   }
+}
+
+object SnapshotTableV2 {
+  /** Row-level mode overrides from table/read OPTIONS
+    * (`deleteMode`/`updateMode`/`mergeMode` =
+    * `copy-on-write`|`merge-on-read`). */
+  def modesOf(options: CaseInsensitiveStringMap): Map[String, String] =
+    Seq("delete" -> "deleteMode", "update" -> "updateMode",
+        "merge" -> "mergeMode").flatMap { case (cmd, key) =>
+      Option(options.get(key)).map(cmd -> _)
+    }.toMap
 }
 
 /** A pinned snapshot version exposed as a V2 table (None until the first
@@ -229,17 +242,49 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
   * `MERGE INTO` SQL into [[SnapshotRowLevelOperation]]'s group-based
   * copy-on-write rewrite. */
 final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
-                            schema: StructType)
+                            schema: StructType,
+                            modes: Map[String, String] = Map.empty)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-  with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+  with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Row-ID metadata columns (`_file` the data file's path, `_pos` the
+    * row's ordinal within it) — what the MERGE-ON-READ delta path keys
+    * deletion vectors on, and independently useful for debugging
+    * (`SELECT _file, _pos, * FROM t`). Real table columns of the same
+    * name shadow them (Spark hides conflicting metadata columns). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    SnapshotMetaColumns.File, SnapshotMetaColumns.Pos)
+
+  /** The command's effective write mode: explicit table OPTIONS >
+    * the manifest's `#rowlevel` line > copy-on-write. */
+  private def modeOf(cmd: RowLevelOperation.Command): String = {
+    val key = cmd match {
+      case RowLevelOperation.Command.DELETE => "delete"
+      case RowLevelOperation.Command.UPDATE => "update"
+      case RowLevelOperation.Command.MERGE => "merge"
+    }
+    modes.get(key)
+      .orElse(snap.flatMap(_.rowLevelModes.get(key)))
+      .getOrElse("copy-on-write")
+  }
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     val s = snap.getOrElse(throw new IllegalStateException(
       s"no committed snapshot at $root — nothing to ${info.command} yet"))
-    () => new SnapshotRowLevelOperation(root, s, schema, info.command)
+    modeOf(info.command) match {
+      case "merge-on-read" =>
+        () => new SnapshotDeltaOperation(root, s, schema, info.command)
+      case "copy-on-write" =>
+        () => new SnapshotRowLevelOperation(root, s, schema, info.command)
+      case other => throw new IllegalArgumentException(
+        s"unsupported row-level mode '$other' for ${info.command} " +
+          "(copy-on-write | merge-on-read)")
+    }
   }
 
   /** METADATA-ONLY DELETE: eligible when the stats sidecar proves every
@@ -316,7 +361,8 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
         .getOrElse(Seq.empty),
       createSortBy = Option(info.options.get("sortBy"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      createRowLevelModes = SnapshotTableV2.modesOf(info.options))
 }
 
 /** Scan builder: collects pushed filters + required columns, prunes the
@@ -416,14 +462,15 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
       // set. Footers are the fallback for legacy path-only manifests
       // (still exact: immutable files).
       val total =
-        if (partKept.forall(_.rows >= 0L)) partKept.map(_.rows).sum
+        if (partKept.forall(_.rows >= 0L)) partKept.map(_.liveRows).sum
         else {
           val conf = SparkSession.active.sessionState.newHadoopConf()
           partKept.map { e =>
             val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
               org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
                 new org.apache.hadoop.fs.Path(e.path), conf))
-            try fr.getRecordCount finally fr.close()
+            // merge-on-read deletes subtract from the footer count too
+            try fr.getRecordCount - e.dvRows finally fr.close()
           }.sum
         }
       return new SnapshotCountScan(root, snap.version, partKept.size, total)
@@ -496,9 +543,21 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
           .filter(s => keepSet(SnapshotTable.norm(s.getPath.toString)))
           .map(_.getLen).sum
       }
+    // merge-on-read: the planned files' deletion vectors ride the scan
+    // so readers subtract deleted positions; `_file`/`_pos` metadata
+    // columns are emitted only when requested AND not shadowed by real
+    // table columns of the same name
+    val dvByFile = partKept.collect {
+      case e if e.dv.nonEmpty && keepSet(SnapshotTable.norm(e.path)) =>
+        SnapshotTable.norm(e.path) -> e.dv
+    }.toMap
+    val metaNames = Set("_file", "_pos")
+    val emitMeta = required.fieldNames.exists(metaNames) &&
+      !fullSchema.fieldNames.exists(metaNames)
     new SnapshotScan(root, snap.version, keep, snap.files.size, bytes, required,
       accepted, spark.sessionState.newHadoopConf(), columnar,
-      startingVersion, ignoreRewrites, spj = spjGroups(keep))
+      startingVersion, ignoreRewrites, spj = spjGroups(keep),
+      dvByFile = dvByFile, emitMeta = emitMeta)
   }
 }
 
@@ -542,7 +601,9 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
                          startingVersion: Option[Long] = None,
                          ignoreRewrites: Boolean = false,
                          spj: Option[(Array[org.apache.spark.sql.connector.expressions.Expression],
-                           Seq[(InternalRow, Seq[String])])] = None)
+                           Seq[(InternalRow, Seq[String])])] = None,
+                         dvByFile: Map[String, String] = Map.empty,
+                         emitMeta: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
@@ -592,17 +653,24 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
-  /** Plan-visible skipping evidence (`files=<kept>/<total>`) and decode
-    * mode (`mode=columnar|row`). */
+  /** Plan-visible skipping evidence (`files=<kept>/<total>`), decode
+    * mode (`mode=columnar|row`), and merge-on-read evidence (`dv=<n>`
+    * planned files carrying deletion vectors). */
   override def description(): String =
     s"graft-snapshot root=$root version=$version " +
       s"files=${files.size}/$totalFiles " +
       s"mode=${if (columnarMode) "columnar" else "row"} " +
+      s"dv=${dvByFile.size} " +
       s"pushed=[${pushed.mkString(", ")}] columns=${required.fieldNames.mkString(",")}"
 
   /** Columnar when enabled and the projected schema is the flat surface
-    * the vectorized reader covers; nested/decimal scans stay row-based. */
-  def columnarMode: Boolean = columnar && SnapshotColumnar.supported(required)
+    * the vectorized reader covers; nested/decimal scans stay row-based,
+    * as do scans over files with deletion vectors (position subtraction
+    * is row-at-a-time; compaction restores the vectorized path) and
+    * scans emitting the `_file`/`_pos` metadata columns. */
+  def columnarMode: Boolean =
+    columnar && SnapshotColumnar.supported(required) &&
+      dvByFile.isEmpty && !emitMeta
 
   /** Exposed for tests/tools asserting file-level skipping. */
   def plannedFiles: Seq[String] = files
@@ -618,7 +686,8 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapshotReaderFactory(required, SnapshotFilters.intervals(pushed),
-      new SerializableHadoopConf(conf), columnarMode)
+      new SerializableHadoopConf(conf), columnarMode,
+      dvByFile = dvByFile, emitMeta = emitMeta)
 }
 
 final case class SnapshotFilePartition(file: String) extends InputPartition
@@ -697,7 +766,7 @@ final class SnapshotPartitionsTable(root: String, snap: SnapshotTable.Snapshot)
                   Array[Any](
                     org.apache.spark.unsafe.types.UTF8String.fromString(part),
                     es.size.toLong,
-                    if (es.forall(_.rows >= 0L)) Long.box(es.map(_.rows).sum)
+                    if (es.forall(_.rows >= 0L)) Long.box(es.map(_.liveRows).sum)
                     else null,
                     if (es.forall(_.bytes >= 0L)) Long.box(es.map(_.bytes).sum)
                     else null))
@@ -827,7 +896,9 @@ final class SerializableHadoopConf(@transient var value: Configuration)
 final class SnapshotReaderFactory(required: StructType,
                                   intervals: Map[String, (Double, Double)],
                                   conf: SerializableHadoopConf,
-                                  columnar: Boolean = false)
+                                  columnar: Boolean = false,
+                                  dvByFile: Map[String, String] = Map.empty,
+                                  emitMeta: Boolean = false)
   extends PartitionReaderFactory {
 
   private def filesOf(partition: InputPartition): Seq[String] = partition match {
@@ -838,7 +909,9 @@ final class SnapshotReaderFactory(required: StructType,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     ConcatReader(filesOf(partition))(
-      f => new SnapshotPartitionReader(f, required, intervals, conf.value))
+      f => new SnapshotPartitionReader(f, required, intervals, conf.value,
+        dvPath = dvByFile.getOrElse(graft.storage.SnapshotTable.norm(f), ""),
+        emitMeta = emitMeta))
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
@@ -891,7 +964,8 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
                                  statsCols: Seq[String], mergeSchema: Boolean,
                                  queryId: String = "",
                                  createPartitionBy: Seq[String] = Seq.empty,
-                                 createSortBy: Seq[String] = Seq.empty)
+                                 createSortBy: Seq[String] = Seq.empty,
+                                 createRowLevelModes: Map[String, String] = Map.empty)
   extends WriteBuilder with SupportsTruncate
   with org.apache.spark.sql.connector.write.SupportsOverwrite
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -984,7 +1058,8 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
         s"filter-scoped overwrite needs a PARTITIONED table ($root is not); " +
           "use DELETE FROM + INSERT INTO instead")
       new SnapshotBatchWrite(root, schema, overwrite, statsCols, mergeSchema,
-        PartitionWriteSpec.of(schema, pspecs), sortCols, dynamic, byFilter)
+        PartitionWriteSpec.of(schema, pspecs), sortCols, dynamic, byFilter,
+        rowLevelModes = createRowLevelModes)
     }
     /** `stream.writeStream.format("graft-snapshot").start(root)` — the
       * NATIVE exactly-once streaming sink (no foreachBatch adapter
@@ -1033,7 +1108,8 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
                                part: Option[PartitionWriteSpec] = None,
                                sortCols: Seq[String] = Seq.empty,
                                dynamic: Boolean = false,
-                               byFilter: Option[Array[Filter]] = None)
+                               byFilter: Option[Array[Filter]] = None,
+                               rowLevelModes: Map[String, String] = Map.empty)
   extends BatchWrite {
 
   // one staging dir per write job, qualified driver-side so executors
@@ -1064,7 +1140,8 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
     // order; on an existing table nextMeta carries both forward
     val createMeta =
       SnapshotTable.partitionMeta(part.map(_.specs).getOrElse(Seq.empty)) ++
-        SnapshotTable.sortMeta(sortCols)
+        SnapshotTable.sortMeta(sortCols) ++
+        SnapshotTable.rowLevelMeta(rowLevelModes)
     // an empty frame stages nothing: APPENDING it to an EXISTING table is
     // a no-op. Everything else commits: an empty overwrite of an existing
     // table is a TRUNCATE (zero-file manifest, old rows gone), and an

@@ -1,0 +1,344 @@
+package graft.storage.dsv2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.MetadataColumn
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, SupportsDelta, WriterCommitMessage}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.storage.{DeletionVectors, SnapshotTable}
+
+/** MERGE-ON-READ row-level SQL — `DELETE FROM`, `UPDATE`, `MERGE INTO`
+  * via Spark's DSv2 DELTA protocol (`SupportsDelta`), the cheap-small-
+  * updates half the copy-on-write path ([[SnapshotRowLevelOperation]])
+  * doesn't cover: instead of rewriting every scanned file, the write
+  * commits, per touched data file, a DELETION-VECTOR sidecar naming the
+  * deleted row ordinals ([[DeletionVectors]]), plus ordinary new files
+  * for inserted/updated rows. A 10-row delete from a multi-GB table is
+  * then a ~100-byte sidecar and one manifest rename — metadata time —
+  * while copy-on-write pays a full file decode+encode.
+  *
+  * Protocol mapping:
+  *  1. Spark plans a `WriteDelta`: the operation's scan is read with the
+  *     row-ID metadata columns (`_file`, `_pos` — see
+  *     [[SnapshotMetaColumns]]), the condition picks affected rows, and
+  *     each reaches the [[SnapshotDeltaWriter]] as a typed op: DELETE
+  *     (row id only), INSERT/REINSERT (data row), UPDATE (split into
+  *     DELETE + REINSERT via `representUpdateAsDeleteAndInsert`).
+  *  2. Writers stage inserted rows as normal parquet files and the
+  *     deleted ordinals as per-(task, file) PARTIAL vector files —
+  *     positions never ride commit messages, so the driver never holds
+  *     data-proportional state from the message path.
+  *  3. The driver commit unions each data file's partials with its
+  *     existing vector (deletes compose across versions), writes ONE
+  *     immutable sidecar per touched file, and CAS-commits
+  *     `base (entries with updated dv refs, fully-deleted files dropped)
+  *     ++ inserted files` as the next version. Untouched files are not
+  *     even mentioned in the write — O(affected rows), never O(table).
+  *
+  * Mode selection: `copy-on-write` stays the default;
+  * `merge-on-read` opts in per command via table OPTIONS
+  * (`deleteMode`/`updateMode`/`mergeMode`) or the persistent
+  * `#rowlevel` manifest line. Compaction reads live rows only, so it
+  * materializes vectors away and restores the vectorized scan path.
+  *
+  * At 100 TB: scan cost is stats/partition-pruned to candidate files,
+  * write cost is O(affected rows), commit is one rename, and the
+  * read-side penalty is row-at-a-time decode for EXACTLY the files
+  * carrying vectors until compaction — the same trade every
+  * deletion-vector implementation makes. */
+object SnapshotMetaColumns {
+  val File: MetadataColumn = new MetadataColumn {
+    override def name(): String = "_file"
+    override def dataType(): org.apache.spark.sql.types.DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "data file path of the row"
+  }
+  val Pos: MetadataColumn = new MetadataColumn {
+    override def name(): String = "_pos"
+    override def dataType(): org.apache.spark.sql.types.DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment(): String = "row ordinal within its data file"
+  }
+}
+
+final class SnapshotDeltaOperation(root: String,
+                                   snap: SnapshotTable.Snapshot,
+                                   tableSchema: StructType,
+                                   cmd: RowLevelOperation.Command)
+  extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-snapshot $cmd (merge-on-read) root=$root base=v${snap.version}"
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DeltaRewriteScanBuilder(root, snap, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new SnapshotDeltaBatchWrite(root, snap, tableSchema,
+            info.rowIdSchema())
+        override def description(): String =
+          s"graft-snapshot write-delta $cmd root=$root base=v${snap.version}"
+      }
+    }
+}
+
+/** The delta rewrite scan: file-level pruning exactly like a plain read
+  * (stats intervals + exact partition tuples), every filter residual.
+  * NO parquet row-group predicate — `_pos` must be the row's TRUE file
+  * ordinal, so DV-relevant scans decode kept files whole (the reader
+  * enforces this; see [[SnapshotPartitionReader]]). Unscanned files
+  * simply produce no delta rows and are untouched by the commit —
+  * pruning here IS the O(affected files) bound. */
+final class DeltaRewriteScanBuilder(root: String, snap: SnapshotTable.Snapshot,
+                                    fullSchema: StructType)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var accepted: Array[Filter] = Array.empty
+  private var allPushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    allPushed = filters
+    accepted = filters.filter(f => SnapshotFilters.bound(f).isDefined)
+    filters // everything stays residual — pruning is I/O-only
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val partFields =
+      graft.storage.SnapshotPartition.fieldsOf(snap.partitionSpecs, fullSchema)
+    val partKept =
+      if (partFields.isEmpty) snap.entries
+      else allPushed.filter(f =>
+        graft.storage.SnapshotPartition.referencesOnlyPartitionCols(f, partFields))
+        .foldLeft(snap.entries) { (entries, f) =>
+          graft.storage.SnapshotPartition
+            .pruneEntries[SnapshotTable.FileEntry](entries, _.tuple, f, partFields)._1
+        }
+    val bounds = SnapshotFilters.intervals(accepted)
+    val st = SnapshotTable.stats(spark, root, snap.version)
+    val keep = SnapshotTable.keepByStats(partKept.map(_.path), st, bounds)
+    val keepSet = keep.map(SnapshotTable.norm).toSet
+    val dvByFile = snap.entries.collect {
+      case e if e.dv.nonEmpty && keepSet(SnapshotTable.norm(e.path)) =>
+        SnapshotTable.norm(e.path) -> e.dv
+    }.toMap
+    new SnapshotScan(root, snap.version, keep, snap.files.size,
+      sizeBytes = snap.entries.collect { case e if e.bytes >= 0 => e.bytes }.sum,
+      required = required, pushed = Array.empty,
+      conf = spark.sessionState.newHadoopConf(),
+      dvByFile = dvByFile, emitMeta = true)
+  }
+}
+
+/** Per-task commit message: inserted file entries plus refs to the
+  * task's PARTIAL deletion-vector files — (data file, partial path,
+  * count), positions staying on disk. */
+final case class SnapshotDeltaCommitMessage(
+    inserts: Seq[SnapshotTable.FileEntry],
+    dvPartials: Seq[(String, String, Long)]) extends WriterCommitMessage
+
+final class SnapshotDeltaBatchWrite(root: String,
+                                    snap: SnapshotTable.Snapshot,
+                                    tableSchema: StructType,
+                                    rowIdSchema: java.util.Optional[StructType])
+  extends DeltaBatchWrite {
+
+  // staging dirs: new data files like every write path; DV partials
+  // under _deletes/partial-<uuid> (retired after commit, vacuumed if
+  // the driver dies first)
+  private val (stagingDir, partialDir) = {
+    val spark = SparkSession.active
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val d = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "data"),
+      java.util.UUID.randomUUID().toString)
+    val p = new org.apache.hadoop.fs.Path(DeletionVectors.dir(root),
+      s"partial-${java.util.UUID.randomUUID()}")
+    val f = d.getFileSystem(hconf)
+    f.mkdirs(d); f.mkdirs(p)
+    (f.makeQualified(d).toString, f.makeQualified(p).toString)
+  }
+
+  private val conf = new SerializableHadoopConf(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  // rowId projection layout: (_file, _pos) in the declared order; the
+  // schema is consulted so a Spark that reorders them cannot misbind
+  private val (fileIdOrd, posIdOrd) = {
+    val sc = if (rowIdSchema.isPresent) rowIdSchema.get()
+      else StructType(Seq(
+        org.apache.spark.sql.types.StructField("_file", StringType),
+        org.apache.spark.sql.types.StructField("_pos", LongType)))
+    (sc.fieldIndex("_file"), sc.fieldIndex("_pos"))
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new SnapshotDeltaWriterFactory(stagingDir, partialDir, tableSchema, conf,
+      PartitionWriteSpec.of(tableSchema, snap.partitionSpecs),
+      fileIdOrd, posIdOrd)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val parsed = messages.map {
+      case m: SnapshotDeltaCommitMessage => m
+      case other => throw new IllegalStateException(s"unexpected commit message $other")
+    }
+    val inserts = parsed.flatMap(_.inserts).sortBy(_.path).toSeq
+    val partialsByFile: Map[String, Seq[String]] = parsed.flatMap(_.dvPartials)
+      .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toSeq }
+    val byNorm = snap.entries.map(e => SnapshotTable.norm(e.path)).toSet
+    partialsByFile.keys.foreach(f => require(byNorm(f),
+      s"delta delete names a file outside the base snapshot: $f"))
+
+    val freshDvs = Seq.newBuilder[String]
+    try {
+      // per touched file: union the task partials with the existing
+      // vector, write ONE new immutable sidecar (or drop the file when
+      // every row is now deleted). Driver memory is bounded by ONE
+      // file's deleted positions at a time.
+      val entries = snap.entries.flatMap { e =>
+        partialsByFile.get(SnapshotTable.norm(e.path)) match {
+          case None => Some(e)
+          case Some(partials) =>
+            val fresh = partials.iterator
+              .map(p => DeletionVectors.read(hconf, p))
+              .foldLeft(Array.emptyLongArray)(DeletionVectors.union)
+            val old =
+              if (e.dv.isEmpty) Array.emptyLongArray
+              else DeletionVectors.read(hconf, e.dv)
+            val all = DeletionVectors.union(old, fresh)
+            require(e.rows < 0L || all.length <= e.rows,
+              s"deletion vector for ${e.path} names ${all.length} rows of ${e.rows}")
+            if (e.rows >= 0L && all.length == e.rows) None // fully deleted
+            else {
+              val dvPath = DeletionVectors.freshPath(root)
+              DeletionVectors.write(hconf, dvPath, all)
+              freshDvs += dvPath
+              Some(e.copy(dv = dvPath, dvRows = all.length))
+            }
+        }
+      }
+      // stats: every surviving base entry keeps its (conservative)
+      // lines; inserted files get fresh stats on the base's columns
+      val baseStats = SnapshotTable.statsFull(spark, root, snap.version)
+      val keptNorm = entries.map(e => SnapshotTable.norm(e.path)).toSet
+      val keptLines = baseStats.toSeq.collect {
+        case ((f, c), (mn, mx, nu)) if keptNorm(f) => s"$f\t$c\t$mn\t$mx\t$nu"
+      }.sorted
+      val statsCols = baseStats.keySet.map(_._2).toSeq.sorted
+      val freshLines =
+        SnapshotTable.collectStats(spark, inserts.map(_.path), statsCols)
+      val next = snap.version + 1
+      SnapshotTable.commit(spark, root, next, entries ++ inserts,
+        SnapshotTable.nextMeta(Some(snap), None))
+      SnapshotTable.writeStats(spark, root, next, keptLines ++ freshLines)
+      SnapshotTable.tableSchema(spark, root, snap.version)
+        .foreach(SnapshotTable.writeSchema(spark, root, next, _))
+      dropPartials()
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        // lost the CAS: retract everything this write staged
+        val f = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+        freshDvs.result().foreach(p =>
+          f.delete(new org.apache.hadoop.fs.Path(p), false))
+        abort(messages); throw e
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val f = new org.apache.hadoop.fs.Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+    dropPartials()
+  }
+
+  private def dropPartials(): Unit = {
+    val spark = SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(partialDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+}
+
+final class SnapshotDeltaWriterFactory(stagingDir: String, partialDir: String,
+                                       schema: StructType,
+                                       conf: SerializableHadoopConf,
+                                       part: Option[PartitionWriteSpec],
+                                       fileIdOrd: Int, posIdOrd: Int)
+  extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new SnapshotDeltaWriter(
+      new SnapshotWriterFactory(stagingDir, schema, conf, part)
+        .createWriter(partitionId, taskId),
+      s"$partialDir/part-$partitionId-$taskId",
+      conf.value, fileIdOrd, posIdOrd)
+}
+
+/** Task-side delta writer: inserted rows go through the ordinary
+  * (partition-aware) parquet writer; deleted row ids accumulate per
+  * data file and flush as partial deletion vectors at commit. */
+final class SnapshotDeltaWriter(inserts: org.apache.spark.sql.connector.write.DataWriter[InternalRow],
+                                partialPrefix: String,
+                                conf: org.apache.hadoop.conf.Configuration,
+                                fileIdOrd: Int, posIdOrd: Int)
+  extends DeltaWriter[InternalRow] {
+
+  private val deleted =
+    scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    val file = SnapshotTable.norm(id.getUTF8String(fileIdOrd).toString)
+    deleted.getOrElseUpdate(file, scala.collection.mutable.ArrayBuffer.empty) +=
+      id.getLong(posIdOrd)
+  }
+
+  override def insert(row: InternalRow): Unit = inserts.write(row)
+
+  override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
+    insert(row)
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(metadata, id); insert(row)
+  }
+
+  override def write(row: InternalRow): Unit = insert(row)
+
+  override def commit(): WriterCommitMessage = {
+    val ins = inserts.commit() match {
+      case SnapshotCommitMessage(fs) => fs
+      case other => throw new IllegalStateException(s"unexpected message $other")
+    }
+    val partials = deleted.toSeq.zipWithIndex.map { case ((file, ps), i) =>
+      val path = s"$partialPrefix-$i.dvp"
+      val sorted = DeletionVectors.write(conf, path, ps.toArray)
+      (file, path, sorted.length.toLong)
+    }
+    SnapshotDeltaCommitMessage(ins, partials)
+  }
+
+  override def abort(): Unit = inserts.abort()
+  override def close(): Unit = inserts.close()
+}

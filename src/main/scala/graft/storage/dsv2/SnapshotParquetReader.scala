@@ -47,8 +47,26 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class SnapshotPartitionReader(file: String, required: StructType,
                                     intervals: Map[String, (Double, Double)],
-                                    conf: Configuration)
+                                    conf: Configuration,
+                                    dvPath: String = "",
+                                    emitMeta: Boolean = false)
   extends PartitionReader[InternalRow] {
+
+  // MERGE-ON-READ: the file's deletion vector (sorted row ordinals to
+  // skip), loaded executor-side. Position tracking requires the reader
+  // to see EVERY row of the file in order, so parquet-level row-group
+  // filtering is disabled for DV-bearing files and for scans emitting
+  // the `_pos` metadata column (I/O-only cost; Spark's residual filters
+  // still apply exactly).
+  private val dv: Array[Long] =
+    if (dvPath.isEmpty) Array.emptyLongArray
+    else graft.storage.DeletionVectors.read(conf, dvPath)
+
+  // metadata-column slots in the required schema (`_file` STRING /
+  // `_pos` LONG), filled reader-side — parquet never sees these names
+  private val fileSlot = if (emitMeta) required.fieldNames.indexOf("_file") else -1
+  private val posSlot = if (emitMeta) required.fieldNames.indexOf("_pos") else -1
+  private val needOrdinals = dv.nonEmpty || posSlot >= 0
 
   private val reader: ParquetReader[InternalRow] = {
     val path = new org.apache.hadoop.fs.Path(file)
@@ -60,7 +78,7 @@ final class SnapshotPartitionReader(file: String, required: StructType,
     // filter still applies exactly). An unfiltered scan skips the extra
     // footer read entirely.
     val applicable =
-      if (intervals.isEmpty) intervals
+      if (intervals.isEmpty || needOrdinals) Map.empty[String, (Double, Double)]
       else {
         val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
@@ -78,8 +96,28 @@ final class SnapshotPartitionReader(file: String, required: StructType,
     }
   }
 
+  private val fileUtf8 =
+    if (fileSlot >= 0) UTF8String.fromString(file) else null
+
   private var cur: InternalRow = _
-  override def next(): Boolean = { cur = reader.read(); cur != null }
+  private var pos = -1L // ordinal of `cur` within the file
+  private var dvIdx = 0 // next deletion-vector entry (sorted walk)
+
+  override def next(): Boolean = {
+    while (true) {
+      cur = reader.read()
+      if (cur == null) return false
+      pos += 1
+      val deleted =
+        dvIdx < dv.length && dv(dvIdx) == pos && { dvIdx += 1; true }
+      if (!deleted) {
+        if (fileSlot >= 0) cur.update(fileSlot, fileUtf8)
+        if (posSlot >= 0) cur.update(posSlot, pos)
+        return true
+      }
+    }
+    false // unreachable
+  }
   override def get(): InternalRow = cur
   override def close(): Unit = reader.close()
 }

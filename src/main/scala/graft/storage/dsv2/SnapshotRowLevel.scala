@@ -138,11 +138,19 @@ final class GroupRewriteScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     val st = SnapshotTable.stats(spark, root, snap.version)
     val keep = SnapshotTable.keepByStats(partKept.map(_.path), st, bounds)
     onPlanned(keep)
+    // merge-on-read interplay: a scanned file's deletion vector applies
+    // here too — rows it deleted must NOT resurrect through a later
+    // copy-on-write rewrite (the rewritten file replaces file+vector)
+    val keepSet = keep.map(SnapshotTable.norm).toSet
+    val dvByFile = snap.entries.collect {
+      case e if e.dv.nonEmpty && keepSet(SnapshotTable.norm(e.path)) =>
+        SnapshotTable.norm(e.path) -> e.dv
+    }.toMap
     // pushed = empty: every row of every kept file must reach the rewrite
     new SnapshotScan(root, snap.version, keep, snap.files.size,
       sizeBytes = snap.entries.collect { case e if e.bytes >= 0 => e.bytes }.sum,
       required = required, pushed = Array.empty,
-      conf = spark.sessionState.newHadoopConf())
+      conf = spark.sessionState.newHadoopConf(), dvByFile = dvByFile)
   }
 }
 

@@ -190,6 +190,44 @@ object SnapshotScaleProbe {
     assert(tMetaDel < tRewriteDel / 3,
       s"metadata delete ($tMetaDel s) should be far cheaper than the " +
         s"rewrite ($tRewriteDel s)")
+
+    // MERGE-ON-READ: a 10-row delete from the same-size table on a
+    // deletion-vector table — NO data file is rewritten (identity
+    // asserted); the cost is one stats-pruned candidate-file scan plus a
+    // ~100-byte sidecar + manifest rename. This is the small-update
+    // cliff copy-on-write can't avoid: the misaligned COW delete above
+    // re-encoded a whole file for 1000 rows; merge-on-read touches none.
+    val mRoot = java.nio.file.Files.createTempDirectory("snapmor").toString + "/t"
+    half(0, rows).write.format("graft-snapshot")
+      .option("statsCols", "k").option("deleteMode", "merge-on-read")
+      .mode("append").save(mRoot)
+    val beforeMor = SnapshotTable.latest(spark, mRoot).get
+    spark.sql(s"CREATE TABLE snap_mor USING `graft-snapshot` " +
+      s"OPTIONS (path '$mRoot')")
+    // ten scattered-but-co-located keys: all inside ONE of the 16 files'
+    // k range, so stats pruning bounds the scan to ~1 file
+    val tenKeys = (1 to 10).map(i => i * 997L).mkString(", ")
+    val (_, tMorDel) = time {
+      spark.sql(s"DELETE FROM snap_mor WHERE k IN ($tenKeys)")
+    }
+    val afterMor = SnapshotTable.latest(spark, mRoot).get
+    assert(afterMor.files.toSet == beforeMor.files.toSet,
+      "merge-on-read delete must not rewrite any data file")
+    val morDv = afterMor.entries.filter(_.dv.nonEmpty)
+    assert(morDv.map(_.dvRows).sum == 10L, s"expected 10 vectored rows: $morDv")
+    val dvBytes = morDv.map { e =>
+      val p = new org.apache.hadoop.fs.Path(e.dv)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+    }.sum
+    assert(spark.read.format("graft-snapshot").load(mRoot).count() == rows - 10)
+    assert(SnapshotTable.read(spark, mRoot).count() == rows - 10)
+    spark.sql("DROP TABLE snap_mor")
+    println(f"[snap-scale] merge-on-read 10-row delete from $rows%,d rows: " +
+      f"$tMorDel%.2fs, $dvBytes bytes of sidecar, 0 files rewritten " +
+      f"(vs $tRewriteDel%.2fs for the 1000-row cow rewrite)")
+    assert(tMorDel < tRewriteDel,
+      s"merge-on-read ($tMorDel s) should undercut the COW rewrite ($tRewriteDel s)")
     spark.stop()
   }
 }

@@ -1,0 +1,310 @@
+package graft.storage
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** MERGE-ON-READ row-level ops: deletion-vector sidecars instead of
+  * copy-on-write rewrites for small DELETE/UPDATE/MERGE — commit cost
+  * O(affected rows), zero data-file rewrites, readers subtract
+  * positions, compaction materializes vectors away. */
+class SnapshotMoRSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = Files.createTempDirectory("snapmor").toString + "/t"
+  private var n = 0
+  private def newTable(): String = { n += 1; s"snap_mor_spec_$n" }
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  test("deletion-vector codec round-trips, unions, delta-encodes") {
+    val root = Files.createTempDirectory("dvcodec").toString
+    val p = DeletionVectors.freshPath(root)
+    val in = Array(7L, 3L, 3L, 4000000L, 0L)
+    assert(DeletionVectors.write(hconf, p, in).toSeq === Seq(0L, 3L, 7L, 4000000L))
+    assert(DeletionVectors.read(hconf, p).toSeq === Seq(0L, 3L, 7L, 4000000L))
+    assert(DeletionVectors.union(Array(1L, 5L), Array(0L, 5L, 9L)).toSeq
+      === Seq(0L, 1L, 5L, 9L))
+    // dense consecutive ordinals encode ~1 byte each
+    val p2 = DeletionVectors.freshPath(root)
+    DeletionVectors.write(hconf, p2, (0L until 1000L).toArray)
+    val len = new org.apache.hadoop.fs.Path(p2).getFileSystem(hconf)
+      .getFileStatus(new org.apache.hadoop.fs.Path(p2)).getLen
+    assert(len < 1200, s"1000 dense positions took $len bytes")
+  }
+
+  test("merge-on-read DELETE: vector sidecar, zero rewrites, exact reads, time travel") {
+    val root = newRoot()
+    val tbl = newTable()
+    // two files with disjoint k ranges, stats on k
+    spark.range(1000).select(col("id").as("k"), (col("id") % 7).as("x"))
+      .coalesce(1).write.format("graft-snapshot").option("statsCols", "k")
+      .mode("append").save(root)
+    spark.range(1000, 2000).select(col("id").as("k"), (col("id") % 7).as("x"))
+      .coalesce(1).write.format("graft-snapshot").option("statsCols", "k")
+      .mode("append").save(root)
+    val before = SnapshotTable.latest(spark, root).get
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` " +
+      s"OPTIONS (path '$root', deleteMode 'merge-on-read')")
+    try {
+      // a MISALIGNED 3-row delete: metadata-only can't prove it, and
+      // merge-on-read must NOT rewrite the file copy-on-write would
+      spark.sql(s"DELETE FROM $tbl WHERE k IN (10, 500, 1500)")
+      val after = SnapshotTable.latest(spark, root).get
+      assert(after.version === before.version + 1)
+      // every data file is an ORIGINAL file — nothing rewritten
+      assert(after.files.toSet === before.files.toSet,
+        s"merge-on-read delete must not rewrite files")
+      // vectors attached exactly where rows died
+      val dvd = after.entries.filter(_.dv.nonEmpty)
+      assert(dvd.map(_.dvRows).sorted === Seq(1L, 2L))
+      assert(after.rowCount === Some(1997L))
+      spark.sql(s"REFRESH TABLE $tbl")
+      // exact reads through the connector
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 1997)
+      assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE k IN (10, 500, 1500)")
+        .head.getLong(0) === 0)
+      assert(spark.sql(s"SELECT sum(k) FROM $tbl").head.getLong(0)
+        === (0L until 2000L).sum - 10 - 500 - 1500)
+      // ...and through the library API (the _metadata anti-join path)
+      assert(SnapshotTable.read(spark, root).count() === 1997)
+      assert(SnapshotTable.read(spark, root).where(col("k") === 500).count() === 0)
+      // pre-delete version time-travels intact
+      assert(SnapshotTable.readVersion(spark, root, before.version).count() === 2000)
+      assert(spark.read.format("graft-snapshot")
+        .option("versionAsOf", before.version).load(root).count() === 2000)
+      // a second delete UNIONS into a fresh immutable sidecar
+      val oldDv = after.entries.filter(_.dv.nonEmpty).map(_.dv).toSet
+      spark.sql(s"DELETE FROM $tbl WHERE k = 11")
+      val v3 = SnapshotTable.latest(spark, root).get
+      assert(v3.files.toSet === before.files.toSet)
+      assert(v3.rowCount === Some(1996L))
+      assert(v3.entries.filter(_.dv.nonEmpty).map(_.dv).toSet
+        .intersect(oldDv).size === 1, "the untouched file keeps its sidecar")
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 1996)
+      // the intermediate merge-on-read version itself time-travels
+      assert(SnapshotTable.readVersion(spark, root, after.version).count() === 1997)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("metadata-only delete still outranks merge-on-read when provable") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(1000).select(col("id").as("k")).coalesce(1)
+      .write.format("graft-snapshot").option("statsCols", "k")
+      .mode("append").save(root)
+    spark.range(1000, 2000).select(col("id").as("k")).coalesce(1)
+      .write.format("graft-snapshot").option("statsCols", "k")
+      .mode("append").save(root)
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` " +
+      s"OPTIONS (path '$root', deleteMode 'merge-on-read')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE k < 1000") // aligned: whole file
+      val after = SnapshotTable.latest(spark, root).get
+      assert(after.files.size === 1)
+      assert(after.entries.forall(_.dv.isEmpty),
+        "an aligned delete should drop files, not mint vectors")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("a fully-deleted file leaves the manifest instead of keeping a husk") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(10).select(col("id").as("k"), lit("a").as("g")).coalesce(1)
+      .write.format("graft-snapshot").mode("append").save(root)
+    spark.range(10, 20).select(col("id").as("k"), lit("b").as("g")).coalesce(1)
+      .write.format("graft-snapshot").mode("append").save(root)
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` " +
+      s"OPTIONS (path '$root', deleteMode 'merge-on-read')")
+    try {
+      // no stats, no partitions: nothing provable — the delta path runs,
+      // and the 'a' file's rows all die
+      spark.sql(s"DELETE FROM $tbl WHERE g = 'a'")
+      val after = SnapshotTable.latest(spark, root).get
+      assert(after.files.size === 1)
+      assert(after.entries.forall(_.dv.isEmpty))
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 10)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("compaction materializes vectors away and restores the columnar scan") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .coalesce(2).write.format("graft-snapshot").option("statsCols", "k")
+      .mode("append").save(root)
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` " +
+      s"OPTIONS (path '$root', deleteMode 'merge-on-read')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE k IN (3, 777)")
+      // a DV-bearing scan runs in row mode, with plan-visible evidence
+      val scanDesc = spark.read.format("graft-snapshot").load(root)
+        .queryExecution.executedPlan.toString()
+      assert(scanDesc.contains("mode=row") && scanDesc.contains("dv="),
+        s"expected row-mode dv evidence in:\n$scanDesc")
+      SnapshotTable.compact(spark, root, targetFiles = 1, statsCols = Seq("k"))
+      val after = SnapshotTable.latest(spark, root).get
+      assert(after.entries.forall(_.dv.isEmpty), "compaction must clear vectors")
+      assert(after.rowCount === Some(1998L))
+      val desc2 = spark.read.format("graft-snapshot").load(root)
+        .queryExecution.executedPlan.toString()
+      assert(desc2.contains("mode=columnar"), s"columnar not restored:\n$desc2")
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.sql(s"SELECT count(*), sum(v) FROM $tbl").head.toString
+        === s"[1998,${(0L until 2000L).map(_ * 2).sum - 6 - 1554}]")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("copy-on-write rewrite of a vector-bearing file does not resurrect deleted rows") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(100).select(col("id").as("k"), lit("old").as("s")).coalesce(1)
+      .write.format("graft-snapshot").mode("append").save(root)
+    // deleteMode MoR, updateMode stays copy-on-write (the default)
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` " +
+      s"OPTIONS (path '$root', deleteMode 'merge-on-read')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE k = 42")
+      assert(SnapshotTable.latest(spark, root).get.entries.exists(_.dv.nonEmpty))
+      // the COW UPDATE rewrites the file: deleted row must stay dead
+      spark.sql(s"UPDATE $tbl SET s = 'new' WHERE k = 7")
+      val after = SnapshotTable.latest(spark, root).get
+      assert(after.entries.forall(_.dv.isEmpty), "rewrite must retire the vector")
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 99)
+      assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE k = 42").head.getLong(0) === 0)
+      assert(spark.sql(s"SELECT s FROM $tbl WHERE k = 7").head.getString(0) === "new")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("merge-on-read UPDATE and MERGE: vectors for old rows, small files for new") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(1000).select(col("id").as("k"), col("id").as("v")).coalesce(1)
+      .write.format("graft-snapshot").option("statsCols", "k")
+      .mode("append").save(root)
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root', " +
+      "deleteMode 'merge-on-read', updateMode 'merge-on-read', mergeMode 'merge-on-read')")
+    try {
+      val baseFiles = SnapshotTable.latest(spark, root).get.files.toSet
+      spark.sql(s"UPDATE $tbl SET v = -1 WHERE k = 13")
+      val afterUpd = SnapshotTable.latest(spark, root).get
+      // the original file is untouched (now vector-bearing); one small
+      // file holds the updated row
+      assert(baseFiles.subsetOf(afterUpd.files.toSet))
+      assert(afterUpd.entries.count(_.dv.nonEmpty) === 1)
+      assert(afterUpd.files.size === 2)
+      assert(afterUpd.rowCount === Some(1000L))
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.sql(s"SELECT v FROM $tbl WHERE k = 13").head.getLong(0) === -1L)
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 1000)
+
+      // MERGE: one matched update, one matched delete, one insert
+      Seq((13L, 130L, "U"), (77L, 0L, "D"), (5000L, 5L, "I"))
+        .toDF("k", "nv", "op").createOrReplaceTempView("mor_updates")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING mor_updates u ON t.k = u.k
+           |WHEN MATCHED AND u.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET v = u.nv
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (u.k, u.nv)""".stripMargin)
+      val afterMerge = SnapshotTable.latest(spark, root).get
+      assert(baseFiles.subsetOf(afterMerge.files.toSet),
+        "merge-on-read MERGE must not rewrite the base file")
+      assert(afterMerge.rowCount === Some(1000L)) // -1 delete +1 insert
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.sql(s"SELECT v FROM $tbl WHERE k = 13").head.getLong(0) === 130L)
+      assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE k = 77").head.getLong(0) === 0)
+      assert(spark.sql(s"SELECT v FROM $tbl WHERE k = 5000").head.getLong(0) === 5L)
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 1000)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("partitioned merge-on-read: vectors land per file, partition pruning intact") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(300).select(col("id").as("k"), (col("id") % 3).cast("string").as("g"))
+      .write.format("graft-snapshot").option("partitionBy", "g")
+      .option("deleteMode", "merge-on-read")
+      .mode("append").save(root)
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      // the first-write option minted the #rowlevel line: DELETE is MoR
+      // without any table OPTION here
+      spark.sql(s"DELETE FROM $tbl WHERE k IN (0, 3, 10)") // all in g='0' or g='1'
+      val after = SnapshotTable.latest(spark, root).get
+      assert(after.entries.forall(e => e.tuple.nonEmpty))
+      val dvd = after.entries.filter(_.dv.nonEmpty)
+      assert(dvd.nonEmpty && dvd.map(_.dvRows).sum === 3)
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 297)
+      // partition-filtered manifest count subtracts vectors
+      assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE g = '0'").head.getLong(0)
+        === 100 - 2)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("catalog TBLPROPERTIES persist merge-on-read in the manifest") {
+    val wh = Files.createTempDirectory("morwh").toString
+    spark.conf.set("spark.sql.catalog.gmor", "graft.storage.dsv2.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gmor.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmor.ns")
+    spark.sql("CREATE TABLE gmor.ns.t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('deleteMode'='merge-on-read')")
+    try {
+      spark.sql("INSERT INTO gmor.ns.t SELECT id, concat('v', id) FROM range(100)")
+      val root = s"$wh/ns/t"
+      assert(SnapshotTable.latest(spark, root).get
+        .rowLevelModes === Map("delete" -> "merge-on-read"))
+      val baseFiles = SnapshotTable.latest(spark, root).get.files.toSet
+      spark.sql("DELETE FROM gmor.ns.t WHERE k = 50")
+      val after = SnapshotTable.latest(spark, root).get
+      assert(after.files.toSet === baseFiles, "TBLPROPERTIES mode not honored")
+      assert(after.entries.exists(_.dv.nonEmpty))
+      assert(spark.sql("SELECT count(*) FROM gmor.ns.t").head.getLong(0) === 99)
+    } finally spark.sql("DROP TABLE IF EXISTS gmor.ns.t")
+  }
+
+  test("change feed refuses a merge-on-read delete version unless ignoreRewrites") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(100).select(col("id").as("k")).coalesce(1)
+      .write.format("graft-snapshot").option("deleteMode", "merge-on-read")
+      .mode("append").save(root)
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE k = 5")
+      val e = intercept[UnsupportedOperationException] {
+        SnapshotTable.changedEntries(spark, root, 1L, 2L)
+      }
+      assert(e.getMessage.contains("merge-on-read"))
+      assert(SnapshotTable.changedEntries(spark, root, 1L, 2L,
+        ignoreRewrites = true).isEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("vacuum retires unreferenced vector sidecars with the grace window") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(100).select(col("id").as("k")).coalesce(1)
+      .write.format("graft-snapshot").option("deleteMode", "merge-on-read")
+      .mode("append").save(root)
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE k = 5")
+      val dv = SnapshotTable.latest(spark, root).get.entries
+        .find(_.dv.nonEmpty).get.dv
+      SnapshotTable.compact(spark, root, targetFiles = 1)
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(dv)))
+      // keep only the compacted version; zero grace retires the sidecar
+      SnapshotTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dv)),
+        "unreferenced sidecar must retire with its versions")
+      // the referenced state is intact
+      assert(SnapshotTable.read(spark, root).count() === 99)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+}
