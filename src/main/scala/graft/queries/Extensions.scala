@@ -1003,6 +1003,61 @@ object Extensions {
       s.sql(s"DROP TABLE $cat.t")
       rows.toDF("prio", "n", "total")
     },
+    // ATOMIC CTAS through the StagingTableCatalog: `CREATE TABLE ... AS
+    // SELECT` stages the whole write under a hidden root and publishes
+    // with ONE rename — a failed CTAS leaves no table (spec-asserted in
+    // SnapshotCatalogSpec). The oracle replays the SELECT.
+    "SNAPSHOT-CTAS" -> { (s, d) =>
+      Tables.register(s, d)
+      val wh = java.nio.file.Files.createTempDirectory("graft_ctas").toString
+      val cat = "graftctas_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.dsv2.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"""CREATE TABLE $cat.t AS
+        SELECT o_orderpriority AS prio, o_orderkey AS k, o_totalprice AS price
+        FROM orders WHERE o_orderkey <= 5000""")
+      import s.implicits._
+      val rows = s.sql(s"""SELECT prio, count(*) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM $cat.t GROUP BY prio ORDER BY prio""").collect()
+        .toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      s.sql(s"DROP TABLE $cat.t")
+      rows.toDF("prio", "n", "total")
+    },
+    // SQL time travel via the literal VERSION AS OF syntax (the
+    // SupportsCatalogOptions-era load-table-with-version path): two
+    // inserts = two versions; the query unions the pinned v2 view with
+    // the current view, tagged — the oracle replays both halves.
+    "SNAPSHOT-TIMETRAVEL-SQL" -> { (s, d) =>
+      Tables.register(s, d)
+      val wh = java.nio.file.Files.createTempDirectory("graft_ttsql").toString
+      val cat = "grafttt_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.dsv2.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT, prio STRING, price DOUBLE)")
+      s.sql(s"""INSERT INTO $cat.t
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey <= 2000""")
+      s.sql(s"""INSERT INTO $cat.t
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 4000""")
+      val out = s.sql(s"""
+        SELECT 'v2' AS ver, prio, count(*) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM $cat.t VERSION AS OF 2 GROUP BY prio
+        UNION ALL
+        SELECT 'cur' AS ver, prio, count(*) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM $cat.t GROUP BY prio
+        ORDER BY ver, prio""").collect().toSeq
+      import s.implicits._
+      val rows = out.map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      s.sql(s"DROP TABLE $cat.t")
+      rows.toDF("ver", "prio", "n", "total")
+    },
     // PARTITION-SCOPED merge: the table is partitioned by priority and
     // priority is part of the merge key, so the upsert rewrites ONLY
     // the 1-URGENT partition — every other file is retained verbatim
@@ -2556,6 +2611,26 @@ object Extensions {
         |SELECT 'v2' AS ver, count(*) AS n,
         |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total FROM m
         |ORDER BY ver""".stripMargin,
+    // atomic CTAS: content is exactly the staged SELECT
+    "SNAPSHOT-CTAS" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders WHERE o_orderkey <= 5000
+        |GROUP BY prio ORDER BY prio""".stripMargin,
+    // literal VERSION AS OF: v2 = first insert only, cur = both inserts
+    "SNAPSHOT-TIMETRAVEL-SQL" ->
+      """WITH first AS (SELECT o_orderpriority AS prio, o_totalprice AS price
+        |    FROM orders WHERE o_orderkey <= 2000),
+        |allrows AS (SELECT o_orderpriority AS prio, o_totalprice AS price
+        |    FROM orders WHERE o_orderkey <= 4000)
+        |SELECT 'v2' AS ver, prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM first GROUP BY prio
+        |UNION ALL
+        |SELECT 'cur' AS ver, prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM allrows GROUP BY prio
+        |ORDER BY ver, prio""".stripMargin,
     // exactly-once source→sink: the destination holds every row once
     "STREAM-SNAPSHOT-NATIVE" ->
       """SELECT o_orderpriority AS prio, count(*) AS n,

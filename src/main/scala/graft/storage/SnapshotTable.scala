@@ -1035,6 +1035,10 @@ object SnapshotTable {
     * absent from the table are appended (nullable) to the new version's
     * schema, current rows read null for them; update rows may also OMIT
     * table columns (null-filled). Type changes are refused. */
+  /** `onStaged` is a test-injection hook invoked after the merge staged
+    * its files and before the first commit attempt — the deterministic
+    * way to exercise the conflict-scoped rebase (a racer commits inside
+    * the window). Production callers leave the default no-op. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             keyCols: Seq[String], versionCol: String,
             expectedVersion: Option[Long] = None,
@@ -1044,7 +1048,8 @@ object SnapshotTable {
             deleteCol: Option[String] = None,
             mergeSchema: Boolean = false,
             txn: Option[Long] = None,
-            txnApp: String = ""): Long = {
+            txnApp: String = "",
+            onStaged: () => Unit = () => ()): Long = {
     require(keyCols.nonEmpty, "keyCols must not be empty")
     deleteCol.foreach(c => require(updates.columns.contains(c),
       s"deleteCol '$c' not in updates columns ${updates.columns.mkString(",")}"))
@@ -1067,8 +1072,8 @@ object SnapshotTable {
     // the always-correct full rewrite).
     val pfields = snap.partitionFields
     val scoped = pfields.nonEmpty && pfields.map(_.col).forall(keyCols.contains)
-    val (affected, retained) =
-      if (!scoped) (snap.entries, Seq.empty[FileEntry])
+    val touchedTuples: Option[Set[String]] =
+      if (!scoped) None
       else {
         graft.functions.expressions.GraftFunctions.register(spark)
         val tupleCols = pfields.map(f =>
@@ -1076,12 +1081,16 @@ object SnapshotTable {
             s"graft_part_field('${f.transform}', ${f.n}, `${f.col}`)"))
         // distinct tuples of the UPDATE set — bounded by the number of
         // partitions the updates touch, a metadata-scale collect
-        val touched = updates.select(tupleCols: _*).distinct().collect()
+        Some(updates.select(tupleCols: _*).distinct().collect()
           .map(r => SnapshotPartition.encodeTuple(pfields.map(_.key),
             pfields.indices.map(i => Option(r.getString(i)))))
-          .toSet
-        snap.entries.partition(e => e.tuple.isEmpty || touched.contains(e.tuple))
+          .toSet)
       }
+    val (affected, retained) = touchedTuples match {
+      case None => (snap.entries, Seq.empty[FileEntry])
+      case Some(touched) =>
+        snap.entries.partition(e => e.tuple.isEmpty || touched.contains(e.tuple))
+    }
     val schema = tableSchema(spark, root, snap.version)
     val base =
       if (affected.nonEmpty) readEntries(spark, affected, schema)
@@ -1117,20 +1126,69 @@ object SnapshotTable {
     // a partitioned table's copy-on-write stays tuple-pure: the
     // partitioned staging write re-derives every file's tuple
     val files = writeData(spark, root, out, snap.partitionSpecs, snap.sortCols)
-    // retained files keep their stats lines; the rewrite scope gets fresh
-    val retainedNorm = retained.map(e => norm(e.path)).toSet
-    val st = statsLines(spark, root, snap.version)
-      .filter(l => retainedNorm(l.split("\t", 3)(0))) ++
-      collectStats(spark, files.map(_.path), statsCols)
-    val next = snap.version + 1
-    try {
-      commit(spark, root, next, retained ++ files,
-        nextMeta(Some(snap), txn, txnApp))
-      writeStats(spark, root, next, st)
-      writeSchema(spark, root, next, out.schema)
-      next
-    } catch { case e: java.util.ConcurrentModificationException =>
-      cleanupOrphans(spark, root, files.map(_.path)); throw e }
+    onStaged()
+    val freshStats = collectStats(spark, files.map(_.path), statsCols)
+    val affectedNorm = affected.map(e => norm(e.path)).toSet
+
+    /** CONFLICT-SCOPED retry: when another writer won the version CAS,
+      * check whether its changes and this merge's rewrite scope are
+      * PROVABLY DISJOINT PARTITIONS — then the staged files are still
+      * exactly right, and the commit REBASES onto the winner (winner's
+      * entries minus this merge's affected files, plus the staged
+      * files) without re-running anything. Two writers back-filling
+      * different partitions each pay ONE rewrite. Any overlap — or
+      * anything unprovable: a non-scoped merge, a tuple-less file, a
+      * schema change by the winner, a caller-pinned expectedVersion —
+      * falls back to the full re-merge via the thrown CME
+      * ([[mergeWithRetry]]'s loop), which is always correct. */
+    def rebaseable(onto: Snapshot): Boolean = touchedTuples match {
+      case None => false
+      case _ if expectedVersion.isDefined => false // caller pinned the base
+      case Some(touched) =>
+        def safe(e: FileEntry): Boolean =
+          e.tuple.nonEmpty && !touched.contains(e.tuple)
+        val baseBy = snap.entries.map(e => norm(e.path) -> e).toMap
+        val ontoBy = onto.entries.map(e => norm(e.path) -> e).toMap
+        val removed = snap.entries.filterNot(e => ontoBy.contains(norm(e.path)))
+        val added = onto.entries.filterNot(e => baseBy.contains(norm(e.path)))
+        val dvChanged = onto.entries.filter(e =>
+          baseBy.get(norm(e.path)).exists(_.dv != e.dv))
+        (removed ++ added ++ dvChanged).forall(safe) &&
+          onto.partitionSpecs == snap.partitionSpecs &&
+          tableSchema(spark, root, onto.version) ==
+            tableSchema(spark, root, snap.version)
+    }
+
+    var commitBase = snap
+    var rebases = 0
+    while (true) {
+      val retainedNow =
+        commitBase.entries.filterNot(e => affectedNorm(norm(e.path)))
+      val st = statsLines(spark, root, commitBase.version)
+        .filter(l => !affectedNorm(l.split("\t", 3)(0))) ++ freshStats
+      val next = commitBase.version + 1
+      try {
+        commit(spark, root, next, retainedNow ++ files,
+          nextMeta(Some(commitBase), txn, txnApp))
+        writeStats(spark, root, next, st)
+        writeSchema(spark, root, next, out.schema)
+        return next
+      } catch { case e: java.util.ConcurrentModificationException =>
+        val winner = latest(spark, root)
+        rebases += 1
+        if (rebases > 5 || !winner.exists(w => w.version > commitBase.version &&
+            rebaseable(w))) {
+          cleanupOrphans(spark, root, files.map(_.path)); throw e
+        }
+        val w = winner.get
+        // the winner may have advanced the exactly-once ledger: re-gate
+        try txnGate(w, txn, txnApp)
+        catch { case g: java.util.ConcurrentModificationException =>
+          cleanupOrphans(spark, root, files.map(_.path)); throw g }
+        commitBase = w
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** APPEND: stage `df` as new files and commit `base.files ++ new` as

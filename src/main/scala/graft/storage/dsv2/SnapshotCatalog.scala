@@ -54,7 +54,7 @@ import graft.storage.SnapshotTable
   * thin SQL wrapper over the library calls with a one-row LocalScan
   * result. */
 class SnapshotCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog {
+  with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -95,7 +95,124 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     new SnapshotTableV2(root, Some(snap), schema)
   }
 
+  /** SQL time travel — `SELECT ... FROM t VERSION AS OF 3`: Spark routes
+    * the literal syntax here; the pinned snapshot resolves exactly like
+    * the reader option `versionAsOf`, with THAT version's schema. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = tablePath(ident).toString
+    val v =
+      try version.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft-snapshot VERSION AS OF takes a numeric version, got '$version'")
+      }
+    if (!SnapshotTable.versions(spark, root).contains(v))
+      throw new NoSuchTableException(ident)
+    pinned(ident, root, SnapshotTable.snapshot(spark, root, v))
+  }
+
+  /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROSECONDS; resolved to
+    * the newest version committed at or before the cutoff. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = tablePath(ident).toString
+    val v = SnapshotTable.versionAt(spark, root, timestampMicros / 1000L)
+      .getOrElse(throw new NoSuchTableException(ident))
+    pinned(ident, root, SnapshotTable.snapshot(spark, root, v))
+  }
+
+  private def pinned(ident: Identifier, root: String,
+                     snap: SnapshotTable.Snapshot): Table = {
+    val schema = SnapshotTable.tableSchema(spark, root, snap.version)
+      .orElse(snap.files.headOption.map(f => spark.read.parquet(f).schema))
+      .getOrElse(throw new IllegalStateException(
+        s"table $ident v${snap.version} has no schema sidecar and no data files"))
+    new SnapshotTableV2(root, Some(snap), schema)
+  }
+
+  // -------------------------------------------------- staged CTAS / RTAS
+
+  /** ATOMIC `CREATE TABLE ... AS SELECT`: the query writes into a HIDDEN
+    * staging root inside the namespace; only `commitStagedChanges` makes
+    * the table visible, via one directory rename (fail-if-exists — the
+    * same primitive every snapshot commit uses) plus a manifest re-anchor.
+    * A failed/killed CTAS leaves NO table — the staging dir is aborted
+    * (or vacuumed by age if the driver died). RTAS (`REPLACE TABLE AS
+    * SELECT`) swaps via rename-out/rename-in: the visible table is never
+    * half-written, and the old content is deleted only after the new
+    * table is in place. */
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    staged(ident, info, replace = true, orCreate = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, replace = true, orCreate = true)
+
+  private def staged(ident: Identifier, info: TableInfo,
+                     replace: Boolean, orCreate: Boolean): StagedTable = {
+    if (ident.namespace.nonEmpty && !fs.exists(nsPath(ident.namespace)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    if (!replace && tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val stagePath = new Path(nsPath(ident.namespace),
+      s".stage-${java.util.UUID.randomUUID().toString.take(8)}-${ident.name}")
+    val inner = mintTable(stagePath.toString, info)
+    new StagedSnapshotTable(ident, inner, stagePath, replace)
+  }
+
+  /** The staged table: a fully-real snapshot table at a hidden root;
+    * Table/write surface delegates to it, commit/abort move or drop it. */
+  private final class StagedSnapshotTable(ident: Identifier,
+                                          inner: SnapshotTableV2,
+                                          stagePath: Path,
+                                          replace: Boolean)
+    extends StagedTable with SupportsWrite {
+
+    override def name(): String = s"staged-${ident.name}"
+    override def schema(): StructType = inner.schema()
+    override def partitioning(): Array[Transform] = inner.partitioning()
+    override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      inner.newWriteBuilder(info)
+
+    override def commitStagedChanges(): Unit = {
+      val target = tablePath(ident)
+      if (replace && isTableDir(target)) {
+        // swap: old table out of the way first, new one in, drop old —
+        // readers see either the old table or the new, never a mix
+        val drop = new Path(nsPath(ident.namespace),
+          s".drop-${java.util.UUID.randomUUID().toString.take(8)}-${ident.name}")
+        require(fs.rename(target, drop), s"RTAS could not displace $target")
+        require(fs.rename(stagePath, target),
+          { fs.rename(drop, target); s"RTAS could not publish $target" })
+        fs.delete(drop, true)
+      } else {
+        // CREATE: rename-if-absent IS the atomic commit point
+        if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+        require(fs.rename(stagePath, target),
+          s"staged CTAS commit failed: could not rename $stagePath to $target")
+      }
+      // manifests carry ABSOLUTE data-file paths: re-anchor them
+      SnapshotTable.rebaseMetadata(spark, stagePath.toString, target.toString)
+    }
+
+    override def abortStagedChanges(): Unit = fs.delete(stagePath, true)
+  }
+
   override def createTable(ident: Identifier, info: TableInfo): Table = {
+    if (ident.namespace.nonEmpty && !fs.exists(nsPath(ident.namespace)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    mintTable(tablePath(ident).toString, info)
+  }
+
+  /** Mint an empty, typed v1 snapshot table at `root` from DDL info —
+    * shared by CREATE TABLE and the staged (CTAS/RTAS) path. */
+  private def mintTable(root: String, info: TableInfo): SnapshotTableV2 = {
     // PARTITIONED BY (c, days(ts), months(d), hours(ts), bucket(16, k))
     // — the transform set the manifest's tuple evaluator defines
     val pspecs = info.partitions().toSeq.map { t =>
@@ -135,10 +252,6 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         "merge" -> "mergeMode").flatMap { case (cmd, key) =>
       Option(info.properties().get(key)).map(cmd -> _)
     }.toMap
-    if (ident.namespace.nonEmpty && !fs.exists(nsPath(ident.namespace)))
-      throw new NoSuchNamespaceException(ident.namespace)
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val root = tablePath(ident).toString
     // an empty, TYPED v1: zero-file manifest + schema sidecar, atomic
     val meta = SnapshotTable.partitionMeta(pspecs) ++
       SnapshotTable.sortMeta(sortBy) ++

@@ -343,7 +343,9 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
     new SnapshotScanBuilder(root, s, schema,
       columnar = options.getBoolean("columnar", true),
       startingVersion = Option(options.get("startingVersion")).map(_.toLong),
-      ignoreRewrites = options.getBoolean("ignoreRewrites", false))
+      ignoreRewrites = options.getBoolean("ignoreRewrites", false),
+      maxVersionsPerTrigger =
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
   }
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -374,7 +376,8 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
                                 fullSchema: StructType,
                                 columnar: Boolean = true,
                                 startingVersion: Option[Long] = None,
-                                ignoreRewrites: Boolean = false)
+                                ignoreRewrites: Boolean = false,
+                                maxVersionsPerTrigger: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -557,7 +560,8 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     new SnapshotScan(root, snap.version, keep, snap.files.size, bytes, required,
       accepted, spark.sessionState.newHadoopConf(), columnar,
       startingVersion, ignoreRewrites, spj = spjGroups(keep),
-      dvByFile = dvByFile, emitMeta = emitMeta)
+      dvByFile = dvByFile, emitMeta = emitMeta,
+      maxVersionsPerTrigger = maxVersionsPerTrigger)
   }
 }
 
@@ -603,7 +607,8 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
                          spj: Option[(Array[org.apache.spark.sql.connector.expressions.Expression],
                            Seq[(InternalRow, Seq[String])])] = None,
                          dvByFile: Map[String, String] = Map.empty,
-                         emitMeta: Boolean = false)
+                         emitMeta: Boolean = false,
+                         maxVersionsPerTrigger: Option[Long] = None)
   extends Scan with Batch with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
@@ -640,7 +645,8 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
     }
     new SnapshotMicroBatchStream(root, start, required,
       new SerializableHadoopConf(conf),
-      columnar && SnapshotColumnar.supported(required), ignoreRewrites)
+      columnar && SnapshotColumnar.supported(required), ignoreRewrites,
+      maxVersionsPerTrigger)
   }
 
   /** Pruned-file byte total: lets Catalyst broadcast a small snapshot
@@ -813,22 +819,54 @@ final case class SnapshotOffset(version: Long)
   * [[SnapshotTable.changedEntries]], so replays are deterministic: a
   * version range always names the same files). Exactly-once falls out
   * of immutable files + checkpointed offsets. Metadata work per batch
-  * is a handful of manifest reads. */
+  * is a handful of manifest reads.
+  *
+  * ADMISSION CONTROL ([[SupportsTriggerAvailableNow]] ⊃
+  * `SupportsAdmissionControl`): `option("maxVersionsPerTrigger", n)`
+  * bounds each micro-batch to n committed versions, so a backfill from
+  * version 0 of a big table drains as bounded batches instead of one
+  * giant one; `Trigger.AvailableNow` pins the end offset at stream
+  * start and terminates there — both composing with checkpointed
+  * exactly-once (offsets are versions either way). */
 final class SnapshotMicroBatchStream(root: String, startVersion: Long,
                                      required: StructType,
                                      conf: SerializableHadoopConf,
                                      columnar: Boolean,
-                                     ignoreRewrites: Boolean)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+                                     ignoreRewrites: Boolean,
+                                     maxVersionsPerTrigger: Option[Long] = None)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def spark = SparkSession.active
 
+  maxVersionsPerTrigger.foreach(n =>
+    require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n"))
+
+  /** Trigger.AvailableNow's pinned end: set once at stream start. */
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  private def newestCommitted: Long =
+    SnapshotTable.latest(spark, root).map(_.version).getOrElse(startVersion)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(newestCommitted)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SnapshotOffset].version
+    val newest = availableNowEnd.fold(newestCommitted)(math.min(newestCommitted, _))
+    val capped = maxVersionsPerTrigger.fold(newest)(n => math.min(newest, s + n))
+    SnapshotOffset(math.max(s, capped))
+  }
+
+  override def reportLatestOffset(): Offset = SnapshotOffset(newestCommitted)
+
   override def initialOffset(): Offset = SnapshotOffset(startVersion)
 
-  override def latestOffset(): Offset = SnapshotOffset(
-    SnapshotTable.latest(spark, root).map(_.version).getOrElse(startVersion))
+  override def latestOffset(): Offset = SnapshotOffset(newestCommitted)
 
   override def deserializeOffset(json: String): Offset =
     SnapshotOffset(json.trim.toLong)

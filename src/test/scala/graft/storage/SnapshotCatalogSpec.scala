@@ -136,6 +136,77 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.rn.b")
   }
 
+  test("atomic CTAS: commit publishes, failure leaves NO table, RTAS swaps") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    val fs = new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stagingDirs() = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$warehouse/ctas"))
+      .map(_.getPath.getName).filter(n => n.startsWith(".stage-") || n.startsWith(".drop-"))
+    // plain CTAS
+    spark.sql("CREATE TABLE graft.ctas.t AS SELECT id AS k, id * 2 AS v FROM range(100)")
+    try {
+      assert(spark.sql("SELECT count(*), sum(v) FROM graft.ctas.t").head.toString
+        === s"[100,${(0L until 100L).map(_ * 2).sum}]")
+      assert(stagingDirs().isEmpty, s"staging dirs linger: ${stagingDirs().toSeq}")
+      // every manifest entry was re-anchored to the FINAL table root
+      val snap = SnapshotTable.latest(spark, s"$warehouse/ctas/t").get
+      snap.files.foreach(p => assert(p.contains("/ctas/t/"), s"unanchored $p"))
+      // a FAILED CTAS must leave no table and no staging debris
+      intercept[Exception] {
+        spark.sql("CREATE TABLE graft.ctas.bad AS " +
+          "SELECT assert_true(id < 5) AS a, id FROM range(10)")
+      }
+      assert(!spark.catalog.tableExists("graft.ctas.bad"))
+      intercept[Exception] { spark.sql("SELECT * FROM graft.ctas.bad").collect() }
+      assert(stagingDirs().isEmpty, s"failed CTAS left debris: ${stagingDirs().toSeq}")
+      // RTAS: the swap replaces content atomically; old root content gone
+      spark.sql("REPLACE TABLE graft.ctas.t AS SELECT id AS k FROM range(7)")
+      assert(spark.sql("SELECT count(*) FROM graft.ctas.t").head.getLong(0) === 7)
+      assert(stagingDirs().isEmpty)
+      // CTAS with PARTITIONED BY mints the partition spec
+      spark.sql("CREATE TABLE graft.ctas.p PARTITIONED BY (g) AS " +
+        "SELECT id AS k, CAST(id % 3 AS STRING) AS g FROM range(30)")
+      val psnap = SnapshotTable.latest(spark, s"$warehouse/ctas/p").get
+      assert(psnap.partitionSpecs === Seq("g"))
+      assert(psnap.entries.forall(_.tuple.nonEmpty))
+      assert(spark.sql("SELECT count(*) FROM graft.ctas.p WHERE g = '1'")
+        .head.getLong(0) === 10)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft.ctas.t")
+      spark.sql("DROP TABLE IF EXISTS graft.ctas.p")
+    }
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF literal syntax") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.t (k BIGINT, s STRING)")
+    try {
+      spark.sql("INSERT INTO graft.tt.t VALUES (1, 'a'), (2, 'b')") // v2
+      val tsAfterV2 = System.currentTimeMillis()
+      Thread.sleep(1100) // manifest mtime granularity is one second
+      spark.sql("INSERT INTO graft.tt.t VALUES (3, 'c')") // v3
+      assert(spark.sql("SELECT count(*) FROM graft.tt.t").head.getLong(0) === 3)
+      assert(spark.sql("SELECT count(*) FROM graft.tt.t VERSION AS OF 2")
+        .head.getLong(0) === 2)
+      assert(spark.sql("SELECT count(*) FROM graft.tt.t VERSION AS OF 1")
+        .head.getLong(0) === 0) // the empty typed v1
+      val ts = new java.sql.Timestamp(tsAfterV2).toString
+      assert(spark.sql(s"SELECT count(*) FROM graft.tt.t TIMESTAMP AS OF '$ts'")
+        .head.getLong(0) === 2)
+      // a pre-table timestamp resolves to nothing, loudly
+      intercept[Exception] {
+        spark.sql("SELECT * FROM graft.tt.t TIMESTAMP AS OF '1999-01-01 00:00:00'")
+          .collect()
+      }
+      // row-level history stays visible through the SQL form after a delete
+      spark.sql("DELETE FROM graft.tt.t WHERE k = 1")
+      assert(spark.sql("SELECT count(*) FROM graft.tt.t").head.getLong(0) === 2)
+      assert(spark.sql("SELECT count(*) FROM graft.tt.t VERSION AS OF 3")
+        .head.getLong(0) === 3)
+    } finally spark.sql("DROP TABLE IF EXISTS graft.tt.t")
+  }
+
   test("rename survives a warehouse path that itself contains /data/") {
     // re-anchoring must strip the EXACT old-root prefix; matching "the
     // first /data/ in the path" would rewrite every manifest entry to

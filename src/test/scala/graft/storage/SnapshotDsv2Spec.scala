@@ -483,6 +483,43 @@ class SnapshotDsv2Spec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming admission control: bounded backlog drain + Trigger.AvailableNow") {
+    val root = newRoot()
+    // a 6-version backlog, 10 rows each
+    (0 until 6).foreach { i =>
+      spark.range(i * 10L, i * 10L + 10L).select(col("id").as("k"))
+        .coalesce(1).write.format("graft-snapshot").mode("append").save(root)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("snapadm").toString
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("maxVersionsPerTrigger", 2).load(root)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          batchSizes.synchronized { batchSizes += df.count() }; ()
+        }
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow must terminate")
+    }
+    run()
+    // 6 versions at <=2 versions per trigger => 3 batches of 20 rows
+    assert(batchSizes.toSeq === Seq(20L, 20L, 20L),
+      s"bounded drain expected [20,20,20], got $batchSizes")
+    // exactly-once across a RESTART from the same checkpoint: two more
+    // commits arrive, only they are delivered
+    (6 until 9).foreach { i =>
+      spark.range(i * 10L, i * 10L + 10L).select(col("id").as("k"))
+        .coalesce(1).write.format("graft-snapshot").mode("append").save(root)
+    }
+    batchSizes.clear()
+    run()
+    assert(batchSizes.toSeq === Seq(20L, 10L),
+      s"restart must resume at the checkpointed version: $batchSizes")
+  }
+
   test("option history=true: DESCRIBE HISTORY as an ordinary read (LocalScan)") {
     val root = newRoot()
     spark.range(10).select(col("id").as("k")).repartition(2)

@@ -387,4 +387,55 @@ class SnapshotTableSpec extends SparkSpec {
     assert(keep.size === total, "NaN-touched file must be kept unpruned")
     assert(SnapshotTable.readPruned(spark, root, "x", 5, 15).count() === 1)
   }
+
+  test("conflict-scoped rebase: partition-disjoint concurrent merges both commit one rewrite") {
+    val root = newRoot()
+    val base = spark.range(200).select(col("id").as("k"),
+      when(col("id") % 2 === 0, "a").otherwise("b").as("g"),
+      col("id").as("x"), lit(1L).as("v"))
+    SnapshotTable.create(spark, root, base, partitionBy = Seq("g"))
+    val v1 = SnapshotTable.latest(spark, root).get
+    def partFiles(s: SnapshotTable.Snapshot, g: String) =
+      s.entries.filter(_.tuple.contains(s"g=$g")).map(_.path).toSet
+    var v2: SnapshotTable.Snapshot = null
+    // writer A updates partition a; INSIDE its commit window, writer B
+    // lands a partition-b merge. A's CAS fails; the manifests prove the
+    // two scopes disjoint, so A REBASES — no second rewrite, no throw.
+    val updA = Seq((0L, "a", -10L, 2L), (2L, "a", -20L, 2L)).toDF("k", "g", "x", "v")
+    val updB = Seq((1L, "b", -30L, 2L)).toDF("k", "g", "x", "v")
+    val vA = SnapshotTable.merge(spark, root, updA, Seq("k", "g"), "v",
+      onStaged = () => {
+        SnapshotTable.merge(spark, root, updB, Seq("k", "g"), "v")
+        v2 = SnapshotTable.latest(spark, root).get
+      })
+    assert(vA === 3L, "the rebased commit lands as v3 without a re-merge")
+    val v3 = SnapshotTable.latest(spark, root).get
+    // B's partition-b rewrite is retained VERBATIM by A's rebase...
+    assert(partFiles(v3, "b") === partFiles(v2, "b"))
+    assert(partFiles(v3, "b") !== partFiles(v1, "b"))
+    // ...and A's partition-a files replace v1's
+    assert(partFiles(v3, "a").intersect(partFiles(v1, "a")).isEmpty)
+    // both writers' rows are live
+    val got = SnapshotTable.read(spark, root)
+      .where(col("x") < 0).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got === Seq((0L, -10L), (1L, -30L), (2L, -20L)))
+    assert(SnapshotTable.read(spark, root).count() === 200)
+
+    // OVERLAPPING scopes still serialize: a racer in the SAME partition
+    // forces the loser back through the full re-merge (CME),
+    // and a plain retry converges with both updates applied
+    val updA2 = Seq((4L, "a", -40L, 3L)).toDF("k", "g", "x", "v")
+    val updB2 = Seq((6L, "a", -60L, 3L)).toDF("k", "g", "x", "v")
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.merge(spark, root, updA2, Seq("k", "g"), "v",
+        onStaged = () =>
+          SnapshotTable.merge(spark, root, updB2, Seq("k", "g"), "v"))
+    }
+    SnapshotTable.merge(spark, root, updA2, Seq("k", "g"), "v")
+    val fin = SnapshotTable.read(spark, root).where(col("x") < -35)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(fin === Seq((4L, -40L), (6L, -60L)))
+    assert(SnapshotTable.read(spark, root).count() === 200)
+  }
 }
