@@ -1430,6 +1430,52 @@ object Extensions {
       s.catalog.dropTempView(s"${tbl}_src")
       rows.toDF("prio", "n", "total")
     },
+    // the SAME three-arm MERGE, but on a merge-on-read table: matched
+    // updates/deletes become deletion-vector positions, inserts (and
+    // update re-inserts) small new files — the base data files are
+    // require()d untouched and vectors present before the oracle compare
+    "UPSERT-MERGE-MOR" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_mergemor")
+        .toString + "/t"
+      val tbl = "merge_mor_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.table("orders").where(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        .write.format("graft-snapshot")
+        .option("mergeMode", "merge-on-read")
+        .option("deleteMode", "merge-on-read")
+        .mode("append").save(root)
+      val base = graft.storage.SnapshotTable.latest(s, root).get
+      s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+      s.table("orders")
+        .where(col("o_orderkey") <= 5000 &&
+          (col("o_orderkey") % 5 === 0 || col("o_orderkey") % 7 === 0))
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 7 === 0, "DEL").otherwise("MERGED").as("prio"),
+          (col("o_totalprice") + 1000.0).as("price"))
+        .createOrReplaceTempView(s"${tbl}_src")
+      s.sql(
+        s"""MERGE INTO $tbl t USING ${tbl}_src u ON t.k = u.k
+           |WHEN MATCHED AND u.prio = 'DEL' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED AND u.prio <> 'DEL' THEN INSERT *""".stripMargin)
+      val after = graft.storage.SnapshotTable.latest(s, root).get
+      require(base.files.toSet.subsetOf(after.files.toSet),
+        "merge-on-read MERGE must not rewrite base data files")
+      require(after.entries.exists(_.dv.nonEmpty),
+        "merge-on-read MERGE must attach deletion vectors")
+      s.sql(s"REFRESH TABLE $tbl")
+      import s.implicits._
+      val rows = s.sql(s"""SELECT prio, count(*) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM $tbl GROUP BY prio ORDER BY prio""").collect()
+        .toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.catalog.dropTempView(s"${tbl}_src")
+      rows.toDF("prio", "n", "total")
+    },
     // literal DELETE FROM SQL: the group-based rewrite scans only files
     // the predicate can touch (stats-pruned groups), retains the rest
     // verbatim, and commits a new version; the pre-delete version stays
@@ -2677,6 +2723,26 @@ object Extensions {
     // MERGE arms replayed in plain SQL: matched %7 keys deleted, other
     // matched %5 keys rewritten, unmatched non-DEL source keys inserted
     "UPSERT-MERGE-SQL" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    o_totalprice AS price FROM orders WHERE o_orderkey <= 4000),
+        |src AS (SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'DEL' ELSE 'MERGED' END AS prio,
+        |    o_totalprice + 1000.0 AS price
+        |  FROM orders WHERE o_orderkey <= 5000
+        |    AND (o_orderkey % 5 = 0 OR o_orderkey % 7 = 0)),
+        |merged AS (
+        |  SELECT b.k,
+        |    CASE WHEN s.k IS NOT NULL THEN s.prio ELSE b.prio END AS prio,
+        |    CASE WHEN s.k IS NOT NULL THEN s.price ELSE b.price END AS price
+        |  FROM base b LEFT JOIN src s ON b.k = s.k
+        |  WHERE s.k IS NULL OR s.prio <> 'DEL'
+        |  UNION ALL
+        |  SELECT s.k, s.prio, s.price FROM src s LEFT JOIN base b ON s.k = b.k
+        |  WHERE b.k IS NULL AND s.prio <> 'DEL')
+        |SELECT prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
+    "UPSERT-MERGE-MOR" ->
       """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
         |    o_totalprice AS price FROM orders WHERE o_orderkey <= 4000),
         |src AS (SELECT o_orderkey AS k,

@@ -455,15 +455,31 @@ object SnapshotTable {
   /** Per-file min/max for numeric `statsCols` over freshly staged files —
     * the Iceberg-manifest data-skipping metadata, one aggregate scan of
     * ONLY the new files (a commit's delta, never the table). */
+  /** Sketch size for the per-file NDV theta sketches: lgK=9 caps a
+    * sketch at ~4 KiB (512 retained hashes, ±4.6 % error) — accurate
+    * enough for broadcast-vs-shuffle decisions, small enough that a
+    * wide sidecar stays metadata. */
+  private val NdvLgK = 9
+
   private[storage] def collectStats(spark: SparkSession, files: Seq[String],
                                     statsCols: Seq[String]): Seq[String] = {
     if (statsCols.isEmpty || files.isEmpty) return Seq.empty
+    graft.functions.expressions.GraftFunctions.register(spark)
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__mn_$c"),
       max(col(c).cast("double")).as(s"__mx_$c"),
       // null count per (file, column): what lets METADATA DELETE prove a
       // file holds no null (= predicate-immune) rows — see deleteWhere
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nu_$c")))
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nu_$c"),
+      // mergeable NDV sketch per (file, column): unioned per scan by
+      // estimateStatistics so the planner sees real distinct counts.
+      // Sketched over the SAME cast-to-double domain the min/max use
+      // (injective for the integral/timestamp range the 2^51 stats
+      // guard already enforces), so one code path serves every
+      // stats-eligible type; base64-encoded DRIVER-side (the sidecar is
+      // TAB/newline-delimited — no MIME line breaks may enter a field)
+      expr(s"graft_theta_agg(cast(`$c` as double), $NdvLgK)")
+        .as(s"__th_$c")))
     spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -473,6 +489,9 @@ object SnapshotTable {
           val (mn, mx) = (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"))
           val nulls = Option(r.getAs[Any](s"__nu_$c"))
             .collect { case n: Long => n }
+          val ndv = Option(r.getAs[Any](s"__th_$c"))
+            .collect { case b: Array[Byte] if b.nonEmpty =>
+              java.util.Base64.getEncoder.encodeToString(b) }
           // all-null OR NaN-touched files carry no stats line → always
           // kept. (Spark's max() ranks NaN above everything, and a NaN
           // bound would compare false against any range in pruneFiles —
@@ -481,7 +500,8 @@ object SnapshotTable {
           def bad(x: Any) = x == null ||
             (x.isInstanceOf[Double] && x.asInstanceOf[Double].isNaN)
           if (bad(mn) || bad(mx)) Nil
-          else Seq(s"$file\t$c\t$mn\t$mx\t${nulls.getOrElse(-1L)}")
+          else Seq(StatLine(file, c, mn.asInstanceOf[Double],
+            mx.asInstanceOf[Double], nulls.getOrElse(-1L), ndv).line)
         }
       }
   }
@@ -611,11 +631,23 @@ object SnapshotTable {
   /** (normalized file, col) → (min, max, null count; -1 = unknown —
     * legacy 4-field lines); empty when the version carries no stats
     * sidecar. */
-  private[storage] def statsFull(spark: SparkSession, root: String,
-                                 v: Long): Map[(String, String), (Double, Double, Long)] = {
+  /** One parsed stats-sidecar line: per-(file, column) min/max, null
+    * count, and (6-field form, round-12+) an optional base64 theta
+    * sketch of the column's distinct values — the MERGEABLE NDV metadata
+    * `estimateStatistics` unions per scan so the optimizer sees real
+    * cardinalities. Older 4/5-field lines parse with no sketch. */
+  private[storage] final case class StatLine(file: String, col: String,
+                                             mn: Double, mx: Double,
+                                             nulls: Long, ndv: Option[String]) {
+    def line: String =
+      s"$file\t$col\t$mn\t$mx\t$nulls" + ndv.map(s => s"\t$s").getOrElse("")
+  }
+
+  private[storage] def statsRaw(spark: SparkSession, root: String,
+                                v: Long): Seq[StatLine] = {
     val f = fs(spark, root)
     val p = statsPath(root, v)
-    if (!f.exists(p)) return Map.empty
+    if (!f.exists(p)) return Seq.empty
     val in = f.open(p)
     val bytes = try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -630,15 +662,40 @@ object SnapshotTable {
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { line =>
         line.split("\t") match {
           case Array(file, c, mn, mx) =>
-            try Some((file, c) -> (mn.toDouble, mx.toDouble, -1L))
+            try Some(StatLine(file, c, mn.toDouble, mx.toDouble, -1L, None))
             catch { case _: NumberFormatException => None }
           case Array(file, c, mn, mx, nu) =>
-            try Some((file, c) -> (mn.toDouble, mx.toDouble, nu.toLong))
+            try Some(StatLine(file, c, mn.toDouble, mx.toDouble, nu.toLong, None))
+            catch { case _: NumberFormatException => None }
+          case Array(file, c, mn, mx, nu, th) =>
+            try Some(StatLine(file, c, mn.toDouble, mx.toDouble, nu.toLong,
+              Some(th)))
             catch { case _: NumberFormatException => None }
           case _ => None
         }
-      }.toMap
+      }
   }
+
+  /** Union the base64 theta sketches into one NDV estimate (None on any
+    * decode failure — degradation is "no cardinality hint", never a
+    * wrong plan input). */
+  private[storage] def ndvUnion(sketches: Seq[String]): Option[Long] = {
+    if (sketches.isEmpty) return None
+    try {
+      val u = org.apache.datasketches.theta.SetOperation.builder()
+        .setLogNominalEntries(NdvLgK).buildUnion()
+      sketches.foreach { b64 =>
+        u.union(org.apache.datasketches.memory.Memory.wrap(
+          java.util.Base64.getDecoder.decode(b64)))
+      }
+      Some(math.max(1L, math.round(u.getResult.getEstimate)))
+    } catch { case _: Exception => None }
+  }
+
+  private[storage] def statsFull(spark: SparkSession, root: String,
+                                 v: Long): Map[(String, String), (Double, Double, Long)] =
+    statsRaw(spark, root, v)
+      .map(s => (s.file, s.col) -> (s.mn, s.mx, s.nulls)).toMap
 
   /** (normalized file, col) → (min, max); empty when the version carries
     * no stats sidecar. */
@@ -647,12 +704,11 @@ object SnapshotTable {
     statsFull(spark, root, v).view.mapValues(t => (t._1, t._2)).toMap
 
   /** The version's stats sidecar re-serialized as lines (for carrying
-    * into a successor version's sidecar) — null counts preserved. */
+    * into a successor version's sidecar) — null counts AND the NDV
+    * sketch field preserved. */
   private[storage] def statsLines(spark: SparkSession, root: String,
                                   v: Long): Seq[String] =
-    statsFull(spark, root, v).toSeq.map {
-      case ((file, c), (mn, mx, nu)) => s"$file\t$c\t$mn\t$mx\t$nu"
-    }.sorted
+    statsRaw(spark, root, v).map(_.line).sorted
 
   /** THE one keep-rule for file-level skipping — every pruning surface
     * (library pruneFiles/readPruned, the DSv2 scan) goes through it: a

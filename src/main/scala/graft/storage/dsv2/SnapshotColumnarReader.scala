@@ -33,8 +33,10 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * Covered shapes: the FLAT analytic surface — BOOLEAN/BYTE/SHORT/INT/
   * LONG/FLOAT/DOUBLE/DATE/TIMESTAMP (INT96 and INT64-annotated)/STRING/
   * BINARY — plus the widening reads schema evolution allows (INT32 file →
-  * LONG/DOUBLE column, FLOAT file → DOUBLE column). Nested columns
-  * (array/map) and decimals stay on the row reader:
+  * LONG/DOUBLE column, FLOAT file → DOUBLE column), and (round 12+)
+  * DECIMAL, one-level ARRAY of primitives (the embeddings
+  * `array<float>` hot path) and MAP<STRING,STRING> through Spark's
+  * vectorized nested assembly. Deeper nesting stays on the row reader:
   * [[SnapshotReaderFactory]] decides per scan from the required schema,
   * so mixed tables still read correctly, just row-at-a-time.
   *
@@ -77,10 +79,16 @@ final class SnapshotColumnarReader(file: String, required: StructType,
   private val delegate: PartitionReader[ColumnarBatch] =
     try new SparkVectorizedDelegate(file, required, applicable, conf, batchSize)
     catch {
-      // any init-time refusal (unsupported shape, internal-API drift)
-      // falls back; a genuinely broken file fails the fallback identically
-      case scala.util.control.NonFatal(_) =>
-        new ColumnStoreColumnarReader(file, required, applicable, conf, batchSize)
+      // any init-time refusal (internal-API drift, odd footer) falls
+      // back for FLAT shapes; nested/decimal shapes have no fallback
+      // decoder, so they fail loudly with the escape hatch named — a
+      // clear error, never a silent wrong answer
+      case scala.util.control.NonFatal(e) =>
+        if (SnapshotColumnar.flat(required))
+          new ColumnStoreColumnarReader(file, required, applicable, conf, batchSize)
+        else throw new IllegalStateException(
+          "graft-snapshot vectorized nested decode failed to initialize " +
+            s"for $file — read with option(\"columnar\", \"false\")", e)
     }
 
   override def next(): Boolean = delegate.next()
@@ -390,14 +398,30 @@ private final class ColumnStoreColumnarReader(
 
 private[dsv2] object SnapshotColumnar {
 
+  private def flatType(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | DateType | TimestampType |
+         TimestampNTZType | StringType | BinaryType => true
+    case _ => false
+  }
+
+  /** The flat-primitive surface BOTH columnar decoders cover (the
+    * ColumnReadStore fallback is flat-only). */
+  def flat(schema: StructType): Boolean =
+    schema.nonEmpty && schema.fields.forall(f => flatType(f.dataType))
+
   /** Spark types the columnar path decodes (per scan, from the REQUIRED
     * schema — the file-side physical variants, INT96 included, are
-    * handled at open time). Everything else routes to the row reader. */
+    * handled at open time): the flat primitives, DECIMAL, one-level
+    * ARRAY of primitives (the embeddings `array<float>` shape — Spark's
+    * vectorized reader assembles nested columns since 3.3), and
+    * MAP<STRING,STRING>. Everything else routes to the row reader. */
   def supported(schema: StructType): Boolean =
     schema.nonEmpty && schema.fields.forall(_.dataType match {
-      case BooleanType | ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | DateType | TimestampType |
-           TimestampNTZType | StringType | BinaryType => true
+      case dt if flatType(dt) => true
+      case _: DecimalType => true
+      case ArrayType(elem, _) => flatType(elem) || elem.isInstanceOf[DecimalType]
+      case MapType(StringType, StringType, _) => true
       case _ => false
     })
 }

@@ -557,11 +557,33 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     val metaNames = Set("_file", "_pos")
     val emitMeta = required.fieldNames.exists(metaNames) &&
       !fullSchema.fieldNames.exists(metaNames)
+    // PLANNER STATISTICS from the manifest + NDV sketches: exact live
+    // row counts (commit-time footer counts minus deletion vectors) and
+    // per-column distinct/null counts (theta-sketch union over the
+    // PLANNED files — pruning shrinks the estimate with the scan). With
+    // CBO on, these are what let a selective filter flip a join to
+    // broadcast that scan bytes alone never could.
+    val keptEntries = partKept.filter(e => keepSet(SnapshotTable.norm(e.path)))
+    val reportRows: Option[Long] =
+      if (keptEntries.forall(_.rows >= 0L)) Some(keptEntries.map(_.liveRows).sum)
+      else None
+    val colStats: Map[String, (Long, Long)] =
+      SnapshotTable.statsRaw(spark, root, snap.version)
+        .filter(l => keepSet(l.file)).groupBy(_.col).flatMap { case (c, ls) =>
+          // complete coverage only: every planned file must carry a
+          // sketch + null count for the column, else no hint
+          if (ls.size == keptEntries.size && ls.forall(_.ndv.isDefined) &&
+              ls.forall(_.nulls >= 0L))
+            SnapshotTable.ndvUnion(ls.flatMap(_.ndv))
+              .map(nd => c -> (nd, ls.map(_.nulls).sum))
+          else None
+        }
     new SnapshotScan(root, snap.version, keep, snap.files.size, bytes, required,
       accepted, spark.sessionState.newHadoopConf(), columnar,
       startingVersion, ignoreRewrites, spj = spjGroups(keep),
       dvByFile = dvByFile, emitMeta = emitMeta,
-      maxVersionsPerTrigger = maxVersionsPerTrigger)
+      maxVersionsPerTrigger = maxVersionsPerTrigger,
+      reportRows = reportRows, colStats = colStats)
   }
 }
 
@@ -608,7 +630,9 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
                            Seq[(InternalRow, Seq[String])])] = None,
                          dvByFile: Map[String, String] = Map.empty,
                          emitMeta: Boolean = false,
-                         maxVersionsPerTrigger: Option[Long] = None)
+                         maxVersionsPerTrigger: Option[Long] = None,
+                         reportRows: Option[Long] = None,
+                         colStats: Map[String, (Long, Long)] = Map.empty)
   extends Scan with Batch with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
@@ -649,14 +673,37 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
       maxVersionsPerTrigger)
   }
 
-  /** Pruned-file byte total: lets Catalyst broadcast a small snapshot
-    * table (or a well-pruned read of a big one) in joins. Row count is
-    * left unknown — parquet compression makes it a lie worth not
-    * telling. */
+  /** Planner statistics: the pruned-file byte total (lets Catalyst
+    * broadcast a small snapshot table, or a well-pruned read of a big
+    * one), the EXACT live row count from the manifest (commit-time
+    * footer counts minus deletion vectors), and per-column
+    * distinct/null counts from the sidecar's theta-sketch union — with
+    * `spark.sql.cbo.enabled`, `FilterEstimation` turns an equality on a
+    * sketched column into rows/NDV, flipping selective joins to
+    * broadcast where scan bytes alone would sort-merge. */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(sizeBytes)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong =
+      reportRows.map(java.util.OptionalLong.of)
+        .getOrElse(java.util.OptionalLong.empty())
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      colStats.foreach { case (c, (nd, nulls)) =>
+        m.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nd)
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nulls)
+          })
+      }
+      m
+    }
   }
 
   /** Plan-visible skipping evidence (`files=<kept>/<total>`), decode

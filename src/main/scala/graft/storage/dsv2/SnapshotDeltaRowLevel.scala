@@ -212,59 +212,103 @@ final class SnapshotDeltaBatchWrite(root: String,
     val byNorm = snap.entries.map(e => SnapshotTable.norm(e.path)).toSet
     partialsByFile.keys.foreach(f => require(byNorm(f),
       s"delta delete names a file outside the base snapshot: $f"))
+    val touched = partialsByFile.keySet
 
-    val freshDvs = Seq.newBuilder[String]
-    try {
-      // per touched file: union the task partials with the existing
-      // vector, write ONE new immutable sidecar (or drop the file when
-      // every row is now deleted). Driver memory is bounded by ONE
-      // file's deleted positions at a time.
-      val entries = snap.entries.flatMap { e =>
-        partialsByFile.get(SnapshotTable.norm(e.path)) match {
-          case None => Some(e)
-          case Some(partials) =>
-            val fresh = partials.iterator
-              .map(p => DeletionVectors.read(hconf, p))
-              .foldLeft(Array.emptyLongArray)(DeletionVectors.union)
-            val old =
-              if (e.dv.isEmpty) Array.emptyLongArray
-              else DeletionVectors.read(hconf, e.dv)
-            val all = DeletionVectors.union(old, fresh)
-            require(e.rows < 0L || all.length <= e.rows,
-              s"deletion vector for ${e.path} names ${all.length} rows of ${e.rows}")
-            if (e.rows >= 0L && all.length == e.rows) None // fully deleted
-            else {
-              val dvPath = DeletionVectors.freshPath(root)
-              DeletionVectors.write(hconf, dvPath, all)
-              freshDvs += dvPath
-              Some(e.copy(dv = dvPath, dvRows = all.length))
-            }
+    /** CONFLICT-SCOPED retry (the merge-on-read twin of the
+      * copy-on-write merge rebase): a racer that committed since this
+      * operation resolved its base is harmless as long as it did not
+      * REMOVE or RE-VECTOR any file THIS commit attaches positions to —
+      * the row ordinals are then still valid, and the commit simply
+      * replays onto the winner's entry list (winner's appends and
+      * other-file vectors all retained): two concurrent small updates
+      * to different files BOTH land, the very workload merge-on-read
+      * exists for. Overlap on a touched file, or a schema/partition
+      * change, refuses — writers to the SAME rows must serialize. The
+      * isolation level is snapshot isolation (Delta's WriteSerializable
+      * shape): a concurrent APPEND whose rows would have matched this
+      * DELETE's predicate is not retro-deleted. */
+    def rebaseable(from: SnapshotTable.Snapshot,
+                   to: SnapshotTable.Snapshot): Boolean = {
+      val fromBy = from.entries.map(e => SnapshotTable.norm(e.path) -> e).toMap
+      val toBy = to.entries.map(e => SnapshotTable.norm(e.path) -> e).toMap
+      val removed = fromBy.keySet -- toBy.keySet
+      val dvChanged = to.entries.collect {
+        case e if fromBy.get(SnapshotTable.norm(e.path)).exists(_.dv != e.dv) =>
+          SnapshotTable.norm(e.path)
+      }.toSet
+      removed.intersect(touched).isEmpty &&
+        dvChanged.intersect(touched).isEmpty &&
+        to.partitionSpecs == from.partitionSpecs &&
+        SnapshotTable.tableSchema(spark, root, to.version) ==
+          SnapshotTable.tableSchema(spark, root, from.version)
+    }
+
+    // fresh stats for the inserted files: base-independent, computed once
+    val statsCols = SnapshotTable.statsRaw(spark, root, snap.version)
+      .map(_.col).distinct.sorted
+    val freshLines =
+      SnapshotTable.collectStats(spark, inserts.map(_.path), statsCols)
+
+    var base = snap
+    var rebases = 0
+    while (true) {
+      val freshDvs = Seq.newBuilder[String]
+      try {
+        // per touched file: union the task partials with the existing
+        // vector, write ONE new immutable sidecar (or drop the file when
+        // every row is now deleted). Driver memory is bounded by ONE
+        // file's deleted positions at a time.
+        val entries = base.entries.flatMap { e =>
+          partialsByFile.get(SnapshotTable.norm(e.path)) match {
+            case None => Some(e)
+            case Some(partials) =>
+              val fresh = partials.iterator
+                .map(p => DeletionVectors.read(hconf, p))
+                .foldLeft(Array.emptyLongArray)(DeletionVectors.union)
+              val old =
+                if (e.dv.isEmpty) Array.emptyLongArray
+                else DeletionVectors.read(hconf, e.dv)
+              val all = DeletionVectors.union(old, fresh)
+              require(e.rows < 0L || all.length <= e.rows,
+                s"deletion vector for ${e.path} names ${all.length} rows of ${e.rows}")
+              if (e.rows >= 0L && all.length == e.rows) None // fully deleted
+              else {
+                val dvPath = DeletionVectors.freshPath(root)
+                DeletionVectors.write(hconf, dvPath, all)
+                freshDvs += dvPath
+                Some(e.copy(dv = dvPath, dvRows = all.length))
+              }
+          }
         }
+        // stats: every surviving base entry keeps its (conservative)
+        // lines — null counts and NDV sketches included; inserted files
+        // get fresh stats on the base's columns
+        val baseStats = SnapshotTable.statsRaw(spark, root, base.version)
+        val keptNorm = entries.map(e => SnapshotTable.norm(e.path)).toSet
+        val keptLines = baseStats.filter(l => keptNorm(l.file)).map(_.line).sorted
+        val next = base.version + 1
+        SnapshotTable.commit(spark, root, next, entries ++ inserts,
+          SnapshotTable.nextMeta(Some(base), None))
+        SnapshotTable.writeStats(spark, root, next, keptLines ++ freshLines)
+        SnapshotTable.tableSchema(spark, root, base.version)
+          .foreach(SnapshotTable.writeSchema(spark, root, next, _))
+        dropPartials()
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // lost the CAS: retract this attempt's sidecars, then rebase
+          // or give up
+          val f = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+          freshDvs.result().foreach(p =>
+            f.delete(new org.apache.hadoop.fs.Path(p), false))
+          val winner = SnapshotTable.latest(spark, root)
+          rebases += 1
+          if (rebases > 5 || !winner.exists(w =>
+              w.version > base.version && rebaseable(base, w))) {
+            abort(messages); throw e
+          }
+          base = winner.get
       }
-      // stats: every surviving base entry keeps its (conservative)
-      // lines; inserted files get fresh stats on the base's columns
-      val baseStats = SnapshotTable.statsFull(spark, root, snap.version)
-      val keptNorm = entries.map(e => SnapshotTable.norm(e.path)).toSet
-      val keptLines = baseStats.toSeq.collect {
-        case ((f, c), (mn, mx, nu)) if keptNorm(f) => s"$f\t$c\t$mn\t$mx\t$nu"
-      }.sorted
-      val statsCols = baseStats.keySet.map(_._2).toSeq.sorted
-      val freshLines =
-        SnapshotTable.collectStats(spark, inserts.map(_.path), statsCols)
-      val next = snap.version + 1
-      SnapshotTable.commit(spark, root, next, entries ++ inserts,
-        SnapshotTable.nextMeta(Some(snap), None))
-      SnapshotTable.writeStats(spark, root, next, keptLines ++ freshLines)
-      SnapshotTable.tableSchema(spark, root, snap.version)
-        .foreach(SnapshotTable.writeSchema(spark, root, next, _))
-      dropPartials()
-    } catch {
-      case e: java.util.ConcurrentModificationException =>
-        // lost the CAS: retract everything this write staged
-        val f = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
-        freshDvs.result().foreach(p =>
-          f.delete(new org.apache.hadoop.fs.Path(p), false))
-        abort(messages); throw e
     }
   }
 

@@ -187,9 +187,8 @@ object SnapshotMetadataDelete {
              snap: SnapshotTable.Snapshot,
              kept: Seq[SnapshotTable.FileEntry]): Unit = {
     val keptNorm = kept.map(e => SnapshotTable.norm(e.path)).toSet
-    val lines = SnapshotTable.statsFull(spark, root, snap.version).toSeq.collect {
-      case ((f, c), (mn, mx, nu)) if keptNorm(f) => s"$f\t$c\t$mn\t$mx\t$nu"
-    }.sorted
+    val lines = SnapshotTable.statsRaw(spark, root, snap.version)
+      .filter(l => keptNorm(l.file)).map(_.line).sorted
     val next = snap.version + 1
     SnapshotTable.commit(spark, root, next, kept,
       SnapshotTable.nextMeta(Some(snap), None))

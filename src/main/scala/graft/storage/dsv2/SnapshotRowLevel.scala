@@ -187,14 +187,13 @@ final class GroupReplaceDataWrite(root: String, snap: SnapshotTable.Snapshot,
     }.sortBy(_.path).toSeq
     val scannedSet = scanned().map(SnapshotTable.norm).toSet
     val retained = snap.entries.filterNot(e => scannedSet(SnapshotTable.norm(e.path)))
-    // stats: retained files keep their lines (null counts preserved);
-    // rewritten files get fresh stats on the columns the base tracked
-    val baseStats = SnapshotTable.statsFull(spark, root, snap.version)
+    // stats: retained files keep their lines (null counts + NDV
+    // sketches preserved); rewritten files get fresh stats on the
+    // columns the base tracked
+    val baseStats = SnapshotTable.statsRaw(spark, root, snap.version)
     val retainedNorm = retained.map(e => SnapshotTable.norm(e.path)).toSet
-    val keptLines = baseStats.toSeq.collect {
-      case ((f, c), (mn, mx, nu)) if retainedNorm(f) => s"$f\t$c\t$mn\t$mx\t$nu"
-    }.sorted
-    val statsCols = baseStats.keySet.map(_._2).toSeq.sorted
+    val keptLines = baseStats.filter(l => retainedNorm(l.file)).map(_.line).sorted
+    val statsCols = baseStats.map(_.col).distinct.sorted
     val freshLines =
       SnapshotTable.collectStats(spark, newFiles.map(_.path), statsCols)
     val next = snap.version + 1

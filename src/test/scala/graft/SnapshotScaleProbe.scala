@@ -154,6 +154,34 @@ object SnapshotScaleProbe {
     assert(tRow / tCol >= 1.8,
       f"columnar decode should beat the row materializer ~2x: ${tRow / tCol}%.2fx")
 
+    // ARRAY DECODE (the embeddings hot path): an `array<float>` column
+    // through the connector, columnar vs row — round 12 routes one-level
+    // arrays through Spark's vectorized nested assembly instead of the
+    // row materializer's per-element converter tree.
+    val eRoot = java.nio.file.Files.createTempDirectory("snaparr").toString + "/t"
+    val eRows = rows / 2
+    spark.range(eRows).select(col("id").as("k"),
+        expr("transform(sequence(0, 15), i -> cast(pmod(id * (i + 7), 997) as float) / 997.0F)")
+          .as("emb"))
+      .repartition(8)
+      .write.format("graft-snapshot").mode("append").save(eRoot)
+    def embAgg(df: org.apache.spark.sql.DataFrame): String =
+      df.agg(sum(expr("cast(element_at(emb, 3) as double)")),
+        sum(expr("cast(element_at(emb, 11) as double)")),
+        sum(expr("size(emb)")), count(lit(1))).collect().head.toString
+    def viaEmb(columnar: Boolean) = spark.read.format("graft-snapshot")
+      .option("columnar", columnar.toString).load(eRoot)
+    val warmE = Seq(embAgg(viaEmb(true)), embAgg(viaEmb(false)))
+    assert(warmE.distinct.size == 1, s"array decode paths disagree: $warmE")
+    def bestOfE(n: Int)(f: => Unit): Double =
+      (1 to n).map(_ => time(f)._2).min
+    val tColE = bestOfE(3)(embAgg(viaEmb(true)): Unit)
+    val tRowE = bestOfE(3)(embAgg(viaEmb(false)): Unit)
+    println(f"[snap-scale] array<float>[16] decode of ${eRows / 1000000.0}%.1fM rows: " +
+      f"columnar=$tColE%.2fs row=$tRowE%.2fs speedup=${tRowE / tColE}%.1fx")
+    assert(tColE < tRowE,
+      f"vectorized array decode should beat the row path: $tColE%.2fs vs $tRowE%.2fs")
+
     // RETENTION DELETE: two same-size appends (old half / new half, both
     // with k stats), then `DELETE FROM ... WHERE k < cutoff` aligned to
     // the append boundary — provably whole-file, so the delete is ONE

@@ -282,8 +282,9 @@ class SnapshotDsv2Spec extends SparkSpec {
     assert(plan.contains("ColumnarToRow"),
       s"expected a columnar scan (ColumnarToRow) in:\n$plan")
     assert(snapshotScan(df).description().contains("mode=columnar"))
-    // nested/decimal projections fall back to the row reader — correct,
-    // just row-at-a-time
+    // one-level arrays and decimals are columnar too (round 12); only
+    // DEEPER nesting (array<array<...>>) still falls back to the row
+    // reader — correct, just row-at-a-time
     val root2 = newRoot()
     spark.range(100).select(col("id").as("k"),
       array(col("id"), col("id") + 1).as("arr"),
@@ -291,7 +292,14 @@ class SnapshotDsv2Spec extends SparkSpec {
       .write.format("graft-snapshot").mode("append").save(root2)
     val df2 = spark.read.format("graft-snapshot").load(root2)
     assert(df2.count() === 100)
-    assert(snapshotScan(df2).description().contains("mode=row"))
+    assert(snapshotScan(df2).description().contains("mode=columnar"))
+    val root3 = newRoot()
+    spark.range(100).select(col("id").as("k"),
+      array(array(col("id")), array(col("id") + 1)).as("aa"))
+      .write.format("graft-snapshot").mode("append").save(root3)
+    val df3 = spark.read.format("graft-snapshot").load(root3)
+    assert(df3.count() === 100)
+    assert(snapshotScan(df3).description().contains("mode=row"))
     // option columnar=false forces the row path on flat schemas too
     val forced = spark.read.format("graft-snapshot")
       .option("columnar", "false").load(root)
@@ -335,6 +343,35 @@ class SnapshotDsv2Spec extends SparkSpec {
       .where(col("k") >= 1000 && col("k") < 1500)
       .agg(count(lit(1)), sum("x"), sum("i")).collect().head.toString
     assert(filtered(true) === filtered(false))
+  }
+
+  test("array/map/decimal scans are COLUMNAR and agree bit-for-bit with the row path") {
+    val root = newRoot()
+    spark.range(4000).select(
+        col("id").as("k"),
+        when(col("id") % 7 === 0, lit(null)).otherwise(
+          array((col("id") % 97).cast("float"),
+            (col("id") % 31).cast("float"))).as("emb"),
+        array(col("id"), col("id") * 2).as("pair"),
+        when(col("id") % 11 === 0, lit(null)).otherwise(
+          map(lit("host"), concat(lit("h"), col("id") % 5))).as("dims"),
+        col("id").cast("decimal(12,2)").as("d1"),
+        (col("id").cast("decimal(28,4)") / 7).as("d2"))
+      .write.format("graft-snapshot").mode("append").save(root)
+    def df(columnar: Boolean) = spark.read.format("graft-snapshot")
+      .option("columnar", columnar.toString).load(root)
+    // the plan actually takes the vectorized path for the nested shapes
+    val plan = df(true).queryExecution.executedPlan.toString()
+    assert(plan.contains("mode=columnar") && plan.contains("ColumnarToRow"),
+      s"nested scan should be columnar:\n$plan")
+    def rows(columnar: Boolean) =
+      df(columnar).orderBy("k").collect().map(_.toString).toSeq
+    assert(rows(true) === rows(false))
+    // the array hot path aggregates identically through both decoders
+    def agg(columnar: Boolean) = df(columnar)
+      .select(explode(col("emb")).as("e")).agg(sum("e"), count(lit(1)))
+      .collect().head.toString
+    assert(agg(true) === agg(false))
   }
 
   test("empty write to an absent root CREATES an empty, typed table") {

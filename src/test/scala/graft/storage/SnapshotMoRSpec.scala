@@ -285,6 +285,56 @@ class SnapshotMoRSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("concurrent merge-on-read commits to DIFFERENT files both land; same-file overlap serializes") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(10).select(col("id").as("k")).coalesce(1)
+      .write.format("graft-snapshot").option("deleteMode", "merge-on-read")
+      .mode("append").save(root) // file A (rows 0-9)
+    val fileA = SnapshotTable.latest(spark, root).get.files.head
+    spark.range(10, 20).select(col("id").as("k")).coalesce(1)
+      .write.format("graft-snapshot").mode("append").save(root) // file B (10-19)
+    val stale = SnapshotTable.latest(spark, root).get // v2, both files
+    val fileB = stale.files.filterNot(_ == fileA).head
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      // a racer vectors file B (k=15 lives in the second file) → v3
+      spark.sql(s"DELETE FROM $tbl WHERE k = 15")
+      val v3 = SnapshotTable.latest(spark, root).get
+      assert(v3.version === 3L &&
+        v3.entries.exists(e => e.path == fileB && e.dv.nonEmpty))
+      val schema = SnapshotTable.tableSchema(spark, root, stale.version).get
+      def staleWrite(target: String, pos: Long) = {
+        val partial = new org.apache.hadoop.fs.Path(
+          DeletionVectors.dir(root), s"partial-test/${java.util.UUID.randomUUID()}.dvp")
+          .toString
+        DeletionVectors.write(hconf, partial, Array(pos))
+        val w = new graft.storage.dsv2.SnapshotDeltaBatchWrite(
+          root, stale, schema, java.util.Optional.empty())
+        w.commit(Array(graft.storage.dsv2.SnapshotDeltaCommitMessage(
+          Seq.empty, Seq((SnapshotTable.norm(target), partial, 1L)))))
+      }
+      // a STALE (v2-based) delta commit touching file A rebases onto v3:
+      // both writers' deletes land, one commit each
+      staleWrite(fileA, 5L)
+      val v4 = SnapshotTable.latest(spark, root).get
+      assert(v4.version === 4L)
+      assert(v4.entries.exists(e => e.path == fileA && e.dvRows === 1L))
+      assert(v4.entries.exists(e => e.path == fileB && e.dvRows === 1L),
+        "the racer's vector must survive the rebase")
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 18)
+      assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE k IN (5, 15)")
+        .head.getLong(0) === 0)
+      // a stale commit touching the SAME file the racer re-vectored
+      // must refuse (its ordinals may be stale relative to intent)
+      intercept[java.util.ConcurrentModificationException] {
+        staleWrite(fileB, 12L)
+      }
+      assert(SnapshotTable.latest(spark, root).get.version === 4L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("vacuum retires unreferenced vector sidecars with the grace window") {
     val root = newRoot()
     val tbl = newTable()
