@@ -411,11 +411,14 @@ object SnapshotTable {
     * batch-id high-water mark or drop the table's partitioning, and
     * vacuum can retire any old version without losing either. */
   private[storage] def nextMeta(base: Option[Snapshot], txn: Option[Long],
-                                txnApp: String = ""): Seq[String] = {
+                                txnApp: String = "",
+                                rowLevelOverride: Option[Map[String, String]] = None)
+      : Seq[String] = {
     val m = base.map(_.txns).getOrElse(Map.empty) ++ txn.map(txnApp -> _)
     partitionMeta(base.map(_.partitionSpecs).getOrElse(Seq.empty)) ++
       sortMeta(base.map(_.sortCols).getOrElse(Seq.empty)) ++
-      rowLevelMeta(base.map(_.rowLevelModes).getOrElse(Map.empty)) ++
+      rowLevelMeta(rowLevelOverride.getOrElse(
+        base.map(_.rowLevelModes).getOrElse(Map.empty))) ++
       m.toSeq.sortBy(_._1).map {
         case ("", id) => s"#txn $id"
         case (app, id) => s"#txn $app $id"

@@ -290,7 +290,31 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val base = SnapshotTable.tableSchema(spark, root, snap.version)
       .getOrElse(throw new IllegalStateException(
         s"table $ident has no schema sidecar"))
-    val next = changes.foldLeft(base) { (sc, ch) =>
+    // ALTER TABLE ... SET/UNSET TBLPROPERTIES for the row-level write
+    // modes: flips an existing table to merge-on-read (or back) as a
+    // metadata-only version — the `#rowlevel` line is carried forward
+    // by every later commit
+    val rlKeys = Map("deleteMode" -> "delete", "updateMode" -> "update",
+      "mergeMode" -> "merge")
+    var modes = snap.rowLevelModes
+    val schemaChanges = changes.filter {
+      case s: TableChange.SetProperty =>
+        rlKeys.get(s.property) match {
+          case Some(cmd) => modes = modes + (cmd -> s.value); false
+          case None => throw new UnsupportedOperationException(
+            s"graft catalog supports TBLPROPERTIES ${rlKeys.keys.mkString("/")}; " +
+              s"got '${s.property}'")
+        }
+      case r: TableChange.RemoveProperty =>
+        rlKeys.get(r.property) match {
+          case Some(cmd) => modes = modes - cmd; false
+          case None => throw new UnsupportedOperationException(
+            s"graft catalog supports TBLPROPERTIES ${rlKeys.keys.mkString("/")}; " +
+              s"got '${r.property}'")
+        }
+      case _ => true
+    }
+    val next = schemaChanges.foldLeft(base) { (sc, ch) =>
       ch match {
         case add: TableChange.AddColumn =>
           require(add.fieldNames.length == 1,
@@ -314,7 +338,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     }
     val v = snap.version + 1
     SnapshotTable.commit(spark, root, v, snap.entries,
-      SnapshotTable.nextMeta(Some(snap), None))
+      SnapshotTable.nextMeta(Some(snap), None, rowLevelOverride = Some(modes)))
     SnapshotTable.writeStats(spark, root, v,
       SnapshotTable.statsLines(spark, root, snap.version))
     SnapshotTable.writeSchema(spark, root, v, next)

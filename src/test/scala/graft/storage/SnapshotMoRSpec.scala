@@ -246,6 +246,45 @@ class SnapshotMoRSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES flips an existing table to merge-on-read") {
+    val wh = Files.createTempDirectory("moralter").toString
+    spark.conf.set("spark.sql.catalog.gmalter", "graft.storage.dsv2.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gmalter.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmalter.ns")
+    spark.sql("CREATE TABLE gmalter.ns.t (k BIGINT)")
+    try {
+      spark.sql("INSERT INTO gmalter.ns.t SELECT id FROM range(100)")
+      val root = s"$wh/ns/t"
+      val preFiles = SnapshotTable.latest(spark, root).get.files.toSet
+      // default copy-on-write: a small delete rewrites the file
+      spark.sql("DELETE FROM gmalter.ns.t WHERE k = 1")
+      assert(SnapshotTable.latest(spark, root).get.files.toSet
+        .intersect(preFiles).isEmpty)
+      // flip to merge-on-read as a metadata-only version
+      spark.sql("ALTER TABLE gmalter.ns.t SET TBLPROPERTIES " +
+        "('deleteMode'='merge-on-read')")
+      assert(SnapshotTable.latest(spark, root).get
+        .rowLevelModes === Map("delete" -> "merge-on-read"))
+      val cowFiles = SnapshotTable.latest(spark, root).get.files.toSet
+      spark.sql("DELETE FROM gmalter.ns.t WHERE k = 2")
+      val afterMor = SnapshotTable.latest(spark, root).get
+      assert(afterMor.files.toSet === cowFiles, "post-flip delete must be MoR")
+      assert(afterMor.entries.exists(_.dv.nonEmpty))
+      assert(spark.sql("SELECT count(*) FROM gmalter.ns.t").head.getLong(0) === 98)
+      // ...and back: UNSET restores copy-on-write
+      spark.sql("ALTER TABLE gmalter.ns.t UNSET TBLPROPERTIES ('deleteMode')")
+      assert(SnapshotTable.latest(spark, root).get.rowLevelModes.isEmpty)
+      spark.sql("DELETE FROM gmalter.ns.t WHERE k = 3")
+      assert(SnapshotTable.latest(spark, root).get.files.toSet
+        .intersect(cowFiles).isEmpty)
+      assert(spark.sql("SELECT count(*) FROM gmalter.ns.t").head.getLong(0) === 97)
+      // unknown properties refuse loudly
+      intercept[Exception] {
+        spark.sql("ALTER TABLE gmalter.ns.t SET TBLPROPERTIES ('foo'='bar')")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS gmalter.ns.t")
+  }
+
   test("catalog TBLPROPERTIES persist merge-on-read in the manifest") {
     val wh = Files.createTempDirectory("morwh").toString
     spark.conf.set("spark.sql.catalog.gmor", "graft.storage.dsv2.SnapshotCatalog")
