@@ -1430,6 +1430,40 @@ object Extensions {
       s.catalog.dropTempView(s"${tbl}_src")
       rows.toDF("prio", "n", "total")
     },
+    // ROW-LEVEL change feed (CDF): merge-on-read deletion vectors make
+    // deletes representable change rows — the feed emits the table's
+    // columns + _change_type + _commit_version for every change since
+    // v0 (inserts = the v1 create, deletes = the v2 vectored rows). The
+    // oracle replays both change sets from the raw table.
+    "CDC-FEED" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_cdcfeed")
+        .toString + "/t"
+      val tbl = "cdc_feed_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.table("orders").where(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        .repartitionByRange(8, col("k"))
+        .write.format("graft-snapshot").option("statsCols", "k")
+        .option("deleteMode", "merge-on-read")
+        .mode("append").save(root)
+      s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+      s.sql(s"DELETE FROM $tbl WHERE k % 3 = 0 AND k <= 2000")
+      val out = graft.storage.SnapshotTable.changeFeed(s, root, 0L)
+        .groupBy(col("_change_type").as("change"),
+          col("_commit_version").as("ver"), col("prio"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("change", "ver", "prio")
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getDouble(4)))
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      import s.implicits._
+      out.toDF("change", "ver", "prio", "n", "total")
+    },
     // the SAME three-arm MERGE, but on a merge-on-read table: matched
     // updates/deletes become deletion-vector positions, inserts (and
     // update re-inserts) small new files — the base data files are
@@ -2742,6 +2776,18 @@ object Extensions {
         |SELECT prio, count(*) AS n,
         |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
+    "CDC-FEED" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    o_totalprice AS price FROM orders WHERE o_orderkey <= 4000),
+        |ins AS (SELECT 'insert' AS change, 1 AS ver, prio, count(*) AS n,
+        |    round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |  FROM base GROUP BY prio),
+        |del AS (SELECT 'delete' AS change, 2 AS ver, prio, count(*) AS n,
+        |    round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |  FROM base WHERE k % 3 = 0 AND k <= 2000 GROUP BY prio)
+        |SELECT change, CAST(ver AS BIGINT) AS ver, prio, n, total
+        |FROM (SELECT * FROM del UNION ALL SELECT * FROM ins)
+        |ORDER BY change, ver, prio""".stripMargin,
     "UPSERT-MERGE-MOR" ->
       """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
         |    o_totalprice AS price FROM orders WHERE o_orderkey <= 4000),

@@ -858,6 +858,108 @@ object SnapshotTable {
     }
   }
 
+  /** The ROW-LEVEL change feed (CDF): every change in `(fromV, toV]` as
+    * a typed row — the table's columns plus `_change_type`
+    * ('insert' | 'delete') and `_commit_version` (the version that made
+    * the change). What merge-on-read buys the feed: a deletion-vector
+    * commit names EXACTLY the deleted ordinals, so deletes become
+    * representable change rows (the appended-files walk alone could only
+    * refuse them). Inserts are the appended files per version; deletes
+    * are each touched file's rows at the NEWLY-vectored positions
+    * (read via parquet's `_metadata` coordinates against a
+    * broadcast-small position set — vectors are small by the
+    * merge-on-read contract). Copy-on-write rewrites still refuse with
+    * guidance (file replacement cannot be attributed row-level);
+    * [[graft.operators.Cdc.snapshotDiff]] is the keyed diff for those.
+    * Metadata work is manifest reads; data work is O(changed rows'
+    * files). */
+  def changeFeed(spark: SparkSession, root: String, fromV: Long,
+                 toV: Option[Long] = None): DataFrame = {
+    val to = toV.orElse(latest(spark, root).map(_.version)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    require(fromV >= 0 && to >= fromV,
+      s"need 0 <= fromV <= toV, got fromV=$fromV toV=$to")
+    val vs = versions(spark, root)
+    require(fromV == 0 || vs.contains(fromV),
+      s"change-feed base v$fromV is not a retained version at $root " +
+        s"(retained: ${vs.mkString(",")})")
+    val conf = spark.sparkContext.hadoopConfiguration
+    var prev: Map[String, FileEntry] =
+      if (fromV == 0) Map.empty
+      else snapshot(spark, root, fromV).entries
+        .map(e => norm(e.path) -> e).toMap
+    val inserts = Seq.newBuilder[(Long, FileEntry)]
+    val deletePairs = Seq.newBuilder[(String, Long, Long)] // (file, pos, version)
+    vs.filter(v => v > fromV && v <= to).foreach { v =>
+      val cur = snapshot(spark, root, v).entries
+      val curMap = cur.map(e => norm(e.path) -> e).toMap
+      val removed = prev.keySet -- curMap.keySet
+      if (removed.nonEmpty) throw new UnsupportedOperationException(
+        s"version $v at $root removed/rewrote ${removed.size} file(s); a " +
+          "row-level change feed cannot attribute a file replacement — " +
+          "diff the versions with Cdc.snapshotDiff(readVersion(prev), " +
+          "readVersion(v), keys)")
+      cur.foreach { e =>
+        val key = norm(e.path)
+        prev.get(key) match {
+          case None => inserts += ((v, e))
+          case Some(old) if old.dv != e.dv =>
+            val oldPos =
+              if (old.dv.isEmpty) Array.emptyLongArray
+              else DeletionVectors.read(conf, old.dv)
+            val newPos =
+              if (e.dv.isEmpty) Array.emptyLongArray
+              else DeletionVectors.read(conf, e.dv)
+            val oldSet = oldPos.toSet
+            newPos.filterNot(oldSet).foreach(p => deletePairs += ((key, p, v)))
+          case _ => ()
+        }
+      }
+      prev = curMap
+    }
+    val schema = tableSchema(spark, root, to)
+    val cols = schema.getOrElse(
+      throw new IllegalStateException(s"no schema sidecar at $root"))
+      .fields.map(f => col(f.name)).toSeq
+    // inserts: the appended files per version, read WHOLE (their
+    // at-add vectors are empty by construction — later deletes inside
+    // the window appear as delete rows, the CDF contract)
+    val sq = spark
+    import sq.implicits._
+    val insertDf = inserts.result().groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (v, es) =>
+        readFiles(spark, es.map(_._2.path), schema)
+          .select(cols :+ lit("insert").as("_change_type")
+            :+ lit(v).as("_commit_version"): _*)
+      }
+    // deletes: the touched files' rows at the newly-vectored positions,
+    // located by parquet _metadata coordinates
+    val pairs = deletePairs.result()
+    val deleteDf =
+      if (pairs.isEmpty) Seq.empty
+      else {
+        val files = pairs.map(_._1).distinct
+        val keys = pairs.toDF("__cf_file", "__cf_pos", "__cf_v")
+        val normPath = udf((s: String) => norm(s))
+        Seq(readFiles(spark, files, schema)
+          .withColumn("__cf_file", normPath(col("_metadata.file_path")))
+          .withColumn("__cf_pos", col("_metadata.row_index"))
+          .join(broadcast(keys), Seq("__cf_file", "__cf_pos"))
+          .select(cols :+ lit("delete").as("_change_type")
+            :+ col("__cf_v").as("_commit_version"): _*))
+      }
+    val all = insertDf ++ deleteDf
+    if (all.isEmpty) {
+      val sc = schema.get
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(sc.fields
+          :+ org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false)
+          :+ org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+    } else all.reduce(_ unionByName _)
+  }
+
   /** The change feed as a DataFrame: rows appended in `(fromV, toV]`,
     * read with `toV`'s schema (`toV` defaults to latest). */
   def changes(spark: SparkSession, root: String, fromV: Long,

@@ -374,6 +374,41 @@ class SnapshotMoRSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("row-level change feed: inserts per version, deletes from vector diffs") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(10).select(col("id").as("k")).coalesce(1)
+      .write.format("graft-snapshot").option("deleteMode", "merge-on-read")
+      .mode("append").save(root) // v1
+    spark.range(10, 20).select(col("id").as("k")).coalesce(1)
+      .write.format("graft-snapshot").mode("append").save(root) // v2
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE k IN (3, 15)") // v3: two vectors
+      spark.sql(s"DELETE FROM $tbl WHERE k = 4")        // v4: union on file A
+      val feed = SnapshotTable.changeFeed(spark, root, 0L)
+        .select("k", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val expectedInserts =
+        (0L until 10L).map(k => (k, "insert", 1L)).toSet ++
+          (10L until 20L).map(k => (k, "insert", 2L))
+      val expectedDeletes =
+        Set((3L, "delete", 3L), (15L, "delete", 3L), (4L, "delete", 4L))
+      assert(feed === expectedInserts ++ expectedDeletes)
+      // a window past the inserts carries deletes only
+      val tail = SnapshotTable.changeFeed(spark, root, 3L)
+        .select("k", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(tail === Set((4L, "delete", 4L)))
+      // a copy-on-write rewrite still refuses, pointing at snapshotDiff
+      SnapshotTable.compact(spark, root, targetFiles = 1)
+      val e = intercept[UnsupportedOperationException] {
+        SnapshotTable.changeFeed(spark, root, 0L).collect()
+      }
+      assert(e.getMessage.contains("snapshotDiff"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("vacuum retires unreferenced vector sidecars with the grace window") {
     val root = newRoot()
     val tbl = newTable()
