@@ -921,14 +921,16 @@ object SnapshotTable {
     val cols = schema.getOrElse(
       throw new IllegalStateException(s"no schema sidecar at $root"))
       .fields.map(f => col(f.name)).toSeq
-    // inserts: the appended files per version, read WHOLE (their
-    // at-add vectors are empty by construction — later deletes inside
-    // the window appear as delete rows, the CDF contract)
+    // inserts: the appended files per version. Every write path adds
+    // files with EMPTY vectors, but read through the dv-aware
+    // readEntries anyway — a file that somehow arrived pre-vectored
+    // must not report its dead rows as inserts. Later in-window deletes
+    // appear as delete rows (the CDF contract).
     val sq = spark
     import sq.implicits._
     val insertDf = inserts.result().groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (v, es) =>
-        readFiles(spark, es.map(_._2.path), schema)
+        readEntries(spark, es.map(_._2), schema)
           .select(cols :+ lit("insert").as("_change_type")
             :+ lit(v).as("_commit_version"): _*)
       }

@@ -256,6 +256,31 @@ object SnapshotScaleProbe {
       f"(vs $tRewriteDel%.2fs for the 1000-row cow rewrite)")
     assert(tMorDel < tRewriteDel,
       s"merge-on-read ($tMorDel s) should undercut the COW rewrite ($tRewriteDel s)")
+
+    // ...and the READ-side cost of carrying vectors: a DV-bearing scan
+    // decodes row-at-a-time (position subtraction needs ordinals);
+    // compaction materializes the vectors away and restores the
+    // vectorized path — the documented trade, quantified
+    def morAgg(): String = spark.read.format("graft-snapshot").load(mRoot)
+      .agg(sum(col("k")), sum(col("v")), sum(length(col("pad"))))
+      .collect().head.toString
+    val withDvAnswer = morAgg() // warm
+    val tWithDv = bestOf(3)(morAgg(): Unit)
+    val dvMode = spark.read.format("graft-snapshot").load(mRoot)
+      .queryExecution.executedPlan.toString()
+    assert(dvMode.contains("mode=row"), s"dv scan should be row-mode:\n$dvMode")
+    SnapshotTable.compact(spark, mRoot, targetFiles = 16, statsCols = Seq("k"))
+    assert(SnapshotTable.latest(spark, mRoot).get.entries.forall(_.dv.isEmpty))
+    assert(morAgg() == withDvAnswer, "compaction must not change content")
+    val postMode = spark.read.format("graft-snapshot").load(mRoot)
+      .queryExecution.executedPlan.toString()
+    assert(postMode.contains("mode=columnar"),
+      s"compaction should restore columnar:\n$postMode")
+    val tCompacted = bestOf(3)(morAgg(): Unit)
+    println(f"[snap-scale] merge-on-read read penalty (string-heavy 3-col " +
+      f"aggregate): dv-bearing row-mode scan=$tWithDv%.2fs vs compacted " +
+      f"columnar=$tCompacted%.2fs (${tWithDv / tCompacted}%.1fx) - " +
+      "compaction restores the fast path")
     spark.stop()
   }
 }
