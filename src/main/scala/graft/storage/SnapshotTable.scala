@@ -1029,6 +1029,73 @@ object SnapshotTable {
     }
   }
 
+  /** REPLACE-TABLE adoption: publish a freshly-staged table (at
+    * `stageRoot`, no prior readers) as the NEXT VERSION of the table at
+    * `targetRoot` — the RTAS commit. The staged data dirs are renamed
+    * wholesale under the target's `data/`, then one ordinary manifest
+    * CAS flips visibility: the table is never absent mid-replace, a
+    * concurrent commit just retries the CAS (replace intent is
+    * unconditional), and the pre-replace content keeps time-traveling.
+    * The staged table's definition (partitioning, sort order, row-level
+    * modes, schema) REPLACES the target's; the target's exactly-once
+    * `#txn` ledger is carried so no stream's high-water mark ever
+    * lowers. A crash after the dir moves leaves only unreferenced data
+    * dirs (vacuum-by-age fodder), never a broken table. */
+  private[storage] def adoptAsNextVersion(spark: SparkSession,
+                                          stageRoot: String,
+                                          targetRoot: String): Long = {
+    val f = fs(spark, targetRoot)
+    val stageSnap = latest(spark, stageRoot).getOrElse(
+      throw new IllegalStateException(s"nothing staged at $stageRoot"))
+    require(stageSnap.entries.forall(_.dv.isEmpty),
+      "a freshly-staged table cannot carry deletion vectors")
+    val stageSchema = tableSchema(spark, stageRoot, stageSnap.version)
+    val stagePrefix = norm(stageRoot).stripSuffix("/") + "/data/"
+    val rels = stageSnap.entries.map { e =>
+      val n = norm(e.path)
+      require(n.startsWith(stagePrefix), s"staged entry outside stage root: $n")
+      n.substring(stagePrefix.length)
+    }
+    f.mkdirs(new Path(targetRoot, "data"))
+    rels.map(_.split("/")(0)).distinct.foreach { d =>
+      val from = new Path(new Path(stageRoot, "data"), d)
+      val to = new Path(new Path(targetRoot, "data"), d)
+      require(f.rename(from, to), s"could not adopt staged data dir $from")
+    }
+    def rebased(rel: String): String =
+      f.makeQualified(new Path(new Path(targetRoot, "data"), rel)).toString
+    val entries = stageSnap.entries.zip(rels).map { case (e, rel) =>
+      e.copy(path = rebased(rel))
+    }
+    val relByNorm = stageSnap.entries.zip(rels)
+      .map { case (e, rel) => norm(e.path) -> rel }.toMap
+    val stats = statsRaw(spark, stageRoot, stageSnap.version).flatMap(l =>
+      relByNorm.get(l.file).map(rel => l.copy(file = norm(rebased(rel))).line))
+    val defMeta = partitionMeta(stageSnap.partitionSpecs) ++
+      sortMeta(stageSnap.sortCols) ++ rowLevelMeta(stageSnap.rowLevelModes)
+    var attempts = 0
+    while (true) {
+      val cur = latest(spark, targetRoot).getOrElse(
+        throw new IllegalStateException(s"no table to replace at $targetRoot"))
+      val txnLines = cur.txns.toSeq.sortBy(_._1).map {
+        case ("", id) => s"#txn $id"
+        case (app, id) => s"#txn $app $id"
+      }
+      val next = cur.version + 1
+      try {
+        commit(spark, targetRoot, next, entries, defMeta ++ txnLines)
+        writeStats(spark, targetRoot, next, stats)
+        stageSchema.foreach(writeSchema(spark, targetRoot, next, _))
+        return next
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** All committed versions, ascending. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)

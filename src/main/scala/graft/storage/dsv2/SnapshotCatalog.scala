@@ -182,22 +182,23 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     override def commitStagedChanges(): Unit = {
       val target = tablePath(ident)
       if (replace && isTableDir(target)) {
-        // swap: old table out of the way first, new one in, drop old —
-        // readers see either the old table or the new, never a mix
-        val drop = new Path(nsPath(ident.namespace),
-          s".drop-${java.util.UUID.randomUUID().toString.take(8)}-${ident.name}")
-        require(fs.rename(target, drop), s"RTAS could not displace $target")
-        require(fs.rename(stagePath, target),
-          { fs.rename(drop, target); s"RTAS could not publish $target" })
-        fs.delete(drop, true)
+        // RTAS over an EXISTING table commits as its NEXT VERSION: the
+        // staged data dirs move under the target's data/, then one
+        // ordinary manifest CAS publishes the replacement — the visible
+        // table is never absent (no swap window), concurrent commits
+        // lose the CAS loudly, and the pre-replace content keeps
+        // time-traveling like any other version.
+        SnapshotTable.adoptAsNextVersion(spark, stagePath.toString,
+          target.toString)
+        fs.delete(stagePath, true)
       } else {
         // CREATE: rename-if-absent IS the atomic commit point
         if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
         require(fs.rename(stagePath, target),
           s"staged CTAS commit failed: could not rename $stagePath to $target")
+        // manifests carry ABSOLUTE data-file paths: re-anchor them
+        SnapshotTable.rebaseMetadata(spark, stagePath.toString, target.toString)
       }
-      // manifests carry ABSOLUTE data-file paths: re-anchor them
-      SnapshotTable.rebaseMetadata(spark, stagePath.toString, target.toString)
     }
 
     override def abortStagedChanges(): Unit = fs.delete(stagePath, true)

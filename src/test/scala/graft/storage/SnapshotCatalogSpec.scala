@@ -160,9 +160,15 @@ class SnapshotCatalogSpec extends SparkSpec {
       assert(!spark.catalog.tableExists("graft.ctas.bad"))
       intercept[Exception] { spark.sql("SELECT * FROM graft.ctas.bad").collect() }
       assert(stagingDirs().isEmpty, s"failed CTAS left debris: ${stagingDirs().toSeq}")
-      // RTAS: the swap replaces content atomically; old root content gone
+      // RTAS: the replacement lands as the table's NEXT VERSION — the
+      // table is never absent mid-replace, and the old content still
+      // time-travels
+      val preReplace = SnapshotTable.latest(spark, s"$warehouse/ctas/t").get.version
       spark.sql("REPLACE TABLE graft.ctas.t AS SELECT id AS k FROM range(7)")
       assert(spark.sql("SELECT count(*) FROM graft.ctas.t").head.getLong(0) === 7)
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft.ctas.t VERSION AS OF $preReplace")
+        .head.getLong(0) === 100, "pre-replace content must time-travel")
       assert(stagingDirs().isEmpty)
       // CTAS with PARTITIONED BY mints the partition spec
       spark.sql("CREATE TABLE graft.ctas.p PARTITIONED BY (g) AS " +
