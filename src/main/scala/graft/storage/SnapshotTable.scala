@@ -873,10 +873,14 @@ object SnapshotTable {
     * [[graft.operators.Cdc.snapshotDiff]] is the keyed diff for those.
     * Metadata work is manifest reads; data work is O(changed rows'
     * files). */
-  def changeFeed(spark: SparkSession, root: String, fromV: Long,
-                 toV: Option[Long] = None): DataFrame = {
-    val to = toV.orElse(latest(spark, root).map(_.version)).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $root"))
+  /** The row-level change sets in `(fromV, toV]`: per-version appended
+    * entries (inserts) and per-(file, version) NEWLY-vectored ordinals
+    * (deletes) — the shared walk behind [[changeFeed]] and the
+    * connector's CDF scan. Throws on file removal (a rewrite cannot be
+    * attributed row-level). */
+  private[storage] def changeSets(spark: SparkSession, root: String,
+                                  fromV: Long, to: Long)
+      : (Seq[(Long, FileEntry)], Seq[(FileEntry, Array[Long], Long)]) = {
     require(fromV >= 0 && to >= fromV,
       s"need 0 <= fromV <= toV, got fromV=$fromV toV=$to")
     val vs = versions(spark, root)
@@ -889,7 +893,7 @@ object SnapshotTable {
       else snapshot(spark, root, fromV).entries
         .map(e => norm(e.path) -> e).toMap
     val inserts = Seq.newBuilder[(Long, FileEntry)]
-    val deletePairs = Seq.newBuilder[(String, Long, Long)] // (file, pos, version)
+    val deletes = Seq.newBuilder[(FileEntry, Array[Long], Long)]
     vs.filter(v => v > fromV && v <= to).foreach { v =>
       val cur = snapshot(spark, root, v).entries
       val curMap = cur.map(e => norm(e.path) -> e).toMap
@@ -911,11 +915,26 @@ object SnapshotTable {
               if (e.dv.isEmpty) Array.emptyLongArray
               else DeletionVectors.read(conf, e.dv)
             val oldSet = oldPos.toSet
-            newPos.filterNot(oldSet).foreach(p => deletePairs += ((key, p, v)))
+            val fresh = newPos.filterNot(oldSet)
+            if (fresh.nonEmpty) deletes += ((e, fresh, v))
           case _ => ()
         }
       }
       prev = curMap
+    }
+    (inserts.result(), deletes.result())
+  }
+
+  def changeFeed(spark: SparkSession, root: String, fromV: Long,
+                 toV: Option[Long] = None): DataFrame = {
+    val to = toV.orElse(latest(spark, root).map(_.version)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val (insertEntries, deleteSets) = changeSets(spark, root, fromV, to)
+    val inserts = Seq.newBuilder[(Long, FileEntry)]
+    inserts ++= insertEntries
+    val deletePairs = Seq.newBuilder[(String, Long, Long)] // (file, pos, version)
+    deleteSets.foreach { case (e, ps, v) =>
+      ps.foreach(p => deletePairs += ((norm(e.path), p, v)))
     }
     val schema = tableSchema(spark, root, to)
     val cols = schema.getOrElse(

@@ -1,0 +1,206 @@
+package graft.storage.dsv2
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.storage.{DeletionVectors, SnapshotTable}
+
+/** CHANGE-DATA-FEED reads through the connector — the typed row-level
+  * change stream [[SnapshotTable.changeFeed]] computes, as a first-class
+  * DSv2 table:
+  *
+  * {{{
+  *   // batch: every change in (changesFrom, changesTo|latest]
+  *   spark.read.format("graft-snapshot")
+  *     .option("changeFeed", true).option("changesFrom", 2).load(root)
+  *   // streaming: one micro-batch per committed version window
+  *   spark.readStream.format("graft-snapshot")
+  *     .option("changeFeed", true).load(root)
+  * }}}
+  *
+  * Output schema = the table's columns + `_change_type`
+  * ('insert' | 'delete') + `_commit_version`. Inserts are appended
+  * files per version; deletes are the merge-on-read vectors' NEWLY
+  * deleted ordinals, read by emitting exactly those positions from the
+  * (immutable) data file. Copy-on-write rewrites refuse with guidance —
+  * same contract as the library feed. The streaming form checkpoints
+  * version offsets (exactly-once), honours `maxVersionsPerTrigger`,
+  * and terminates under `Trigger.AvailableNow` — identical admission
+  * control to the plain snapshot source. */
+object SnapshotCdfTable {
+  val ChangeType = "_change_type"
+  val CommitVersion = "_commit_version"
+
+  def cdfSchema(table: StructType): StructType = StructType(table.fields
+    :+ StructField(ChangeType, StringType, nullable = false)
+    :+ StructField(CommitVersion, LongType, nullable = false))
+}
+
+final class SnapshotCdfTable(root: String, tableSchema: StructType,
+                             options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+
+  private val schema0 = SnapshotCdfTable.cdfSchema(tableSchema)
+
+  override def name(): String = s"graft-snapshot-cdf:$root"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    () => new SnapshotCdfScan(root, schema0,
+      fromV = Option(options.get("changesFrom")).map(_.toLong).getOrElse(0L),
+      toV = Option(options.get("changesTo")).map(_.toLong),
+      startingVersion = Option(options.get("startingVersion")).map(_.toLong),
+      maxVersionsPerTrigger =
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+}
+
+/** One change partition: a data file read either whole (insert) or at
+  * exactly the newly-deleted ordinals (delete), tagged with the commit
+  * version. `dv` is the file's vector AT ADD TIME for inserts (dead
+  * rows were never visible, so they are not inserts). */
+final case class SnapshotCdfPartition(file: String, version: Long,
+                                      isDelete: Boolean,
+                                      positions: Array[Long],
+                                      dv: String) extends InputPartition
+
+final class SnapshotCdfScan(root: String, cdfSchema: StructType,
+                            fromV: Long, toV: Option[Long],
+                            startingVersion: Option[Long],
+                            maxVersionsPerTrigger: Option[Long])
+  extends Scan with Batch {
+
+  private def spark = SparkSession.active
+
+  override def readSchema(): StructType = cdfSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot change-feed root=$root from=v$fromV" +
+      toV.map(v => s" to=v$v").getOrElse("")
+
+  private def partitionsFor(from: Long, to: Long): Array[InputPartition] = {
+    val (inserts, deletes) = SnapshotTable.changeSets(spark, root, from, to)
+    (inserts.map { case (v, e) =>
+      SnapshotCdfPartition(e.path, v, isDelete = false,
+        Array.emptyLongArray, e.dv): InputPartition
+    } ++ deletes.map { case (e, ps, v) =>
+      SnapshotCdfPartition(e.path, v, isDelete = true, ps, ""): InputPartition
+    }).toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val to = toV.orElse(SnapshotTable.latest(spark, root).map(_.version))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed snapshot at $root"))
+    partitionsFor(fromV, to)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotCdfReaderFactory(cdfSchema,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val start = startingVersion match {
+      case Some(-1L) =>
+        SnapshotTable.latest(spark, root).map(_.version).getOrElse(0L)
+      case Some(v) => v
+      case None => 0L
+    }
+    new SnapshotCdfMicroBatchStream(root, start, cdfSchema,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      maxVersionsPerTrigger, partitionsFor)
+  }
+}
+
+/** The CDF table as a Structured Streaming source: offsets are snapshot
+  * versions (exactly like the plain source), each micro-batch emits the
+  * typed change rows of its version window. */
+final class SnapshotCdfMicroBatchStream(
+    root: String, startVersion: Long, cdfSchema: StructType,
+    conf: SerializableHadoopConf,
+    maxVersionsPerTrigger: Option[Long],
+    partitionsFor: (Long, Long) => Array[InputPartition])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def spark = SparkSession.active
+
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  private def newestCommitted: Long =
+    SnapshotTable.latest(spark, root).map(_.version).getOrElse(startVersion)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(newestCommitted)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SnapshotOffset].version
+    val newest = availableNowEnd.fold(newestCommitted)(math.min(newestCommitted, _))
+    val capped = maxVersionsPerTrigger.fold(newest)(n => math.min(newest, s + n))
+    SnapshotOffset(math.max(s, capped))
+  }
+
+  override def reportLatestOffset(): Offset = SnapshotOffset(newestCommitted)
+  override def initialOffset(): Offset = SnapshotOffset(startVersion)
+  override def latestOffset(): Offset = SnapshotOffset(newestCommitted)
+  override def deserializeOffset(json: String): Offset =
+    SnapshotOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapshotOffset].version
+    val e = end.asInstanceOf[SnapshotOffset].version
+    if (e <= s) Array.empty else partitionsFor(s, e)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotCdfReaderFactory(cdfSchema, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"graft-snapshot-cdf-stream root=$root from=v$startVersion"
+}
+
+final class SnapshotCdfReaderFactory(cdfSchema: StructType,
+                                     conf: SerializableHadoopConf)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SnapshotCdfPartition]
+    // the inner reader materializes the FULL cdf schema (the two change
+    // columns are absent from parquet → null slots, filled per row);
+    // deletes read exactly the newly-vectored ordinals, inserts read
+    // the file minus its at-add vector
+    val inner = new SnapshotPartitionReader(p.file, cdfSchema,
+      Map.empty, conf.value,
+      dvPath = if (p.isDelete) "" else p.dv,
+      keepOnly = if (p.isDelete) p.positions else null)
+    val ctIdx = cdfSchema.fieldIndex(SnapshotCdfTable.ChangeType)
+    val cvIdx = cdfSchema.fieldIndex(SnapshotCdfTable.CommitVersion)
+    val tag = UTF8String.fromString(if (p.isDelete) "delete" else "insert")
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = {
+        val r = inner.get()
+        r.update(ctIdx, tag)
+        r.update(cvIdx, p.version)
+        r
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+}

@@ -145,9 +145,31 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
   private def partitionsRead(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("partitions", false)
 
+  private def cdfRead(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("changeFeed", false)
+
+  /** The CDF read's base schema: the table's columns at the window's
+    * end (or latest), refusing name collisions with the change columns. */
+  private def cdfBaseSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val r = root(options)
+    val to = Option(options.get("changesTo")).map(_.toLong)
+      .orElse(SnapshotTable.latest(spark, r).map(_.version))
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot at $r"))
+    val sc = SnapshotTable.tableSchema(spark, r, to).getOrElse(
+      throw new IllegalStateException(s"no schema sidecar at $r"))
+    require(!sc.fieldNames.contains(SnapshotCdfTable.ChangeType) &&
+      !sc.fieldNames.contains(SnapshotCdfTable.CommitVersion),
+      s"change-feed reads reserve ${SnapshotCdfTable.ChangeType}/" +
+        s"${SnapshotCdfTable.CommitVersion}; the table already has such a column")
+    sc
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     if (historyRead(options)) return SnapshotHistoryTable.SCHEMA
     if (partitionsRead(options)) return SnapshotPartitionsTable.SCHEMA
+    if (cdfRead(options))
+      return SnapshotCdfTable.cdfSchema(cdfBaseSchema(options))
     val snap = resolve(options)
     pinned.set(Some((root(options), resolutionKey(options), snap)))
     // the version's schema sidecar wins (it can be WIDER than any one
@@ -178,6 +200,8 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
     if (historyRead(options)) return new SnapshotHistoryTable(root(options))
     if (partitionsRead(options))
       return new SnapshotPartitionsTable(root(options), resolve(options))
+    if (cdfRead(options))
+      return new SnapshotCdfTable(root(options), cdfBaseSchema(options), options)
     // absent table ⇒ readable only after a first write commits. The
     // pinned resolution (from the inferSchema call that produced
     // `schema`) keeps both calls on ONE version; the passed-in schema is

@@ -49,7 +49,8 @@ final class SnapshotPartitionReader(file: String, required: StructType,
                                     intervals: Map[String, (Double, Double)],
                                     conf: Configuration,
                                     dvPath: String = "",
-                                    emitMeta: Boolean = false)
+                                    emitMeta: Boolean = false,
+                                    keepOnly: Array[Long] = null)
   extends PartitionReader[InternalRow] {
 
   // MERGE-ON-READ: the file's deletion vector (sorted row ordinals to
@@ -66,7 +67,10 @@ final class SnapshotPartitionReader(file: String, required: StructType,
   // `_pos` LONG), filled reader-side — parquet never sees these names
   private val fileSlot = if (emitMeta) required.fieldNames.indexOf("_file") else -1
   private val posSlot = if (emitMeta) required.fieldNames.indexOf("_pos") else -1
-  private val needOrdinals = dv.nonEmpty || posSlot >= 0
+  // `keepOnly` inverts the vector walk: emit ONLY these sorted ordinals
+  // (the change feed's "read exactly the newly-deleted rows" shape),
+  // with early termination once the set is exhausted
+  private val needOrdinals = dv.nonEmpty || posSlot >= 0 || keepOnly != null
 
   private val reader: ParquetReader[InternalRow] = {
     val path = new org.apache.hadoop.fs.Path(file)
@@ -102,15 +106,19 @@ final class SnapshotPartitionReader(file: String, required: StructType,
   private var cur: InternalRow = _
   private var pos = -1L // ordinal of `cur` within the file
   private var dvIdx = 0 // next deletion-vector entry (sorted walk)
+  private var keepIdx = 0 // next keepOnly entry (sorted walk)
 
   override def next(): Boolean = {
     while (true) {
+      if (keepOnly != null && keepIdx >= keepOnly.length) return false
       cur = reader.read()
       if (cur == null) return false
       pos += 1
       val deleted =
         dvIdx < dv.length && dv(dvIdx) == pos && { dvIdx += 1; true }
-      if (!deleted) {
+      val kept = keepOnly == null ||
+        (keepOnly(keepIdx) == pos && { keepIdx += 1; true })
+      if (!deleted && kept) {
         if (fileSlot >= 0) cur.update(fileSlot, fileUtf8)
         if (posSlot >= 0) cur.update(posSlot, pos)
         return true

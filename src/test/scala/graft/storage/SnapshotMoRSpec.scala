@@ -409,6 +409,52 @@ class SnapshotMoRSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("connector change feed: batch windows and streaming micro-batches") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(10).select(col("id").as("k")).coalesce(1)
+      .write.format("graft-snapshot").option("deleteMode", "merge-on-read")
+      .mode("append").save(root) // v1
+    spark.range(10, 20).select(col("id").as("k")).coalesce(1)
+      .write.format("graft-snapshot").mode("append").save(root) // v2
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE k IN (3, 15)") // v3
+      spark.sql(s"DELETE FROM $tbl WHERE k = 4")        // v4
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "_change_type", "_commit_version").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // batch CDF over the full history
+      val full = rows(spark.read.format("graft-snapshot")
+        .option("changeFeed", true).load(root))
+      val expected =
+        (0L until 10L).map(k => (k, "insert", 1L)).toSet ++
+          (10L until 20L).map(k => (k, "insert", 2L)) ++
+          Set((3L, "delete", 3L), (15L, "delete", 3L), (4L, "delete", 4L))
+      assert(full === expected)
+      // a bounded window: (2, 3] carries only v3's deletes
+      assert(rows(spark.read.format("graft-snapshot").option("changeFeed", true)
+        .option("changesFrom", 2).option("changesTo", 3).load(root))
+        === Set((3L, "delete", 3L), (15L, "delete", 3L)))
+      // streaming CDF: one micro-batch per version under
+      // maxVersionsPerTrigger=1, terminating with AvailableNow
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, String, Long)]]
+      val q = spark.readStream.format("graft-snapshot")
+        .option("changeFeed", true).option("maxVersionsPerTrigger", 1)
+        .load(root)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen += rows(df) }; ()
+        }
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow must terminate")
+      assert(seen.map(_.size).toSeq === Seq(10, 10, 2, 1),
+        s"one version per micro-batch: ${seen.map(_.size)}")
+      assert(seen.reduce(_ ++ _) === expected)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("vacuum retires unreferenced vector sidecars with the grace window") {
     val root = newRoot()
     val tbl = newTable()
