@@ -1430,6 +1430,49 @@ object Extensions {
       s.catalog.dropTempView(s"${tbl}_src")
       rows.toDF("prio", "n", "total")
     },
+    // CURATION WRITE-BACK: the step after every dedup pipeline — apply
+    // the keep/drop decision to the GOVERNED store. Exact-duplicate
+    // losers (same md5(lower(text)), higher doc_id) are removed with a
+    // single subquery DELETE on a merge-on-read table: position
+    // sidecars only, zero data files rewritten (require()d), the
+    // pre-curation corpus still time-travels. At 100 TB this is what
+    // makes iterative curation affordable — each sweep costs O(dropped
+    // rows), not O(corpus).
+    "LLM-DEDUP-APPLY" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_dedupapply")
+        .toString + "/t"
+      val tbl = "dedup_apply_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.table("documents")
+        .select(col("doc_id"), col("lang"),
+          md5(lower(col("text"))).as("fp"))
+        .repartitionByRange(8, col("doc_id"))
+        .write.format("graft-snapshot").option("statsCols", "doc_id")
+        .option("deleteMode", "merge-on-read")
+        .mode("append").save(root)
+      val base = graft.storage.SnapshotTable.latest(s, root).get
+      s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+      s.sql(
+        s"""DELETE FROM $tbl WHERE doc_id IN (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           |    FROM $tbl) WHERE rn > 1)""".stripMargin)
+      val after = graft.storage.SnapshotTable.latest(s, root).get
+      require(after.files.toSet == base.files.toSet,
+        "curation deletes must not rewrite data files")
+      require(after.entries.exists(_.dv.nonEmpty) ||
+        after.rowCount == base.rowCount,
+        "duplicates (if any) must be vectored, not rewritten")
+      s.sql(s"REFRESH TABLE $tbl")
+      import s.implicits._
+      val rows = s.sql(s"""SELECT lang, count(*) AS n,
+          count(DISTINCT fp) AS uniq FROM $tbl
+        GROUP BY lang ORDER BY lang""").collect()
+        .toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      rows.toDF("lang", "n", "uniq")
+    },
     // ROW-LEVEL change feed (CDF): merge-on-read deletion vectors make
     // deletes representable change rows — the feed emits the table's
     // columns + _change_type + _commit_version for every change since
@@ -2776,6 +2819,14 @@ object Extensions {
         |SELECT prio, count(*) AS n,
         |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
+    "LLM-DEDUP-APPLY" ->
+      """WITH docs AS (SELECT doc_id, lang, md5(lower(text)) AS fp FROM documents),
+        |keep AS (SELECT doc_id, lang, fp FROM (
+        |    SELECT doc_id, lang, fp,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM docs) WHERE rn = 1)
+        |SELECT lang, count(*) AS n, count(DISTINCT fp) AS uniq
+        |FROM keep GROUP BY lang ORDER BY lang""".stripMargin,
     "CDC-FEED" ->
       """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
         |    o_totalprice AS price FROM orders WHERE o_orderkey <= 4000),
