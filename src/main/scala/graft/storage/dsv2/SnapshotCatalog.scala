@@ -350,7 +350,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val p = nsPath(namespace)
     if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && isTableDir(st.getPath))
+      // dot-dirs are an in-flight CTAS's staging area — real snapshot
+      // roots underneath, but not published tables
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".") &&
+        isTableDir(st.getPath))
       .map(st => Identifier.of(namespace, st.getPath.getName))
       .toArray
   }

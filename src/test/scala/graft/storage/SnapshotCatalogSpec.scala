@@ -170,6 +170,14 @@ class SnapshotCatalogSpec extends SparkSpec {
         s"SELECT count(*) FROM graft.ctas.t VERSION AS OF $preReplace")
         .head.getLong(0) === 100, "pre-replace content must time-travel")
       assert(stagingDirs().isEmpty)
+      // an in-flight staging dir never appears in SHOW TABLES
+      val fakeStage = new org.apache.hadoop.fs.Path(
+        s"$warehouse/ctas/.stage-zz-x/_snapshots")
+      fs.mkdirs(fakeStage)
+      val listed = spark.sql("SHOW TABLES IN graft.ctas")
+        .collect().map(_.getString(1)).toSet
+      assert(!listed.exists(_.startsWith(".")), s"staging dir listed: $listed")
+      fs.delete(fakeStage.getParent, true)
       // CTAS with PARTITIONED BY mints the partition spec
       spark.sql("CREATE TABLE graft.ctas.p PARTITIONED BY (g) AS " +
         "SELECT id AS k, CAST(id % 3 AS STRING) AS g FROM range(30)")
