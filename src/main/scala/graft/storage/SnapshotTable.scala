@@ -1596,6 +1596,42 @@ object SnapshotTable {
       cleanupOrphans(spark, root, files.map(_.path)); throw e }
   }
 
+  /** PURGE merge-on-read deletes: rewrite ONLY the vector-bearing files
+    * (live rows re-staged, vectors retired), retaining every clean file
+    * verbatim — the bounded maintenance pass between small updates and
+    * a full [[compact]] (Delta's `REORG ... APPLY (PURGE)` shape). Cost
+    * is O(vectored files), the vectorized scan path is restored for the
+    * rewritten data, and old versions keep time-traveling through their
+    * own sidecars (vacuum retires the unreferenced ones later). Returns
+    * the committed version — unchanged when nothing carries a vector
+    * (no junk versions). */
+  def purgeDeletes(spark: SparkSession, root: String,
+                   expectedVersion: Option[Long] = None): Long = {
+    val snap = latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no table at $root — create() first"))
+    expectedVersion.foreach { v =>
+      if (v != snap.version) throw new java.util.ConcurrentModificationException(
+        s"expected base v$v but latest is v${snap.version} at $root")
+    }
+    val (vectored, clean) = snap.entries.partition(_.dv.nonEmpty)
+    if (vectored.isEmpty) return snap.version
+    val schema = tableSchema(spark, root, snap.version)
+    val live = readEntries(spark, vectored, schema)
+    val files = writeData(spark, root, live, snap.partitionSpecs, snap.sortCols)
+    val raw = statsRaw(spark, root, snap.version)
+    val cleanNorm = clean.map(e => norm(e.path)).toSet
+    val st = raw.filter(l => cleanNorm(l.file)).map(_.line) ++
+      collectStats(spark, files.map(_.path), raw.map(_.col).distinct.sorted)
+    val next = snap.version + 1
+    try {
+      commit(spark, root, next, clean ++ files, nextMeta(Some(snap), None))
+      writeStats(spark, root, next, st)
+      schema.foreach(writeSchema(spark, root, next, _))
+      next
+    } catch { case e: java.util.ConcurrentModificationException =>
+      cleanupOrphans(spark, root, files.map(_.path)); throw e }
+  }
+
   /** The standard optimistic-concurrency loop every table format ships:
     * on losing the commit race, re-read the NEW latest snapshot and
     * re-apply the merge against it (last-write-wins keyed semantics make

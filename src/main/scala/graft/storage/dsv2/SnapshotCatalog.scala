@@ -469,13 +469,27 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             Array[Any](deleted))).iterator()
         }
       }
+      case "purge_deletes" => new GraftProcedure("purge_deletes", Seq(
+        ProcedureParameter.in("table", StringType).build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val root = tablePath(identOf(input.getUTF8String(0).toString)).toString
+          val before = SnapshotTable.latest(spark, root)
+            .map(_.entries.count(_.dv.nonEmpty)).getOrElse(0)
+          val v = SnapshotTable.purgeDeletes(spark, root)
+          util.List.of(oneRowScan(
+            StructType(Seq(StructField("version", LongType, false),
+              StructField("files_purged", IntegerType, false))),
+            Array[Any](v, before))).iterator()
+        }
+      }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $catalogName.system.$other " +
-          "(available: compact, vacuum)")
+          "(available: compact, vacuum, purge_deletes)")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array("system"), "compact"),
-      Identifier.of(Array("system"), "vacuum"))
+      Identifier.of(Array("system"), "vacuum"),
+      Identifier.of(Array("system"), "purge_deletes"))
 }

@@ -455,6 +455,38 @@ class SnapshotMoRSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("purge_deletes rewrites ONLY vector-bearing files; clean files stay verbatim") {
+    val wh = Files.createTempDirectory("morpurge").toString
+    spark.conf.set("spark.sql.catalog.gmp", "graft.storage.dsv2.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gmp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmp.ns")
+    spark.sql("CREATE TABLE gmp.ns.t (k BIGINT) " +
+      "TBLPROPERTIES ('deleteMode'='merge-on-read')")
+    try {
+      spark.sql("INSERT INTO gmp.ns.t SELECT id FROM range(100)")       // file A
+      spark.sql("INSERT INTO gmp.ns.t SELECT id FROM range(100, 200)")  // file B
+      val root = s"$wh/ns/t"
+      spark.sql("DELETE FROM gmp.ns.t WHERE k = 7") // vector on file A only
+      val before = SnapshotTable.latest(spark, root).get
+      val cleanFiles = before.entries.filter(_.dv.isEmpty).map(_.path).toSet
+      assert(cleanFiles.nonEmpty && before.entries.exists(_.dv.nonEmpty))
+      val got = spark.sql("CALL gmp.system.purge_deletes('ns.t')").head
+      assert(got.getInt(1) === 1, "one vectored file to purge")
+      val after = SnapshotTable.latest(spark, root).get
+      assert(after.entries.forall(_.dv.isEmpty), "vectors must be gone")
+      // the clean file is retained VERBATIM — only the vectored one rewrote
+      assert(cleanFiles.subsetOf(after.files.toSet))
+      assert(spark.sql("SELECT count(*) FROM gmp.ns.t").head.getLong(0) === 199)
+      assert(spark.sql("SELECT count(*) FROM gmp.ns.t WHERE k = 7")
+        .head.getLong(0) === 0)
+      // idempotent: nothing vectored -> same version back, no junk commit
+      val v = after.version
+      assert(spark.sql("CALL gmp.system.purge_deletes('ns.t')")
+        .head.getLong(0) === v)
+      assert(SnapshotTable.latest(spark, root).get.version === v)
+    } finally spark.sql("DROP TABLE IF EXISTS gmp.ns.t")
+  }
+
   test("vacuum retires unreferenced vector sidecars with the grace window") {
     val root = newRoot()
     val tbl = newTable()
