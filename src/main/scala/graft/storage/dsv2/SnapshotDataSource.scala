@@ -591,8 +591,14 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     val reportRows: Option[Long] =
       if (keptEntries.forall(_.rows >= 0L)) Some(keptEntries.map(_.liveRows).sum)
       else None
+    // column stats come from carried-forward sidecar lines that still
+    // count merge-on-read-deleted rows, while numRows above is exact
+    // LIVE rows — mixing the two can hand the CBO nullCount > numRows
+    // after a large vectored delete. Skip the (advisory) column hint
+    // for scans whose planned files carry vectors; compaction restores it.
     val colStats: Map[String, (Long, Long)] =
-      SnapshotTable.statsRaw(spark, root, snap.version)
+      if (dvByFile.nonEmpty) Map.empty
+      else SnapshotTable.statsRaw(spark, root, snap.version)
         .filter(l => keepSet(l.file)).groupBy(_.col).flatMap { case (c, ls) =>
           // complete coverage only: every planned file must carry a
           // sketch + null count for the column, else no hint
@@ -740,14 +746,15 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
       s"dv=${dvByFile.size} " +
       s"pushed=[${pushed.mkString(", ")}] columns=${required.fieldNames.mkString(",")}"
 
-  /** Columnar when enabled and the projected schema is the flat surface
-    * the vectorized reader covers; nested/decimal scans stay row-based,
-    * as do scans over files with deletion vectors (position subtraction
-    * is row-at-a-time; compaction restores the vectorized path) and
-    * scans emitting the `_file`/`_pos` metadata columns. */
+  /** Columnar when enabled and the projected schema is the surface the
+    * vectorized reader covers. Deletion vectors NO LONGER force row mode:
+    * DV-bearing files decode vectorized and drop deleted ordinals via a
+    * per-batch selection remap ([[DvApplyColumnarReader]]) — one small
+    * delete must not de-vectorize a whole-table scan. Only scans emitting
+    * the `_file`/`_pos` metadata columns stay row-based (ordinals are
+    * materialized per row there). */
   def columnarMode: Boolean =
-    columnar && SnapshotColumnar.supported(required) &&
-      dvByFile.isEmpty && !emitMeta
+    columnar && SnapshotColumnar.supported(required) && !emitMeta
 
   /** Exposed for tests/tools asserting file-level skipping. */
   def plannedFiles: Seq[String] = files
@@ -1024,8 +1031,19 @@ final class SnapshotReaderFactory(required: StructType,
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    ConcatReader(filesOf(partition))(
-      f => new SnapshotColumnarReader(f, required, intervals, conf.value))
+    ConcatReader(filesOf(partition))( f => {
+      val dvPath = dvByFile.getOrElse(graft.storage.SnapshotTable.norm(f), "")
+      if (dvPath.isEmpty)
+        new SnapshotColumnarReader(f, required, intervals, conf.value)
+      else
+        // DV coordinate discipline: no parquet row-group skipping for a
+        // vector-bearing file (empty intervals), so batch rows map to
+        // file ordinals by running offset; the wrapper then drops the
+        // deleted ordinals per batch (still columnar downstream)
+        new DvApplyColumnarReader(
+          new SnapshotColumnarReader(f, required, Map.empty, conf.value),
+          graft.storage.DeletionVectors.read(conf.value, dvPath))
+    })
 }
 
 /** Sequential concatenation of per-file readers — what a tuple-grouped

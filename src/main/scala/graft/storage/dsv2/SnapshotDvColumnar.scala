@@ -1,0 +1,114 @@
+package graft.storage.dsv2
+
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.types.{DataType, Decimal}
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarArray, ColumnarBatch, ColumnarMap}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** COLUMNAR merge-on-read: apply a deletion vector INSIDE the vectorized
+  * read path, so a file carrying a small vector keeps the fast decode —
+  * the round-12 design made ANY vector-bearing scan fall back to
+  * row-at-a-time decode for every planned file (scan-level `columnarMode`),
+  * which meant one 10-row delete de-vectorized a whole-table read until
+  * compaction. Delta and Iceberg both solve this the same way this class
+  * does: decode the batch vectorized, then DROP the deleted ordinals while
+  * handing the batch to Spark, as a per-batch selection remap.
+  *
+  * Mechanics: the inner reader decodes file row-groups IN ORDER with no
+  * parquet row-group skipping (the caller passes no pushed intervals for
+  * DV-bearing files — ordinal alignment, same `needOrdinals` discipline as
+  * the row path), so batch rows map to file ordinals by a running base
+  * offset. Batches intersecting the (sorted) vector get a selection array
+  * of surviving ordinals and are re-exposed through [[SelectedColumnVector]]
+  * views — zero copies, all types delegate. Batches with no deleted rows
+  * pass through untouched, so the common case (vectors touch few
+  * row-ranges) pays one sorted-array probe per batch and nothing else. */
+final class DvApplyColumnarReader(inner: PartitionReader[ColumnarBatch],
+                                  dv: Array[Long])
+  extends PartitionReader[ColumnarBatch] {
+
+  private var base = 0L // file ordinal of the current batch's first row
+  private var dvIdx = 0 // next not-yet-passed vector entry (sorted walk)
+  private var out: ColumnarBatch = _
+  private var sel: Array[Int] = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val b = inner.get()
+      val n = b.numRows()
+      val lo = base
+      base += n
+      // advance past vector entries before this batch (defensive; the
+      // walk is monotone so this loop almost never iterates)
+      while (dvIdx < dv.length && dv(dvIdx) < lo) dvIdx += 1
+      if (dvIdx >= dv.length || dv(dvIdx) >= lo + n) {
+        out = b // untouched batch: pass through
+        return true
+      }
+      // deleted ordinals intersect [lo, lo+n): build the selection
+      if (sel == null || sel.length < n) sel = new Array[Int](n)
+      var kept = 0
+      var i = 0
+      while (i < n) {
+        if (dvIdx < dv.length && dv(dvIdx) == lo + i) dvIdx += 1
+        else { sel(kept) = i; kept += 1 }
+        i += 1
+      }
+      if (kept > 0) {
+        val cols = new Array[ColumnVector](b.numCols())
+        var c = 0
+        while (c < cols.length) {
+          cols(c) = new SelectedColumnVector(b.column(c), sel, kept)
+          c += 1
+        }
+        out = new ColumnarBatch(cols, kept)
+        return true
+      }
+      // whole batch deleted: keep scanning
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = out
+  override def close(): Unit = inner.close()
+}
+
+/** A zero-copy row-selection view over a decoded column vector: getter
+  * `rowId` is remapped through `sel` (the surviving ordinals of the
+  * underlying batch). Nested ARRAY/MAP delegate whole (their offsets
+  * live in the underlying vector); STRUCT children are not remappable
+  * this way and are excluded by the scan's supported-schema gate. */
+private final class SelectedColumnVector(under: ColumnVector,
+                                         sel: Array[Int], n: Int)
+  extends ColumnVector(under.dataType()) {
+
+  // the underlying vector is owned (and closed) by the inner reader
+  override def close(): Unit = ()
+
+  override def hasNull: Boolean = under.hasNull
+  override def numNulls(): Int = {
+    if (!under.hasNull) return 0
+    var c = 0; var i = 0
+    while (i < n) { if (under.isNullAt(sel(i))) c += 1; i += 1 }
+    c
+  }
+  override def isNullAt(rowId: Int): Boolean = under.isNullAt(sel(rowId))
+  override def getBoolean(rowId: Int): Boolean = under.getBoolean(sel(rowId))
+  override def getByte(rowId: Int): Byte = under.getByte(sel(rowId))
+  override def getShort(rowId: Int): Short = under.getShort(sel(rowId))
+  override def getInt(rowId: Int): Int = under.getInt(sel(rowId))
+  override def getLong(rowId: Int): Long = under.getLong(sel(rowId))
+  override def getFloat(rowId: Int): Float = under.getFloat(sel(rowId))
+  override def getDouble(rowId: Int): Double = under.getDouble(sel(rowId))
+  override def getDecimal(rowId: Int, precision: Int, scale: Int): Decimal =
+    under.getDecimal(sel(rowId), precision, scale)
+  override def getUTF8String(rowId: Int): UTF8String =
+    under.getUTF8String(sel(rowId))
+  override def getBinary(rowId: Int): Array[Byte] = under.getBinary(sel(rowId))
+  override def getArray(rowId: Int): ColumnarArray = under.getArray(sel(rowId))
+  override def getMap(rowId: Int): ColumnarMap = under.getMap(sel(rowId))
+  override def getChild(ordinal: Int): ColumnVector =
+    throw new UnsupportedOperationException(
+      "struct children are not supported under a deletion-vector selection " +
+        "(the scan's supported-schema gate excludes structs)")
+}

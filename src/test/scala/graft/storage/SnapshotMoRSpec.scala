@@ -140,11 +140,17 @@ class SnapshotMoRSpec extends SparkSpec {
       s"OPTIONS (path '$root', deleteMode 'merge-on-read')")
     try {
       spark.sql(s"DELETE FROM $tbl WHERE k IN (3, 777)")
-      // a DV-bearing scan runs in row mode, with plan-visible evidence
-      val scanDesc = spark.read.format("graft-snapshot").load(root)
-        .queryExecution.executedPlan.toString()
-      assert(scanDesc.contains("mode=row") && scanDesc.contains("dv="),
-        s"expected row-mode dv evidence in:\n$scanDesc")
+      // round 13: a DV-bearing scan STAYS COLUMNAR — the vector is
+      // applied inside the vectorized reader (per-batch selection
+      // remap), with plan-visible dv evidence; and the vectored rows
+      // are gone from the columnar read
+      val dvRead = spark.read.format("graft-snapshot").load(root)
+      val scanDesc = dvRead.queryExecution.executedPlan.toString()
+      assert(scanDesc.contains("mode=columnar") && scanDesc.contains("dv=") &&
+        !scanDesc.contains("dv=0"),
+        s"expected columnar dv evidence in:\n$scanDesc")
+      assert(dvRead.count() === 1998)
+      assert(dvRead.where(col("k").isin(3, 777)).count() === 0)
       SnapshotTable.compact(spark, root, targetFiles = 1, statsCols = Seq("k"))
       val after = SnapshotTable.latest(spark, root).get
       assert(after.entries.forall(_.dv.isEmpty), "compaction must clear vectors")
