@@ -90,6 +90,39 @@ object DeletionVectors {
     if (a.isEmpty) b else if (b.isEmpty) a
     else (a ++ b).distinct.sorted
 
+  /** Sorted difference `a \ b` (linear merge — the change feed's
+    * "newly deleted = new vector minus old vector" walk, computed
+    * EXECUTOR-side so CDF planning never materializes positions on the
+    * driver). */
+  def diff(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (b.isEmpty) return a
+    val out = Array.newBuilder[Long]
+    out.sizeHint(math.max(0, a.length - b.length))
+    var i = 0
+    var j = 0
+    while (i < a.length) {
+      while (j < b.length && b(j) < a(i)) j += 1
+      if (j >= b.length || b(j) != a(i)) out += a(i)
+      i += 1
+    }
+    out.result()
+  }
+
+  /** `[0, n) \ a` for sorted `a` — the fresh deletes of a FULLY deleted
+    * file (its final vector is every row; `a` is what was already dead). */
+  def complement(a: Array[Long], n: Long): Array[Long] = {
+    val out = new Array[Long]((n - a.length).toInt)
+    var i = 0
+    var j = 0
+    var p = 0L
+    while (p < n) {
+      if (j < a.length && a(j) == p) j += 1
+      else { out(i) = p; i += 1 }
+      p += 1L
+    }
+    out
+  }
+
   private def writeVarLong(out: java.io.DataOutputStream, v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7FL) != 0L) {

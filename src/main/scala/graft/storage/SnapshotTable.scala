@@ -1,5 +1,6 @@
 package graft.storage
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -131,6 +132,36 @@ object SnapshotTable {
         l.stripPrefix("#sort ").trim.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
     }.getOrElse(Seq.empty)
+    /** Files FULLY deleted by a merge-on-read commit in THIS version
+      * (`#removed <path>` — per-version delta metadata, NOT carried
+      * forward by [[nextMeta]]): lets the row-level change feed
+      * attribute the manifest removal as deletes of the file's last
+      * live rows instead of refusing it as an opaque rewrite.
+      * Normalized paths. */
+    def removedFiles: Set[String] = meta.collect {
+      case l if l.startsWith("#removed ") =>
+        norm(l.stripPrefix("#removed ").trim)
+    }.toSet
+    /** Per-file UPDATE-PREIMAGE ordinals of THIS version
+      * (`#updv <file>\t<sidecar>`, per-version delta metadata): the
+      * subset of the version's fresh deletes that were the delete-half
+      * of an UPDATE — the change feed types them `update_preimage`.
+      * Normalized file → sidecar path. */
+    def updVectors: Map[String, String] = meta.collect {
+      case l if l.startsWith("#updv ") =>
+        l.stripPrefix("#updv ").split("\t") match {
+          case Array(f, p) => Some(norm(f) -> p)
+          case _ => None
+        }
+    }.flatten.toMap
+    /** Data files added in THIS version holding only UPDATE POSTIMAGES
+      * (`#updfile <path>`, per-version delta metadata): the change feed
+      * types their rows `update_postimage` instead of `insert`.
+      * Normalized paths. */
+    def updFiles: Set[String] = meta.collect {
+      case l if l.startsWith("#updfile ") =>
+        norm(l.stripPrefix("#updfile ").trim)
+    }.toSet
   }
 
   /** The `#partition` manifest metadata line for field `specs` (empty ⇒
@@ -873,50 +904,71 @@ object SnapshotTable {
     * [[graft.operators.Cdc.snapshotDiff]] is the keyed diff for those.
     * Metadata work is manifest reads; data work is O(changed rows'
     * files). */
+  /** One CDF delete set: the rows of `file` newly deleted in `version`,
+    * described by SIDECAR PATHS only — positions are never materialized
+    * on the driver (a 100 TB curation sweep deleting 10⁹ rows must not
+    * put ~8 GB of ordinals in CDF planning). Executors compute
+    * `fresh = newDv \ oldDv` as a linear sorted-merge; `newDv` empty
+    * with `fullRows >= 0` means the file was FULLY deleted (the entry
+    * left the manifest; fresh = `[0, fullRows) \ oldDv`). `updDv` names
+    * the version's update-preimage ordinals for the file (a subset of
+    * the fresh deletes) — rows at those ordinals type as
+    * `update_preimage`, the rest as `delete`. */
+  final case class CdfDeleteSet(file: String, oldDv: String, newDv: String,
+                                fullRows: Long, updDv: String, version: Long)
+
   /** The row-level change sets in `(fromV, toV]`: per-version appended
-    * entries (inserts) and per-(file, version) NEWLY-vectored ordinals
-    * (deletes) — the shared walk behind [[changeFeed]] and the
-    * connector's CDF scan. Throws on file removal (a rewrite cannot be
-    * attributed row-level). */
+    * entries (inserts, with the `update_postimage` flag from the
+    * version's `#updfile` lines) and per-(file, version) delete-set
+    * DESCRIPTORS (paths, not positions) — the shared walk behind
+    * [[changeFeed]] and the connector's CDF scan. Driver state is
+    * O(touched files). A file REMOVED by a version is attributable only
+    * when that version's `#removed` line marks it as a full
+    * merge-on-read delete; any other removal (a rewrite) throws. */
   private[storage] def changeSets(spark: SparkSession, root: String,
                                   fromV: Long, to: Long)
-      : (Seq[(Long, FileEntry)], Seq[(FileEntry, Array[Long], Long)]) = {
+      : (Seq[(Long, FileEntry, Boolean)], Seq[CdfDeleteSet]) = {
     require(fromV >= 0 && to >= fromV,
       s"need 0 <= fromV <= toV, got fromV=$fromV toV=$to")
     val vs = versions(spark, root)
     require(fromV == 0 || vs.contains(fromV),
       s"change-feed base v$fromV is not a retained version at $root " +
         s"(retained: ${vs.mkString(",")})")
-    val conf = spark.sparkContext.hadoopConfiguration
     var prev: Map[String, FileEntry] =
       if (fromV == 0) Map.empty
       else snapshot(spark, root, fromV).entries
         .map(e => norm(e.path) -> e).toMap
-    val inserts = Seq.newBuilder[(Long, FileEntry)]
-    val deletes = Seq.newBuilder[(FileEntry, Array[Long], Long)]
+    val inserts = Seq.newBuilder[(Long, FileEntry, Boolean)]
+    val deletes = Seq.newBuilder[CdfDeleteSet]
     vs.filter(v => v > fromV && v <= to).foreach { v =>
-      val cur = snapshot(spark, root, v).entries
+      val snapV = snapshot(spark, root, v)
+      val cur = snapV.entries
       val curMap = cur.map(e => norm(e.path) -> e).toMap
+      val updv = snapV.updVectors
+      val updf = snapV.updFiles
       val removed = prev.keySet -- curMap.keySet
-      if (removed.nonEmpty) throw new UnsupportedOperationException(
-        s"version $v at $root removed/rewrote ${removed.size} file(s); a " +
+      val fullDeletes = snapV.removedFiles
+      val unattributed = removed -- fullDeletes
+      if (unattributed.nonEmpty) throw new UnsupportedOperationException(
+        s"version $v at $root removed/rewrote ${unattributed.size} file(s); a " +
           "row-level change feed cannot attribute a file replacement — " +
           "diff the versions with Cdc.snapshotDiff(readVersion(prev), " +
           "readVersion(v), keys)")
+      removed.intersect(fullDeletes).toSeq.sorted.foreach { key =>
+        val old = prev(key)
+        require(old.rows >= 0L,
+          s"cannot attribute the full merge-on-read delete of $key at " +
+            s"v$v: the entry never recorded a row count")
+        deletes += CdfDeleteSet(old.path, old.dv, "", old.rows,
+          updv.getOrElse(key, ""), v)
+      }
       cur.foreach { e =>
         val key = norm(e.path)
         prev.get(key) match {
-          case None => inserts += ((v, e))
+          case None => inserts += ((v, e, updf(key)))
           case Some(old) if old.dv != e.dv =>
-            val oldPos =
-              if (old.dv.isEmpty) Array.emptyLongArray
-              else DeletionVectors.read(conf, old.dv)
-            val newPos =
-              if (e.dv.isEmpty) Array.emptyLongArray
-              else DeletionVectors.read(conf, e.dv)
-            val oldSet = oldPos.toSet
-            val fresh = newPos.filterNot(oldSet)
-            if (fresh.nonEmpty) deletes += ((e, fresh, v))
+            deletes += CdfDeleteSet(e.path, old.dv, e.dv, -1L,
+              updv.getOrElse(key, ""), v)
           case _ => ()
         }
       }
@@ -925,48 +977,94 @@ object SnapshotTable {
     (inserts.result(), deletes.result())
   }
 
+  /** Executor-side resolution of one [[CdfDeleteSet]]: (fresh ordinals,
+    * per-ordinal update-preimage flags) — both sidecar reads and the
+    * sorted diff happen where the rows will be read. */
+  def resolveDeleteSet(conf: Configuration, oldDv: String, newDv: String,
+                       fullRows: Long, updDv: String)
+      : (Array[Long], Array[Boolean]) = {
+    val old =
+      if (oldDv.isEmpty) Array.emptyLongArray
+      else DeletionVectors.read(conf, oldDv)
+    val fresh =
+      if (newDv.nonEmpty) DeletionVectors.diff(DeletionVectors.read(conf, newDv), old)
+      else DeletionVectors.complement(old, fullRows)
+    val upd =
+      if (updDv.isEmpty) Array.emptyLongArray
+      else DeletionVectors.read(conf, updDv)
+    val isUpd = new Array[Boolean](fresh.length)
+    var i = 0
+    var j = 0
+    while (i < fresh.length && j < upd.length) {
+      if (upd(j) < fresh(i)) j += 1
+      else {
+        if (upd(j) == fresh(i)) { isUpd(i) = true; j += 1 }
+        i += 1
+      }
+    }
+    (fresh, isUpd)
+  }
+
   def changeFeed(spark: SparkSession, root: String, fromV: Long,
                  toV: Option[Long] = None): DataFrame = {
     val to = toV.orElse(latest(spark, root).map(_.version)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     val (insertEntries, deleteSets) = changeSets(spark, root, fromV, to)
-    val inserts = Seq.newBuilder[(Long, FileEntry)]
-    inserts ++= insertEntries
-    val deletePairs = Seq.newBuilder[(String, Long, Long)] // (file, pos, version)
-    deleteSets.foreach { case (e, ps, v) =>
-      ps.foreach(p => deletePairs += ((norm(e.path), p, v)))
-    }
     val schema = tableSchema(spark, root, to)
     val cols = schema.getOrElse(
       throw new IllegalStateException(s"no schema sidecar at $root"))
       .fields.map(f => col(f.name)).toSeq
-    // inserts: the appended files per version. Every write path adds
-    // files with EMPTY vectors, but read through the dv-aware
-    // readEntries anyway — a file that somehow arrived pre-vectored
-    // must not report its dead rows as inserts. Later in-window deletes
-    // appear as delete rows (the CDF contract).
-    val sq = spark
-    import sq.implicits._
-    val insertDf = inserts.result().groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (v, es) =>
+    // inserts: the appended files per version (update postimages typed
+    // apart). Every write path adds files with EMPTY vectors, but read
+    // through the dv-aware readEntries anyway — a file that somehow
+    // arrived pre-vectored must not report its dead rows as inserts.
+    // Later in-window deletes appear as delete rows (the CDF contract).
+    val insertDf = insertEntries.groupBy(t => (t._1, t._3)).toSeq.sortBy(_._1)
+      .map { case ((v, postimage), es) =>
         readEntries(spark, es.map(_._2), schema)
-          .select(cols :+ lit("insert").as("_change_type")
+          .select(cols :+ lit(if (postimage) "update_postimage" else "insert")
+            .as("_change_type")
             :+ lit(v).as("_commit_version"): _*)
       }
-    // deletes: the touched files' rows at the newly-vectored positions,
-    // located by parquet _metadata coordinates
-    val pairs = deletePairs.result()
+    // deletes: the driver ships SIDECAR PATHS (O(touched files) state);
+    // executors read + diff the sorted vectors and emit (file, pos,
+    // version, type) keys, joined against the touched files' rows by
+    // parquet _metadata coordinates. Positions never sit in driver
+    // memory, and join sizing is left to AQE (a curation sweep's delete
+    // set can be huge — forcing a broadcast would re-create the driver
+    // bottleneck the executor-side diff removes).
     val deleteDf =
-      if (pairs.isEmpty) Seq.empty
+      if (deleteSets.isEmpty) Seq.empty
       else {
-        val files = pairs.map(_._1).distinct
-        val keys = pairs.toDF("__cf_file", "__cf_pos", "__cf_v")
-        val normPath = udf((s: String) => norm(s))
+        val sq = spark
+        import sq.implicits._
+        val hconfB = spark.sparkContext.broadcast(
+          new graft.storage.dsv2.SerializableHadoopConf(
+            spark.sessionState.newHadoopConf()))
+        val descs = deleteSets
+          .map(d => (d.file, d.oldDv, d.newDv, d.fullRows, d.updDv, d.version))
+        val keys = spark.createDataset(descs)
+          .repartition(math.min(descs.size,
+            spark.sparkContext.defaultParallelism))
+          .flatMap { case (path, oldDv, newDv, fullRows, updDv, v) =>
+            val c = hconfB.value.value
+            val (fresh, isUpd) = resolveDeleteSet(c, oldDv, newDv, fullRows, updDv)
+            val key = norm(path)
+            fresh.iterator.zipWithIndex.map { case (pos, i) =>
+              (key, pos, v, if (isUpd(i)) "update_preimage" else "delete")
+            }
+          }.toDF("__cf_file", "__cf_pos", "__cf_v", "__cf_type")
+        // read with the ORIGINAL entry paths (a normalized path would
+        // resolve against the default filesystem — wrong table on s3a/
+        // hdfs roots); normalization is only the JOIN KEY, via a
+        // codegen-friendly builtin that strips scheme://authority
+        val files = deleteSets.map(_.file).distinct
         Seq(readFiles(spark, files, schema)
-          .withColumn("__cf_file", normPath(col("_metadata.file_path")))
+          .withColumn("__cf_file", regexp_replace(col("_metadata.file_path"),
+            "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""))
           .withColumn("__cf_pos", col("_metadata.row_index"))
-          .join(broadcast(keys), Seq("__cf_file", "__cf_pos"))
-          .select(cols :+ lit("delete").as("_change_type")
+          .join(keys, Seq("__cf_file", "__cf_pos"))
+          .select(cols :+ col("__cf_type").as("_change_type")
             :+ col("__cf_v").as("_commit_version"): _*))
       }
     val all = insertDf ++ deleteDf
@@ -1678,6 +1776,45 @@ object SnapshotTable {
     * MANIFEST's age, so a version is either fully time-travel-readable
     * or fully gone — never a live manifest over deleted files. Returns
     * the number of data files deleted. Metadata-scale driver work. */
+  /** RESTORE — roll the table back to version `v` AS A COMMIT: v's
+    * entries, stats lines (NDV sketches included), and schema republish
+    * as the new head version. Nothing is deleted — the rolled-back
+    * versions keep time-traveling until vacuum retires them, so a
+    * restore is itself undoable by another restore. One manifest + two
+    * sidecar writes: metadata time, O(v's file count), no data motion
+    * (the head references version-v's still-retained files).
+    *
+    * The table-shape meta (partition spec, sort order, row-level modes)
+    * comes from `v` — restore means THAT table back; the txn ledger
+    * comes from the CURRENT head — a restore must never lower a
+    * stream's batch high-water mark, or replayed micro-batches would
+    * double-commit after a rollback. Refuses when `v` is not retained
+    * or any of its files/vectors were already vacuumed. */
+  def restore(spark: SparkSession, root: String, v: Long): Long = {
+    val cur = latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    require(versions(spark, root).contains(v),
+      s"cannot restore: version $v is not retained at $root " +
+        s"(retained: ${versions(spark, root).mkString(",")})")
+    if (cur.version == v) return v // restoring the head is a no-op
+    val snap = snapshot(spark, root, v)
+    val f = fs(spark, root)
+    (snap.entries.map(_.path) ++ snap.entries.map(_.dv).filter(_.nonEmpty))
+      .foreach(p => require(f.exists(new Path(p)),
+        s"cannot restore v$v: $p was already vacuumed"))
+    val next = cur.version + 1
+    val meta = partitionMeta(snap.partitionSpecs) ++
+      sortMeta(snap.sortCols) ++ rowLevelMeta(snap.rowLevelModes) ++
+      cur.txns.toSeq.sortBy(_._1).map {
+        case ("", id) => s"#txn $id"
+        case (app, id) => s"#txn $app $id"
+      }
+    commit(spark, root, next, snap.entries, meta)
+    writeStats(spark, root, next, statsLines(spark, root, v))
+    tableSchema(spark, root, v).foreach(writeSchema(spark, root, next, _))
+    next
+  }
+
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
              graceMs: Long = 7L * 24 * 3600 * 1000): Int = {
     require(keepVersions >= 1, "must keep at least one version")
@@ -1697,8 +1834,11 @@ object SnapshotTable {
     // deletion-vector sidecars retire exactly like data files: keep the
     // ones any retained manifest references, drop old unreferenced ones
     // (the grace window protects an in-flight merge-on-read commit)
-    val referencedDv = retainedSnaps.flatMap(_.entries)
-      .collect { case e if e.dv.nonEmpty => norm(e.dv) }.toSet
+    val referencedDv = (retainedSnaps.flatMap(_.entries)
+      .collect { case e if e.dv.nonEmpty => norm(e.dv) } ++
+      // update-preimage sidecars (`#updv`) stay live while the version
+      // whose change feed needs them is retained
+      retainedSnaps.flatMap(_.updVectors.values.map(norm))).toSet
     val dvDir = DeletionVectors.dir(root)
     if (f.exists(dvDir)) {
       f.listStatus(dvDir).foreach { st =>

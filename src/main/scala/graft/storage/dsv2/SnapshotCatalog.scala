@@ -461,12 +461,37 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         ProcedureParameter.in("grace_ms", LongType)
           .defaultValue("604800000").build())) {
         override def call(input: InternalRow): util.Iterator[Scan] = {
-          val root = tablePath(identOf(input.getUTF8String(0).toString)).toString
+          val ident = identOf(input.getUTF8String(0).toString)
+          val root = tablePath(ident).toString
           val deleted = SnapshotTable.vacuum(spark, root,
             keepVersions = input.getInt(1), graceMs = input.getLong(2))
+          // sweep ORPHANED CTAS/RTAS staging dirs in the table's
+          // namespace: a driver that died mid-CTAS leaves a hidden
+          // .stage-* dir no abort path will ever reclaim — same age
+          // gate as the table's own orphans (an in-flight CTAS's
+          // fresh staging dir is untouched)
+          val cutoff = System.currentTimeMillis() - input.getLong(2)
+          val ns = nsPath(ident.namespace)
+          if (fs.exists(ns)) fs.listStatus(ns).foreach { st =>
+            if (st.isDirectory && st.getPath.getName.startsWith(".stage-") &&
+                st.getModificationTime < cutoff)
+              fs.delete(st.getPath, true)
+          }
           util.List.of(oneRowScan(
             StructType(Seq(StructField("files_deleted", IntegerType, false))),
             Array[Any](deleted))).iterator()
+        }
+      }
+      case "restore" => new GraftProcedure("restore", Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("version", LongType).build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val root = tablePath(identOf(input.getUTF8String(0).toString)).toString
+          val v = SnapshotTable.restore(spark, root, input.getLong(1))
+          util.List.of(oneRowScan(
+            StructType(Seq(StructField("restored_from", LongType, false),
+              StructField("new_version", LongType, false))),
+            Array[Any](input.getLong(1), v))).iterator()
         }
       }
       case "purge_deletes" => new GraftProcedure("purge_deletes", Seq(
@@ -484,12 +509,13 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $catalogName.system.$other " +
-          "(available: compact, vacuum, purge_deletes)")
+          "(available: compact, vacuum, purge_deletes, restore)")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array("system"), "compact"),
       Identifier.of(Array("system"), "vacuum"),
-      Identifier.of(Array("system"), "purge_deletes"))
+      Identifier.of(Array("system"), "purge_deletes"),
+      Identifier.of(Array("system"), "restore"))
 }

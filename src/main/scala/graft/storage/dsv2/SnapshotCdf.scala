@@ -65,12 +65,20 @@ final class SnapshotCdfTable(root: String, tableSchema: StructType,
 
 /** One change partition: a data file read either whole (insert) or at
   * exactly the newly-deleted ordinals (delete), tagged with the commit
-  * version. `dv` is the file's vector AT ADD TIME for inserts (dead
-  * rows were never visible, so they are not inserts). */
+  * version. The payload is PATHS ONLY — `atAddDv` is the file's vector
+  * at add time for inserts (dead rows were never visible, so they are
+  * not inserts); for deletes the READER diffs `newDv \ oldDv` (or the
+  * complement over `[0, fullRows)` for a fully-deleted file) executor-
+  * side, so CDF planning holds no positions in driver memory however
+  * large the delete. `postimage`/`updDv` carry the version's update
+  * linkage: postimage files' rows type `update_postimage`, and deleted
+  * ordinals present in `updDv` type `update_preimage`. */
 final case class SnapshotCdfPartition(file: String, version: Long,
                                       isDelete: Boolean,
-                                      positions: Array[Long],
-                                      dv: String) extends InputPartition
+                                      atAddDv: String, postimage: Boolean,
+                                      oldDv: String, newDv: String,
+                                      fullRows: Long, updDv: String)
+  extends InputPartition
 
 final class SnapshotCdfScan(root: String, cdfSchema: StructType,
                             fromV: Long, toV: Option[Long],
@@ -88,11 +96,15 @@ final class SnapshotCdfScan(root: String, cdfSchema: StructType,
 
   private def partitionsFor(from: Long, to: Long): Array[InputPartition] = {
     val (inserts, deletes) = SnapshotTable.changeSets(spark, root, from, to)
-    (inserts.map { case (v, e) =>
+    (inserts.map { case (v, e, postimage) =>
       SnapshotCdfPartition(e.path, v, isDelete = false,
-        Array.emptyLongArray, e.dv): InputPartition
-    } ++ deletes.map { case (e, ps, v) =>
-      SnapshotCdfPartition(e.path, v, isDelete = true, ps, ""): InputPartition
+        atAddDv = e.dv, postimage = postimage,
+        oldDv = "", newDv = "", fullRows = -1L, updDv = ""): InputPartition
+    } ++ deletes.map { d =>
+      SnapshotCdfPartition(d.file, d.version, isDelete = true,
+        atAddDv = "", postimage = false,
+        oldDv = d.oldDv, newDv = d.newDv, fullRows = d.fullRows,
+        updDv = d.updDv): InputPartition
     }).toArray
   }
 
@@ -181,22 +193,39 @@ final class SnapshotCdfReaderFactory(cdfSchema: StructType,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotCdfPartition]
+    // EXECUTOR-SIDE vector diffing: delete partitions carry sidecar
+    // paths; the fresh ordinals (new \ old, or the complement for a
+    // fully-deleted file) and their update-preimage flags are resolved
+    // here, where the file is read anyway — never on the driver
+    val (fresh, isUpd) =
+      if (p.isDelete)
+        SnapshotTable.resolveDeleteSet(conf.value, p.oldDv, p.newDv,
+          p.fullRows, p.updDv)
+      else (null, null)
     // the inner reader materializes the FULL cdf schema (the two change
     // columns are absent from parquet → null slots, filled per row);
     // deletes read exactly the newly-vectored ordinals, inserts read
     // the file minus its at-add vector
     val inner = new SnapshotPartitionReader(p.file, cdfSchema,
       Map.empty, conf.value,
-      dvPath = if (p.isDelete) "" else p.dv,
-      keepOnly = if (p.isDelete) p.positions else null)
+      dvPath = if (p.isDelete) "" else p.atAddDv,
+      keepOnly = fresh)
     val ctIdx = cdfSchema.fieldIndex(SnapshotCdfTable.ChangeType)
     val cvIdx = cdfSchema.fieldIndex(SnapshotCdfTable.CommitVersion)
-    val tag = UTF8String.fromString(if (p.isDelete) "delete" else "insert")
+    val insertTag = UTF8String.fromString(
+      if (p.postimage) "update_postimage" else "insert")
+    val deleteTag = UTF8String.fromString("delete")
+    val preimageTag = UTF8String.fromString("update_preimage")
     new PartitionReader[InternalRow] {
-      override def next(): Boolean = inner.next()
+      private var i = -1 // index into `fresh` (delete partitions only):
+                         // keepOnly emits rows in exactly that order
+      override def next(): Boolean = { val n = inner.next(); if (n) i += 1; n }
       override def get(): InternalRow = {
         val r = inner.get()
-        r.update(ctIdx, tag)
+        r.update(ctIdx,
+          if (!p.isDelete) insertTag
+          else if (isUpd(i)) preimageTag
+          else deleteTag)
         r.update(cvIdx, p.version)
         r
       }

@@ -80,7 +80,14 @@ final class SnapshotDeltaOperation(root: String,
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column("_file"), Expressions.column("_pos"))
 
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  // UPDATE rows arrive WHOLE (id + new row in one `update()` call, the
+  // Iceberg position-delta shape) instead of split into an anonymous
+  // DELETE + INSERT pair: the writer then KNOWS which deleted ordinals
+  // and which inserted rows are the two halves of an update, and
+  // persists that linkage (`#updv`/`#updfile` manifest lines) so the
+  // change feed can emit `update_preimage`/`update_postimage` instead
+  // of an unlinked delete+insert churn.
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DeltaRewriteScanBuilder(root, snap, tableSchema)
@@ -152,12 +159,17 @@ final class DeltaRewriteScanBuilder(root: String, snap: SnapshotTable.Snapshot,
   }
 }
 
-/** Per-task commit message: inserted file entries plus refs to the
-  * task's PARTIAL deletion-vector files — (data file, partial path,
-  * count), positions staying on disk. */
+/** Per-task commit message: inserted file entries (plain inserts and
+  * update POSTIMAGES separately — the linkage the change feed types)
+  * plus refs to the task's PARTIAL deletion-vector files — (data file,
+  * partial path, count), positions staying on disk — and the update-
+  * PREIMAGE partials (the subset of deletes that were the delete-half
+  * of an update). */
 final case class SnapshotDeltaCommitMessage(
     inserts: Seq[SnapshotTable.FileEntry],
-    dvPartials: Seq[(String, String, Long)]) extends WriterCommitMessage
+    updInserts: Seq[SnapshotTable.FileEntry],
+    dvPartials: Seq[(String, String, Long)],
+    updPartials: Seq[(String, String)]) extends WriterCommitMessage
 
 final class SnapshotDeltaBatchWrite(root: String,
                                     snap: SnapshotTable.Snapshot,
@@ -165,20 +177,25 @@ final class SnapshotDeltaBatchWrite(root: String,
                                     rowIdSchema: java.util.Optional[StructType])
   extends DeltaBatchWrite {
 
-  // staging dirs: new data files like every write path; DV partials
-  // under _deletes/partial-<uuid> (retired after commit, vacuumed if
-  // the driver dies first)
-  private val (stagingDir, partialDir) = {
+  // staging dirs: new data files like every write path (update
+  // postimages in their OWN uuid dir so the commit can tell the file
+  // sets apart); DV partials under _deletes/partial-<uuid> (retired
+  // after commit, vacuumed if the driver dies first)
+  private val (stagingDir, updStagingDir, partialDir) = {
     val spark = SparkSession.active
     val hconf = spark.sparkContext.hadoopConfiguration
     val d = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(root, "data"),
       java.util.UUID.randomUUID().toString)
+    val u = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "data"),
+      java.util.UUID.randomUUID().toString)
     val p = new org.apache.hadoop.fs.Path(DeletionVectors.dir(root),
       s"partial-${java.util.UUID.randomUUID()}")
     val f = d.getFileSystem(hconf)
-    f.mkdirs(d); f.mkdirs(p)
-    (f.makeQualified(d).toString, f.makeQualified(p).toString)
+    f.mkdirs(d); f.mkdirs(u); f.mkdirs(p)
+    (f.makeQualified(d).toString, f.makeQualified(u).toString,
+      f.makeQualified(p).toString)
   }
 
   private val conf = new SerializableHadoopConf(
@@ -195,7 +212,8 @@ final class SnapshotDeltaBatchWrite(root: String,
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new SnapshotDeltaWriterFactory(stagingDir, partialDir, tableSchema, conf,
+    new SnapshotDeltaWriterFactory(stagingDir, updStagingDir, partialDir,
+      tableSchema, conf,
       PartitionWriteSpec.of(tableSchema, snap.partitionSpecs),
       fileIdOrd, posIdOrd)
 
@@ -207,12 +225,25 @@ final class SnapshotDeltaBatchWrite(root: String,
       case other => throw new IllegalStateException(s"unexpected commit message $other")
     }
     val inserts = parsed.flatMap(_.inserts).sortBy(_.path).toSeq
+    val updInserts = parsed.flatMap(_.updInserts).sortBy(_.path).toSeq
     val partialsByFile: Map[String, Seq[String]] = parsed.flatMap(_.dvPartials)
       .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toSeq }
     val byNorm = snap.entries.map(e => SnapshotTable.norm(e.path)).toSet
     partialsByFile.keys.foreach(f => require(byNorm(f),
       s"delta delete names a file outside the base snapshot: $f"))
     val touched = partialsByFile.keySet
+    // UPDATE-PREIMAGE sidecars (one per touched file, base-independent:
+    // this version's update ordinals only, never cumulative) — written
+    // ONCE before the commit loop; the `#updv` lines ride the manifest
+    val updByFile: Map[String, String] = parsed.flatMap(_.updPartials)
+      .groupBy(_._1).map { case (f, ps) =>
+        val all = ps.map(p => DeletionVectors.read(hconf, p._2))
+          .foldLeft(Array.emptyLongArray)(DeletionVectors.union)
+        val path = new org.apache.hadoop.fs.Path(DeletionVectors.dir(root),
+          s"${java.util.UUID.randomUUID()}.upd").toString
+        DeletionVectors.write(hconf, path, all)
+        f -> path
+      }
 
     /** CONFLICT-SCOPED retry (the merge-on-read twin of the
       * copy-on-write merge rebase): a racer that committed since this
@@ -246,8 +277,8 @@ final class SnapshotDeltaBatchWrite(root: String,
     // fresh stats for the inserted files: base-independent, computed once
     val statsCols = SnapshotTable.statsRaw(spark, root, snap.version)
       .map(_.col).distinct.sorted
-    val freshLines =
-      SnapshotTable.collectStats(spark, inserts.map(_.path), statsCols)
+    val freshLines = SnapshotTable.collectStats(spark,
+      (inserts ++ updInserts).map(_.path), statsCols)
 
     var base = snap
     var rebases = 0
@@ -256,8 +287,11 @@ final class SnapshotDeltaBatchWrite(root: String,
       try {
         // per touched file: union the task partials with the existing
         // vector, write ONE new immutable sidecar (or drop the file when
-        // every row is now deleted). Driver memory is bounded by ONE
-        // file's deleted positions at a time.
+        // every row is now deleted — recorded as a `#removed` line so
+        // the change feed can attribute the removal as deletes).
+        // Driver memory is bounded by ONE file's deleted positions at a
+        // time.
+        val removedPaths = Seq.newBuilder[String]
         val entries = base.entries.flatMap { e =>
           partialsByFile.get(SnapshotTable.norm(e.path)) match {
             case None => Some(e)
@@ -271,8 +305,10 @@ final class SnapshotDeltaBatchWrite(root: String,
               val all = DeletionVectors.union(old, fresh)
               require(e.rows < 0L || all.length <= e.rows,
                 s"deletion vector for ${e.path} names ${all.length} rows of ${e.rows}")
-              if (e.rows >= 0L && all.length == e.rows) None // fully deleted
-              else {
+              if (e.rows >= 0L && all.length == e.rows) {
+                removedPaths += e.path // fully deleted, no husk
+                None
+              } else {
                 val dvPath = DeletionVectors.freshPath(root)
                 DeletionVectors.write(hconf, dvPath, all)
                 freshDvs += dvPath
@@ -287,8 +323,13 @@ final class SnapshotDeltaBatchWrite(root: String,
         val keptNorm = entries.map(e => SnapshotTable.norm(e.path)).toSet
         val keptLines = baseStats.filter(l => keptNorm(l.file)).map(_.line).sorted
         val next = base.version + 1
-        SnapshotTable.commit(spark, root, next, entries ++ inserts,
-          SnapshotTable.nextMeta(Some(base), None))
+        // per-version CDF delta lines (#removed/#updv/#updfile) ride
+        // this manifest only — nextMeta never carries them forward
+        val cdfMeta = removedPaths.result().map(p => s"#removed $p") ++
+          updByFile.toSeq.sortBy(_._1).map { case (f, p) => s"#updv $f\t$p" } ++
+          updInserts.map(e => s"#updfile ${e.path}")
+        SnapshotTable.commit(spark, root, next, entries ++ inserts ++ updInserts,
+          SnapshotTable.nextMeta(Some(base), None) ++ cdfMeta)
         SnapshotTable.writeStats(spark, root, next, keptLines ++ freshLines)
         SnapshotTable.tableSchema(spark, root, base.version)
           .foreach(SnapshotTable.writeSchema(spark, root, next, _))
@@ -305,6 +346,9 @@ final class SnapshotDeltaBatchWrite(root: String,
           rebases += 1
           if (rebases > 5 || !winner.exists(w =>
               w.version > base.version && rebaseable(base, w))) {
+            // the base-independent update sidecars die with the attempt
+            updByFile.values.foreach(p =>
+              f.delete(new org.apache.hadoop.fs.Path(p), false))
             abort(messages); throw e
           }
           base = winner.get
@@ -317,6 +361,7 @@ final class SnapshotDeltaBatchWrite(root: String,
     val f = new org.apache.hadoop.fs.Path(stagingDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+    f.delete(new org.apache.hadoop.fs.Path(updStagingDir), true)
     dropPartials()
   }
 
@@ -327,7 +372,8 @@ final class SnapshotDeltaBatchWrite(root: String,
   }
 }
 
-final class SnapshotDeltaWriterFactory(stagingDir: String, partialDir: String,
+final class SnapshotDeltaWriterFactory(stagingDir: String, updStagingDir: String,
+                                       partialDir: String,
                                        schema: StructType,
                                        conf: SerializableHadoopConf,
                                        part: Option[PartitionWriteSpec],
@@ -337,14 +383,20 @@ final class SnapshotDeltaWriterFactory(stagingDir: String, partialDir: String,
     new SnapshotDeltaWriter(
       new SnapshotWriterFactory(stagingDir, schema, conf, part)
         .createWriter(partitionId, taskId),
+      new SnapshotWriterFactory(updStagingDir, schema, conf, part)
+        .createWriter(partitionId, taskId),
       s"$partialDir/part-$partitionId-$taskId",
       conf.value, fileIdOrd, posIdOrd)
 }
 
 /** Task-side delta writer: inserted rows go through the ordinary
-  * (partition-aware) parquet writer; deleted row ids accumulate per
-  * data file and flush as partial deletion vectors at commit. */
+  * (partition-aware) parquet writer — update POSTIMAGES through a
+  * second one, so their files are identifiable (`#updfile`) — and
+  * deleted row ids accumulate per data file, flushing as partial
+  * deletion vectors at commit (update PREIMAGE ordinals additionally
+  * as `.updp` partials: the linkage the change feed types). */
 final class SnapshotDeltaWriter(inserts: org.apache.spark.sql.connector.write.DataWriter[InternalRow],
+                                updInserts: org.apache.spark.sql.connector.write.DataWriter[InternalRow],
                                 partialPrefix: String,
                                 conf: org.apache.hadoop.conf.Configuration,
                                 fileIdOrd: Int, posIdOrd: Int)
@@ -352,37 +404,52 @@ final class SnapshotDeltaWriter(inserts: org.apache.spark.sql.connector.write.Da
 
   private val deleted =
     scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+  private val updated =
+    scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
 
-  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+  private def recordDelete(id: InternalRow,
+      into: scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Long]]): Unit = {
     val file = SnapshotTable.norm(id.getUTF8String(fileIdOrd).toString)
-    deleted.getOrElseUpdate(file, scala.collection.mutable.ArrayBuffer.empty) +=
+    into.getOrElseUpdate(file, scala.collection.mutable.ArrayBuffer.empty) +=
       id.getLong(posIdOrd)
   }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    recordDelete(id, deleted)
 
   override def insert(row: InternalRow): Unit = inserts.write(row)
 
   override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
-    insert(row)
+    updInserts.write(row)
 
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
-    delete(metadata, id); insert(row)
+    recordDelete(id, deleted)
+    recordDelete(id, updated)
+    updInserts.write(row)
   }
 
   override def write(row: InternalRow): Unit = insert(row)
 
   override def commit(): WriterCommitMessage = {
-    val ins = inserts.commit() match {
+    def files(m: WriterCommitMessage): Seq[SnapshotTable.FileEntry] = m match {
       case SnapshotCommitMessage(fs) => fs
       case other => throw new IllegalStateException(s"unexpected message $other")
     }
+    val ins = files(inserts.commit())
+    val upd = files(updInserts.commit())
     val partials = deleted.toSeq.zipWithIndex.map { case ((file, ps), i) =>
       val path = s"$partialPrefix-$i.dvp"
       val sorted = DeletionVectors.write(conf, path, ps.toArray)
       (file, path, sorted.length.toLong)
     }
-    SnapshotDeltaCommitMessage(ins, partials)
+    val updPartials = updated.toSeq.zipWithIndex.map { case ((file, ps), i) =>
+      val path = s"$partialPrefix-$i.updp"
+      DeletionVectors.write(conf, path, ps.toArray)
+      (file, path)
+    }
+    SnapshotDeltaCommitMessage(ins, upd, partials, updPartials)
   }
 
-  override def abort(): Unit = inserts.abort()
-  override def close(): Unit = inserts.close()
+  override def abort(): Unit = { inserts.abort(); updInserts.abort() }
+  override def close(): Unit = { inserts.close(); updInserts.close() }
 }

@@ -182,16 +182,22 @@ object SnapshotMetadataDelete {
   }
 
   /** Commit the metadata delete: survivors as version+1 (CAS on the base
-    * version), stats lines of kept files carried, schema carried. */
+    * version), stats lines of kept files carried, schema carried. Every
+    * dropped file gets a `#removed` line — the proof says all its live
+    * rows were deleted, so the row-level change feed can attribute the
+    * removal as deletes (a retention delete stays CDF-representable). */
   def commit(spark: SparkSession, root: String,
              snap: SnapshotTable.Snapshot,
              kept: Seq[SnapshotTable.FileEntry]): Unit = {
     val keptNorm = kept.map(e => SnapshotTable.norm(e.path)).toSet
     val lines = SnapshotTable.statsRaw(spark, root, snap.version)
       .filter(l => keptNorm(l.file)).map(_.line).sorted
+    val removed = snap.entries
+      .filterNot(e => keptNorm(SnapshotTable.norm(e.path)))
+      .map(e => s"#removed ${e.path}")
     val next = snap.version + 1
     SnapshotTable.commit(spark, root, next, kept,
-      SnapshotTable.nextMeta(Some(snap), None))
+      SnapshotTable.nextMeta(Some(snap), None) ++ removed)
     SnapshotTable.writeStats(spark, root, next, lines)
     SnapshotTable.tableSchema(spark, root, snap.version)
       .foreach(SnapshotTable.writeSchema(spark, root, next, _))

@@ -221,6 +221,38 @@ class SnapshotCatalogSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft.tt.t")
   }
 
+  test("CALL restore: rollback as a commit — history intact, vacuum keeps both") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rst")
+    spark.sql("CREATE TABLE graft.rst.t (k BIGINT)")                  // v1
+    spark.sql("INSERT INTO graft.rst.t SELECT id FROM range(10)")     // v2
+    spark.sql("INSERT INTO graft.rst.t SELECT id FROM range(10, 25)") // v3
+    try {
+      val root = s"$warehouse/rst/t"
+      val got = spark.sql("CALL graft.system.restore('rst.t', 2)").head
+      assert(got.getLong(0) === 2L && got.getLong(1) === 4L)
+      // restore→read equals the time-travel read of v2
+      assert(spark.sql("SELECT count(*), sum(k) FROM graft.rst.t").head.toString
+        === spark.sql("SELECT count(*), sum(k) FROM graft.rst.t VERSION AS OF 2")
+          .head.toString)
+      assert(spark.sql("SELECT count(*) FROM graft.rst.t").head.getLong(0) === 10)
+      // forward history intact: the rolled-back v3 still time-travels
+      assert(SnapshotTable.versions(spark, root) === Seq(1L, 2L, 3L, 4L))
+      assert(spark.sql("SELECT count(*) FROM graft.rst.t VERSION AS OF 3")
+        .head.getLong(0) === 25)
+      // a restore is undoable by another restore
+      spark.sql("CALL graft.system.restore('rst.t', 3)")
+      assert(spark.sql("SELECT count(*) FROM graft.rst.t").head.getLong(0) === 25)
+      // vacuum keeping enough versions retires nothing the heads need
+      SnapshotTable.vacuum(spark, root, keepVersions = 3, graceMs = 0L)
+      assert(spark.sql("SELECT count(*) FROM graft.rst.t").head.getLong(0) === 25)
+      // restoring a vacuumed-away version refuses loudly
+      val e = intercept[IllegalArgumentException] {
+        SnapshotTable.restore(spark, root, 1L)
+      }
+      assert(e.getMessage.contains("not retained"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft.rst.t")
+  }
+
   test("rename survives a warehouse path that itself contains /data/") {
     // re-anchoring must strip the EXACT old-root prefix; matching "the
     // first /data/ in the path" would rewrite every manifest entry to

@@ -357,7 +357,8 @@ class SnapshotMoRSpec extends SparkSpec {
         val w = new graft.storage.dsv2.SnapshotDeltaBatchWrite(
           root, stale, schema, java.util.Optional.empty())
         w.commit(Array(graft.storage.dsv2.SnapshotDeltaCommitMessage(
-          Seq.empty, Seq((SnapshotTable.norm(target), partial, 1L)))))
+          Seq.empty, Seq.empty,
+          Seq((SnapshotTable.norm(target), partial, 1L)), Seq.empty)))
       }
       // a STALE (v2-based) delta commit touching file A rebases onto v3:
       // both writers' deletes land, one commit each
@@ -458,6 +459,106 @@ class SnapshotMoRSpec extends SparkSpec {
       assert(seen.map(_.size).toSeq === Seq(10, 10, 2, 1),
         s"one version per micro-batch: ${seen.map(_.size)}")
       assert(seen.reduce(_ ++ _) === expected)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("change feed types MERGE updates as update_preimage/update_postimage pairs") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(10).select(col("id").as("k"), (col("id") * 10).as("v"))
+      .coalesce(1).write.format("graft-snapshot").mode("append").save(root) // v1
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root', " +
+      "mergeMode 'merge-on-read')")
+    try {
+      spark.createDataFrame(Seq((4L, -1L), (5L, -1L), (6L, -1L), (42L, -1L)))
+        .toDF("k", "v").createOrReplaceTempView("mor_updates_src")
+      // matched k=4,5: UPDATE; matched k=6: DELETE; k=42: INSERT
+      spark.sql(
+        s"""MERGE INTO $tbl t USING mor_updates_src s ON t.k = s.k
+           |WHEN MATCHED AND t.k = 6 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v2
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "v", "_change_type", "_commit_version").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+          .toSet
+      val expected = Set(
+        (4L, 40L, "update_preimage", 2L), (5L, 50L, "update_preimage", 2L),
+        (4L, -1L, "update_postimage", 2L), (5L, -1L, "update_postimage", 2L),
+        (6L, 60L, "delete", 2L), (42L, -1L, "insert", 2L))
+      // library feed and connector CDF agree: exactly one pre+post pair
+      // per updated key, plain deletes stay 'delete', plain inserts 'insert'
+      assert(rows(SnapshotTable.changeFeed(spark, root, 1L)) === expected)
+      assert(rows(spark.read.format("graft-snapshot").option("changeFeed", true)
+        .option("changesFrom", 1).load(root)) === expected)
+      // final table content is the merge result
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.sql(s"SELECT sum(v) FROM $tbl WHERE k IN (4,5,42)")
+        .head.getLong(0) === -3L)
+      assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE k = 6")
+        .head.getLong(0) === 0L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("change feed attributes fully-deleted files (MoR and metadata-aligned) as deletes") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(10).select(col("id").as("k"), lit("a").as("g")).coalesce(1)
+      .write.format("graft-snapshot").option("statsCols", "k")
+      .mode("append").save(root) // v1: file A (k 0-9)
+    spark.range(10, 20).select(col("id").as("k"), lit("b").as("g")).coalesce(1)
+      .write.format("graft-snapshot").option("statsCols", "k")
+      .mode("append").save(root) // v2: file B (k 10-19)
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` " +
+      s"OPTIONS (path '$root', deleteMode 'merge-on-read')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE k = 3")    // v3: vector on file A
+      spark.sql(s"DELETE FROM $tbl WHERE g = 'a'")  // v4: file A fully MoR-deleted
+      assert(SnapshotTable.latest(spark, root).get.files.size === 1)
+      spark.sql(s"DELETE FROM $tbl WHERE k >= 10")  // v5: file B metadata-dropped
+      assert(SnapshotTable.latest(spark, root).get.files.isEmpty)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "_change_type", "_commit_version").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val expected =
+        (0L until 10L).map(k => (k, "insert", 1L)).toSet ++
+          (10L until 20L).map(k => (k, "insert", 2L)) ++
+          Set((3L, "delete", 3L)) ++
+          // v4: file A's REMAINING live rows (3 already dead) as deletes
+          (0L until 10L).filterNot(_ == 3L).map(k => (k, "delete", 4L)) ++
+          // v5: the metadata-aligned drop of file B, attributed too
+          (10L until 20L).map(k => (k, "delete", 5L))
+      assert(rows(SnapshotTable.changeFeed(spark, root, 0L)) === expected)
+      assert(rows(spark.read.format("graft-snapshot").option("changeFeed", true)
+        .load(root)) === expected)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("CDF planning ships sidecar paths, never position arrays") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(100000).select(col("id").as("k")).coalesce(1)
+      .write.format("graft-snapshot").option("deleteMode", "merge-on-read")
+      .mode("append").save(root) // v1
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE k % 2 = 0") // v2: 50k-row vector
+      val scan = new graft.storage.dsv2.SnapshotCdfScan(root,
+        graft.storage.dsv2.SnapshotCdfTable.cdfSchema(
+          SnapshotTable.tableSchema(spark, root, 2L).get),
+        fromV = 1L, toV = Some(2L), startingVersion = None,
+        maxVersionsPerTrigger = None)
+      val parts = scan.planInputPartitions()
+        .map(_.asInstanceOf[graft.storage.dsv2.SnapshotCdfPartition])
+      assert(parts.length === 1 && parts.head.isDelete)
+      // the partition payload is PATHS (driver state O(touched files)):
+      // the old vector is empty (first delete), the new one is a sidecar
+      // path — 50k ordinals are resolved executor-side, never planned
+      assert(parts.head.oldDv.isEmpty && parts.head.newDv.endsWith(".dv"))
+      val feed = spark.read.format("graft-snapshot").option("changeFeed", true)
+        .option("changesFrom", 1).load(root)
+      assert(feed.count() === 50000L)
+      assert(feed.where(col("_change_type") === "delete").count() === 50000L)
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
