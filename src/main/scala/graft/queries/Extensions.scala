@@ -1025,6 +1025,50 @@ object Extensions {
       s.sql(s"DROP TABLE $cat.t")
       rows.toDF("prio", "n", "total")
     },
+    // RESTORE as a commit: v2 = first insert, v3 = second insert;
+    // `CALL system.restore(t, 2)` republishes v2's content as v4 — the
+    // head reads as v2 again while v3 STILL time-travels (nothing is
+    // deleted; a restore is one metadata commit and is itself undoable).
+    // The require()s pin the storage contract; the oracle replays both
+    // the restored head and the rolled-back version relationally.
+    "SNAPSHOT-RESTORE" -> { (s, d) =>
+      Tables.register(s, d)
+      val wh = java.nio.file.Files.createTempDirectory("graft_restore").toString
+      val cat = "graftrst_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.dsv2.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT, prio STRING, price DOUBLE)") // v1
+      s.sql(s"""INSERT INTO $cat.t
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey <= 2000""") // v2
+      s.sql(s"""INSERT INTO $cat.t
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey <= 1000""") // v3 (duplicates rows)
+      val got = s.sql(s"CALL $cat.system.restore('t', 2)").head
+      require(got.getLong(0) == 2L && got.getLong(1) == 4L,
+        s"restore(2) should commit as v4, got $got")
+      val root = s"$wh/t"
+      require(graft.storage.SnapshotTable.versions(s, root) ==
+        Seq(1L, 2L, 3L, 4L), "forward history must stay intact")
+      require(graft.storage.SnapshotTable.latest(s, root).get.entries ==
+        graft.storage.SnapshotTable.snapshot(s, root, 2L).entries,
+        "the restored head must reference exactly v2's files")
+      val out = s.sql(s"""
+        SELECT 'head' AS ver, prio, count(*) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM $cat.t GROUP BY prio
+        UNION ALL
+        SELECT 'rolled_back' AS ver, prio, count(*) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM $cat.t VERSION AS OF 3 GROUP BY prio
+        ORDER BY ver, prio""").collect()
+        .toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      s.sql(s"DROP TABLE $cat.t")
+      import s.implicits._
+      out.toDF("ver", "prio", "n", "total")
+    },
     // SQL time travel via the literal VERSION AS OF syntax (the
     // SupportsCatalogOptions-era load-table-with-version path): two
     // inserts = two versions; the query unions the pinned v2 view with
@@ -1506,6 +1550,49 @@ object Extensions {
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       import s.implicits._
       out.toDF("change", "ver", "prio", "n", "total")
+    },
+    // CDF UPDATE LINKAGE: a three-arm MERGE on a merge-on-read table,
+    // read back through the change feed — updates must arrive as ONE
+    // update_preimage + ONE update_postimage per updated key (the
+    // `#updv`/`#updfile` manifest linkage the delta writer persists),
+    // while plain deletes stay 'delete' and plain inserts 'insert'.
+    // The oracle reconstructs all four change classes relationally.
+    "CDC-FEED-UPDATES" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_cdcfeedupd")
+        .toString + "/t"
+      val tbl = "cdc_feed_upd_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.table("orders").where(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        .write.format("graft-snapshot")
+        .option("mergeMode", "merge-on-read")
+        .mode("append").save(root) // v1
+      s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+      s.table("orders")
+        .where(col("o_orderkey") <= 5000 &&
+          (col("o_orderkey") % 5 === 0 || col("o_orderkey") % 7 === 0))
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 7 === 0, "DEL").otherwise("UPD").as("prio"),
+          (col("o_totalprice") + 1000.0).as("price"))
+        .createOrReplaceTempView(s"${tbl}_src")
+      s.sql(
+        s"""MERGE INTO $tbl t USING ${tbl}_src u ON t.k = u.k
+           |WHEN MATCHED AND u.prio = 'DEL' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED AND u.prio <> 'DEL' THEN INSERT *""".stripMargin) // v2
+      val out = graft.storage.SnapshotTable.changeFeed(s, root, 1L)
+        .groupBy(col("_change_type").as("change"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("change")
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      import s.implicits._
+      out.toDF("change", "n", "total")
     },
     // the SAME three-arm MERGE, but on a merge-on-read table: matched
     // updates/deletes become deletion-vector positions, inserts (and
@@ -2740,6 +2827,23 @@ object Extensions {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM orders WHERE o_orderkey <= 5000
         |GROUP BY prio ORDER BY prio""".stripMargin,
+    // restore(2): head = first insert only; VERSION AS OF 3 = both
+    "SNAPSHOT-RESTORE" ->
+      """WITH first AS (SELECT o_orderpriority AS prio, o_totalprice AS price
+        |    FROM orders WHERE o_orderkey <= 2000),
+        |allrows AS (SELECT o_orderpriority AS prio, o_totalprice AS price
+        |    FROM orders WHERE o_orderkey <= 2000
+        |  UNION ALL
+        |  SELECT o_orderpriority AS prio, o_totalprice AS price
+        |    FROM orders WHERE o_orderkey <= 1000)
+        |SELECT 'head' AS ver, prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM first GROUP BY prio
+        |UNION ALL
+        |SELECT 'rolled_back' AS ver, prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM allrows GROUP BY prio
+        |ORDER BY ver, prio""".stripMargin,
     // literal VERSION AS OF: v2 = first insert only, cur = both inserts
     "SNAPSHOT-TIMETRAVEL-SQL" ->
       """WITH first AS (SELECT o_orderpriority AS prio, o_totalprice AS price
@@ -2839,6 +2943,30 @@ object Extensions {
         |SELECT change, CAST(ver AS BIGINT) AS ver, prio, n, total
         |FROM (SELECT * FROM del UNION ALL SELECT * FROM ins)
         |ORDER BY change, ver, prio""".stripMargin,
+    "CDC-FEED-UPDATES" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    o_totalprice AS price FROM orders WHERE o_orderkey <= 4000),
+        |src AS (SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'DEL' ELSE 'UPD' END AS prio,
+        |    o_totalprice + 1000.0 AS price
+        |  FROM orders WHERE o_orderkey <= 5000
+        |    AND (o_orderkey % 5 = 0 OR o_orderkey % 7 = 0)),
+        |changes AS (
+        |  SELECT 'update_preimage' AS change, b.price AS price
+        |    FROM base b JOIN src s ON b.k = s.k WHERE s.prio <> 'DEL'
+        |  UNION ALL
+        |  SELECT 'update_postimage' AS change, s.price AS price
+        |    FROM base b JOIN src s ON b.k = s.k WHERE s.prio <> 'DEL'
+        |  UNION ALL
+        |  SELECT 'delete' AS change, b.price AS price
+        |    FROM base b JOIN src s ON b.k = s.k WHERE s.prio = 'DEL'
+        |  UNION ALL
+        |  SELECT 'insert' AS change, s.price AS price
+        |    FROM src s LEFT JOIN base b ON s.k = b.k
+        |    WHERE b.k IS NULL AND s.prio <> 'DEL')
+        |SELECT change, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM changes GROUP BY change ORDER BY change""".stripMargin,
     "UPSERT-MERGE-MOR" ->
       """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
         |    o_totalprice AS price FROM orders WHERE o_orderkey <= 4000),
