@@ -1069,6 +1069,49 @@ object Extensions {
       import s.implicits._
       out.toDF("ver", "prio", "n", "total")
     },
+    // TAGS + BRANCHES (write-audit-publish): v2 = first insert, tagged
+    // 'audited' and branched 'main'; v3 = a second (duplicating) insert
+    // that stays INVISIBLE to `VERSION AS OF 'main'` until the audit
+    // fast-forwards the branch — the require() pins that isolation.
+    // Output: the immutable tag's view and the published branch's view.
+    "SNAPSHOT-TAGS" -> { (s, d) =>
+      Tables.register(s, d)
+      val wh = java.nio.file.Files.createTempDirectory("graft_tags").toString
+      val cat = "grafttag_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.dsv2.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE TABLE $cat.t (k BIGINT, prio STRING, price DOUBLE)") // v1
+      s.sql(s"""INSERT INTO $cat.t
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey <= 2000""") // v2
+      s.sql(s"CALL $cat.system.tag('t', 'audited', 2)")
+      s.sql(s"CALL $cat.system.branch('t', 'main', 2)")
+      s.sql(s"""INSERT INTO $cat.t
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey <= 1000""") // v3 (staged, unpublished)
+      // WAP isolation: the branch reader must not see v3 pre-publish
+      val staged = s.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'main'")
+        .head.getLong(0)
+      val audit = s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0)
+      require(staged < audit,
+        s"unpublished rows leaked to the branch reader ($staged vs $audit)")
+      s.sql(s"CALL $cat.system.fast_forward('t', 'main', 3)") // publish
+      val out = s.sql(s"""
+        SELECT 'tagged' AS ref, prio, count(*) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM $cat.t VERSION AS OF 'audited' GROUP BY prio
+        UNION ALL
+        SELECT 'published' AS ref, prio, count(*) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM $cat.t VERSION AS OF 'main' GROUP BY prio
+        ORDER BY ref, prio""").collect()
+        .toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      s.sql(s"DROP TABLE $cat.t")
+      import s.implicits._
+      out.toDF("ref", "prio", "n", "total")
+    },
     // SQL time travel via the literal VERSION AS OF syntax (the
     // SupportsCatalogOptions-era load-table-with-version path): two
     // inserts = two versions; the query unions the pinned v2 view with
@@ -2827,6 +2870,23 @@ object Extensions {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM orders WHERE o_orderkey <= 5000
         |GROUP BY prio ORDER BY prio""".stripMargin,
+    // tag 'audited' = first insert; branch 'main' post-publish = both
+    "SNAPSHOT-TAGS" ->
+      """WITH first AS (SELECT o_orderpriority AS prio, o_totalprice AS price
+        |    FROM orders WHERE o_orderkey <= 2000),
+        |published AS (SELECT o_orderpriority AS prio, o_totalprice AS price
+        |    FROM orders WHERE o_orderkey <= 2000
+        |  UNION ALL
+        |  SELECT o_orderpriority AS prio, o_totalprice AS price
+        |    FROM orders WHERE o_orderkey <= 1000)
+        |SELECT 'published' AS ref, prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM published GROUP BY prio
+        |UNION ALL
+        |SELECT 'tagged' AS ref, prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM first GROUP BY prio
+        |ORDER BY ref, prio""".stripMargin,
     // restore(2): head = first insert only; VERSION AS OF 3 = both
     "SNAPSHOT-RESTORE" ->
       """WITH first AS (SELECT o_orderpriority AS prio, o_totalprice AS price

@@ -1776,6 +1776,129 @@ object SnapshotTable {
     * MANIFEST's age, so a version is either fully time-travel-readable
     * or fully gone — never a live manifest over deleted files. Returns
     * the number of data files deleted. Metadata-scale driver work. */
+  // ------------------------------------------------------- refs (tags/branches)
+
+  /** NAMED REFS — `<root>/_snapshots/refs`, lines `name<TAB>kind<TAB>
+    * version` (kind = `tag` | `branch`): human-readable pointers into
+    * the version history, the write-audit-publish primitive.
+    *
+    *  - a TAG is immutable (re-tagging an existing name refuses) — pin
+    *    "the dataset release we trained on".
+    *  - a BRANCH moves, but only FORWARD through [[fastForward]] — the
+    *    WAP publish pointer: production consumers read `VERSION AS OF
+    *    'main'`; ingest commits ordinary versions (invisible to those
+    *    consumers); the audit reads the candidate version; publishing is
+    *    ONE atomic refs update. A failed audit just never moves the
+    *    branch — consumers never saw the bad data, and the unpublished
+    *    versions age out through vacuum.
+    *
+    * Refs updates are whole-file atomic swaps (write temp + atomic
+    * rename over the old refs file). [[vacuum]] always retains
+    * ref-targeted versions and their files, whatever `keepVersions`
+    * says — a tag outlives the retention window by design. */
+  def refs(spark: SparkSession, root: String): Map[String, (String, Long)] = {
+    val f = fs(spark, root)
+    val p = refsPath(root)
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val bytes = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      bos.toByteArray
+    } finally in.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { l =>
+        l.split("\t") match {
+          case Array(n, k, v) =>
+            try Some(n -> (k, v.toLong))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }.toMap
+  }
+
+  private def refsPath(root: String) = new Path(snapDir(root), "refs")
+
+  private def writeRefs(spark: SparkSession, root: String,
+                        m: Map[String, (String, Long)]): Unit = {
+    val f = fs(spark, root)
+    f.mkdirs(snapDir(root))
+    val tmp = new Path(snapDir(root), s".refs-tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(m.toSeq.sortBy(_._1)
+      .map { case (n, (k, v)) => s"$n\t$k\t$v" }
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // atomic replace: FileContext rename with OVERWRITE (HDFS/local);
+    // readers see the old or the new refs file, never a mix
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      refsPath(root).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, refsPath(root),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def requireRetained(spark: SparkSession, root: String, v: Long): Unit =
+    require(versions(spark, root).contains(v),
+      s"version $v is not retained at $root " +
+        s"(retained: ${versions(spark, root).mkString(",")})")
+
+  /** Create an immutable tag at `v` (default: the current head). */
+  def tag(spark: SparkSession, root: String, name: String,
+          v: Option[Long] = None): Long = {
+    val target = v.getOrElse(latest(spark, root).map(_.version).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root")))
+    requireRetained(spark, root, target)
+    val m = refs(spark, root)
+    require(!m.contains(name),
+      s"ref '$name' already exists at $root (tags are immutable; " +
+        "drop it first or use a branch)")
+    writeRefs(spark, root, m + (name -> ("tag", target)))
+    target
+  }
+
+  /** Create a movable branch at `v` (default: the current head). */
+  def branch(spark: SparkSession, root: String, name: String,
+             v: Option[Long] = None): Long = {
+    val target = v.getOrElse(latest(spark, root).map(_.version).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root")))
+    requireRetained(spark, root, target)
+    val m = refs(spark, root)
+    require(!m.contains(name), s"ref '$name' already exists at $root")
+    writeRefs(spark, root, m + (name -> ("branch", target)))
+    target
+  }
+
+  /** Move branch `name` FORWARD to `toV` (default: the current head) —
+    * the atomic WAP publish. Refuses on tags, on unknown refs, and on
+    * a non-forward move (rollback is [[restore]] + fast_forward, which
+    * keeps publish monotone and auditable). */
+  def fastForward(spark: SparkSession, root: String, name: String,
+                  toV: Option[Long] = None): Long = {
+    val target = toV.getOrElse(latest(spark, root).map(_.version).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root")))
+    requireRetained(spark, root, target)
+    val m = refs(spark, root)
+    val (kind, cur) = m.getOrElse(name, throw new IllegalArgumentException(
+      s"no ref '$name' at $root (refs: ${m.keys.toSeq.sorted.mkString(",")})"))
+    require(kind == "branch", s"ref '$name' is a tag — tags never move")
+    require(target >= cur,
+      s"fast_forward must move forward: '$name' is at v$cur, asked v$target")
+    writeRefs(spark, root, m + (name -> ("branch", target)))
+    target
+  }
+
+  /** Drop a ref (tag or branch). Idempotent. */
+  def dropRef(spark: SparkSession, root: String, name: String): Boolean = {
+    val m = refs(spark, root)
+    if (!m.contains(name)) false
+    else { writeRefs(spark, root, m - name); true }
+  }
+
+  /** Resolve a ref name to its version. */
+  def resolveRef(spark: SparkSession, root: String, name: String): Option[Long] =
+    refs(spark, root).get(name).map(_._2)
+
   /** RESTORE — roll the table back to version `v` AS A COMMIT: v's
     * entries, stats lines (NDV sketches included), and schema republish
     * as the new head version. Nothing is deleted — the rolled-back
@@ -1823,7 +1946,12 @@ object SnapshotTable {
     val vs = versions(spark, root)
     if (vs.isEmpty) return 0
     val cutoff = System.currentTimeMillis() - graceMs
-    val (dropAll, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    // ref-targeted versions (tags/branches) are pinned whatever the
+    // retention window says — a tag IS the request to keep that version
+    val refTargets = refs(spark, root).values.map(_._2).toSet
+    val (dropCand, keepTail) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val dropAll = dropCand.filterNot(refTargets)
+    val keep = dropCand.filter(refTargets) ++ keepTail
     // a dropped version retires WHOLE, on its manifest's age
     val (dropNow, dropLater) = dropAll.partition { v =>
       val m = manifestPath(root, v)

@@ -95,16 +95,21 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     new SnapshotTableV2(root, Some(snap), schema)
   }
 
-  /** SQL time travel — `SELECT ... FROM t VERSION AS OF 3`: Spark routes
-    * the literal syntax here; the pinned snapshot resolves exactly like
-    * the reader option `versionAsOf`, with THAT version's schema. */
+  /** SQL time travel — `SELECT ... FROM t VERSION AS OF 3` or `VERSION
+    * AS OF 'name'` (a TAG or BRANCH ref): Spark routes the literal
+    * syntax here; the pinned snapshot resolves exactly like the reader
+    * option `versionAsOf`, with THAT version's schema. Reading a branch
+    * is the consumer half of write-audit-publish: `VERSION AS OF
+    * 'main'` only ever sees fast-forwarded (published) versions. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = tablePath(ident).toString
     val v =
       try version.toLong
       catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"graft-snapshot VERSION AS OF takes a numeric version, got '$version'")
+        SnapshotTable.resolveRef(spark, root, version).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-snapshot VERSION AS OF takes a version number or a " +
+              s"tag/branch name; '$version' is neither at $root"))
       }
     if (!SnapshotTable.versions(spark, root).contains(v))
       throw new NoSuchTableException(ident)
@@ -507,9 +512,68 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             Array[Any](v, before))).iterator()
         }
       }
+      // ---- refs: tags (immutable) and branches (fast-forward only) —
+      // the write-audit-publish surface. version = -1 means "the
+      // current head" (SQL CALL cannot pass NULL defaults portably).
+      case "tag" => new GraftProcedure("tag", Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("version", LongType).defaultValue("-1").build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val root = tablePath(identOf(input.getUTF8String(0).toString)).toString
+          val v = SnapshotTable.tag(spark, root,
+            input.getUTF8String(1).toString,
+            Some(input.getLong(2)).filter(_ >= 0))
+          util.List.of(oneRowScan(
+            StructType(Seq(StructField("version", LongType, false))),
+            Array[Any](v))).iterator()
+        }
+      }
+      case "branch" => new GraftProcedure("branch", Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("version", LongType).defaultValue("-1").build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val root = tablePath(identOf(input.getUTF8String(0).toString)).toString
+          val v = SnapshotTable.branch(spark, root,
+            input.getUTF8String(1).toString,
+            Some(input.getLong(2)).filter(_ >= 0))
+          util.List.of(oneRowScan(
+            StructType(Seq(StructField("version", LongType, false))),
+            Array[Any](v))).iterator()
+        }
+      }
+      case "fast_forward" => new GraftProcedure("fast_forward", Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("version", LongType).defaultValue("-1").build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val root = tablePath(identOf(input.getUTF8String(0).toString)).toString
+          val v = SnapshotTable.fastForward(spark, root,
+            input.getUTF8String(1).toString,
+            Some(input.getLong(2)).filter(_ >= 0))
+          util.List.of(oneRowScan(
+            StructType(Seq(StructField("version", LongType, false))),
+            Array[Any](v))).iterator()
+        }
+      }
+      case "drop_ref" => new GraftProcedure("drop_ref", Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val root = tablePath(identOf(input.getUTF8String(0).toString)).toString
+          val dropped = SnapshotTable.dropRef(spark, root,
+            input.getUTF8String(1).toString)
+          util.List.of(oneRowScan(
+            StructType(Seq(StructField("dropped",
+              org.apache.spark.sql.types.BooleanType, false))),
+            Array[Any](dropped))).iterator()
+        }
+      }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $catalogName.system.$other " +
-          "(available: compact, vacuum, purge_deletes, restore)")
+          "(available: compact, vacuum, purge_deletes, restore, tag, " +
+          "branch, fast_forward, drop_ref)")
     }
   }
 
@@ -517,5 +581,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     Array(Identifier.of(Array("system"), "compact"),
       Identifier.of(Array("system"), "vacuum"),
       Identifier.of(Array("system"), "purge_deletes"),
-      Identifier.of(Array("system"), "restore"))
+      Identifier.of(Array("system"), "restore"),
+      Identifier.of(Array("system"), "tag"),
+      Identifier.of(Array("system"), "branch"),
+      Identifier.of(Array("system"), "fast_forward"),
+      Identifier.of(Array("system"), "drop_ref"))
 }

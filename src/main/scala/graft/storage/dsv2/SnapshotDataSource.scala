@@ -126,7 +126,16 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
       case None => (versionOpt(options), Option(options.get("timestampAsOf"))) match {
         case (Some(_), Some(_)) => throw new IllegalArgumentException(
           "versionAsOf and timestampAsOf are mutually exclusive")
-        case (Some(v), None) => SnapshotTable.snapshot(spark, r, v.toLong)
+        case (Some(v), None) =>
+          // a non-numeric versionAsOf is a REF name (tag/branch)
+          val ver =
+            try v.toLong
+            catch { case _: NumberFormatException =>
+              SnapshotTable.resolveRef(spark, r, v).getOrElse(
+                throw new IllegalArgumentException(
+                  s"versionAsOf '$v' is neither a version nor a ref at $r"))
+            }
+          SnapshotTable.snapshot(spark, r, ver)
         case (None, Some(ts)) =>
           val cutoff = parseTs(ts)
           val v = SnapshotTable.versionAt(spark, r, cutoff).getOrElse(

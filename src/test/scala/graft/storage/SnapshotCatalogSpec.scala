@@ -253,6 +253,56 @@ class SnapshotCatalogSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft.rst.t")
   }
 
+  test("refs: tags pin versions, branches fast-forward, WAP isolates consumers") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.wap")
+    spark.sql("CREATE TABLE graft.wap.t (k BIGINT)")              // v1
+    spark.sql("INSERT INTO graft.wap.t SELECT id FROM range(10)") // v2
+    try {
+      val root = s"$warehouse/wap/t"
+      // publish pointer for production consumers
+      assert(spark.sql("CALL graft.system.branch('wap.t', 'main')")
+        .head.getLong(0) === 2L)
+      assert(spark.sql("CALL graft.system.tag('wap.t', 'rel1', 2)")
+        .head.getLong(0) === 2L)
+      // ingest commits v3 — consumers on 'main' must NOT see it
+      spark.sql("INSERT INTO graft.wap.t SELECT id FROM range(10, 30)") // v3
+      assert(spark.sql("SELECT count(*) FROM graft.wap.t VERSION AS OF 'main'")
+        .head.getLong(0) === 10, "unpublished data leaked to the branch reader")
+      // the AUDIT reads the candidate head directly
+      assert(spark.sql("SELECT count(*) FROM graft.wap.t").head.getLong(0) === 30)
+      // publish = one atomic fast-forward; consumers now see v3
+      assert(spark.sql("CALL graft.system.fast_forward('wap.t', 'main')")
+        .head.getLong(0) === 3L)
+      assert(spark.sql("SELECT count(*) FROM graft.wap.t VERSION AS OF 'main'")
+        .head.getLong(0) === 30)
+      // the connector option resolves refs too
+      assert(spark.read.format("graft-snapshot").option("versionAsOf", "rel1")
+        .load(root).count() === 10)
+      // a FAILED audit: v4 lands, main is never moved — still at v3
+      spark.sql("INSERT INTO graft.wap.t SELECT id FROM range(30, 31)") // v4
+      assert(spark.sql("SELECT count(*) FROM graft.wap.t VERSION AS OF 'main'")
+        .head.getLong(0) === 30)
+      // tags are immutable; branches only move forward
+      assert(intercept[Exception] {
+        spark.sql("CALL graft.system.fast_forward('wap.t', 'rel1')")
+      }.getMessage.contains("tags never move"))
+      assert(intercept[Exception] {
+        spark.sql("CALL graft.system.fast_forward('wap.t', 'main', 2)")
+      }.getMessage.contains("forward"))
+      // vacuum keeps ref-targeted versions outside the retention window
+      SnapshotTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+      assert(spark.sql("SELECT count(*) FROM graft.wap.t VERSION AS OF 'rel1'")
+        .head.getLong(0) === 10, "a tagged version must survive vacuum")
+      assert(spark.sql("SELECT count(*) FROM graft.wap.t VERSION AS OF 'main'")
+        .head.getLong(0) === 30)
+      assert(SnapshotTable.versions(spark, root) === Seq(2L, 3L, 4L))
+      // drop_ref releases the pin
+      assert(spark.sql("CALL graft.system.drop_ref('wap.t', 'rel1')")
+        .head.getBoolean(0))
+      assert(SnapshotTable.refs(spark, root).keySet === Set("main"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft.wap.t")
+  }
+
   test("rename survives a warehouse path that itself contains /data/") {
     // re-anchoring must strip the EXACT old-root prefix; matching "the
     // first /data/ in the path" would rewrite every manifest entry to
