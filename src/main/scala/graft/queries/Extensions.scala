@@ -1069,6 +1069,53 @@ object Extensions {
       import s.implicits._
       out.toDF("ver", "prio", "n", "total")
     },
+    // PARTITION SPEC EVOLUTION: a table partitioned by prio evolves to
+    // status by a metadata-only ALTER; era-1 files keep self-describing
+    // prio= tuples (never pruned by the new spec — degradation, no
+    // false negatives), era-2 files tuple by status and DO prune. The
+    // require()s pin the per-era pruning shape; the oracle replays both
+    // eras' rows relationally.
+    "SNAPSHOT-PARTITION-EVOLVE" -> { (s, d) =>
+      Tables.register(s, d)
+      val wh = java.nio.file.Files.createTempDirectory("graft_pse").toString
+      val cat = "graftpse_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.dsv2.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"""CREATE TABLE $cat.t (k BIGINT, prio STRING, status STRING,
+        price DOUBLE) PARTITIONED BY (prio)""") // v1
+      s.sql(s"""INSERT INTO $cat.t
+        SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey <= 1000""") // v2 (era 1: prio tuples)
+      s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('partition'='status')") // v3
+      s.sql(s"""INSERT INTO $cat.t
+        SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000""") // v4 (era 2)
+      val root = s"$wh/t"
+      val snap = graft.storage.SnapshotTable.latest(s, root).get
+      require(snap.partitionSpecs == Seq("status"),
+        s"evolved spec not in force: ${snap.partitionSpecs}")
+      require(snap.entries.exists(_.tuple.startsWith("prio=")) &&
+        snap.entries.exists(_.tuple.startsWith("status=")),
+        "both spec eras' tuples should coexist in the manifest")
+      // a status predicate prunes era-2 files; era-1 files stay planned
+      val pruned = s.read.format("graft-snapshot").load(root)
+        .where(col("status") === "F")
+      val descr = pruned.queryExecution.executedPlan.toString
+      val m = """files=(\d+)/(\d+)""".r.findFirstMatchIn(descr).get
+      require(m.group(1).toInt < m.group(2).toInt,
+        s"status predicate should prune era-2 files: $descr")
+      val out = s.sql(s"""
+        SELECT status, prio, count(*) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM $cat.t GROUP BY status, prio
+        ORDER BY status, prio""").collect()
+        .toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      s.sql(s"DROP TABLE $cat.t")
+      import s.implicits._
+      out.toDF("status", "prio", "n", "total")
+    },
     // TAGS + BRANCHES (write-audit-publish): v2 = first insert, tagged
     // 'audited' and branched 'main'; v3 = a second (duplicating) insert
     // that stays INVISIBLE to `VERSION AS OF 'main'` until the audit
@@ -2870,6 +2917,13 @@ object Extensions {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM orders WHERE o_orderkey <= 5000
         |GROUP BY prio ORDER BY prio""".stripMargin,
+    // both eras' rows, whatever the spec era: plain relational replay
+    "SNAPSHOT-PARTITION-EVOLVE" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders WHERE o_orderkey <= 2000
+        |GROUP BY status, prio ORDER BY status, prio""".stripMargin,
     // tag 'audited' = first insert; branch 'main' post-publish = both
     "SNAPSHOT-TAGS" ->
       """WITH first AS (SELECT o_orderpriority AS prio, o_totalprice AS price

@@ -443,10 +443,12 @@ object SnapshotTable {
     * vacuum can retire any old version without losing either. */
   private[storage] def nextMeta(base: Option[Snapshot], txn: Option[Long],
                                 txnApp: String = "",
-                                rowLevelOverride: Option[Map[String, String]] = None)
+                                rowLevelOverride: Option[Map[String, String]] = None,
+                                partitionOverride: Option[Seq[String]] = None)
       : Seq[String] = {
     val m = base.map(_.txns).getOrElse(Map.empty) ++ txn.map(txnApp -> _)
-    partitionMeta(base.map(_.partitionSpecs).getOrElse(Seq.empty)) ++
+    partitionMeta(partitionOverride.getOrElse(
+      base.map(_.partitionSpecs).getOrElse(Seq.empty))) ++
       sortMeta(base.map(_.sortCols).getOrElse(Seq.empty)) ++
       rowLevelMeta(rowLevelOverride.getOrElse(
         base.map(_.rowLevelModes).getOrElse(Map.empty))) ++
@@ -1433,10 +1435,19 @@ object SnapshotTable {
             pfields.indices.map(i => Option(r.getString(i)))))
           .toSet)
       }
+    // tuple comparability is PER SPEC ERA: after partition-spec
+    // evolution, a file written under an older spec has a tuple keyed
+    // by the old fields — it can never string-match a current-spec
+    // tuple, so it is conservatively AFFECTED (rewritten, and thereby
+    // migrated to the current spec), exactly like a tuple-less file
+    val curKeys = pfields.map(_.key).toSet
+    def currentEra(e: FileEntry): Boolean =
+      SnapshotPartition.decodeTuple(e.tuple).keySet == curKeys
     val (affected, retained) = touchedTuples match {
       case None => (snap.entries, Seq.empty[FileEntry])
       case Some(touched) =>
-        snap.entries.partition(e => e.tuple.isEmpty || touched.contains(e.tuple))
+        snap.entries.partition(e => e.tuple.isEmpty || !currentEra(e) ||
+          touched.contains(e.tuple))
     }
     val schema = tableSchema(spark, root, snap.version)
     val base =
@@ -1493,7 +1504,7 @@ object SnapshotTable {
       case _ if expectedVersion.isDefined => false // caller pinned the base
       case Some(touched) =>
         def safe(e: FileEntry): Boolean =
-          e.tuple.nonEmpty && !touched.contains(e.tuple)
+          e.tuple.nonEmpty && currentEra(e) && !touched.contains(e.tuple)
         val baseBy = snap.entries.map(e => norm(e.path) -> e).toMap
         val ontoBy = onto.entries.map(e => norm(e.path) -> e).toMap
         val removed = snap.entries.filterNot(e => ontoBy.contains(norm(e.path)))
@@ -1776,6 +1787,35 @@ object SnapshotTable {
     * MANIFEST's age, so a version is either fully time-travel-readable
     * or fully gone — never a live manifest over deleted files. Returns
     * the number of data files deleted. Metadata-scale driver work. */
+  /** PARTITION SPEC EVOLUTION — replace the table's `#partition` line
+    * as a METADATA-ONLY version (Iceberg's spec evolution): future
+    * writes cluster by and record tuples for the NEW fields; existing
+    * files keep their old-era tuples untouched. Correctness holds
+    * because tuples are SELF-DESCRIBING (keyed by field spec, e.g.
+    * `days(ts)=123`): the pruning evaluator simply finds no domain for
+    * a current-spec field in an old-era tuple, so old files degrade to
+    * never-pruned — no false negatives — while new files prune under
+    * the new spec. Paths that REQUIRE era-uniform tuples stay safe
+    * explicitly: partition-scoped merge rewrites old-era files
+    * conservatively (migrating them), and dynamic overwrite refuses
+    * with compact-first guidance. A compaction rewrites everything
+    * under the current spec and restores full pruning. */
+  def evolvePartitionSpec(spark: SparkSession, root: String,
+                          specs: Seq[String]): Long = {
+    val snap = latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val schema = tableSchema(spark, root, snap.version).getOrElse(
+      throw new IllegalStateException(
+        s"partition spec evolution needs a schema sidecar at $root"))
+    validatePartitionSpecs(specs, schema)
+    val next = snap.version + 1
+    commit(spark, root, next, snap.entries,
+      nextMeta(Some(snap), None, partitionOverride = Some(specs)))
+    writeStats(spark, root, next, statsLines(spark, root, snap.version))
+    writeSchema(spark, root, next, schema)
+    next
+  }
+
   // ------------------------------------------------------- refs (tags/branches)
 
   /** NAMED REFS — `<root>/_snapshots/refs`, lines `name<TAB>kind<TAB>

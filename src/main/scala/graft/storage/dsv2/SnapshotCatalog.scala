@@ -303,19 +303,32 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val rlKeys = Map("deleteMode" -> "delete", "updateMode" -> "update",
       "mergeMode" -> "merge")
     var modes = snap.rowLevelModes
+    // ALTER TABLE ... SET TBLPROPERTIES('partition'='days(ts),host') is
+    // PARTITION SPEC EVOLUTION: a metadata-only version — new writes
+    // tuple by the new fields, old files keep their (self-describing)
+    // old-era tuples and degrade to never-pruned until compaction
+    var newSpecs: Option[Seq[String]] = None
     val schemaChanges = changes.filter {
       case s: TableChange.SetProperty =>
         rlKeys.get(s.property) match {
           case Some(cmd) => modes = modes + (cmd -> s.value); false
+          case None if s.property == "partition" =>
+            newSpecs = Some(s.value.split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq)
+            false
           case None => throw new UnsupportedOperationException(
-            s"graft catalog supports TBLPROPERTIES ${rlKeys.keys.mkString("/")}; " +
+            s"graft catalog supports TBLPROPERTIES " +
+              s"${(rlKeys.keys.toSeq :+ "partition").mkString("/")}; " +
               s"got '${s.property}'")
         }
       case r: TableChange.RemoveProperty =>
         rlKeys.get(r.property) match {
           case Some(cmd) => modes = modes - cmd; false
+          case None if r.property == "partition" =>
+            newSpecs = Some(Seq.empty); false
           case None => throw new UnsupportedOperationException(
-            s"graft catalog supports TBLPROPERTIES ${rlKeys.keys.mkString("/")}; " +
+            s"graft catalog supports TBLPROPERTIES " +
+              s"${(rlKeys.keys.toSeq :+ "partition").mkString("/")}; " +
               s"got '${r.property}'")
         }
       case _ => true
@@ -342,9 +355,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog supports ADD COLUMNS and type widening; got $other")
       }
     }
+    newSpecs.foreach(SnapshotTable.validatePartitionSpecs(_, next))
     val v = snap.version + 1
     SnapshotTable.commit(spark, root, v, snap.entries,
-      SnapshotTable.nextMeta(Some(snap), None, rowLevelOverride = Some(modes)))
+      SnapshotTable.nextMeta(Some(snap), None, rowLevelOverride = Some(modes),
+        partitionOverride = newSpecs))
     SnapshotTable.writeStats(spark, root, v,
       SnapshotTable.statsLines(spark, root, snap.version))
     SnapshotTable.writeSchema(spark, root, v, next)

@@ -1356,6 +1356,22 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
                 "table to re-derive tuples, or use overwrite(condition) / " +
                 "DELETE FROM + INSERT INTO")
           }
+          // after PARTITION SPEC EVOLUTION an old-era file's tuple is
+          // keyed by the old fields: it can never string-match a
+          // current-spec tuple, so "retain by tuple inequality" would
+          // silently keep stale rows of an overwritten partition alive.
+          // Refuse loudly; compaction migrates files to the current spec.
+          val specKeys = s.partitionSpecs
+            .map(sp => SnapshotPartition.parseField(sp).key).toSet
+          s.entries.find(e =>
+              SnapshotPartition.decodeTuple(e.tuple).keySet != specKeys)
+            .foreach { e =>
+              throw new IllegalArgumentException(
+                s"dynamic overwrite cannot prove partition membership of " +
+                  s"${e.path}: its tuple '${e.tuple}' was written under an " +
+                  "older partition spec — compact the table to migrate " +
+                  "files to the current spec first")
+            }
           val retained = s.entries.filterNot(e => touched.contains(e.tuple))
           val retainedNorm = retained.map(e => SnapshotTable.norm(e.path)).toSet
           val keptLines = SnapshotTable.statsLines(spark, root, s.version)

@@ -303,6 +303,56 @@ class SnapshotCatalogSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft.wap.t")
   }
 
+  test("partition spec evolution: metadata-only ALTER, per-era tuples, safe paths") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pse")
+    spark.sql("CREATE TABLE graft.pse.t (k BIGINT, g STRING, h STRING) " +
+      "PARTITIONED BY (g)")                                              // v1
+    spark.sql("INSERT INTO graft.pse.t SELECT id, " +
+      "CASE WHEN id < 50 THEN 'a' ELSE 'b' END, 'x' FROM range(100)")    // v2
+    try {
+      val root = s"$warehouse/pse/t"
+      val era1 = SnapshotTable.latest(spark, root).get.entries.map(_.path).toSet
+      // the ALTER is METADATA-ONLY: same entries, one new version
+      spark.sql("ALTER TABLE graft.pse.t SET TBLPROPERTIES('partition'='h')") // v3
+      val evolved = SnapshotTable.latest(spark, root).get
+      assert(evolved.partitionSpecs === Seq("h"))
+      assert(evolved.entries.map(_.path).toSet === era1, "spec change moved data")
+      // era-1 tuples keep their OLD keys; new writes tuple by the new spec
+      spark.sql("INSERT INTO graft.pse.t SELECT id, 'c', " +
+        "CASE WHEN id % 2 = 0 THEN 'y' ELSE 'z' END FROM range(100, 200)") // v4
+      val after = SnapshotTable.latest(spark, root).get
+      val era2 = after.entries.filterNot(e => era1(e.path))
+      assert(era2.nonEmpty && era2.forall(_.tuple.startsWith("h=")))
+      assert(after.entries.filter(e => era1(e.path))
+        .forall(_.tuple.startsWith("g=")))
+      spark.sql("REFRESH TABLE graft.pse.t")
+      // correctness across eras
+      assert(spark.sql("SELECT count(*) FROM graft.pse.t").head.getLong(0) === 200)
+      // a CURRENT-spec predicate prunes era-2 files exactly; era-1 files
+      // degrade to kept (self-describing tuples, no false negatives)
+      val planned = spark.read.format("graft-snapshot").load(root)
+        .where(col("h") === "y")
+      assert(planned.count() === 50)
+      val desc = planned.queryExecution.executedPlan.toString
+      val filesRe = """files=(\d+)/(\d+)""".r.findFirstMatchIn(desc).get
+      assert(filesRe.group(1).toInt < filesRe.group(2).toInt,
+        s"an h-predicate should prune some era-2 files:\n$desc")
+      // dynamic overwrite refuses across eras with compact-first guidance
+      val e = intercept[Exception] {
+        spark.range(5).select(lit(7L).as("k"), lit("c").as("g"), lit("y").as("h"))
+          .writeTo("graft.pse.t").overwritePartitions()
+      }
+      assert(e.getMessage.contains("older partition spec") ||
+        Option(e.getCause).exists(_.getMessage.contains("older partition spec")))
+      // compaction migrates every file to the current spec
+      SnapshotTable.compact(spark, root, targetFiles = 2)
+      val compacted = SnapshotTable.latest(spark, root).get
+      assert(compacted.entries.forall(e => e.tuple.isEmpty ||
+        e.tuple.startsWith("h=")))
+      assert(spark.sql("SELECT count(*) FROM graft.pse.t").head.getLong(0) === 200)
+    } finally spark.sql("DROP TABLE IF EXISTS graft.pse.t")
+  }
+
   test("rename survives a warehouse path that itself contains /data/") {
     // re-anchoring must strip the EXACT old-root prefix; matching "the
     // first /data/ in the path" would rewrite every manifest entry to
