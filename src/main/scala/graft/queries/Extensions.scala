@@ -1384,6 +1384,44 @@ object Extensions {
     // id) into a second table, and the DESTINATION is what the oracle
     // hashes — any duplicate/lost batch, broken offset walk, or sink
     // replay bug lands in the result.
+    // STREAMING UPSERT through the native sink: epoch 0 inserts the
+    // base keys, epoch 1 re-keys half of them — the sink appends the
+    // batch's files plus ONE equality-delete sidecar per task (key
+    // tuples), and readers retire older rows by key (O(batch) epochs,
+    // no scan/join/rewrite). The require()s pin append-only epochs and
+    // the in-force deletes; the oracle replays last-write-wins
+    // relationally.
+    "STREAM-UPSERT-NATIVE" -> { (s, d) =>
+      Tables.register(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft_upsertstream")
+      val (src, dst, ckpt) =
+        (base.toString + "/src", base.toString + "/dst", base.toString + "/ckpt")
+      s.table("orders").where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        .write.format("graft-snapshot").mode("append").save(src) // v1
+      s.table("orders").where(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey").as("k"), lit("UPD").as("prio"),
+          (col("o_totalprice") + 1000.0).as("price"))
+        .write.format("graft-snapshot").mode("append").save(src) // v2
+      val q = s.readStream.format("graft-snapshot")
+        .option("maxVersionsPerTrigger", 1).load(src)
+        .writeStream.format("graft-snapshot")
+        .option("checkpointLocation", ckpt)
+        .option("upsertKeys", "k")
+        .start(dst)
+      try q.processAllAvailable() finally q.stop()
+      val snap = graft.storage.SnapshotTable.latest(s, dst).get
+      require(snap.eqDeletes.nonEmpty,
+        "the upsert epoch's equality deletes must be in force")
+      require(snap.version >= 2L, "one sink version per source epoch")
+      graft.storage.SnapshotTable.read(s, dst)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("prio")
+    },
     "STREAM-SNAPSHOT-NATIVE" -> { (s, d) =>
       Tables.register(s, d)
       val base = java.nio.file.Files.createTempDirectory("graft_snapstream")
@@ -2973,6 +3011,19 @@ object Extensions {
         |FROM allrows GROUP BY prio
         |ORDER BY ver, prio""".stripMargin,
     // exactly-once source→sink: the destination holds every row once
+    // last-write-wins replay: k<=1000 re-keyed to ('UPD', price+1000)
+    "STREAM-UPSERT-NATIVE" ->
+      """WITH live AS (
+        |  SELECT o_orderkey AS k, 'UPD' AS prio,
+        |    o_totalprice + 1000.0 AS price
+        |  FROM orders WHERE o_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    o_totalprice AS price
+        |  FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000)
+        |SELECT prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM live GROUP BY prio ORDER BY prio""".stripMargin,
     "STREAM-SNAPSHOT-NATIVE" ->
       """SELECT o_orderpriority AS prio, count(*) AS n,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total

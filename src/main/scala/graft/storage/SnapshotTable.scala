@@ -56,11 +56,20 @@ object SnapshotTable {
     * the sidecar's absolute path, `dvRows` its (exact) deleted-row
     * count. Empty/0 = no deletes. Readers subtract the positions; any
     * rewrite of the file drops the reference. */
+  /** `addV` is the version that ADDED the file (stamped by [[commit]]
+    * on entries that don't carry one yet; −1 = legacy/unknown): the
+    * sequence number equality deletes resolve against — a sidecar
+    * committed at version V deletes matching rows only from files with
+    * `addV < V`, so a batch's own files win over its own deletes
+    * (last-write-wins). Carried verbatim by every metadata-only
+    * commit; any rewrite re-stamps with the rewriting version. */
   final case class FileEntry(path: String, rows: Long = -1L, bytes: Long = -1L,
                              tuple: String = "", dv: String = "",
-                             dvRows: Long = 0L) {
+                             dvRows: Long = 0L, addV: Long = -1L) {
     /** Live rows = recorded rows minus merge-on-read deletes; -1 when
-      * the file's row count was never recorded. */
+      * the file's row count was never recorded. Does NOT account for
+      * equality deletes (membership needs the data) — paths needing
+      * exact counts must check [[Snapshot.eqDeletes]] applicability. */
     def liveRows: Long = if (rows < 0L) -1L else rows - dvRows
   }
 
@@ -73,9 +82,12 @@ object SnapshotTable {
     /** ABSOLUTE data-file paths. */
     def files: Seq[String] = entries.map(_.path)
     /** Total LIVE rows (merge-on-read deletes subtracted) when EVERY
-      * entry carries a count; None otherwise. */
+      * entry carries a count; None otherwise — including when any
+      * entry is subject to an EQUALITY delete (matching rows are only
+      * countable by reading the data). */
     def rowCount: Option[Long] =
-      if (entries.nonEmpty && entries.forall(_.rows >= 0L))
+      if (entries.exists(e => eqDeletesFor(e).nonEmpty)) None
+      else if (entries.nonEmpty && entries.forall(_.rows >= 0L))
         Some(entries.map(_.liveRows).sum)
       else if (entries.isEmpty) Some(0L)
       else None
@@ -162,6 +174,27 @@ object SnapshotTable {
       case l if l.startsWith("#updfile ") =>
         norm(l.stripPrefix("#updfile ").trim)
     }.toSet
+    /** EQUALITY-DELETE sidecars in force (`#eqdelete <path>\t<version>
+      * \t<rows>\t<keyCols CSV>`, CARRIED FORWARD by every commit until
+      * no retained file predates them): a sidecar deletes matching-key
+      * rows from files with `addV < version` — the streaming-upsert
+      * read contract ([[EqualityDeletes]]). */
+    def eqDeletes: Seq[(String, Long, Long, Seq[String])] = meta.collect {
+      case l if l.startsWith("#eqdelete ") =>
+        l.stripPrefix("#eqdelete ").split("\t") match {
+          case Array(p, v, r, ks) =>
+            (v.toLongOption, r.toLongOption) match {
+              case (Some(ver), Some(rows)) =>
+                Some((p, ver, rows,
+                  ks.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+              case _ => None
+            }
+          case _ => None
+        }
+    }.flatten
+    /** The eqdelete sidecars applying to `e` (committed after it). */
+    def eqDeletesFor(e: FileEntry): Seq[(String, Long, Long, Seq[String])] =
+      eqDeletes.filter { case (_, v, _, _) => e.addV < 0L || e.addV < v }
   }
 
   /** The `#partition` manifest metadata line for field `specs` (empty ⇒
@@ -362,10 +395,25 @@ object SnapshotTable {
     * Object stores need a conditional-put LogStore, as every table
     * format documents. */
   private[storage] def commit(spark: SparkSession, root: String, v: Long,
-                              entries: Seq[FileEntry],
-                              meta: Seq[String] = Seq.empty): Unit = {
-    require(meta.forall(_.startsWith("#")),
-      s"manifest metadata lines must be #-prefixed: $meta")
+                              entries0: Seq[FileEntry],
+                              meta0: Seq[String] = Seq.empty): Unit = {
+    require(meta0.forall(_.startsWith("#")),
+      s"manifest metadata lines must be #-prefixed: $meta0")
+    // stamp the ADD VERSION on entries that don't carry one (new files
+    // of this commit, or a legacy table's first post-upgrade commit) —
+    // the sequence number equality deletes resolve against
+    val entries = entries0.map(e => if (e.addV < 0L) e.copy(addV = v) else e)
+    // retire equality-delete lines that no longer apply to any entry
+    // (every file now postdates them — e.g. after a compaction rewrote
+    // the table): the sidecar itself retires through vacuum
+    val meta = meta0.filter { l =>
+      if (!l.startsWith("#eqdelete ")) true
+      else l.stripPrefix("#eqdelete ").split("\t") match {
+        case Array(_, ver, _, _) =>
+          ver.toLongOption.exists(eqV => entries.exists(_.addV < eqV))
+        case _ => false
+      }
+    }
     val files = entries.map(entryLine)
     val f = fs(spark, root)
     f.mkdirs(snapDir(root))
@@ -425,12 +473,15 @@ object SnapshotTable {
     }
   }
 
-  /** Data line: `path<TAB>rows<TAB>bytes[<TAB>tuple]` (−1 = unknown
-    * count; tuple field present only for partition-scoped files — the
-    * tuple encoding escapes TAB, so the field never splits). A legacy
-    * path-only line parses back with unknown counts and no tuple. */
+  /** Data line: `path<TAB>rows<TAB>bytes[<TAB>tuple[<TAB>dv<TAB>dvRows
+    * [<TAB>addV]]]` (−1 = unknown count; the tuple encoding escapes
+    * TAB, so fields never split). Shorter legacy forms parse back with
+    * unknown fields; the 7-field form is written whenever the add
+    * version is known (every post-round-13 commit stamps it). */
   private def entryLine(e: FileEntry): String =
-    if (e.dv.nonEmpty) // 6-field form; tuple kept even when empty
+    if (e.addV >= 0L) // 7-field form; tuple/dv kept even when empty
+      s"${e.path}\t${e.rows}\t${e.bytes}\t${e.tuple}\t${e.dv}\t${e.dvRows}\t${e.addV}"
+    else if (e.dv.nonEmpty) // 6-field form; tuple kept even when empty
       s"${e.path}\t${e.rows}\t${e.bytes}\t${e.tuple}\t${e.dv}\t${e.dvRows}"
     else if (e.tuple.isEmpty) s"${e.path}\t${e.rows}\t${e.bytes}"
     else s"${e.path}\t${e.rows}\t${e.bytes}\t${e.tuple}"
@@ -452,6 +503,11 @@ object SnapshotTable {
       sortMeta(base.map(_.sortCols).getOrElse(Seq.empty)) ++
       rowLevelMeta(rowLevelOverride.getOrElse(
         base.map(_.rowLevelModes).getOrElse(Map.empty))) ++
+      // equality deletes stay in force across commits (commit() retires
+      // the ones every entry postdates)
+      base.toSeq.flatMap(_.eqDeletes).map { case (p, v, r, ks) =>
+        s"#eqdelete $p\t$v\t$r\t${ks.mkString(",")}"
+      } ++
       m.toSeq.sortBy(_._1).map {
         case ("", id) => s"#txn $id"
         case (app, id) => s"#txn $app $id"
@@ -789,10 +845,12 @@ object SnapshotTable {
     val keep = keepByStats(snap.files, st, Map(statCol -> (lo, hi)))
     val schema = tableSchema(spark, root, snap.version)
     val base =
-      if (keep.isEmpty) readEntries(spark, snap.entries, schema).where(lit(false))
+      if (keep.isEmpty)
+        readEntries(spark, snap.entries, schema, snap.eqDeletes).where(lit(false))
       else {
         val keepSet = keep.map(norm).toSet
-        readEntries(spark, snap.entries.filter(e => keepSet(norm(e.path))), schema)
+        readEntries(spark, snap.entries.filter(e => keepSet(norm(e.path))),
+          schema, snap.eqDeletes)
       }
     base.where(col(statCol).cast("double") >= lo &&
       col(statCol).cast("double") <= hi)
@@ -869,16 +927,24 @@ object SnapshotTable {
       if (fromV == 0) Map.empty
       else snapshot(spark, root, fromV).entries
         .map(e => norm(e.path) -> e.dv).toMap
+    var prevEq: Set[String] =
+      if (fromV == 0) Set.empty
+      else snapshot(spark, root, fromV).eqDeletes.map(_._1).toSet
     vs.filter(v => v > fromV && v <= toV).flatMap { v =>
-      val cur = snapshot(spark, root, v).entries
+      val snapV = snapshot(spark, root, v)
+      val cur = snapV.entries
       val curMap = cur.map(e => norm(e.path) -> e.dv).toMap
       val removed = prev.keySet -- curMap.keySet
       // a retained file whose DELETION VECTOR changed is a delete in
       // disguise — silently emitting nothing would hide it from the
-      // feed, so it refuses exactly like a copy-on-write rewrite
-      val dvDrift = curMap.count { case (p, dv) => prev.get(p).exists(_ != dv) }
+      // feed, so it refuses exactly like a copy-on-write rewrite. A
+      // NEW equality-delete sidecar is the same disguise (key-matching
+      // rows of older files silently died this version).
+      val dvDrift = curMap.count { case (p, dv) => prev.get(p).exists(_ != dv) } +
+        (snapV.eqDeletes.map(_._1).toSet -- prevEq).size
       val added = cur.filterNot(e => prev.contains(norm(e.path)))
       prev = curMap
+      prevEq = snapV.eqDeletes.map(_._1).toSet
       if ((removed.nonEmpty || dvDrift > 0) && !ignoreRewrites)
         throw new UnsupportedOperationException(
           s"version $v at $root removed/rewrote ${removed.size} file(s) and " +
@@ -942,8 +1008,22 @@ object SnapshotTable {
         .map(e => norm(e.path) -> e).toMap
     val inserts = Seq.newBuilder[(Long, FileEntry, Boolean)]
     val deletes = Seq.newBuilder[CdfDeleteSet]
+    var prevEq: Set[String] =
+      if (fromV == 0) Set.empty
+      else snapshot(spark, root, fromV).eqDeletes.map(_._1).toSet
     vs.filter(v => v > fromV && v <= to).foreach { v =>
       val snapV = snapshot(spark, root, v)
+      // an equality-delete commit kills rows by KEY — attributing them
+      // row-level means scanning every applicable file; the feed
+      // refuses with the keyed-diff guidance instead of silently
+      // omitting deletes
+      val newEq = snapV.eqDeletes.map(_._1).toSet -- prevEq
+      if (newEq.nonEmpty) throw new UnsupportedOperationException(
+        s"version $v at $root committed ${newEq.size} equality-delete " +
+          "sidecar(s) (streaming upsert); a row-level change feed cannot " +
+          "attribute key-based deletes — diff the versions with " +
+          "Cdc.snapshotDiff(readVersion(prev), readVersion(v), keys)")
+      prevEq = snapV.eqDeletes.map(_._1).toSet
       val cur = snapV.entries
       val curMap = cur.map(e => norm(e.path) -> e).toMap
       val updv = snapV.updVectors
@@ -1125,9 +1205,24 @@ object SnapshotTable {
       val snap = snapshot(spark, newRoot, v)
       val entries = snap.entries.map(e => e.copy(path = reanchor(e.path),
         dv = if (e.dv.isEmpty) "" else reanchor(e.dv)))
+      // meta lines carrying sidecar/file PATHS re-anchor too
+      val meta = snap.meta.map { l =>
+        if (l.startsWith("#updv ")) l.stripPrefix("#updv ").split("\t") match {
+          case Array(file, p) => s"#updv ${reanchor(file)}\t${reanchor(p)}"
+          case _ => l
+        }
+        else if (l.startsWith("#eqdelete "))
+          l.stripPrefix("#eqdelete ").split("\t") match {
+            case Array(p, v0, r, ks) => s"#eqdelete ${reanchor(p)}\t$v0\t$r\t$ks"
+            case _ => l
+          }
+        else if (l.startsWith("#removed "))
+          s"#removed ${reanchor(l.stripPrefix("#removed ").trim)}"
+        else l
+      }
       val tmp = new Path(snapDir(newRoot), s".tmp-rb-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, false)
-      try out.write((snap.meta ++ entries.map(entryLine))
+      try out.write((meta ++ entries.map(entryLine))
         .mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
@@ -1248,6 +1343,9 @@ object SnapshotTable {
         case Array(p, r, b, t, dv, dvr) =>
           try FileEntry(p, r.toLong, b.toLong, t, dv, dvr.toLong)
           catch { case _: NumberFormatException => FileEntry(p) }
+        case Array(p, r, b, t, dv, dvr, av) =>
+          try FileEntry(p, r.toLong, b.toLong, t, dv, dvr.toLong, av.toLong)
+          catch { case _: NumberFormatException => FileEntry(p) }
         case _ => FileEntry(l) // legacy path-only line
       }
     }
@@ -1296,25 +1394,103 @@ object SnapshotTable {
     * without a vector pay NOTHING (the anti-join only materializes when
     * a vector exists, and vectors are small by the merge-on-read
     * contract: big deletes take copy-on-write or the metadata path). */
+  /** Scheme/authority-stripping regexp — the codegen-friendly twin of
+    * [[norm]] for `_metadata.file_path` join keys. */
+  private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"
+
   private[storage] def readEntries(spark: SparkSession, entries: Seq[FileEntry],
-                                   schema: Option[org.apache.spark.sql.types.StructType] = None)
+                                   schema: Option[org.apache.spark.sql.types.StructType] = None,
+                                   eqDeletes: Seq[(String, Long, Long, Seq[String])] = Seq.empty)
       : DataFrame = {
     val base = readFiles(spark, entries.map(_.path), schema)
     val withDv = entries.filter(_.dv.nonEmpty)
-    if (withDv.isEmpty) return base
+    val applicableEq = eqDeletes.filter { case (_, v, _, _) =>
+      entries.exists(e => e.addV < 0L || e.addV < v)
+    }
+    if (withDv.isEmpty && applicableEq.isEmpty) return base
     val conf = spark.sparkContext.hadoopConfiguration
-    val dropped: Seq[(String, Long)] = withDv.flatMap(e =>
-      DeletionVectors.read(conf, e.dv).map(p => (norm(e.path), p)))
     val sq = spark
     import sq.implicits._
-    val drop = dropped.toDF("__gf_file", "__gf_pos")
-    val normPath = udf((s: String) => norm(s))
     val cols = base.columns.toSeq
-    base
-      .withColumn("__gf_file", normPath(col("_metadata.file_path")))
+    val keyed = base
+      .withColumn("__gf_file",
+        regexp_replace(col("_metadata.file_path"), SchemeRe, ""))
       .withColumn("__gf_pos", col("_metadata.row_index"))
-      .join(broadcast(drop), Seq("__gf_file", "__gf_pos"), "left_anti")
-      .select(cols.map(col): _*)
+    // POSITION deletes: anti-join the (small) vectors' coordinates
+    val dvApplied =
+      if (withDv.isEmpty) keyed
+      else {
+        val dropped: Seq[(String, Long)] = withDv.flatMap(e =>
+          DeletionVectors.read(conf, e.dv).map(p => (norm(e.path), p)))
+        keyed.join(broadcast(dropped.toDF("__gf_file", "__gf_pos")),
+          Seq("__gf_file", "__gf_pos"), "left_anti")
+      }
+    // EQUALITY deletes: a sidecar committed at version V kills
+    // matching-key rows of files with addV < V. Sidecar contents are
+    // read EXECUTOR-side into a keys frame; the anti-join's equi part
+    // is the canonical key tuple, the residual the sequence comparison.
+    val eqApplied =
+      if (applicableEq.isEmpty) dvApplied
+      else {
+        val keySets = applicableEq.map(_._4).distinct
+        require(keySets.size == 1,
+          s"equality deletes with differing key sets in force: $keySets " +
+            "(compact the table before changing upsert keys)")
+        val keyCols = keySets.head
+        val sc = dvApplied.schema
+        val keyTypes = keyCols.map(k => sc(sc.fieldIndex(k)).dataType)
+        val canon = udf { (r: org.apache.spark.sql.Row) =>
+          keyCols.indices.map { i =>
+            EqualityDeletes.encodeValue(externalCanonical(keyTypes(i), r.get(i)))
+          }.mkString("\t")
+        }
+        val hconfB = spark.sparkContext.broadcast(
+          new graft.storage.dsv2.SerializableHadoopConf(
+            spark.sessionState.newHadoopConf()))
+        val keyRows = spark
+          .createDataset(applicableEq.map(t => (t._1, t._2)))
+          .flatMap { case (p, v) =>
+            val (_, set) = EqualityDeletes.read(hconfB.value.value, p)
+            set.iterator.map(enc => (enc, v))
+          }.toDF("__eq_key_r", "__eq_v")
+        val addVDf = entries.map(e => (norm(e.path), e.addV))
+          .toDF("__gf_file", "__eq_addv")
+        dvApplied
+          .join(broadcast(addVDf), Seq("__gf_file"))
+          .withColumn("__eq_key", canon(struct(keyCols.map(col): _*)))
+          .join(keyRows,
+            col("__eq_key") === col("__eq_key_r") &&
+              (col("__eq_v") > col("__eq_addv") || col("__eq_addv") < 0L),
+            "left_anti")
+      }
+    eqApplied.select(cols.map(col): _*)
+  }
+
+  /** [[EqualityDeletes.canonical]] for EXTERNAL row values (the
+    * DataFrame surface hands java.sql types where readers see internal
+    * days/micros) — both must render identically. */
+  private def externalCanonical(dt: org.apache.spark.sql.types.DataType,
+                                v: Any): String = {
+    import org.apache.spark.sql.types._
+    if (v == null) return null
+    dt match {
+      case DateType => v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+        case d: java.time.LocalDate => d.toEpochDay.toString
+        case other => other.toString
+      }
+      case TimestampType | TimestampNTZType => v match {
+        case t: java.sql.Timestamp =>
+          (t.getTime * 1000L + (t.getNanos / 1000L) % 1000L).toString
+        case i: java.time.Instant =>
+          (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+        case l: java.time.LocalDateTime =>
+          val i = l.toInstant(java.time.ZoneOffset.UTC)
+          (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+        case other => other.toString
+      }
+      case _ => EqualityDeletes.canonical(dt, v)
+    }
   }
 
   /** Read the latest snapshot (snapshot-isolated: the file list is pinned
@@ -1322,14 +1498,16 @@ object SnapshotTable {
   def read(spark: SparkSession, root: String): DataFrame = {
     val s = latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    readEntries(spark, s.entries, tableSchema(spark, root, s.version))
+    readEntries(spark, s.entries, tableSchema(spark, root, s.version),
+      s.eqDeletes)
   }
 
   /** Time travel: read any retained version — with THAT version's
     * schema, so a pre-evolution version shows its original columns. */
-  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
-    readEntries(spark, snapshot(spark, root, v).entries,
-      tableSchema(spark, root, v))
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val s = snapshot(spark, root, v)
+    readEntries(spark, s.entries, tableSchema(spark, root, v), s.eqDeletes)
+  }
 
   /** Create the table: stage `df`, commit as v1. Fails if the table
     * already has commits. `statsCols` names numeric columns to carry
@@ -1451,7 +1629,7 @@ object SnapshotTable {
     }
     val schema = tableSchema(spark, root, snap.version)
     val base =
-      if (affected.nonEmpty) readEntries(spark, affected, schema)
+      if (affected.nonEmpty) readEntries(spark, affected, schema, snap.eqDeletes)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.getOrElse(readFiles(spark, snap.files).schema))
     // a REAL table column with the tombstone marker's name would be
@@ -1637,7 +1815,7 @@ object SnapshotTable {
     // DV-aware: compaction reads only LIVE rows, so merge-on-read
     // deletes MATERIALIZE away here — the rewritten files carry no
     // vectors and the columnar fast path is restored
-    val cur = readEntries(spark, snap.entries, schema)
+    val cur = readEntries(spark, snap.entries, schema, snap.eqDeletes)
     val pspecs = snap.partitionSpecs
     if (pspecs.nonEmpty) {
       // a partitioned table's compaction bin-packs WITHIN partitions:
@@ -1725,7 +1903,7 @@ object SnapshotTable {
     val (vectored, clean) = snap.entries.partition(_.dv.nonEmpty)
     if (vectored.isEmpty) return snap.version
     val schema = tableSchema(spark, root, snap.version)
-    val live = readEntries(spark, vectored, schema)
+    val live = readEntries(spark, vectored, schema, snap.eqDeletes)
     val files = writeData(spark, root, live, snap.partitionSpecs, snap.sortCols)
     val raw = statsRaw(spark, root, snap.version)
     val cleanNorm = clean.map(e => norm(e.path)).toSet
@@ -1968,6 +2146,9 @@ object SnapshotTable {
     val next = cur.version + 1
     val meta = partitionMeta(snap.partitionSpecs) ++
       sortMeta(snap.sortCols) ++ rowLevelMeta(snap.rowLevelModes) ++
+      snap.eqDeletes.map { case (p, ev, r, ks) =>
+        s"#eqdelete $p\t$ev\t$r\t${ks.mkString(",")}"
+      } ++
       cur.txns.toSeq.sortBy(_._1).map {
         case ("", id) => s"#txn $id"
         case (app, id) => s"#txn $app $id"
@@ -2005,8 +2186,10 @@ object SnapshotTable {
     val referencedDv = (retainedSnaps.flatMap(_.entries)
       .collect { case e if e.dv.nonEmpty => norm(e.dv) } ++
       // update-preimage sidecars (`#updv`) stay live while the version
-      // whose change feed needs them is retained
-      retainedSnaps.flatMap(_.updVectors.values.map(norm))).toSet
+      // whose change feed needs them is retained; equality-delete
+      // sidecars while any retained manifest keeps them in force
+      retainedSnaps.flatMap(_.updVectors.values.map(norm)) ++
+      retainedSnaps.flatMap(_.eqDeletes.map(t => norm(t._1)))).toSet
     val dvDir = DeletionVectors.dir(root)
     if (f.exists(dvDir)) {
       f.listStatus(dvDir).foreach { st =>

@@ -397,7 +397,10 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
       createSortBy = Option(info.options.get("sortBy"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty),
-      createRowLevelModes = SnapshotTableV2.modesOf(info.options))
+      createRowLevelModes = SnapshotTableV2.modesOf(info.options),
+      upsertKeys = Option(info.options.get("upsertKeys"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty))
 }
 
 /** Scan builder: collects pushed filters + required columns, prunes the
@@ -479,7 +482,10 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     (!sawFilters || allConsumed) && agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      // equality deletes make manifest counts inexact (membership needs
+      // the data): fall back to the real scan, which applies them
+      snap.entries.forall(e => snap.eqDeletesFor(e).isEmpty)
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -597,8 +603,22 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     // CBO on, these are what let a selective filter flip a join to
     // broadcast that scan bytes alone never could.
     val keptEntries = partKept.filter(e => keepSet(SnapshotTable.norm(e.path)))
+    // EQUALITY deletes (streaming upsert): per planned file, the
+    // sidecars committed after it — readers drop matching-key rows
+    val eqByFile: Map[String, Seq[String]] = keptEntries.flatMap { e =>
+      val ds = snap.eqDeletesFor(e).map(_._1)
+      if (ds.isEmpty) None else Some(SnapshotTable.norm(e.path) -> ds)
+    }.toMap
+    val eqKeySets = keptEntries.flatMap(e => snap.eqDeletesFor(e).map(_._4))
+      .distinct
+    require(eqKeySets.size <= 1,
+      s"equality deletes with differing key sets in force: $eqKeySets " +
+        "(compact the table before changing upsert keys)")
+    val eqKeys = eqKeySets.headOption.getOrElse(Seq.empty)
     val reportRows: Option[Long] =
-      if (keptEntries.forall(_.rows >= 0L)) Some(keptEntries.map(_.liveRows).sum)
+      if (eqByFile.nonEmpty) None // key-matched rows are uncountable here
+      else if (keptEntries.forall(_.rows >= 0L))
+        Some(keptEntries.map(_.liveRows).sum)
       else None
     // column stats come from carried-forward sidecar lines that still
     // count merge-on-read-deleted rows, while numRows above is exact
@@ -606,7 +626,7 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     // after a large vectored delete. Skip the (advisory) column hint
     // for scans whose planned files carry vectors; compaction restores it.
     val colStats: Map[String, (Long, Long)] =
-      if (dvByFile.nonEmpty) Map.empty
+      if (dvByFile.nonEmpty || eqByFile.nonEmpty) Map.empty
       else SnapshotTable.statsRaw(spark, root, snap.version)
         .filter(l => keepSet(l.file)).groupBy(_.col).flatMap { case (c, ls) =>
           // complete coverage only: every planned file must carry a
@@ -622,7 +642,8 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
       startingVersion, ignoreRewrites, spj = spjGroups(keep),
       dvByFile = dvByFile, emitMeta = emitMeta,
       maxVersionsPerTrigger = maxVersionsPerTrigger,
-      reportRows = reportRows, colStats = colStats)
+      reportRows = reportRows, colStats = colStats,
+      eqByFile = eqByFile, eqKeys = eqKeys, fullSchema = fullSchema)
   }
 }
 
@@ -671,7 +692,10 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
                          emitMeta: Boolean = false,
                          maxVersionsPerTrigger: Option[Long] = None,
                          reportRows: Option[Long] = None,
-                         colStats: Map[String, (Long, Long)] = Map.empty)
+                         colStats: Map[String, (Long, Long)] = Map.empty,
+                         eqByFile: Map[String, Seq[String]] = Map.empty,
+                         eqKeys: Seq[String] = Seq.empty,
+                         fullSchema: StructType = new StructType())
   extends Scan with Batch with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
@@ -752,7 +776,7 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
     s"graft-snapshot root=$root version=$version " +
       s"files=${files.size}/$totalFiles " +
       s"mode=${if (columnarMode) "columnar" else "row"} " +
-      s"dv=${dvByFile.size} " +
+      s"dv=${dvByFile.size} eq=${eqByFile.size} " +
       s"pushed=[${pushed.mkString(", ")}] columns=${required.fieldNames.mkString(",")}"
 
   /** Columnar when enabled and the projected schema is the surface the
@@ -780,7 +804,8 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapshotReaderFactory(required, SnapshotFilters.intervals(pushed),
       new SerializableHadoopConf(conf), columnarMode,
-      dvByFile = dvByFile, emitMeta = emitMeta)
+      dvByFile = dvByFile, emitMeta = emitMeta,
+      eqByFile = eqByFile, eqKeys = eqKeys, fullSchema = fullSchema)
 }
 
 final case class SnapshotFilePartition(file: String) extends InputPartition
@@ -1023,7 +1048,10 @@ final class SnapshotReaderFactory(required: StructType,
                                   conf: SerializableHadoopConf,
                                   columnar: Boolean = false,
                                   dvByFile: Map[String, String] = Map.empty,
-                                  emitMeta: Boolean = false)
+                                  emitMeta: Boolean = false,
+                                  eqByFile: Map[String, Seq[String]] = Map.empty,
+                                  eqKeys: Seq[String] = Seq.empty,
+                                  fullSchema: StructType = new StructType())
   extends PartitionReaderFactory {
 
   private def filesOf(partition: InputPartition): Seq[String] = partition match {
@@ -1032,26 +1060,56 @@ final class SnapshotReaderFactory(required: StructType,
     case other => throw new IllegalStateException(s"unexpected partition $other")
   }
 
+  /** Per-file read schema: extended with the equality-delete key
+    * columns the projection lacks (APPENDED, so consumer ordinals are
+    * untouched), only for files with applicable sidecars. */
+  private def schemaFor(eq: Seq[String]): StructType =
+    if (eq.isEmpty) required
+    else SnapshotEqRead.extend(required, eqKeys, fullSchema)
+
+  private def eqOrdsTypes(sc: StructType): (Array[Int], Array[org.apache.spark.sql.types.DataType]) = {
+    val ords = eqKeys.map(sc.fieldIndex).toArray
+    (ords, ords.map(i => sc.fields(i).dataType))
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    ConcatReader(filesOf(partition))(
-      f => new SnapshotPartitionReader(f, required, intervals, conf.value,
+    ConcatReader(filesOf(partition))( f => {
+      val eq = eqByFile.getOrElse(graft.storage.SnapshotTable.norm(f), Seq.empty)
+      val sc = schemaFor(eq)
+      val base = new SnapshotPartitionReader(f, sc, intervals, conf.value,
         dvPath = dvByFile.getOrElse(graft.storage.SnapshotTable.norm(f), ""),
-        emitMeta = emitMeta))
+        emitMeta = emitMeta)
+      if (eq.isEmpty) base
+      else {
+        val (ords, types) = eqOrdsTypes(sc)
+        new EqApplyRowReader(base,
+          SnapshotEqRead.keys(conf.value, eq), ords, types)
+      }
+    })
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     ConcatReader(filesOf(partition))( f => {
       val dvPath = dvByFile.getOrElse(graft.storage.SnapshotTable.norm(f), "")
-      if (dvPath.isEmpty)
-        new SnapshotColumnarReader(f, required, intervals, conf.value)
-      else
-        // DV coordinate discipline: no parquet row-group skipping for a
-        // vector-bearing file (empty intervals), so batch rows map to
-        // file ordinals by running offset; the wrapper then drops the
-        // deleted ordinals per batch (still columnar downstream)
-        new DvApplyColumnarReader(
-          new SnapshotColumnarReader(f, required, Map.empty, conf.value),
-          graft.storage.DeletionVectors.read(conf.value, dvPath))
+      val eq = eqByFile.getOrElse(graft.storage.SnapshotTable.norm(f), Seq.empty)
+      val sc = schemaFor(eq)
+      val base =
+        if (dvPath.isEmpty)
+          new SnapshotColumnarReader(f, sc, intervals, conf.value)
+        else
+          // DV coordinate discipline: no parquet row-group skipping for
+          // a vector-bearing file (empty intervals), so batch rows map
+          // to file ordinals by running offset; the wrapper then drops
+          // the deleted ordinals per batch (still columnar downstream)
+          new DvApplyColumnarReader(
+            new SnapshotColumnarReader(f, sc, Map.empty, conf.value),
+            graft.storage.DeletionVectors.read(conf.value, dvPath))
+      if (eq.isEmpty) base
+      else {
+        val (ords, types) = eqOrdsTypes(sc)
+        new EqApplyColumnarReader(base,
+          SnapshotEqRead.keys(conf.value, eq), ords, types)
+      }
     })
 }
 
@@ -1101,7 +1159,8 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
                                  queryId: String = "",
                                  createPartitionBy: Seq[String] = Seq.empty,
                                  createSortBy: Seq[String] = Seq.empty,
-                                 createRowLevelModes: Map[String, String] = Map.empty)
+                                 createRowLevelModes: Map[String, String] = Map.empty,
+                                 upsertKeys: Seq[String] = Seq.empty)
   extends WriteBuilder with SupportsTruncate
   with org.apache.spark.sql.connector.write.SupportsOverwrite
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -1205,10 +1264,21 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
       * exactly the identity the ledger wants). Replayed epochs are
       * no-ops; the commit-time gate makes the check atomic with the
       * version CAS. Complete/overwrite output mode truncates per epoch. */
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      upsertKeys.foreach { k =>
+        require(schema.fieldNames.contains(k),
+          s"upsertKeys column '$k' not in stream schema ${schema.simpleString}")
+        // refuse unstable equality keys loudly at plan time
+        graft.storage.EqualityDeletes.canonical(
+          schema(schema.fieldIndex(k)).dataType, "probe")
+      }
+      require(upsertKeys.isEmpty || !overwrite,
+        "upsertKeys and Complete/overwrite output are mutually exclusive")
       new SnapshotStreamingWrite(root, schema, overwrite, statsCols,
         mergeSchema, appId = s"stream-$queryId",
-        part = PartitionWriteSpec.of(schema, pspecs))
+        part = PartitionWriteSpec.of(schema, pspecs),
+        upsertKeys = upsertKeys)
+    }
   }
 }
 
@@ -1441,10 +1511,18 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
   *    metadata commit), truncate/complete mode replaces content;
   *  - the epoch id rides the manifest (`#txn <appId> <epoch>`) — ledger
   *    entry and data commit are ONE atomic rename. */
+/** `upsertKeys` nonEmpty turns each epoch into a STREAMING UPSERT: the
+  * batch's data files append as usual, and ONE equality-delete sidecar
+  * per task records the batch's key tuples — committed as `#eqdelete`
+  * lines that retire older rows with those keys AT READ TIME
+  * ([[graft.storage.EqualityDeletes]]). Per-epoch cost is O(batch):
+  * no scan, no join, no rewrite. Readers pay a bounded key-set probe
+  * until compaction materializes the deletes away. */
 final class SnapshotStreamingWrite(root: String, schema: StructType,
                                    overwrite: Boolean, statsCols: Seq[String],
                                    mergeSchema: Boolean, appId: String,
-                                   part: Option[PartitionWriteSpec] = None)
+                                   part: Option[PartitionWriteSpec] = None,
+                                   upsertKeys: Seq[String] = Seq.empty)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val stagingDir: String = {
@@ -1462,18 +1540,25 @@ final class SnapshotStreamingWrite(root: String, schema: StructType,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new SnapshotStreamingWriterFactory(stagingDir, schema, conf, part)
+    new SnapshotStreamingWriterFactory(stagingDir, schema, conf, part,
+      upsertKeys, root)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val files = messages.flatMap {
       case SnapshotCommitMessage(fs) => fs
+      case SnapshotUpsertCommitMessage(fs, _, _) => fs
       case other => throw new IllegalStateException(s"unexpected commit message $other")
     }.sortBy(_.path).toSeq
+    // per-task equality-delete sidecars of an upsert epoch
+    val eqSidecars: Seq[(String, Long)] = messages.collect {
+      case SnapshotUpsertCommitMessage(_, p, n) if n > 0L => (p, n)
+    }.toSeq
     def dropStaged(): Unit = {
       val fs = new org.apache.hadoop.fs.Path(stagingDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       files.foreach(e => fs.delete(new org.apache.hadoop.fs.Path(e.path), false))
+      eqSidecars.foreach(t => fs.delete(new org.apache.hadoop.fs.Path(t._1), false))
     }
     var attempt = 1
     while (true) {
@@ -1491,7 +1576,17 @@ final class SnapshotStreamingWrite(root: String, schema: StructType,
       }
       // an empty epoch against an existing table is a no-op (no junk
       // versions); against an absent root there is nothing to type yet
-      if (files.isEmpty && !(overwrite && cur.isDefined)) return
+      if (files.isEmpty && eqSidecars.isEmpty && !(overwrite && cur.isDefined))
+        return
+      // an upsert epoch needs every existing file's ADD VERSION (the
+      // sequence number its deletes resolve against) — a pre-upgrade
+      // table must be compacted once before streaming upserts
+      if (eqSidecars.nonEmpty)
+        cur.foreach(s => s.entries.find(_.addV < 0L).foreach { e =>
+          throw new IllegalStateException(
+            s"streaming upsert needs add-versions on every file; " +
+              s"${e.path} predates them — compact the table once first")
+        })
       val fresh = SnapshotTable.collectStats(spark, files.map(_.path), statsCols)
       try {
         val (v, all, lines, nextSchema) = (cur, overwrite) match {
@@ -1515,11 +1610,14 @@ final class SnapshotStreamingWrite(root: String, schema: StructType,
             (s.version + 1, s.entries ++ files,
               SnapshotTable.statsLines(spark, root, s.version) ++ fresh, ns)
         }
+        val eqMeta = eqSidecars.map { case (p, n) =>
+          s"#eqdelete $p\t$v\t$n\t${upsertKeys.mkString(",")}"
+        }
         SnapshotTable.commit(spark, root, v, all,
           (if (cur.isEmpty)
             SnapshotTable.partitionMeta(part.map(_.specs).getOrElse(Seq.empty))
           else Seq.empty) ++
-            SnapshotTable.nextMeta(cur, Some(epochId), appId))
+            SnapshotTable.nextMeta(cur, Some(epochId), appId) ++ eqMeta)
         SnapshotTable.writeStats(spark, root, v, lines)
         SnapshotTable.writeSchema(spark, root, v, nextSchema)
         return
@@ -1540,6 +1638,10 @@ final class SnapshotStreamingWrite(root: String, schema: StructType,
     messages.foreach {
       case SnapshotCommitMessage(fsgs) => fsgs.foreach(e =>
         fs.delete(new org.apache.hadoop.fs.Path(e.path), false))
+      case SnapshotUpsertCommitMessage(fsgs, eqd, _) =>
+        fsgs.foreach(e =>
+          fs.delete(new org.apache.hadoop.fs.Path(e.path), false))
+        fs.delete(new org.apache.hadoop.fs.Path(eqd), false)
       case _ => ()
     }
   }
@@ -1548,16 +1650,62 @@ final class SnapshotStreamingWrite(root: String, schema: StructType,
 final class SnapshotStreamingWriterFactory(stagingDir: String,
                                            schema: StructType,
                                            conf: SerializableHadoopConf,
-                                           part: Option[PartitionWriteSpec] = None)
+                                           part: Option[PartitionWriteSpec] = None,
+                                           upsertKeys: Seq[String] = Seq.empty,
+                                           root: String = "")
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
     val prefix = f"$stagingDir%s/e$epochId%d-part-$partitionId%05d-$taskId%d"
-    part match {
+    val inner = part match {
       case Some(spec) => new SnapshotFanoutDataWriter(prefix, schema, conf.value, spec)
       case None => new SnapshotDataWriter(s"$prefix.parquet", schema, conf.value)
     }
+    if (upsertKeys.isEmpty) inner
+    else new SnapshotUpsertDataWriter(inner, schema, upsertKeys, root, conf.value)
   }
+}
+
+final case class SnapshotUpsertCommitMessage(
+    files: Seq[SnapshotTable.FileEntry],
+    eqSidecar: String, eqRows: Long) extends WriterCommitMessage
+
+/** Task-side upsert writer: rows pass through to the ordinary parquet
+  * writer while their KEY TUPLES accumulate (canonically encoded,
+  * deduplicated); commit stages ONE equality-delete sidecar per task
+  * alongside the data files. */
+final class SnapshotUpsertDataWriter(inner: DataWriter[InternalRow],
+                                     schema: StructType,
+                                     upsertKeys: Seq[String],
+                                     root: String,
+                                     conf: org.apache.hadoop.conf.Configuration)
+  extends DataWriter[InternalRow] {
+
+  private val ords = upsertKeys.map(schema.fieldIndex).toArray
+  private val types = ords.map(i => schema.fields(i).dataType)
+  private val keys = scala.collection.mutable.LinkedHashSet.empty[Seq[String]]
+
+  override def write(row: InternalRow): Unit = {
+    keys += ords.indices.map { i =>
+      graft.storage.EqualityDeletes.canonical(types(i),
+        if (row.isNullAt(ords(i))) null else row.get(ords(i), types(i)))
+    }
+    inner.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val files = inner.commit() match {
+      case SnapshotCommitMessage(fs) => fs
+      case other => throw new IllegalStateException(s"unexpected message $other")
+    }
+    val eqd = graft.storage.EqualityDeletes.freshPath(root)
+    val n = graft.storage.EqualityDeletes.write(conf, eqd, upsertKeys,
+      keys.iterator)
+    SnapshotUpsertCommitMessage(files, eqd, n)
+  }
+
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
 }
 
 final class SnapshotWriterFactory(stagingDir: String, schema: StructType,

@@ -151,11 +151,21 @@ final class DeltaRewriteScanBuilder(root: String, snap: SnapshotTable.Snapshot,
       case e if e.dv.nonEmpty && keepSet(SnapshotTable.norm(e.path)) =>
         SnapshotTable.norm(e.path) -> e.dv
     }.toMap
+    // EQUALITY deletes must apply to the rewrite scan too, or an UPDATE
+    // matching an upsert-retired row would REINSERT its old values
+    val keptEntries = snap.entries.filter(e => keepSet(SnapshotTable.norm(e.path)))
+    val eqByFile = keptEntries.flatMap { e =>
+      val ds = snap.eqDeletesFor(e).map(_._1)
+      if (ds.isEmpty) None else Some(SnapshotTable.norm(e.path) -> ds)
+    }.toMap
+    val eqKeys = keptEntries.flatMap(e => snap.eqDeletesFor(e).map(_._4))
+      .distinct.headOption.getOrElse(Seq.empty)
     new SnapshotScan(root, snap.version, keep, snap.files.size,
       sizeBytes = snap.entries.collect { case e if e.bytes >= 0 => e.bytes }.sum,
       required = required, pushed = Array.empty,
       conf = spark.sessionState.newHadoopConf(),
-      dvByFile = dvByFile, emitMeta = true)
+      dvByFile = dvByFile, emitMeta = true,
+      eqByFile = eqByFile, eqKeys = eqKeys, fullSchema = fullSchema)
   }
 }
 

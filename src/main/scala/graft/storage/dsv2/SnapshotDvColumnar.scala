@@ -78,8 +78,8 @@ final class DvApplyColumnarReader(inner: PartitionReader[ColumnarBatch],
   * underlying batch). Nested ARRAY/MAP delegate whole (their offsets
   * live in the underlying vector); STRUCT children are not remappable
   * this way and are excluded by the scan's supported-schema gate. */
-private final class SelectedColumnVector(under: ColumnVector,
-                                         sel: Array[Int], n: Int)
+private[dsv2] final class SelectedColumnVector(under: ColumnVector,
+                                               sel: Array[Int], n: Int)
   extends ColumnVector(under.dataType()) {
 
   // the underlying vector is owned (and closed) by the inner reader

@@ -146,11 +146,21 @@ final class GroupRewriteScanBuilder(root: String, snap: SnapshotTable.Snapshot,
       case e if e.dv.nonEmpty && keepSet(SnapshotTable.norm(e.path)) =>
         SnapshotTable.norm(e.path) -> e.dv
     }.toMap
+    // equality deletes apply too: an upsert-retired row must not
+    // resurrect through a copy-on-write rewrite of its (older) file
+    val keptEntries = snap.entries.filter(e => keepSet(SnapshotTable.norm(e.path)))
+    val eqByFile = keptEntries.flatMap { e =>
+      val ds = snap.eqDeletesFor(e).map(_._1)
+      if (ds.isEmpty) None else Some(SnapshotTable.norm(e.path) -> ds)
+    }.toMap
+    val eqKeys = keptEntries.flatMap(e => snap.eqDeletesFor(e).map(_._4))
+      .distinct.headOption.getOrElse(Seq.empty)
     // pushed = empty: every row of every kept file must reach the rewrite
     new SnapshotScan(root, snap.version, keep, snap.files.size,
       sizeBytes = snap.entries.collect { case e if e.bytes >= 0 => e.bytes }.sum,
       required = required, pushed = Array.empty,
-      conf = spark.sessionState.newHadoopConf(), dvByFile = dvByFile)
+      conf = spark.sessionState.newHadoopConf(), dvByFile = dvByFile,
+      eqByFile = eqByFile, eqKeys = eqKeys, fullSchema = fullSchema)
   }
 }
 

@@ -287,6 +287,43 @@ object SnapshotScaleProbe {
     assert(tWithDv <= tCompacted * 1.3 + 0.25,
       f"dv-bearing columnar scan ($tWithDv%.2fs) should be within ~1.3x " +
         f"of the compacted scan ($tCompacted%.2fs)")
+
+    // CDF over a 1M-row delete window: planning ships SIDECAR PATHS,
+    // never positions — driver state stays O(touched files) however
+    // large the delete (the round-12 design planned one tuple per
+    // deleted ordinal on the driver)
+    val cRoot = java.nio.file.Files.createTempDirectory("snap_cdf1m").toString
+    spark.range(2000000).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .coalesce(2).write.format("graft-snapshot")
+      .option("deleteMode", "merge-on-read").mode("append").save(cRoot)
+    spark.sql("CREATE TABLE snap_cdf1m USING `graft-snapshot` " +
+      s"OPTIONS (path '$cRoot')")
+    val (_, tBigDel) = time {
+      spark.sql("DELETE FROM snap_cdf1m WHERE k % 2 = 0") // 1M positions
+    }
+    val cdfSchema = graft.storage.dsv2.SnapshotCdfTable.cdfSchema(
+      SnapshotTable.tableSchema(spark, cRoot, 2L).get)
+    val (parts, tPlan) = time {
+      new graft.storage.dsv2.SnapshotCdfScan(cRoot, cdfSchema,
+        fromV = 1L, toV = Some(2L), startingVersion = None,
+        maxVersionsPerTrigger = None).planInputPartitions()
+    }
+    val deletes1m = parts.map(_.asInstanceOf[graft.storage.dsv2.SnapshotCdfPartition])
+      .filter(_.isDelete)
+    assert(deletes1m.nonEmpty && deletes1m.forall(p =>
+      p.newDv.endsWith(".dv") && p.oldDv.isEmpty),
+      "CDF delete partitions must carry sidecar paths only")
+    val (nCdf, tCdfRead) = time {
+      spark.read.format("graft-snapshot").option("changeFeed", true)
+        .option("changesFrom", 1).load(cRoot)
+        .where(col("_change_type") === "delete").count()
+    }
+    assert(nCdf == 1000000L, s"expected 1M delete rows, got $nCdf")
+    spark.sql("DROP TABLE snap_cdf1m")
+    println(f"[snap-scale] CDF of a 1,000,000-row MoR delete: delete " +
+      f"commit=$tBigDel%.2fs, planning=${tPlan * 1000}%.0fms " +
+      f"(${deletes1m.length} path-only partitions, zero positions " +
+      f"driver-side), executor-diffed read=$tCdfRead%.2fs")
     spark.stop()
   }
 }

@@ -225,6 +225,85 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(SnapshotTable.stats(spark, root, latest.version).nonEmpty)
   }
 
+  test("STREAMING UPSERT via equality deletes: O(batch) epochs, last-write-wins, exactly-once") {
+    implicit val sq = spark.sqlContext
+    val root = newRoot()
+    val ckpt = Files.createTempDirectory("snapupsert_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    def start() = in.toDF().toDF("k", "v")
+      .writeStream.format("graft-snapshot")
+      .option("checkpointLocation", ckpt)
+      .option("upsertKeys", "k")
+      .start(root)
+    def state(): Map[Long, String] =
+      spark.read.format("graft-snapshot").load(root)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val q = start()
+    try {
+      in.addData((1L, "a1"), (2L, "b1"), (3L, "c1"))
+      q.processAllAvailable()
+      assert(state() === Map(1L -> "a1", 2L -> "b1", 3L -> "c1"))
+      val filesAfterE0 = SnapshotTable.latest(spark, root).get.files.toSet
+      // epoch 1 re-keys 1 and 3: OLD rows retire by KEY, no rewrite
+      in.addData((1L, "a2"), (3L, "c2"), (4L, "d1"))
+      q.processAllAvailable()
+      assert(state() === Map(1L -> "a2", 2L -> "b1", 3L -> "c2", 4L -> "d1"))
+      val snap = SnapshotTable.latest(spark, root).get
+      assert(filesAfterE0.subsetOf(snap.files.toSet),
+        "an upsert epoch must append, never rewrite")
+      assert(snap.eqDeletes.nonEmpty, "the epoch's equality deletes must be in force")
+      // plan-visible evidence + exact (scan-computed) count
+      val df = spark.read.format("graft-snapshot").load(root)
+      val desc = df.queryExecution.executedPlan.toString
+      assert(desc.contains("eq=") && !desc.contains("eq=0"),
+        s"expected eq evidence in:\n$desc")
+      assert(df.count() === 4)
+      assert(spark.read.format("graft-snapshot").load(root)
+        .agg(count(lit(1))).head.getLong(0) === 4,
+        "count(*) must not trust manifest counts under equality deletes")
+      // library read agrees
+      assert(SnapshotTable.read(spark, root).count() === 4)
+    } finally q.stop()
+
+    // RESTART from the checkpoint: committed epochs replay as no-ops,
+    // new epochs keep upserting (exactly-once across restart)
+    val vsBefore = SnapshotTable.versions(spark, root).size
+    val q2 = start()
+    try {
+      in.addData((2L, "b2"), (5L, "e1"))
+      q2.processAllAvailable()
+      assert(state() === Map(1L -> "a2", 2L -> "b2", 3L -> "c2",
+        4L -> "d1", 5L -> "e1"))
+      assert(SnapshotTable.versions(spark, root).size === vsBefore + 1)
+    } finally q2.stop()
+
+    // a row-level MoR DELETE on the upserted table must not resurrect
+    // retired rows (the rewrite scan applies equality deletes too)
+    val tbl = "upsert_eq_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` " +
+      s"OPTIONS (path '$root', deleteMode 'merge-on-read')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE k = 4")
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(state() === Map(1L -> "a2", 2L -> "b2", 3L -> "c2", 5L -> "e1"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+
+    // COMPACTION materializes equality deletes away: the lines retire
+    // from the manifest, content is unchanged, manifest counts are
+    // exact again
+    SnapshotTable.compact(spark, root, targetFiles = 1)
+    val compacted = SnapshotTable.latest(spark, root).get
+    assert(compacted.eqDeletes.isEmpty,
+      "compaction must retire in-force equality deletes")
+    assert(compacted.rowCount === Some(4L))
+    assert(state() === Map(1L -> "a2", 2L -> "b2", 3L -> "c2", 5L -> "e1"))
+    // ...and vacuum can now retire the unreferenced sidecars by age
+    SnapshotTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    assert(state() === Map(1L -> "a2", 2L -> "b2", 3L -> "c2", 5L -> "e1"))
+  }
+
   test("snapshot-to-snapshot streaming: source table → native sink table") {
     val src = newRoot()
     val dst = newRoot()
