@@ -1384,6 +1384,44 @@ object Extensions {
     // id) into a second table, and the DESTINATION is what the oracle
     // hashes — any duplicate/lost batch, broken offset walk, or sink
     // replay bug lands in the result.
+    // CDF OVER STREAMING UPSERTS: after two upsert epochs, the change
+    // feed emits each epoch's rows as inserts and the key-matched
+    // victims of its equality deletes as 'delete' rows (epoch 2's
+    // deletes = epoch 1's rows for the re-keyed half) — key-addressed
+    // CDC without positions. The oracle replays all three change
+    // classes relationally.
+    "CDC-FEED-UPSERT" -> { (s, d) =>
+      Tables.register(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft_cdcupsert")
+      val (src, dst, ckpt) =
+        (base.toString + "/src", base.toString + "/dst", base.toString + "/ckpt")
+      s.table("orders").where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        .write.format("graft-snapshot").mode("append").save(src) // v1
+      s.table("orders").where(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey").as("k"), lit("UPD").as("prio"),
+          (col("o_totalprice") + 1000.0).as("price"))
+        .write.format("graft-snapshot").mode("append").save(src) // v2
+      val q = s.readStream.format("graft-snapshot")
+        .option("maxVersionsPerTrigger", 1).load(src)
+        .writeStream.format("graft-snapshot")
+        .option("checkpointLocation", ckpt)
+        .option("upsertKeys", "k")
+        .start(dst)
+      try q.processAllAvailable() finally q.stop()
+      val out = graft.storage.SnapshotTable.changeFeed(s, dst, 0L)
+        .groupBy(col("_change_type").as("change"),
+          col("_commit_version").as("ver"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("change", "ver")
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      import s.implicits._
+      out.toDF("change", "ver", "n", "total")
+    },
     // STREAMING UPSERT through the native sink: epoch 0 inserts the
     // base keys, epoch 1 re-keys half of them — the sink appends the
     // batch's files plus ONE equality-delete sidecar per task (key
@@ -3011,6 +3049,21 @@ object Extensions {
         |FROM allrows GROUP BY prio
         |ORDER BY ver, prio""".stripMargin,
     // exactly-once source→sink: the destination holds every row once
+    // epoch 1 inserts k<=2000; epoch 2 inserts the re-keyed k<=1000
+    // and deletes their epoch-1 rows
+    "CDC-FEED-UPSERT" ->
+      """WITH changes AS (
+        |  SELECT 'insert' AS change, 1 AS ver, o_totalprice AS price
+        |    FROM orders WHERE o_orderkey <= 2000
+        |  UNION ALL
+        |  SELECT 'insert' AS change, 2 AS ver, o_totalprice + 1000.0 AS price
+        |    FROM orders WHERE o_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT 'delete' AS change, 2 AS ver, o_totalprice AS price
+        |    FROM orders WHERE o_orderkey <= 1000)
+        |SELECT change, CAST(ver AS BIGINT) AS ver, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM changes GROUP BY change, ver ORDER BY change, ver""".stripMargin,
     // last-write-wins replay: k<=1000 re-keyed to ('UPD', price+1000)
     "STREAM-UPSERT-NATIVE" ->
       """WITH live AS (

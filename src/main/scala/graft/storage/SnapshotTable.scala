@@ -985,6 +985,17 @@ object SnapshotTable {
   final case class CdfDeleteSet(file: String, oldDv: String, newDv: String,
                                 fullRows: Long, updDv: String, version: Long)
 
+  /** One CDF EQUALITY-delete set: version `version` committed the
+    * `newEq` sidecars (a streaming-upsert epoch), whose keys retire
+    * matching rows from `file` (added before `version`). The victims
+    * are `file`'s rows that were LIVE just before the version —
+    * `oldDv` (the file's vector at version−1) and `priorEq` (sidecars
+    * already in force then) filter the dead — and whose key tuple is
+    * in a `newEq` set. Paths only; executors do the reads. */
+  final case class CdfEqDeleteSet(file: String, oldDv: String,
+                                  priorEq: Seq[String], newEq: Seq[String],
+                                  keys: Seq[String], version: Long)
+
   /** The row-level change sets in `(fromV, toV]`: per-version appended
     * entries (inserts, with the `update_postimage` flag from the
     * version's `#updfile` lines) and per-(file, version) delete-set
@@ -995,35 +1006,48 @@ object SnapshotTable {
     * merge-on-read delete; any other removal (a rewrite) throws. */
   private[storage] def changeSets(spark: SparkSession, root: String,
                                   fromV: Long, to: Long)
-      : (Seq[(Long, FileEntry, Boolean)], Seq[CdfDeleteSet]) = {
+      : (Seq[(Long, FileEntry, Boolean)], Seq[CdfDeleteSet],
+         Seq[CdfEqDeleteSet]) = {
     require(fromV >= 0 && to >= fromV,
       s"need 0 <= fromV <= toV, got fromV=$fromV toV=$to")
     val vs = versions(spark, root)
     require(fromV == 0 || vs.contains(fromV),
       s"change-feed base v$fromV is not a retained version at $root " +
         s"(retained: ${vs.mkString(",")})")
+    var prevSnap: Option[Snapshot] =
+      if (fromV == 0) None else Some(snapshot(spark, root, fromV))
     var prev: Map[String, FileEntry] =
-      if (fromV == 0) Map.empty
-      else snapshot(spark, root, fromV).entries
-        .map(e => norm(e.path) -> e).toMap
+      prevSnap.map(_.entries.map(e => norm(e.path) -> e).toMap)
+        .getOrElse(Map.empty)
     val inserts = Seq.newBuilder[(Long, FileEntry, Boolean)]
     val deletes = Seq.newBuilder[CdfDeleteSet]
-    var prevEq: Set[String] =
-      if (fromV == 0) Set.empty
-      else snapshot(spark, root, fromV).eqDeletes.map(_._1).toSet
+    val eqDeletes = Seq.newBuilder[CdfEqDeleteSet]
     vs.filter(v => v > fromV && v <= to).foreach { v =>
       val snapV = snapshot(spark, root, v)
-      // an equality-delete commit kills rows by KEY — attributing them
-      // row-level means scanning every applicable file; the feed
-      // refuses with the keyed-diff guidance instead of silently
-      // omitting deletes
-      val newEq = snapV.eqDeletes.map(_._1).toSet -- prevEq
-      if (newEq.nonEmpty) throw new UnsupportedOperationException(
-        s"version $v at $root committed ${newEq.size} equality-delete " +
-          "sidecar(s) (streaming upsert); a row-level change feed cannot " +
-          "attribute key-based deletes — diff the versions with " +
-          "Cdc.snapshotDiff(readVersion(prev), readVersion(v), keys)")
-      prevEq = snapV.eqDeletes.map(_._1).toSet
+      // EQUALITY-delete commits (streaming-upsert epochs) ARE
+      // representable row-level: the victims are the matching-key rows
+      // of every file the new sidecars apply to, restricted to rows
+      // live just before this version. One descriptor per applicable
+      // file — the reads happen executor-side. Cost: the applicable
+      // files re-read once per in-window upsert epoch (inherent to
+      // key-addressed deletes — the victims must be found).
+      val prevEqSet = prevSnap.map(_.eqDeletes.map(_._1).toSet)
+        .getOrElse(Set.empty)
+      val newEq = snapV.eqDeletes.filterNot(t => prevEqSet(t._1))
+      if (newEq.nonEmpty) {
+        val keySets = newEq.map(_._4).distinct
+        require(keySets.size == 1,
+          s"one upsert key set per version expected, got $keySets")
+        val newEqPaths = newEq.map(_._1)
+        prev.valuesIterator
+          .filter(e => newEq.exists { case (_, ev, _, _) =>
+            e.addV < 0L || e.addV < ev })
+          .toSeq.sortBy(_.path).foreach { e =>
+            val prior = prevSnap.toSeq.flatMap(_.eqDeletesFor(e)).map(_._1)
+            eqDeletes += CdfEqDeleteSet(e.path, e.dv, prior, newEqPaths,
+              keySets.head, v)
+          }
+      }
       val cur = snapV.entries
       val curMap = cur.map(e => norm(e.path) -> e).toMap
       val updv = snapV.updVectors
@@ -1055,8 +1079,9 @@ object SnapshotTable {
         }
       }
       prev = curMap
+      prevSnap = Some(snapV)
     }
-    (inserts.result(), deletes.result())
+    (inserts.result(), deletes.result(), eqDeletes.result())
   }
 
   /** Executor-side resolution of one [[CdfDeleteSet]]: (fresh ordinals,
@@ -1091,7 +1116,7 @@ object SnapshotTable {
                  toV: Option[Long] = None): DataFrame = {
     val to = toV.orElse(latest(spark, root).map(_.version)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    val (insertEntries, deleteSets) = changeSets(spark, root, fromV, to)
+    val (insertEntries, deleteSets, eqSets) = changeSets(spark, root, fromV, to)
     val schema = tableSchema(spark, root, to)
     val cols = schema.getOrElse(
       throw new IllegalStateException(s"no schema sidecar at $root"))
@@ -1149,7 +1174,62 @@ object SnapshotTable {
           .select(cols :+ col("__cf_type").as("_change_type")
             :+ col("__cf_v").as("_commit_version"): _*))
       }
-    val all = insertDf ++ deleteDf
+    // EQUALITY-delete epochs (streaming upserts): per epoch, the
+    // victims are the applicable files' rows that were LIVE just
+    // before the version (prev dv + prior sidecars filtered out,
+    // distributed) and whose key tuple is in the epoch's sidecars —
+    // a semi-join against an executor-side read of the new key sets.
+    val eqDf =
+      if (eqSets.isEmpty) Seq.empty
+      else {
+        val sq = spark
+        import sq.implicits._
+        val hconfB = spark.sparkContext.broadcast(
+          new graft.storage.dsv2.SerializableHadoopConf(
+            spark.sessionState.newHadoopConf()))
+        val sc = schema.get
+        eqSets.groupBy(_.version).toSeq.sortBy(_._1).map { case (v, sets) =>
+          val keyCols = sets.head.keys
+          val keyTypes = keyCols.map(k => sc(sc.fieldIndex(k)).dataType)
+          val canon = udf { (r: org.apache.spark.sql.Row) =>
+            keyCols.indices.map(i => EqualityDeletes.encodeValue(
+              externalCanonical(keyTypes(i), r.get(i)))).mkString("\t")
+          }
+          val base = readFiles(spark, sets.map(_.file), schema)
+            .withColumn("__gf_file",
+              regexp_replace(col("_metadata.file_path"), SchemeRe, ""))
+            .withColumn("__gf_pos", col("_metadata.row_index"))
+            .withColumn("__eq_key", canon(struct(keyCols.map(col): _*)))
+          val dvPairs = sets.filter(_.oldDv.nonEmpty)
+            .map(s0 => (s0.file, s0.oldDv))
+          val afterDv =
+            if (dvPairs.isEmpty) base
+            else base.join(
+              spark.createDataset(dvPairs).flatMap { case (f0, dvp) =>
+                DeletionVectors.read(hconfB.value.value, dvp).iterator
+                  .map(p => (norm(f0), p))
+              }.toDF("__gf_file", "__gf_pos"),
+              Seq("__gf_file", "__gf_pos"), "left_anti")
+          val priorPairs = sets
+            .flatMap(s0 => s0.priorEq.map(p => (norm(s0.file), p))).distinct
+          val live =
+            if (priorPairs.isEmpty) afterDv
+            else afterDv.join(
+              spark.createDataset(priorPairs).flatMap { case (f0, p) =>
+                EqualityDeletes.read(hconfB.value.value, p)._2.iterator
+                  .map(k => (f0, k))
+              }.toDF("__gf_file", "__eq_key"),
+              Seq("__gf_file", "__eq_key"), "left_anti")
+          val newKeys = spark
+            .createDataset(sets.flatMap(_.newEq).distinct)
+            .flatMap(p => EqualityDeletes.read(hconfB.value.value, p)._2.iterator)
+            .toDF("__eq_key")
+          live.join(newKeys, Seq("__eq_key"), "left_semi")
+            .select(cols :+ lit("delete").as("_change_type")
+              :+ lit(v).as("_commit_version"): _*)
+        }
+      }
+    val all = insertDf ++ deleteDf ++ eqDf
     if (all.isEmpty) {
       val sc = schema.get
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

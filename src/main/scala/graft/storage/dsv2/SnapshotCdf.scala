@@ -77,7 +77,10 @@ final case class SnapshotCdfPartition(file: String, version: Long,
                                       isDelete: Boolean,
                                       atAddDv: String, postimage: Boolean,
                                       oldDv: String, newDv: String,
-                                      fullRows: Long, updDv: String)
+                                      fullRows: Long, updDv: String,
+                                      eqPrior: Seq[String] = Seq.empty,
+                                      eqNew: Seq[String] = Seq.empty,
+                                      eqKeys: Seq[String] = Seq.empty)
   extends InputPartition
 
 final class SnapshotCdfScan(root: String, cdfSchema: StructType,
@@ -95,7 +98,8 @@ final class SnapshotCdfScan(root: String, cdfSchema: StructType,
       toV.map(v => s" to=v$v").getOrElse("")
 
   private def partitionsFor(from: Long, to: Long): Array[InputPartition] = {
-    val (inserts, deletes) = SnapshotTable.changeSets(spark, root, from, to)
+    val (inserts, deletes, eqDeletes) =
+      SnapshotTable.changeSets(spark, root, from, to)
     (inserts.map { case (v, e, postimage) =>
       SnapshotCdfPartition(e.path, v, isDelete = false,
         atAddDv = e.dv, postimage = postimage,
@@ -105,6 +109,14 @@ final class SnapshotCdfScan(root: String, cdfSchema: StructType,
         atAddDv = "", postimage = false,
         oldDv = d.oldDv, newDv = d.newDv, fullRows = d.fullRows,
         updDv = d.updDv): InputPartition
+    } ++ eqDeletes.map { d =>
+      // an upsert epoch's key-matched victims: the reader scans the
+      // file, drops rows dead BEFORE the version (prev dv + prior
+      // sidecars), and emits the ones whose key is in the new sidecars
+      SnapshotCdfPartition(d.file, d.version, isDelete = true,
+        atAddDv = "", postimage = false,
+        oldDv = d.oldDv, newDv = "", fullRows = -1L, updDv = "",
+        eqPrior = d.priorEq, eqNew = d.newEq, eqKeys = d.keys): InputPartition
     }).toArray
   }
 
@@ -191,8 +203,44 @@ final class SnapshotCdfReaderFactory(cdfSchema: StructType,
                                      conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
 
+  /** Equality-delete (streaming-upsert) victims of one epoch: scan the
+    * file with its PREV-version vector subtracted, drop rows a PRIOR
+    * sidecar already killed, and emit the ones whose key tuple is in
+    * the epoch's NEW sidecars — typed `delete`. All sidecar reads and
+    * membership tests are executor-side. */
+  private def eqDeleteReader(p: SnapshotCdfPartition): PartitionReader[InternalRow] = {
+    val prior = SnapshotEqRead.keys(conf.value, p.eqPrior)
+    val fresh = SnapshotEqRead.keys(conf.value, p.eqNew)
+    val ords = p.eqKeys.map(cdfSchema.fieldIndex).toArray
+    val types = ords.map(i => cdfSchema.fields(i).dataType)
+    val inner = new SnapshotPartitionReader(p.file, cdfSchema,
+      Map.empty, conf.value, dvPath = p.oldDv)
+    val ctIdx = cdfSchema.fieldIndex(SnapshotCdfTable.ChangeType)
+    val cvIdx = cdfSchema.fieldIndex(SnapshotCdfTable.CommitVersion)
+    val tag = UTF8String.fromString("delete")
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          val k = SnapshotEqRead.rowKey(r, ords, types)
+          if (!prior.contains(k) && fresh.contains(k)) {
+            r.update(ctIdx, tag)
+            r.update(cvIdx, p.version)
+            cur = r
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = inner.close()
+    }
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotCdfPartition]
+    if (p.eqNew.nonEmpty) return eqDeleteReader(p)
     // EXECUTOR-SIDE vector diffing: delete partitions carry sidecar
     // paths; the fresh ordinals (new \ old, or the complement for a
     // fully-deleted file) and their update-preimage flags are resolved

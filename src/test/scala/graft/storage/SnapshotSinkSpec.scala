@@ -278,6 +278,28 @@ class SnapshotSinkSpec extends SparkSpec {
       assert(SnapshotTable.versions(spark, root).size === vsBefore + 1)
     } finally q2.stop()
 
+    // the row-level CHANGE FEED represents upsert epochs: each epoch's
+    // rows arrive as inserts, and the key-matched victims of its
+    // equality deletes as 'delete' rows (live-before-the-epoch only —
+    // a row already retired by an earlier epoch is not re-deleted)
+    def feedRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+    val expectedFeed = Set(
+      (1L, "a1", "insert", 1L), (2L, "b1", "insert", 1L), (3L, "c1", "insert", 1L),
+      (1L, "a2", "insert", 2L), (3L, "c2", "insert", 2L), (4L, "d1", "insert", 2L),
+      (1L, "a1", "delete", 2L), (3L, "c1", "delete", 2L),
+      (2L, "b2", "insert", 3L), (5L, "e1", "insert", 3L),
+      (2L, "b1", "delete", 3L))
+    assert(feedRows(SnapshotTable.changeFeed(spark, root, 0L)) === expectedFeed)
+    assert(feedRows(spark.read.format("graft-snapshot")
+      .option("changeFeed", true).load(root)) === expectedFeed)
+    // ...and a window starting mid-stream carries only later epochs
+    assert(feedRows(SnapshotTable.changeFeed(spark, root, 2L)) === Set(
+      (2L, "b2", "insert", 3L), (5L, "e1", "insert", 3L),
+      (2L, "b1", "delete", 3L)))
+
     // a row-level MoR DELETE on the upserted table must not resurrect
     // retired rows (the rewrite scan applies equality deletes too)
     val tbl = "upsert_eq_" +
