@@ -157,6 +157,9 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
   private def cdfRead(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("changeFeed", false)
 
+  private def refsRead(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("refs", false)
+
   /** The CDF read's base schema: the table's columns at the window's
     * end (or latest), refusing name collisions with the change columns. */
   private def cdfBaseSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -177,6 +180,7 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     if (historyRead(options)) return SnapshotHistoryTable.SCHEMA
     if (partitionsRead(options)) return SnapshotPartitionsTable.SCHEMA
+    if (refsRead(options)) return SnapshotRefsTable.SCHEMA
     if (cdfRead(options))
       return SnapshotCdfTable.cdfSchema(cdfBaseSchema(options))
     val snap = resolve(options)
@@ -209,6 +213,7 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
     if (historyRead(options)) return new SnapshotHistoryTable(root(options))
     if (partitionsRead(options))
       return new SnapshotPartitionsTable(root(options), resolve(options))
+    if (refsRead(options)) return new SnapshotRefsTable(root(options))
     if (cdfRead(options))
       return new SnapshotCdfTable(root(options), cdfBaseSchema(options), options)
     // absent table ⇒ readable only after a first write commits. The
@@ -914,6 +919,43 @@ final class SnapshotHistoryTable(root: String) extends Table with SupportsRead {
                     txn.map(Long.box).orNull, hasSchema,
                     rowsOpt.map(Long.box).orNull))
             }.toArray
+        }
+    }
+}
+
+/** SHOW REFS: `option("refs", true)` lists the table's tags and
+  * branches — (name, kind, version) from one refs-file read, a
+  * driver-side LocalScan like SHOW PARTITIONS / DESCRIBE HISTORY. */
+object SnapshotRefsTable {
+  val SCHEMA: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("name",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("kind",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("version",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
+final class SnapshotRefsTable(root: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-snapshot-refs:$root"
+  override def schema(): StructType = SnapshotRefsTable.SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new Scan with org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = SnapshotRefsTable.SCHEMA
+          override def description(): String =
+            s"graft-snapshot refs root=$root (driver-side metadata)"
+          override def rows(): Array[InternalRow] =
+            SnapshotTable.refs(SparkSession.active, root).toSeq.sortBy(_._1)
+              .map { case (n, (k, v)) =>
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(n),
+                    org.apache.spark.unsafe.types.UTF8String.fromString(k), v))
+                  : InternalRow
+              }.toArray
         }
     }
 }

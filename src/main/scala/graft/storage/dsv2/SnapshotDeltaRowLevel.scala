@@ -158,8 +158,12 @@ final class DeltaRewriteScanBuilder(root: String, snap: SnapshotTable.Snapshot,
       val ds = snap.eqDeletesFor(e).map(_._1)
       if (ds.isEmpty) None else Some(SnapshotTable.norm(e.path) -> ds)
     }.toMap
-    val eqKeys = keptEntries.flatMap(e => snap.eqDeletesFor(e).map(_._4))
-      .distinct.headOption.getOrElse(Seq.empty)
+    val eqKeySets = keptEntries.flatMap(e => snap.eqDeletesFor(e).map(_._4))
+      .distinct
+    require(eqKeySets.size <= 1,
+      s"equality deletes with differing key sets in force: $eqKeySets " +
+        "(compact the table before changing upsert keys)")
+    val eqKeys = eqKeySets.headOption.getOrElse(Seq.empty)
     new SnapshotScan(root, snap.version, keep, snap.files.size,
       sizeBytes = snap.entries.collect { case e if e.bytes >= 0 => e.bytes }.sum,
       required = required, pushed = Array.empty,

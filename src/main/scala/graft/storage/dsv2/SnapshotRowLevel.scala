@@ -153,8 +153,12 @@ final class GroupRewriteScanBuilder(root: String, snap: SnapshotTable.Snapshot,
       val ds = snap.eqDeletesFor(e).map(_._1)
       if (ds.isEmpty) None else Some(SnapshotTable.norm(e.path) -> ds)
     }.toMap
-    val eqKeys = keptEntries.flatMap(e => snap.eqDeletesFor(e).map(_._4))
-      .distinct.headOption.getOrElse(Seq.empty)
+    val eqKeySets = keptEntries.flatMap(e => snap.eqDeletesFor(e).map(_._4))
+      .distinct
+    require(eqKeySets.size <= 1,
+      s"equality deletes with differing key sets in force: $eqKeySets " +
+        "(compact the table before changing upsert keys)")
+    val eqKeys = eqKeySets.headOption.getOrElse(Seq.empty)
     // pushed = empty: every row of every kept file must reach the rewrite
     new SnapshotScan(root, snap.version, keep, snap.files.size,
       sizeBytes = snap.entries.collect { case e if e.bytes >= 0 => e.bytes }.sum,

@@ -296,6 +296,12 @@ class SnapshotCatalogSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM graft.wap.t VERSION AS OF 'main'")
         .head.getLong(0) === 30)
       assert(SnapshotTable.versions(spark, root) === Seq(2L, 3L, 4L))
+      // SHOW REFS: the connector lists tags and branches
+      val listed = spark.read.format("graft-snapshot")
+        .option("refs", true).load(root)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(listed === Set(("main", "branch", 3L), ("rel1", "tag", 2L)))
       // drop_ref releases the pin
       assert(spark.sql("CALL graft.system.drop_ref('wap.t', 'rel1')")
         .head.getBoolean(0))

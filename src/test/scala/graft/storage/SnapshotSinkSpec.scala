@@ -326,6 +326,39 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(state() === Map(1L -> "a2", 2L -> "b2", 3L -> "c2", 5L -> "e1"))
   }
 
+  test("STREAMING UPSERT into a PARTITIONED table: tuple-pure files, partition pruning intact") {
+    implicit val sq = spark.sqlContext
+    val root = newRoot()
+    val ckpt = Files.createTempDirectory("snapupsertpart_ckpt").toString
+    val in = MemoryStream[(Long, String, Double)]
+    val q = in.toDF().toDF("k", "g", "x")
+      .writeStream.format("graft-snapshot")
+      .option("checkpointLocation", ckpt)
+      .option("partitionBy", "g")
+      .option("upsertKeys", "k")
+      .start(root)
+    try {
+      in.addData((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      q.processAllAvailable()
+      // re-key 1 (stays in a) and 3 (MOVES to partition b) + new 4
+      in.addData((1L, "a", 10.0), (3L, "b", 30.0), (4L, "b", 4.0))
+      q.processAllAvailable()
+      val state = spark.read.format("graft-snapshot").load(root)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+        .toMap
+      assert(state === Map(1L -> ("a", 10.0), 2L -> ("b", 2.0),
+        3L -> ("b", 30.0), 4L -> ("b", 4.0)))
+      // files stay tuple-pure across upsert epochs
+      val snap = SnapshotTable.latest(spark, root).get
+      assert(snap.entries.forall(_.tuple.startsWith("g=")))
+      // a partition predicate still prunes (eq filtering is per-file,
+      // not a pruning blocker) and the answer honors the key moves
+      val aOnly = spark.read.format("graft-snapshot").load(root)
+        .where(col("g") === "a")
+      assert(aOnly.collect().map(_.getLong(0)).toSet === Set(1L))
+    } finally q.stop()
+  }
+
   test("snapshot-to-snapshot streaming: source table → native sink table") {
     val src = newRoot()
     val dst = newRoot()
