@@ -1191,15 +1191,11 @@ object SnapshotTable {
         eqSets.groupBy(_.version).toSeq.sortBy(_._1).map { case (v, sets) =>
           val keyCols = sets.head.keys
           val keyTypes = keyCols.map(k => sc(sc.fieldIndex(k)).dataType)
-          val canon = udf { (r: org.apache.spark.sql.Row) =>
-            keyCols.indices.map(i => EqualityDeletes.encodeValue(
-              externalCanonical(keyTypes(i), r.get(i)))).mkString("\t")
-          }
           val base = readFiles(spark, sets.map(_.file), schema)
             .withColumn("__gf_file",
               regexp_replace(col("_metadata.file_path"), SchemeRe, ""))
             .withColumn("__gf_pos", col("_metadata.row_index"))
-            .withColumn("__eq_key", canon(struct(keyCols.map(col): _*)))
+            .withColumn("__eq_key", canonKeyTuple(keyCols, keyTypes))
           val dvPairs = sets.filter(_.oldDv.nonEmpty)
             .map(s0 => (s0.file, s0.oldDv))
           val afterDv =
@@ -1519,11 +1515,7 @@ object SnapshotTable {
         val keyCols = keySets.head
         val sc = dvApplied.schema
         val keyTypes = keyCols.map(k => sc(sc.fieldIndex(k)).dataType)
-        val canon = udf { (r: org.apache.spark.sql.Row) =>
-          keyCols.indices.map { i =>
-            EqualityDeletes.encodeValue(externalCanonical(keyTypes(i), r.get(i)))
-          }.mkString("\t")
-        }
+        val keyTuple = canonKeyTuple(keyCols, keyTypes)
         val hconfB = spark.sparkContext.broadcast(
           new graft.storage.dsv2.SerializableHadoopConf(
             spark.sessionState.newHadoopConf()))
@@ -1537,7 +1529,7 @@ object SnapshotTable {
           .toDF("__gf_file", "__eq_addv")
         dvApplied
           .join(broadcast(addVDf), Seq("__gf_file"))
-          .withColumn("__eq_key", canon(struct(keyCols.map(col): _*)))
+          .withColumn("__eq_key", keyTuple)
           .join(keyRows,
             col("__eq_key") === col("__eq_key_r") &&
               (col("__eq_v") > col("__eq_addv") || col("__eq_addv") < 0L),
@@ -1545,6 +1537,21 @@ object SnapshotTable {
       }
     eqApplied.select(cols.map(col): _*)
   }
+
+  /** The encoded key tuple as a COLUMN: codegen'd builtins for every
+    * supported key type (string escape chain, epoch-day/micros casts),
+    * with a row-at-a-time UDF fallback only for types the builtin
+    * rendering cannot express (TimestampNTZ). Both must agree with the
+    * sink's internal-value rendering exactly. */
+  private def canonKeyTuple(keyCols: Seq[String],
+                            keyTypes: Seq[org.apache.spark.sql.types.DataType])
+      : org.apache.spark.sql.Column =
+    EqualityDeletes.encodedTupleCol(keyTypes, keyCols.map(col)).getOrElse {
+      udf { (r: org.apache.spark.sql.Row) =>
+        keyCols.indices.map(i => EqualityDeletes.encodeValue(
+          externalCanonical(keyTypes(i), r.get(i)))).mkString("\t")
+      }.apply(struct(keyCols.map(col): _*))
+    }
 
   /** [[EqualityDeletes.canonical]] for EXTERNAL row values (the
     * DataFrame surface hands java.sql types where readers see internal

@@ -326,6 +326,44 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(state() === Map(1L -> "a2", 2L -> "b2", 3L -> "c2", 5L -> "e1"))
   }
 
+  test("STREAMING UPSERT with hostile STRING keys: escape-sensitive renderers agree") {
+    implicit val sq = spark.sqlContext
+    val root = newRoot()
+    val ckpt = Files.createTempDirectory("snapupsertstr_ckpt").toString
+    // keys exercising every escaped character, the null token
+    // lookalike, and a DATE second key (epoch-day rendering)
+    val k1 = "tab\there"; val k2 = "pct%09literal"; val k3 = "nl\nhere"
+    val k4 = "∅"; val k5 = ""
+    val d = java.sql.Date.valueOf("2024-03-05")
+    val in = MemoryStream[(String, java.sql.Date, Long)]
+    val q = in.toDF().toDF("k", "day", "v")
+      .writeStream.format("graft-snapshot")
+      .option("checkpointLocation", ckpt)
+      .option("upsertKeys", "k,day")
+      .start(root)
+    try {
+      in.addData((k1, d, 1L), (k2, d, 2L), (k3, d, 3L), (k4, d, 4L), (k5, d, 5L))
+      q.processAllAvailable()
+      in.addData((k1, d, 10L), (k3, d, 30L))
+      q.processAllAvailable()
+      val expect = Map(k1 -> 10L, k2 -> 2L, k3 -> 30L, k4 -> 4L, k5 -> 5L)
+      // connector read = internal-value renderer
+      val viaConnector = spark.read.format("graft-snapshot").load(root)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(viaConnector === expect)
+      // library read = codegen external renderer — must agree exactly
+      val viaLibrary = SnapshotTable.read(spark, root)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(viaLibrary === expect)
+      // ...and its key expression stays codegen: the escape chain is
+      // visible as builtins, with no scalar-UDF application
+      val plan = SnapshotTable.read(spark, root)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("%25") && !plan.contains("UDF("),
+        s"expected codegen key rendering:\n$plan")
+    } finally q.stop()
+  }
+
   test("STREAMING UPSERT into a PARTITIONED table: tuple-pure files, partition pruning intact") {
     implicit val sq = spark.sqlContext
     val root = newRoot()
