@@ -179,7 +179,7 @@ object SnapshotTable {
       * no retained file predates them): a sidecar deletes matching-key
       * rows from files with `addV < version` — the streaming-upsert
       * read contract ([[EqualityDeletes]]). */
-    def eqDeletes: Seq[(String, Long, Long, Seq[String])] = meta.collect {
+    lazy val eqDeletes: Seq[(String, Long, Long, Seq[String])] = meta.collect {
       case l if l.startsWith("#eqdelete ") =>
         l.stripPrefix("#eqdelete ").split("\t") match {
           case Array(p, v, r, ks) =>
