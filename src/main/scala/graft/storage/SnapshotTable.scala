@@ -195,7 +195,32 @@ object SnapshotTable {
     /** The eqdelete sidecars applying to `e` (committed after it). */
     def eqDeletesFor(e: FileEntry): Seq[(String, Long, Long, Seq[String])] =
       eqDeletes.filter { case (_, v, _, _) => e.addV < 0L || e.addV < v }
+    /** Scan-planning view of the in-force equality deletes over a kept
+      * entry set: (normalized file → applicable sidecar paths, the one
+      * key set) — refusing mixed key sets with compact-first guidance.
+      * THE shared helper for every scan builder (plain, delta rewrite,
+      * group rewrite); changing applicability or the key-set rule
+      * happens here once. */
+    def eqPlanFor(kept: Seq[FileEntry])
+        : (Map[String, Seq[String]], Seq[String]) = {
+      val byFile = kept.flatMap { e =>
+        val ds = eqDeletesFor(e).map(_._1)
+        if (ds.isEmpty) None else Some(norm(e.path) -> ds)
+      }.toMap
+      val keySets = kept.flatMap(e => eqDeletesFor(e).map(_._4)).distinct
+      require(keySets.size <= 1,
+        s"equality deletes with differing key sets in force: $keySets " +
+          "(compact the table before changing upsert keys)")
+      (byFile, keySets.headOption.getOrElse(Seq.empty))
+    }
   }
+
+  /** THE `#eqdelete` manifest-line renderer — parsing lives in
+    * [[Snapshot.eqDeletes]]; every writer (nextMeta carry, restore,
+    * the streaming-upsert sink) renders through here. */
+  def eqDeleteLine(path: String, version: Long, rows: Long,
+                   keys: Seq[String]): String =
+    s"#eqdelete $path\t$version\t$rows\t${keys.mkString(",")}"
 
   /** The `#partition` manifest metadata line for field `specs` (empty ⇒
     * none). */
@@ -506,7 +531,7 @@ object SnapshotTable {
       // equality deletes stay in force across commits (commit() retires
       // the ones every entry postdates)
       base.toSeq.flatMap(_.eqDeletes).map { case (p, v, r, ks) =>
-        s"#eqdelete $p\t$v\t$r\t${ks.mkString(",")}"
+        eqDeleteLine(p, v, r, ks)
       } ++
       m.toSeq.sortBy(_._1).map {
         case ("", id) => s"#txn $id"
@@ -1073,6 +1098,17 @@ object SnapshotTable {
         prev.get(key) match {
           case None => inserts += ((v, e, updf(key)))
           case Some(old) if old.dv != e.dv =>
+            // a vector that DISAPPEARS while the file stays (a
+            // restore() to a pre-delete version) resurrects rows — an
+            // un-attributable change for a forward feed; refuse with
+            // the keyed-diff guidance (a GROWN vector diffs normally;
+            // resolveDeleteSet asserts old is a subset of new executor-side)
+            if (e.dv.isEmpty) throw new UnsupportedOperationException(
+              s"version $v at $root cleared the deletion vector of " +
+                s"${e.path} (a restore/rollback): a row-level change " +
+                "feed cannot represent resurrected rows - diff the " +
+                "versions with Cdc.snapshotDiff(readVersion(prev), " +
+                "readVersion(v), keys)")
             deletes += CdfDeleteSet(e.path, old.dv, e.dv, -1L,
               updv.getOrElse(key, ""), v)
           case _ => ()
@@ -1094,8 +1130,18 @@ object SnapshotTable {
       if (oldDv.isEmpty) Array.emptyLongArray
       else DeletionVectors.read(conf, oldDv)
     val fresh =
-      if (newDv.nonEmpty) DeletionVectors.diff(DeletionVectors.read(conf, newDv), old)
-      else DeletionVectors.complement(old, fullRows)
+      if (newDv.nonEmpty) {
+        val nw = DeletionVectors.read(conf, newDv)
+        // old must be a subset of new (vectors only grow); a SHRUNK
+        // vector (restore to an earlier state) resurrects rows, which
+        // a forward change feed cannot represent
+        val resurrected = DeletionVectors.diff(old, nw)
+        require(resurrected.isEmpty,
+          s"deletion vector shrank by ${resurrected.length} position(s) " +
+            "(a restore/rollback?): the change feed cannot represent " +
+            "resurrected rows - use Cdc.snapshotDiff for this window")
+        DeletionVectors.diff(nw, old)
+      } else DeletionVectors.complement(old, fullRows)
     val upd =
       if (updDv.isEmpty) Array.emptyLongArray
       else DeletionVectors.read(conf, updDv)
@@ -2124,6 +2170,40 @@ object SnapshotTable {
 
   private def refsPath(root: String) = new Path(snapDir(root), "refs")
 
+  private def validRefName(name: String): Unit =
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n' ||
+        c == '\r'),
+      s"ref name must be nonempty without tab/newline: '$name'")
+
+  /** Serialize read-modify-write ref updates with the same O_EXCL
+    * lock-file (+ stale takeover) the commit fallback uses — two
+    * concurrent tag/fast_forward calls must not lose each other's
+    * update through the whole-file overwrite. */
+  private def withRefsLock[A](spark: SparkSession, root: String)(f: => A): A = {
+    val fsys = fs(spark, root)
+    fsys.mkdirs(snapDir(root))
+    val lock = java.nio.file.Paths.get(fsys.makeQualified(
+      new Path(snapDir(root), ".refs.lock")).toUri.getPath)
+    val deadline = System.currentTimeMillis() + 10000
+    var held = false
+    while (!held) {
+      try { java.nio.file.Files.createFile(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale = try {
+            System.currentTimeMillis() -
+              java.nio.file.Files.getLastModifiedTime(lock).toMillis > lockStaleMs
+          } catch { case _: Exception => false }
+          if (stale) java.nio.file.Files.deleteIfExists(lock)
+          else if (System.currentTimeMillis() > deadline)
+            throw new java.util.ConcurrentModificationException(
+              s"could not acquire the refs lock at $root")
+          else Thread.sleep(50)
+      }
+    }
+    try f finally java.nio.file.Files.deleteIfExists(lock)
+  }
+
   private def writeRefs(spark: SparkSession, root: String,
                         m: Map[String, (String, Long)]): Unit = {
     val f = fs(spark, root)
@@ -2151,26 +2231,32 @@ object SnapshotTable {
   /** Create an immutable tag at `v` (default: the current head). */
   def tag(spark: SparkSession, root: String, name: String,
           v: Option[Long] = None): Long = {
+    validRefName(name)
     val target = v.getOrElse(latest(spark, root).map(_.version).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root")))
     requireRetained(spark, root, target)
-    val m = refs(spark, root)
-    require(!m.contains(name),
-      s"ref '$name' already exists at $root (tags are immutable; " +
-        "drop it first or use a branch)")
-    writeRefs(spark, root, m + (name -> ("tag", target)))
+    withRefsLock(spark, root) {
+      val m = refs(spark, root)
+      require(!m.contains(name),
+        s"ref '$name' already exists at $root (tags are immutable; " +
+          "drop it first or use a branch)")
+      writeRefs(spark, root, m + (name -> ("tag", target)))
+    }
     target
   }
 
   /** Create a movable branch at `v` (default: the current head). */
   def branch(spark: SparkSession, root: String, name: String,
              v: Option[Long] = None): Long = {
+    validRefName(name)
     val target = v.getOrElse(latest(spark, root).map(_.version).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root")))
     requireRetained(spark, root, target)
-    val m = refs(spark, root)
-    require(!m.contains(name), s"ref '$name' already exists at $root")
-    writeRefs(spark, root, m + (name -> ("branch", target)))
+    withRefsLock(spark, root) {
+      val m = refs(spark, root)
+      require(!m.contains(name), s"ref '$name' already exists at $root")
+      writeRefs(spark, root, m + (name -> ("branch", target)))
+    }
     target
   }
 
@@ -2183,22 +2269,25 @@ object SnapshotTable {
     val target = toV.getOrElse(latest(spark, root).map(_.version).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root")))
     requireRetained(spark, root, target)
-    val m = refs(spark, root)
-    val (kind, cur) = m.getOrElse(name, throw new IllegalArgumentException(
-      s"no ref '$name' at $root (refs: ${m.keys.toSeq.sorted.mkString(",")})"))
-    require(kind == "branch", s"ref '$name' is a tag — tags never move")
-    require(target >= cur,
-      s"fast_forward must move forward: '$name' is at v$cur, asked v$target")
-    writeRefs(spark, root, m + (name -> ("branch", target)))
+    withRefsLock(spark, root) {
+      val m = refs(spark, root)
+      val (kind, cur) = m.getOrElse(name, throw new IllegalArgumentException(
+        s"no ref '$name' at $root (refs: ${m.keys.toSeq.sorted.mkString(",")})"))
+      require(kind == "branch", s"ref '$name' is a tag — tags never move")
+      require(target >= cur,
+        s"fast_forward must move forward: '$name' is at v$cur, asked v$target")
+      writeRefs(spark, root, m + (name -> ("branch", target)))
+    }
     target
   }
 
   /** Drop a ref (tag or branch). Idempotent. */
-  def dropRef(spark: SparkSession, root: String, name: String): Boolean = {
-    val m = refs(spark, root)
-    if (!m.contains(name)) false
-    else { writeRefs(spark, root, m - name); true }
-  }
+  def dropRef(spark: SparkSession, root: String, name: String): Boolean =
+    withRefsLock(spark, root) {
+      val m = refs(spark, root)
+      if (!m.contains(name)) false
+      else { writeRefs(spark, root, m - name); true }
+    }
 
   /** Resolve a ref name to its version. */
   def resolveRef(spark: SparkSession, root: String, name: String): Option[Long] =
@@ -2234,7 +2323,7 @@ object SnapshotTable {
     val meta = partitionMeta(snap.partitionSpecs) ++
       sortMeta(snap.sortCols) ++ rowLevelMeta(snap.rowLevelModes) ++
       snap.eqDeletes.map { case (p, ev, r, ks) =>
-        s"#eqdelete $p\t$ev\t$r\t${ks.mkString(",")}"
+        eqDeleteLine(p, ev, r, ks)
       } ++
       cur.txns.toSeq.sortBy(_._1).map {
         case ("", id) => s"#txn $id"

@@ -610,16 +610,7 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     val keptEntries = partKept.filter(e => keepSet(SnapshotTable.norm(e.path)))
     // EQUALITY deletes (streaming upsert): per planned file, the
     // sidecars committed after it — readers drop matching-key rows
-    val eqByFile: Map[String, Seq[String]] = keptEntries.flatMap { e =>
-      val ds = snap.eqDeletesFor(e).map(_._1)
-      if (ds.isEmpty) None else Some(SnapshotTable.norm(e.path) -> ds)
-    }.toMap
-    val eqKeySets = keptEntries.flatMap(e => snap.eqDeletesFor(e).map(_._4))
-      .distinct
-    require(eqKeySets.size <= 1,
-      s"equality deletes with differing key sets in force: $eqKeySets " +
-        "(compact the table before changing upsert keys)")
-    val eqKeys = eqKeySets.headOption.getOrElse(Seq.empty)
+    val (eqByFile, eqKeys) = snap.eqPlanFor(keptEntries)
     val reportRows: Option[Long] =
       if (eqByFile.nonEmpty) None // key-matched rows are uncountable here
       else if (keptEntries.forall(_.rows >= 0L))
@@ -889,7 +880,11 @@ final class SnapshotPartitionsTable(root: String, snap: SnapshotTable.Snapshot)
                   Array[Any](
                     org.apache.spark.unsafe.types.UTF8String.fromString(part),
                     es.size.toLong,
-                    if (es.forall(_.rows >= 0L)) Long.box(es.map(_.liveRows).sum)
+                    // equality deletes make manifest counts inexact
+                    // (key membership needs the data) — report unknown
+                    if (es.forall(_.rows >= 0L) &&
+                        es.forall(e => snap.eqDeletesFor(e).isEmpty))
+                      Long.box(es.map(_.liveRows).sum)
                     else null,
                     if (es.forall(_.bytes >= 0L)) Long.box(es.map(_.bytes).sum)
                     else null))
@@ -1553,7 +1548,14 @@ final class SnapshotBatchWrite(root: String, schema: StructType,
   *    metadata commit), truncate/complete mode replaces content;
   *  - the epoch id rides the manifest (`#txn <appId> <epoch>`) — ledger
   *    entry and data commit are ONE atomic rename. */
-/** `upsertKeys` nonEmpty turns each epoch into a STREAMING UPSERT: the
+/** CONTRACT: last-write-wins applies ACROSS epochs; WITHIN one
+  * micro-batch keys must be unique (the standard CDC upsert batch
+  * contract — deduplicate upstream with dropDuplicates/last-per-key if
+  * the source can repeat a key per batch). In-batch duplicates are all
+  * retained: the epoch's own files postdate its sidecar by design, so
+  * nothing inside a batch can retire anything else inside it.
+  *
+  * `upsertKeys` nonEmpty turns each epoch into a STREAMING UPSERT: the
   * batch's data files append as usual, and ONE equality-delete sidecar
   * per task records the batch's key tuples — committed as `#eqdelete`
   * lines that retire older rows with those keys AT READ TIME
@@ -1653,7 +1655,7 @@ final class SnapshotStreamingWrite(root: String, schema: StructType,
               SnapshotTable.statsLines(spark, root, s.version) ++ fresh, ns)
         }
         val eqMeta = eqSidecars.map { case (p, n) =>
-          s"#eqdelete $p\t$v\t$n\t${upsertKeys.mkString(",")}"
+          SnapshotTable.eqDeleteLine(p, v, n, upsertKeys)
         }
         SnapshotTable.commit(spark, root, v, all,
           (if (cur.isEmpty)

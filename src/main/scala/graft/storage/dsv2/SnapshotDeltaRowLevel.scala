@@ -154,16 +154,7 @@ final class DeltaRewriteScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     // EQUALITY deletes must apply to the rewrite scan too, or an UPDATE
     // matching an upsert-retired row would REINSERT its old values
     val keptEntries = snap.entries.filter(e => keepSet(SnapshotTable.norm(e.path)))
-    val eqByFile = keptEntries.flatMap { e =>
-      val ds = snap.eqDeletesFor(e).map(_._1)
-      if (ds.isEmpty) None else Some(SnapshotTable.norm(e.path) -> ds)
-    }.toMap
-    val eqKeySets = keptEntries.flatMap(e => snap.eqDeletesFor(e).map(_._4))
-      .distinct
-    require(eqKeySets.size <= 1,
-      s"equality deletes with differing key sets in force: $eqKeySets " +
-        "(compact the table before changing upsert keys)")
-    val eqKeys = eqKeySets.headOption.getOrElse(Seq.empty)
+    val (eqByFile, eqKeys) = snap.eqPlanFor(keptEntries)
     new SnapshotScan(root, snap.version, keep, snap.files.size,
       sizeBytes = snap.entries.collect { case e if e.bytes >= 0 => e.bytes }.sum,
       required = required, pushed = Array.empty,

@@ -149,16 +149,7 @@ final class GroupRewriteScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     // equality deletes apply too: an upsert-retired row must not
     // resurrect through a copy-on-write rewrite of its (older) file
     val keptEntries = snap.entries.filter(e => keepSet(SnapshotTable.norm(e.path)))
-    val eqByFile = keptEntries.flatMap { e =>
-      val ds = snap.eqDeletesFor(e).map(_._1)
-      if (ds.isEmpty) None else Some(SnapshotTable.norm(e.path) -> ds)
-    }.toMap
-    val eqKeySets = keptEntries.flatMap(e => snap.eqDeletesFor(e).map(_._4))
-      .distinct
-    require(eqKeySets.size <= 1,
-      s"equality deletes with differing key sets in force: $eqKeySets " +
-        "(compact the table before changing upsert keys)")
-    val eqKeys = eqKeySets.headOption.getOrElse(Seq.empty)
+    val (eqByFile, eqKeys) = snap.eqPlanFor(keptEntries)
     // pushed = empty: every row of every kept file must reach the rewrite
     new SnapshotScan(root, snap.version, keep, snap.files.size,
       sizeBytes = snap.entries.collect { case e if e.bytes >= 0 => e.bytes }.sum,

@@ -534,6 +534,41 @@ class SnapshotMoRSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("change feed refuses a restore that resurrects vectored rows") {
+    val root = newRoot()
+    val tbl = newTable()
+    spark.range(10).select(col("id").as("k")).coalesce(1)
+      .write.format("graft-snapshot").option("deleteMode", "merge-on-read")
+      .mode("append").save(root) // v1
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE k = 3") // v2: vector
+      SnapshotTable.restore(spark, root, 1L)     // v3: vector CLEARED, row back
+      assert(SnapshotTable.read(spark, root).count() === 10)
+      val e = intercept[UnsupportedOperationException] {
+        SnapshotTable.changeFeed(spark, root, 0L).collect()
+      }
+      assert(e.getMessage.contains("restore"), e.getMessage)
+      // a window that does not cross the restore still works
+      assert(SnapshotTable.changeFeed(spark, root, 0L, Some(2L))
+        .where(col("_change_type") === "delete").count() === 1)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("ref names with tabs or newlines are refused, not silently dropped") {
+    val root = newRoot()
+    spark.range(5).select(col("id").as("k"))
+      .write.format("graft-snapshot").mode("append").save(root)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.tag(spark, root, "rel\t1")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.branch(spark, root, "a\nb")
+    }
+    intercept[IllegalArgumentException] { SnapshotTable.tag(spark, root, "") }
+    assert(SnapshotTable.refs(spark, root).isEmpty)
+  }
+
   test("CDF planning ships sidecar paths, never position arrays") {
     val root = newRoot()
     val tbl = newTable()
