@@ -281,6 +281,16 @@ object SnapshotTable {
     * prefix (`file:`, `file://`) each API layer used. */
   private[storage] def norm(p: String): String = new Path(p).toUri.getPath
 
+  /** Scheme-free URL-ENCODED form — the join-key twin of [[norm]] for
+    * `_metadata.file_path` values: Spark reports a file's SparkPath
+    * string, i.e. `path.toUri`'s PERCENT-ENCODED rendering, so a driver
+    * key built from the decoded [[norm]] silently stops matching the
+    * moment a table root contains a space/`%`. `toUri.getRawPath` is
+    * byte-identical to the path component Spark reports (both sides go
+    * through the same `Path → URI` encoder); for the common
+    * reserved-char-free path the two forms coincide. */
+  private[storage] def encNorm(p: String): String = new Path(p).toUri.getRawPath
+
   private def listParquetStatuses(f: FileSystem,
                                   dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     val it = f.listFiles(dir, true)
@@ -1007,19 +1017,34 @@ object SnapshotTable {
     * the version's update-preimage ordinals for the file (a subset of
     * the fresh deletes) — rows at those ordinals type as
     * `update_preimage`, the rest as `delete`. */
+  /** `priorEq`/`eqKeys` (full-file removals only): equality-delete
+    * sidecars already in force against the file BEFORE its removal —
+    * rows they had retired were already emitted as deletes at their
+    * upsert epoch, so the removal's complement must filter them out or
+    * the feed double-emits. */
   final case class CdfDeleteSet(file: String, oldDv: String, newDv: String,
-                                fullRows: Long, updDv: String, version: Long)
+                                fullRows: Long, updDv: String, version: Long,
+                                priorEq: Seq[String] = Seq.empty,
+                                eqKeys: Seq[String] = Seq.empty)
 
-  /** One CDF EQUALITY-delete set: version `version` committed the
-    * `newEq` sidecars (a streaming-upsert epoch), whose keys retire
-    * matching rows from `file` (added before `version`). The victims
-    * are `file`'s rows that were LIVE just before the version —
-    * `oldDv` (the file's vector at version−1) and `priorEq` (sidecars
-    * already in force then) filter the dead — and whose key tuple is
-    * in a `newEq` set. Paths only; executors do the reads. */
-  final case class CdfEqDeleteSet(file: String, oldDv: String,
-                                  priorEq: Seq[String], newEq: Seq[String],
-                                  keys: Seq[String], version: Long)
+  /** One in-window EQUALITY-delete epoch as it applies to one file:
+    * version `version` committed the `newEq` sidecars over key columns
+    * `keys`; `dvAtPrev` is the file's deletion vector at version−1
+    * (rows position-dead before the epoch are not its victims). */
+  final case class CdfEqEpoch(version: Long, newEq: Seq[String],
+                              keys: Seq[String], dvAtPrev: String)
+
+  /** One file's FULL in-window equality-delete exposure — the unit the
+    * CDF planner ships so the file is read ONCE however many upsert
+    * epochs the window holds: `epochs` is the ordered list of epochs
+    * applying to the file (committed after its addV, while it was
+    * live), `priorEq` the sidecars already in force at the first of
+    * them (their victims predate the window). Executors attribute each
+    * row to the EARLIEST epoch whose keys match it, gated on the row
+    * being live (not in that epoch's `dvAtPrev`, not prior-retired).
+    * Paths only — no positions or keys in driver memory. */
+  final case class CdfEqFile(file: String, priorEq: Seq[String],
+                             epochs: Seq[CdfEqEpoch])
 
   /** The row-level change sets in `(fromV, toV]`: per-version appended
     * entries (inserts, with the `update_postimage` flag from the
@@ -1032,7 +1057,7 @@ object SnapshotTable {
   private[storage] def changeSets(spark: SparkSession, root: String,
                                   fromV: Long, to: Long)
       : (Seq[(Long, FileEntry, Boolean)], Seq[CdfDeleteSet],
-         Seq[CdfEqDeleteSet]) = {
+         Seq[CdfEqFile]) = {
     require(fromV >= 0 && to >= fromV,
       s"need 0 <= fromV <= toV, got fromV=$fromV toV=$to")
     val vs = versions(spark, root)
@@ -1046,16 +1071,21 @@ object SnapshotTable {
         .getOrElse(Map.empty)
     val inserts = Seq.newBuilder[(Long, FileEntry, Boolean)]
     val deletes = Seq.newBuilder[CdfDeleteSet]
-    val eqDeletes = Seq.newBuilder[CdfEqDeleteSet]
+    // file → (original path, prior sidecars at first touch, epoch list):
+    // ONE accumulated descriptor per touched file, however many upsert
+    // epochs the window holds — each applicable file is read ONCE by
+    // the feed, with victims attributed to their earliest matching
+    // epoch executor-side (O(table + keys), not O(epochs × table))
+    val eqFiles = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, Seq[String],
+        scala.collection.mutable.ArrayBuffer[CdfEqEpoch])]
     vs.filter(v => v > fromV && v <= to).foreach { v =>
       val snapV = snapshot(spark, root, v)
       // EQUALITY-delete commits (streaming-upsert epochs) ARE
       // representable row-level: the victims are the matching-key rows
       // of every file the new sidecars apply to, restricted to rows
-      // live just before this version. One descriptor per applicable
-      // file — the reads happen executor-side. Cost: the applicable
-      // files re-read once per in-window upsert epoch (inherent to
-      // key-addressed deletes — the victims must be found).
+      // live just before this version. The per-file descriptor only
+      // ACCRUES the epoch here; reads happen once per file, later.
       val prevEqSet = prevSnap.map(_.eqDeletes.map(_._1).toSet)
         .getOrElse(Set.empty)
       val newEq = snapV.eqDeletes.filterNot(t => prevEqSet(t._1))
@@ -1068,9 +1098,14 @@ object SnapshotTable {
           .filter(e => newEq.exists { case (_, ev, _, _) =>
             e.addV < 0L || e.addV < ev })
           .toSeq.sortBy(_.path).foreach { e =>
-            val prior = prevSnap.toSeq.flatMap(_.eqDeletesFor(e)).map(_._1)
-            eqDeletes += CdfEqDeleteSet(e.path, e.dv, prior, newEqPaths,
-              keySets.head, v)
+            val slot = eqFiles.getOrElseUpdate(norm(e.path), {
+              // prior sidecars at the file's FIRST in-window epoch:
+              // everything already in force against it then — those
+              // victims predate the window and must not re-emit
+              (e.path, prevSnap.toSeq.flatMap(_.eqDeletesFor(e)).map(_._1),
+                scala.collection.mutable.ArrayBuffer.empty[CdfEqEpoch])
+            })
+            slot._3 += CdfEqEpoch(v, newEqPaths, keySets.head, e.dv)
           }
       }
       val cur = snapV.entries
@@ -1090,8 +1125,16 @@ object SnapshotTable {
         require(old.rows >= 0L,
           s"cannot attribute the full merge-on-read delete of $key at " +
             s"v$v: the entry never recorded a row count")
+        // rows already retired by in-force equality deletes were emitted
+        // at their upsert epoch — the complement must skip them
+        val prior = prevSnap.toSeq.flatMap(_.eqDeletesFor(old))
+        val priorKeySets = prior.map(_._4).distinct
+        require(priorKeySets.size <= 1,
+          s"full delete of $key at v$v under mixed equality-delete key " +
+            s"sets $priorKeySets — compact before changing upsert keys")
         deletes += CdfDeleteSet(old.path, old.dv, "", old.rows,
-          updv.getOrElse(key, ""), v)
+          updv.getOrElse(key, ""), v, prior.map(_._1),
+          priorKeySets.headOption.getOrElse(Seq.empty))
       }
       cur.foreach { e =>
         val key = norm(e.path)
@@ -1117,7 +1160,10 @@ object SnapshotTable {
       prev = curMap
       prevSnap = Some(snapV)
     }
-    (inserts.result(), deletes.result(), eqDeletes.result())
+    (inserts.result(), deletes.result(),
+      eqFiles.valuesIterator.map { case (p, prior, eps) =>
+        CdfEqFile(p, prior, eps.toSeq)
+      }.toSeq)
   }
 
   /** Executor-side resolution of one [[CdfDeleteSet]]: (fresh ordinals,
@@ -1202,7 +1248,7 @@ object SnapshotTable {
           .flatMap { case (path, oldDv, newDv, fullRows, updDv, v) =>
             val c = hconfB.value.value
             val (fresh, isUpd) = resolveDeleteSet(c, oldDv, newDv, fullRows, updDv)
-            val key = norm(path)
+            val key = encNorm(path)
             fresh.iterator.zipWithIndex.map { case (pos, i) =>
               (key, pos, v, if (isUpd(i)) "update_preimage" else "delete")
             }
@@ -1212,19 +1258,44 @@ object SnapshotTable {
         // hdfs roots); normalization is only the JOIN KEY, via a
         // codegen-friendly builtin that strips scheme://authority
         val files = deleteSets.map(_.file).distinct
-        Seq(readFiles(spark, files, schema)
+        val joined = readFiles(spark, files, schema)
           .withColumn("__cf_file", regexp_replace(col("_metadata.file_path"),
             "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""))
           .withColumn("__cf_pos", col("_metadata.row_index"))
           .join(keys, Seq("__cf_file", "__cf_pos"))
-          .select(cols :+ col("__cf_type").as("_change_type")
-            :+ col("__cf_v").as("_commit_version"): _*))
+        // a FULLY-removed file may carry in-force equality deletes: its
+        // key-retired rows were already emitted at their upsert epoch,
+        // so the removal's complement must not re-emit them (per-file
+        // anti-join on the prior sidecars' key tuples)
+        val priorPairs = deleteSets
+          .flatMap(d => d.priorEq.map(p => (encNorm(d.file), p))).distinct
+        val filtered =
+          if (priorPairs.isEmpty) joined
+          else {
+            val keyCols = deleteSets.find(_.priorEq.nonEmpty).get.eqKeys
+            val sc = schema.get
+            val keyTypes = keyCols.map(k => sc(sc.fieldIndex(k)).dataType)
+            joined.withColumn("__eq_key", canonKeyTuple(keyCols, keyTypes))
+              .join(
+                spark.createDataset(priorPairs).flatMap { case (f0, p) =>
+                  val (ks, set) = EqualityDeletes.read(hconfB.value.value, p)
+                  require(ks == keyCols,
+                    s"prior sidecar $p keys $ks != $keyCols")
+                  set.iterator.map(k => (f0, k))
+                }.toDF("__cf_file", "__eq_key"),
+                Seq("__cf_file", "__eq_key"), "left_anti")
+          }
+        Seq(filtered.select(cols :+ col("__cf_type").as("_change_type")
+          :+ col("__cf_v").as("_commit_version"): _*))
       }
-    // EQUALITY-delete epochs (streaming upserts): per epoch, the
-    // victims are the applicable files' rows that were LIVE just
-    // before the version (prev dv + prior sidecars filtered out,
-    // distributed) and whose key tuple is in the epoch's sidecars —
-    // a semi-join against an executor-side read of the new key sets.
+    // EQUALITY-delete epochs (streaming upserts) — SINGLE PASS: each
+    // applicable file is read ONCE for the whole window, however many
+    // epochs it spans. Per row, the victim's commit version is the
+    // EARLIEST applicable epoch containing its key (array_intersect of
+    // the key's epoch list with the file's), gated on the row being
+    // live then: not retired by a pre-window sidecar, not in that
+    // epoch's prior deletion vector. All sidecar/vector reads are
+    // executor-side; driver state is O(touched files + epochs).
     val eqDf =
       if (eqSets.isEmpty) Seq.empty
       else {
@@ -1234,42 +1305,63 @@ object SnapshotTable {
           new graft.storage.dsv2.SerializableHadoopConf(
             spark.sessionState.newHadoopConf()))
         val sc = schema.get
-        eqSets.groupBy(_.version).toSeq.sortBy(_._1).map { case (v, sets) =>
-          val keyCols = sets.head.keys
-          val keyTypes = keyCols.map(k => sc(sc.fieldIndex(k)).dataType)
-          val base = readFiles(spark, sets.map(_.file), schema)
-            .withColumn("__gf_file",
-              regexp_replace(col("_metadata.file_path"), SchemeRe, ""))
-            .withColumn("__gf_pos", col("_metadata.row_index"))
-            .withColumn("__eq_key", canonKeyTuple(keyCols, keyTypes))
-          val dvPairs = sets.filter(_.oldDv.nonEmpty)
-            .map(s0 => (s0.file, s0.oldDv))
-          val afterDv =
-            if (dvPairs.isEmpty) base
-            else base.join(
-              spark.createDataset(dvPairs).flatMap { case (f0, dvp) =>
-                DeletionVectors.read(hconfB.value.value, dvp).iterator
-                  .map(p => (norm(f0), p))
-              }.toDF("__gf_file", "__gf_pos"),
-              Seq("__gf_file", "__gf_pos"), "left_anti")
-          val priorPairs = sets
-            .flatMap(s0 => s0.priorEq.map(p => (norm(s0.file), p))).distinct
-          val live =
-            if (priorPairs.isEmpty) afterDv
-            else afterDv.join(
-              spark.createDataset(priorPairs).flatMap { case (f0, p) =>
-                EqualityDeletes.read(hconfB.value.value, p)._2.iterator
-                  .map(k => (f0, k))
-              }.toDF("__gf_file", "__eq_key"),
-              Seq("__gf_file", "__eq_key"), "left_anti")
-          val newKeys = spark
-            .createDataset(sets.flatMap(_.newEq).distinct)
-            .flatMap(p => EqualityDeletes.read(hconfB.value.value, p)._2.iterator)
-            .toDF("__eq_key")
-          live.join(newKeys, Seq("__eq_key"), "left_semi")
-            .select(cols :+ lit("delete").as("_change_type")
-              :+ lit(v).as("_commit_version"): _*)
-        }
+        val allKeySets = eqSets.flatMap(_.epochs.map(_.keys)).distinct
+        require(allKeySets.size == 1,
+          s"change feed over upsert epochs with differing key sets " +
+            s"$allKeySets — diff the versions with Cdc.snapshotDiff")
+        val keyCols = allKeySets.head
+        val keyTypes = keyCols.map(k => sc(sc.fieldIndex(k)).dataType)
+        val base = readFiles(spark, eqSets.map(_.file), schema)
+          .withColumn("__gf_file",
+            regexp_replace(col("_metadata.file_path"), SchemeRe, ""))
+          .withColumn("__gf_pos", col("_metadata.row_index"))
+          .withColumn("__eq_key", canonKeyTuple(keyCols, keyTypes))
+        // rows retired BEFORE the window (per-file prior sidecars)
+        val priorPairs = eqSets
+          .flatMap(d => d.priorEq.map(p => (encNorm(d.file), p))).distinct
+        val live =
+          if (priorPairs.isEmpty) base
+          else base.join(
+            spark.createDataset(priorPairs).flatMap { case (f0, p) =>
+              val (ks, set) = EqualityDeletes.read(hconfB.value.value, p)
+              require(ks == keyCols, s"prior sidecar $p keys $ks != $keyCols")
+              set.iterator.map(k => (f0, k))
+            }.toDF("__gf_file", "__eq_key"),
+            Seq("__gf_file", "__eq_key"), "left_anti")
+        // key → the epoch versions that upserted it (executor reads)
+        val epochSidecars = eqSets.flatMap(_.epochs)
+          .flatMap(e => e.newEq.map(p => (e.version, p))).distinct
+        val keyVs = spark.createDataset(epochSidecars)
+          .flatMap { case (v, p) =>
+            EqualityDeletes.read(hconfB.value.value, p)._2.iterator
+              .map(k => (k, v))
+          }.toDF("__eq_key", "__eq_v")
+          .groupBy("__eq_key")
+          .agg(collect_set(col("__eq_v")).as("__eq_vs"))
+        // file → its applicable epoch versions (driver metadata)
+        val fileVs = eqSets
+          .map(d => (encNorm(d.file), d.epochs.map(_.version)))
+          .toDF("__gf_file", "__file_vs")
+        val attributed = live
+          .join(keyVs, Seq("__eq_key"))
+          .join(broadcast(fileVs), Seq("__gf_file"))
+          .withColumn("__cv",
+            array_min(array_intersect(col("__eq_vs"), col("__file_vs"))))
+          .where(col("__cv").isNotNull)
+        // drop rows position-dead before their attributed epoch
+        val dvTriples = eqSets.flatMap(d =>
+          d.epochs.filter(_.dvAtPrev.nonEmpty)
+            .map(e => (encNorm(d.file), e.version, e.dvAtPrev))).distinct
+        val alive =
+          if (dvTriples.isEmpty) attributed
+          else attributed.join(
+            spark.createDataset(dvTriples).flatMap { case (f0, v, dvp) =>
+              DeletionVectors.read(hconfB.value.value, dvp).iterator
+                .map(p => (f0, v, p))
+            }.toDF("__gf_file", "__cv", "__gf_pos"),
+            Seq("__gf_file", "__cv", "__gf_pos"), "left_anti")
+        Seq(alive.select(cols :+ lit("delete").as("_change_type")
+          :+ col("__cv").as("_commit_version"): _*))
       }
     val all = insertDf ++ deleteDf ++ eqDf
     if (all.isEmpty) {
@@ -1543,7 +1635,7 @@ object SnapshotTable {
       if (withDv.isEmpty) keyed
       else {
         val dropped: Seq[(String, Long)] = withDv.flatMap(e =>
-          DeletionVectors.read(conf, e.dv).map(p => (norm(e.path), p)))
+          DeletionVectors.read(conf, e.dv).map(p => (encNorm(e.path), p)))
         keyed.join(broadcast(dropped.toDF("__gf_file", "__gf_pos")),
           Seq("__gf_file", "__gf_pos"), "left_anti")
       }
@@ -1571,7 +1663,7 @@ object SnapshotTable {
             val (_, set) = EqualityDeletes.read(hconfB.value.value, p)
             set.iterator.map(enc => (enc, v))
           }.toDF("__eq_key_r", "__eq_v")
-        val addVDf = entries.map(e => (norm(e.path), e.addV))
+        val addVDf = entries.map(e => (encNorm(e.path), e.addV))
           .toDF("__gf_file", "__eq_addv")
         dvApplied
           .join(broadcast(addVDf), Seq("__gf_file"))
@@ -2175,33 +2267,52 @@ object SnapshotTable {
         c == '\r'),
       s"ref name must be nonempty without tab/newline: '$name'")
 
-  /** Serialize read-modify-write ref updates with the same O_EXCL
-    * lock-file (+ stale takeover) the commit fallback uses — two
-    * concurrent tag/fast_forward calls must not lose each other's
-    * update through the whole-file overwrite. */
+  /** Serialize read-modify-write ref updates with a create-exclusive
+    * lock file (+ stale takeover) ON THE TABLE'S FILESYSTEM — two
+    * concurrent tag/fast_forward calls, possibly from DIFFERENT
+    * drivers on a shared store (HDFS), must not lose each other's
+    * update through the whole-file refs overwrite. On the local
+    * scheme the acquire is java.nio `createFile` (true O_EXCL — the
+    * same primitive the commit fallback uses); remote filesystems use
+    * their own atomic `create(path, overwrite=false)`. Object stores
+    * without atomic create keep the documented single-driver
+    * limitation, like the manifest commit itself. */
   private def withRefsLock[A](spark: SparkSession, root: String)(f: => A): A = {
     val fsys = fs(spark, root)
     fsys.mkdirs(snapDir(root))
-    val lock = java.nio.file.Paths.get(fsys.makeQualified(
-      new Path(snapDir(root), ".refs.lock")).toUri.getPath)
+    val lockP = new Path(snapDir(root), ".refs.lock")
+    val local = fsys.getScheme == "file"
+    val lockNio =
+      if (local) java.nio.file.Paths.get(fsys.makeQualified(lockP).toUri.getPath)
+      else null
+    def tryAcquire(): Boolean =
+      if (local)
+        try { java.nio.file.Files.createFile(lockNio); true }
+        catch { case _: java.io.IOException => false }
+      else
+        try { fsys.create(lockP, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    def mtime(): Long =
+      if (local) java.nio.file.Files.getLastModifiedTime(lockNio).toMillis
+      else fsys.getFileStatus(lockP).getModificationTime
+    def drop(): Unit =
+      if (local) { java.nio.file.Files.deleteIfExists(lockNio); () }
+      else { try fsys.delete(lockP, false) catch { case _: java.io.IOException => () }; () }
     val deadline = System.currentTimeMillis() + 10000
     var held = false
     while (!held) {
-      try { java.nio.file.Files.createFile(lock); held = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val stale = try {
-            System.currentTimeMillis() -
-              java.nio.file.Files.getLastModifiedTime(lock).toMillis > lockStaleMs
-          } catch { case _: Exception => false }
-          if (stale) java.nio.file.Files.deleteIfExists(lock)
-          else if (System.currentTimeMillis() > deadline)
-            throw new java.util.ConcurrentModificationException(
-              s"could not acquire the refs lock at $root")
-          else Thread.sleep(50)
+      if (tryAcquire()) held = true
+      else {
+        val stale = try System.currentTimeMillis() - mtime() > lockStaleMs
+          catch { case _: Exception => false }
+        if (stale) drop()
+        else if (System.currentTimeMillis() > deadline)
+          throw new java.util.ConcurrentModificationException(
+            s"could not acquire the refs lock at $root")
+        else Thread.sleep(50)
       }
     }
-    try f finally java.nio.file.Files.deleteIfExists(lock)
+    try f finally drop()
   }
 
   private def writeRefs(spark: SparkSession, root: String,

@@ -72,15 +72,24 @@ final class SnapshotCdfTable(root: String, tableSchema: StructType,
   * side, so CDF planning holds no positions in driver memory however
   * large the delete. `postimage`/`updDv` carry the version's update
   * linkage: postimage files' rows type `update_postimage`, and deleted
-  * ordinals present in `updDv` type `update_preimage`. */
+  * ordinals present in `updDv` type `update_preimage`.
+  *
+  * Equality-delete (streaming-upsert) exposure rides as `eqEpochs` —
+  * the file's FULL in-window epoch list, so one partition = one read
+  * of the file for the whole window; the reader attributes each row to
+  * its earliest matching epoch. `eqPrior`/`eqKeys` name the sidecars
+  * (and their key columns) already in force before the window — their
+  * victims predate it; on a full-removal delete partition they filter
+  * the complement so key-retired rows don't double-emit. */
 final case class SnapshotCdfPartition(file: String, version: Long,
                                       isDelete: Boolean,
                                       atAddDv: String, postimage: Boolean,
                                       oldDv: String, newDv: String,
                                       fullRows: Long, updDv: String,
                                       eqPrior: Seq[String] = Seq.empty,
-                                      eqNew: Seq[String] = Seq.empty,
-                                      eqKeys: Seq[String] = Seq.empty)
+                                      eqKeys: Seq[String] = Seq.empty,
+                                      eqEpochs: Seq[SnapshotTable.CdfEqEpoch] =
+                                        Seq.empty)
   extends InputPartition
 
 final class SnapshotCdfScan(root: String, cdfSchema: StructType,
@@ -98,7 +107,7 @@ final class SnapshotCdfScan(root: String, cdfSchema: StructType,
       toV.map(v => s" to=v$v").getOrElse("")
 
   private def partitionsFor(from: Long, to: Long): Array[InputPartition] = {
-    val (inserts, deletes, eqDeletes) =
+    val (inserts, deletes, eqFiles) =
       SnapshotTable.changeSets(spark, root, from, to)
     (inserts.map { case (v, e, postimage) =>
       SnapshotCdfPartition(e.path, v, isDelete = false,
@@ -108,15 +117,16 @@ final class SnapshotCdfScan(root: String, cdfSchema: StructType,
       SnapshotCdfPartition(d.file, d.version, isDelete = true,
         atAddDv = "", postimage = false,
         oldDv = d.oldDv, newDv = d.newDv, fullRows = d.fullRows,
-        updDv = d.updDv): InputPartition
-    } ++ eqDeletes.map { d =>
-      // an upsert epoch's key-matched victims: the reader scans the
-      // file, drops rows dead BEFORE the version (prev dv + prior
-      // sidecars), and emits the ones whose key is in the new sidecars
-      SnapshotCdfPartition(d.file, d.version, isDelete = true,
+        updDv = d.updDv, eqPrior = d.priorEq,
+        eqKeys = d.eqKeys): InputPartition
+    } ++ eqFiles.map { d =>
+      // the window's upsert epochs over one file, as ONE partition —
+      // the reader scans the file once, attributing each key-matched
+      // row to its earliest applicable epoch
+      SnapshotCdfPartition(d.file, d.epochs.head.version, isDelete = true,
         atAddDv = "", postimage = false,
-        oldDv = d.oldDv, newDv = "", fullRows = -1L, updDv = "",
-        eqPrior = d.priorEq, eqNew = d.newEq, eqKeys = d.keys): InputPartition
+        oldDv = "", newDv = "", fullRows = -1L, updDv = "",
+        eqPrior = d.priorEq, eqEpochs = d.epochs): InputPartition
     }).toArray
   }
 
@@ -203,32 +213,72 @@ final class SnapshotCdfReaderFactory(cdfSchema: StructType,
                                      conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
 
-  /** Equality-delete (streaming-upsert) victims of one epoch: scan the
-    * file with its PREV-version vector subtracted, drop rows a PRIOR
-    * sidecar already killed, and emit the ones whose key tuple is in
-    * the epoch's NEW sidecars — typed `delete`. All sidecar reads and
-    * membership tests are executor-side. */
+  /** Per-key-set (ordinals, types) renderer cache — identical key sets
+    * share array instances so the per-row key memo can `eq`-compare. */
+  private def renderers(keySets: Seq[Seq[String]])
+      : Map[Seq[String], (Array[Int], Array[org.apache.spark.sql.types.DataType])] =
+    keySets.distinct.map { ks =>
+      val ords = ks.map(cdfSchema.fieldIndex).toArray
+      ks -> (ords, ords.map(i => cdfSchema.fields(i).dataType))
+    }.toMap
+
+  /** SINGLE-PASS equality-delete victims over ALL of one file's
+    * in-window upsert epochs: scan the file once; per row, skip
+    * pre-window retirees (prior sidecars, key columns from their own
+    * headers), find the EARLIEST epoch whose key set contains the
+    * row's tuple, and emit `delete` at that epoch's version unless the
+    * row was already position-dead then (binary probe of that epoch's
+    * `dvAtPrev`). All sidecar/vector reads are executor-side. */
   private def eqDeleteReader(p: SnapshotCdfPartition): PartitionReader[InternalRow] = {
-    val prior = SnapshotEqRead.keys(conf.value, p.eqPrior)
-    val fresh = SnapshotEqRead.keys(conf.value, p.eqNew)
-    val ords = p.eqKeys.map(cdfSchema.fieldIndex).toArray
-    val types = ords.map(i => cdfSchema.fields(i).dataType)
+    val priors: Seq[(Set[String], Seq[String])] = p.eqPrior.map { path =>
+      val (ks, set) = graft.storage.EqualityDeletes.read(conf.value, path)
+      (set, ks)
+    }
+    val rends = renderers(priors.map(_._2) ++ p.eqEpochs.map(_.keys))
+    val eps = p.eqEpochs.map { e =>
+      (e.version, SnapshotEqRead.keys(conf.value, e.newEq),
+        if (e.dvAtPrev.isEmpty) Array.emptyLongArray
+        else graft.storage.DeletionVectors.read(conf.value, e.dvAtPrev),
+        rends(e.keys))
+    }.toArray
+    val priorSets = priors.map { case (set, ks) => (set, rends(ks)) }
     val inner = new SnapshotPartitionReader(p.file, cdfSchema,
-      Map.empty, conf.value, dvPath = p.oldDv)
+      Map.empty, conf.value) // whole file in order: ordinal = row count
     val ctIdx = cdfSchema.fieldIndex(SnapshotCdfTable.ChangeType)
     val cvIdx = cdfSchema.fieldIndex(SnapshotCdfTable.CommitVersion)
     val tag = UTF8String.fromString("delete")
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
+      private var pos = -1L
+      private var memoOrds: Array[Int] = _
+      private var memoKey: String = _
       override def next(): Boolean = {
         while (inner.next()) {
+          pos += 1
           val r = inner.get()
-          val k = SnapshotEqRead.rowKey(r, ords, types)
-          if (!prior.contains(k) && fresh.contains(k)) {
-            r.update(ctIdx, tag)
-            r.update(cvIdx, p.version)
-            cur = r
-            return true
+          memoOrds = null
+          def keyOf(rd: (Array[Int], Array[org.apache.spark.sql.types.DataType])): String = {
+            if (rd._1 ne memoOrds) {
+              memoKey = SnapshotEqRead.rowKey(r, rd._1, rd._2)
+              memoOrds = rd._1
+            }
+            memoKey
+          }
+          val preDead = priorSets.exists { case (set, rd) => set.contains(keyOf(rd)) }
+          if (!preDead) {
+            var j = 0
+            var hit = -1
+            while (j < eps.length && hit < 0) {
+              if (eps(j)._2.contains(keyOf(eps(j)._4))) hit = j
+              j += 1
+            }
+            if (hit >= 0 &&
+                java.util.Arrays.binarySearch(eps(hit)._3, pos) < 0) {
+              r.update(ctIdx, tag)
+              r.update(cvIdx, eps(hit)._1)
+              cur = r
+              return true
+            }
           }
         }
         false
@@ -240,7 +290,7 @@ final class SnapshotCdfReaderFactory(cdfSchema: StructType,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotCdfPartition]
-    if (p.eqNew.nonEmpty) return eqDeleteReader(p)
+    if (p.eqEpochs.nonEmpty) return eqDeleteReader(p)
     // EXECUTOR-SIDE vector diffing: delete partitions carry sidecar
     // paths; the fresh ordinals (new \ old, or the complement for a
     // fully-deleted file) and their update-preimage flags are resolved
@@ -250,6 +300,16 @@ final class SnapshotCdfReaderFactory(cdfSchema: StructType,
         SnapshotTable.resolveDeleteSet(conf.value, p.oldDv, p.newDv,
           p.fullRows, p.updDv)
       else (null, null)
+    // a FULLY-removed file with in-force equality deletes: the prior
+    // sidecars' victims were already emitted at their upsert epoch —
+    // the complement must filter them by key or the feed double-emits
+    val priorSets: Seq[(Set[String], (Array[Int], Array[org.apache.spark.sql.types.DataType]))] =
+      if (p.eqPrior.isEmpty) Seq.empty
+      else {
+        val rd = renderers(Seq(p.eqKeys))(p.eqKeys)
+        p.eqPrior.map(path =>
+          (graft.storage.EqualityDeletes.read(conf.value, path)._2, rd))
+      }
     // the inner reader materializes the FULL cdf schema (the two change
     // columns are absent from parquet → null slots, filled per row);
     // deletes read exactly the newly-vectored ordinals, inserts read
@@ -265,18 +325,29 @@ final class SnapshotCdfReaderFactory(cdfSchema: StructType,
     val deleteTag = UTF8String.fromString("delete")
     val preimageTag = UTF8String.fromString("update_preimage")
     new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
       private var i = -1 // index into `fresh` (delete partitions only):
                          // keepOnly emits rows in exactly that order
-      override def next(): Boolean = { val n = inner.next(); if (n) i += 1; n }
-      override def get(): InternalRow = {
-        val r = inner.get()
-        r.update(ctIdx,
-          if (!p.isDelete) insertTag
-          else if (isUpd(i)) preimageTag
-          else deleteTag)
-        r.update(cvIdx, p.version)
-        r
+      override def next(): Boolean = {
+        while (inner.next()) {
+          i += 1
+          val r = inner.get()
+          val eqDead = priorSets.nonEmpty && priorSets.exists {
+            case (set, rd) => set.contains(SnapshotEqRead.rowKey(r, rd._1, rd._2))
+          }
+          if (!eqDead) {
+            r.update(ctIdx,
+              if (!p.isDelete) insertTag
+              else if (isUpd(i)) preimageTag
+              else deleteTag)
+            r.update(cvIdx, p.version)
+            cur = r
+            return true
+          }
+        }
+        false
       }
+      override def get(): InternalRow = cur
       override def close(): Unit = inner.close()
     }
   }

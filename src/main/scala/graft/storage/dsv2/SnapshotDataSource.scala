@@ -1631,6 +1631,20 @@ final class SnapshotStreamingWrite(root: String, schema: StructType,
             s"streaming upsert needs add-versions on every file; " +
               s"${e.path} predates them — compact the table once first")
         })
+      // key-set gate BEFORE committing: an epoch whose upsertKeys differ
+      // from the key set of still-in-force #eqdelete lines would make the
+      // table head unreadable (every scan builder refuses mixed key
+      // sets) — fail the epoch here instead, with actionable guidance
+      if (eqSidecars.nonEmpty)
+        cur.foreach { s =>
+          val inForce = s.eqDeletes.map(_._4).distinct
+          require(inForce.forall(_ == upsertKeys),
+            s"upsert keys ${upsertKeys.mkString(",")} differ from the " +
+              s"in-force equality-delete key set(s) " +
+              s"${inForce.map(_.mkString(",")).mkString("[", "; ", "]")} — " +
+              "compact the table to materialize the old deletes away, " +
+              "then restart the stream with the new keys")
+        }
       val fresh = SnapshotTable.collectStats(spark, files.map(_.path), statsCols)
       try {
         val (v, all, lines, nextSchema) = (cur, overwrite) match {
