@@ -182,16 +182,36 @@ object SnapshotTable {
     lazy val eqDeletes: Seq[(String, Long, Long, Seq[String])] = meta.collect {
       case l if l.startsWith("#eqdelete ") =>
         l.stripPrefix("#eqdelete ").split("\t") match {
-          case Array(p, v, r, ks) =>
-            (v.toLongOption, r.toLongOption) match {
+          case arr if arr.length >= 4 =>
+            (arr(1).toLongOption, arr(2).toLongOption) match {
               case (Some(ver), Some(rows)) =>
-                Some((p, ver, rows,
-                  ks.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+                Some((arr(0), ver, rows,
+                  arr(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq))
               case _ => None
             }
           case _ => None
         }
     }.flatten
+    /** Optional per-sidecar KEY RANGE (6-field `#eqdelete` form, fields
+      * 5/6 = min/max of the single key column over the sink's
+      * cast-to-double domain — the SAME domain the stats sidecar
+      * records per file): sidecar → (min, max). What lets scans prove
+      * a file's key range disjoint from an epoch's and skip the probe
+      * entirely — the time-keyed-stream fast path. Absent for
+      * multi-column or non-numeric keys (no skipping, no false
+      * negatives). */
+    lazy val eqDeleteRanges: Map[String, (Double, Double)] = meta.collect {
+      case l if l.startsWith("#eqdelete ") =>
+        l.stripPrefix("#eqdelete ").split("\t") match {
+          case arr if arr.length >= 6 =>
+            (arr(4).toDoubleOption, arr(5).toDoubleOption) match {
+              case (Some(mn), Some(mx)) if !mn.isNaN && !mx.isNaN =>
+                Some(arr(0) -> (mn, mx))
+              case _ => None
+            }
+          case _ => None
+        }
+    }.flatten.toMap
     /** The eqdelete sidecars applying to `e` (committed after it). */
     def eqDeletesFor(e: FileEntry): Seq[(String, Long, Long, Seq[String])] =
       eqDeletes.filter { case (_, v, _, _) => e.addV < 0L || e.addV < v }
@@ -200,13 +220,31 @@ object SnapshotTable {
       * key set) — refusing mixed key sets with compact-first guidance.
       * THE shared helper for every scan builder (plain, delta rewrite,
       * group rewrite); changing applicability or the key-set rule
-      * happens here once. */
-    def eqPlanFor(kept: Seq[FileEntry])
+      * happens here once.
+      *
+      * `fileStats` (the version's stats map) enables KEY-RANGE
+      * SKIPPING: a sidecar carrying a key range ([[eqDeleteRanges]])
+      * stops applying to files whose recorded key-column min/max is
+      * PROVABLY disjoint — on a time-keyed upsert stream that is most
+      * of the table, which then pays ZERO per-row probe work. Missing
+      * stats/range keep the probe (no false negatives). */
+    def eqPlanFor(kept: Seq[FileEntry],
+                  fileStats: Map[(String, String), (Double, Double)] = Map.empty)
         : (Map[String, Seq[String]], Seq[String]) = {
+      def rangeApplies(e: FileEntry, path: String, ks: Seq[String]): Boolean =
+        (eqDeleteRanges.get(path),
+          if (ks.size == 1) fileStats.get((norm(e.path), ks.head)) else None) match {
+          case (Some((dmn, dmx)), Some((fmn, fmx))) => dmx >= fmn && dmn <= fmx
+          case _ => true
+        }
       val byFile = kept.flatMap { e =>
-        val ds = eqDeletesFor(e).map(_._1)
+        val ds = eqDeletesFor(e).collect {
+          case (p, _, _, ks) if rangeApplies(e, p, ks) => p
+        }
         if (ds.isEmpty) None else Some(norm(e.path) -> ds)
       }.toMap
+      // the key-set rule stays over the UNSKIPPED applicability (a
+      // range-skipped sidecar still forbids a mixed-key-set table)
       val keySets = kept.flatMap(e => eqDeletesFor(e).map(_._4)).distinct
       require(keySets.size <= 1,
         s"equality deletes with differing key sets in force: $keySets " +
@@ -216,11 +254,16 @@ object SnapshotTable {
   }
 
   /** THE `#eqdelete` manifest-line renderer — parsing lives in
-    * [[Snapshot.eqDeletes]]; every writer (nextMeta carry, restore,
-    * the streaming-upsert sink) renders through here. */
+    * [[Snapshot.eqDeletes]]/[[Snapshot.eqDeleteRanges]]; every writer
+    * renders through here (nextMeta/restore carry lines RAW, so the
+    * optional range survives untouched). `range` = the sidecar keys'
+    * min/max in the cast-to-double stats domain, single numeric/
+    * timestamp key columns only. */
   def eqDeleteLine(path: String, version: Long, rows: Long,
-                   keys: Seq[String]): String =
-    s"#eqdelete $path\t$version\t$rows\t${keys.mkString(",")}"
+                   keys: Seq[String],
+                   range: Option[(Double, Double)] = None): String =
+    s"#eqdelete $path\t$version\t$rows\t${keys.mkString(",")}" +
+      range.map { case (mn, mx) => s"\t$mn\t$mx" }.getOrElse("")
 
   /** The `#partition` manifest metadata line for field `specs` (empty ⇒
     * none). */
@@ -444,8 +487,8 @@ object SnapshotTable {
     val meta = meta0.filter { l =>
       if (!l.startsWith("#eqdelete ")) true
       else l.stripPrefix("#eqdelete ").split("\t") match {
-        case Array(_, ver, _, _) =>
-          ver.toLongOption.exists(eqV => entries.exists(_.addV < eqV))
+        case arr if arr.length >= 4 =>
+          arr(1).toLongOption.exists(eqV => entries.exists(_.addV < eqV))
         case _ => false
       }
     }
@@ -539,10 +582,9 @@ object SnapshotTable {
       rowLevelMeta(rowLevelOverride.getOrElse(
         base.map(_.rowLevelModes).getOrElse(Map.empty))) ++
       // equality deletes stay in force across commits (commit() retires
-      // the ones every entry postdates)
-      base.toSeq.flatMap(_.eqDeletes).map { case (p, v, r, ks) =>
-        eqDeleteLine(p, v, r, ks)
-      } ++
+      // the ones every entry postdates); carried RAW so optional fields
+      // (the key range) survive verbatim
+      base.toSeq.flatMap(_.meta.filter(_.startsWith("#eqdelete "))) ++
       m.toSeq.sortBy(_._1).map {
         case ("", id) => s"#txn $id"
         case (app, id) => s"#txn $app $id"
@@ -1427,7 +1469,9 @@ object SnapshotTable {
         }
         else if (l.startsWith("#eqdelete "))
           l.stripPrefix("#eqdelete ").split("\t") match {
-            case Array(p, v0, r, ks) => s"#eqdelete ${reanchor(p)}\t$v0\t$r\t$ks"
+            case arr if arr.length >= 4 =>
+              "#eqdelete " +
+                (reanchor(arr(0)) +: arr.tail.toSeq).mkString("\t")
             case _ => l
           }
         else if (l.startsWith("#removed "))
@@ -2433,9 +2477,7 @@ object SnapshotTable {
     val next = cur.version + 1
     val meta = partitionMeta(snap.partitionSpecs) ++
       sortMeta(snap.sortCols) ++ rowLevelMeta(snap.rowLevelModes) ++
-      snap.eqDeletes.map { case (p, ev, r, ks) =>
-        eqDeleteLine(p, ev, r, ks)
-      } ++
+      snap.meta.filter(_.startsWith("#eqdelete ")) ++
       cur.txns.toSeq.sortBy(_._1).map {
         case ("", id) => s"#txn $id"
         case (app, id) => s"#txn $app $id"
