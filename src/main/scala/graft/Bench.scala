@@ -81,7 +81,20 @@ object Bench {
     }.sum)
     val passesJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val spread = passTotals.max - passTotals.min
-    println(f"""{"metric":"total","value":$total39%.3f,"unit":"sec","queries":$qs,"failed":$failed,"value_all_queries":$totalAll%.3f,"value_passes":$passesJson,"value_spread":$spread%.3f,"n_queries":${results.size},"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total39%.3f,"unit":"sec","queries":$qs,"failed":$failed,"value_all_queries":$totalAll%.3f,"value_passes":$passesJson,"value_spread":$spread%.3f,"n_queries":${results.size},"sf":"$sfDir"}"""
+    println(line)
+    // persist the FULL per-query map as an artifact: the driver's
+    // BENCH_r*.json keeps only the tail of stdout, which truncates the
+    // per-query map — this file is the auditable record for regression
+    // diffs across rounds
+    try {
+      val out = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write target/bench_full.json: $e")
+    }
     spark.stop()
   }
 }
