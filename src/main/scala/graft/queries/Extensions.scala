@@ -1574,6 +1574,78 @@ object Extensions {
             .as("total"))
         .orderBy("g")
     },
+    // RENAME + DROP COLUMN evolution end-to-end: v1 writes (k, price,
+    // flag); price renames to amount (old files keep serving it — the
+    // `#colmap` lineage maps logical→physical per file), flag DROPS,
+    // post-DDL appends write head names, and a mergeSchema append
+    // RE-ADDS 'flag' — a FRESH column the dropped lineage must never
+    // leak into (old rows read NULL). The oracle replays the final
+    // logical state analytically.
+    "SNAPSHOT-EVOLVE-RENAME" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_rename")
+        .toString + "/t"
+      s.table("orders").where(col("o_orderkey") <= 700)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderpriority").as("flag"))
+        .write.format("graft-snapshot").mode("append").save(root)
+      graft.storage.SnapshotTable.renameColumn(s, root, "price", "amount")
+      graft.storage.SnapshotTable.dropColumn(s, root, "flag")
+      s.table("orders")
+        .where(col("o_orderkey") > 700 && col("o_orderkey") <= 1400)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("amount"))
+        .write.format("graft-snapshot").mode("append").save(root)
+      s.table("orders")
+        .where(col("o_orderkey") > 1400 && col("o_orderkey") <= 1500)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("amount"),
+          lit("fresh").as("flag"))
+        .write.format("graft-snapshot").option("mergeSchema", "true")
+        .mode("append").save(root)
+      graft.storage.SnapshotTable.read(s, root)
+        .groupBy(coalesce(col("flag"), lit("legacy")).as("flag"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+          round(sum(col("amount").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("flag")
+    },
+    // MERGE `WHEN NOT MATCHED BY SOURCE` — the one-statement CDC-mirror
+    // idiom (update changed, insert new, delete vanished) — through the
+    // DELTA (merge-on-read) path: source-absent rows retire as position
+    // deletes, nothing rewrites. The NMBS arm carries a residual
+    // condition (urgent rows survive the purge). Oracle replays all
+    // three arms analytically.
+    "UPSERT-MERGE-NMBS" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_nmbs")
+        .toString + "/t"
+      val tbl = "merge_nmbs_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.table("orders").where(col("o_orderkey") <= 1200)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        .write.format("graft-snapshot").mode("append").save(root)
+      s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` " +
+        s"OPTIONS (path '$root', mergeMode 'merge-on-read')")
+      s.table("orders")
+        .where(col("o_orderkey") <= 1500 && col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"), lit("SYNCED").as("prio"),
+          (col("o_totalprice") + 500.0).as("price"))
+        .createOrReplaceTempView(s"${tbl}_src")
+      s.sql(
+        s"""MERGE INTO $tbl t USING ${tbl}_src u ON t.k = u.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND t.prio <> '1-URGENT' THEN DELETE""".stripMargin)
+      s.sql(s"REFRESH TABLE $tbl")
+      import s.implicits._
+      val rows = s.sql(s"""SELECT prio, count(*) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM $tbl GROUP BY prio ORDER BY prio""").collect()
+        .toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.catalog.dropTempView(s"${tbl}_src")
+      rows.toDF("prio", "n", "total")
+    },
     // snapshot CHANGE FEED: three appended versions, then an ORDINARY
     // read with option changesFrom=1 — exactly the rows versions 2..3
     // appended, never v1's (the metrics-store incremental-consumer
@@ -3121,6 +3193,32 @@ object Extensions {
         |GROUP BY prio ORDER BY prio""".stripMargin,
     // MERGE arms replayed in plain SQL: matched %7 keys deleted, other
     // matched %5 keys rewritten, unmatched non-DEL source keys inserted
+    "SNAPSHOT-EVOLVE-RENAME" ->
+      """WITH final AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS amount,
+        |    CAST(NULL AS VARCHAR) AS flag
+        |  FROM orders WHERE o_orderkey <= 1400
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'fresh'
+        |  FROM orders WHERE o_orderkey > 1400 AND o_orderkey <= 1500)
+        |SELECT coalesce(flag, 'legacy') AS flag, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sk,
+        |  round(CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM final GROUP BY 1 ORDER BY flag""".stripMargin,
+    "UPSERT-MERGE-NMBS" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    o_totalprice AS price FROM orders WHERE o_orderkey <= 1200),
+        |src AS (SELECT o_orderkey AS k, 'SYNCED' AS prio,
+        |    o_totalprice + 500.0 AS price
+        |  FROM orders WHERE o_orderkey <= 1500 AND o_orderkey % 3 = 0),
+        |final AS (
+        |  SELECT s.k, s.prio, s.price FROM src s
+        |  UNION ALL
+        |  SELECT b.k, b.prio, b.price FROM base b LEFT JOIN src s ON b.k = s.k
+        |  WHERE s.k IS NULL AND b.prio = '1-URGENT')
+        |SELECT prio, count(*) AS n,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM final GROUP BY prio ORDER BY prio""".stripMargin,
     "UPSERT-MERGE-SQL" ->
       """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
         |    o_totalprice AS price FROM orders WHERE o_orderkey <= 4000),

@@ -215,6 +215,23 @@ object SnapshotTable {
     /** The eqdelete sidecars applying to `e` (committed after it). */
     def eqDeletesFor(e: FileEntry): Seq[(String, Long, Long, Seq[String])] =
       eqDeletes.filter { case (_, v, _, _) => e.addV < 0L || e.addV < v }
+    /** Column RENAME/DROP events in force (`#colmap <version>\t<kind>\t
+      * <a>[\t<b>]`, kind = rename|drop) — the per-version lineage that
+      * lets readers resolve a logical column to each FILE's physical
+      * name (files keep the names they were written with; see
+      * [[SnapshotTable.physicalColumn]]). Carried forward until every
+      * entry postdates them (compaction rewrites files under current
+      * names, then commit() retires the lines). Sorted by version. */
+    lazy val colEvents: Seq[(Long, String, String, String)] = meta.collect {
+      case l if l.startsWith("#colmap ") =>
+        l.stripPrefix("#colmap ").split("\t") match {
+          case Array(v, "rename", old, nw) =>
+            v.toLongOption.map(x => (x, "rename", old, nw))
+          case Array(v, "drop", name) =>
+            v.toLongOption.map(x => (x, "drop", name, ""))
+          case _ => None
+        }
+    }.flatten.sortBy(_._1)
     /** Scan-planning view of the in-force equality deletes over a kept
       * entry set: (normalized file → applicable sidecar paths, the one
       * key set) — refusing mixed key sets with compact-first guidance.
@@ -232,11 +249,8 @@ object SnapshotTable {
                   fileStats: Map[(String, String), (Double, Double)] = Map.empty)
         : (Map[String, Seq[String]], Seq[String]) = {
       def rangeApplies(e: FileEntry, path: String, ks: Seq[String]): Boolean =
-        (eqDeleteRanges.get(path),
-          if (ks.size == 1) fileStats.get((norm(e.path), ks.head)) else None) match {
-          case (Some((dmn, dmx)), Some((fmn, fmx))) => dmx >= fmn && dmn <= fmx
-          case _ => true
-        }
+        eqRangeApplies(eqDeleteRanges.get(path),
+          if (ks.size == 1) fileStats.get((norm(e.path), ks.head)) else None)
       val byFile = kept.flatMap { e =>
         val ds = eqDeletesFor(e).collect {
           case (p, _, _, ks) if rangeApplies(e, p, ks) => p
@@ -251,6 +265,64 @@ object SnapshotTable {
           "(compact the table before changing upsert keys)")
       (byFile, keySets.headOption.getOrElse(Seq.empty))
     }
+  }
+
+  /** THE key-range disjointness test — shared by every eq-delete scan
+    * planner (connector [[Snapshot.eqPlanFor]] and the library
+    * [[readEntries]]): a sidecar with a recorded key range stops
+    * applying to a file whose stats prove its key-column values
+    * PROVABLY disjoint. Both bounds come through the SAME monotone
+    * cast-to-double map (writer tracks it, collectStats records it),
+    * so rounding can never prove a true overlap disjoint. Missing
+    * range or stats ⇒ applies (probe kept — no false negatives). */
+  private[storage] def eqRangeApplies(range: Option[(Double, Double)],
+                                      fstat: Option[(Double, Double)]): Boolean =
+    (range, fstat) match {
+      case (Some((dmn, dmx)), Some((fmn, fmx))) => dmx >= fmn && dmn <= fmx
+      case _ => true
+    }
+
+  /** Resolve a LOGICAL column of the head schema to the PHYSICAL name a
+    * file added at `addV` was written with, by walking the rename/drop
+    * events committed AFTER the file backwards from the head:
+    *  - `rename old→new` at v: a column named `new` above v was named
+    *    `old` below; a column named `old` above v is a DIFFERENT column
+    *    (the name was freed at v) — files below v must not serve it;
+    *  - `drop name` at v: a column named `name` above v was (re)created
+    *    after the drop — files below v hold the DROPPED lineage and
+    *    must not serve it.
+    * None ⇒ the file has no physical column for this logical one (read
+    * as null). Files with addV<0 (legacy) predate every event. */
+  private[storage] def physicalColumn(events: Seq[(Long, String, String, String)],
+                                      addV: Long, logical: String): Option[String] = {
+    var phys = logical
+    val it = events.filter(e => addV < 0L || e._1 > addV)
+      .sortBy(-_._1).iterator
+    while (it.hasNext) {
+      it.next() match {
+        case (_, "rename", old, nw) =>
+          if (phys == nw) phys = old
+          else if (phys == old) return None
+        case (_, "drop", name, _) =>
+          if (phys == name) return None
+        case _ => ()
+      }
+    }
+    Some(phys)
+  }
+
+  /** Per-file logical→physical resolution for `cols` under the
+    * snapshot's rename/drop events — ONLY files needing a non-identity
+    * mapping appear (the common, no-DDL table maps to an empty result
+    * and pays nothing). Value: logical → Some(physical) | None (null). */
+  private[storage] def colMapFor(snap: Snapshot, cols: Seq[String])
+      : Map[String, Map[String, Option[String]]] = {
+    if (snap.colEvents.isEmpty) return Map.empty
+    snap.entries.flatMap { e =>
+      val m = cols.map(c => c -> physicalColumn(snap.colEvents, e.addV, c)).toMap
+      if (m.forall { case (c, p) => p.contains(c) }) None
+      else Some(norm(e.path) -> m)
+    }.toMap
   }
 
   /** THE `#eqdelete` manifest-line renderer — parsing lives in
@@ -333,6 +405,20 @@ object SnapshotTable {
     * through the same `Path → URI` encoder); for the common
     * reserved-char-free path the two forms coincide. */
   private[storage] def encNorm(p: String): String = new Path(p).toUri.getRawPath
+
+  /** [[norm]] for strings Spark REPORTS (`input_file_name()`,
+    * `_metadata.file_path`): those arrive percent-ENCODED, so they must
+    * be URI-decoded before they can key anything that [[norm]]-keyed
+    * manifest paths will look up — on a root with a space/`%`, keying
+    * the raw string silently disconnects stats from every consumer
+    * (data skipping, NDV, metadata-delete proofs all fail safe but
+    * OFF). Non-URI input (no scheme, reserved chars unencoded) falls
+    * back to [[norm]]. */
+  private[storage] def decNorm(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      Option(u.getPath).filter(_.nonEmpty).getOrElse(norm(p))
+    } catch { case _: java.net.URISyntaxException => norm(p) }
 
   private def listParquetStatuses(f: FileSystem,
                                   dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
@@ -485,12 +571,20 @@ object SnapshotTable {
     // (every file now postdates them — e.g. after a compaction rewrote
     // the table): the sidecar itself retires through vacuum
     val meta = meta0.filter { l =>
-      if (!l.startsWith("#eqdelete ")) true
-      else l.stripPrefix("#eqdelete ").split("\t") match {
-        case arr if arr.length >= 4 =>
-          arr(1).toLongOption.exists(eqV => entries.exists(_.addV < eqV))
-        case _ => false
-      }
+      if (l.startsWith("#eqdelete "))
+        l.stripPrefix("#eqdelete ").split("\t") match {
+          case arr if arr.length >= 4 =>
+            arr(1).toLongOption.exists(eqV => entries.exists(_.addV < eqV))
+          case _ => false
+        }
+      // column rename/drop events retire by the same rule: once every
+      // entry postdates the event (compaction rewrote the table under
+      // current names), no file needs the mapping
+      else if (l.startsWith("#colmap "))
+        l.stripPrefix("#colmap ").split("\t").headOption
+          .flatMap(_.toLongOption)
+          .exists(ev => entries.exists(_.addV < ev))
+      else true
     }
     val files = entries.map(entryLine)
     val f = fs(spark, root)
@@ -581,10 +675,12 @@ object SnapshotTable {
       sortMeta(base.map(_.sortCols).getOrElse(Seq.empty)) ++
       rowLevelMeta(rowLevelOverride.getOrElse(
         base.map(_.rowLevelModes).getOrElse(Map.empty))) ++
-      // equality deletes stay in force across commits (commit() retires
-      // the ones every entry postdates); carried RAW so optional fields
-      // (the key range) survive verbatim
-      base.toSeq.flatMap(_.meta.filter(_.startsWith("#eqdelete "))) ++
+      // equality deletes AND column rename/drop events stay in force
+      // across commits (commit() retires the ones every entry
+      // postdates); carried RAW so optional fields (the key range)
+      // survive verbatim
+      base.toSeq.flatMap(_.meta.filter(l =>
+        l.startsWith("#eqdelete ") || l.startsWith("#colmap "))) ++
       m.toSeq.sortBy(_._1).map {
         case ("", id) => s"#txn $id"
         case (app, id) => s"#txn $app $id"
@@ -653,7 +749,9 @@ object SnapshotTable {
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.flatMap { r =>
-        val file = norm(r.getString(0))
+        // input_file_name() is percent-encoded; decode so the stats key
+        // lands in the same [[norm]] domain every consumer looks up
+        val file = decNorm(r.getString(0))
         statsCols.flatMap { c =>
           val (mn, mx) = (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"))
           val nulls = Option(r.getAs[Any](s"__nu_$c"))
@@ -912,6 +1010,14 @@ object SnapshotTable {
     * never correctness) — the snapshot layer's half of data skipping; the
     * per-row-group half is parquet's own min/max pushdown inside each
     * kept file. */
+  /** The two [[readEntries]] inputs that enable equality-delete key-range
+    * skipping — loaded only when some in-force sidecar actually carries
+    * a range (the stats sidecar read is otherwise skipped). */
+  private def eqSkipInputs(spark: SparkSession, root: String, s: Snapshot)
+      : (Map[String, (Double, Double)], Map[(String, String), (Double, Double)]) =
+    if (s.eqDeleteRanges.isEmpty) (Map.empty, Map.empty)
+    else (s.eqDeleteRanges, stats(spark, root, s.version))
+
   def readPruned(spark: SparkSession, root: String, statCol: String,
                  lo: Double, hi: Double): DataFrame = {
     // one snapshot resolution for files, stats AND schema — a commit
@@ -923,11 +1029,12 @@ object SnapshotTable {
     val schema = tableSchema(spark, root, snap.version)
     val base =
       if (keep.isEmpty)
-        readEntries(spark, snap.entries, schema, snap.eqDeletes).where(lit(false))
+        readEntries(spark, snap.entries, schema, snap.eqDeletes,
+          snap.eqDeleteRanges, st, snap.colEvents).where(lit(false))
       else {
         val keepSet = keep.map(norm).toSet
         readEntries(spark, snap.entries.filter(e => keepSet(norm(e.path))),
-          schema, snap.eqDeletes)
+          schema, snap.eqDeletes, snap.eqDeleteRanges, st, snap.colEvents)
       }
     base.where(col(statCol).cast("double") >= lo &&
       col(statCol).cast("double") <= hi)
@@ -939,7 +1046,8 @@ object SnapshotTable {
     * rows). Pure driver-side metadata — shared by [[history]] and the
     * connector's `option("history", true)` read. */
   private[storage] def historyRows(spark: SparkSession, root: String)
-      : Seq[(Long, java.sql.Timestamp, Long, Long, Option[Long], Boolean, Option[Long])] = {
+      : Seq[(Long, java.sql.Timestamp, Long, Long, Option[Long], Boolean,
+             Option[Long], Long, Option[Double])] = {
     val f = fs(spark, root)
     val sizes: Map[String, Long] = {
       val dirs = versions(spark, root)
@@ -955,13 +1063,27 @@ object SnapshotTable {
       val bytes = snap.entries.map { e =>
         if (e.bytes >= 0L) e.bytes else sizes.getOrElse(norm(e.path), 0L)
       }.sum
+      // UPSERT DEBT per version: equality-delete keys in force / recorded
+      // file rows — the maintenance gauge ("compact when this grows")
+      // whose bound the streaming sink's maxUpsertDebt option enforces.
+      // Debt is measured against RAW recorded rows (not key-matched live
+      // rows, which are uncountable without reading the data).
+      val eqKeys = snap.eqDeletes.map(_._3).sum
+      val debt: Option[Double] =
+        if (eqKeys == 0L) Some(0.0)
+        else if (snap.entries.nonEmpty && snap.entries.forall(_.rows >= 0L)) {
+          val rows = snap.entries.map(_.liveRows).sum
+          Some(if (rows > 0L) eqKeys.toDouble / rows else Double.PositiveInfinity)
+        } else None
       (v, new java.sql.Timestamp(
           f.getFileStatus(manifestPath(root, v)).getModificationTime),
         snap.files.size.toLong,
         bytes,
         snap.txn,
         f.exists(schemaPath(root, v)),
-        snap.rowCount)
+        snap.rowCount,
+        eqKeys,
+        debt)
     }
   }
 
@@ -974,7 +1096,8 @@ object SnapshotTable {
     import sq.implicits._
     historyRows(spark, root)
       .toDF("version", "committed_at", "n_files", "total_bytes",
-        "txn_batch", "has_schema", "total_rows")
+        "txn_batch", "has_schema", "total_rows", "eq_keys_in_force",
+        "upsert_debt")
   }
 
   /** CHANGE FEED (file granularity): the data files ADDED by versions in
@@ -992,6 +1115,25 @@ object SnapshotTable {
     * anchored on its file set. Gaps from vacuumed intermediate versions
     * telescope correctly (net adds across the gap). Metadata-scale:
     * manifest reads only. */
+  /** Change feeds emit rows under the WINDOW-END schema; a column
+    * rename/drop inside the window would mean different versions'
+    * entries disagree on what a name denotes — refuse with the
+    * keyed-diff guidance instead of emitting rows whose columns
+    * silently changed meaning mid-window. A window entirely AFTER the
+    * DDL is fine (every in-window entry postdates the event). */
+  private def refuseColDdlInWindow(spark: SparkSession, root: String,
+                                   fromV: Long, toV: Long): Unit = {
+    val retained = versions(spark, root).filter(_ <= toV)
+    if (retained.isEmpty) return
+    val crossed = snapshot(spark, root, retained.max).colEvents
+      .filter(e => e._1 > fromV && e._1 <= toV)
+    if (crossed.nonEmpty) throw new UnsupportedOperationException(
+      s"change feed window ($fromV, $toV] crosses column " +
+        s"rename/drop event(s) ${crossed.map(_._1).mkString(",")} at " +
+        s"$root — start the feed after the DDL version, or diff the " +
+        "versions with Cdc.snapshotDiff")
+  }
+
   def changedEntries(spark: SparkSession, root: String, fromV: Long, toV: Long,
                      ignoreRewrites: Boolean = false): Seq[FileEntry] = {
     require(fromV >= 0 && toV >= fromV,
@@ -1000,6 +1142,7 @@ object SnapshotTable {
     require(fromV == 0 || vs.contains(fromV),
       s"change-feed base v$fromV is not a retained version at $root " +
         s"(retained: ${vs.mkString(",")})")
+    refuseColDdlInWindow(spark, root, fromV, toV)
     var prev: Map[String, String] =
       if (fromV == 0) Map.empty
       else snapshot(spark, root, fromV).entries
@@ -1121,8 +1264,26 @@ object SnapshotTable {
     val eqFiles = scala.collection.mutable.LinkedHashMap
       .empty[String, (String, Seq[String],
         scala.collection.mutable.ArrayBuffer[CdfEqEpoch])]
+    // the feed reads touched files with the WINDOW-END schema: refuse
+    // (a) column rename/drop DDL inside the window, and (b) descriptors
+    // over files PREDATING an in-force rename/drop (their physical
+    // names differ from the head's — the raw readFiles in the feed's
+    // delete/eq branches would silently misread them)
+    def colDdlGuard(e: FileEntry, events: Seq[(Long, String, String, String)],
+                    v: Long): Unit =
+      if (events.exists(ev => e.addV < 0L || e.addV < ev._1))
+        throw new UnsupportedOperationException(
+          s"change feed at v$v touches ${e.path}, which predates a " +
+            s"column rename/drop at $root — compact the table to " +
+            "materialize current names, or diff the versions with " +
+            "Cdc.snapshotDiff")
     vs.filter(v => v > fromV && v <= to).foreach { v =>
       val snapV = snapshot(spark, root, v)
+      if (snapV.colEvents.exists(_._1 == v))
+        throw new UnsupportedOperationException(
+          s"version $v at $root renamed/dropped a column; a row-level " +
+            "change feed cannot span column DDL — start the feed after " +
+            "it, or diff the versions with Cdc.snapshotDiff")
       // EQUALITY-delete commits (streaming-upsert epochs) ARE
       // representable row-level: the victims are the matching-key rows
       // of every file the new sidecars apply to, restricted to rows
@@ -1140,6 +1301,7 @@ object SnapshotTable {
           .filter(e => newEq.exists { case (_, ev, _, _) =>
             e.addV < 0L || e.addV < ev })
           .toSeq.sortBy(_.path).foreach { e =>
+            colDdlGuard(e, snapV.colEvents, v)
             val slot = eqFiles.getOrElseUpdate(norm(e.path), {
               // prior sidecars at the file's FIRST in-window epoch:
               // everything already in force against it then — those
@@ -1164,6 +1326,7 @@ object SnapshotTable {
           "readVersion(v), keys)")
       removed.intersect(fullDeletes).toSeq.sorted.foreach { key =>
         val old = prev(key)
+        prevSnap.foreach(ps => colDdlGuard(old, ps.colEvents, v))
         require(old.rows >= 0L,
           s"cannot attribute the full merge-on-read delete of $key at " +
             s"v$v: the entry never recorded a row count")
@@ -1194,6 +1357,7 @@ object SnapshotTable {
                 "feed cannot represent resurrected rows - diff the " +
                 "versions with Cdc.snapshotDiff(readVersion(prev), " +
                 "readVersion(v), keys)")
+            colDdlGuard(e, snapV.colEvents, v)
             deletes += CdfDeleteSet(e.path, old.dv, e.dv, -1L,
               updv.getOrElse(key, ""), v)
           case _ => ()
@@ -1309,24 +1473,34 @@ object SnapshotTable {
         // key-retired rows were already emitted at their upsert epoch,
         // so the removal's complement must not re-emit them (per-file
         // anti-join on the prior sidecars' key tuples)
-        val priorPairs = deleteSets
-          .flatMap(d => d.priorEq.map(p => (encNorm(d.file), p))).distinct
-        val filtered =
-          if (priorPairs.isEmpty) joined
-          else {
-            val keyCols = deleteSets.find(_.priorEq.nonEmpty).get.eqKeys
-            val sc = schema.get
-            val keyTypes = keyCols.map(k => sc(sc.fieldIndex(k)).dataType)
-            joined.withColumn("__eq_key", canonKeyTuple(keyCols, keyTypes))
+        // prior sidecars group BY KEY SET: different fully-removed files
+        // can be covered by epochs on different key sets (legal when one
+        // set was fully retired before the next began) — each group gets
+        // its own canonical tuple and anti-join. A single file's priors
+        // are one set (changeSets require()s it), so a file only ever
+        // joins its own group; the executor require below can then only
+        // fire on sidecar corruption, never on a legal history.
+        val priorGroups = deleteSets.filter(_.priorEq.nonEmpty)
+          .groupBy(_.eqKeys)
+          .map { case (ks, ds) =>
+            ks -> ds.flatMap(d => d.priorEq.map(p => (encNorm(d.file), p)))
+              .distinct
+          }
+        val scDel = schema.get
+        val filtered = priorGroups.foldLeft(joined) {
+          case (df, (keyCols, pairs)) =>
+            val keyTypes = keyCols.map(k => scDel(scDel.fieldIndex(k)).dataType)
+            df.withColumn("__eq_key", canonKeyTuple(keyCols, keyTypes))
               .join(
-                spark.createDataset(priorPairs).flatMap { case (f0, p) =>
+                spark.createDataset(pairs).flatMap { case (f0, p) =>
                   val (ks, set) = EqualityDeletes.read(hconfB.value.value, p)
                   require(ks == keyCols,
                     s"prior sidecar $p keys $ks != $keyCols")
                   set.iterator.map(k => (f0, k))
                 }.toDF("__cf_file", "__eq_key"),
                 Seq("__cf_file", "__eq_key"), "left_anti")
-          }
+              .drop("__eq_key")
+        }
         Seq(filtered.select(cols :+ col("__cf_type").as("_change_type")
           :+ col("__cf_v").as("_commit_version"): _*))
       }
@@ -1347,63 +1521,76 @@ object SnapshotTable {
           new graft.storage.dsv2.SerializableHadoopConf(
             spark.sessionState.newHadoopConf()))
         val sc = schema.get
-        val allKeySets = eqSets.flatMap(_.epochs.map(_.keys)).distinct
-        require(allKeySets.size == 1,
-          s"change feed over upsert epochs with differing key sets " +
-            s"$allKeySets — diff the versions with Cdc.snapshotDiff")
-        val keyCols = allKeySets.head
-        val keyTypes = keyCols.map(k => sc(sc.fieldIndex(k)).dataType)
-        val base = readFiles(spark, eqSets.map(_.file), schema)
-          .withColumn("__gf_file",
-            regexp_replace(col("_metadata.file_path"), SchemeRe, ""))
-          .withColumn("__gf_pos", col("_metadata.row_index"))
-          .withColumn("__eq_key", canonKeyTuple(keyCols, keyTypes))
-        // rows retired BEFORE the window (per-file prior sidecars)
-        val priorPairs = eqSets
-          .flatMap(d => d.priorEq.map(p => (encNorm(d.file), p))).distinct
-        val live =
-          if (priorPairs.isEmpty) base
-          else base.join(
-            spark.createDataset(priorPairs).flatMap { case (f0, p) =>
-              val (ks, set) = EqualityDeletes.read(hconfB.value.value, p)
-              require(ks == keyCols, s"prior sidecar $p keys $ks != $keyCols")
-              set.iterator.map(k => (f0, k))
-            }.toDF("__gf_file", "__eq_key"),
-            Seq("__gf_file", "__eq_key"), "left_anti")
-        // key → the epoch versions that upserted it (executor reads)
-        val epochSidecars = eqSets.flatMap(_.epochs)
-          .flatMap(e => e.newEq.map(p => (e.version, p))).distinct
-        val keyVs = spark.createDataset(epochSidecars)
-          .flatMap { case (v, p) =>
-            EqualityDeletes.read(hconfB.value.value, p)._2.iterator
-              .map(k => (k, v))
-          }.toDF("__eq_key", "__eq_v")
-          .groupBy("__eq_key")
-          .agg(collect_set(col("__eq_v")).as("__eq_vs"))
-        // file → its applicable epoch versions (driver metadata)
-        val fileVs = eqSets
-          .map(d => (encNorm(d.file), d.epochs.map(_.version)))
-          .toDF("__gf_file", "__file_vs")
-        val attributed = live
-          .join(keyVs, Seq("__eq_key"))
-          .join(broadcast(fileVs), Seq("__gf_file"))
-          .withColumn("__cv",
-            array_min(array_intersect(col("__eq_vs"), col("__file_vs"))))
-          .where(col("__cv").isNotNull)
-        // drop rows position-dead before their attributed epoch
-        val dvTriples = eqSets.flatMap(d =>
-          d.epochs.filter(_.dvAtPrev.nonEmpty)
-            .map(e => (encNorm(d.file), e.version, e.dvAtPrev))).distinct
-        val alive =
-          if (dvTriples.isEmpty) attributed
-          else attributed.join(
-            spark.createDataset(dvTriples).flatMap { case (f0, v, dvp) =>
-              DeletionVectors.read(hconfB.value.value, dvp).iterator
-                .map(p => (f0, v, p))
-            }.toDF("__gf_file", "__cv", "__gf_pos"),
-            Seq("__gf_file", "__cv", "__gf_pos"), "left_anti")
-        Seq(alive.select(cols :+ lit("delete").as("_change_type")
-          :+ col("__cv").as("_commit_version"): _*))
+        // files group by their (single) key set: the sink's key-set gate
+        // refuses an epoch whose keys differ from anything still in
+        // force against ANY live file, so a single file only ever sees
+        // ONE key set — but different files can legally carry different
+        // sets inside one window (epochs on set A, A's files fully
+        // removed and sidecars retired, epochs on set B). The
+        // single-pass plan runs once per group; a per-file mixed set can
+        // only mean manifest corruption and refuses with the keyed-diff
+        // guidance.
+        val byKeySet = eqSets.groupBy { d =>
+          val ks = d.epochs.map(_.keys).distinct
+          require(ks.size == 1,
+            s"file ${d.file} spans upsert epochs with differing key " +
+              s"sets $ks — diff the versions with Cdc.snapshotDiff")
+          ks.head
+        }
+        byKeySet.toSeq.sortBy(_._1.mkString(",")).map { case (keyCols, group) =>
+          val keyTypes = keyCols.map(k => sc(sc.fieldIndex(k)).dataType)
+          val base = readFiles(spark, group.map(_.file), schema)
+            .withColumn("__gf_file",
+              regexp_replace(col("_metadata.file_path"), SchemeRe, ""))
+            .withColumn("__gf_pos", col("_metadata.row_index"))
+            .withColumn("__eq_key", canonKeyTuple(keyCols, keyTypes))
+          // rows retired BEFORE the window (per-file prior sidecars)
+          val priorPairs = group
+            .flatMap(d => d.priorEq.map(p => (encNorm(d.file), p))).distinct
+          val live =
+            if (priorPairs.isEmpty) base
+            else base.join(
+              spark.createDataset(priorPairs).flatMap { case (f0, p) =>
+                val (ks, set) = EqualityDeletes.read(hconfB.value.value, p)
+                require(ks == keyCols, s"prior sidecar $p keys $ks != $keyCols")
+                set.iterator.map(k => (f0, k))
+              }.toDF("__gf_file", "__eq_key"),
+              Seq("__gf_file", "__eq_key"), "left_anti")
+          // key → the epoch versions that upserted it (executor reads)
+          val epochSidecars = group.flatMap(_.epochs)
+            .flatMap(e => e.newEq.map(p => (e.version, p))).distinct
+          val keyVs = spark.createDataset(epochSidecars)
+            .flatMap { case (v, p) =>
+              EqualityDeletes.read(hconfB.value.value, p)._2.iterator
+                .map(k => (k, v))
+            }.toDF("__eq_key", "__eq_v")
+            .groupBy("__eq_key")
+            .agg(collect_set(col("__eq_v")).as("__eq_vs"))
+          // file → its applicable epoch versions (driver metadata)
+          val fileVs = group
+            .map(d => (encNorm(d.file), d.epochs.map(_.version)))
+            .toDF("__gf_file", "__file_vs")
+          val attributed = live
+            .join(keyVs, Seq("__eq_key"))
+            .join(broadcast(fileVs), Seq("__gf_file"))
+            .withColumn("__cv",
+              array_min(array_intersect(col("__eq_vs"), col("__file_vs"))))
+            .where(col("__cv").isNotNull)
+          // drop rows position-dead before their attributed epoch
+          val dvTriples = group.flatMap(d =>
+            d.epochs.filter(_.dvAtPrev.nonEmpty)
+              .map(e => (encNorm(d.file), e.version, e.dvAtPrev))).distinct
+          val alive =
+            if (dvTriples.isEmpty) attributed
+            else attributed.join(
+              spark.createDataset(dvTriples).flatMap { case (f0, v, dvp) =>
+                DeletionVectors.read(hconfB.value.value, dvp).iterator
+                  .map(p => (f0, v, p))
+              }.toDF("__gf_file", "__cv", "__gf_pos"),
+              Seq("__gf_file", "__cv", "__gf_pos"), "left_anti")
+          alive.select(cols :+ lit("delete").as("_change_type")
+            :+ col("__cv").as("_commit_version"): _*)
+        }
       }
     val all = insertDf ++ deleteDf ++ eqDf
     if (all.isEmpty) {
@@ -1656,24 +1843,75 @@ object SnapshotTable {
     * [[norm]] for `_metadata.file_path` join keys. */
   private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"
 
+  /** [[readFiles]] with per-file COLUMN MAPPING under rename/drop
+    * events: entries group by their logical→physical resolution, each
+    * group reads under its PHYSICAL names and projects back to the
+    * logical schema (a broken lineage — dropped, or a freed name reused
+    * — reads as typed null). `withMeta` additionally projects the
+    * `__gf_file`/`__gf_pos` coordinates the DV/eq joins key on (the
+    * `_metadata` struct does not survive a projection, so the mapped
+    * path must materialize it inside each group). A table with no
+    * events (or identity mappings only) takes the plain single-scan
+    * path and pays nothing. */
+  private def readMappedFiles(spark: SparkSession, entries: Seq[FileEntry],
+                              schema: Option[org.apache.spark.sql.types.StructType],
+                              colEvents: Seq[(Long, String, String, String)],
+                              withMeta: Boolean): DataFrame = {
+    def metaCols(df: DataFrame): DataFrame =
+      if (!withMeta) df
+      else df
+        .withColumn("__gf_file",
+          regexp_replace(col("_metadata.file_path"), SchemeRe, ""))
+        .withColumn("__gf_pos", col("_metadata.row_index"))
+    val plain = colEvents.isEmpty || schema.isEmpty || entries.isEmpty ||
+      entries.forall(e => schema.get.fields.forall(f =>
+        physicalColumn(colEvents, e.addV, f.name).contains(f.name)))
+    if (plain) return metaCols(readFiles(spark, entries.map(_.path), schema))
+    val logical = schema.get
+    entries.groupBy(e => logical.fields.map(f =>
+        physicalColumn(colEvents, e.addV, f.name)).toSeq)
+      .toSeq.sortBy(_._2.head.path)
+      .map { case (phys, es) =>
+        val physSchema = org.apache.spark.sql.types.StructType(
+          logical.fields.zip(phys).collect {
+            case (f, Some(p)) => f.copy(name = p)
+          })
+        val raw = metaCols(spark.read.schema(physSchema)
+          .parquet(es.map(_.path): _*))
+        val proj = logical.fields.zip(phys).map {
+          case (f, Some(p)) => col(p).as(f.name)
+          case (f, None) => lit(null).cast(f.dataType).as(f.name)
+        } ++ (if (withMeta) Seq(col("__gf_file"), col("__gf_pos"))
+              else Seq.empty)
+        raw.select(proj.toSeq: _*)
+      }.reduce(_ unionByName _)
+  }
+
   private[storage] def readEntries(spark: SparkSession, entries: Seq[FileEntry],
                                    schema: Option[org.apache.spark.sql.types.StructType] = None,
-                                   eqDeletes: Seq[(String, Long, Long, Seq[String])] = Seq.empty)
+                                   eqDeletes: Seq[(String, Long, Long, Seq[String])] = Seq.empty,
+                                   eqRanges: Map[String, (Double, Double)] = Map.empty,
+                                   fileStats: Map[(String, String), (Double, Double)] = Map.empty,
+                                   colEvents: Seq[(Long, String, String, String)] = Seq.empty)
       : DataFrame = {
-    val base = readFiles(spark, entries.map(_.path), schema)
     val withDv = entries.filter(_.dv.nonEmpty)
-    val applicableEq = eqDeletes.filter { case (_, v, _, _) =>
-      entries.exists(e => e.addV < 0L || e.addV < v)
+    // per-(file, sidecar) applicability: committed after the file AND
+    // not provably key-range-disjoint from it — the skip that lets a
+    // time-keyed table's old files pay ZERO per-row probe work
+    def applies(e: FileEntry, p: String, v: Long, ks: Seq[String]): Boolean =
+      (e.addV < 0L || e.addV < v) &&
+        eqRangeApplies(eqRanges.get(p),
+          if (ks.size == 1) fileStats.get((norm(e.path), ks.head)) else None)
+    val applicableEq = eqDeletes.filter { case (p, v, _, ks) =>
+      entries.exists(e => applies(e, p, v, ks))
     }
-    if (withDv.isEmpty && applicableEq.isEmpty) return base
+    if (withDv.isEmpty && applicableEq.isEmpty)
+      return readMappedFiles(spark, entries, schema, colEvents, withMeta = false)
     val conf = spark.sparkContext.hadoopConfiguration
     val sq = spark
     import sq.implicits._
-    val cols = base.columns.toSeq
-    val keyed = base
-      .withColumn("__gf_file",
-        regexp_replace(col("_metadata.file_path"), SchemeRe, ""))
-      .withColumn("__gf_pos", col("_metadata.row_index"))
+    val keyed = readMappedFiles(spark, entries, schema, colEvents, withMeta = true)
+    val cols = keyed.columns.toSeq.filterNot(Set("__gf_file", "__gf_pos"))
     // POSITION deletes: anti-join the (small) vectors' coordinates
     val dvApplied =
       if (withDv.isEmpty) keyed
@@ -1707,11 +1945,18 @@ object SnapshotTable {
             val (_, set) = EqualityDeletes.read(hconfB.value.value, p)
             set.iterator.map(enc => (enc, v))
           }.toDF("__eq_key_r", "__eq_v")
-        val addVDf = entries.map(e => (encNorm(e.path), e.addV))
-          .toDF("__gf_file", "__eq_addv")
+        // files with NO range-applicable sidecar skip the probe: their
+        // key tuple stays NULL (never equi-matches), so the per-row
+        // render + set probe cost lands only on files a sidecar can
+        // actually touch
+        val addVDf = entries.map(e =>
+          (encNorm(e.path), e.addV,
+            applicableEq.exists { case (p, v, _, ks) => applies(e, p, v, ks) }))
+          .toDF("__gf_file", "__eq_addv", "__eq_probe")
         dvApplied
           .join(broadcast(addVDf), Seq("__gf_file"))
-          .withColumn("__eq_key", keyTuple)
+          .withColumn("__eq_key",
+            when(col("__eq_probe"), keyTuple).otherwise(lit(null)))
           .join(keyRows,
             col("__eq_key") === col("__eq_key_r") &&
               (col("__eq_v") > col("__eq_addv") || col("__eq_addv") < 0L),
@@ -1767,15 +2012,18 @@ object SnapshotTable {
   def read(spark: SparkSession, root: String): DataFrame = {
     val s = latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
+    val (rg, fst) = eqSkipInputs(spark, root, s)
     readEntries(spark, s.entries, tableSchema(spark, root, s.version),
-      s.eqDeletes)
+      s.eqDeletes, rg, fst, s.colEvents)
   }
 
   /** Time travel: read any retained version — with THAT version's
     * schema, so a pre-evolution version shows its original columns. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     val s = snapshot(spark, root, v)
-    readEntries(spark, s.entries, tableSchema(spark, root, v), s.eqDeletes)
+    val (rg, fst) = eqSkipInputs(spark, root, s)
+    readEntries(spark, s.entries, tableSchema(spark, root, v), s.eqDeletes,
+      rg, fst, s.colEvents)
   }
 
   /** Create the table: stage `df`, commit as v1. Fails if the table
@@ -1898,7 +2146,11 @@ object SnapshotTable {
     }
     val schema = tableSchema(spark, root, snap.version)
     val base =
-      if (affected.nonEmpty) readEntries(spark, affected, schema, snap.eqDeletes)
+      if (affected.nonEmpty) {
+        val (rg, fst) = eqSkipInputs(spark, root, snap)
+        readEntries(spark, affected, schema, snap.eqDeletes, rg, fst,
+          snap.colEvents)
+      }
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.getOrElse(readFiles(spark, snap.files).schema))
     // a REAL table column with the tombstone marker's name would be
@@ -2084,7 +2336,9 @@ object SnapshotTable {
     // DV-aware: compaction reads only LIVE rows, so merge-on-read
     // deletes MATERIALIZE away here — the rewritten files carry no
     // vectors and the columnar fast path is restored
-    val cur = readEntries(spark, snap.entries, schema, snap.eqDeletes)
+    val (eqRg, eqFst) = eqSkipInputs(spark, root, snap)
+    val cur = readEntries(spark, snap.entries, schema, snap.eqDeletes,
+      eqRg, eqFst, snap.colEvents)
     val pspecs = snap.partitionSpecs
     if (pspecs.nonEmpty) {
       // a partitioned table's compaction bin-packs WITHIN partitions:
@@ -2172,7 +2426,9 @@ object SnapshotTable {
     val (vectored, clean) = snap.entries.partition(_.dv.nonEmpty)
     if (vectored.isEmpty) return snap.version
     val schema = tableSchema(spark, root, snap.version)
-    val live = readEntries(spark, vectored, schema, snap.eqDeletes)
+    val (eqRg, eqFst) = eqSkipInputs(spark, root, snap)
+    val live = readEntries(spark, vectored, schema, snap.eqDeletes,
+      eqRg, eqFst, snap.colEvents)
     val files = writeData(spark, root, live, snap.partitionSpecs, snap.sortCols)
     val raw = statsRaw(spark, root, snap.version)
     val cleanNorm = clean.map(e => norm(e.path)).toSet
@@ -2462,6 +2718,91 @@ object SnapshotTable {
     * stream's batch high-water mark, or replayed micro-batches would
     * double-commit after a rollback. Refuses when `v` is not retained
     * or any of its files/vectors were already vacuumed. */
+  /** Shared validation for RENAME/DROP COLUMN: both are METADATA-ONLY
+    * versions over a name-keyed format, so the column must not be load-
+    * bearing for anything that resolves names at read/write time
+    * beneath the mapping layer. Returns (snapshot, schema sidecar). */
+  private def colDdlBase(spark: SparkSession, root: String, name: String,
+                         op: String): (Snapshot, org.apache.spark.sql.types.StructType) = {
+    val snap = latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no table at $root — create() first"))
+    val schema = tableSchema(spark, root, snap.version).getOrElse(
+      throw new IllegalStateException(
+        s"$op needs a schema sidecar; this table predates them — " +
+          "compact it once first"))
+    require(schema.fieldNames.contains(name),
+      s"no column '$name' in ${schema.simpleString}")
+    snap.entries.find(_.addV < 0L).foreach { e =>
+      throw new IllegalStateException(
+        s"$op needs add-versions on every file; ${e.path} predates " +
+          "them — compact the table once first")
+    }
+    val partCols = snap.partitionSpecs.map(SnapshotPartition.parseField(_).col)
+    require(!partCols.contains(name),
+      s"cannot $op partition column '$name' (partitioned by " +
+        s"${snap.partitionSpecs.mkString(",")})")
+    require(!snap.sortCols.contains(name),
+      s"cannot $op declared sort column '$name' — clear the sort order first")
+    val eqKeyCols = snap.eqDeletes.flatMap(_._4).distinct
+    require(!eqKeyCols.contains(name),
+      s"cannot $op upsert key column '$name' while equality deletes are " +
+        "in force — compact the table first")
+    (snap, schema)
+  }
+
+  /** RENAME COLUMN as a metadata-only version: the schema sidecar takes
+    * the new name (same position/type), a `#colmap` event records the
+    * lineage, and the carried stats sidecar is re-keyed — so old files
+    * keep serving the column under its new name AND data skipping on it
+    * keeps pruning. Old versions time-travel under their own schema.
+    * Compaction rewrites files under current names and retires the
+    * event. Writers always write head names; a stale writer's old-name
+    * column is a NEW column under mergeSchema (same as every name-keyed
+    * format without its mapping flag). */
+  def renameColumn(spark: SparkSession, root: String, oldName: String,
+                   newName: String): Long = {
+    require(newName.nonEmpty && !newName.exists(c => c == '\t' || c == '\n'),
+      s"invalid column name '$newName'")
+    val (snap, schema) = colDdlBase(spark, root, oldName, "RENAME COLUMN")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists in ${schema.simpleString}")
+    val next = snap.version + 1
+    val i = schema.fieldIndex(oldName)
+    val nextSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.updated(i, schema.fields(i).copy(name = newName)))
+    commit(spark, root, next, snap.entries,
+      nextMeta(Some(snap), None) :+ s"#colmap $next\trename\t$oldName\t$newName")
+    // re-key the carried stats so pruning/NDV on the renamed column
+    // keeps working for pre-rename files
+    writeStats(spark, root, next,
+      statsRaw(spark, root, snap.version)
+        .map(l => if (l.col == oldName) l.copy(col = newName) else l)
+        .map(_.line).sorted)
+    writeSchema(spark, root, next, nextSchema)
+    next
+  }
+
+  /** DROP COLUMN as a metadata-only version: the head schema loses the
+    * field, a `#colmap` event breaks the lineage (a LATER re-add of the
+    * same name is a fresh column — old files' stale values never leak
+    * into it), stats lines for the column retire. Nothing is rewritten;
+    * old versions still time-travel WITH the column. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    val (snap, schema) = colDdlBase(spark, root, name, "DROP COLUMN")
+    require(schema.fields.length > 1,
+      s"cannot drop the only column of ${schema.simpleString}")
+    val next = snap.version + 1
+    val nextSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    commit(spark, root, next, snap.entries,
+      nextMeta(Some(snap), None) :+ s"#colmap $next\tdrop\t$name")
+    writeStats(spark, root, next,
+      statsRaw(spark, root, snap.version).filterNot(_.col == name)
+        .map(_.line).sorted)
+    writeSchema(spark, root, next, nextSchema)
+    next
+  }
+
   def restore(spark: SparkSession, root: String, v: Long): Long = {
     val cur = latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
@@ -2477,7 +2818,8 @@ object SnapshotTable {
     val next = cur.version + 1
     val meta = partitionMeta(snap.partitionSpecs) ++
       sortMeta(snap.sortCols) ++ rowLevelMeta(snap.rowLevelModes) ++
-      snap.meta.filter(_.startsWith("#eqdelete ")) ++
+      snap.meta.filter(l =>
+        l.startsWith("#eqdelete ") || l.startsWith("#colmap ")) ++
       cur.txns.toSeq.sortBy(_._1).map {
         case ("", id) => s"#txn $id"
         case (app, id) => s"#txn $app $id"

@@ -291,6 +291,26 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * refused loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = tablePath(ident).toString
+    // RENAME/DROP COLUMN route to the metadata-only lineage ops (they
+    // commit their own version with the `#colmap` event + re-keyed
+    // stats); SQL sends one change per ALTER statement
+    if (changes.exists(c => c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn])) {
+      require(changes.length == 1,
+        "RENAME/DROP COLUMN cannot combine with other table changes")
+      changes.head match {
+        case r: TableChange.RenameColumn =>
+          require(r.fieldNames.length == 1,
+            "nested RENAME COLUMN is not supported")
+          SnapshotTable.renameColumn(spark, root, r.fieldNames()(0), r.newName())
+        case d: TableChange.DeleteColumn =>
+          require(d.fieldNames.length == 1,
+            "nested DROP COLUMN is not supported")
+          SnapshotTable.dropColumn(spark, root, d.fieldNames()(0))
+        case _ => ()
+      }
+      return loadTable(ident)
+    }
     val snap = SnapshotTable.latest(spark, root)
       .getOrElse(throw new NoSuchTableException(ident))
     val base = SnapshotTable.tableSchema(spark, root, snap.version)

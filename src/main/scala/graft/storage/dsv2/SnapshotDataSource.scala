@@ -405,7 +405,9 @@ final class SnapshotTableV2(root: String, snap: Option[SnapshotTable.Snapshot],
       createRowLevelModes = SnapshotTableV2.modesOf(info.options),
       upsertKeys = Option(info.options.get("upsertKeys"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      maxUpsertDebt = Option(info.options.get("maxUpsertDebt"))
+        .map(_.toDouble))
 }
 
 /** Scan builder: collects pushed filters + required columns, prunes the
@@ -610,7 +612,7 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     val keptEntries = partKept.filter(e => keepSet(SnapshotTable.norm(e.path)))
     // EQUALITY deletes (streaming upsert): per planned file, the
     // sidecars committed after it — readers drop matching-key rows
-    val (eqByFile, eqKeys) = snap.eqPlanFor(keptEntries)
+    val (eqByFile, eqKeys) = snap.eqPlanFor(keptEntries, st)
     val reportRows: Option[Long] =
       if (eqByFile.nonEmpty) None // key-matched rows are uncountable here
       else if (keptEntries.forall(_.rows >= 0L))
@@ -633,13 +635,18 @@ final class SnapshotScanBuilder(root: String, snap: SnapshotTable.Snapshot,
               .map(nd => c -> (nd, ls.map(_.nulls).sum))
           else None
         }
+    // per-file column mapping under rename/drop events (empty for the
+    // common no-DDL table): pre-DDL files read their PHYSICAL names
+    val colMap = SnapshotTable.colMapFor(snap,
+      (required.fieldNames ++ fullSchema.fieldNames ++ eqKeys).distinct.toSeq)
     new SnapshotScan(root, snap.version, keep, snap.files.size, bytes, required,
       accepted, spark.sessionState.newHadoopConf(), columnar,
       startingVersion, ignoreRewrites, spj = spjGroups(keep),
       dvByFile = dvByFile, emitMeta = emitMeta,
       maxVersionsPerTrigger = maxVersionsPerTrigger,
       reportRows = reportRows, colStats = colStats,
-      eqByFile = eqByFile, eqKeys = eqKeys, fullSchema = fullSchema)
+      eqByFile = eqByFile, eqKeys = eqKeys, fullSchema = fullSchema,
+      colMapByFile = colMap)
   }
 }
 
@@ -691,7 +698,8 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
                          colStats: Map[String, (Long, Long)] = Map.empty,
                          eqByFile: Map[String, Seq[String]] = Map.empty,
                          eqKeys: Seq[String] = Seq.empty,
-                         fullSchema: StructType = new StructType())
+                         fullSchema: StructType = new StructType(),
+                         colMapByFile: Map[String, Map[String, Option[String]]] = Map.empty)
   extends Scan with Batch with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
@@ -801,7 +809,8 @@ final class SnapshotScan(root: String, version: Long, files: Seq[String],
     new SnapshotReaderFactory(required, SnapshotFilters.intervals(pushed),
       new SerializableHadoopConf(conf), columnarMode,
       dvByFile = dvByFile, emitMeta = emitMeta,
-      eqByFile = eqByFile, eqKeys = eqKeys, fullSchema = fullSchema)
+      eqByFile = eqByFile, eqKeys = eqKeys, fullSchema = fullSchema,
+      colMapByFile = colMapByFile)
 }
 
 final case class SnapshotFilePartition(file: String) extends InputPartition
@@ -827,7 +836,9 @@ object SnapshotHistoryTable {
     StructField("total_bytes", LongType, nullable = false),
     StructField("txn_batch", LongType, nullable = true),
     StructField("has_schema", BooleanType, nullable = false),
-    StructField("total_rows", LongType, nullable = true)))
+    StructField("total_rows", LongType, nullable = true),
+    StructField("eq_keys_in_force", LongType, nullable = false),
+    StructField("upsert_debt", DoubleType, nullable = true)))
 }
 
 /** SHOW PARTITIONS through the connector:
@@ -908,11 +919,13 @@ final class SnapshotHistoryTable(root: String) extends Table with SupportsRead {
             s"graft-snapshot history root=$root (driver-side metadata)"
           override def rows(): Array[InternalRow] =
             SnapshotTable.historyRows(SparkSession.active, root).map {
-              case (v, ts, nFiles, bytes, txn, hasSchema, rowsOpt) =>
+              case (v, ts, nFiles, bytes, txn, hasSchema, rowsOpt, eqKeys,
+                    debt) =>
                 new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
                   Array[Any](v, ts.getTime * 1000L, nFiles, bytes,
                     txn.map(Long.box).orNull, hasSchema,
-                    rowsOpt.map(Long.box).orNull))
+                    rowsOpt.map(Long.box).orNull, eqKeys,
+                    debt.map(Double.box).orNull))
             }.toArray
         }
     }
@@ -1024,8 +1037,21 @@ final class SnapshotMicroBatchStream(root: String, startVersion: Long,
     val s = start.asInstanceOf[SnapshotOffset].version
     val e = end.asInstanceOf[SnapshotOffset].version
     if (e <= s) Array.empty
-    else SnapshotTable.changedEntries(spark, root, s, e, ignoreRewrites)
-      .map(en => SnapshotFilePartition(en.path): InputPartition).toArray
+    else {
+      val ens = SnapshotTable.changedEntries(spark, root, s, e, ignoreRewrites)
+      // the stream reads with the schema pinned at START: a replayed
+      // file that predates an in-force column rename/drop would misread
+      // under those (post-DDL) names — refuse loudly
+      val evs = SnapshotTable.latest(spark, root).toSeq.flatMap(_.colEvents)
+      ens.find(en => evs.exists(ev => en.addV < 0L || en.addV < ev._1))
+        .foreach { en =>
+          throw new UnsupportedOperationException(
+            s"streaming read of $root replays ${en.path}, which predates " +
+              "a column rename/drop — start the stream after the DDL " +
+              "version (startingVersion), or compact the table first")
+        }
+      ens.map(en => SnapshotFilePartition(en.path): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1088,8 +1114,27 @@ final class SnapshotReaderFactory(required: StructType,
                                   emitMeta: Boolean = false,
                                   eqByFile: Map[String, Seq[String]] = Map.empty,
                                   eqKeys: Seq[String] = Seq.empty,
-                                  fullSchema: StructType = new StructType())
+                                  fullSchema: StructType = new StructType(),
+                                  colMapByFile: Map[String, Map[String, Option[String]]] = Map.empty)
   extends PartitionReaderFactory {
+
+  /** Per-file COLUMN-MAPPED read schema under rename/drop events:
+    * fields rename IN PLACE to the file's physical names (ordinals —
+    * what consumers key on — never move); a broken lineage renames to
+    * an impossible name so the parquet readers null-fill it. Mapped
+    * files also read with EMPTY pushed intervals: interval keys are
+    * LOGICAL names, and a freed name reused by a new column could
+    * otherwise row-group-skip against the WRONG column's pages. */
+  private def mappedSchema(sc: StructType,
+                           m: Map[String, Option[String]]): StructType =
+    if (m.isEmpty) sc
+    else StructType(sc.fields.map { f =>
+      m.getOrElse(f.name, Some(f.name)) match {
+        case Some(p) if p == f.name => f
+        case Some(p) => f.copy(name = p)
+        case None => f.copy(name = "__graft_absent__" + f.name)
+      }
+    })
 
   private def filesOf(partition: InputPartition): Seq[String] = partition match {
     case SnapshotFilePartition(f) => Seq(f)
@@ -1113,11 +1158,16 @@ final class SnapshotReaderFactory(required: StructType,
     ConcatReader(filesOf(partition))( f => {
       val eq = eqByFile.getOrElse(graft.storage.SnapshotTable.norm(f), Seq.empty)
       val sc = schemaFor(eq)
-      val base = new SnapshotPartitionReader(f, sc, intervals, conf.value,
+      val m = colMapByFile.getOrElse(graft.storage.SnapshotTable.norm(f),
+        Map.empty[String, Option[String]])
+      val base = new SnapshotPartitionReader(f, mappedSchema(sc, m),
+        if (m.isEmpty) intervals else Map.empty, conf.value,
         dvPath = dvByFile.getOrElse(graft.storage.SnapshotTable.norm(f), ""),
         emitMeta = emitMeta)
       if (eq.isEmpty) base
       else {
+        // ordinals/types come from the LOGICAL schema — mapping renames
+        // fields in place, so positions are identical
         val (ords, types) = eqOrdsTypes(sc)
         new EqApplyRowReader(base,
           SnapshotEqRead.keys(conf.value, eq), ords, types)
@@ -1130,16 +1180,20 @@ final class SnapshotReaderFactory(required: StructType,
       val dvPath = dvByFile.getOrElse(graft.storage.SnapshotTable.norm(f), "")
       val eq = eqByFile.getOrElse(graft.storage.SnapshotTable.norm(f), Seq.empty)
       val sc = schemaFor(eq)
+      val m = colMapByFile.getOrElse(graft.storage.SnapshotTable.norm(f),
+        Map.empty[String, Option[String]])
+      val rsc = mappedSchema(sc, m)
+      val iv = if (m.isEmpty) intervals else Map.empty[String, (Double, Double)]
       val base =
         if (dvPath.isEmpty)
-          new SnapshotColumnarReader(f, sc, intervals, conf.value)
+          new SnapshotColumnarReader(f, rsc, iv, conf.value)
         else
           // DV coordinate discipline: no parquet row-group skipping for
           // a vector-bearing file (empty intervals), so batch rows map
           // to file ordinals by running offset; the wrapper then drops
           // the deleted ordinals per batch (still columnar downstream)
           new DvApplyColumnarReader(
-            new SnapshotColumnarReader(f, sc, Map.empty, conf.value),
+            new SnapshotColumnarReader(f, rsc, Map.empty, conf.value),
             graft.storage.DeletionVectors.read(conf.value, dvPath))
       if (eq.isEmpty) base
       else {
@@ -1197,7 +1251,8 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
                                  createPartitionBy: Seq[String] = Seq.empty,
                                  createSortBy: Seq[String] = Seq.empty,
                                  createRowLevelModes: Map[String, String] = Map.empty,
-                                 upsertKeys: Seq[String] = Seq.empty)
+                                 upsertKeys: Seq[String] = Seq.empty,
+                                 maxUpsertDebt: Option[Double] = None)
   extends WriteBuilder with SupportsTruncate
   with org.apache.spark.sql.connector.write.SupportsOverwrite
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -1314,7 +1369,7 @@ final class SnapshotWriteBuilder(root: String, schema: StructType,
       new SnapshotStreamingWrite(root, schema, overwrite, statsCols,
         mergeSchema, appId = s"stream-$queryId",
         part = PartitionWriteSpec.of(schema, pspecs),
-        upsertKeys = upsertKeys)
+        upsertKeys = upsertKeys, maxUpsertDebt = maxUpsertDebt)
     }
   }
 }
@@ -1566,7 +1621,8 @@ final class SnapshotStreamingWrite(root: String, schema: StructType,
                                    overwrite: Boolean, statsCols: Seq[String],
                                    mergeSchema: Boolean, appId: String,
                                    part: Option[PartitionWriteSpec] = None,
-                                   upsertKeys: Seq[String] = Seq.empty)
+                                   upsertKeys: Seq[String] = Seq.empty,
+                                   maxUpsertDebt: Option[Double] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val stagingDir: String = {
@@ -1591,13 +1647,15 @@ final class SnapshotStreamingWrite(root: String, schema: StructType,
     val spark = SparkSession.active
     val files = messages.flatMap {
       case SnapshotCommitMessage(fs) => fs
-      case SnapshotUpsertCommitMessage(fs, _, _) => fs
+      case SnapshotUpsertCommitMessage(fs, _, _, _) => fs
       case other => throw new IllegalStateException(s"unexpected commit message $other")
     }.sortBy(_.path).toSeq
-    // per-task equality-delete sidecars of an upsert epoch
-    val eqSidecars: Seq[(String, Long)] = messages.collect {
-      case SnapshotUpsertCommitMessage(_, p, n) if n > 0L => (p, n)
-    }.toSeq
+    // per-task equality-delete sidecars of an upsert epoch (with the
+    // optional key range the writer tracked)
+    val eqSidecars: Seq[(String, Long, Option[(Double, Double)])] =
+      messages.collect {
+        case SnapshotUpsertCommitMessage(_, p, n, r) if n > 0L => (p, n, r)
+      }.toSeq
     def dropStaged(): Unit = {
       val fs = new org.apache.hadoop.fs.Path(stagingDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1668,8 +1726,36 @@ final class SnapshotStreamingWrite(root: String, schema: StructType,
             (s.version + 1, s.entries ++ files,
               SnapshotTable.statsLines(spark, root, s.version) ++ fresh, ns)
         }
-        val eqMeta = eqSidecars.map { case (p, n) =>
-          SnapshotTable.eqDeleteLine(p, v, n, upsertKeys)
+        val eqMeta = eqSidecars.map { case (p, n, range) =>
+          SnapshotTable.eqDeleteLine(p, v, n, upsertKeys, range)
+        }
+        // UPSERT-DEBT gauge: equality-delete keys accumulated since the
+        // last compaction vs the table's recorded live rows — the key
+        // sets every scan holds per executor and probes per row, i.e.
+        // the one scale cliff of the MoR upsert path. Bounded by POLICY:
+        // warn past 50%, refuse the epoch past option("maxUpsertDebt")
+        // (the stream fails until a compact materializes the deletes
+        // away). The same gauge is visible per version in DESCRIBE
+        // HISTORY (`upsert_debt`).
+        if (eqSidecars.nonEmpty && all.forall(_.rows >= 0L)) {
+          val keysInForce = cur.toSeq.flatMap(_.eqDeletes).map(_._3).sum +
+            eqSidecars.map(_._2).sum
+          val live = all.map(_.liveRows).sum
+          val debt =
+            if (live > 0L) keysInForce.toDouble / live
+            else Double.PositiveInfinity
+          maxUpsertDebt.foreach { mx =>
+            require(debt <= mx,
+              f"upsert debt $debt%.2f ($keysInForce equality-delete keys " +
+                f"in force / $live live rows) exceeds maxUpsertDebt=$mx — " +
+                "compact the table to materialize the deletes away, then " +
+                "resume the stream")
+          }
+          if (debt > 0.5 && maxUpsertDebt.forall(debt <= _))
+            System.err.println(
+              f"[graft-snapshot] WARN upsert debt $debt%.2f at $root " +
+                f"($keysInForce keys in force / $live live rows) — " +
+                "compact soon to keep equality-delete probe state bounded")
         }
         SnapshotTable.commit(spark, root, v, all,
           (if (cur.isEmpty)
@@ -1696,7 +1782,7 @@ final class SnapshotStreamingWrite(root: String, schema: StructType,
     messages.foreach {
       case SnapshotCommitMessage(fsgs) => fsgs.foreach(e =>
         fs.delete(new org.apache.hadoop.fs.Path(e.path), false))
-      case SnapshotUpsertCommitMessage(fsgs, eqd, _) =>
+      case SnapshotUpsertCommitMessage(fsgs, eqd, _, _) =>
         fsgs.foreach(e =>
           fs.delete(new org.apache.hadoop.fs.Path(e.path), false))
         fs.delete(new org.apache.hadoop.fs.Path(eqd), false)
@@ -1726,7 +1812,8 @@ final class SnapshotStreamingWriterFactory(stagingDir: String,
 
 final case class SnapshotUpsertCommitMessage(
     files: Seq[SnapshotTable.FileEntry],
-    eqSidecar: String, eqRows: Long) extends WriterCommitMessage
+    eqSidecar: String, eqRows: Long,
+    keyRange: Option[(Double, Double)] = None) extends WriterCommitMessage
 
 /** Task-side upsert writer: rows pass through to the ordinary parquet
   * writer while their KEY TUPLES accumulate (canonically encoded,
@@ -1743,10 +1830,55 @@ final class SnapshotUpsertDataWriter(inner: DataWriter[InternalRow],
   private val types = ords.map(i => schema.fields(i).dataType)
   private val keys = scala.collection.mutable.LinkedHashSet.empty[Seq[String]]
 
+  // KEY-RANGE tracking (single key column, numeric/timestamp only): the
+  // sidecar's key min/max in the SAME cast-to-double domain the stats
+  // sidecar records per file — what lets scans prove a file disjoint
+  // from this epoch's keys and skip the per-row probe entirely. Both
+  // sides use the identical (monotone) value→double map, so a rounded
+  // comparison can never prove a TRUE overlap disjoint — no false
+  // skips. NULL/NaN keys, multi-column keys, and magnitudes past 2^51
+  // (where double-encoded integers stop being exact) disable the range
+  // (no skipping, never a wrong skip).
+  private val rangeFn: Option[Any => Double] = {
+    import org.apache.spark.sql.types._
+    if (upsertKeys.size != 1) None
+    else types(0) match {
+      case ByteType => Some(v => v.asInstanceOf[Byte].toDouble)
+      case ShortType => Some(v => v.asInstanceOf[Short].toDouble)
+      case IntegerType => Some(v => v.asInstanceOf[Int].toDouble)
+      case LongType => Some(v => v.asInstanceOf[Long].toDouble)
+      case FloatType => Some(v => v.asInstanceOf[Float].toDouble)
+      case DoubleType => Some(v => v.asInstanceOf[Double])
+      // internal micros; cast-to-double stats record SECONDS — rescale
+      // exactly like Cast(ts as double) (Long→Double, /1e6)
+      case TimestampType => Some(v => v.asInstanceOf[Long].toDouble / 1e6)
+      case _ => None
+    }
+  }
+  private val exactAbs: Double = types.headOption.collect {
+    // guard the PRE-rescale magnitude for timestamps (micros), the
+    // value itself for integrals — mirrors SnapshotMetadataDelete
+    case org.apache.spark.sql.types.TimestampType => math.pow(2, 51) / 1e6
+  }.getOrElse(math.pow(2, 51))
+  private var rMin = Double.PositiveInfinity
+  private var rMax = Double.NegativeInfinity
+  private var rangeOk = rangeFn.isDefined
+
   override def write(row: InternalRow): Unit = {
     keys += ords.indices.map { i =>
       graft.storage.EqualityDeletes.canonical(types(i),
         if (row.isNullAt(ords(i))) null else row.get(ords(i), types(i)))
+    }
+    if (rangeOk) {
+      if (row.isNullAt(ords(0))) rangeOk = false
+      else {
+        val d = rangeFn.get(row.get(ords(0), types(0)))
+        if (d.isNaN || math.abs(d) > exactAbs) rangeOk = false
+        else {
+          if (d < rMin) rMin = d
+          if (d > rMax) rMax = d
+        }
+      }
     }
     inner.write(row)
   }
@@ -1759,7 +1891,8 @@ final class SnapshotUpsertDataWriter(inner: DataWriter[InternalRow],
     val eqd = graft.storage.EqualityDeletes.freshPath(root)
     val n = graft.storage.EqualityDeletes.write(conf, eqd, upsertKeys,
       keys.iterator)
-    SnapshotUpsertCommitMessage(files, eqd, n)
+    SnapshotUpsertCommitMessage(files, eqd, n,
+      if (rangeOk && rMin <= rMax) Some((rMin, rMax)) else None)
   }
 
   override def abort(): Unit = inner.abort()

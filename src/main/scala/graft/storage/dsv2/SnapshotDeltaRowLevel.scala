@@ -154,13 +154,15 @@ final class DeltaRewriteScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     // EQUALITY deletes must apply to the rewrite scan too, or an UPDATE
     // matching an upsert-retired row would REINSERT its old values
     val keptEntries = snap.entries.filter(e => keepSet(SnapshotTable.norm(e.path)))
-    val (eqByFile, eqKeys) = snap.eqPlanFor(keptEntries)
+    val (eqByFile, eqKeys) = snap.eqPlanFor(keptEntries, st)
     new SnapshotScan(root, snap.version, keep, snap.files.size,
       sizeBytes = snap.entries.collect { case e if e.bytes >= 0 => e.bytes }.sum,
       required = required, pushed = Array.empty,
       conf = spark.sessionState.newHadoopConf(),
       dvByFile = dvByFile, emitMeta = true,
-      eqByFile = eqByFile, eqKeys = eqKeys, fullSchema = fullSchema)
+      eqByFile = eqByFile, eqKeys = eqKeys, fullSchema = fullSchema,
+      colMapByFile = SnapshotTable.colMapFor(snap,
+        (required.fieldNames ++ fullSchema.fieldNames ++ eqKeys).distinct.toSeq))
   }
 }
 

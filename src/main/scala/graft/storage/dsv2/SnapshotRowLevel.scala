@@ -149,13 +149,15 @@ final class GroupRewriteScanBuilder(root: String, snap: SnapshotTable.Snapshot,
     // equality deletes apply too: an upsert-retired row must not
     // resurrect through a copy-on-write rewrite of its (older) file
     val keptEntries = snap.entries.filter(e => keepSet(SnapshotTable.norm(e.path)))
-    val (eqByFile, eqKeys) = snap.eqPlanFor(keptEntries)
+    val (eqByFile, eqKeys) = snap.eqPlanFor(keptEntries, st)
     // pushed = empty: every row of every kept file must reach the rewrite
     new SnapshotScan(root, snap.version, keep, snap.files.size,
       sizeBytes = snap.entries.collect { case e if e.bytes >= 0 => e.bytes }.sum,
       required = required, pushed = Array.empty,
       conf = spark.sessionState.newHadoopConf(), dvByFile = dvByFile,
-      eqByFile = eqByFile, eqKeys = eqKeys, fullSchema = fullSchema)
+      eqByFile = eqByFile, eqKeys = eqKeys, fullSchema = fullSchema,
+      colMapByFile = SnapshotTable.colMapFor(snap,
+        (required.fieldNames ++ fullSchema.fieldNames ++ eqKeys).distinct.toSeq))
   }
 }
 

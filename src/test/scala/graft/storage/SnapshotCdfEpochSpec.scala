@@ -190,4 +190,73 @@ final class SnapshotCdfEpochSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(feed === Set((2L, "delete")))
   }
+
+  test("roots with URI-reserved characters: stats lines key in the decoded norm domain") {
+    val base = Files.createTempDirectory("cdfencstats").toString
+    val root = s"$base/sp ace/t"
+    // the connector write collects stats keyed by input_file_name(),
+    // which Spark reports percent-ENCODED — the line must still land on
+    // the decoded norm(path) every consumer (pruning, NDV, metadata
+    // delete, eq range skip) looks up
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.format("graft-snapshot").option("statsCols", "k")
+      .mode("append").save(root)
+    val snap = SnapshotTable.latest(spark, root).get
+    val st = SnapshotTable.stats(spark, root, snap.version)
+    val normPaths = snap.entries.map(e => SnapshotTable.norm(e.path)).toSet
+    assert(st.nonEmpty, "expected a stats sidecar")
+    assert(st.keySet.map(_._1) === normPaths,
+      s"stats keys ${st.keySet.map(_._1)} must match norm paths $normPaths")
+    assert(st((normPaths.head, "k")) === ((1.0, 2.0)))
+    // ...and the keep-rule actually prunes on this root
+    assert(SnapshotTable.keepByStats(snap.files, st,
+      Map("k" -> (5.0, 9.0))).isEmpty)
+  }
+
+  test("change feed spans epochs on DIFFERENT key sets once the first set fully retired") {
+    implicit val sq = spark.sqlContext
+    val root = newRoot()
+    // phase A: upserts keyed on k
+    val inA = MemoryStream[(Long, String)]
+    val qA = inA.toDF().toDF("k", "v")
+      .writeStream.format("graft-snapshot")
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdfks_ckpt").toString)
+      .option("upsertKeys", "k")
+      .start(root)
+    try {
+      inA.addData((1L, "a1"), (2L, "b1")); qA.processAllAvailable() // v1
+      inA.addData((1L, "a2")); qA.processAllAvailable()             // v2
+    } finally qA.stop()
+    // full metadata removal retires set A's sidecars with its files (v3)
+    val snap = SnapshotTable.latest(spark, root).get
+    graft.storage.dsv2.SnapshotMetadataDelete.commit(spark, root, snap, Seq.empty)
+    assert(SnapshotTable.latest(spark, root).get.eqDeletes.isEmpty)
+    // phase B: upserts keyed on v — legal now (nothing of set A in force)
+    val inB = MemoryStream[(Long, String)]
+    val qB = inB.toDF().toDF("k", "v")
+      .writeStream.format("graft-snapshot")
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdfks_ckpt").toString)
+      .option("upsertKeys", "v")
+      .start(root)
+    try {
+      inB.addData((10L, "x"), (11L, "y")); qB.processAllAvailable() // v4
+      inB.addData((12L, "x")); qB.processAllAvailable()             // v5
+    } finally qB.stop()
+    // ONE window over both key sets: per-file exposure is single-set
+    // (the sink gate guarantees it), so the feed groups files by key
+    // set and runs the single-pass plan per group — it must NOT refuse
+    val expected = Set(
+      (1L, "a1", "insert", 1L), (2L, "b1", "insert", 1L),
+      (1L, "a2", "insert", 2L),
+      (1L, "a1", "delete", 2L),                            // set A epoch
+      (2L, "b1", "delete", 3L), (1L, "a2", "delete", 3L),  // full removal
+      (10L, "x", "insert", 4L), (11L, "y", "insert", 4L),
+      (12L, "x", "insert", 5L),
+      (10L, "x", "delete", 5L))                            // set B epoch
+    assert(feedRows(SnapshotTable.changeFeed(spark, root, 0L)) === expected)
+    assert(feedRows(spark.read.format("graft-snapshot")
+      .option("changeFeed", true).load(root)) === expected)
+  }
 }
