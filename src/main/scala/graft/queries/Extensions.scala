@@ -1646,6 +1646,43 @@ object Extensions {
       s.catalog.dropTempView(s"${tbl}_src")
       rows.toDF("prio", "n", "total")
     },
+    // WRITE-AUDIT-PUBLISH with real branch WRITES: two staged commits
+    // accumulate on a branch's virtual root (require()d invisible to
+    // main), then ONE publish fast-forwards main over them; the oracle
+    // replays the final state analytically. The metrics-store shape for
+    // validating a backfill before exposing it to dashboards.
+    "SNAPSHOT-BRANCH-WRITE" -> { (s, d) =>
+      Tables.register(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_brwrite")
+        .toString + "/t"
+      def slice(pred: org.apache.spark.sql.Column) = s.table("orders")
+        .where(pred)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+      slice(col("o_orderkey") % 3 === 0)
+        .write.format("graft-snapshot").mode("append").save(root)
+      graft.storage.SnapshotTable.createWriteBranch(s, root, "backfill")
+      slice(col("o_orderkey") % 3 === 1)
+        .write.format("graft-snapshot").option("branch", "backfill")
+        .mode("append").save(root)
+      slice(col("o_orderkey") % 3 === 2)
+        .write.format("graft-snapshot").option("branch", "backfill")
+        .mode("append").save(root)
+      val staged = s.read.format("graft-snapshot")
+        .option("branch", "backfill").load(root).count()
+      val mainBefore = s.read.format("graft-snapshot").load(root).count()
+      require(mainBefore < staged && graft.storage.SnapshotTable
+          .versions(s, root) == Seq(1L),
+        s"staged branch commits must stay invisible on main " +
+          s"(main=$mainBefore staged=$staged)")
+      graft.storage.SnapshotTable.publishBranch(s, root, "backfill")
+      graft.storage.SnapshotTable.read(s, root)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+          round(sum(col("price").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("prio")
+    },
     // snapshot CHANGE FEED: three appended versions, then an ORDINARY
     // read with option changesFrom=1 — exactly the rows versions 2..3
     // appended, never v1's (the metrics-store incremental-consumer
@@ -3205,6 +3242,12 @@ object Extensions {
         |  CAST(sum(k) AS BIGINT) AS sk,
         |  round(CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM final GROUP BY 1 ORDER BY flag""".stripMargin,
+    "SNAPSHOT-BRANCH-WRITE" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sk,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
     "UPSERT-MERGE-NMBS" ->
       """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
         |    o_totalprice AS price FROM orders WHERE o_orderkey <= 1200),

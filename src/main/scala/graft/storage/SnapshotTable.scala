@@ -1643,7 +1643,8 @@ object SnapshotTable {
         n.substring(prefix.length))).toString)
     }
     def reanchor(p: String): String =
-      reanchorUnder(p, "data").orElse(reanchorUnder(p, "_deletes")).getOrElse(p)
+      reanchorUnder(p, "data").orElse(reanchorUnder(p, "_deletes"))
+        .orElse(reanchorUnder(p, "_branches")).getOrElse(p)
     versions(spark, newRoot).foreach { v =>
       val snap = snapshot(spark, newRoot, v)
       val entries = snap.entries.map(e => e.copy(path = reanchor(e.path),
@@ -2703,6 +2704,135 @@ object SnapshotTable {
   /** Resolve a ref name to its version. */
   def resolveRef(spark: SparkSession, root: String, name: String): Option[Long] =
     refs(spark, root).get(name).map(_._2)
+
+  // ------------------------------------------------------ WRITE BRANCHES
+  //
+  // A write branch is a VIRTUAL TABLE ROOT under `<root>/_branches/<name>`
+  // whose `_snapshots` starts as a copy of the fork-point version — every
+  // existing mechanism (CAS commits, stats/schema sidecars, equality
+  // deletes, row-level SQL, the streaming sink) works on it verbatim, so
+  // a branch accumulates ordinary divergent commits while `main` stays
+  // untouched. Version numbers continue from the fork point, which makes
+  // PUBLISH a pure sequence of manifest renames into the main
+  // `_snapshots` (atomic per version; refused wholesale when main
+  // advanced past the fork — forward-only, like every fast-forward in
+  // this engine). The fork version is pinned in the refs file (kind
+  // `wbranch`), so vacuum on main never retires the files the branch's
+  // carried entries still reference. Branch DATA files stay under the
+  // branch directory after publish (absolute manifest paths — rename
+  // re-anchoring handles them); the next compaction folds them into
+  // `data/`.
+
+  private[storage] def snapDirOf(root: String): Path = snapDir(root)
+
+  /** The branch's virtual root. Branch names are path segments. */
+  def branchRoot(root: String, name: String): String = {
+    require(name.nonEmpty && !name.startsWith(".") &&
+      !name.exists(c => c == '\t' || c == '\n' || c == '\r' || c == '/'),
+      s"invalid branch name '$name'")
+    new Path(new Path(root, "_branches"), name).toString
+  }
+
+  private def copyMetaFile(f: FileSystem, from: Path, to: Path): Unit = {
+    if (!f.exists(from)) return
+    val in = f.open(from)
+    val bytes = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      bos.toByteArray
+    } finally in.close()
+    val tmp = new Path(to.getParent, s".tmp-br-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(bytes) finally out.close()
+    if (!f.rename(tmp, to)) f.delete(tmp, false)
+  }
+
+  /** Create a write branch forked at the current head: copy the head
+    * version's manifest + stats + schema sidecars into the branch's own
+    * `_snapshots`, and pin the fork version in the refs file (vacuum
+    * safety). The branch is then a fully ordinary table root. */
+  def createWriteBranch(spark: SparkSession, root: String, name: String): Long = {
+    val br = branchRoot(root, name)
+    val f = fs(spark, root)
+    val head = latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no table at $root — create() first"))
+    withRefsLock(spark, root) {
+      val m = refs(spark, root)
+      require(!m.contains(name), s"ref '$name' already exists at $root")
+      require(!f.exists(snapDir(br)),
+        s"branch directory already exists at $br — drop_branch first")
+      f.mkdirs(snapDir(br))
+      copyMetaFile(f, manifestPath(root, head.version),
+        manifestPath(br, head.version))
+      copyMetaFile(f, statsPath(root, head.version),
+        statsPath(br, head.version))
+      copyMetaFile(f, schemaPath(root, head.version),
+        schemaPath(br, head.version))
+      writeRefs(spark, root, m + (name -> ("wbranch", head.version)))
+    }
+    head.version
+  }
+
+  /** True when `name` is a write branch with staged state. */
+  def writeBranchExists(spark: SparkSession, root: String,
+                        name: String): Boolean =
+    fs(spark, root).exists(snapDir(branchRoot(root, name)))
+
+  /** PUBLISH (fast-forward main onto the branch): every branch version
+    * above the fork renames into main's `_snapshots` — manifest FIRST
+    * (the rename is the atomic claim of that version number; a main
+    * writer that advanced mid-publish makes it fail and the publish
+    * stops at a consistent prefix), sidecars right after (a reader in
+    * that instant degrades to footer-inferred schema / no stats, the
+    * documented torn-sidecar fallback). Refused outright when main
+    * already advanced past the fork — recreate the branch and replay. */
+  def publishBranch(spark: SparkSession, root: String, name: String): Long = {
+    val br = branchRoot(root, name)
+    val f = fs(spark, root)
+    val vs = versions(spark, br)
+    require(vs.nonEmpty, s"no write branch '$name' at $root")
+    val base = vs.min
+    val mainHead = latest(spark, root).map(_.version).getOrElse(0L)
+    if (mainHead != base) throw new java.util.ConcurrentModificationException(
+      s"cannot publish branch '$name': main is at v$mainHead but the " +
+        s"branch forked at v$base — recreate the branch from the current " +
+        "head and replay its commits")
+    val toMove = vs.filter(_ > base).sorted
+    toMove.foreach { v =>
+      if (f.exists(manifestPath(root, v)) ||
+          !f.rename(manifestPath(br, v), manifestPath(root, v)))
+        throw new java.util.ConcurrentModificationException(
+          s"publish of branch '$name' lost a race at v$v (main advanced " +
+            s"mid-publish); versions below v$v published consistently")
+      if (f.exists(statsPath(br, v))) f.rename(statsPath(br, v), statsPath(root, v))
+      if (f.exists(schemaPath(br, v))) f.rename(schemaPath(br, v), schemaPath(root, v))
+    }
+    // retire the branch metadata (its DATA files stay — published
+    // manifests reference them absolutely; compaction folds them in)
+    f.delete(snapDir(br), true)
+    withRefsLock(spark, root) {
+      writeRefs(spark, root, refs(spark, root) - name)
+    }
+    toMove.lastOption.getOrElse(base)
+  }
+
+  /** Abandon a write branch: delete its staged metadata AND data (an
+    * unpublished branch's data is referenced by nothing else). A
+    * PUBLISHED branch's leftover data directory is never touched (its
+    * `_snapshots` is already gone — only the refs entry could linger
+    * after a crash, and that is all this cleans then). Idempotent. */
+  def dropWriteBranch(spark: SparkSession, root: String, name: String): Boolean = {
+    val br = branchRoot(root, name)
+    val f = fs(spark, root)
+    val staged = f.exists(snapDir(br))
+    if (staged) f.delete(new Path(br), true)
+    withRefsLock(spark, root) {
+      val m = refs(spark, root)
+      if (m.get(name).exists(_._1 == "wbranch"))
+        writeRefs(spark, root, m - name)
+    }
+    staged
+  }
 
   /** RESTORE — roll the table back to version `v` AS A COMMIT: v's
     * entries, stats lines (NDV sketches included), and schema republish

@@ -564,6 +564,45 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             Array[Any](v))).iterator()
         }
       }
+      // ---- write branches: staged divergent commits on a virtual
+      // root, published by fast-forwarding main over them atomically
+      case "create_branch" => new GraftProcedure("create_branch", Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val root = tablePath(identOf(input.getUTF8String(0).toString)).toString
+          val base = SnapshotTable.createWriteBranch(spark, root,
+            input.getUTF8String(1).toString)
+          util.List.of(oneRowScan(
+            StructType(Seq(StructField("forked_at", LongType, false))),
+            Array[Any](base))).iterator()
+        }
+      }
+      case "publish_branch" => new GraftProcedure("publish_branch", Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val root = tablePath(identOf(input.getUTF8String(0).toString)).toString
+          val v = SnapshotTable.publishBranch(spark, root,
+            input.getUTF8String(1).toString)
+          util.List.of(oneRowScan(
+            StructType(Seq(StructField("new_version", LongType, false))),
+            Array[Any](v))).iterator()
+        }
+      }
+      case "drop_branch" => new GraftProcedure("drop_branch", Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())) {
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val root = tablePath(identOf(input.getUTF8String(0).toString)).toString
+          val dropped = SnapshotTable.dropWriteBranch(spark, root,
+            input.getUTF8String(1).toString)
+          util.List.of(oneRowScan(
+            StructType(Seq(StructField("dropped",
+              org.apache.spark.sql.types.BooleanType, false))),
+            Array[Any](dropped))).iterator()
+        }
+      }
       case "branch" => new GraftProcedure("branch", Seq(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("name", StringType).build(),

@@ -75,7 +75,18 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
     val p = options.get("path")
     require(p != null && p.nonEmpty,
       "graft-snapshot needs a table root: spark.read.format(\"graft-snapshot\").load(root)")
-    p
+    // option("branch", name): every read/write/stream on this provider
+    // resolves against the branch's VIRTUAL ROOT instead — staged
+    // commits accumulate there and main stays untouched until
+    // CALL system.publish_branch
+    Option(options.get("branch")) match {
+      case Some(b) =>
+        val br = SnapshotTable.branchRoot(p, b)
+        require(SnapshotTable.writeBranchExists(SparkSession.active, p, b),
+          s"no write branch '$b' at $p — CALL system.create_branch(t, name) first")
+        br
+      case None => p
+    }
   }
 
   /** Spark's load path calls [[inferSchema]] then [[getTable]] as TWO
@@ -96,7 +107,7 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
     * to — the pin must key on all of them. */
   private def resolutionKey(options: CaseInsensitiveStringMap): String =
     Seq("versionAsOf", "timestampAsOf", "changesFrom", "changesTo",
-      "ignoreRewrites")
+      "ignoreRewrites", "branch")
       .map(k => Option(options.get(k)).getOrElse("")).mkString("/")
 
   /** `timestampAsOf` accepts epoch millis, `yyyy-MM-dd HH:mm:ss[.f]`,
