@@ -1095,8 +1095,14 @@ object Relational {
     },
 
     "WIN-FRAME-RANGE" -> { s =>
-      val w = Window.orderBy(col("o_totalprice").cast(dec(18, 2)))
-        .rangeBetween(-1000, Window.currentRow)
+      // range key in integer CENTS: decimal(18,2) → ×100 → long is a
+      // monotone bijection, so the sort order AND the [p−1000, p] frame
+      // membership are bit-identical to the decimal formulation — but the
+      // per-row frame-bound arithmetic and comparisons run on primitive
+      // longs instead of decimals
+      val cents = (col("o_totalprice").cast(dec(18, 2)) * 100).cast("long")
+      val w = Window.orderBy(cents)
+        .rangeBetween(-100000, Window.currentRow)
       s.table("orders")
         .select(col("o_orderkey"), count(lit(1)).over(w).as("near_cnt"))
         .orderBy("o_orderkey").limit(60)
@@ -1228,15 +1234,17 @@ object Relational {
     },
 
     "STREAM-SESSION" -> { s =>
+      // ONE window pass: the old running-sum session id fed only a per-user
+      // max(), and max(running sum of new_s) = sum(new_s) — so the second
+      // (differently-ordered) WindowExec and its sort fold into the final
+      // aggregate, which reuses the window's user_id hash partitioning
       val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val ws = Window.partitionBy("user_id").orderBy("ts")
       s.table("events")
         .select(col("user_id"), col("ts"),
           when(col("ts").cast("double") - lag("ts", 1).over(wo).cast("double") > 1800
             || lag("ts", 1).over(wo).isNull, 1).otherwise(0).as("new_s"))
-        .select(col("user_id"), sum("new_s").over(ws).as("sid"))
         .groupBy("user_id")
-        .agg(max("sid").cast("bigint").as("n_sessions"), count(lit(1)).as("n_events"))
+        .agg(sum("new_s").cast("bigint").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
     },
 
@@ -2220,12 +2228,16 @@ object Relational {
       val toks = graft.core.Tables.spread(s.table("documents"), "doc_id")
         .select(split(col("text"), " ").as("t"))
       val utok = toks.select(explode(col("t")).as("tok"))
+      // both count models are vocabulary-bounded — materialize each once so
+      // the totals and the two broadcast joins reuse them instead of
+      // re-exploding the corpus per consumer (4 explode passes → 2)
       val bg = toks
         .select(explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
         .select(element_at(col("t"), col("i")).as("t1"),
           element_at(col("t"), col("i") + 1).as("t2"))
         .groupBy("t1", "t2").agg(count(lit(1)).as("cb"))
-      val uni = utok.groupBy("tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val uni = utok.groupBy("tok").agg(count(lit(1)).as("c")).localCheckpoint()
       val n1 = uni.agg(sum("c").cast("long").as("n"))
       val n2 = bg.agg(sum("cb").cast("long").as("nb"))
       bg.join(broadcast(uni.select(col("tok").as("k1"), col("c").as("c1"))),

@@ -197,6 +197,15 @@ object GraftFunctions {
       }
       BloomMightContain(exprs(0), bytes)
     },
+    "graft_vec_mean" -> { exprs =>
+      val dims = exprs(1).eval(InternalRow.empty) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_vec_mean dims must be an integer literal, got $other")
+      }
+      VecMomentsAgg(exprs(0), dims).toAggregateExpression()
+    },
     "graft_topk_by" -> { exprs =>
       val k = exprs(2).eval(InternalRow.empty) match {
         case i: Int => i

@@ -491,24 +491,26 @@ object Dedup {
     val labelChain = new CheckpointChain(pairs.sparkSession)
     val edges = edgeChain.next(
       fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))))
-    var labels = labelChain.next(edges.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl")))
     // convergence detector: labels only ever DECREASE, so the label sum
     // strictly decreases iff any label changed — one scalar aggregate per
     // round instead of a join+count. decimal(38,0) keeps the sum exact for
-    // any Long ids at any node count.
+    // any Long ids at any node count. The sum rides the SAME job that
+    // materializes the round's checkpoint (CheckpointChain.nextWith): one
+    // Spark job per round, not two.
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-    var prevSum = lblSum(labels)
+    var (labels, prevSum) = labelChain.nextWith(
+      edges.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")))(lblSum)
     var changed = true
     var it = 0
     while (changed && it < maxIter) {
       val prop = edges.select(col("a").as("node"), col("b"))
         .join(labels.select(col("node").as("b"), col("lbl")), "b")
         .select(col("node"), col("lbl"))
-      labels = labelChain.next(labels.unionByName(prop)
-        .groupBy("node").agg(min("lbl").as("lbl")))
-      val s = lblSum(labels)
+      val (nl, s) = labelChain.nextWith(labels.unionByName(prop)
+        .groupBy("node").agg(min("lbl").as("lbl")))(lblSum)
+      labels = nl
       // null sums (empty graph) compare equal — nothing to propagate
       changed =
         if (s == null || prevSum == null) s != prevSum
@@ -556,28 +558,32 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
     val Seq(ca, cb) = pairs.columns.take(2).toSeq
     val chain = new CheckpointChain(pairs.sparkSession)
-    var edges = chain.next(pairs
-      .select(greatest(col(ca).cast("long"), col(cb).cast("long")).as("a"),
-        least(col(ca).cast("long"), col(cb).cast("long")).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct())
+    // the convergence fingerprint rides the SAME job that materializes each
+    // round's checkpoint (CheckpointChain.nextWith): one job per round
     def fingerprint(df: DataFrame): Seq[Any] =
       df.agg(count(lit(1)), sum(col("a").cast("decimal(38,0)")),
           sum(col("b").cast("decimal(38,0)")),
           sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")))
         .collect()(0).toSeq
-    var prev = fingerprint(edges)
+    var (edges, prev) = chain.nextWith(pairs
+      .select(greatest(col(ca).cast("long"), col(cb).cast("long")).as("a"),
+        least(col(ca).cast("long"), col(cb).cast("long")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct())(fingerprint)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       // large-star over the symmetrized graph: emit (v, m(u)) for v > u,
-      // where m(u) = min(Γ(u) ∪ {u}); output is (child > parent) canonical
+      // where m(u) = min(Γ(u) ∪ {u}); output is (child > parent) canonical.
+      // NOT distinct()ed: each sym row emits at most one (v, m) row, so the
+      // large set is bounded by 2·|edges| with or without the dedup, min()
+      // downstream is duplicate-insensitive, and the round-final distinct
+      // canonicalizes — dropping it removes a full shuffle per round.
       val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       val minsL = sym.groupBy("a").agg(min("b").as("mn"))
         .select(col("a"), least(col("a"), col("mn")).as("m"))
       val large = sym.join(minsL, "a").where(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
-        .distinct()
       // small-star on (child, parents): connect parents ∪ {child} to the
       // minimum parent
       val minsS = large.groupBy("a").agg(min("b").as("m"))
@@ -586,8 +592,8 @@ object Dedup {
         .union(minsS.select(col("a"), col("m").as("b")))
         .where(col("a") =!= col("b"))
         .distinct()
-      edges = chain.next(small)
-      val s = fingerprint(edges)
+      val (ne, s) = chain.nextWith(small)(fingerprint)
+      edges = ne
       converged = s == prev
       prev = s
       it += 1

@@ -171,19 +171,40 @@ object Pq {
     val centroids = Similarity.kmeansCentroids(embeddings, cells, iters)
     val model = train(embeddings, dims, m, k, iters = iters)
     val assigned = Similarity.assignCells(embeddings, centroids)
-    encode(assigned, model).select("vec_id", "cell", "codes")
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
-    assigned.select("vec_id", "cell", "embedding")
-      .repartitionByRange(col("vec_id"))
-      .sortWithinPartitions("vec_id")
-      .write.mode("overwrite").parquet(Similarity.sidecarPath(path))
     import spark.implicits._
-    centroids.toSeq.toDF("cell", "centroid")
-      .write.mode("overwrite").parquet(Similarity.centroidsPath(path))
-    model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
-    }.toSeq.toDF("j", "c", "centroid")
-      .write.mode("overwrite").parquet(pqModelPath(path))
+    // the four index artifacts are independent writes to disjoint paths —
+    // run them concurrently so each write's commit/straggler tail backfills
+    // with the next one's tasks (guide §2.6 concurrent-jobs pattern)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val writes = Seq(
+        scala.concurrent.Future {
+          encode(assigned, model).select("vec_id", "cell", "codes")
+            .write.mode("overwrite").partitionBy("cell").parquet(path)
+        },
+        scala.concurrent.Future {
+          assigned.select("vec_id", "cell", "embedding")
+            .repartitionByRange(col("vec_id"))
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite").parquet(Similarity.sidecarPath(path))
+        },
+        scala.concurrent.Future {
+          centroids.toSeq.toDF("cell", "centroid")
+            .write.mode("overwrite").parquet(Similarity.centroidsPath(path))
+        },
+        scala.concurrent.Future {
+          model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+            cb.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+          }.toSeq.toDF("j", "c", "centroid")
+            .write.mode("overwrite").parquet(pqModelPath(path))
+        })
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writes),
+        scala.concurrent.duration.Duration(30, "min"))
+      ()
+    } finally pool.shutdown()
   }
 
   /** PQ-model sidecar location for an index at `path`. */
@@ -220,12 +241,29 @@ object Pq {
     * id collect is ≤ rerank rows — metadata-scale). */
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                        probe: Array[Float], kTop: Int, nprobe: Int = 2,
-                       rerank: Int = 64): DataFrame = {
+                       rerank: Int = 64): DataFrame =
+    ivfPqTopKIndexed(spark, path, readIndexModels(spark, path), probe, kTop,
+      nprobe, rerank)
+
+  /** The PQ model + coarse-centroid sidecars of an index, loaded once — a
+    * multi-probe caller resolves them a single time instead of re-reading
+    * both sidecars per probe. */
+  def readIndexModels(spark: org.apache.spark.sql.SparkSession,
+                      path: String): (Model, Array[(Int, Array[Double])]) =
+    (readModel(spark, path),
+      spark.read.parquet(Similarity.centroidsPath(path)).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray))
+
+  /** [[ivfPqTopKIndexed]] with the index models preloaded via
+    * [[readIndexModels]] — the per-probe work is then exactly two
+    * partition-/row-group-pruned scans. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       models: (Model, Array[(Int, Array[Double])]),
+                       probe: Array[Float], kTop: Int, nprobe: Int,
+                       rerank: Int): DataFrame = {
     require(rerank >= kTop, "rerank short list must be >= kTop")
     graft.functions.expressions.GraftFunctions.register(spark)
-    val model = readModel(spark, path)
-    val centroids = spark.read.parquet(Similarity.centroidsPath(path)).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val (model, centroids) = models
     val qn = normalize(probe.map(_.toDouble))
     def ccos(c: Array[Double]) =
       qn.zip(c.map(_.toFloat.toDouble)).map { case (a, b) => a * b }.sum

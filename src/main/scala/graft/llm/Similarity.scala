@@ -155,14 +155,18 @@ object Similarity {
       .select(col("embedding")).collect()
       .zipWithIndex
       .map { case (r, i) => i -> normalize(r.getSeq[Float](0).map(_.toDouble).toArray) }
+    val dims = centroids.headOption.map(_._2.length).getOrElse(0)
     for (_ <- 1 to iters) {
       val assigned = assignCells(embeddings, centroids)
+      // UPDATE as ONE hash aggregate keyed by cell: a single fixed-buffer
+      // vector-mean aggregate (k·(dims+1) doubles of partial state,
+      // map-side partial agg) — the posexplode formulation shuffled n·dims
+      // exploded rows through TWO exchanges plus a collect_list
+      // re-assembly per cell
       val means = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .groupBy("cell", "d").agg(avg(col("x").cast("double")).as("m"))
         .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-          s => s.getField("m")).as("centroid"))
+        .agg(call_function("graft_vec_mean", col("embedding"), lit(dims))
+          .as("centroid"))
         .collect()
         .map(r => r.getInt(0) -> normalize(r.getSeq[Double](1).toArray))
         .toMap

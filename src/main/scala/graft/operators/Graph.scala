@@ -60,24 +60,34 @@ object Graph {
       !nodes.join(deg, Seq("node"), "left_anti").isEmpty
 
     val chain = new graft.core.CheckpointChain(spark)
-    var ranks = chain.next(
-      nodes.withColumn("rank", pin(lit(1.0 / n))))
-    for (_ <- 1 to iterations) {
-      val withDeg = ranks.join(deg, Seq("node"), "left")
-      // one-row aggregate: total rank parked on dangling nodes
-      val dangling =
-        if (!hasDangling) 0.0
-        else pinS(withDeg.where(col("deg").isNull)
-          .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0))
-      val contribs = withDeg.where(col("deg").isNotNull)
+    // per-iteration dangling mass (total rank on out-edge-less nodes) rides
+    // the SAME job that materializes the iteration's checkpoint
+    // (CheckpointChain.nextWith) — one job per iteration, not two. The
+    // anti-join formulation equals the old deg-isNull filter: deg has one
+    // row per out-edged node.
+    def danglingOf(df: DataFrame): Double =
+      if (!hasDangling) 0.0
+      else pinS(df.join(deg, Seq("node"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0))
+    var (ranks, dangling) = chain.nextWith(
+      nodes.withColumn("rank", pin(lit(1.0 / n))))(danglingOf)
+    for (i <- 1 to iterations) {
+      val contribs = ranks.join(deg, Seq("node"))
         .join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("c"))
-      ranks = chain.next(
-        nodes.join(contribs, Seq("node"), "left")
-          .select(col("node"),
-            pin(lit((1.0 - d) / n) + lit(d) *
-              (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("rank")))
+      val nr = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          pin(lit((1.0 - d) / n) + lit(d) *
+            (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("rank"))
+      // the LAST iteration's dangling mass is never used — materialize the
+      // final ranks without the extra aggregate
+      if (i == iterations) ranks = chain.next(nr)
+      else {
+        val (r2, d2) = chain.nextWith(nr)(danglingOf)
+        ranks = r2
+        dangling = d2
+      }
     }
     ranks
   }
@@ -107,11 +117,13 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
       .localCheckpoint()
     val chain = new graft.core.CheckpointChain(spark)
-    var dist = chain.next(
-      e.sparkSession.range(1).select(lit(source).as("node"), lit(0.0).as("dist")))
+    // convergence fingerprint fused into the round's checkpoint job
+    // (CheckpointChain.nextWith): one Spark job per relaxation round
     def fingerprint(df: DataFrame): Seq[Any] =
       df.agg(count(lit(1)), sum(col("dist").cast("decimal(38,6)"))).collect()(0).toSeq
-    var prev = fingerprint(dist)
+    var (dist, prev) = chain.nextWith(
+      e.sparkSession.range(1).select(lit(source).as("node"), lit(0.0).as("dist")))(
+      fingerprint)
     var hops = 0
     var converged = false
     while (hops < maxHops && !converged) {
@@ -119,8 +131,8 @@ object Graph {
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .union(dist)
         .groupBy("node").agg(min("dist").as("dist"))
-      dist = chain.next(relaxed)
-      val s = fingerprint(dist)
+      val (nd, s) = chain.nextWith(relaxed)(fingerprint)
+      dist = nd
       converged = s == prev
       prev = s
       hops += 1
@@ -198,8 +210,6 @@ object Graph {
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct().localCheckpoint()
     val chain = new graft.core.CheckpointChain(spark)
-    var active = chain.next(
-      und.select(col("u").as("node")).union(und.select(col("v"))).distinct())
     def degrees(act: DataFrame): DataFrame = {
       val live = und
         .join(act.select(col("node").as("u")), Seq("u"), "left_semi")
@@ -207,12 +217,16 @@ object Graph {
       live.select(col("u").as("node")).union(live.select(col("v")))
         .groupBy("node").agg(count(lit(1)).as("dg"))
     }
+    // the surviving-node count rides the round's checkpoint job
+    // (CheckpointChain.nextWith): one Spark job per peeling round
+    var (active, prev) = chain.nextWith(
+      und.select(col("u").as("node")).union(und.select(col("v"))).distinct())(
+      _.count())
     var converged = false
     var rounds = 0
-    var prev = active.count()
     while (rounds < maxRounds && !converged) {
-      val next = chain.next(degrees(active).where(col("dg") >= k).select("node"))
-      val n = next.count()
+      val (next, n) = chain.nextWith(
+        degrees(active).where(col("dg") >= k).select("node"))(_.count())
       converged = n == prev // monotone shrink: equal size == fixpoint
       prev = n
       active = next

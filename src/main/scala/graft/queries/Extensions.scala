@@ -260,18 +260,39 @@ object Extensions {
       val path = java.nio.file.Files.createTempDirectory("graft_ivfpq")
         .toString + "/idx"
       graft.llm.Pq.writeIvfPqIndex(e, path, cells = 8, iters = 5)
-      val rows = Seq(0L, 1L, 2L).map { pid =>
-        val pvec = e.where(col("vec_id") === pid)
-          .select("embedding").head.getSeq[Float](0).toArray
-        val ann = graft.llm.Pq.ivfPqTopKIndexed(s, path, pvec, kTop = 10,
-            nprobe = 4, rerank = 64)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        val exact = Similarity.cosineTopK(e, pid, 10)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        val recall = (ann & exact).size / 10.0
-        // measured 0.8-0.9 at oracle SFs; 0.5 is the contract bound
-        (pid, ann.size, recall >= 0.5)
-      }
+      val probeIds = Seq(0L, 1L, 2L)
+      // ONE scan resolves every probe vector (was one head() job per probe)
+      val pvecs = e.where(col("vec_id").isInCollection(probeIds))
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      // ONE window-ranked job computes every probe's exact top-10 (same
+      // (cos desc, vec_id) order as cosineTopK — identical sets)
+      val exactAll = Similarity.multiProbeTopK(e, probeIds, 10)
+        .select("probe_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+      // index sidecars (PQ codebooks + coarse centroids) load once; the
+      // three pruned ANN probes are independent two-job chains — overlap
+      // them so one probe's straggler tail backfills with the next
+      // (guide §2.6 concurrent-jobs pattern; output order is pinned below)
+      val models = graft.llm.Pq.readIndexModels(s, path)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(probeIds.size)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val rows = try {
+        val futs = probeIds.map { pid =>
+          scala.concurrent.Future {
+            val ann = graft.llm.Pq.ivfPqTopKIndexed(s, path, models,
+                pvecs(pid), kTop = 10, nprobe = 4, rerank = 64)
+              .select("vec_id").collect().map(_.getLong(0)).toSet
+            val recall = (ann & exactAll(pid)).size / 10.0
+            // measured 0.8-0.9 at oracle SFs; 0.5 is the contract bound
+            (pid, ann.size, recall >= 0.5)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration(10, "min"))
+      } finally pool.shutdown()
       rows.toDF("probe_id", "n", "recall_ok")
     },
     // SemDeDup (Abbas et al. 2023) end-to-end under the bound-check
@@ -295,8 +316,6 @@ object Extensions {
         val pairs = Similarity.cellNearDupPairs(e, thr, model).cache()
         val kept = Similarity.semanticDedupFromPairs(e, pairs).cache()
         caches += pairs += kept
-        val n = e.count()
-        val nk = kept.count()
         // kept near-dup check rides the SAME edges: an edge with both
         // endpoints kept is exactly a kept-pair near-dup
         val keptIds = kept.select(col("vec_id")).cache()
@@ -304,14 +323,23 @@ object Extensions {
         val keptNearDups = pairs
           .join(keptIds.withColumnRenamed("vec_id", "va"), Seq("va"))
           .join(keptIds.withColumnRenamed("vec_id", "vb"), Seq("vb"))
-          .count()
         val linked = pairs.select(col("va").as("vid"))
           .union(pairs.select(col("vb").as("vid"))).distinct()
         val unlinkedDropped = e.select("vec_id")
           .join(keptIds, Seq("vec_id"), "left_anti")
-          .join(linked, col("vec_id") === col("vid"), "left_anti").count()
-        val frac = nk.toDouble / n
-        Seq((n, keptNearDups == 0L, unlinkedDropped == 0L,
+          .join(linked, col("vec_id") === col("vid"), "left_anti")
+        // all four check scalars in ONE job: a union of independent one-row
+        // aggregates over the cached frames (was four sequential count()
+        // actions = four job round-trips)
+        def scalar(tag: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("v")).select(lit(tag).as("k"), col("v"))
+        val stats = scalar("n", e)
+          .unionAll(scalar("nk", kept))
+          .unionAll(scalar("kd", keptNearDups))
+          .unionAll(scalar("ud", unlinkedDropped))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val frac = stats("nk").toDouble / stats("n")
+        Seq((stats("n"), stats("kd") == 0L, stats("ud") == 0L,
             frac >= 0.05 && frac <= 0.98))
           .toDF("n", "no_kept_neardups_ok", "dropped_linked_ok", "kept_frac_ok")
         // every check already collapsed to a scalar — caches can go
@@ -2029,10 +2057,15 @@ object Extensions {
           "transform(sequence(0, size(ts)-2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))"))
           .as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // the bigram model is vocabulary²-bounded — materialize it once; the
+      // unigram context counts AND the vocabulary size derive from it
+      // (distinct w over pairs' w1 ∪ w2 = distinct over bg's keys), so the
+      // corpus explode runs twice (bg build + doc scoring), not five times
       val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .localCheckpoint()
       val ug = bg.groupBy("w1").agg(sum("c2").as("c1"))
-      val vv = pairs.select(col("w1").as("w"))
-        .union(pairs.select(col("w2").as("w")))
+      val vv = bg.select(col("w1").as("w"))
+        .union(bg.select(col("w2").as("w")))
         .agg(countDistinct("w").cast("double").as("v"))
       val scored = pairs
         .join(bg, Seq("w1", "w2"))
@@ -2421,7 +2454,10 @@ object Extensions {
             Sketches.thetaIntersect(col("theta"), col("tb"))).as("e_i"),
           Sketches.thetaEstimate(
             Sketches.thetaANotB(col("theta"), col("tb"))).as("e_d"))
-      val users = ev.select("event_type", "user_id").distinct()
+      // the distinct (group, user) pairs feed BOTH the purchase-user set
+      // and the per-group exact counts — materialize them once instead of
+      // re-deriving the distinct through each consumer's lineage
+      val users = ev.select("event_type", "user_id").distinct().localCheckpoint()
       val pu = users.where(col("event_type") === "purchase")
         .select(col("user_id").as("puid"))
       val ex = users.join(broadcast(pu), col("user_id") === col("puid"), "left")
@@ -2466,10 +2502,13 @@ object Extensions {
       val entries = graft.functions.Sketches
         .frequentItems(ev, Seq("event_type"), "user_id", k)
         .select(col("event_type"), explode(col("freq")).as(Seq("item", "est")))
+      // exact counts materialize once (both checks consume them); totals
+      // derive from exact instead of a third full scan of events
       val exact = ev.groupBy(col("event_type"),
           col("user_id").cast("string").as("item"))
         .agg(count(lit(1)).as("truth"))
-      val totals = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val totals = exact.groupBy("event_type").agg(sum("truth").as("n"))
       val boundsOk = entries.join(exact, Seq("event_type", "item"))
         .join(totals, "event_type")
         .groupBy("event_type")
@@ -2522,6 +2561,7 @@ object Extensions {
     "AGG-APPROX-QUANTILES" -> { (s, d) =>
       val ev = events(s, d)
       import graft.functions.Sketches
+      graft.functions.expressions.GraftFunctions.register(s)
       val fine = Sketches.kllSketch(
         ev.withColumn("hr", date_trunc("hour", col("ts"))),
         Seq("event_type", "hr"), "value")
@@ -2529,16 +2569,20 @@ object Extensions {
         .select(col("event_type"),
           Sketches.kllQuantile(col("kll"), 0.5).as("r50"),
           Sketches.kllQuantile(col("kll"), 0.9).as("r90"))
-      val whole = Sketches.kllSketch(ev, Seq("event_type"), "value")
-        .select(col("event_type"),
-          Sketches.kllQuantile(col("kll"), 0.5).as("w50"),
-          Sketches.kllQuantile(col("kll"), 0.9).as("w90"))
-      val exact = ev.groupBy("event_type").agg(
+      // the directly-built sketch and the exact band percentiles share one
+      // aggregation pass (same grouping key; was two full scans of events)
+      val wholeExact = ev.groupBy("event_type").agg(
+        call_function("graft_kll_agg", col("value").cast("double"), lit(200))
+          .as("kll"),
         expr("percentile(value, 0.40)").as("p40"),
         expr("percentile(value, 0.60)").as("p60"),
         expr("percentile(value, 0.82)").as("p82"),
         expr("percentile(value, 0.98)").as("p98"))
-      whole.join(rolled, "event_type").join(exact, "event_type")
+        .select(col("event_type"),
+          Sketches.kllQuantile(col("kll"), 0.5).as("w50"),
+          Sketches.kllQuantile(col("kll"), 0.9).as("w90"),
+          col("p40"), col("p60"), col("p82"), col("p98"))
+      wholeExact.join(rolled, "event_type")
         .select(col("event_type").as("g"),
           (col("w50") >= col("p40") && col("w50") <= col("p60") &&
             col("w90") >= col("p82") && col("w90") <= col("p98")).as("sketch_ok"),
@@ -2595,12 +2639,15 @@ object Extensions {
       val rolled = Sketches.thetaRollup(fine, Seq("event_type"))
         .select(col("event_type"),
           round(Sketches.thetaEstimate(col("theta")), 4).as("e_r"))
-      val whole = Sketches.thetaSketch(ev, Seq("event_type"), "user_id")
+      // whole-sketch and exact distinct share one aggregation pass (same
+      // grouping key; was two full scans of events)
+      graft.functions.expressions.GraftFunctions.register(s)
+      val wholeExact = ev.groupBy("event_type").agg(
+        call_function("graft_theta_agg", col("user_id"), lit(12)).as("theta"),
+        countDistinct(col("user_id")).as("x"))
         .select(col("event_type"),
-          round(Sketches.thetaEstimate(col("theta")), 4).as("e_w"))
-      val exact = ev.groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("x"))
-      rolled.join(whole, "event_type").join(exact, "event_type")
+          round(Sketches.thetaEstimate(col("theta")), 4).as("e_w"), col("x"))
+      rolled.join(wholeExact, "event_type")
         .select(col("event_type").as("g"),
           (col("e_r") === col("e_w")).as("rollup_exact"),
           (abs(col("e_r") - col("x")) <=
