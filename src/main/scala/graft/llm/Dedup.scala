@@ -102,11 +102,16 @@ object Dedup {
     val card = sh.groupBy(col("doc_id")).agg(count("*").as("c"))
     val shc0 = sh.join(card, "doc_id")
     val shc =
-      if (maxPostingList > 0)
+      (if (maxPostingList > 0)
         // posting lists from the SAME shingle frame (not a second
         // shingling scan of the corpus) — the cap costs one aggregate
         shc0.join(hotFrom(sh, maxPostingList).select("s"), Seq("s"), "left_anti")
-      else shc0
+      else shc0)
+        // both candidate-join sides consume this frame and Catalyst plans
+        // them as separate subtrees (no exchange reuse across the alias
+        // asymmetry) — without the checkpoint the corpus is shingled and
+        // carded TWICE per side, four explode passes in the plan
+        .localCheckpoint()
     val a = shc.select(col("doc_id").as("da"), col("s"), col("c").as("ca"))
     val b = shc.select(col("doc_id").as("db"), col("s").as("s2"), col("c").as("cb"))
     a.join(b,
@@ -151,6 +156,10 @@ object Dedup {
       .withColumn("r", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
       .where(col("r") <= col("c") - ceil(lit(threshold) * col("c")) + 1)
+      // prefix-bounded (≈(1−t)·tokens rows); both candidate-join sides
+      // read it — materialize once instead of re-running the df join +
+      // per-doc rank window per side
+      .localCheckpoint()
     val a = ranked.select(col("doc_id").as("da"), col("s"), col("c").as("ca"))
     val b = ranked.select(col("doc_id").as("db"), col("s").as("s2"),
       col("c").as("cb"))
@@ -274,6 +283,9 @@ object Dedup {
         struct(i.as("p"),
           baseHash(concat_ws(" ", slice(toks, i, lit(k)))).as("h")))).as("ph"))
       .select(col("doc_id"), col("ph.p").as("p"), col("ph.h").as("h"))
+      // feeds BOTH the repeated-bucket aggregate and the mark-back join —
+      // materialize once instead of tokenizing + hashing the corpus twice
+      .localCheckpoint()
     val repAll = pos.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"),
         min(col("doc_id")).as("__keeper"))
       .where(col("nd") >= minDocs)
@@ -389,7 +401,10 @@ object Dedup {
                    baseHash: Column => Column = fastHash): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // per-doc signatures (corpus-row-bounded, 16 longs each) feed both
+    // banded self-join sides — materialize once, not one shingle pass each
     val sigs = minhashSignatures(documents, n, numHashes, baseHash)
+      .localCheckpoint()
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -434,6 +449,7 @@ object Dedup {
       s"tables*numHashes must be <= ${AB.length}")
     val rows = numHashes / bands
     val sigs = minhashSignatures(documents, n, tables * numHashes, baseHash)
+      .localCheckpoint()
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(tables * bands - 1)),
@@ -489,8 +505,14 @@ object Dedup {
     // the whole edge set once before the first round.
     val edgeChain = new CheckpointChain(pairs.sparkSession)
     val labelChain = new CheckpointChain(pairs.sparkSession)
+    // cluster the loop-static edge set by the per-round join key: the bare
+    // union is a narrow op that inherits (2× the parent's) partitions, so
+    // every round would scan that many tasks however small the graph; a
+    // keyed repartition lets AQE size it to the data (and at scale
+    // co-locates the join side)
     val edges = edgeChain.next(
-      fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))))
+      fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+        .repartition(col("b")))
     // convergence detector: labels only ever DECREASE, so the label sum
     // strictly decreases iff any label changed — one scalar aggregate per
     // round instead of a join+count. decimal(38,0) keeps the sum exact for
@@ -720,7 +742,9 @@ object Dedup {
     * ≥ 1 of 4 chunks equal): (da, db, dist). Oracle-checkable twin of
     * [[simhashPairs]]. */
   def simhashPairsPortable(documents: DataFrame, n: Int = 3, maxDist: Int = 3): DataFrame = {
-    val fp = simhashPortable(documents, n)
+    // one fingerprint row per doc; both chunk-join sides read it —
+    // materialize once, not one shingle+aggregate pass per side
+    val fp = simhashPortable(documents, n).localCheckpoint()
     val chunked = fp.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("simhash"), c * 15).bitwiseAND(lit(32767L))))
@@ -739,7 +763,7 @@ object Dedup {
     * 16-bit chunk equality as the LSH (pigeonhole: dist ≤ 3 ⇒ ≥ 1 of 4
     * chunks equal): (da, db, dist). */
   def simhashPairs(documents: DataFrame, n: Int = 3, maxDist: Int = 3): DataFrame = {
-    val fp = simhash(documents, n)
+    val fp = simhash(documents, n).localCheckpoint()
     val chunked = fp.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))))

@@ -105,6 +105,7 @@ object TextAnalysis {
     var d = documents.select(col(textCol).as("text"))
     val learned = Seq.newBuilder[(Int, String, Long)]
     var n = 0
+    var rounds = 0
     var dry = false
     while (n < merges && !dry) {
       val toks = split(col("text"), " ")
@@ -133,7 +134,14 @@ object TextAnalysis {
           c = applyMerge(c, p)
         }
         d = d.select(c.as("text"))
-          .localCheckpoint() // bound lineage across rounds
+        rounds += 1
+        // bound lineage across rounds — but only every few rounds: merges
+        // are cheap map-side replaces, so replaying a handful from the
+        // source beats materializing a full corpus copy per round (the
+        // eager checkpoint was one extra corpus-wide job per merge; at
+        // cluster scale it is a corpus copy into executor storage per
+        // round). 8 keeps the replayed chain short and the plan small.
+        if (rounds % 8 == 0) d = d.localCheckpoint()
       }
     }
     import spark.implicits._

@@ -35,6 +35,11 @@ object Graph {
     val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
+      // keyed repartition before the checkpoint: narrow-op lineage would
+      // pin the parent's partition count for all `iterations` scans; the
+      // shuffle lets AQE size the static side once (and clusters it by the
+      // per-iteration join key)
+      .repartition(col("src"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
@@ -115,6 +120,8 @@ object Graph {
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("double").as("w"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
+      // see pageRank: AQE-sizable static side, clustered by the join key
+      .repartition(col("src"))
       .localCheckpoint()
     val chain = new graft.core.CheckpointChain(spark)
     // convergence fingerprint fused into the round's checkpoint job

@@ -491,6 +491,10 @@ object Extensions {
       val b = ev.groupBy(col("event_type"),
           date_trunc("hour", col("ts")).as("hr"))
         .agg(sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sv"))
+        // hour-bucket-bounded; feeds BOTH the per-series range (grid
+        // bounds) and the grid join — materialize once instead of
+        // re-aggregating events per consumer
+        .localCheckpoint()
       val rng = b.groupBy("event_type").agg(min("hr").as("lo"), max("hr").as("hi"))
       val grid = rng.select(col("event_type"),
         explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
@@ -2307,6 +2311,10 @@ object Extensions {
         .where(col("cnt") === 24)
         .withColumn("det", col("sv") - col("trend"))
         .withColumn("hod", hour(col("hr")))
+        // hour-bucket-bounded; feeds BOTH the seasonal-index aggregate and
+        // the residual rank — materialize once instead of re-running the
+        // events aggregate + CMA window per consumer
+        .localCheckpoint()
       val seas = t.groupBy(col("event_type").as("et2"), col("hod").as("hod2"))
         .agg((sum(col("det").cast(DecimalType(18, 6))).cast("double") /
           count(lit(1))).as("sidx"))
@@ -2686,6 +2694,10 @@ object Extensions {
       val pts = ev.select(col("t"), lit(1).as("d"))
         .unionAll(ev.select((col("t") + 300).as("t"), lit(-1).as("d")))
         .withColumn("bucket", (floor(col("t") / 21600) * 21600).cast("bigint"))
+        // the delta stream feeds BOTH the bucket-local running sum and the
+        // per-bucket offset aggregate — materialize once instead of two
+        // double-scan unions of events
+        .localCheckpoint()
       val local = pts.withColumn("run",
         sum(col("d")).over(org.apache.spark.sql.expressions.Window
           .partitionBy("bucket").orderBy(col("t"), col("d"))
