@@ -1286,7 +1286,11 @@ object Relational {
     // by group and reduces to <= 4 candidate rows per group before the agg
     "AGG-MEDIAN" -> { s =>
       val w = Window.partitionBy("o_orderstatus").orderBy("v")
-      val cw = Window.partitionBy("o_orderstatus")
+      // partition count via an unbounded frame on the SAME (partition,
+      // order) spec as the rank — one WindowExec and one sort instead of a
+      // second order-less WindowExec with its own sort; the count over the
+      // whole partition is identical either way
+      val cw = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       // positions and interpolation stay in DECIMAL: quantile positions
       // (cnt-1)*q are exact at scale 1, values exact at scale 2, so the
       // interpolated value is exact at scale 3 — double arithmetic here

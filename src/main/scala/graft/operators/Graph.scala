@@ -41,11 +41,14 @@ object Graph {
       // per-iteration join key)
       .repartition(col("src"))
       .localCheckpoint()
+    // lazy checkpoints: the single stats aggregate below materializes BOTH
+    // (node count + dangling detection in one job, instead of count +
+    // isEmpty + two eager checkpoint jobs)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val n = nodes.count().toDouble
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // exactly-rounded state pinning (the STREAM-ANOMALY recipe): with
     // pinDecimals > 0 every stored rank is floor(x·10^p + 0.5)/10^p, so a
     // SQL replay of the same pinned sequence hash-matches bit-for-bit —
@@ -57,25 +60,24 @@ object Graph {
     def pinS(x: Double) =
       if (pinDecimals > 0) math.floor(x * pinF + 0.5) / pinF else x
 
-    // one-time: does the graph have dangling nodes at all? When it does
-    // not (every node has out-edges — common for contracted graphs), the
-    // per-iteration dangling-mass aggregate is a wasted driver action ×
-    // iterations; skip it entirely.
-    val hasDangling =
-      !nodes.join(deg, Seq("node"), "left_anti").isEmpty
+    // one-time: node count + does the graph have dangling nodes at all?
+    // (when it does not — common for contracted graphs — the
+    // per-iteration dangling-mass aggregate is skipped entirely). One
+    // aggregate answers both and materializes both lazy checkpoints.
+    val statsRow = nodes.join(deg, Seq("node"), "left")
+      .agg(count(lit(1)), count(col("deg"))).head()
+    val n = statsRow.getLong(0).toDouble
+    val hasDangling = statsRow.getLong(1) < statsRow.getLong(0)
 
     val chain = new graft.core.CheckpointChain(spark)
-    // per-iteration dangling mass (total rank on out-edge-less nodes) rides
-    // the SAME job that materializes the iteration's checkpoint
-    // (CheckpointChain.nextWith) — one job per iteration, not two. The
+    // per-iteration dangling mass (total rank on out-edge-less nodes). The
     // anti-join formulation equals the old deg-isNull filter: deg has one
     // row per out-edged node.
     def danglingOf(df: DataFrame): Double =
-      if (!hasDangling) 0.0
-      else pinS(df.join(deg, Seq("node"), "left_anti")
+      pinS(df.join(deg, Seq("node"), "left_anti")
         .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0))
-    var (ranks, dangling) = chain.nextWith(
-      nodes.withColumn("rank", pin(lit(1.0 / n))))(danglingOf)
+    var ranks = nodes.withColumn("rank", pin(lit(1.0 / n)))
+    var dangling = if (hasDangling) danglingOf(ranks) else 0.0
     for (i <- 1 to iterations) {
       val contribs = ranks.join(deg, Seq("node"))
         .join(e, col("node") === col("src"))
@@ -85,14 +87,20 @@ object Graph {
         .select(col("node"),
           pin(lit((1.0 - d) / n) + lit(d) *
             (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("rank"))
-      // the LAST iteration's dangling mass is never used — materialize the
-      // final ranks without the extra aggregate
       if (i == iterations) ranks = chain.next(nr)
-      else {
+      else if (hasDangling) {
+        // the dangling scalar rides the SAME job that materializes the
+        // iteration's checkpoint — one job per iteration, not two
         val (r2, d2) = chain.nextWith(nr)(danglingOf)
         ranks = r2
         dangling = d2
       }
+      // without dangling nodes NO per-iteration action is needed at all:
+      // iterations stay lazy and only a periodic eager checkpoint bounds
+      // the replayed lineage — ~1 job per 3 iterations instead of 1 per
+      // iteration (values are identical: each stored rank is pinned)
+      else if (i % 3 == 0) ranks = chain.next(nr)
+      else ranks = nr
     }
     ranks
   }

@@ -772,12 +772,21 @@ object Extensions {
       val sfx = graft.operators.Layout.dirSuffix(d)
       val liT = s"graft_bkt_li_$sfx"
       val ordT = s"graft_bkt_ord_$sfx"
-      graft.operators.Layout.bucketedWrite(
-        s.table("lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
-        "l_orderkey", 8, liT)
-      graft.operators.Layout.bucketedWrite(
-        s.table("orders").select("o_orderkey", "o_orderpriority"),
-        "o_orderkey", 8, ordT)
+      // the two bucketed layouts are independent writes — overlap them so
+      // one write's commit/straggler tail backfills with the other's tasks
+      // (guide §2.6 concurrent-jobs pattern)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
+        scala.concurrent.Future(graft.operators.Layout.bucketedWrite(
+          s.table("lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
+          "l_orderkey", 8, liT)),
+        scala.concurrent.Future(graft.operators.Layout.bucketedWrite(
+          s.table("orders").select("o_orderkey", "o_orderpriority"),
+          "o_orderkey", 8, ordT)))),
+        scala.concurrent.duration.Duration(30, "min"))
+      finally pool.shutdown()
       val li = s.table(liT)
       val ord = s.table(ordT)
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))

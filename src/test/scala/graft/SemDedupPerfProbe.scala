@@ -140,3 +140,45 @@ object CcConfigProbe {
     spark.stop()
   }
 }
+// (appended) pageRank phase probe
+object PrPhaseProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.register(spark, sfDir)
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.3fs"); r
+    }
+    // replicate Extensions.tradeEdges(k=3)
+    def tradeEdges(k: Int) = {
+      val li = Tables.spread(spark.table("lineitem"), "l_orderkey")
+        .select("l_orderkey", "l_suppkey")
+      val ord = spark.table("orders").select("o_orderkey", "o_custkey")
+      val cust = spark.table("customer").select("c_custkey", "c_nationkey")
+      val supp = spark.table("supplier").select("s_suppkey", "s_nationkey")
+      val trade = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      trade.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")
+            .orderBy(col("cnt").desc, col("dst"))))
+        .where(col("rn") <= k).select("src", "dst")
+    }
+    (1 to 2).foreach { r =>
+      time(s"tradeEdges r$r")(tradeEdges(3).collect().length)
+      time(s"pageRank-full r$r")(
+        graft.operators.Graph.pageRank(tradeEdges(3), "src", "dst", 10, 0.85, 12)
+          .orderBy("node").collect().length)
+    }
+    spark.stop()
+  }
+}
