@@ -2705,7 +2705,11 @@ object Extensions {
         .withColumn("bucket", (floor(col("t") / 21600) * 21600).cast("bigint"))
         // the delta stream feeds BOTH the bucket-local running sum and the
         // per-bucket offset aggregate — materialize once instead of two
-        // double-scan unions of events
+        // double-scan unions of events, CLUSTERED by bucket so the
+        // checkpoint's preserved hash partitioning satisfies the window's
+        // requirement directly (the bare union would pin 2× the parents'
+        // partitions and re-shuffle per consumer)
+        .repartition(col("bucket"))
         .localCheckpoint()
       val local = pts.withColumn("run",
         sum(col("d")).over(org.apache.spark.sql.expressions.Window
